@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation: exact
+  * (hash-groupBy), n-gram Jaccard, MinHash+LSH banding, and SimHash.
+  *
+  * Scale design (the 100 TB story):
+  *  - exact dedup is a single hash-shuffle on a 128-bit digest — never on the
+  *    full text, so shuffle volume is O(rows * 16 bytes), not O(corpus).
+  *  - near-dup NEVER compares all pairs: MinHash banding / SimHash chunking
+  *    bound candidate generation to same-bucket rows (the standard LSH
+  *    pigeonhole argument), so the expensive verify join runs on a tiny
+  *    candidate set. All steps are shuffles on small keys + one equi-join;
+  *    nothing is quadratic in the corpus.
+  *  - signatures are pure Column expressions over xxhash64 (codegen'd,
+  *    deterministic across runs/partitionings).
+  */
+object Dedup {
+
+  /** D-1/exact: mark exact-duplicate rows (2nd+ occurrence per text digest,
+    * keep-first by `orderCol`). Digest-based so the shuffle key is 32 bytes. */
+  def markExactDuplicates(df: DataFrame, textCol: String, orderCol: String,
+                          flag: String = "is_duplicate"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(orderCol).asc)
+    df.withColumn(flag, row_number().over(w) > 1)
+  }
+
+  /** Word k-shingles of a text column (k consecutive tokens, space-joined). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) < k, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+  }
+
+  /** Character n-grams of a text column. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = coalesce(text, lit(""))
+    when(length(t) <= n, array(t))
+      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
+  }
+
+  /** Exact Jaccard similarity of two string arrays (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(array_union(a, b))
+    when(union === 0, 0.0).otherwise(inter.cast("double") / union.cast("double"))
+  }
+
+  /** MinHash signature: for permutation i in [0, numHashes), the min over
+    * shingles of xxhash64(shingle, i). Deterministic, no RNG. */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleArr, s => xxhash64(s, i))))
+
+  /** Candidate near-dup pairs via LSH banding over MinHash signatures.
+    *
+    * @param df      input with an id column and a text column
+    * @param bands   number of bands; rows = numHashes/bands per band
+    * @return        (idA, idB) candidate pairs, idA < idB, distinct
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, numHashes: Int = 32,
+                        bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = df.select(col(idCol).as("__id"),
+        minhashSignature(shingles(col(textCol), shingleK), numHashes).as("__sig"))
+    // one row per (band, bucket-hash) — the bucket key is a hash of the
+    // band's signature slice, so the shuffle key is (int, long)
+    val buckets = withSig.select(col("__id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(array_join(transform(
+            slice(col("__sig"), b * rows + 1, lit(rows)), h => h.cast("string")), ",")))))
+      .toDF("__id", "__band", "__bucket")
+    buckets.as("l").join(buckets.as("r"),
+        col("l.__band") === col("r.__band") &&
+          col("l.__bucket") === col("r.__bucket") &&
+          col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs: LSH candidates verified by exact shingle Jaccard
+    * >= threshold. Output: id_a, id_b, jaccard_sim. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.8, shingleK: Int = 3,
+                      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands)
+    val sh = df.select(col(idCol).as("__vid"), shingles(col(textCol), shingleK).as("__sh"))
+    cands
+      .join(sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
+      .join(sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
+      .withColumn("jaccard_sim", jaccard(col("__sha"), col("__shb")))
+      .filter(col("jaccard_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard_sim"), 4).as("jaccard_sim"))
+  }
+
+  /** 64-bit SimHash of the token stream: bit b of the result is 1 iff the
+    * sum over tokens of sign(bit b of xxhash64(token)) is positive.
+    * Computed per-row as a pure expression (64-way fold over the token
+    * hashes — no explode, no shuffle). */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextOps.tokens(text), t => xxhash64(t))
+    // bit positions unrolled at plan-build time (shift amounts must be
+    // literal ints) — one codegen'd expression, no explode, no shuffle
+    val bits = (0 until 64).map { b =>
+      val bitSum = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, using the
+    * pigeonhole trick: split 64 bits into (maxDist+1) chunks; any pair within
+    * maxDist agrees exactly on at least one chunk -> bucket-join per chunk. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val bits = 64 / chunks
+    val withSig = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sig"))
+    val buckets = withSig.select(col("__id"), col("__sig"),
+        posexplode(array((0 until chunks).map(c =>
+          shiftright(col("__sig"), c * bits)
+            .bitwiseAND(lit((1L << bits) - 1))): _*)))
+      .toDF("__id", "__sig", "__chunk", "__key")
+    val pairs = buckets.as("l").join(buckets.as("r"),
+        col("l.__chunk") === col("r.__chunk") &&
+          col("l.__key") === col("r.__key") &&
+          col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        col("l.__sig").as("__siga"), col("r.__sig").as("__sigb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("__siga").bitwiseXOR(col("__sigb"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+}

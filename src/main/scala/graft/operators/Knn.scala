@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and an LSH
+  * (random-hyperplane) bucketed variant as the scale path.
+  *
+  * Scale design: the query set is small and broadcast; the corpus streams
+  * through scoring map-side (no shuffle of vectors), and only (query_id,
+  * corpus_id, sim) tuples — 24 bytes — reach the top-k shuffle. The LSH
+  * variant prunes scoring to same-bucket rows so corpus scans drop from
+  * O(Q×N) to O(Q×N/2^bits) expected. Hyperplanes are pseudo-random but
+  * deterministic (hash-derived), so results are reproducible with no RNG
+  * state shipped to executors.
+  */
+object Knn {
+
+  /** Dot product of two equal-length float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity (0 when either norm is 0). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0, 0.0).otherwise(d / n)
+  }
+
+  /** Exact brute-force top-k: for each row of `queries`, the k nearest
+    * corpus rows by cosine. Queries are broadcast (small side); ties break
+    * on corpus id for determinism.
+    * Output: query_id, neighbor_id, rank, cosine_sim. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine_sim"), 6).as("cosine_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1] for
+    * (plane p, dimension d): derived from xxhash64 — no RNG object. */
+  private def planeComponent(p: Int, d: Column): Column =
+    (pmod(xxhash64(lit(p), d), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+
+  /** Sign-bit bucket id from `numPlanes` random hyperplanes: bit p is 1 iff
+    * dot(vec, plane_p) > 0. Vectors in the same bucket are likely close in
+    * angle (classic SRP-LSH). */
+  def srpBucket(vec: Column, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeComponent(p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: score only corpus rows whose SRP bucket matches the
+    * query's (single-probe). Recall < 1.0 by construction; raise
+    * `numPlanes` for smaller buckets or lower it for higher recall.
+    * Same output shape as [[bruteForceTopK]]. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      srpBucket(col(vecCol), numPlanes).as("__qb"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      srpBucket(col(vecCol), numPlanes).as("__cb"))
+    val scored = c.join(broadcast(q), col("__qb") === col("__cb") &&
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine_sim"), 6).as("cosine_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a,b) pairs with cosine >=
+    * threshold, bucket-pruned by SRP-LSH (pairs must share a bucket). */
+  def cosineNearDups(df: DataFrame, threshold: Double = 0.95, numPlanes: Int = 8,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      srpBucket(col(vecCol), numPlanes).as("__b"))
+    v.as("l").join(v.as("r"),
+        col("l.__b") === col("r.__b") && col("l.__id") < col("r.__id"))
+      .withColumn("cosine_sim", cosine(col("l.__v"), col("r.__v")))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        round(col("cosine_sim"), 6).as("cosine_sim"))
+  }
+}

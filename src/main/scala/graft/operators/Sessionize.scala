@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators: gap-based sessionization and tumbling-window
+  * rollups (the batch forms; streaming variants live in graft.streaming).
+  *
+  * Scale: both are one shuffle on the grouping key (user / window start);
+  * sessionization is two window functions over the same (user, ts)
+  * partitioning so Catalyst plans a single sort+shuffle, reused.
+  */
+object Sessionize {
+
+  /** Assign gap-based sessions: a new session starts when the gap to the
+    * previous event of the same user exceeds `gapMinutes`. Adds
+    * `session_seq` (1-based per user). ST-3/ST-5 batch analogue. */
+  def withSessions(events: DataFrame, userCol: String, tsCol: String,
+                   gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol).asc)
+    val prevTs = lag(col(tsCol), 1).over(byUser)
+    val isNew = prevTs.isNull ||
+      (unix_timestamp(col(tsCol)) - unix_timestamp(prevTs)) > gapMinutes * 60L
+    events
+      .withColumn("__new", isNew.cast("int"))
+      .withColumn("session_seq",
+        sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new")
+  }
+
+  /** Per-session summary: start/end, events, total value. */
+  def sessionSummary(events: DataFrame, userCol: String, tsCol: String,
+                     valueCol: String, gapMinutes: Int = 30): DataFrame =
+    withSessions(events, userCol, tsCol, gapMinutes)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value"))
+
+  /** Tumbling-window rollup (batch form of ST-5): events per window, with
+    * distinct users and sum of value. `widthMinutes` must divide evenly into
+    * the day for DuckDB time_bucket parity. */
+  def tumbling(events: DataFrame, tsCol: String, userCol: String,
+               valueCol: String, widthMinutes: Int): DataFrame =
+    events
+      .groupBy(window(col(tsCol), s"$widthMinutes minutes").getField("start").as("window_start"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col(userCol)).as("n_users"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value"))
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, token counting (whitespace + BPE-ish regex), quality
+  * scoring (length/punct/stopword ratios), language-ID (n-gram/stopword
+  * heuristic) and document fingerprinting (rolling hash).
+  *
+  * All pure Column expressions (whole-stage codegen, no UDFs) so they run
+  * identically in batch and streaming and scale linearly with input — the
+  * per-document work is embarrassingly parallel, no shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokens (empty strings filtered — split keeps trailing
+    * empties). */
+  def tokens(text: Column): Column =
+    filter(split(coalesce(text, lit("")), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation —
+    * the classic pre-tokenizer split. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(coalesce(text, lit("")), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Ratio of punctuation chars to total chars (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val punct = length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    when(length(t) === 0, 0.0).otherwise(punct.cast("double") / length(t).cast("double"))
+  }
+
+  /** English stopword list used by the quality heuristic (public, standard). */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this", "are")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val stops = size(filter(toks, t => t.isin(stopwords: _*)))
+    when(size(toks) === 0, 0.0).otherwise(stops.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Mean token length (0 for empty docs). */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Document quality score in [0,100]: starts at 100, minus 25 if too
+    * short (<10 tokens), minus 25 if too punctuation-heavy (>10%), minus 25
+    * if stopword ratio is implausible for prose (<2% or >60%), minus 25 if
+    * mean token length is implausible (<2 or >12). Deterministic heuristic in
+    * the spirit of C4/Gopher quality rules (public corpus-filtering papers).
+    */
+  def qualityScore(text: Column): Column = {
+    val penalties =
+      when(tokenCount(text) < 10, 25).otherwise(0) +
+        when(punctRatio(text) > 0.10, 25).otherwise(0) +
+        when(stopwordRatio(text) < 0.02 || stopwordRatio(text) > 0.60, 25).otherwise(0) +
+        when(meanTokenLength(text) < 2.0 || meanTokenLength(text) > 12.0, 25).otherwise(0)
+    lit(100) - penalties
+  }
+
+  /** Per-language marker words for the language-ID heuristic (tiny public
+    * stopword samples — the classic n-gram/stopword profile approach). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "les", "des", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Count of marker hits for one language. */
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers: _*)))
+
+  /** Heuristic language-ID: argmax of marker-word hits; ties break by
+    * position in [[langMarkers]] order (a fixed priority chain, trivially
+    * mirrored by a SQL CASE); zero hits -> "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val hits = langMarkers.map { case (code, markers) => code -> markerHits(toks, markers) }
+    // First branch whose hits >= every later language's hits wins — the
+    // standard first-max-wins CASE chain, byte-for-byte mirrorable in SQL.
+    val chain = hits.zipWithIndex.foldLeft(when(lit(false), "und")) {
+      case (acc, ((code, h), i)) =>
+        val laterGeq = hits.drop(i + 1).map(_._2)
+          .foldLeft(lit(true))((ok, later) => ok && h >= later)
+        acc.when(laterGeq, code)
+    }
+    val total = hits.map(_._2).reduce(_ + _)
+    when(total === 0, "und").otherwise(chain)
+  }
+
+  /** Deterministic small integer value for a token (engine-portable: ascii of
+    * first char and length only — reproducible in any SQL engine). */
+  def tokenValue(t: Column): Column = ascii(t) * 31 + length(t)
+
+  /** Rolling polynomial fingerprint over the token stream, mod 1e9+7.
+    * h = fold(tokens, 0, (h, t) => (h*131 + tokenValue(t)) % p). Stable across
+    * engines (pure BIGINT arithmetic, no engine-specific hash). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), tokenValue(_)),
+      lit(0L),
+      (h, v) => (h * 131L + v) % 1000000007L)
+}
