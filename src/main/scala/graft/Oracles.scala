@@ -1,0 +1,206 @@
+package graft
+
+/** DuckDB-dialect ANSI SQL oracles, one per entry in [[Queries.all]].
+  *
+  * Each statement must be value-identical (and column-name-identical) to the
+  * Spark query when run by DuckDB over the same parquet tables. Notes on
+  * dialect parity baked into these strings:
+  *  - DuckDB regexp_replace needs the 'g' flag to match Spark's
+  *    always-global regexp_replace;
+  *  - DuckDB has no initcap — title-casing is emulated per word;
+  *  - integer-typed outputs are CAST(... AS INT)/(... AS BIGINT) to match
+  *    Spark's column types exactly;
+  *  - aggregates follow the same exact-DECIMAL conventions as Queries.
+  */
+object Oracles {
+
+  /** Reusable positional-character-similarity SQL (reference
+    * cleaning_rules.py:234-237) over DuckDB list lambdas. */
+  private def simSql(a: String, b: String): String =
+    s"""(CASE WHEN length($a)=0 OR length($b)=0 THEN 0.0 ELSE
+       | CAST(length(list_filter(range(1, least(length($a), length($b))+1),
+       |   i -> substr(lower($a),i,1) = substr(lower($b),i,1))) AS DOUBLE)
+       | / greatest(length($a), length($b)) END)""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_customer_360" ->
+      """WITH o AS (
+        | SELECT o_custkey, count(*) AS n,
+        |  count(CASE WHEN o_orderstatus='O' THEN 1 END) AS open_n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spent
+        | FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, c_mktsegment,
+        | coalesce(n, 0) AS total_orders,
+        | coalesce(open_n, 0) AS open_orders,
+        | CAST(coalesce(spent, 0) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN o ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q03_part_performance" ->
+      """SELECT p_brand,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_suppliers,
+        | count(*) AS n_lines,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q04_daily_dashboard" ->
+      """SELECT full_date, n_events, n_users, n_errors, total_value,
+        | dayname(full_date) AS day_name,
+        | dayname(full_date) IN ('Saturday','Sunday') AS is_weekend
+        |FROM (
+        | SELECT CAST(ts AS DATE) AS full_date, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(CASE WHEN event_type='error' THEN 1 END) AS n_errors,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        | FROM events GROUP BY CAST(ts AS DATE))
+        |ORDER BY full_date DESC""".stripMargin,
+
+    "q06_top_customers" ->
+      """WITH spent AS (
+        | SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+        | FROM orders GROUP BY o_custkey),
+        |r AS (
+        | SELECT c_mktsegment, c_custkey, sp,
+        |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY sp DESC, c_custkey ASC) AS rnk
+        | FROM customer JOIN spent ON c_custkey = o_custkey)
+        |SELECT c_mktsegment, CAST(rnk AS INT) AS "rank", c_custkey,
+        | CAST(sp AS DOUBLE) AS total_spent
+        |FROM r WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "q07_date_dim" ->
+      """SELECT CAST(year(d)*10000 + month(d)*100 + day(d) AS INT) AS date_key,
+        | CAST(d AS DATE) AS full_date,
+        | CAST(year(d) AS INT) AS year, CAST(quarter(d) AS INT) AS quarter,
+        | CAST(month(d) AS INT) AS month, CAST(day(d) AS INT) AS day,
+        | CAST(weekofyear(d) AS INT) AS week_of_year,
+        | dayname(d) AS day_name, monthname(d) AS month_name,
+        | dayname(d) IN ('Saturday','Sunday') AS is_weekend
+        |FROM generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY) t(d)
+        |ORDER BY date_key""".stripMargin,
+
+    "q08_upsert" ->
+      """WITH o AS (
+        | SELECT o_orderkey, o_orderstatus, o_orderdate,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |existing AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |batch AS (
+        | SELECT o_orderkey, o_orderstatus, o_orderdate,
+        |  CAST(round(p * CAST(1.1 AS DECIMAL(2,1)), 2) AS DECIMAL(18,2)) AS p
+        | FROM o WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'),
+        |merged AS (
+        | SELECT * FROM existing WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+        | UNION ALL SELECT * FROM batch)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(p) AS DOUBLE) AS total_price
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q09_cleaning" ->
+      """WITH base AS (
+        | SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+        |  CAST(c_custkey AS VARCHAR) AS ck,
+        |  lower(substr(c_mktsegment,1,1)) AS g,
+        |  CAST(regexp_replace('₹' || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) || ' INR',
+        |    '[^0-9.\-]', '', 'g') AS DOUBLE) AS feev
+        | FROM customer)
+        |SELECT c_custkey,
+        | CASE WHEN length(ck) < 3 THEN 'STU' || lpad(ck, 3, '0') ELSE 'STU' || ck END AS student_id,
+        | array_to_string(list_transform(
+        |   string_split_regex(trim(regexp_replace(regexp_replace(c_name,'[0-9]','','g'),'\s+',' ','g')), ' '),
+        |   w -> upper(substr(w,1,1)) || lower(substr(w,2))), ' ') AS name_clean,
+        | lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g')) || '@school.edu' AS email_clean,
+        | CAST(NULL AS VARCHAR) AS email_bad,
+        | '+91-' || CAST(9800000000 + c_custkey AS VARCHAR) AS phone_clean,
+        | CASE WHEN g = 'm' THEN 'Male' WHEN g = 'f' THEN 'Female' ELSE 'Other' END AS gender_clean,
+        | g IN ('m', 'f') AS gender_valid,
+        | round(least(greatest(c_acctbal, 0.0), 100.0), 2) AS score_clean,
+        | c_acctbal >= 0 AND c_acctbal <= 100 AS score_valid,
+        | abs(feev) AS fee_clean,
+        | feev >= 0 AS fee_valid,
+        | CAST(greatest(0, 100 - 10 * (1
+        |   + (CASE WHEN g IN ('m','f') THEN 0 ELSE 1 END)
+        |   + (CASE WHEN c_acctbal >= 0 AND c_acctbal <= 100 THEN 0 ELSE 1 END)
+        |   + (CASE WHEN feev >= 0 THEN 0 ELSE 1 END))) AS INT) AS quality_score
+        |FROM base ORDER BY c_custkey""".stripMargin,
+
+    "q10_parse_dates" ->
+      """SELECT o_orderkey,
+        | CASE WHEN d <= DATE '1999-01-01' THEN d END AS d_dmy,
+        | CAST(NULL AS DATE) AS d_unparsed,
+        | CASE WHEN d <= DATE '1999-01-01' THEN d END AS d_long,
+        | CASE WHEN d + INTERVAL '12:34:56' <= TIMESTAMP '1999-01-01 00:00:00'
+        |      THEN d + INTERVAL '12:34:56' END AS ts_iso
+        |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q11_fuzzy_nation" ->
+      s"""WITH probe AS (
+         | SELECT n_nationkey,
+         |  CASE WHEN n_nationkey % 3 = 0 THEN substr(n_name, 1, length(n_name)-1)
+         |       WHEN n_nationkey % 3 = 1 THEN substr(n_name, 1, 1) || n_name
+         |       ELSE n_name END AS dirty_name
+         | FROM nation),
+         |corr AS (
+         | SELECT n_nationkey, dirty_name,
+         |  CASE WHEN dirty_name = 'CANAD' THEN 'CANADA' ELSE dirty_name END AS c
+         | FROM probe),
+         |ex AS (
+         | SELECT corr.*, m.n_name AS exact_m
+         | FROM corr LEFT JOIN nation m ON corr.c = m.n_name),
+         |fz AS (
+         | SELECT ex.n_nationkey, ex.dirty_name, ex.c, m.n_name AS cand,
+         |  ${simSql("ex.c", "m.n_name")} AS sim
+         | FROM ex, nation m WHERE ex.exact_m IS NULL),
+         |best AS (
+         | SELECT *, row_number() OVER (PARTITION BY n_nationkey ORDER BY sim DESC, cand ASC) AS rn
+         | FROM fz)
+         |SELECT n_nationkey, dirty_name, clean_name, clean_name_method FROM (
+         | SELECT n_nationkey, dirty_name, exact_m AS clean_name,
+         |  CASE WHEN c <> dirty_name THEN 'corrected' ELSE 'exact' END AS clean_name_method
+         | FROM ex WHERE exact_m IS NOT NULL
+         | UNION ALL
+         | SELECT n_nationkey, dirty_name,
+         |  CASE WHEN sim >= 0.5 THEN cand ELSE c END,
+         |  CASE WHEN sim >= 0.5 THEN 'fuzzy' ELSE 'unmatched' END
+         | FROM best WHERE rn = 1)
+         |ORDER BY n_nationkey""".stripMargin,
+
+    "q12_enrich_risk" ->
+      """WITH lastord AS (
+        | SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+        |  count(CASE WHEN o_orderstatus='O' THEN 1 END) AS open_n
+        | FROM orders GROUP BY o_custkey),
+        |j AS (
+        | SELECT c_custkey,
+        |  CAST(date_diff('day', last_d, DATE '1999-01-01') AS INT) AS inactive_days,
+        |  round(least(greatest(c_acctbal / 100.0, 0.0), 100.0), 2) AS completion_rate,
+        |  CASE WHEN open_n > 0 THEN 'Pending' WHEN open_n = 0 THEN 'Completed' END AS payment_status
+        | FROM customer LEFT JOIN lastord ON c_custkey = o_custkey),
+        |scored AS (
+        | SELECT j.*,
+        |  least((CASE WHEN coalesce(inactive_days, 0) > 30 THEN 20 ELSE 0 END)
+        |      + (CASE WHEN coalesce(completion_rate, 0.0) < 30 THEN 25 ELSE 0 END)
+        |      + (CASE WHEN lower(coalesce(payment_status, '')) <> 'completed' THEN 15 ELSE 0 END),
+        |    100) AS risk_score
+        | FROM j)
+        |SELECT c_custkey, inactive_days, completion_rate, payment_status,
+        | CAST(risk_score AS INT) AS risk_score,
+        | CASE WHEN risk_score >= 75 THEN 'Critical' WHEN risk_score >= 50 THEN 'High'
+        |      WHEN risk_score >= 25 THEN 'Medium' ELSE 'Low' END AS risk_category
+        |FROM scored ORDER BY c_custkey""".stripMargin,
+  )
+}

@@ -1,0 +1,274 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.expr.{CleaningRules, Enrichment}
+import graft.operators._
+
+/** The engine's declared query set — one entry per operator family from
+  * SURVEY.md §2 plus the training-data-pipeline operators (dedup, similarity
+  * search, text analysis), all parameterized by the testdata directory.
+  *
+  * Cross-engine determinism conventions (the DuckDB oracle hashes values):
+  *  - money/quantity aggregates go through exact DECIMAL sums (order-
+  *    independent), then cast to double;
+  *  - per-row double products are cast to DECIMAL(25,6) before summing;
+  *  - averages are computed as exact-decimal-sum / count in double and
+  *    rounded, never via engine-native double avg;
+  *  - every query ends in a total ORDER BY so row order is reproducible.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Frozen "today" for date-validity rules — reproducible runs
+    * (SURVEY.md §4.3: never wall-clock). Testdata dates end in 1998. */
+  private val asOfDate = to_date(lit("1999-01-01"))
+  private val asOfTs = to_timestamp(lit("1999-01-01 00:00:00"))
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private def dec6(c: Column): Column = c.cast("decimal(25,6)")
+
+  // ---------------------------------------------------------------- relational
+
+  /** A-1/A-6: pricing summary hash aggregation over the fact table. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .withColumn("avg_price", round(col("sum_base_price") / col("count_order"), 6))
+      .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "avg_qty", "avg_price", "count_order")
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** J-5 / Q-student-360 analogue: per-customer rollup via pre-aggregated
+    * left join (the decorrelated form of the reference's correlated
+    * subqueries, init_schema.sql:445-470). */
+  def q02Customer360(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("__n"),
+        count(when(col("o_orderstatus") === "O", 1)).as("__open"),
+        sum(dec2(col("o_totalprice"))).as("__spent"))
+    t(s, dir, "customer")
+      .join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        coalesce(col("__n"), lit(0L)).as("total_orders"),
+        coalesce(col("__open"), lit(0L)).as("open_orders"),
+        coalesce(col("__spent"), lit(0).cast("decimal(18,2)"))
+          .cast("double").as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  /** J-3/A-6 / Q-course-performance analogue: dim×fact join + rollup. */
+  def q03PartPerformance(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_lines"),
+        sum(dec2(col("l_quantity"))).cast("double").as("total_qty"),
+        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"))
+      .withColumn("avg_qty", round(col("total_qty") / col("n_lines"), 6))
+      .orderBy("p_brand")
+
+  /** J-4/A-8 / Q-daily-dashboard analogue: daily event rollup joined to
+    * calendar attributes, newest first (init_schema.sql:490-507). */
+  def q04DailyDashboard(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("full_date"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .withColumn("day_name", date_format(col("full_date"), "EEEE"))
+      .withColumn("is_weekend", col("day_name").isin("Saturday", "Sunday"))
+      .orderBy(col("full_date").desc)
+
+  /** A-7/S-1 / Q-ai-insights analogue: three labelled filtered global counts
+    * UNION ALL (init_schema.sql:510-534). */
+  def q05AiInsights(s: SparkSession, dir: String): DataFrame = {
+    val risk = q12EnrichRisk(s, dir)
+      .filter(col("risk_score") > 40)
+      .agg(count(lit(1)).as("value"))
+      .select(lit("high_risk_customers").as("metric"), col("value"))
+    val negative = t(s, dir, "documents")
+      .filter(lower(col("text")).contains("not"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("negative_sentiment_docs").as("metric"), col("value"))
+    val lowq = t(s, dir, "documents")
+      .filter(TextOps.qualityScore(col("text")) < 60)
+      .agg(count(lit(1)).as("value"))
+      .select(lit("low_quality_docs").as("metric"), col("value"))
+    risk.unionByName(negative).unionByName(lowq).orderBy("metric")
+  }
+
+  /** W-1: windowed top-k per group (rank of customers by spend inside each
+    * market segment). */
+  def q06TopCustomers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spent = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("__spent"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("__spent").desc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .join(spent, col("c_custkey") === col("o_custkey"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("c_mktsegment"), col("rank"), col("c_custkey"),
+        col("__spent").cast("double").as("total_spent"))
+      .orderBy("c_mktsegment", "rank")
+  }
+
+  /** O-7: calendar dimension (reference db.py:72-112). */
+  def q07DateDim(s: SparkSession, dir: String): DataFrame =
+    DateDim.fromRange(s, java.sql.Date.valueOf("2024-01-01"),
+        java.sql.Date.valueOf("2024-12-31"))
+      .orderBy("date_key")
+
+  /** O-6/D-2: merge-upsert (batch wins over overlapping keys), verified via
+    * a post-merge rollup. */
+  def q08Upsert(s: SparkSession, dir: String): DataFrame = {
+    // price handled in exact decimal end-to-end: casting a COMPUTED double
+    // to decimal rounds differently across engines (Spark goes through the
+    // shortest string repr, DuckDB rounds the binary value) — decimal
+    // arithmetic sidesteps that entirely
+    val orders = t(s, dir, "orders")
+      .withColumn("o_totalprice", dec2(col("o_totalprice")))
+    val existing = orders.filter(col("o_orderdate") < lit("1997-01-01"))
+    val batch = orders.filter(col("o_orderdate") >= lit("1996-01-01"))
+      .withColumn("o_totalprice",
+        round(col("o_totalprice") * lit(new java.math.BigDecimal("1.1")), 2)
+          .cast("decimal(18,2)"))
+    Upsert.upsert(existing, batch, Seq("o_orderkey"), "o_orderkey")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")).cast("double").as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  // ---------------------------------------------------------------- cleaning
+
+  /** R-1..R-13 + A-4 cleaning-rule battery over deterministic dirty inputs
+    * derived from the customer table (same rules the reference applies to
+    * its CSVs — cleaners.py:8-53). */
+  def q09Cleaning(s: SparkSession, dir: String): DataFrame = {
+    val ck = col("c_custkey").cast("string")
+    val sid = CleaningRules.standardizeStudentId(concat(lit("cust-"), ck))
+    val nm = CleaningRules.cleanName(regexp_replace(col("c_name"), "[0-9]", ""))
+    val emailOk = CleaningRules.validateEmail(
+      concat(lower(regexp_replace(col("c_name"), "[^a-zA-Z0-9]", "")), lit("@school.edu")))
+    val emailBad = CleaningRules.validateEmail(col("c_name")) // '#' -> invalid
+    val phone = CleaningRules.standardizePhone(
+      (lit(9800000000L) + col("c_custkey")).cast("string"))
+    val gender = CleaningRules.standardizeGender(substring(col("c_mktsegment"), 1, 1))
+    val score = CleaningRules.validateScore(col("c_acctbal"))
+    val fee = CleaningRules.cleanNumeric(
+      concat(lit("₹"), col("c_acctbal").cast("decimal(12,2)").cast("string"), lit(" INR")))
+    val quality = CleaningRules.qualityScore(sid.isValid, emailOk.isValid,
+      emailBad.isValid, phone.isValid, gender.isValid, score.isValid, fee.isValid)
+    t(s, dir, "customer").select(
+        col("c_custkey"),
+        sid.value.as("student_id"),
+        nm.value.as("name_clean"),
+        emailOk.value.as("email_clean"),
+        emailBad.value.as("email_bad"),
+        phone.value.as("phone_clean"),
+        gender.value.as("gender_clean"),
+        gender.isValid.as("gender_valid"),
+        score.value.as("score_clean"),
+        score.isValid.as("score_valid"),
+        fee.value.as("fee_clean"),
+        fee.isValid.as("fee_valid"),
+        quality.as("quality_score"))
+      .orderBy("c_custkey")
+  }
+
+  /** R-5/R-6: multi-format date/timestamp parsing with validity rules
+    * (reference DATE_FORMATS/DATETIME_FORMATS, cleaning_rules.py:18-30). */
+  def q10ParseDates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+        col("o_orderkey"),
+        CleaningRules.parseDate(
+          date_format(col("o_orderdate"), "dd/MM/yyyy"), asOfDate).value.as("d_dmy"),
+        CleaningRules.parseDate(
+          date_format(col("o_orderdate"), "yyyy/MM/dd"), asOfDate).value.as("d_unparsed"),
+        CleaningRules.parseDate(
+          date_format(col("o_orderdate"), "MMMM d, yyyy"), asOfDate).value.as("d_long"),
+        CleaningRules.parseTimestamp(
+          concat(date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("T12:34:56")),
+          asOfTs).value.as("ts_iso"))
+      .orderBy("o_orderkey")
+
+  /** R-8/J-2: tiered fuzzy match (corrections -> exact -> fuzzy top-1) of
+    * misspelled nation names against the nation master. */
+  def q11FuzzyNation(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation")
+    // deterministic misspellings: key%3==0 -> drop last char; key%3==1 ->
+    // first char doubled; else exact
+    val probe = nation.select(col("n_nationkey"),
+      when(col("n_nationkey") % 3 === 0,
+          expr("substring(n_name, 1, length(n_name)-1)"))
+        .when(col("n_nationkey") % 3 === 1,
+          concat(substring(col("n_name"), 1, 1), col("n_name")))
+        .otherwise(col("n_name")).as("dirty_name"))
+    FuzzyJoin.tieredClean(probe, "dirty_name", nation, "n_name",
+        corrections = Map("GERMAN" -> "GERMANY"), threshold = 0.5, out = "clean_name")
+      .select(col("n_nationkey"), col("dirty_name"), col("clean_name"),
+        col("clean_name_method"))
+      .orderBy("n_nationkey")
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_customer_360" -> (q02Customer360 _),
+    "q03_part_performance" -> (q03PartPerformance _),
+    "q04_daily_dashboard" -> (q04DailyDashboard _),
+    "q05_ai_insights" -> (q05AiInsights _),
+    "q06_top_customers" -> (q06TopCustomers _),
+    "q07_date_dim" -> (q07DateDim _),
+    "q08_upsert" -> (q08Upsert _),
+    "q09_cleaning" -> (q09Cleaning _),
+    "q10_parse_dates" -> (q10ParseDates _),
+    "q11_fuzzy_nation" -> (q11FuzzyNation _),
+    "q12_enrich_risk" -> (q12EnrichRisk _),
+  )
+
+  /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
+  def q12EnrichRisk(s: SparkSession, dir: String): DataFrame = {
+    val lastOrder = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("__last"),
+        count(when(col("o_orderstatus") === "O", 1)).as("__open"))
+    val joined = t(s, dir, "customer")
+      .join(lastOrder, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("inactive_days", datediff(asOfDate, col("__last")))
+      .withColumn("completion_rate",
+        round(least(greatest(col("c_acctbal") / 100.0, lit(0.0)), lit(100.0)), 2))
+      .withColumn("payment_status",
+        when(col("__open") > 0, "Pending")
+          .when(col("__open") === 0, "Completed"))
+    val score = Enrichment.riskScore(col("inactive_days"),
+      col("completion_rate"), col("payment_status"))
+    joined.select(col("c_custkey"), col("inactive_days"),
+        col("completion_rate"), col("payment_status"),
+        score.as("risk_score"),
+        Enrichment.riskCategory(score).as("risk_category"))
+      .orderBy("c_custkey")
+  }
+}

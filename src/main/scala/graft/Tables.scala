@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated testdata tables (see TESTDATA.md).
   *
@@ -14,8 +16,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Parquet TIMESTAMP(NANOS) is not a legal Spark timestamp; sessions set
+    // spark.sql.legacy.parquet.nanosAsLong so it arrives as epoch-nanos
+    // long — convert to a proper TimestampType (truncating ns->us, exactly
+    // what DuckDB does reading the same file).
+    if (name == "events" && df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 
   /** Register every table as a temp view so spark.sql(...) works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -36,7 +36,8 @@ object CleaningRules {
     */
   def cleanName(c: Column): Rule = {
     val t = initcap(regexp_replace(regexp_replace(trim(coalesce(c, lit(""))), "[0-9]", ""), "\\s+", " "))
-    Rule(t, t =!= "")
+    // empty-after-cleaning -> null value, not "" (cleaning_rules.py:82-83)
+    Rule(when(t =!= "", t), t =!= "")
   }
 
   /** First/last split of a cleaned full name: first word vs the rest.
@@ -107,21 +108,25 @@ object CleaningRules {
     * Reference: cleaning_rules.py:172-176. */
   def cleanState(c: Column): Rule = cleanName(c)
 
-  /** R-10: strip currency symbols/commas, abs negatives (flagged),
-    * empty -> 0.0 (flagged). Reference: cleaning_rules.py:179-191. */
+  /** R-10: strip currency symbols/commas, abs negatives (flagged).
+    * Null semantics per reference (cleaning_rules.py:177-190): missing/empty
+    * -> 0.0 flagged; non-empty but unparseable after stripping -> NULL
+    * flagged; negative -> abs flagged. */
   def cleanNumeric(c: Column): Rule = {
-    val s = regexp_replace(coalesce(c, lit("")), "[^0-9.\\-]", "")
+    val raw = trim(coalesce(c.cast("string"), lit("")))
+    val s = regexp_replace(raw, "[^0-9.\\-]", "")
     val v = try_cast_double(s)
-    val value = when(v.isNull, lit(0.0)).otherwise(abs(v))
-    Rule(value, v.isNotNull && v >= 0)
+    val value = when(raw === "", lit(0.0)).when(v.isNotNull, abs(v))
+    Rule(value, raw =!= "" && v.isNotNull && v >= 0)
   }
 
   /** R-11: clamp score into [0,100] (flag when clamped), round 2dp.
-    * Reference: cleaning_rules.py:194-208. */
+    * Missing/unparseable -> NULL flagged, per reference
+    * (cleaning_rules.py:192-206). */
   def validateScore(c: Column): Rule = {
-    val v = try_cast_double(c.cast("string"))
+    val v = try_cast_double(trim(coalesce(c.cast("string"), lit(""))))
     val clamped = round(least(greatest(v, lit(0.0)), lit(100.0)), 2)
-    Rule(when(v.isNull, lit(0.0)).otherwise(clamped), v.isNotNull && v >= 0 && v <= 100)
+    Rule(when(v.isNotNull, clamped), v.isNotNull && v >= 0 && v <= 100)
   }
 
   /** R-12: payment-status Title Case passthrough, empty -> Unknown.

@@ -15,11 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Enrichment {
 
-  /** Risk points: inactivity, low completion, payment not completed. */
+  /** Risk points: inactivity, low completion, payment not completed.
+    * Null semantics mirror the reference (langgraph_workflow.py:13-26):
+    * `(completion_rate or 0) < 30` and `(payment_status or '').lower() !=
+    * 'completed'`, so null completion scores +25 and null/any-case
+    * non-completed payment scores +15; capped at 100 like the reference's
+    * `min(risk, 100)`. */
   def riskScore(inactiveDays: Column, completionPct: Column, paymentStatus: Column): Column =
-    when(inactiveDays > 30, 20).otherwise(0) +
-      when(completionPct < 30, 25).otherwise(0) +
-      when(paymentStatus =!= "Completed", 15).otherwise(0)
+    least(
+      when(coalesce(inactiveDays, lit(0)) > 30, 20).otherwise(0) +
+        when(coalesce(completionPct, lit(0.0)) < 30, 25).otherwise(0) +
+        when(lower(coalesce(paymentStatus, lit(""))) =!= "completed", 15).otherwise(0),
+      lit(100))
 
   /** Buckets: Critical>=75, High>=50, Medium>=25, else Low
     * (langgraph_workflow.py:47-54). */

@@ -27,11 +27,13 @@ object FuzzyJoin {
     * exactly the reference's zip(a, b) loop.
     */
   def positionalSimilarity(a: Column, b: Column): Column = {
+    // reference `_similarity` lowercases both sides (cleaning_rules.py:234-237)
+    val (la, lb) = (lower(a), lower(b))
     val matches = size(filter(
-      zip_with(split(a, ""), split(b, ""), (x, y) => coalesce(x === y, lit(false))),
+      zip_with(split(la, ""), split(lb, ""), (x, y) => coalesce(x === y, lit(false))),
       m => m))
-    when(length(a) === 0 || length(b) === 0, lit(0.0))
-      .otherwise(matches.cast("double") / greatest(length(a), length(b)).cast("double"))
+    when(length(la) === 0 || length(lb) === 0, lit(0.0))
+      .otherwise(matches.cast("double") / greatest(length(la), length(lb)).cast("double"))
   }
 
   /** Best master match per probe row: adds `<out>` (matched master value or
@@ -48,15 +50,18 @@ object FuzzyJoin {
                 out: String = "matched"): DataFrame = {
     val m = master.select(col(masterCol).as("__master")).distinct()
     val sim = positionalSimilarity(col(probeCol), col("__master"))
-    val w = Window.partitionBy(probe.columns.map(col).toIndexedSeq: _*)
+    // partition the top-1 window on a unique per-row key, NOT the probe
+    // columns — identical probe rows must each keep their own best match
+    val w = Window.partitionBy(col("__row"))
       .orderBy(col("__sim").desc, col("__master").asc)
-    probe.crossJoin(broadcast(m))
+    probe.withColumn("__row", monotonically_increasing_id())
+      .crossJoin(broadcast(m))
       .withColumn("__sim", sim)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .withColumn(out, when(col("__sim") >= threshold, col("__master")))
       .withColumn(out + "_sim", when(col("__sim") >= threshold, round(col("__sim"), 4)))
-      .drop("__master", "__sim", "__rn")
+      .drop("__row", "__master", "__sim", "__rn")
   }
 
   /** Tiered cleaning à la R-8: hardcoded corrections map -> exact master

@@ -56,16 +56,22 @@ object Upsert {
   def upsertParquet(existingPath: String, batch: DataFrame, keys: Seq[String],
                     orderCol: String): Unit = {
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val existing = new org.apache.hadoop.fs.Path(existingPath)
+    // resolve the FS from the path itself so fully-qualified URIs on other
+    // schemes (s3a://, gs://) work — FileSystem.get(conf) would silently
+    // target the default FS
+    val fs = existing.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
       if (fs.exists(existing))
         upsert(spark.read.parquet(existingPath), batch, keys, orderCol)
       else dedupLastWins(batch, keys, orderCol)
     val tmp = new org.apache.hadoop.fs.Path(existingPath + ".tmp-" + java.util.UUID.randomUUID)
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(existing)) fs.delete(existing, true)
+    // swap via a .bak rename so a crash mid-swap never leaves zero live
+    // copies: worst case the table survives at .bak (recovery: rename back)
+    val bak = new org.apache.hadoop.fs.Path(existingPath + ".bak-" + java.util.UUID.randomUUID)
+    val hadBak = fs.exists(existing) && fs.rename(existing, bak)
     fs.rename(tmp, existing)
+    if (hadBak) fs.delete(bak, true)
   }
 }

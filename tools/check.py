@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify's parquet
+dumps against the DuckDB oracle SQL and diff values.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        try:
+            want = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {str(e).splitlines()[0]}")
+            n_fail += 1
+            continue
+        try:
+            got = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {str(e).splitlines()[0]}")
+            n_fail += 1
+            continue
+        # driver-style compare: sort columns by name, then compare values
+        want = want[sorted(want.columns)]
+        got = got[sorted(got.columns)]
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: columns differ\n  oracle: {list(want.columns)}"
+                  f"\n  spark:  {list(got.columns)}")
+            n_fail += 1
+            continue
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows differ oracle={len(want)} spark={len(got)}")
+            n_fail += 1
+            continue
+        ws = want.sort_values(by=list(want.columns), ignore_index=True)
+        gs = got.sort_values(by=list(got.columns), ignore_index=True)
+        diffs = []
+        for c in want.columns:
+            a, b = ws[c], gs[c]
+            neq = ~((a == b) | (a.isna() & b.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                diffs.append(f"col {c}: {int(neq.sum())} mismatches, first@row{i}: "
+                             f"oracle={a[i]!r} spark={b[i]!r} "
+                             f"(dtypes {a.dtype}/{b.dtype})")
+        if diffs:
+            print(f"FAIL {name}:")
+            for d in diffs:
+                print("  " + d)
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(want)} rows, {len(want.columns)} cols)")
+            n_pass += 1
+    # queries without oracles: rows-only smoke
+    import glob
+    import os
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name in oracles or (only and name not in only):
+            continue
+        n = con.sql(f"SELECT count(*) FROM '{d}*.parquet'").fetchone()[0]
+        print(f"ROWS {name}: {n} rows (no oracle)")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
