@@ -22,6 +22,78 @@ object Oracles {
        |   i -> substr(lower($a),i,1) = substr(lower($b),i,1))) AS DOUBLE)
        | / greatest(length($a), length($b)) END)""".stripMargin
 
+  // --- text-analysis snippets (mirror graft.operators.TextOps exactly) ---
+
+  /** Whitespace tokens with empties dropped. */
+  private def toksSql(t: String): String =
+    s"list_filter(string_split_regex($t, '\\s+'), x -> x <> '')"
+
+  private def tokenCountSql(t: String): String = s"len(${toksSql(t)})"
+
+  private def punctRatioSql(t: String): String =
+    s"""(CASE WHEN length($t) = 0 THEN 0.0 ELSE
+       | CAST(length($t) - length(regexp_replace($t, '[[:punct:]]', '', 'g')) AS DOUBLE)
+       | / length($t) END)""".stripMargin
+
+  private val stopwordsSql =
+    "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are']"
+
+  private def stopwordRatioSql(t: String): String =
+    s"""(CASE WHEN len(${toksSql(s"lower($t)")}) = 0 THEN 0.0 ELSE
+       | CAST(len(list_filter(${toksSql(s"lower($t)")}, x -> list_contains($stopwordsSql, x))) AS DOUBLE)
+       | / len(${toksSql(s"lower($t)")}) END)""".stripMargin
+
+  private def meanTokenLenSql(t: String): String =
+    s"""(CASE WHEN len(${toksSql(t)}) = 0 THEN 0.0 ELSE
+       | CAST(list_sum(list_transform(${toksSql(t)}, x -> length(x))) AS DOUBLE)
+       | / len(${toksSql(t)}) END)""".stripMargin
+
+  /** TextOps.qualityScore: 100 minus 25 per failed heuristic. */
+  private def qualitySql(t: String): String =
+    s"""(100 - ((CASE WHEN ${tokenCountSql(t)} < 10 THEN 25 ELSE 0 END)
+       | + (CASE WHEN ${punctRatioSql(t)} > 0.10 THEN 25 ELSE 0 END)
+       | + (CASE WHEN ${stopwordRatioSql(t)} < 0.02 OR ${stopwordRatioSql(t)} > 0.60 THEN 25 ELSE 0 END)
+       | + (CASE WHEN ${meanTokenLenSql(t)} < 2.0 OR ${meanTokenLenSql(t)} > 12.0 THEN 25 ELSE 0 END)))""".stripMargin
+
+  /** TextOps.fingerprint: sequential rolling-hash fold (list_reduce is the
+    * explicit left fold — keeps double/int op order identical to Spark's
+    * `aggregate`). */
+  private def fingerprintSql(t: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       | list_transform(${toksSql(t)}, x -> CAST(ascii(x)*31 + length(x) AS BIGINT))),
+       | (h, v) -> (h*131 + v) % 1000000007)""".stripMargin
+
+  /** Sequential left-fold sum of a double list (IEEE-order-identical to
+    * Spark's `aggregate(..., 0.0, _+_)`). */
+  private def foldSumSql(list: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $list), (a, b) -> a + b)"
+
+  private def dotSql(a: String, b: String): String =
+    foldSumSql(s"list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE))")
+
+  private def normSql(a: String): String =
+    s"sqrt(${foldSumSql(s"list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE))")})"
+
+  /** The q12 risk-scoring CTE chain, shared with q05. */
+  private val riskCtes =
+    """lastord AS (
+      | SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+      |  count(CASE WHEN o_orderstatus='O' THEN 1 END) AS open_n
+      | FROM orders GROUP BY o_custkey),
+      |j AS (
+      | SELECT c_custkey,
+      |  CAST(date_diff('day', last_d, DATE '1999-01-01') AS INT) AS inactive_days,
+      |  round(least(greatest(c_acctbal / 100.0, 0.0), 100.0), 2) AS completion_rate,
+      |  CASE WHEN open_n > 0 THEN 'Pending' WHEN open_n = 0 THEN 'Completed' END AS payment_status
+      | FROM customer LEFT JOIN lastord ON c_custkey = o_custkey),
+      |scored AS (
+      | SELECT j.*,
+      |  least((CASE WHEN coalesce(inactive_days, 0) > 30 THEN 20 ELSE 0 END)
+      |      + (CASE WHEN coalesce(completion_rate, 0.0) < 30 THEN 25 ELSE 0 END)
+      |      + (CASE WHEN lower(coalesce(payment_status, '')) <> 'completed' THEN 15 ELSE 0 END),
+      |    100) AS risk_score
+      | FROM j)""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -180,27 +252,129 @@ object Oracles {
          |ORDER BY n_nationkey""".stripMargin,
 
     "q12_enrich_risk" ->
-      """WITH lastord AS (
-        | SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
-        |  count(CASE WHEN o_orderstatus='O' THEN 1 END) AS open_n
-        | FROM orders GROUP BY o_custkey),
-        |j AS (
-        | SELECT c_custkey,
-        |  CAST(date_diff('day', last_d, DATE '1999-01-01') AS INT) AS inactive_days,
-        |  round(least(greatest(c_acctbal / 100.0, 0.0), 100.0), 2) AS completion_rate,
-        |  CASE WHEN open_n > 0 THEN 'Pending' WHEN open_n = 0 THEN 'Completed' END AS payment_status
-        | FROM customer LEFT JOIN lastord ON c_custkey = o_custkey),
-        |scored AS (
-        | SELECT j.*,
-        |  least((CASE WHEN coalesce(inactive_days, 0) > 30 THEN 20 ELSE 0 END)
-        |      + (CASE WHEN coalesce(completion_rate, 0.0) < 30 THEN 25 ELSE 0 END)
-        |      + (CASE WHEN lower(coalesce(payment_status, '')) <> 'completed' THEN 15 ELSE 0 END),
-        |    100) AS risk_score
-        | FROM j)
-        |SELECT c_custkey, inactive_days, completion_rate, payment_status,
-        | CAST(risk_score AS INT) AS risk_score,
-        | CASE WHEN risk_score >= 75 THEN 'Critical' WHEN risk_score >= 50 THEN 'High'
-        |      WHEN risk_score >= 25 THEN 'Medium' ELSE 'Low' END AS risk_category
-        |FROM scored ORDER BY c_custkey""".stripMargin,
+      s"""WITH $riskCtes
+         |SELECT c_custkey, inactive_days, completion_rate, payment_status,
+         | CAST(risk_score AS INT) AS risk_score,
+         | CASE WHEN risk_score >= 75 THEN 'Critical' WHEN risk_score >= 50 THEN 'High'
+         |      WHEN risk_score >= 25 THEN 'Medium' ELSE 'Low' END AS risk_category
+         |FROM scored ORDER BY c_custkey""".stripMargin,
+
+    "q05_ai_insights" ->
+      s"""WITH $riskCtes
+         |SELECT * FROM (
+         | SELECT 'high_risk_customers' AS metric, count(*) AS value FROM scored WHERE risk_score > 40
+         | UNION ALL
+         | SELECT 'negative_sentiment_docs', count(*) FROM documents WHERE contains(lower(text), 'not')
+         | UNION ALL
+         | SELECT 'low_quality_docs', count(*) FROM documents WHERE ${qualitySql("text")} < 60)
+         |ORDER BY metric""".stripMargin,
+
+    "q13_dedup_exact" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id,
+        | row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1 AS is_duplicate
+        |FROM corpus ORDER BY doc_id""".stripMargin,
+
+    "q14_dedup_lastwins" ->
+      """SELECT user_id, event_id, event_type,
+        | CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q15_text_stats" ->
+      s"""SELECT doc_id,
+         | CAST(${tokenCountSql("text")} AS INT) AS n_tokens,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpeish,
+         | ${punctRatioSql("text")} AS punct_ratio,
+         | ${stopwordRatioSql("text")} AS stopword_ratio,
+         | ${meanTokenLenSql("text")} AS mean_token_len,
+         | CAST(${qualitySql("text")} AS INT) AS quality_score,
+         | ${fingerprintSql("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q16_langid" ->
+      s"""WITH h AS (
+         | SELECT doc_id, lang,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['the','and','of','to','is'], x))) AS h_en,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['el','la','de','que','los'], x))) AS h_es,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['le','la','les','des','est'], x))) AS h_fr,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['der','die','und','das','ist'], x))) AS h_de,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['的','是','了','在','我'], x))) AS h_zh
+         | FROM documents)
+         |SELECT doc_id,
+         | CASE WHEN h_en + h_es + h_fr + h_de + h_zh = 0 THEN 'und'
+         |      WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en >= h_zh THEN 'en'
+         |      WHEN h_es >= h_fr AND h_es >= h_de AND h_es >= h_zh THEN 'es'
+         |      WHEN h_fr >= h_de AND h_fr >= h_zh THEN 'fr'
+         |      WHEN h_de >= h_zh THEN 'de'
+         |      ELSE 'zh' END AS lang_pred,
+         | lang
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q17_jaccard" ->
+      s"""WITH d AS (
+         | SELECT doc_id, ${toksSql("text")} AS toks FROM documents WHERE doc_id < 60),
+         |pairs AS (
+         | SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         |  CASE WHEN len(list_distinct(list_concat(l.toks, r.toks))) = 0 THEN 0.0
+         |       ELSE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+         |            / len(list_distinct(list_concat(l.toks, r.toks))) END AS sim
+         | FROM d l, d r WHERE l.doc_id < r.doc_id)
+         |SELECT id_a, id_b, round(sim, 6) AS jaccard_sim
+         |FROM pairs WHERE sim >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q18_sessionize" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+        |sessions AS (
+        | SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM flagged)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | min(ts) AS session_start, max(ts) AS session_end,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q19_tumbling" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+        | count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY window_start ORDER BY window_start""".stripMargin,
+
+    "q20_stream_metrics" ->
+      """SELECT user_id, count(*) AS n_events,
+        | count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        | CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE) / count(*) AS error_rate,
+        | CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE) / count(*) > 0.2 AS is_anomalous
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q21_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (
+         | SELECT query_id, neighbor_id,
+         |  ${dotSql("qv", "cv")} AS dot_p,
+         |  ${normSql("qv")} * ${normSql("cv")} AS norm_p
+         | FROM c, q WHERE neighbor_id <> query_id),
+         |sims AS (
+         | SELECT query_id, neighbor_id,
+         |  CASE WHEN norm_p = 0 THEN 0.0 ELSE dot_p / norm_p END AS sim
+         | FROM scored),
+         |ranked AS (
+         | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+         | FROM sims)
+         |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", round(sim, 6) AS cosine_sim
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
   )
 }

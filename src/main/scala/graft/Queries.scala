@@ -233,6 +233,143 @@ object Queries {
       .orderBy("n_nationkey")
   }
 
+  // ------------------------------------------------- dedup / text / similarity
+
+  /** D-1: exact deduplication over a corpus with injected duplicates —
+    * keep-first by doc id, flag the rest (digest-keyed shuffle). */
+  def q13DedupExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dups = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    Dedup.markExactDuplicates(docs.unionByName(dups), "text", "doc_id")
+      .select(col("doc_id"), col("is_duplicate"))
+      .orderBy("doc_id")
+  }
+
+  /** D-2: last-write-wins dedup (latest event per user by event id). */
+  def q14DedupLastWins(s: SparkSession, dir: String): DataFrame =
+    Upsert.dedupLastWins(t(s, dir, "events"), Seq("user_id"), "event_id")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        dec2(col("value")).cast("double").as("value"))
+      .orderBy("user_id")
+
+  /** Text analysis battery: token counts (whitespace + BPE-ish), punctuation
+    * / stopword ratios, mean token length, quality score, rolling-hash
+    * fingerprint — per document, no shuffle. */
+  def q15TextStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"),
+        TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextOps.meanTokenLength(col("text")).as("mean_token_len"),
+        TextOps.qualityScore(col("text")).as("quality_score"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic (marker-word argmax) vs the labelled lang. */
+  def q16LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        col("lang"))
+      .orderBy("doc_id")
+
+  /** N-gram (token-set) Jaccard similarity join over a bounded probe set:
+    * all pairs with similarity >= 0.5. */
+  def q17Jaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+    docs.as("l").join(docs.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+        Dedup.jaccard(col("l.__toks"), col("r.__toks")).as("jaccard_sim"))
+      .filter(col("jaccard_sim") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard_sim"), 6).as("jaccard_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Gap-based sessionization (30-min inactivity gap) + per-session rollup. */
+  def q18Sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionSummary(t(s, dir, "events"), "user_id", "ts", "value", 30)
+      .orderBy("user_id", "session_seq")
+
+  /** ST-5 batch form: tumbling 15-minute event-time windows. */
+  def q19Tumbling(s: SparkSession, dir: String): DataFrame =
+    Sessionize.tumbling(t(s, dir, "events"), "ts", "user_id", "value", 15)
+      .orderBy("window_start")
+
+  /** ST-3/ST-4 batch form: per-user running metrics + anomaly flag
+    * (error_rate > 0.2, reference streaming.py:129-131). */
+  def q20StreamMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .withColumn("error_rate",
+        col("n_errors").cast("double") / col("n_events").cast("double"))
+      .withColumn("is_anomalous", col("error_rate") > 0.2)
+      .orderBy("user_id")
+
+  /** Exact brute-force cosine top-k over the embeddings table (query set =
+    * vec_id < 10, broadcast against the corpus). */
+  def q21KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Knn.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** MinHash+LSH near-duplicate pairs (xxhash64 signatures — not SQL-
+    * expressible, rows-only check). Corpus gets planted near-dups: every
+    * 25th doc re-appears with its first 2 tokens dropped. */
+  def q22MinhashNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        array_join(slice(TextOps.tokens(col("text")), 3, 100000), " ").as("text"))
+    Dedup.minhashNearDups(docs.unionByName(planted), "doc_id", "text",
+        threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-duplicate pairs (Hamming <= 3 via pigeonhole buckets —
+    * xxhash64-based, rows-only check). Same planted corpus as q22. */
+  def q23SimhashNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        array_join(slice(TextOps.tokens(col("text")), 3, 100000), " ").as("text"))
+    Dedup.simhashNearDups(docs.unionByName(planted), "doc_id", "text", maxDist = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-duplicate pairs, SRP-LSH bucket-pruned
+    * (approximate by construction, rows-only check). The raw embeddings are
+    * near-orthogonal (max pairwise cosine ~0.39), so near-dups are planted:
+    * every 25th vector re-appears with small deterministic hash-derived
+    * noise (cosine ~0.99 to its source). */
+  def q24CosineNearDups(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val noise = (v: Column, i: Column) =>
+      v + (pmod(xxhash64(col("vec_id"), i), lit(2001L)) - 1000L).cast("float") / 20000.0f
+    val planted = emb.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1).cast("array<float>"),
+          noise).as("embedding"))
+    Knn.cosineNearDups(emb.unionByName(planted), threshold = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Approximate LSH top-k (single-probe SRP buckets, rows-only check). */
+  def q25KnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Knn.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, numPlanes = 6)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -248,6 +385,19 @@ object Queries {
     "q10_parse_dates" -> (q10ParseDates _),
     "q11_fuzzy_nation" -> (q11FuzzyNation _),
     "q12_enrich_risk" -> (q12EnrichRisk _),
+    "q13_dedup_exact" -> (q13DedupExact _),
+    "q14_dedup_lastwins" -> (q14DedupLastWins _),
+    "q15_text_stats" -> (q15TextStats _),
+    "q16_langid" -> (q16LangId _),
+    "q17_jaccard" -> (q17Jaccard _),
+    "q18_sessionize" -> (q18Sessionize _),
+    "q19_tumbling" -> (q19Tumbling _),
+    "q20_stream_metrics" -> (q20StreamMetrics _),
+    "q21_knn_brute" -> (q21KnnBrute _),
+    "q22_minhash_neardups" -> (q22MinhashNearDups _),
+    "q23_simhash_neardups" -> (q23SimhashNearDups _),
+    "q24_cosine_neardups" -> (q24CosineNearDups _),
+    "q25_knn_lsh" -> (q25KnnLsh _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
