@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("positional similarity matches the reference's zip/max formula, case-insensitive") {
+    val df = Seq(("Mumabi", "Mumbai"), ("DELHI", "delhi"), ("abc", "xyz")).toDF("a", "b")
+    val got = df.select(round(FuzzyJoin.positionalSimilarity(col("a"), col("b")), 4)).collect()
+    assert(got(0).getDouble(0) == 0.6667) // 4 of 6 positions match
+    assert(got(1).getDouble(0) == 1.0)
+    assert(got(2).getDouble(0) == 0.0)
+  }
+
+  test("identical probe rows each keep their own best-match row") {
+    val probe = Seq("Mumabi", "Mumabi").toDF("city")
+    val master = Seq("Mumbai", "Pune").toDF("name")
+    val got = FuzzyJoin.bestMatch(probe, "city", master, "name", threshold = 0.6)
+    assert(got.count() == 2)
+    assert(got.select("matched").collect().forall(_.getString(0) == "Mumbai"))
+  }
+
+  test("tiered clean: corrected -> exact -> fuzzy -> unmatched") {
+    val probe = Seq("Mumabi", "Pune", "Bangalor", "Xyzzy").toDF("city")
+    val master = Seq("Mumbai", "Pune", "Bangalore", "Chennai").toDF("name")
+    val got = FuzzyJoin.tieredClean(probe, "city", master, "name",
+        corrections = Map("Mumabi" -> "Mumbai"), threshold = 0.8, out = "clean")
+      .select("city", "clean", "clean_method").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got("Mumabi") == ("Mumbai", "corrected"))
+    assert(got("Pune") == ("Pune", "exact"))
+    assert(got("Bangalor") == ("Bangalore", "fuzzy"))
+    assert(got("Xyzzy") == ("Xyzzy", "unmatched"))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps first by order column") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
+    val got = Dedup.markExactDuplicates(df, "text", "id")
+      .orderBy("id").select("is_duplicate").collect().map(_.getBoolean(0))
+    assert(got.toSeq == Seq(false, true, false))
+  }
+
+  test("jaccard is set-semantics intersection over union") {
+    val df = Seq((Seq("a", "b", "b"), Seq("b", "c"))).toDF("x", "y")
+    assert(df.select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0) == 1.0 / 3.0)
+  }
+
+  test("minhash LSH finds a planted near-duplicate and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words nothing shared here at all whatsoever ok fine"
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("id", "text")
+    val pairs = Dedup.minhashNearDups(df, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash near-dups bounded by hamming distance") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota kappb"
+    val other = "one two three four five six seven eight nine ten"
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("id", "text")
+    val pairs = Dedup.simhashNearDups(df, "id", "text", maxDist = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)))
+  }
+}
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val existing = Seq((1, "a", 1), (2, "b", 1)).toDF("k", "v", "ord")
+
+  test("merge: batch wins on conflict, new keys inserted, others kept") {
+    val batch = Seq((2, "B", 2), (3, "c", 2)).toDF("k", "v", "ord")
+    val got = Upsert.upsert(existing, batch, Seq("k"), "ord")
+      .orderBy("k").select("k", "v").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((1, "a"), (2, "B"), (3, "c")))
+  }
+
+  test("last-write-wins dedup inside the batch") {
+    val batch = Seq((9, "first", 1), (9, "second", 2)).toDF("k", "v", "ord")
+    val got = Upsert.dedupLastWins(batch, Seq("k"), "ord").select("v").head().getString(0)
+    assert(got == "second")
+  }
+
+  test("upsert is idempotent") {
+    val batch = Seq((2, "B", 2), (3, "c", 2)).toDF("k", "v", "ord")
+    val once = Upsert.upsert(existing, batch, Seq("k"), "ord")
+    val twice = Upsert.upsert(once, batch, Seq("k"), "ord")
+    assert(twice.orderBy("k").collect().toSeq == once.orderBy("k").collect().toSeq)
+  }
+
+  test("upsertParquet physical roundtrip + crash-safe swap leaves table live") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val path = s"$dir/tbl"
+    Upsert.upsertParquet(path, existing, Seq("k"), "ord")
+    Upsert.upsertParquet(path, Seq((2, "B", 2), (3, "c", 2)).toDF("k", "v", "ord"), Seq("k"), "ord")
+    val got = spark.read.parquet(path).orderBy("k")
+      .select("k", "v").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((1, "a"), (2, "B"), (3, "c")))
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq("Hello,  world! abc123 done").toDF("t")
+    assert(df.select(TextOps.tokenCount(col("t"))).head().getInt(0) == 4)
+    // Hello , world ! abc 123 done -> 7
+    assert(df.select(TextOps.bpeishTokenCount(col("t"))).head().getInt(0) == 7)
+  }
+
+  test("quality score penalizes short/punct-heavy/implausible text") {
+    val good = "the cat sat on the mat and then the dog came in too"
+    val short = "tiny text"
+    val df = Seq((good, short)).toDF("g", "s")
+    assert(df.select(TextOps.qualityScore(col("g"))).head().getInt(0) == 100)
+    assert(df.select(TextOps.qualityScore(col("s"))).head().getInt(0) <= 50)
+  }
+
+  test("langId picks marker-word argmax; und on zero hits") {
+    val df = Seq(("the cat is of the house and it is big"),
+      ("el la de que los amigos"), ("qwerty zzz")).toDF("t")
+    val got = df.select(TextOps.langId(col("t"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("fingerprint matches the hand-computed rolling hash") {
+    // tokens "ab" (97*31+2=3009) then "c" (99*31+1=3070):
+    // ((0*131+3009)%p)*131+3070 = 397249
+    val df = Seq("ab c").toDF("t")
+    assert(df.select(TextOps.fingerprint(col("t"))).head().getLong(0) == 397249L)
+  }
+}
+
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine similarity of known vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(2.0f, 0.0f)))
+      .toDF("x", "y", "z")
+    assert(df.select(Knn.cosine(col("x"), col("y"))).head().getDouble(0) == 0.0)
+    assert(df.select(Knn.cosine(col("x"), col("z"))).head().getDouble(0) == 1.0)
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Knn.bruteForceTopK(df, df.filter(col("vec_id") === 1), k = 2)
+      .orderBy("rank").select("neighbor_id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L, 3L))
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gap-based sessions split on >30min inactivity") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val df = Seq((1L, ts(0), 1.0), (1L, ts(10), 1.0), (1L, ts(55), 1.0), (2L, ts(0), 1.0))
+      .toDF("user_id", "ts", "value")
+    val got = Sessionize.sessionSummary(df, "user_id", "ts", "value", 30)
+      .orderBy("user_id", "session_seq")
+      .select("user_id", "session_seq", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+}
+
+class DateDimSpec extends SparkSpec {
+  test("calendar attributes for a known date") {
+    val got = DateDim.fromRange(spark,
+        java.sql.Date.valueOf("2024-01-06"), java.sql.Date.valueOf("2024-01-06")).head()
+    assert(got.getAs[Int]("date_key") == 20240106)
+    assert(got.getAs[String]("day_name") == "Saturday")
+    assert(got.getAs[Boolean]("is_weekend"))
+    assert(got.getAs[Int]("quarter") == 1)
+  }
+}
+
+class EnrichmentSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.expr.Enrichment
+
+  test("risk score null/case semantics mirror the reference") {
+    // all-null inputs: +25 (completion or 0 < 30) +15 (status '' != completed) = 40
+    val df = Seq((Option.empty[Int], Option.empty[Double], Option.empty[String]),
+      (Some(40), Some(10.0), Some("pending")), (Some(5), Some(90.0), Some("COMPLETED")))
+      .toDF("d", "c", "p")
+    val got = df.select(Enrichment.riskScore(col("d"), col("c"), col("p"))).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(40, 60, 0))
+  }
+
+  test("risk categories bucket at 25/50/75") {
+    val df = Seq(80, 55, 30, 10).toDF("s")
+    val got = df.select(Enrichment.riskCategory(col("s"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("Critical", "High", "Medium", "Low"))
+  }
+}
