@@ -370,6 +370,27 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  // ------------------------------------------------------- eduflow pipeline
+
+  /** The full EduFlow batch pipeline (ingest -> clean -> warehouse -> view)
+    * on the reference's own fixtures — rows-only checks (the inputs are CSVs
+    * outside the testdata dir, so no DuckDB table oracle; golden-count
+    * assertions live in EduFlowPipelineSpec). */
+  private def pipeline(s: SparkSession) =
+    etl.Pipeline(s, "/root/reference/input_data", asOfDate = "2024-06-01")
+
+  def q26Student360(s: SparkSession, dir: String): DataFrame =
+    pipeline(s).student360.orderBy("student_id")
+
+  def q27CoursePerformance(s: SparkSession, dir: String): DataFrame =
+    pipeline(s).coursePerformance.orderBy("course_id")
+
+  def q28AiInsightsView(s: SparkSession, dir: String): DataFrame =
+    pipeline(s).aiInsights.orderBy("metric_name")
+
+  def q29DailyDashboard(s: SparkSession, dir: String): DataFrame =
+    pipeline(s).dailyDashboard
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -398,6 +419,10 @@ object Queries {
     "q23_simhash_neardups" -> (q23SimhashNearDups _),
     "q24_cosine_neardups" -> (q24CosineNearDups _),
     "q25_knn_lsh" -> (q25KnnLsh _),
+    "q26_eduflow_student360" -> (q26Student360 _),
+    "q27_eduflow_course_performance" -> (q27CoursePerformance _),
+    "q28_eduflow_ai_insights" -> (q28AiInsightsView _),
+    "q29_eduflow_daily_dashboard" -> (q29DailyDashboard _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

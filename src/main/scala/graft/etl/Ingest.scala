@@ -1,0 +1,69 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** O-1..O-4: validated CSV ingestion into an append-only raw layer with
+  * lineage columns.
+  *
+  * Reference: dags/file_ingestion_pipeline.py:35-94 +
+  * operators/file_validation.py:14-36. Spark-first: validation inspects the
+  * header/size up front (driver-side, cheap); the scan itself is a single
+  * schema'd CSV read in PERMISSIVE mode with corrupt records preserved — the
+  * batch analogue of the streaming DLQ (ST-7).
+  */
+object Ingest {
+
+  final case class ValidationError(msg: String) extends RuntimeException(msg)
+
+  /** O-2: reject missing/oversized/header-broken files before reading data.
+    * Returns unit or throws — mirrors FileValidationOperator's hard error. */
+  def validateFile(spark: SparkSession, path: String, requiredColumns: Seq[String],
+                   maxSizeMb: Int = 25): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) throw ValidationError(s"missing file: $path")
+    val len = fs.getFileStatus(p).getLen
+    if (len > maxSizeMb.toLong * 1024 * 1024)
+      throw ValidationError(s"file too large: $path ($len bytes > $maxSizeMb MB)")
+    val header = spark.read.option("header", "true").csv(path).columns
+    if (header.isEmpty) throw ValidationError(s"no header: $path")
+    val missing = requiredColumns.filterNot(header.contains)
+    if (missing.nonEmpty)
+      throw ValidationError(s"missing required columns in $path: ${missing.mkString(",")}")
+  }
+
+  /** O-3: schema'd CSV scan; literal "NULL" strings become nulls (the
+    * progress fixture uses them), corrupt rows land in _corrupt_record. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("nullValue", "NULL")
+      .option("mode", "PERMISSIVE")
+      .schema(schema.add("_corrupt_record", "string"))
+      .csv(path)
+      .drop("_corrupt_record")
+
+  /** O-4: lineage columns for the raw layer. file_row_number is a
+    * per-file ordinal (used by D-1/D-2 as the deterministic "file order" —
+    * orderless DataFrames need an explicit tiebreak, SURVEY §4.3). At scale
+    * the window is per input file, so parallelism is bounded by file count;
+    * CSV ingest order is only meaningful within a file anyway.
+    */
+  def withLineage(df: DataFrame, batchId: String): DataFrame = {
+    val byFile = Window.partitionBy(input_file_name())
+      .orderBy(monotonically_increasing_id())
+    df.withColumn("file_name", regexp_extract(input_file_name(), "[^/]+$", 0))
+      .withColumn("file_row_number", row_number().over(byFile))
+      .withColumn("batch_id", lit(batchId))
+  }
+
+  /** Validated read + lineage in one go. */
+  def ingest(spark: SparkSession, path: String, schema: StructType,
+             required: Seq[String], batchId: String): DataFrame = {
+    validateFile(spark, path, required)
+    withLineage(readCsv(spark, path, schema), batchId)
+  }
+}
