@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Row
+import graft.operators.Upsert
+
+/** Structured-Streaming port of the reference's Kafka trio (ST-1..ST-8,
+  * kafka/streaming.py): one streaming query replaces the per-event
+  * producer/consumer hop; topics become sinks/filtered streams; the
+  * in-process dict state becomes the checkpointed state store.
+  *
+  * The cleaning is the SAME Column library used in batch (ST-2's "same
+  * validation rules as batch" — single codebase, guaranteed parity). All
+  * transforms below accept either a batch or a streaming DataFrame.
+  */
+object Stream {
+
+  /** Event-payload schema on the wire (JSON over Kafka; streaming.py:44-49
+    * stamps event_time + source on top of the CSV row). */
+  val eventSchema = "event_id string, student_id string, course_id string, " +
+    "event_type string, event_timestamp string, duration_seconds string, " +
+    "score string, module_id string, completion_percentage string, " +
+    "event_time timestamp, source string"
+
+  /** ST-7 ingest: parse raw JSON; unparseable payloads keep their raw value
+    * with is_dlq=true (from_json null => DLQ routing, never a crash). */
+  def parseEvents(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    raw.withColumn("__parsed",
+        from_json(col(jsonCol), org.apache.spark.sql.types.StructType.fromDDL(eventSchema)))
+      .withColumn("is_dlq", col("__parsed").isNull ||
+        col("__parsed.event_id").isNull && col("__parsed.student_id").isNull)
+      .select(col(jsonCol).as("raw_payload"), col("is_dlq"), col("__parsed.*"))
+
+  /** ST-2: per-event cleaning (streaming.py:119-127): clamp score to
+    * [0,100]; unparseable score -> is_valid=false. Kept expression-only so
+    * it runs identically on batch and stream. */
+  def cleanEvent(df: DataFrame): DataFrame = {
+    val s = trim(col("score"))
+    val parsed = when(s.rlike("^-?[0-9]+(\\.[0-9]*)?$"), s.cast("double"))
+    // greatest/least skip nulls in Spark, so guard on parsed explicitly:
+    // unparseable (and absent) scores stay null rather than clamping to 0
+    df.withColumn("clean_score",
+        when(parsed.isNotNull, least(greatest(parsed, lit(0.0)), lit(100.0))))
+      .withColumn("is_valid", s.isNull || s === "" || parsed.isNotNull)
+  }
+
+  /** ST-3: per-student rolling metrics as a stateful streaming agg
+    * (update output mode). Works unchanged on a batch frame. */
+  def studentMetrics(cleaned: DataFrame): DataFrame =
+    cleaned.filter(col("student_id").isNotNull)
+      .groupBy(col("student_id"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        sum(coalesce(col("duration_seconds").cast("long"), lit(0L))).as("total_duration"),
+        count(when(!col("is_valid"), 1)).as("error_count"))
+      .withColumn("error_rate",
+        col("error_count").cast("double") / greatest(col("event_count"), lit(1L)))
+      .withColumn("is_anomalous", col("error_rate") > 0.2)
+
+  /** ST-4: alert stream = anomalous slice of [[studentMetrics]]
+    * (streaming.py:129-131: error_rate > 0.2 -> alerts.anomalies). */
+  def alerts(metrics: DataFrame): DataFrame =
+    metrics.filter(col("is_anomalous"))
+
+  /** ST-5: tumbling 1-minute per-student event counts + rolling score avg,
+    * with a watermark bounding state (the reference has no late-data story;
+    * 10 minutes is this engine's documented policy, ST-6). */
+  def perMinuteMetrics(cleaned: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    cleaned
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 minute"), col("student_id"))
+      .agg(
+        count(lit(1)).as("events_per_minute"),
+        avg(col("clean_score")).as("rolling_avg_score"))
+      .select(col("window.start").as("window_start"),
+        col("student_id"), col("events_per_minute"), col("rolling_avg_score"))
+
+  /** ST-5: "active students in the last 5 minutes" — sliding 5-minute
+    * window every minute; approx_count_distinct keeps state bounded (exact
+    * per-key distinct state is unbounded at 100 TB scale). */
+  def activeStudents(cleaned: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    cleaned
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "5 minutes", "1 minute"))
+      .agg(approx_count_distinct("student_id").as("active_students"))
+      .select(col("window.start").as("window_start"), col("active_students"))
+
+  /** ST-3 with explicit state + TTL via flatMapGroupsWithState — the
+    * unbounded-dict fix (SURVEY §7.4-4): state for an idle student expires
+    * after `ttlMs` of processing time instead of living forever like the
+    * reference's per_student dict. */
+  final case class StudentState(count: Long, duration: Long, errors: Long)
+  final case class StudentUpdate(student_id: String, event_count: Long,
+    total_duration: Long, error_count: Long, error_rate: Double, is_anomalous: Boolean)
+
+  def statefulStudentMetrics(cleaned: DataFrame, ttlMs: Long = 0L): DataFrame = {
+    import cleaned.sparkSession.implicits._
+    val byStudent = cleaned
+      .filter(col("student_id").isNotNull)
+      .select(col("student_id"),
+        coalesce(col("duration_seconds").cast("long"), lit(0L)).as("duration"),
+        (!col("is_valid")).cast("long").as("err"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+    // ttlMs <= 0 -> NoTimeout: registering ProcessingTimeTimeout makes the
+    // micro-batch engine trigger continuously even with no data, which is
+    // wasteful on a quiet stream (and livelocks local tests); enable the TTL
+    // only when state expiry is actually wanted
+    val timeout = if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    byStudent.flatMapGroupsWithState(OutputMode.Update(), timeout) {
+      (id: String, events: Iterator[(String, Long, Long)], state: GroupState[StudentState]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          var s = state.getOption.getOrElse(StudentState(0, 0, 0))
+          events.foreach { e => s = StudentState(s.count + 1, s.duration + e._2, s.errors + e._3) }
+          state.update(s)
+          if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+          val rate = s.errors.toDouble / math.max(s.count, 1L)
+          Iterator.single(StudentUpdate(id, s.count, s.duration, s.errors, rate, rate > 0.2))
+        }
+    }.toDF()
+  }
+
+  /** ST-8: stream -> staging via foreachBatch reusing the batch upsert
+    * (exactly-once: checkpointed offsets + idempotent merge on event_id).
+    * Synthesizes event_id when missing like StagingProgressWriter
+    * (streaming.py:160-168). */
+  def stagingSink(cleaned: DataFrame, stagingPath: String,
+                  checkpoint: String): DataStreamWriter[Row] = {
+    val withId = cleaned.withColumn("event_id",
+      coalesce(col("event_id"),
+        concat(lit("evt-"), abs(xxhash64(col("student_id"), col("event_time"))))))
+    withId.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Upsert.upsertParquet(stagingPath,
+          batch.withColumn("__ord", monotonically_increasing_id()),
+          Seq("event_id"), "__ord")
+      }
+  }
+}

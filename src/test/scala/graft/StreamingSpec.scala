@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Stream
+
+/** ST-1..ST-8 via MemoryStream (SURVEY §5.2-5): cleaning parity, stateful
+  * per-student metrics + anomaly routing, windowed aggregations with
+  * watermarks, DLQ parsing, and the foreachBatch staging upsert. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventJson(id: String, student: String, score: String,
+                        duration: String = "60", t: String = "2024-02-01T10:00:00Z"): String =
+    s"""{"event_id":"$id","student_id":"$student","score":$score,""" +
+      s""""duration_seconds":"$duration","event_time":"$t","source":"test"}"""
+
+  test("parseEvents routes unparseable payloads to DLQ instead of crashing") {
+    val df = Seq(eventJson("e1", "STU001", "\"85\""), "{not json at all",
+      """{"unrelated":"fields"}""").toDF("value")
+    val parsed = Stream.parseEvents(df)
+    assert(parsed.filter(col("is_dlq")).count() == 2)
+    assert(parsed.filter(!col("is_dlq")).select("event_id").head().getString(0) == "e1")
+  }
+
+  test("cleanEvent clamps scores and flags unparseable ones (stream = batch rules)") {
+    val df = Seq(("150", true), ("-3", true), ("abc", false), ("88.5", true))
+      .toDF("score", "expect_valid")
+    val got = Stream.cleanEvent(df).select("clean_score", "is_valid").collect()
+    assert(got(0).getDouble(0) == 100.0 && got(0).getBoolean(1))
+    assert(got(1).getDouble(0) == 0.0)
+    assert(got(2).isNullAt(0) && !got(2).getBoolean(1))
+    assert(got(3).getDouble(0) == 88.5 && got(3).getBoolean(1))
+  }
+
+  test("studentMetrics + alerts: error_rate > 0.2 routes to the alert stream") {
+    val events = Seq(
+      ("STU001", "60", "85"), ("STU001", "60", "junk"), ("STU001", "60", "junk"),
+      ("STU002", "30", "90"), ("STU002", "30", "91"), ("STU002", "30", "92"),
+      ("STU002", "30", "93"), ("STU002", "30", "94"))
+      .toDF("student_id", "duration_seconds", "score")
+    val metrics = Stream.studentMetrics(Stream.cleanEvent(events))
+    val alerts = Stream.alerts(metrics).select("student_id").collect().map(_.getString(0))
+    assert(alerts.toSeq == Seq("STU001"))
+    val m1 = metrics.filter(col("student_id") === "STU001").head()
+    assert(m1.getAs[Long]("event_count") == 3 && m1.getAs[Long]("error_count") == 2)
+  }
+
+  test("stateful per-student metrics over micro-batches accumulate across batches") {
+    val input = MemoryStream[(String, String, String)](spark)
+    val cleaned = Stream.cleanEvent(
+      input.toDF().toDF("student_id", "duration_seconds", "score"))
+    val q = Stream.statefulStudentMetrics(cleaned)
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(("STU001", "60", "85"), ("STU001", "30", "junk"))
+      q.processAllAvailable()
+      input.addData(("STU001", "10", "junk"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT * FROM state_test WHERE student_id='STU001' ORDER BY event_count DESC")
+        .collect()
+      // latest state: 3 events, 100s, 2 errors -> rate 0.667 -> anomalous
+      val last = rows.head
+      assert(last.getAs[Long]("event_count") == 3)
+      assert(last.getAs[Long]("total_duration") == 100)
+      assert(last.getAs[Long]("error_count") == 2)
+      assert(last.getAs[Boolean]("is_anomalous"))
+    } finally q.stop()
+  }
+
+  test("per-minute tumbling windows with watermark produce per-student counts") {
+    val input = MemoryStream[(String, java.sql.Timestamp, String)](spark)
+    val ts = (m: Int, s: Int) => java.sql.Timestamp.valueOf(f"2024-02-01 10:$m%02d:$s%02d")
+    val cleaned = Stream.cleanEvent(
+        input.toDF().toDF("student_id", "event_time", "score"))
+      .withColumn("duration_seconds", lit("60"))
+    val q = Stream.perMinuteMetrics(cleaned)
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(("STU001", ts(0, 10), "80"), ("STU001", ts(0, 50), "90"),
+        ("STU001", ts(1, 10), "70"))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 and 10:01 windows
+      input.addData(("STU002", ts(30, 0), "50"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT window_start, events_per_minute, rolling_avg_score FROM win_test " +
+        "WHERE student_id = 'STU001' ORDER BY window_start").collect()
+      assert(got.length == 2)
+      assert(got(0).getAs[Long]("events_per_minute") == 2)
+      assert(got(0).getAs[Double]("rolling_avg_score") == 85.0)
+      assert(got(1).getAs[Long]("events_per_minute") == 1)
+    } finally q.stop()
+  }
+
+  test("foreachBatch staging sink upserts micro-batches idempotently (ST-8)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val input = MemoryStream[(String, String, String, java.sql.Timestamp)](spark)
+    val cleaned = Stream.cleanEvent(input.toDF()
+      .toDF("event_id", "student_id", "score", "event_time")
+      .withColumn("duration_seconds", lit("60")))
+    val q = Stream.stagingSink(cleaned, s"$dir/stg_progress", s"$dir/ckpt").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-02-01 10:00:00")
+      input.addData(("e1", "STU001", "85", t0), ("e2", "STU002", "90", t0))
+      q.processAllAvailable()
+      input.addData(("e2", "STU002", "95", t0), ("e3", "STU003", "70", t0))
+      q.processAllAvailable()
+      val stg = spark.read.parquet(s"$dir/stg_progress")
+      assert(stg.count() == 3) // e2 upserted, not duplicated
+      assert(stg.filter(col("event_id") === "e2").head()
+        .getAs[Double]("clean_score") == 95.0)
+    } finally q.stop()
+  }
+}
