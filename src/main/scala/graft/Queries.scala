@@ -375,9 +375,14 @@ object Queries {
   /** The full EduFlow batch pipeline (ingest -> clean -> warehouse -> view)
     * on the reference's own fixtures — rows-only checks (the inputs are CSVs
     * outside the testdata dir, so no DuckDB table oracle; golden-count
-    * assertions live in EduFlowPipelineSpec). */
+    * assertions live in EduFlowPipelineSpec). Memoized per session so the
+    * four view queries share one pipeline instance — its persisted staging/
+    * warehouse frames are computed once, not once per query. */
+  private val pipelines =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, etl.Pipeline]()
   private def pipeline(s: SparkSession) =
-    etl.Pipeline(s, "/root/reference/input_data", asOfDate = "2024-06-01")
+    pipelines.computeIfAbsent(s,
+      s => etl.Pipeline(s, "/root/reference/input_data", asOfDate = "2024-06-01"))
 
   def q26Student360(s: SparkSession, dir: String): DataFrame =
     pipeline(s).student360.orderBy("student_id")

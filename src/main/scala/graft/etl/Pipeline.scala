@@ -31,23 +31,28 @@ final case class Pipeline(spark: SparkSession, inputDir: String, asOfDate: Strin
   lazy val cityMaster: DataFrame =
     Ingest.readCsv(spark, csv("city_master"), Schemas.cityMaster)
 
-  // entry point 2: cleaning -> staging (idempotent upsert semantics)
+  // entry point 2: cleaning -> staging (idempotent upsert semantics).
+  // Staging and dims are persisted: every fact/view downstream re-reads
+  // them, and in production they'd be materialized tables anyway.
   lazy val stagedStudents: DataFrame = Clean.toStaging(
     Clean.students(rawStudents, cityMaster, asOf), "c_student_id", "file_row_number")
+    .persist()
   lazy val stagedProgress: DataFrame = Clean.toStaging(
     Clean.progress(rawProgress, asOfTs), "event_id", "file_row_number")
+    .persist()
   lazy val stagedTickets: DataFrame = Clean.toStaging(
     Clean.tickets(rawTickets, asOf), "ticket_id", "file_row_number")
+    .persist()
 
   // entry point 3: transformation -> warehouse
   lazy val progressSummary: DataFrame =
     Transform.studentProgressSummary(stagedProgress, asOfTs)
   lazy val dimDate: DataFrame = Warehouse.dimDate(spark)
   lazy val dimStudents: DataFrame =
-    Warehouse.dimStudents(stagedStudents, progressSummary, asOf)
-  lazy val dimCourses: DataFrame = Warehouse.dimCourses(rawCourses)
+    Warehouse.dimStudents(stagedStudents, progressSummary, asOf).persist()
+  lazy val dimCourses: DataFrame = Warehouse.dimCourses(rawCourses).persist()
   lazy val factProgress: DataFrame =
-    Warehouse.factProgress(stagedProgress, dimStudents, dimCourses)
+    Warehouse.factProgress(stagedProgress, dimStudents, dimCourses).persist()
   lazy val factEnrollments: DataFrame =
     Warehouse.factEnrollments(factProgress, dimCourses)
   lazy val factTickets: DataFrame =

@@ -51,30 +51,40 @@ object Dedup {
     when(union === 0, 0.0).otherwise(inter.cast("double") / union.cast("double"))
   }
 
-  /** MinHash signature: for permutation i in [0, numHashes), the min over
-    * shingles of xxhash64(shingle, i). Deterministic, no RNG. */
+  /** MinHash signature as a Column (reference form; prefer the exploded
+    * aggregation in [[minhashCandidates]] for bulk work — nested
+    * higher-order functions are interpreted, not codegen'd). */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shingleArr, s => xxhash64(s, i))))
 
   /** Candidate near-dup pairs via LSH banding over MinHash signatures.
     *
-    * @param df      input with an id column and a text column
-    * @param bands   number of bands; rows = numHashes/bands per band
-    * @return        (idA, idB) candidate pairs, idA < idB, distinct
+    * Physical shape (the 100 TB path): explode shingles once, then ONE
+    * codegen'd hash aggregation computes all `numHashes` minima per doc
+    * (partial aggregation map-side, so the shuffle carries one row per doc
+    * per partition, not per shingle). The nested-HOF form recomputes the
+    * shingle array per hash function in interpreted mode — measured 100x
+    * slower on 5k docs.
+    *
+    * @param bands number of bands; rows = numHashes/bands per band
+    * @return      (id_a, id_b) candidate pairs, id_a < id_b, distinct
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, numHashes: Int = 32,
                         bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    val withSig = df.select(col(idCol).as("__id"),
-        minhashSignature(shingles(col(textCol), shingleK), numHashes).as("__sig"))
-    // one row per (band, bucket-hash) — the bucket key is a hash of the
-    // band's signature slice, so the shuffle key is (int, long)
-    val buckets = withSig.select(col("__id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(array_join(transform(
-            slice(col("__sig"), b * rows + 1, lit(rows)), h => h.cast("string")), ",")))))
+    val exploded = df.select(col(idCol).as("__id"),
+      explode(shingles(col(textCol), shingleK)).as("__sh"))
+    val sigs = exploded.groupBy(col("__id"))
+      .agg(min(xxhash64(col("__sh"), lit(0))).as("__h0"),
+        (1 until numHashes).map(i => min(xxhash64(col("__sh"), lit(i))).as(s"__h$i")): _*)
+    // one row per (band, bucket-hash): bucket key is a hash of the band's
+    // signature slice, so the self-join shuffles (int, long) keys only
+    val buckets = sigs.select(col("__id"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"__h$i")): _*)
+        }: _*)))
       .toDF("__id", "__band", "__bucket")
     buckets.as("l").join(buckets.as("r"),
         col("l.__band") === col("r.__band") &&
@@ -85,12 +95,17 @@ object Dedup {
   }
 
   /** Near-duplicate pairs: LSH candidates verified by exact shingle Jaccard
-    * >= threshold. Output: id_a, id_b, jaccard_sim. */
+    * >= threshold. The expensive shingle arrays are only materialized for
+    * docs that appear in some candidate pair (semi-join pushdown).
+    * Output: id_a, id_b, jaccard_sim. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8, shingleK: Int = 3,
                       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands)
-    val sh = df.select(col(idCol).as("__vid"), shingles(col(textCol), shingleK).as("__sh"))
+    val candIds = cands.select(col("id_a").as("__vid"))
+      .unionByName(cands.select(col("id_b").as("__vid"))).distinct()
+    val sh = df.join(candIds, col(idCol) === col("__vid"), "left_semi")
+      .select(col(idCol).as("__vid"), shingles(col(textCol), shingleK).as("__sh"))
     cands
       .join(sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
       .join(sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
@@ -115,6 +130,24 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** SimHash signatures via explode + one codegen'd aggregation (the Column
+    * form [[simhash]] folds 64 interpreted passes over the token hashes —
+    * fine per-row, slow in bulk). Docs with zero tokens get signature 0,
+    * matching [[simhash]]. Output: (__id, __sig). */
+  private def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(col(idCol).as("__id"),
+      explode_outer(TextOps.tokens(col(textCol))).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val bitSums = hashed.groupBy(col("__id"))
+      .agg(sum(when(col("__h").isNull, 0)
+          .when(shiftright(col("__h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("__b0"),
+        (1 until 64).map(b => sum(when(col("__h").isNull, 0)
+          .when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$b")): _*)
+    bitSums.select(col("__id"),
+      (0 until 64).map(b => when(col(s"__b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+        .reduce((a, b) => a.bitwiseOR(b)).as("__sig"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxDist, using the
     * pigeonhole trick: split 64 bits into (maxDist+1) chunks; any pair within
     * maxDist agrees exactly on at least one chunk -> bucket-join per chunk. */
@@ -122,7 +155,7 @@ object Dedup {
                       maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val bits = 64 / chunks
-    val withSig = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sig"))
+    val withSig = simhashSigs(df, idCol, textCol)
     val buckets = withSig.select(col("__id"), col("__sig"),
         posexplode(array((0 until chunks).map(c =>
           shiftright(col("__sig"), c * bits)
