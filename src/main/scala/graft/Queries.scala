@@ -396,6 +396,22 @@ object Queries {
   def q29DailyDashboard(s: SparkSession, dir: String): DataFrame =
     pipeline(s).dailyDashboard
 
+  /** Multimodal plumbing over synthetic binary payloads derived from the
+    * documents table: decode (stub codec) -> resize -> feature extraction.
+    * Rows-only check (the stub decoder is not SQL-expressible). */
+  def q30Multimodal(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
+    Multimodal.extractFeatures(
+        Multimodal.resize(Multimodal.decodeImages(media), 16, 16), dim = 16)
+      .toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        round(col("mean_intensity"), 4).as("mean_intensity"),
+        round(col("std_intensity"), 4).as("std_intensity"),
+        col("embedding"))
+      .orderBy("media_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -428,6 +444,7 @@ object Queries {
     "q27_eduflow_course_performance" -> (q27CoursePerformance _),
     "q28_eduflow_ai_insights" -> (q28AiInsightsView _),
     "q29_eduflow_daily_dashboard" -> (q29DailyDashboard _),
+    "q30_multimodal_features" -> (q30Multimodal _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
