@@ -94,6 +94,45 @@ object Oracles {
       |    100) AS risk_score
       | FROM j)""".stripMargin
 
+  /** q09's SQL, also reused as the q33 subquery. */
+  private val q09Sql =
+    """WITH base AS (
+      | SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+      |  CAST(c_custkey AS VARCHAR) AS ck,
+      |  lower(substr(c_mktsegment,1,1)) AS g,
+      |  CAST(regexp_replace('₹' || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) || ' INR',
+      |    '[^0-9.\-]', '', 'g') AS DOUBLE) AS feev
+      | FROM customer)
+      |SELECT c_custkey,
+      | CASE WHEN length(ck) < 3 THEN 'STU' || lpad(ck, 3, '0') ELSE 'STU' || ck END AS student_id,
+      | array_to_string(list_transform(
+      |   string_split_regex(trim(regexp_replace(regexp_replace(c_name,'[0-9]','','g'),'\s+',' ','g')), ' '),
+      |   w -> upper(substr(w,1,1)) || lower(substr(w,2))), ' ') AS name_clean,
+      | lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g')) || '@school.edu' AS email_clean,
+      | CAST(NULL AS VARCHAR) AS email_bad,
+      | '+91-' || CAST(9800000000 + c_custkey AS VARCHAR) AS phone_clean,
+      | CASE WHEN g = 'm' THEN 'Male' WHEN g = 'f' THEN 'Female' ELSE 'Other' END AS gender_clean,
+      | g IN ('m', 'f') AS gender_valid,
+      | round(least(greatest(c_acctbal, 0.0), 100.0), 2) AS score_clean,
+      | c_acctbal >= 0 AND c_acctbal <= 100 AS score_valid,
+      | abs(feev) AS fee_clean,
+      | feev >= 0 AS fee_valid,
+      | CAST(greatest(0, 100 - 10 * (1
+      |   + (CASE WHEN g IN ('m','f') THEN 0 ELSE 1 END)
+      |   + (CASE WHEN c_acctbal >= 0 AND c_acctbal <= 100 THEN 0 ELSE 1 END)
+      |   + (CASE WHEN feev >= 0 THEN 0 ELSE 1 END))) AS INT) AS quality_score
+      |FROM base ORDER BY c_custkey""".stripMargin
+
+  /** q13's SQL, also reused as the q34 subquery. */
+  private val q13Sql =
+    """WITH corpus AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+      |SELECT doc_id,
+      | row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1 AS is_duplicate
+      |FROM corpus ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -181,33 +220,7 @@ object Oracles {
         | CAST(sum(p) AS DOUBLE) AS total_price
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
-    "q09_cleaning" ->
-      """WITH base AS (
-        | SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
-        |  CAST(c_custkey AS VARCHAR) AS ck,
-        |  lower(substr(c_mktsegment,1,1)) AS g,
-        |  CAST(regexp_replace('₹' || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) || ' INR',
-        |    '[^0-9.\-]', '', 'g') AS DOUBLE) AS feev
-        | FROM customer)
-        |SELECT c_custkey,
-        | CASE WHEN length(ck) < 3 THEN 'STU' || lpad(ck, 3, '0') ELSE 'STU' || ck END AS student_id,
-        | array_to_string(list_transform(
-        |   string_split_regex(trim(regexp_replace(regexp_replace(c_name,'[0-9]','','g'),'\s+',' ','g')), ' '),
-        |   w -> upper(substr(w,1,1)) || lower(substr(w,2))), ' ') AS name_clean,
-        | lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g')) || '@school.edu' AS email_clean,
-        | CAST(NULL AS VARCHAR) AS email_bad,
-        | '+91-' || CAST(9800000000 + c_custkey AS VARCHAR) AS phone_clean,
-        | CASE WHEN g = 'm' THEN 'Male' WHEN g = 'f' THEN 'Female' ELSE 'Other' END AS gender_clean,
-        | g IN ('m', 'f') AS gender_valid,
-        | round(least(greatest(c_acctbal, 0.0), 100.0), 2) AS score_clean,
-        | c_acctbal >= 0 AND c_acctbal <= 100 AS score_valid,
-        | abs(feev) AS fee_clean,
-        | feev >= 0 AS fee_valid,
-        | CAST(greatest(0, 100 - 10 * (1
-        |   + (CASE WHEN g IN ('m','f') THEN 0 ELSE 1 END)
-        |   + (CASE WHEN c_acctbal >= 0 AND c_acctbal <= 100 THEN 0 ELSE 1 END)
-        |   + (CASE WHEN feev >= 0 THEN 0 ELSE 1 END))) AS INT) AS quality_score
-        |FROM base ORDER BY c_custkey""".stripMargin,
+    "q09_cleaning" -> q09Sql,
 
     "q10_parse_dates" ->
       """SELECT o_orderkey,
@@ -269,14 +282,7 @@ object Oracles {
          | SELECT 'low_quality_docs', count(*) FROM documents WHERE ${qualitySql("text")} < 60)
          |ORDER BY metric""".stripMargin,
 
-    "q13_dedup_exact" ->
-      """WITH corpus AS (
-        | SELECT doc_id, text FROM documents
-        | UNION ALL
-        | SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
-        |SELECT doc_id,
-        | row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1 AS is_duplicate
-        |FROM corpus ORDER BY doc_id""".stripMargin,
+    "q13_dedup_exact" -> q13Sql,
 
     "q14_dedup_lastwins" ->
       """SELECT user_id, event_id, event_type,
@@ -376,5 +382,41 @@ object Oracles {
          | FROM sims)
          |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", round(sim, 6) AS cosine_sim
          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q31_fuzzy_dups" ->
+      """WITH contacts AS (
+        | SELECT c_custkey,
+        |  'u' || CAST(c_custkey % 700 AS VARCHAR) || '@x.com' AS email,
+        |  'n' || CAST(c_custkey % 50 AS VARCHAR) AS name,
+        |  'p' || CAST(c_custkey % 60 AS VARCHAR) AS phone
+        | FROM customer),
+        |pairs AS (
+        | SELECT l.c_custkey AS id_a, r.c_custkey AS id_b, 'email' AS match_reason
+        | FROM contacts l, contacts r
+        | WHERE l.email = r.email AND l.c_custkey < r.c_custkey
+        | UNION
+        | SELECT l.c_custkey, r.c_custkey, 'name_phone'
+        | FROM contacts l, contacts r
+        | WHERE l.name = r.name AND l.phone = r.phone AND l.c_custkey < r.c_custkey)
+        |SELECT id_a, id_b, match_reason FROM pairs
+        |ORDER BY id_a, id_b, match_reason""".stripMargin,
+
+    "q32_fk_violations" ->
+      """SELECT l_partkey, count(*) AS n_orphan_lines
+        |FROM lineitem
+        |WHERE l_partkey IS NOT NULL
+        |  AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 7 <> 0)
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    "q33_quality_summary" ->
+      s"""SELECT count(CASE WHEN quality_score < 100 THEN 1 END) AS flagged_records,
+         | count(*) AS total_records
+         |FROM ($q09Sql)""".stripMargin,
+
+    "q34_dedup_report" ->
+      s"""SELECT sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS duplicates,
+         | count(*) AS total,
+         | CAST(sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS duplicate_rate
+         |FROM ($q13Sql)""".stripMargin,
   )
 }

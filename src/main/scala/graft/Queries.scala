@@ -412,6 +412,36 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** D-3: fuzzy duplicate pairs (same email OR same name+phone) over
+    * deterministic synthesized contact columns. */
+  def q31FuzzyDups(s: SparkSession, dir: String): DataFrame = {
+    val contacts = t(s, dir, "customer").select(
+      col("c_custkey"),
+      concat(lit("u"), col("c_custkey") % 700, lit("@x.com")).as("email"),
+      concat(lit("n"), col("c_custkey") % 50).as("name"),
+      concat(lit("p"), col("c_custkey") % 60).as("phone"))
+    Dedup.fuzzyDuplicatePairs(contacts, "c_custkey", "email", "name", "phone")
+      .orderBy("id_a", "id_b", "match_reason")
+  }
+
+  /** J-6: referential-integrity violations via left-anti join (lineitems
+    * pointing at parts excluded from a filtered parent). */
+  def q32FkViolations(s: SparkSession, dir: String): DataFrame =
+    Upsert.fkViolations(
+        t(s, dir, "lineitem"), "l_partkey",
+        t(s, dir, "part").filter(col("p_partkey") % 7 =!= 0), "p_partkey")
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_orphan_lines"))
+      .orderBy("l_partkey")
+
+  /** A-3: quality summary over the cleaning battery output. */
+  def q33QualitySummary(s: SparkSession, dir: String): DataFrame =
+    etl.Transform.qualitySummary(q09Cleaning(s, dir))
+
+  /** A-5: duplicate-rate gauge over the q13 dedup corpus. */
+  def q34DedupReport(s: SparkSession, dir: String): DataFrame =
+    etl.Transform.duplicateRate(q13DedupExact(s, dir))
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -445,6 +475,10 @@ object Queries {
     "q28_eduflow_ai_insights" -> (q28AiInsightsView _),
     "q29_eduflow_daily_dashboard" -> (q29DailyDashboard _),
     "q30_multimodal_features" -> (q30Multimodal _),
+    "q31_fuzzy_dups" -> (q31FuzzyDups _),
+    "q32_fk_violations" -> (q32FkViolations _),
+    "q33_quality_summary" -> (q33QualitySummary _),
+    "q34_dedup_report" -> (q34DedupReport _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -114,6 +114,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard_sim"), 4).as("jaccard_sim"))
   }
 
+  /** D-3 (assignment Rule 10, spec-only in the reference): fuzzy duplicate
+    * pairs — same email OR same (name, phone). Two hash self-joins on small
+    * keys unioned, never a cross join; null keys are excluded so they don't
+    * hash-collide into one giant bucket. */
+  def fuzzyDuplicatePairs(df: DataFrame, idCol: String, emailCol: String,
+                          nameCol: String, phoneCol: String): DataFrame = {
+    def pairsOn(keys: Seq[String], reason: String): DataFrame = {
+      val slim = df.select((idCol +: keys).map(col): _*)
+        .filter(keys.map(k => col(k).isNotNull).reduce(_ && _))
+      slim.as("l").join(slim.as("r"),
+          keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+            col(s"l.$idCol") < col(s"r.$idCol"))
+        .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+          lit(reason).as("match_reason"))
+    }
+    pairsOn(Seq(emailCol), "email")
+      .unionByName(pairsOn(Seq(nameCol, phoneCol), "name_phone"))
+      .distinct()
+  }
+
   /** 64-bit SimHash of the token stream: bit b of the result is 1 iff the
     * sum over tokens of sign(bit b of xxhash64(token)) is positive.
     * Computed per-row as a pure expression (64-way fold over the token

@@ -49,6 +49,16 @@ object Upsert {
              orderCol: String): DataFrame =
     merge(existing, dedupLastWins(batch, keys, orderCol), keys)
 
+  /** J-6: referential-integrity validation — child rows whose foreign key
+    * has no match in the parent (the reference only declares FKs in DDL;
+    * this is the executable form). A left-anti join: one shuffle, or
+    * broadcast when the parent is a dim. */
+  def fkViolations(child: DataFrame, childKey: String,
+                   parent: DataFrame, parentKey: String): DataFrame =
+    child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as("__pk")).distinct(),
+        col(childKey) === col("__pk"), "left_anti")
+
   /** Atomic-ish physical upsert into a parquet table path: write to a temp
     * dir, then swap. Idempotent given idempotent inputs. (The engine's only
     * mutable-state op — SURVEY.md §7.4-3.)
