@@ -35,7 +35,12 @@ object CleaningRules {
     * initcap differ on apostrophes/hyphens (SURVEY.md R-2 note).
     */
   def cleanName(c: Column): Rule = {
-    val t = initcap(regexp_replace(regexp_replace(trim(coalesce(c, lit(""))), "[0-9]", ""), "\\s+", " "))
+    // whitespace is re-collapsed and re-trimmed AFTER digit stripping: the
+    // reference collapses first, so "g d 1" leaves a trailing space and
+    // "a 1 b" a double space in its output — an incidental artifact (and
+    // non-idempotent); fixture names are unaffected by the difference
+    val t = initcap(trim(regexp_replace(
+      regexp_replace(trim(coalesce(c, lit(""))), "[0-9]", ""), "\\s+", " ")))
     // empty-after-cleaning -> null value, not "" (cleaning_rules.py:82-83)
     Rule(when(t =!= "", t), t =!= "")
   }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.expr.CleaningRules
+import graft.operators.Upsert
+
+/** ScalaCheck-generated properties (SURVEY §5.2-3): cleaning idempotence,
+  * quality score bounds, upsert idempotence, dedup keep-first stability
+  * under repartitioning. Generators are sampled with a fixed seed and run
+  * batched through one DataFrame per property to keep Spark round-trips
+  * bounded (no scalatestplus bridge in the offline cache). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int): List[T] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(42L))
+
+  /** ANSI mode throws on decimal overflow, so out-of-domain fees map to
+    * null before the canonical DECIMAL(15,2) cast. */
+  private def decimalFee(v: org.apache.spark.sql.Column) =
+    when(abs(v) < 1e12, v).cast("decimal(15,2)").cast("string")
+
+  private val dirtyString: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr, Gen.asciiPrintableStr,
+    Gen.oneOf("", "  ", "NULL", "₹1,2 3.4", "-0.0", "99999999999", "a-b c"),
+    Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString(" ")))
+
+  test("cleaning is idempotent: clean(clean(x)) == clean(x)") {
+    val samples = sample(dirtyString, 200)
+    val df = samples.toDF("v")
+    // fee re-cleans through its canonical pipeline form, DECIMAL(15,2) —
+    // raw double-to-string would print huge values in scientific notation,
+    // whose 'E' gets stripped on re-cleaning (the reference has the same
+    // behavior for floats >= 1e16: str() goes scientific)
+    val once = df.select(
+      CleaningRules.standardizeStudentId(col("v")).value.as("sid"),
+      CleaningRules.cleanName(col("v")).value.as("name"),
+      CleaningRules.validateEmail(col("v")).value.as("email"),
+      CleaningRules.standardizePhone(col("v")).value.as("phone"),
+      decimalFee(CleaningRules.cleanNumeric(col("v")).value).as("fee"))
+    val twice = once.select(
+      CleaningRules.standardizeStudentId(col("sid")).value.as("sid"),
+      CleaningRules.cleanName(col("name")).value.as("name"),
+      CleaningRules.validateEmail(col("email")).value.as("email"),
+      // phone re-cleaning: "+91-XXXXXXXXXX" has 12 digits starting 91 ->
+      // normalizes to itself (the reference's 12-digit branch)
+      CleaningRules.standardizePhone(col("phone")).value.as("phone"),
+      // null fee stays null: clean(junk)=null but clean(null)=0.0 by the
+      // reference's missing->0.0 rule, so idempotence holds on the valid
+      // domain only
+      when(col("fee").isNotNull,
+        decimalFee(CleaningRules.cleanNumeric(col("fee")).value)).as("fee"))
+    assert(once.collect().toSeq == twice.collect().toSeq)
+  }
+
+  test("quality score is within [0,100] and equals 100 - 10*invalid") {
+    val flagSets = sample(Gen.listOfN(8, Gen.oneOf(true, false)), 30)
+    val df = Seq(1).toDF("x")
+    val got = df.select(flagSets.zipWithIndex.map { case (flags, i) =>
+      CleaningRules.qualityScore(flags.map(lit): _*).as(s"q$i")
+    }: _*).head()
+    flagSets.zipWithIndex.foreach { case (flags, i) =>
+      val expected = math.max(0, 100 - 10 * flags.count(!_))
+      assert(got.getInt(i) == expected && got.getInt(i) >= 0 && got.getInt(i) <= 100)
+    }
+  }
+
+  test("upsert is idempotent and key-unique for arbitrary batches") {
+    val kv: Gen[(Int, String, Int)] = for {
+      k <- Gen.choose(0, 20); v <- Gen.alphaStr; ord <- Gen.choose(0, 100)
+    } yield (k, v, ord)
+    val existing = sample(kv, 15).toDF("k", "v", "ord")
+    val batch = sample(kv, 15).toDF("k", "v", "ord")
+    val existingU = Upsert.dedupLastWins(existing, Seq("k"), "ord")
+    val once = Upsert.upsert(existingU, batch, Seq("k"), "ord")
+    val twice = Upsert.upsert(once, batch, Seq("k"), "ord")
+    assert(once.orderBy("k", "v", "ord").collect().toSeq ==
+      twice.orderBy("k", "v", "ord").collect().toSeq)
+    assert(once.groupBy("k").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("keep-first dedup is stable under repartitioning") {
+    val rows = (1 to 300).map(i => (i.toLong, s"text-${i % 40}"))
+    val df = rows.toDF("id", "text")
+    def flags(parts: Int) =
+      graft.operators.Dedup.markExactDuplicates(df.repartition(parts), "text", "id")
+        .orderBy("id").select("id", "is_duplicate").collect().toSeq
+    assert(flags(1) == flags(7) && flags(7) == flags(32))
+  }
+}
