@@ -1,0 +1,94 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.shim
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar kernel shared by interpreted eval and generated code. */
+object SimilarityKernel {
+  /** Positional character similarity (reference cleaning_rules.py:234-237):
+    * lowercase both sides, count equal code points at equal positions over
+    * the common prefix, divide by max(len, 1). Code-point based so
+    * supplementary characters count like Python's len/zip. */
+  def positional(a: UTF8String, b: UTF8String): Double = {
+    val sa = a.toLowerCase.toString
+    val sb = b.toLowerCase.toString
+    val la = sa.codePointCount(0, sa.length)
+    val lb = sb.codePointCount(0, sb.length)
+    if (la == 0 || lb == 0) return 0.0
+    var ia = 0; var ib = 0; var matches = 0
+    while (ia < sa.length && ib < sb.length) {
+      val ca = sa.codePointAt(ia)
+      val cb = sb.codePointAt(ib)
+      if (ca == cb) matches += 1
+      ia += Character.charCount(ca)
+      ib += Character.charCount(cb)
+    }
+    matches.toDouble / math.max(la, lb)
+  }
+}
+
+/** Native Catalyst expression for R-8's similarity measure — stays inside
+  * whole-stage codegen (the generated code is a single static call on
+  * unboxed UTF8Strings), unlike the zip_with/filter composition which runs
+  * interpreted per candidate pair in the fuzzy cross join.
+  */
+case class PositionalSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[StringType] && right.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"positional_similarity expects (string, string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "positional_similarity"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityKernel.positional(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expr.SimilarityKernel.positional($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PositionalSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Function surface: Column API, imperative registration, and a
+  * SparkSessionExtensions hook so `spark.sql("SELECT
+  * positional_similarity(a, b)")` works in sessions built with
+  * `.withExtensions(new GraftExtensions)` (or
+  * spark.sql.extensions=graft.expr.GraftExtensions). */
+object GraftFunctions {
+
+  def positionalSimilarity(a: Column, b: Column): Column =
+    shim.column(PositionalSimilarity(shim.expression(a), shim.expression(b)))
+
+  val positionalSimilarityDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("positional_similarity"),
+    new ExpressionInfo(classOf[PositionalSimilarity].getName, "positional_similarity"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "positional_similarity expects 2 arguments")
+      PositionalSimilarity(children.head, children(1))
+    })
+
+  /** Imperative registration into an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (ident, info, builder) = positionalSimilarityDescriptor
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    extensions.injectFunction(GraftFunctions.positionalSimilarityDescriptor)
+}

@@ -26,15 +26,11 @@ object FuzzyJoin {
     * filter drops nulls — so matches count over the common prefix only,
     * exactly the reference's zip(a, b) loop.
     */
-  def positionalSimilarity(a: Column, b: Column): Column = {
-    // reference `_similarity` lowercases both sides (cleaning_rules.py:234-237)
-    val (la, lb) = (lower(a), lower(b))
-    val matches = size(filter(
-      zip_with(split(la, ""), split(lb, ""), (x, y) => coalesce(x === y, lit(false))),
-      m => m))
-    when(length(la) === 0 || length(lb) === 0, lit(0.0))
-      .otherwise(matches.cast("double") / greatest(length(la), length(lb)).cast("double"))
-  }
+  def positionalSimilarity(a: Column, b: Column): Column =
+    // native codegen'd Expression (graft.expr.PositionalSimilarity) — the
+    // hot path of the fuzzy cross join; reference `_similarity` lowercases
+    // both sides (cleaning_rules.py:234-237)
+    graft.expr.GraftFunctions.positionalSimilarity(a, b)
 
   /** Best master match per probe row: adds `<out>` (matched master value or
     * null) and `<out>_sim`. The master is broadcast; ties break on master
