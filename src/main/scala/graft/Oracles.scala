@@ -418,5 +418,10 @@ object Oracles {
          | count(*) AS total,
          | CAST(sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS duplicate_rate
          |FROM ($q13Sql)""".stripMargin,
+
+    "q35_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -442,6 +442,23 @@ object Queries {
   def q34DedupReport(s: SparkSession, dir: String): DataFrame =
     etl.Transform.duplicateRate(q13DedupExact(s, dir))
 
+  /** Skew-safe two-phase salted aggregation — must be value-identical to
+    * the plain aggregation (the oracle IS the plain form). */
+  def q35SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(t(s, dir, "events"), Seq("event_type"), salts = 16,
+        scala.collection.immutable.ListMap(
+          "n_events" -> (count(lit(1)), (c: Column) => sum(c)),
+          "total_value" -> (sum(dec2(col("value"))), (c: Column) => sum(c))))
+      .withColumn("total_value", col("total_value").cast("double"))
+      .orderBy("event_type")
+
+  /** IVF approximate ANN (deterministic centroid seeding, rows-only). */
+  def q36KnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Knn.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nlist = 16, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -479,6 +496,8 @@ object Queries {
     "q32_fk_violations" -> (q32FkViolations _),
     "q33_quality_summary" -> (q33QualitySummary _),
     "q34_dedup_report" -> (q34DedupReport _),
+    "q35_salted_agg" -> (q35SaltedAgg _),
+    "q36_knn_ivf" -> (q36KnnIvf _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -114,6 +114,50 @@ object Knn {
         round(col("cosine_sim"), 6).as("cosine_sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: the scale path for ANN.
+    *
+    * Train: centroids = the first `nlist` corpus vectors by id
+    * (deterministic seeding; real deployments would run k-means — the
+    * assignment/probe machinery below is identical either way).
+    * Index: each corpus vector is assigned to its nearest centroid — an
+    * inverted list keyed by centroid id, shuffled once on a small int key.
+    * Search: each query scores only the vectors in its `nprobe` nearest
+    * lists, cutting scanned vectors to ~nprobe/nlist of the corpus.
+    * Centroids are broadcast (nlist is small by construction).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
+              nprobe: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent"))
+    // invert: nearest centroid per corpus vector (broadcast NLJ + top-1)
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__csim").desc, col("__cent_id").asc)
+      df.crossJoin(broadcast(centroids))
+        .withColumn("__csim", cosine(col(vec), col("__cent")))
+        .withColumn("__crank", row_number().over(w))
+        .filter(col("__crank") <= keep)
+        .drop("__cent", "__csim", "__crank")
+    }
+    val lists = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "neighbor_id", "__cv", keep = 1)
+    val probes = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+      "query_id", "__qv", keep = nprobe)
+    val scored = lists.join(broadcast(probes), Seq("__cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine_sim"), 6).as("cosine_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a,b) pairs with cosine >=
     * threshold, bucket-pruned by SRP-LSH (pairs must share a bucket). */
   def cosineNearDups(df: DataFrame, threshold: Double = 0.95, numPlanes: Int = 8,

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Knn, Skew}
+import graft.etl.Sinks
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val skewed = (
+    (1 to 1000).map(i => ("hot", i.toDouble)) ++
+      (1 to 50).map(i => (s"cold$i", i.toDouble))).toDF("k", "v")
+
+  test("salted aggregation equals plain aggregation") {
+    val plain = skewed.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val salted = Skew.saltedCountSum(skewed, Seq("k"), "v", salts = 8)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("salted join equals plain join") {
+    val right = Seq(("hot", "H"), ("cold1", "C1"), ("missing", "M")).toDF("k", "tag")
+    val plain = skewed.join(right, Seq("k")).groupBy("k", "tag").count()
+      .orderBy("k").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val salted = Skew.saltedJoin(skewed, right, "k", salts = 8)
+      .groupBy("k", "tag").count()
+      .orderBy("k").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+}
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF top-k finds exact neighbors when probing all lists") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => (math.sin(i * 37.0 + d) * 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val exact = Knn.bruteForceTopK(vecs, queries, k = 3)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val ivfAll = Knn.ivfTopK(vecs, queries, k = 3, nlist = 4, nprobe = 4)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(ivfAll == exact) // nprobe = nlist scans everything -> exact
+    val ivfPruned = Knn.ivfTopK(vecs, queries, k = 3, nlist = 4, nprobe = 1)
+    assert(ivfPruned.groupBy("query_id").count()
+      .collect().forall(_.getLong(1) <= 3))
+  }
+}
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned fact write prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val facts = (1 to 100).map(i => (20240101 + (i % 5), i.toLong, i * 1.5))
+      .toDF("date_key", "id", "value")
+    Sinks.writePartitionedFact(facts, s"$dir/fact")
+    val back = spark.read.parquet(s"$dir/fact")
+    assert(back.count() == 100)
+    val one = back.filter(col("date_key") === 20240103)
+    // partition pruning: the physical plan carries the partition filter and
+    // reads a single directory
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("date_key"))
+    assert(one.count() == 20)
+    // dynamic overwrite of one partition leaves the others intact
+    Sinks.writePartitionedFact(
+      Seq((20240103, 999L, 0.0)).toDF("date_key", "id", "value"), s"$dir/fact")
+    val after = spark.read.parquet(s"$dir/fact")
+    assert(after.filter(col("date_key") === 20240103).count() == 1)
+    assert(after.filter(col("date_key") =!= 20240103).count() == 80)
+  }
+}
