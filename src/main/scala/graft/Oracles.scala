@@ -423,5 +423,40 @@ object Oracles {
       """SELECT event_type, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q37_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q38_semi_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey IN (
+        |   SELECT o_custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |     AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        |  AND c_custkey NOT IN (
+        |   SELECT o_custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |     AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q39_sql_surface" ->
+      """SELECT n_name, count(*) AS n_lines,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY n_name
+        |HAVING count(*) > 100
+        |ORDER BY n_name""".stripMargin,
   )
 }

@@ -459,6 +459,51 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Hierarchical rollup (region -> nation -> total) over the full join
+    * path customer->orders. Spark `rollup` == SQL GROUP BY ROLLUP. */
+  def q37Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  /** Semi/anti join composition: customers with orders in 1995 but none in
+    * 1997 (left_semi + left_anti — the set-membership join forms). */
+  def q38SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val in95 = orders.filter(col("o_orderdate") >= lit("1995-01-01") &&
+      col("o_orderdate") < lit("1996-01-01"))
+    val in97 = orders.filter(col("o_orderdate") >= lit("1997-01-01") &&
+      col("o_orderdate") < lit("1998-01-01"))
+    t(s, dir, "customer")
+      .join(in95.select(col("o_custkey")), col("c_custkey") === in95("o_custkey"), "left_semi")
+      .join(in97.select(col("o_custkey")), col("c_custkey") === in97("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** The spark.sql surface: the same engine driven by SQL text over
+    * registered views (multi-join + agg + having). */
+  def q39SqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT n_name,
+             count(*) AS n_lines,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= '1996-01-01'
+      GROUP BY n_name
+      HAVING count(*) > 100
+      ORDER BY n_name""")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -498,6 +543,9 @@ object Queries {
     "q34_dedup_report" -> (q34DedupReport _),
     "q35_salted_agg" -> (q35SaltedAgg _),
     "q36_knn_ivf" -> (q36KnnIvf _),
+    "q37_rollup" -> (q37Rollup _),
+    "q38_semi_anti" -> (q38SemiAnti _),
+    "q39_sql_surface" -> (q39SqlSurface _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
