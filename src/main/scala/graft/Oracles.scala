@@ -458,5 +458,32 @@ object Oracles {
         |GROUP BY n_name
         |HAVING count(*) > 100
         |ORDER BY n_name""".stripMargin,
+
+    "q40_sliding_window" ->
+      """SELECT window_start, count(*) AS n_events,
+        | count(DISTINCT user_id) AS active_users
+        |FROM (
+        | SELECT time_bucket(INTERVAL '5 minutes', ts) - (k * INTERVAL '5 minutes') AS window_start,
+        |  user_id
+        | FROM events, (SELECT unnest([0, 1, 2]) AS k))
+        |GROUP BY window_start ORDER BY window_start""".stripMargin,
+
+    "q41_split_sample" ->
+      """WITH b AS (
+        | SELECT doc_id, lang,
+        |  CAST(((doc_id * 2654435761) % 4294967296) % 100 AS INT) AS bkt
+        | FROM documents),
+        |splits AS (
+        | SELECT lang,
+        |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'valid' ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        | FROM b GROUP BY 1, 2),
+        |sampled AS (
+        | SELECT lang, count(*) AS n_sampled FROM b
+        | WHERE bkt < (CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 100 ELSE 10 END)
+        | GROUP BY lang)
+        |SELECT s.lang, s.split, s.n_docs, sampled.n_sampled
+        |FROM splits s LEFT JOIN sampled ON s.lang = sampled.lang
+        |ORDER BY s.lang, s.split""".stripMargin,
   )
 }

@@ -504,6 +504,28 @@ object Queries {
       ORDER BY n_name""")
   }
 
+  /** ST-5 batch form: sliding 15-minute windows every 5 minutes with exact
+    * active-user counts. */
+  def q40Sliding(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sliding(t(s, dir, "events"), "ts", "user_id", 15, 5)
+      .orderBy("window_start")
+
+  /** Deterministic train/valid/test assignment + stratified sample counts:
+    * the split is a pure function of the key (portable multiplicative
+    * hash), so the oracle re-derives it exactly. */
+  def q41Split(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("split", Split.assign(col("doc_id")))
+    val sampled = Split.stratifiedSample(
+      t(s, dir, "documents"), "doc_id", "lang",
+      Map("en" -> 50, "de" -> 100), defaultPct = 10)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    docs.groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(sampled, Seq("lang"), "left")
+      .orderBy("lang", "split")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -546,6 +568,8 @@ object Queries {
     "q37_rollup" -> (q37Rollup _),
     "q38_semi_anti" -> (q38SemiAnti _),
     "q39_sql_surface" -> (q39SqlSurface _),
+    "q40_sliding_window" -> (q40Sliding _),
+    "q41_split_sample" -> (q41Split _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -51,4 +51,18 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         countDistinct(col(userCol)).as("n_users"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value"))
+
+  /** Sliding-window rollup (ST-5's "active users in the last W minutes",
+    * batch form): width W sliding every S minutes. Each event lands in W/S
+    * windows — Spark's `window()` does that expansion natively; the shuffle
+    * key is the window start, and distinct users are counted exactly here
+    * (the streaming twin uses approx_count_distinct to bound state). */
+  def sliding(events: DataFrame, tsCol: String, userCol: String,
+              widthMinutes: Int, slideMinutes: Int): DataFrame =
+    events
+      .groupBy(window(col(tsCol), s"$widthMinutes minutes", s"$slideMinutes minutes")
+        .getField("start").as("window_start"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col(userCol)).as("active_users"))
 }
