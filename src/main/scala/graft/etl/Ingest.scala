@@ -46,6 +46,27 @@ object Ingest {
       .csv(path)
       .drop("_corrupt_record")
 
+  /** O-3 + ST-7's batch analogue: split the scan into (good, dlq) — rows
+    * whose raw line could not be parsed against the schema go to the DLQ
+    * frame with their raw text, mirroring the streaming dlq.failed.events
+    * topic. The parsed frame is cached because Spark disallows filtering a
+    * CSV scan on only its internal corrupt-record column. */
+  def readCsvWithDlq(spark: SparkSession, path: String,
+                     schema: StructType): (DataFrame, DataFrame) = {
+    val parsed = spark.read
+      .option("header", "true")
+      .option("nullValue", "NULL")
+      .option("mode", "PERMISSIVE")
+      .schema(schema.add("_corrupt_record", "string"))
+      .csv(path)
+      .cache()
+    val good = parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val dlq = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_record"),
+        lit(path).as("source_file"))
+    (good, dlq)
+  }
+
   /** O-4: lineage columns for the raw layer. file_row_number is a
     * per-file ordinal (used by D-1/D-2 as the deterministic "file order" —
     * orderless DataFrames need an explicit tiebreak, SURVEY §4.3). At scale

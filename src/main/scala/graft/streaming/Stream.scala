@@ -24,6 +24,33 @@ object Stream {
     "score string, module_id string, completion_percentage string, " +
     "event_time timestamp, source string"
 
+  /** ST-1: the producer simulator as a rate-source stream — replays a
+    * static fixture frame at `rowsPerSecond`, stamping event_time at emit
+    * like the reference's EventSimulatorProducer (streaming.py:26-49).
+    * Stream-static equi-join on the row index: the fixture side is tiny and
+    * broadcast; rows cycle once the rate counter passes the fixture size. */
+  def simulatedSource(fixture: DataFrame, rowsPerSecond: Int = 10): DataFrame = {
+    // the fixture is a small replay file by construction — index it eagerly
+    // (window/monotonic id expressions are rejected inside streaming plans)
+    val spark = fixture.sparkSession
+    val rows = fixture.collect()
+    val n = rows.length.toLong
+    val indexed = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i.toLong)
+      }.toIndexedSeq),
+      org.apache.spark.sql.types.StructType(
+        fixture.schema.fields :+
+          org.apache.spark.sql.types.StructField("__idx", org.apache.spark.sql.types.LongType)))
+    spark.readStream
+      .format("rate").option("rowsPerSecond", rowsPerSecond.toLong).load()
+      .withColumn("__idx", col("value") % lit(n))
+      .join(broadcast(indexed), "__idx")
+      .drop("__idx", "value")
+      .withColumnRenamed("timestamp", "event_time")
+      .withColumn("source", lit("file-simulator"))
+  }
+
   /** ST-7 ingest: parse raw JSON; unparseable payloads keep their raw value
     * with is_dlq=true (from_json null => DLQ routing, never a crash). */
   def parseEvents(raw: DataFrame, jsonCol: String = "value"): DataFrame =

@@ -97,6 +97,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate-source simulator replays fixture rows with emit-time stamps (ST-1)") {
+    val fixture = Seq(("e1", "STU001"), ("e2", "STU002"), ("e3", "STU003"))
+      .toDF("event_id", "student_id")
+    val stream = Stream.simulatedSource(fixture, rowsPerSecond = 100)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("sim_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // let the rate source tick a couple of seconds of data through
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      var n = 0L
+      while (n < 6 && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) FROM sim_test").head().getLong(0)
+        if (n < 6) Thread.sleep(200)
+      }
+      assert(n >= 6) // fixture cycled at least twice
+      val ids = spark.sql("SELECT DISTINCT event_id FROM sim_test")
+        .collect().map(_.getString(0)).toSet
+      assert(ids == Set("e1", "e2", "e3"))
+      assert(spark.sql("SELECT count(*) FROM sim_test WHERE event_time IS NULL")
+        .head().getLong(0) == 0)
+    } finally q.stop()
+  }
+
+  test("batch CSV DLQ captures unparseable raw lines (ST-7 batch analogue)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dlq")
+    val f = dir.resolve("bad.csv")
+    java.nio.file.Files.writeString(f,
+      "id,n\n1,10\n2,not_a_number\n3,30\n")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id INT, n INT")
+    val (good, dlq) = graft.etl.Ingest.readCsvWithDlq(spark, f.toString, schema)
+    assert(good.count() == 2)
+    assert(dlq.count() == 1)
+    assert(dlq.head().getAs[String]("raw_record").contains("not_a_number"))
+  }
+
   test("foreachBatch staging sink upserts micro-batches idempotently (ST-8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val input = MemoryStream[(String, String, String, java.sql.Timestamp)](spark)
