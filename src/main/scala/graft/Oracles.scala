@@ -468,6 +468,37 @@ object Oracles {
         | FROM events, (SELECT unnest([0, 1, 2]) AS k))
         |GROUP BY window_start ORDER BY window_start""".stripMargin,
 
+    "q42_curation" ->
+      s"""WITH h AS (
+         | SELECT doc_id, text,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['the','and','of','to','is'], x))) AS h_en,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['el','la','de','que','los'], x))) AS h_es,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['le','la','les','des','est'], x))) AS h_fr,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['der','die','und','das','ist'], x))) AS h_de,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['的','是','了','在','我'], x))) AS h_zh
+         | FROM documents),
+         |filtered AS (
+         | SELECT doc_id,
+         |  regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b[0-9]{10,12}\\b', '<PHONE>', 'g') AS rt
+         | FROM h
+         | WHERE h_en + h_es + h_fr + h_de + h_zh > 0
+         |   AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en >= h_zh
+         |   AND ${qualitySql("text")} >= 50),
+         |toked AS (
+         | SELECT doc_id, ${toksSql("rt")} AS toks FROM filtered),
+         |chunked AS (
+         | SELECT doc_id,
+         |  unnest(list_transform(
+         |    range(0, 1 + CAST(ceil(greatest(len(toks) - 40, 0) / 30.0) AS BIGINT)),
+         |    i -> {'cid': i,
+         |          'ctext': array_to_string(list_slice(toks, i*30 + 1, i*30 + 40), ' ')})) AS u
+         | FROM toked)
+         |SELECT doc_id, CAST(u.cid AS INT) AS chunk_id, u.ctext AS chunk_text,
+         | CAST(len(${toksSql("u.ctext")}) AS INT) AS n_tokens
+         |FROM chunked ORDER BY doc_id, chunk_id""".stripMargin,
+
     "q41_split_sample" ->
       """WITH b AS (
         | SELECT doc_id, lang,

@@ -526,6 +526,19 @@ object Queries {
       .orderBy("lang", "split")
   }
 
+  /** Composite corpus-curation pipeline: language filter -> quality filter
+    * -> PII redaction -> overlapping token-window chunking (the end-to-end
+    * shape of a training-data prep job, fully oracle-checkable). */
+  def q42Curation(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(TextOps.langId(col("text")) === "en")
+      .filter(TextOps.qualityScore(col("text")) >= 50)
+      .select(col("doc_id"),
+        posexplode(TextOps.chunks(TextOps.redactPii(col("text")), 40, 10)))
+      .toDF("doc_id", "chunk_id", "chunk_text")
+      .withColumn("n_tokens", TextOps.tokenCount(col("chunk_text")))
+      .orderBy("doc_id", "chunk_id")
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -570,6 +583,7 @@ object Queries {
     "q39_sql_surface" -> (q39SqlSurface _),
     "q40_sliding_window" -> (q40Sliding _),
     "q41_split_sample" -> (q41Split _),
+    "q42_curation" -> (q42Curation _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -99,6 +99,30 @@ object TextOps {
     when(total === 0, "und").otherwise(chain)
   }
 
+  /** Token-window chunking for training pipelines: overlapping windows of
+    * `chunkSize` tokens advancing by (chunkSize - overlap). Short docs yield
+    * one chunk; the final window is clamped at the end of the doc. Pure
+    * per-row expression — 1-to-many via explode at the call site. */
+  def chunks(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(overlap < chunkSize, "overlap must be < chunkSize")
+    val step = chunkSize - overlap
+    val toks = tokens(text)
+    val n = size(toks)
+    // number of windows: 1 + ceil(max(n - chunkSize, 0) / step)
+    val extra = greatest(n - chunkSize, lit(0))
+    val nChunks = lit(1) + ceil(extra.cast("double") / step).cast("int")
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * step + 1, lit(chunkSize)), " "))
+  }
+
+  /** PII scrubbing: redact email addresses and 10-12 digit phone-like runs
+    * (the same shapes the cleaning rules validate) with typed placeholders. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(coalesce(text, lit("")),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\b[0-9]{10,12}\\b", "<PHONE>")
+
   /** Deterministic small integer value for a token (engine-portable: ascii of
     * first char and length only — reproducible in any SQL engine). */
   def tokenValue(t: Column): Column = ascii(t) * 31 + length(t)

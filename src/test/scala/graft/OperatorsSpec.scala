@@ -133,6 +133,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq("en", "es", "und"))
   }
 
+  test("chunking: overlapping windows, clamped tail, single chunk for short docs") {
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq(doc, "short doc").toDF("t")
+    val got = df.select(TextOps.chunks(col("t"), 4, 2)).collect()
+    // 10 tokens, size 4, step 2 -> 1 + ceil(6/2) = 4 chunks
+    val c = got(0).getSeq[String](0)
+    assert(c.length == 4)
+    assert(c.head == "t1 t2 t3 t4" && c(1) == "t3 t4 t5 t6" && c.last == "t7 t8 t9 t10")
+    assert(got(1).getSeq[String](0) == Seq("short doc"))
+  }
+
+  test("PII redaction replaces emails and long digit runs") {
+    val df = Seq("mail me at a.b@x.co.in or call 9876543210 ok 123").toDF("t")
+    assert(df.select(TextOps.redactPii(col("t"))).head().getString(0) ==
+      "mail me at <EMAIL> or call <PHONE> ok 123")
+  }
+
   test("fingerprint matches the hand-computed rolling hash") {
     // tokens "ab" (97*31+2=3009) then "c" (99*31+1=3070):
     // ((0*131+3009)%p)*131+3070 = 397249
