@@ -499,6 +499,22 @@ object Oracles {
          | CAST(len(${toksSql("u.ctext")}) AS INT) AS n_tokens
          |FROM chunked ORDER BY doc_id, chunk_id""".stripMargin,
 
+    "q43_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        | count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    "q44_percentiles" ->
+      """SELECT event_type,
+        | quantile_cont(value, 0.5) AS p50,
+        | quantile_cont(value, 0.95) AS p95,
+        | min(value) AS vmin,
+        | max(value) AS vmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q41_split_sample" ->
       """WITH b AS (
         | SELECT doc_id, lang,

@@ -539,6 +539,28 @@ object Queries {
       .withColumn("n_tokens", TextOps.tokenCount(col("chunk_text")))
       .orderBy("doc_id", "chunk_id")
 
+  /** Pivot/crosstab: daily event counts pivoted by event type (explicit
+    * value list so the output schema is static and broadcastable). */
+  def q43Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("click", "view", "purchase", "error"))
+      .orderBy("day")
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`, both the classic sorted-interpolation). */
+  def q44Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+      .orderBy("event_type")
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -584,6 +606,8 @@ object Queries {
     "q40_sliding_window" -> (q40Sliding _),
     "q41_split_sample" -> (q41Split _),
     "q42_curation" -> (q42Curation _),
+    "q43_pivot" -> (q43Pivot _),
+    "q44_percentiles" -> (q44Percentiles _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -67,6 +67,23 @@ object Ingest {
     (good, dlq)
   }
 
+  /** JSON-lines scan with the same contract as [[readCsvWithDlq]]: explicit
+    * schema, PERMISSIVE parse, (good, dlq) split. JSON is the other wire
+    * format the reference handles (Kafka event payloads) — this is its
+    * batch-file form. */
+  def readJsonWithDlq(spark: SparkSession, path: String,
+                      schema: StructType): (DataFrame, DataFrame) = {
+    val parsed = spark.read
+      .option("mode", "PERMISSIVE")
+      .schema(schema.add("_corrupt_record", "string"))
+      .json(path)
+      .cache()
+    val good = parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val dlq = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_record"), lit(path).as("source_file"))
+    (good, dlq)
+  }
+
   /** O-4: lineage columns for the raw layer. file_row_number is a
     * per-file ordinal (used by D-1/D-2 as the deterministic "file order" —
     * orderless DataFrames need an explicit tiebreak, SURVEY §4.3). At scale

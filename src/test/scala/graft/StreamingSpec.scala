@@ -134,6 +134,22 @@ class StreamingSpec extends SparkSpec {
     assert(dlq.head().getAs[String]("raw_record").contains("not_a_number"))
   }
 
+  test("JSON-lines ingestion splits good rows from the DLQ") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json")
+    val f = dir.resolve("events.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"event_id":"e1","score":85.5}
+        |this is not json
+        |{"event_id":"e2","score":"bad-type"}
+        |{"event_id":"e3","score":70.0}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id STRING, score DOUBLE")
+    val (good, dlq) = graft.etl.Ingest.readJsonWithDlq(spark, f.toString, schema)
+    assert(good.count() == 2)
+    assert(dlq.count() == 2)
+  }
+
   test("foreachBatch staging sink upserts micro-batches idempotently (ST-8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val input = MemoryStream[(String, String, String, java.sql.Timestamp)](spark)
