@@ -561,6 +561,20 @@ object Queries {
         max(col("value")).as("vmax"))
       .orderBy("event_type")
 
+  /** End-to-end near-dedup: MinHash pairs -> connected components -> keep
+    * the canonical (min-id) doc per cluster (rows-only: xxhash64-based). */
+  def q45DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        array_join(slice(TextOps.tokens(col("text")), 3, 100000), " ").as("text"))
+    Dedup.dropNearDuplicates(docs.unionByName(planted), "doc_id", "text",
+        threshold = 0.5)
+      .groupBy()
+      .agg(count(lit(1)).as("kept_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -608,6 +622,7 @@ object Queries {
     "q42_curation" -> (q42Curation _),
     "q43_pivot" -> (q43Pivot _),
     "q44_percentiles" -> (q44Percentiles _),
+    "q45_dedup_clusters" -> (q45DedupClusters _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

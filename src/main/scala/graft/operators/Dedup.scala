@@ -134,6 +134,59 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over near-duplicate pairs: transitively groups
+    * (id_a, id_b) edges into clusters labelled by their minimum member id —
+    * the step that turns pairwise similarity into actual deduplication
+    * (keep one canonical doc per cluster).
+    *
+    * Algorithm: iterative min-label propagation (each round every node
+    * adopts the smallest label among itself and its neighbours). Rounds are
+    * hash-shuffles on ids only; converges in O(diameter) rounds and
+    * near-dup clusters are shallow (duplicate groups, not social graphs),
+    * so `maxIter` ~ 10 covers real corpora. Each round checkpoints the
+    * label frame locally to keep the plan from growing unboundedly.
+    *
+    * @return (id, cluster_id) for every id appearing in `pairs`
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("__nmin"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val changed = updated.join(labels.withColumnRenamed("cluster_id", "__old"), "id")
+        .filter(col("cluster_id") =!= col("__old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full near-dedup: drop all but the minimum-id member of every MinHash
+    * near-duplicate cluster. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold)
+    val clusters = connectedComponents(pairs)
+    val losers = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__loser"))
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
+
   /** 64-bit SimHash of the token stream: bit b of the result is 1 iff the
     * sum over tokens of sign(bit b of xxhash64(token)) is positive.
     * Computed per-row as a pure expression (64-way fold over the token

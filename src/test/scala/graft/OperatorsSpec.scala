@@ -61,6 +61,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("connected components groups transitive near-dup chains") {
+    // chain 1-2, 2-3 and isolated pair 7-9: clusters {1,2,3} and {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("dropNearDuplicates keeps one canonical doc per cluster") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    val near2 = "quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely different words nothing shared here at all whatsoever ok fine"
+    val df = Seq((1L, base), (2L, near), (3L, near2), (4L, other)).toDF("id", "text")
+    val kept = Dedup.dropNearDuplicates(df, "id", "text", threshold = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+  }
+
   test("simhash near-dups bounded by hamming distance") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val near = "alpha beta gamma delta epsilon zeta eta theta iota kappb"
