@@ -515,6 +515,30 @@ object Oracles {
         | max(value) AS vmax
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q46_asof_join" ->
+      """WITH versions AS (
+        | SELECT c_custkey, CAST(vd AS TIMESTAMP) AS version_ts,
+        |  CAST((c_custkey % 10) * 100 + year(CAST(vd AS TIMESTAMP)) % 100 AS INT) AS tier
+        | FROM customer,
+        |  (SELECT unnest(['1996-01-01','1998-01-01','2000-01-01']) AS vd))
+        |SELECT o_orderkey, o_custkey, o_orderdate, v.tier
+        |FROM orders
+        |ASOF LEFT JOIN versions v
+        |  ON o_custkey = v.c_custkey AND o_orderdate >= v.version_ts
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q47_scd2" ->
+      """WITH versions AS (
+        | SELECT c_custkey, CAST(vd AS TIMESTAMP) AS version_ts,
+        |  CAST((c_custkey % 10) * 100 + year(CAST(vd AS TIMESTAMP)) % 100 AS INT) AS tier
+        | FROM customer,
+        |  (SELECT unnest(['1996-01-01','1998-01-01','2000-01-01']) AS vd))
+        |SELECT c_custkey, tier,
+        | version_ts AS valid_from,
+        | lead(version_ts) OVER (PARTITION BY c_custkey ORDER BY version_ts) AS valid_to,
+        | lead(version_ts) OVER (PARTITION BY c_custkey ORDER BY version_ts) IS NULL AS is_current
+        |FROM versions ORDER BY c_custkey, valid_from""".stripMargin,
+
     "q41_split_sample" ->
       """WITH b AS (
         | SELECT doc_id, lang,

@@ -575,6 +575,34 @@ object Queries {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
   }
 
+  /** Deterministic per-customer "tier" version history: a version at each
+    * of 1996/1998/2000-01-01 with a derived tier value. */
+  private def tierVersions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+        col("c_custkey"),
+        explode(array(lit("1996-01-01"), lit("1998-01-01"), lit("2000-01-01")))
+          .as("vd"))
+      .select(col("c_custkey"), to_timestamp(col("vd")).as("version_ts"),
+        ((col("c_custkey") % 10) * 100 + year(to_timestamp(col("vd"))) % 100)
+          .cast("int").as("tier"))
+
+  /** As-of join: each order picks the tier version in effect at its order
+    * date (orders before 1996 get NULL — no version yet). */
+  def q46AsOf(s: SparkSession, dir: String): DataFrame =
+    AsOfJoin.asOf(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        tierVersions(s, dir).withColumnRenamed("c_custkey", "o_custkey"),
+        key = "o_custkey", leftTs = "o_orderdate", rightTs = "version_ts",
+        payload = Seq("tier"))
+      .orderBy("o_orderkey")
+
+  /** SCD2 interval construction over the same version history. */
+  def q47Scd2(s: SparkSession, dir: String): DataFrame =
+    AsOfJoin.scd2(tierVersions(s, dir), "c_custkey", "version_ts")
+      .select(col("c_custkey"), col("tier"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+      .orderBy("c_custkey", "valid_from")
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -623,6 +651,8 @@ object Queries {
     "q43_pivot" -> (q43Pivot _),
     "q44_percentiles" -> (q44Percentiles _),
     "q45_dedup_clusters" -> (q45DedupClusters _),
+    "q46_asof_join" -> (q46AsOf _),
+    "q47_scd2" -> (q47Scd2 _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward temporal) join and SCD2 interval construction — the
+  * temporal operators Spark lacks natively, composed from built-ins
+  * (preference (a) of the extension ladder: no custom plan node needed).
+  *
+  * asOf: for each left row, the latest right row with ts <= left ts for the
+  * same key. Implemented with the union-sort trick: tag both sides, union,
+  * sort per key by (ts, side) and carry the last right payload forward with
+  * last_value(ignoreNulls) — ONE shuffle on (key), no range cross-product,
+  * no per-row binary search. At 100 TB this is the difference between a
+  * sort-based linear pass and an exploded interval join.
+  */
+object AsOfJoin {
+
+  /** @param left     probe side (events)
+    * @param right    reference side (versioned values)
+    * @param key      equi-join key column present on both sides
+    * @param leftTs   event-time column on `left`
+    * @param rightTs  version-time column on `right`
+    * @param payload  right-side columns to carry (null when no version is
+    *                 in effect yet)
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+           leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__ts", col(leftTs))
+      .withColumns(payload.map(p => s"__p_$p" -> lit(null).cast(
+        right.schema(p).dataType)).toMap)
+    val r = right.select(
+      (Seq(col(key), lit(0).as("__side"), col(rightTs).as("__ts")) ++
+        payload.map(p => col(p).as(s"__p_$p"))): _*)
+    val lCols = left.columns
+    val merged = l.select(
+        (Seq(col(key), col("__side"), col("__ts")) ++
+          payload.map(p => col(s"__p_$p")) ++
+          lCols.filterNot(_ == key).map(c => col(c))): _*)
+      .unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at equal ts (side 0 < 1), so a right
+    // version taking effect exactly at the event time IS visible to it
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = payload.foldLeft(merged) { (df, p) =>
+      df.withColumn(s"__c_$p",
+        last(when(col("__side") === 0, col(s"__p_$p")), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((lCols.map(col) ++
+        payload.map(p => col(s"__c_$p").as(p))): _*)
+  }
+
+  /** SCD2 interval construction: turn per-key change events
+    * (key, changeTs, attributes...) into versioned rows with
+    * [valid_from, valid_to) intervals and an is_current flag — one window
+    * pass (lead over the same key partition). */
+  def scd2(changes: DataFrame, key: String, changeTs: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(changeTs).asc)
+    changes
+      .withColumn("valid_from", col(changeTs))
+      .withColumn("valid_to", lead(col(changeTs), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

@@ -197,6 +197,35 @@ class KnnSpec extends SparkSpec {
   }
 }
 
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+  private val ts = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  test("asOf picks the latest version at-or-before each event, null before first") {
+    val events = Seq((1, ts("2024-01-05"), "e1"), (1, ts("2024-01-10"), "e2"),
+      (1, ts("2024-01-01"), "e0"), (2, ts("2024-01-05"), "e3"))
+      .toDF("k", "ts", "name")
+    val versions = Seq((1, ts("2024-01-03"), "v1"), (1, ts("2024-01-10"), "v2"),
+      (2, ts("2024-01-06"), "v9"))
+      .toDF("k", "vts", "ver")
+    val got = graft.operators.AsOfJoin.asOf(events, versions, "k", "ts", "vts", Seq("ver"))
+      .orderBy("name").collect().map(r => r.getAs[String]("name") -> r.getAs[String]("ver"))
+    // e0 before any version -> null; e2 at exactly v2's ts -> v2 (inclusive)
+    assert(got.toSeq == Seq("e0" -> null, "e1" -> "v1", "e2" -> "v2", "e3" -> null))
+  }
+
+  test("scd2 builds half-open validity intervals with a current flag") {
+    val changes = Seq((1, ts("2024-01-01"), "a"), (1, ts("2024-02-01"), "b"))
+      .toDF("k", "cts", "v")
+    val got = graft.operators.AsOfJoin.scd2(changes, "k", "cts")
+      .orderBy("valid_from").collect()
+    assert(got(0).getAs[java.sql.Timestamp]("valid_to") == ts("2024-02-01"))
+    assert(!got(0).getAs[Boolean]("is_current"))
+    assert(got(1).getAs[java.sql.Timestamp]("valid_to") == null)
+    assert(got(1).getAs[Boolean]("is_current"))
+  }
+}
+
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
 
