@@ -539,6 +539,17 @@ object Oracles {
         | lead(version_ts) OVER (PARTITION BY c_custkey ORDER BY version_ts) IS NULL AS is_current
         |FROM versions ORDER BY c_custkey, valid_from""".stripMargin,
 
+    "q48_range_join" ->
+      """WITH windows AS (
+        | SELECT CAST(d AS INT) AS win_day,
+        |  CAST('2024-01-' || lpad(CAST(d AS VARCHAR), 2, '0') || ' 10:00:00' AS TIMESTAMP) AS win_start,
+        |  CAST('2024-01-' || lpad(CAST(d AS VARCHAR), 2, '0') || ' 14:00:00' AS TIMESTAMP) AS win_end
+        | FROM generate_series(1, 30) t(d))
+        |SELECT win_day, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM events JOIN windows
+        |  ON ts >= win_start AND ts < win_end
+        |GROUP BY win_day ORDER BY win_day""".stripMargin,
+
     "q41_split_sample" ->
       """WITH b AS (
         | SELECT doc_id, lang,

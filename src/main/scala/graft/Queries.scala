@@ -603,6 +603,23 @@ object Queries {
         col("valid_to"), col("is_current"))
       .orderBy("c_custkey", "valid_from")
 
+  /** Bucketized range join: count events inside synthetic daily maintenance
+    * windows (10:00-14:00 each January day). */
+  def q48RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val windows = s.range(1, 31).select(
+      col("id").cast("int").as("win_day"),
+      to_timestamp(concat(lit("2024-01-"), lpad(col("id").cast("string"), 2, "0"),
+        lit(" 10:00:00"))).as("win_start"),
+      to_timestamp(concat(lit("2024-01-"), lpad(col("id").cast("string"), 2, "0"),
+        lit(" 14:00:00"))).as("win_end"))
+    RangeJoin.bucketed(t(s, dir, "events"), "ts", windows,
+        "win_start", "win_end", bucketSeconds = 3600)
+      .groupBy(col("win_day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("win_day")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -653,6 +670,7 @@ object Queries {
     "q45_dedup_clusters" -> (q45DedupClusters _),
     "q46_asof_join" -> (q46AsOf _),
     "q47_scd2" -> (q47Scd2 _),
+    "q48_range_join" -> (q48RangeJoin _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
