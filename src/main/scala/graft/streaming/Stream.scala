@@ -151,6 +151,17 @@ object Stream {
     }.toDF()
   }
 
+  /** Streaming exact dedup on event id within the watermark horizon —
+    * upstream at-least-once delivery (Kafka producer retries) becomes
+    * exactly-once before any stateful aggregation sees the events. State is
+    * bounded: ids older than the watermark are evicted, unlike a naive
+    * dropDuplicates whose state grows forever. */
+  def dedupEvents(parsed: DataFrame, idCol: String = "event_id",
+                  watermark: String = "10 minutes"): DataFrame =
+    parsed
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** ST-8: stream -> staging via foreachBatch reusing the batch upsert
     * (exactly-once: checkpointed offsets + idempotent merge on event_id).
     * Synthesizes event_id when missing like StagingProgressWriter

@@ -134,6 +134,23 @@ class StreamingSpec extends SparkSpec {
     assert(dlq.head().getAs[String]("raw_record").contains("not_a_number"))
   }
 
+  test("streaming dedup drops redelivered event ids within the watermark") {
+    val input = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val t0 = java.sql.Timestamp.valueOf("2024-02-01 10:00:00")
+    val q = Stream.dedupEvents(input.toDF().toDF("event_id", "event_time"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(("e1", t0), ("e2", t0), ("e1", t0)) // e1 redelivered
+      q.processAllAvailable()
+      input.addData(("e2", t0), ("e3", t0)) // e2 redelivered next batch
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_test")
+        .collect().map(_.getString(0)).toSeq
+      assert(ids.sorted == Seq("e1", "e2", "e3"))
+    } finally q.stop()
+  }
+
   test("JSON-lines ingestion splits good rows from the DLQ") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json")
     val f = dir.resolve("events.jsonl")
