@@ -18,6 +18,21 @@ object Ingest {
 
   final case class ValidationError(msg: String) extends RuntimeException(msg)
 
+  /** O-1: probe an ordered list of candidate directories for each expected
+    * file, returning the first hit per name (the reference's INPUT_DIR ->
+    * bundled-assignment fallback, file_ingestion_pipeline.py:26-43).
+    * Driver-side by nature: it inspects a handful of paths, not data. */
+  def detectFiles(spark: SparkSession, dirs: Seq[String],
+                  names: Seq[String]): Map[String, String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    names.flatMap { n =>
+      dirs.iterator
+        .map(d => new org.apache.hadoop.fs.Path(s"$d/$n"))
+        .find(p => p.getFileSystem(conf).exists(p))
+        .map(p => n -> p.toString)
+    }.toMap
+  }
+
   /** O-2: reject missing/oversized/header-broken files before reading data.
     * Returns unit or throws — mirrors FileValidationOperator's hard error. */
   def validateFile(spark: SparkSession, path: String, requiredColumns: Seq[String],

@@ -52,6 +52,16 @@ object Sessionize {
         countDistinct(col(userCol)).as("n_users"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value"))
 
+  /** A-9's literal count-based buffer: the last `n` events per key by event
+    * time (the reference's 1000-event rolling window, streaming.py:72-75).
+    * One row_number window — at scale prefer the time-based forms, which
+    * bound state by clock rather than by count. */
+  def lastN(events: DataFrame, keyCol: String, tsCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).desc)
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
   /** Sliding-window rollup (ST-5's "active users in the last W minutes",
     * batch form): width W sliding every S minutes. Each event lands in W/S
     * windows — Spark's `window()` does that expansion natively; the shuffle

@@ -80,6 +80,33 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("fuzzy duplicate pairs: same email OR same name+phone, nulls excluded") {
+    val df = Seq(
+      (1L, "a@x.com", "ann", "111"), (2L, "a@x.com", "bob", "222"),
+      (3L, "c@x.com", "bob", "222"), (4L, null, "dee", "444"),
+      (5L, null, "dee", "444"), (6L, null, null, "444")).toDF("id", "email", "name", "phone")
+    val got = Dedup.fuzzyDuplicatePairs(df, "id", "email", "name", "phone")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // 1-2 share email; 2-3 and 4-5 share name+phone; null email/name never match
+    assert(got == Set((1L, 2L, "email"), (2L, 3L, "name_phone"), (4L, 5L, "name_phone")))
+  }
+
+  test("lastN keeps the most recent n events per key") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val df = Seq((1L, ts(1)), (1L, ts(2)), (1L, ts(3)), (2L, ts(1))).toDF("k", "ts")
+    val got = Sessionize.lastN(df, "k", "ts", 2)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(got == Set((1L, ts(2)), (1L, ts(3)), (2L, ts(1))))
+  }
+
+  test("detectFiles probes directories in order with fallback") {
+    val found = graft.etl.Ingest.detectFiles(spark,
+      Seq("/nonexistent-dir", "/root/reference/input_data"),
+      Seq("students_enrollment.csv", "missing.csv"))
+    assert(found == Map("students_enrollment.csv" ->
+      "/root/reference/input_data/students_enrollment.csv"))
+  }
+
   test("simhash near-dups bounded by hamming distance") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val near = "alpha beta gamma delta epsilon zeta eta theta iota kappb"
