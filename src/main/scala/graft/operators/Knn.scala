@@ -114,39 +114,49 @@ object Knn {
         round(col("cosine_sim"), 6).as("cosine_sim"))
   }
 
-  /** IVF (inverted-file) approximate top-k: the scale path for ANN.
+  /** IVF index: (centroids, inverted lists). Centroids = the first `nlist`
+    * corpus vectors by id (deterministic seeding; real deployments would
+    * run k-means — the assignment/probe machinery is identical either way).
+    * Each corpus vector lands in its nearest centroid's list.
     *
-    * Train: centroids = the first `nlist` corpus vectors by id
-    * (deterministic seeding; real deployments would run k-means — the
-    * assignment/probe machinery below is identical either way).
-    * Index: each corpus vector is assigned to its nearest centroid — an
-    * inverted list keyed by centroid id, shuffled once on a small int key.
-    * Search: each query scores only the vectors in its `nprobe` nearest
-    * lists, cutting scanned vectors to ~nprobe/nlist of the corpus.
-    * Centroids are broadcast (nlist is small by construction).
+    * IVF economics, measured at 20k vectors / 64 lists: building the index
+    * costs corpus x nlist similarity evaluations — MORE than brute-forcing
+    * a handful of queries (10 queries = corpus x 10). The index pays off
+    * when it is built ONCE (persist the returned frames) and queried many
+    * times, or when the query set is large relative to nlist.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
-              nprobe: Int = 4, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def ivfIndex(corpus: DataFrame, nlist: Int, idCol: String = "vec_id",
+               vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     val centroids = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent"))
-    // invert: nearest centroid per corpus vector (broadcast NLJ + top-1)
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("__csim").desc, col("__cent_id").asc)
-      df.crossJoin(broadcast(centroids))
-        .withColumn("__csim", cosine(col(vec), col("__cent")))
-        .withColumn("__crank", row_number().over(w))
-        .filter(col("__crank") <= keep)
-        .drop("__cent", "__csim", "__crank")
-    }
-    val lists = assign(
+    val lists = assignToCentroids(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-      "neighbor_id", "__cv", keep = 1)
-    val probes = assign(
+      centroids, "neighbor_id", "__cv", keep = 1)
+    (centroids, lists)
+  }
+
+  private def assignToCentroids(df: DataFrame, centroids: DataFrame,
+                                id: String, vec: String, keep: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("__csim").desc, col("__cent_id").asc)
+    df.crossJoin(broadcast(centroids))
+      .withColumn("__csim", cosine(col(vec), col("__cent")))
+      .withColumn("__crank", row_number().over(w))
+      .filter(col("__crank") <= keep)
+      .drop("__cent", "__csim", "__crank")
+  }
+
+  /** Search a pre-built IVF index: each query probes its `nprobe` nearest
+    * lists, scanning ~nprobe/nlist of the corpus. */
+  def ivfSearch(index: (DataFrame, DataFrame), queries: DataFrame, k: Int,
+                nprobe: Int, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (centroids, lists) = index
+    val probes = assignToCentroids(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
-      "query_id", "__qv", keep = nprobe)
+      centroids, "query_id", "__qv", keep = nprobe)
     val scored = lists.join(broadcast(probes), Seq("__cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim", cosine(col("__qv"), col("__cv")))
@@ -157,6 +167,14 @@ object Knn {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine_sim"), 6).as("cosine_sim"))
   }
+
+  /** Convenience: build + search in one call (index amortization lost —
+    * see [[ivfIndex]] for when that matters). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
+              nprobe: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame =
+    ivfSearch(ivfIndex(corpus, nlist, idCol, vecCol), queries, k, nprobe,
+      idCol, vecCol)
 
   /** Embedding-cosine near-duplicate pairs: all (a,b) pairs with cosine >=
     * threshold, bucket-pruned by SRP-LSH (pairs must share a bucket). */
