@@ -81,14 +81,25 @@ object GraftFunctions {
       PositionalSimilarity(children.head, children(1))
     })
 
+  val textFingerprintDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("text_fingerprint"),
+    new ExpressionInfo(classOf[TextFingerprint].getName, "text_fingerprint"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "text_fingerprint expects 1 argument")
+      TextFingerprint(children.head)
+    })
+
   /** Imperative registration into an existing session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (ident, info, builder) = positionalSimilarityDescriptor
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(positionalSimilarityDescriptor, textFingerprintDescriptor).foreach {
+      case (ident, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(GraftFunctions.positionalSimilarityDescriptor)
+    extensions.injectFunction(GraftFunctions.textFingerprintDescriptor)
+  }
 }

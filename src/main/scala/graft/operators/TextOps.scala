@@ -129,8 +129,15 @@ object TextOps {
 
   /** Rolling polynomial fingerprint over the token stream, mod 1e9+7.
     * h = fold(tokens, 0, (h, t) => (h*131 + tokenValue(t)) % p). Stable across
-    * engines (pure BIGINT arithmetic, no engine-specific hash). */
+    * engines (pure BIGINT arithmetic, no engine-specific hash). Runs via the
+    * native codegen'd expression (graft.expr.TextFingerprint) — a single
+    * fused pass instead of building and folding a token array per row. */
   def fingerprint(text: Column): Column =
+    graft.expr.TextFingerprint(coalesce(text, lit("")))
+
+  /** The pure-Column composition of [[fingerprint]] (reference semantics
+    * spelled out in built-ins; value-identical to the native form). */
+  def fingerprintComposed(text: Column): Column =
     aggregate(
       transform(tokens(text), tokenValue(_)),
       lit(0L),

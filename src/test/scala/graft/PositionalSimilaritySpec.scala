@@ -31,4 +31,22 @@ class PositionalSimilaritySpec extends SparkSpec {
       "SELECT positional_similarity('Bangalor', 'Bangalore') AS s").head()
     assert(math.abs(r.getDouble(0) - 8.0 / 9) < 1e-12)
   }
+
+  test("native fingerprint is value-identical to the Column composition") {
+    val inputs = Seq("ab c", "", "   ", "one", "the quick brown fox",
+      "tabs\tand\nnewlines  collapse", "中文 词 例", "x " * 500)
+    val df = inputs.toDF("t")
+    val got = df.select(
+      graft.operators.TextOps.fingerprint(col("t")).as("native"),
+      graft.operators.TextOps.fingerprintComposed(col("t")).as("composed"))
+      .collect()
+    got.zip(inputs).foreach { case (r, in) =>
+      assert(r.getLong(0) == r.getLong(1), s"mismatch for input: '$in'")
+    }
+  }
+
+  test("SQL registration: text_fingerprint callable from spark.sql") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT text_fingerprint('ab c') AS f").head().getLong(0) == 397249L)
+  }
 }
