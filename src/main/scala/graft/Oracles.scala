@@ -539,6 +539,11 @@ object Oracles {
         | lead(version_ts) OVER (PARTITION BY c_custkey ORDER BY version_ts) IS NULL AS is_current
         |FROM versions ORDER BY c_custkey, valid_from""".stripMargin,
 
+    "q49_token_freq" ->
+      s"""SELECT token, count(*) AS freq
+         |FROM (SELECT unnest(${toksSql("lower(text)")}) AS token FROM documents)
+         |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin,
+
     "q48_range_join" ->
       """WITH windows AS (
         | SELECT CAST(d AS INT) AS win_day,

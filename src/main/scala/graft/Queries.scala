@@ -620,6 +620,16 @@ object Queries {
       .orderBy("win_day")
   }
 
+  /** Corpus vocabulary statistics: top-50 tokens by frequency (explode ->
+    * count, map-side partial aggregation; ties break lexicographically). */
+  def q49TokenFreq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(50)
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -671,6 +681,7 @@ object Queries {
     "q46_asof_join" -> (q46AsOf _),
     "q47_scd2" -> (q47Scd2 _),
     "q48_range_join" -> (q48RangeJoin _),
+    "q49_token_freq" -> (q49TokenFreq _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
