@@ -17,11 +17,14 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Parquet TIMESTAMP(NANOS) is not a legal Spark timestamp; read it as
+    // epoch-nanos long and convert to TimestampType (truncating ns->us,
+    // exactly what DuckDB does reading the same file). The conf is set
+    // here, not only at session build, so the loaders work in ANY session
+    // (it is runtime-settable and only consulted during schema conversion).
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // Parquet TIMESTAMP(NANOS) is not a legal Spark timestamp; sessions set
-    // spark.sql.legacy.parquet.nanosAsLong so it arrives as epoch-nanos
-    // long — convert to a proper TimestampType (truncating ns->us, exactly
-    // what DuckDB does reading the same file).
     if (name == "events" && df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
