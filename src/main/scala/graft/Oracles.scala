@@ -544,6 +544,26 @@ object Oracles {
          |FROM (SELECT unnest(${toksSql("lower(text)")}) AS token FROM documents)
          |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin,
 
+    "q50_set_ops" ->
+      """SELECT o_custkey, segment FROM (
+        | SELECT o_custkey, 'both_years' AS segment FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        | UNION ALL
+        | SELECT o_custkey, 'only_1995' FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996))
+        |ORDER BY segment, o_custkey""".stripMargin,
+
+    "q51_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
     "q48_range_join" ->
       """WITH windows AS (
         | SELECT CAST(d AS INT) AS win_day,

@@ -630,6 +630,29 @@ object Queries {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(50)
 
+  /** Set operations: customers active in 1995 INTERSECT 1996, and 1995
+    * EXCEPT 1996 — labelled and unioned (distinct set semantics in both
+    * engines). */
+  def q50SetOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    def activeIn(y: Int) = orders
+      .filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    val both = activeIn(1995).intersect(activeIn(1996))
+      .withColumn("segment", lit("both_years"))
+    val only95 = activeIn(1995).except(activeIn(1996))
+      .withColumn("segment", lit("only_1995"))
+    both.unionByName(only95).orderBy("segment", "o_custkey")
+  }
+
+  /** CUBE over order status x priority: all grouping-set combinations. */
+  def q51Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -682,6 +705,8 @@ object Queries {
     "q47_scd2" -> (q47Scd2 _),
     "q48_range_join" -> (q48RangeJoin _),
     "q49_token_freq" -> (q49TokenFreq _),
+    "q50_set_ops" -> (q50SetOps _),
+    "q51_cube" -> (q51Cube _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
