@@ -653,6 +653,26 @@ object Queries {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** §2.9 Q-student-progress-summary: A-1 per-student over the EduFlow
+    * staging data (rows-only — reference CSV inputs). */
+  def q52ProgressSummary(s: SparkSession, dir: String): DataFrame =
+    pipeline(s).progressSummary.orderBy("student_id")
+
+  /** §2.9 Q-course-summary: A-2 per-course (rows-only). */
+  def q53CourseSummary(s: SparkSession, dir: String): DataFrame =
+    etl.Transform.courseSummary(pipeline(s).stagedProgress)
+      .withColumn("avg_completion_rate", round(col("avg_completion_rate"), 6))
+      .withColumn("avg_score", round(col("avg_score"), 6))
+      .orderBy("course_id")
+
+  /** §2.9 Q-quality-summary rule-level stats: per-rule invalid counters
+    * over the staged students (rows-only). */
+  def q54RuleStats(s: SparkSession, dir: String): DataFrame =
+    etl.Transform.ruleStats(pipeline(s).stagedStudents, Seq(
+      "is_student_id_valid", "is_name_valid", "is_email_valid",
+      "is_phone_valid", "is_dob_valid", "is_gender_valid", "is_city_valid",
+      "is_state_valid", "is_enrollment_date_valid", "is_fee_valid"))
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -707,6 +727,9 @@ object Queries {
     "q49_token_freq" -> (q49TokenFreq _),
     "q50_set_ops" -> (q50SetOps _),
     "q51_cube" -> (q51Cube _),
+    "q52_eduflow_progress_summary" -> (q52ProgressSummary _),
+    "q53_eduflow_course_summary" -> (q53CourseSummary _),
+    "q54_eduflow_rule_stats" -> (q54RuleStats _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

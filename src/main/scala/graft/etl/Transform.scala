@@ -84,6 +84,14 @@ object Transform {
       count(when(col("quality_score") < 100, 1)).as("flagged_records"),
       count(lit(1)).as("total_records"))
 
+  /** Rule-level invalid counters (the staging rule_stats JSONB shape,
+    * init_schema.sql:573): one row of `<rule>_invalid` counts. */
+  def ruleStats(cleaned: DataFrame, flagCols: Seq[String]): DataFrame =
+    cleaned.agg(
+      count(when(!col(flagCols.head), 1)).as(flagCols.head.stripPrefix("is_") + "_invalid"),
+      flagCols.tail.map(f =>
+        count(when(!col(f), 1)).as(f.stripPrefix("is_") + "_invalid")): _*)
+
   /** A-5: duplicate-rate gauge (operators/data_cleaning.py:65-67). */
   def duplicateRate(marked: DataFrame, flag: String = "is_duplicate"): DataFrame =
     marked.agg(
