@@ -133,7 +133,7 @@ object Oracles {
       | row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1 AS is_duplicate
       |FROM corpus ORDER BY doc_id""".stripMargin
 
-  val all: Map[String, String] = Map(
+  val all: Map[String, String] = EduOracles.all ++ Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -414,9 +414,9 @@ object Oracles {
          |FROM ($q09Sql)""".stripMargin,
 
     "q34_dedup_report" ->
-      s"""SELECT sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS duplicates,
+      s"""SELECT CAST(sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS BIGINT) AS duplicates,
          | count(*) AS total,
-         | CAST(sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS duplicate_rate
+         | round(CAST(sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS duplicate_rate
          |FROM ($q13Sql)""".stripMargin,
 
     "q35_salted_agg" ->

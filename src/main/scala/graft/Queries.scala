@@ -384,17 +384,29 @@ object Queries {
     pipelines.computeIfAbsent(s,
       s => etl.Pipeline(s, "/root/reference/input_data", asOfDate = "2024-06-01"))
 
+  // Float aggregates are rounded to 6dp here (and identically in the
+  // oracle SQL): double sums depend on partition order, so the raw values
+  // are only ULP-stable within one engine, not across engines.
   def q26Student360(s: SparkSession, dir: String): DataFrame =
-    pipeline(s).student360.orderBy("student_id")
+    pipeline(s).student360
+      .withColumn("total_time_spent_hours", round(col("total_time_spent_hours"), 6))
+      .withColumn("avg_score", round(col("avg_score"), 6))
+      .orderBy("student_id")
 
   def q27CoursePerformance(s: SparkSession, dir: String): DataFrame =
-    pipeline(s).coursePerformance.orderBy("course_id")
+    pipeline(s).coursePerformance
+      .withColumn("avg_completion_rate", round(col("avg_completion_rate"), 6))
+      .withColumn("avg_student_score", round(col("avg_student_score"), 6))
+      .withColumn("total_hours_spent", round(col("total_hours_spent"), 6))
+      .orderBy("course_id")
 
   def q28AiInsightsView(s: SparkSession, dir: String): DataFrame =
     pipeline(s).aiInsights.orderBy("metric_name")
 
   def q29DailyDashboard(s: SparkSession, dir: String): DataFrame =
     pipeline(s).dailyDashboard
+      .withColumn("total_hours", round(col("total_hours"), 6))
+      .withColumn("avg_quality_score", round(col("avg_quality_score"), 6))
 
   /** Multimodal plumbing over synthetic binary payloads derived from the
     * documents table: decode (stub codec) -> resize -> feature extraction.
@@ -408,7 +420,10 @@ object Queries {
       .select(col("media_id"), col("width"), col("height"),
         round(col("mean_intensity"), 4).as("mean_intensity"),
         round(col("std_intensity"), 4).as("std_intensity"),
-        col("embedding"))
+        // Sortable scalar form of the embedding: the driver's pandas-based
+        // comparator sorts every column, and a raw array<float> is unhashable.
+        concat_ws(",", transform(col("embedding"),
+          e => format_string("%.4f", e))).as("embedding_csv"))
       .orderBy("media_id")
   }
 
@@ -656,7 +671,10 @@ object Queries {
   /** §2.9 Q-student-progress-summary: A-1 per-student over the EduFlow
     * staging data (rows-only — reference CSV inputs). */
   def q52ProgressSummary(s: SparkSession, dir: String): DataFrame =
-    pipeline(s).progressSummary.orderBy("student_id")
+    pipeline(s).progressSummary
+      .withColumn("avg_score", round(col("avg_score"), 6))
+      .withColumn("total_time_spent_hours", round(col("total_time_spent_hours"), 6))
+      .orderBy("student_id")
 
   /** §2.9 Q-course-summary: A-2 per-course (rows-only). */
   def q53CourseSummary(s: SparkSession, dir: String): DataFrame =

@@ -97,5 +97,5 @@ object Transform {
     marked.agg(
       sum(when(col(flag), 1).otherwise(0)).as("duplicates"),
       count(lit(1)).as("total"),
-      (sum(when(col(flag), 1).otherwise(0)) / count(lit(1))).as("duplicate_rate"))
+      round(sum(when(col(flag), 1).otherwise(0)) / count(lit(1)), 6).as("duplicate_rate"))
 }
