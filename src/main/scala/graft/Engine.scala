@@ -30,6 +30,12 @@ object Engine {
     * are pure scheduling overhead; on a cluster, size to ~2-3x total
     * cores or rely on AQE coalescing). */
   def localSession(cores: Int, appName: String = "graft"): SparkSession = {
+    // locale-sensitive functions (date_format EEEE/MMMM day/month names)
+    // must produce English regardless of host locale — the oracle and the
+    // is_weekend isin("Saturday","Sunday") checks assume it. Local mode:
+    // driver JVM == executor JVM, one setDefault covers both; on a cluster
+    // ship -Duser.language=en via spark.executor.extraJavaOptions.
+    java.util.Locale.setDefault(java.util.Locale.ENGLISH)
     val s = configure(SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)

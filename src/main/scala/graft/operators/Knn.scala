@@ -18,22 +18,54 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
-  /** Dot product of two equal-length float-array columns, in double. */
+  /** Dot product of two equal-length float-array columns, in double.
+    * Higher-order-function form — runs interpreted, but with a tiny plan
+    * footprint. Division of labor in this module: HOF dot for per-PAIR
+    * scoring (candidate pairs are bucket/probe-pruned, and norms are
+    * hoisted to per-row columns first), unrolled [[normN]] for per-ROW
+    * norms, and one posexplode+agg for anything evaluated against many
+    * vectors at once ([[withSrpBucket]], assignToCentroids). Unrolling the
+    * pair dot into codegen instead bloats whole-stage codegen into
+    * multi-second janino compiles — measured slower end-to-end. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** L2 norm. */
+  /** L2 norm (HOF form — see [[dot]] note). */
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  /** Cosine similarity (0 when either norm is 0). */
+  /** Cosine similarity (0 when either norm is 0). HOF form. */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = norm(a) * norm(b)
     when(n === 0, 0.0).otherwise(d / n)
   }
+
+  // ---- static-dim forms: the vector dim is known at plan time, so the
+  // fold unrolls into plain codegen'd arithmetic (no interpreted HOF in the
+  // hot pair-scoring loops). Left-to-right add order matches the HOF fold
+  // exactly (0.0 + x == x in IEEE754), so values are bit-identical.
+
+  private def el(v: Column, i: Int): Column = element_at(v, i + 1).cast("double")
+
+  /** Unrolled dot product for vectors of statically-known length. */
+  def dotN(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map(i => el(a, i) * el(b, i)).reduce(_ + _)
+
+  /** Unrolled L2 norm for vectors of statically-known length. */
+  def normN(a: Column, dim: Int): Column =
+    sqrt((0 until dim).map(i => el(a, i) * el(a, i)).reduce(_ + _))
+
+  /** Probe the vector dim from the first row (one tiny job at plan time;
+    * all vectors in a column are required to share one dim). */
+  private def staticDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("__d")).head().getInt(0)
+
+  /** Cosine from precomputed norms: when(n===0, 0).otherwise(dot / n). */
+  private def cosineFrom(dot: Column, normProduct: Column): Column =
+    when(normProduct === 0, 0.0).otherwise(dot / normProduct)
 
   /** Exact brute-force top-k: for each row of `queries`, the k nearest
     * corpus rows by cosine. Queries are broadcast (small side); ties break
@@ -41,11 +73,22 @@ object Knn {
     * Output: query_id, neighbor_id, rank, cosine_sim. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = staticDim(corpus, vecCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", normN(col("__qv"), dim))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", normN(col("__cv"), dim))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine_sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine_sim",
+        cosineFrom(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
+    topK(scored, k)
+  }
+
+  /** Per-query top-k over a scored (query_id, neighbor_id, cosine_sim)
+    * frame. The window partitions on query_id — fine at any corpus scale
+    * because each partition holds one query's candidates, not the corpus. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -99,19 +142,18 @@ object Knn {
     * Same output shape as [[bruteForceTopK]]. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = staticDim(corpus, vecCol)
     val q = withSrpBucket(queries, idCol, vecCol, numPlanes, "__qb")
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("__qb"))
+      .withColumn("__qn", normN(col("__qv"), dim))
     val c = withSrpBucket(corpus, idCol, vecCol, numPlanes, "__cb")
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("__cb"))
+      .withColumn("__cn", normN(col("__cv"), dim))
     val scored = c.join(broadcast(q), col("__qb") === col("__cb") &&
         col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine_sim", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cosine_sim"), 6).as("cosine_sim"))
+      .withColumn("cosine_sim",
+        cosineFrom(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
+    topK(scored, k)
   }
 
   /** IVF index: (centroids, inverted lists). Centroids = the first `nlist`
@@ -135,16 +177,56 @@ object Knn {
     (centroids, lists)
   }
 
+  /** Nearest-`keep` centroids per row, as added `__cent_id` rows.
+    *
+    * The centroid set is bounded by nlist (dozens), so it is collected once
+    * (driver-side, index metadata — not data) and its vectors become small
+    * array literals. The dot products against ALL centroids then compute in
+    * ONE codegen'd hash aggregation over the posexploded vectors — the
+    * [[withSrpBucket]] pattern: nlist+1 small `sum` aggregates, map-side
+    * partial agg, one shuffle keyed on the row id. The nearest centroid is
+    * a pure argmax via array_max over (sim, -id) structs (keep=1, the
+    * corpus-side 100 TB input — no per-row sort-shuffle window); keep>1
+    * (the query side) sorts the nlist-length array per row.
+    *
+    * (Unrolling dim x nlist literal products into one projection instead
+    * compiles to megabytes of Java — measured 60x slower than this at
+    * dim=64, nlist=16. Keep per-expression trees small and let the agg do
+    * the fan-out.)
+    */
   private def assignToCentroids(df: DataFrame, centroids: DataFrame,
                                 id: String, vec: String, keep: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(id))
-      .orderBy(col("__csim").desc, col("__cent_id").asc)
-    df.crossJoin(broadcast(centroids))
-      .withColumn("__csim", cosine(col(vec), col("__cent")))
-      .withColumn("__crank", row_number().over(w))
-      .filter(col("__crank") <= keep)
-      .drop("__cent", "__csim", "__crank")
+    val cents: Array[(Long, Array[Double], Double)] =
+      centroids.collect().map { r =>
+        val cid = r.getAs[Number]("__cent_id").longValue()
+        val cv = r.getSeq[Number](r.fieldIndex("__cent")).map(_.doubleValue()).toArray
+        // left-to-right sum matches the Column-form fold exactly
+        (cid, cv, math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x)))
+      }
+    require(cents.nonEmpty, "assignToCentroids: empty centroid set")
+    val exploded = df.select(col(id).as("__aid"), posexplode(col(vec)))
+      .toDF("__aid", "__d", "__x")
+    val xd = col("__x").cast("double")
+    // rows of one vector stay contiguous in dim order through the partial
+    // agg, so each sum folds left-to-right like the HOF form
+    val dotAggs = cents.zipWithIndex.map { case ((_, cv, _), p) =>
+      sum(xd * element_at(lit(cv), col("__d") + 1)).as(s"__dot$p")
+    }
+    val dots = exploded.groupBy(col("__aid"))
+      .agg(sum(xd * xd).as("__sq"), dotAggs.toIndexedSeq: _*)
+    val vNorm = sqrt(col("__sq"))
+    val entries = cents.zipWithIndex.map { case ((cid, _, cn), p) =>
+      struct(cosineFrom(col(s"__dot$p"), vNorm * lit(cn)).as("__csim"),
+        lit(-cid).as("__negid"))
+    }
+    val arr = array(entries.toIndexedSeq: _*)
+    // max/sort on (sim, -id) structs == orderBy(sim desc, id asc)
+    val picked =
+      if (keep == 1) array(array_max(arr))
+      else slice(sort_array(arr, asc = false), 1, keep)
+    val assigned = dots.select(col("__aid"), explode(picked).as("__pick"))
+      .select(col("__aid"), (-col("__pick.__negid")).as("__cent_id"))
+    df.join(assigned, col(id) === col("__aid")).drop("__aid")
   }
 
   /** Search a pre-built IVF index: each query probes its `nprobe` nearest
@@ -152,20 +234,19 @@ object Knn {
   def ivfSearch(index: (DataFrame, DataFrame), queries: DataFrame, k: Int,
                 nprobe: Int, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (centroids, lists) = index
+    val dim = staticDim(centroids, "__cent")
     val probes = assignToCentroids(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
       centroids, "query_id", "__qv", keep = nprobe)
-    val scored = lists.join(broadcast(probes), Seq("__cent_id"))
+      .withColumn("__qn", normN(col("__qv"), dim))
+    val scored = lists
+      .withColumn("__cn", normN(col("__cv"), dim))
+      .join(broadcast(probes), Seq("__cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine_sim", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cosine_sim"), 6).as("cosine_sim"))
+      .withColumn("cosine_sim",
+        cosineFrom(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
+    topK(scored, k)
   }
 
   /** Convenience: build + search in one call (index amortization lost —
@@ -180,11 +261,14 @@ object Knn {
     * threshold, bucket-pruned by SRP-LSH (pairs must share a bucket). */
   def cosineNearDups(df: DataFrame, threshold: Double = 0.95, numPlanes: Int = 8,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = staticDim(df, vecCol)
     val v = withSrpBucket(df, idCol, vecCol, numPlanes, "__b")
       .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("__b"))
+      .withColumn("__n", normN(col("__v"), dim))
     v.as("l").join(v.as("r"),
         col("l.__b") === col("r.__b") && col("l.__id") < col("r.__id"))
-      .withColumn("cosine_sim", cosine(col("l.__v"), col("r.__v")))
+      .withColumn("cosine_sim",
+        cosineFrom(dot(col("l.__v"), col("r.__v")), col("l.__n") * col("r.__n")))
       .filter(col("cosine_sim") >= threshold)
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
         round(col("cosine_sim"), 6).as("cosine_sim"))

@@ -51,9 +51,17 @@ object Skew {
     * Right-side replication multiplies its shuffle volume by `salts`:
     * appropriate when right is orders of magnitude smaller than left but
     * past the broadcast threshold.
+    *
+    * Only inner/left/left_semi/left_anti joins are sound under this
+    * construction: a right or full outer join would emit every unmatched
+    * right row once per salt replica.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+    require(allowed(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched right rows " +
+        "(right side is replicated per salt); use inner/left/left_semi/left_anti")
     val saltedLeft = left.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
     val replicatedRight = right.withColumn("__salt",

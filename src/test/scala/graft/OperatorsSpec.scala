@@ -116,6 +116,29 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)))
   }
+
+  test("simhash: zero-token docs get signature 0 (pair at hamming 0)") {
+    // explode_outer emits a null token for empty docs and xxhash64(null)
+    // returns the seed, not null — the bulk path must still yield sig 0
+    val df = Seq((1L, ""), (2L, "   "), (3L, "real content with many words here"))
+      .toDF("id", "text")
+    val got = Dedup.simhashNearDups(df, "id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue()))
+    assert(got.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("simhash: maxDist=7 candidate set contains the maxDist=3 set") {
+    val docs = (0L until 8L).map(i =>
+      (i, s"shared prefix tokens across docs number $i plus tail ${i % 3}"))
+    val df = docs.toDF("id", "text")
+    def pairSet(d: Int) = Dedup.simhashNearDups(df, "id", "text", maxDist = d)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue()))
+    val tight = pairSet(3)
+    val wide = pairSet(7)
+    assert(tight.forall(_._3 <= 3) && wide.forall(_._3 <= 7))
+    assert(tight.map(p => (p._1, p._2)).toSet.subsetOf(wide.map(p => (p._1, p._2)).toSet))
+  }
 }
 
 class UpsertSpec extends SparkSpec {

@@ -29,6 +29,14 @@ class SkewSpec extends SparkSpec {
       .orderBy("k").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("salted join rejects join types that would duplicate right rows") {
+    val right = Seq(("hot", "H")).toDF("k", "tag")
+    for (bad <- Seq("right", "full", "full_outer"))
+      intercept[IllegalArgumentException] {
+        Skew.saltedJoin(skewed, right, "k", salts = 4, joinType = bad)
+      }
+  }
 }
 
 class IvfSpec extends SparkSpec {
