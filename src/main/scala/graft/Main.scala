@@ -1,6 +1,6 @@
 package graft
 
-import graft.etl.{Pipeline, Report, Sinks}
+import graft.etl.{Metadata, Pipeline, Report, Sinks}
 
 /** CLI entry point (SURVEY §7.1): run the EduFlow batch pipeline against a
   * data directory and materialize the warehouse + run report.
@@ -15,6 +15,7 @@ object Main {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
 
     val spark = Engine.localSession(cpus, "graft-pipeline")
+    val startTime = new java.sql.Timestamp(System.currentTimeMillis())
     val pipe = Pipeline(spark, inputDir, asOf)
 
     Seq(
@@ -34,7 +35,23 @@ object Main {
     Sinks.writePartitionedFact(pipe.factDailyMetrics, s"$outDir/fact_daily_metrics")
 
     Report.write(s"$outDir/summary_report.md", Report.pipelineSummary(pipe))
-    println(s"[graft] warehouse + report written to $outDir")
+
+    // metadata/audit layer (reference init_schema.sql:541-592)
+    val runId = java.util.UUID.randomUUID().toString
+    val endTime = new java.sql.Timestamp(System.currentTimeMillis())
+    val read = pipe.rawStudents.count() + pipe.rawProgress.count() + pipe.rawTickets.count()
+    val written = pipe.stagedStudents.count() + pipe.stagedProgress.count() +
+      pipe.stagedTickets.count()
+    Metadata.runLog(spark, runId, "eduflow_batch", "graft.Main",
+        startTime, endTime, "SUCCESS", read, written, read - written, inputDir)
+      .write.mode("append").parquet(s"$outDir/metadata_pipeline_runs")
+    Metadata.qualityLog(runId, "stg_students", pipe.stagedStudents, pipe.ruleStats)
+      .write.mode("append").parquet(s"$outDir/metadata_data_quality_summary")
+    Metadata.aiLog(spark, runId, "student_risk_scorer", pipe.dimStudents.count(),
+        (endTime.getTime - startTime.getTime) / 1000.0, tokensUsed = 0L, "SUCCESS")
+      .write.mode("append").parquet(s"$outDir/metadata_ai_processing_log")
+
+    println(s"[graft] warehouse + report + metadata written to $outDir")
     spark.stop()
   }
 }

@@ -691,10 +691,7 @@ object Queries {
   /** §2.9 Q-quality-summary rule-level stats: per-rule invalid counters
     * over the staged students (rows-only). */
   def q54RuleStats(s: SparkSession, dir: String): DataFrame =
-    etl.Transform.ruleStats(pipeline(s).stagedStudents, Seq(
-      "is_student_id_valid", "is_name_valid", "is_email_valid",
-      "is_phone_valid", "is_dob_valid", "is_gender_valid", "is_city_valid",
-      "is_state_valid", "is_enrollment_date_valid", "is_fee_valid"))
+    pipeline(s).ruleStats
 
   // ---------------------------------------------------------------- registry
 

@@ -44,6 +44,13 @@ final case class Pipeline(spark: SparkSession, inputDir: String, asOfDate: Strin
     Clean.tickets(rawTickets, asOf), "ticket_id", "file_row_number")
     .persist()
 
+  /** Per-rule invalid counters over staged students (the rule_stats JSONB
+    * shape, reference init_schema.sql:573). */
+  lazy val ruleStats: DataFrame = Transform.ruleStats(stagedStudents, Seq(
+    "is_student_id_valid", "is_name_valid", "is_email_valid",
+    "is_phone_valid", "is_dob_valid", "is_gender_valid", "is_city_valid",
+    "is_state_valid", "is_enrollment_date_valid", "is_fee_valid"))
+
   // entry point 3: transformation -> warehouse
   lazy val progressSummary: DataFrame =
     Transform.studentProgressSummary(stagedProgress, asOfTs)

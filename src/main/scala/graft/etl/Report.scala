@@ -53,5 +53,7 @@ object Report {
         "fact_support_tickets" -> pipe.factTickets.count()),
       Seq(
         "Quality summary" -> Transform.qualitySummary(pipe.stagedStudents),
-        "AI insights" -> pipe.aiInsights))
+        "Quality analysis" -> Transform.qualityAnalysis(pipe.ruleStats),
+        "AI insights" -> pipe.aiInsights,
+        "Insights" -> Transform.insightReport(pipe.stagedStudents)))
 }

@@ -92,6 +92,28 @@ object Transform {
       flagCols.tail.map(f =>
         count(when(!col(f), 1)).as(f.stripPrefix("is_") + "_invalid")): _*)
 
+  /** quality_analyzer agent over the rule-stats row
+    * (langgraph_workflow.py:34-36): argmax invalid counter -> summary +
+    * fixed recommendation. Ties break on field name for determinism. */
+  def qualityAnalysis(ruleStats: DataFrame): DataFrame = {
+    val entries = ruleStats.columns.flatMap(c =>
+      Seq(lit(c.stripSuffix("_invalid").stripSuffix("_valid")), col(c)))
+    ruleStats.select(explode(map(entries.toIndexedSeq: _*)).as(Seq("field", "n")))
+      .orderBy(col("n").desc, col("field").asc).limit(1)
+      .select(
+        graft.expr.Enrichment.qualityAnalysis(col("field")).as("summary"),
+        lit(graft.expr.Enrichment.qualityRecommendation).as("recommendation"))
+  }
+
+  /** insight_generator agent (langgraph_workflow.py:39-44) as a one-row
+    * frame, joined-friendly for the run report. */
+  def insightReport(anyDf: DataFrame): DataFrame = {
+    val (summary, actions) = graft.expr.Enrichment.insights()
+    anyDf.sparkSession.range(1).select(
+      concat_ws("; ", summary).as("executive_summary"),
+      concat_ws("; ", actions).as("actions"))
+  }
+
   /** A-5: duplicate-rate gauge (operators/data_cleaning.py:65-67). */
   def duplicateRate(marked: DataFrame, flag: String = "is_duplicate"): DataFrame =
     marked.agg(

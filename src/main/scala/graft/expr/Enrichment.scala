@@ -43,4 +43,26 @@ object Enrichment {
     (when(neg, "Negative").otherwise("Neutral"),
      when(neg, -0.2).otherwise(0.0))
   }
+
+  /** Agent router (langgraph_workflow.py:5-10): event type -> agent name.
+    * ticket -> support_analyzer, quality -> quality_analyzer, else
+    * student_risk. */
+  def routeEvent(eventType: Column): Column =
+    when(eventType === "ticket", "support_analyzer")
+      .when(eventType === "quality", "quality_analyzer")
+      .otherwise("student_risk")
+
+  /** quality_analyzer agent (langgraph_workflow.py:34-36): names the worst
+    * field and a fixed recommendation. `worstField` is the caller-computed
+    * argmax over per-rule invalid counters (Transform.ruleStats). */
+  def qualityAnalysis(worstField: Column): Column =
+    concat(lit("Top issue: "), coalesce(worstField, lit("email")))
+
+  val qualityRecommendation = "Improve validation at source"
+
+  /** insight_generator agent (langgraph_workflow.py:39-44): fixed
+    * executive summary + action items. */
+  def insights(): (Column, Column) = (
+    array(lit("Data processed"), lit("Quality stable")),
+    array(lit("Remediate invalid emails"), lit("Follow up with pending payments")))
 }

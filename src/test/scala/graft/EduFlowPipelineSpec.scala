@@ -104,4 +104,30 @@ class EduFlowPipelineSpec extends SparkSpec {
         Seq("student_id"))
     }
   }
+
+  test("metadata logs: run/quality/ai frames carry the declared fields") {
+    val run = Metadata.runLog(spark, "run-1", "eduflow_batch", "graft.Main",
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-06-01 00:01:00"),
+      "SUCCESS", recordsRead = 97L, recordsWritten = 95L, recordsFailed = 2L,
+      inputFile = "/root/reference/input_data").head()
+    assert(run.getString(run.fieldIndex("run_id")) == "run-1")
+    assert(run.getLong(run.fieldIndex("records_written")) == 95L)
+    assert(run.isNullAt(run.fieldIndex("error_message")))
+
+    val q = Metadata.qualityLog("run-1", "stg_students",
+      pipe.stagedStudents, pipe.ruleStats).head()
+    assert(q.getString(q.fieldIndex("table_name")) == "stg_students")
+    assert(q.getLong(q.fieldIndex("total_records")) == 30L)
+    assert(q.getLong(q.fieldIndex("valid_records")) +
+      q.getLong(q.fieldIndex("invalid_records")) == 30L)
+    assert(q.getLong(q.fieldIndex("duplicate_records")) == 1L)
+    assert(q.getString(q.fieldIndex("rule_stats")).contains("\"email_valid_invalid\":8"))
+
+    val ai = Metadata.aiLog(spark, "run-1", "student_risk_scorer",
+      recordsProcessed = 30L, processingTimeSeconds = 1.234, tokensUsed = 0L,
+      status = "SUCCESS").head()
+    assert(ai.getString(ai.fieldIndex("agent_name")) == "student_risk_scorer")
+    assert(ai.getDecimal(ai.fieldIndex("processing_time_seconds")).toString == "1.23")
+  }
 }
