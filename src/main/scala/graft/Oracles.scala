@@ -133,7 +133,58 @@ object Oracles {
       | row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1 AS is_duplicate
       |FROM corpus ORDER BY doc_id""".stripMargin
 
+  /** q30: the multimodal stub chain (Multimodal.StubDecoder -> resize 16x16
+    * -> features) replayed in SQL. The stub is deterministic arithmetic:
+    * Arrays.hashCode over the UTF-8 payload (int32 wraparound emulated),
+    * dims from the hash, and only the 768 pixel positions the 16x16
+    * nearest-neighbor resize actually samples are generated. Embedding is
+    * serialized as integer basis points (Java %.4f formats ties HALF_UP, C
+    * printf half-even — round() agrees across engines). */
+  private val q30Sql: String = {
+    def wrap(x: String) =
+      s"((($x) + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648"
+    val hashFold =
+      "list_reduce(list_prepend(CAST(1 AS BIGINT), " +
+        "list_transform(range(1, length(text)+1), " +
+        "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), " +
+        s"(acc, b) -> ${wrap("acc * 31 + b")})"
+    val histCounts = (0 until 16)
+      .map(j => s"count(CASE WHEN v % 16 = $j THEN 1 END) AS c$j").mkString(",\n    ")
+    val embBp = (0 until 16)
+      .map(j => s"CAST(CAST(round(CAST(CAST(c$j AS REAL) / CAST(768 AS REAL) AS DOUBLE) * 10000) AS INT) AS VARCHAR)")
+      .mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id AS media_id, text, length(text) AS len, $hashFold AS h
+       |  FROM documents),
+       |dims AS (
+       |  SELECT *, 16 + abs(h % 48) AS wdt,
+       |    16 + abs(CAST(trunc(h / 64.0) AS BIGINT) % 48) AS hgt
+       |  FROM docs),
+       |px AS (
+       |  SELECT media_id, len, text,
+       |    ((((k // 48) * hgt // 16) * wdt + ((k // 3) % 16) * wdt // 16) * 3 + (k % 3)) AS idx
+       |  FROM dims, (SELECT unnest(range(768)) AS k)),
+       |vals AS (
+       |  SELECT media_id,
+       |    (ascii(substr(text, CAST(idx % len AS INT) + 1, 1)) + idx * 31) % 256 AS v
+       |  FROM px),
+       |feats AS (
+       |  SELECT media_id,
+       |    sum(v) / 768.0 AS mean0,
+       |    sqrt(greatest(sum(CAST(v AS DOUBLE) * v) / 768.0
+       |      - (sum(v) / 768.0) * (sum(v) / 768.0), 0.0)) AS std0,
+       |    $histCounts
+       |  FROM vals GROUP BY media_id)
+       |SELECT media_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       |  round(mean0, 4) AS mean_intensity,
+       |  round(std0, 4) AS std_intensity,
+       |  concat_ws(',', $embBp) AS embedding_bp
+       |FROM feats""".stripMargin
+  }
+
   val all: Map[String, String] = EduOracles.all ++ Map(
+
+    "q30_multimodal_features" -> q30Sql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -422,8 +422,11 @@ object Queries {
         round(col("std_intensity"), 4).as("std_intensity"),
         // Sortable scalar form of the embedding: the driver's pandas-based
         // comparator sorts every column, and a raw array<float> is unhashable.
+        // Integer basis points, not %.4f text: Java formats ties HALF_UP,
+        // C printf half-even — round() agrees across engines.
         concat_ws(",", transform(col("embedding"),
-          e => format_string("%.4f", e))).as("embedding_csv"))
+          e => round(e.cast("double") * 10000).cast("int").cast("string")))
+          .as("embedding_bp"))
       .orderBy("media_id")
   }
 
