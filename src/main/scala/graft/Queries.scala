@@ -471,6 +471,17 @@ object Queries {
       .orderBy("event_type")
 
   /** IVF approximate ANN (deterministic centroid seeding, rows-only). */
+  /** IVF with Lloyd-refined centroids (k-means) — same search machinery as
+    * q36, better-balanced lists. Rows-only (xxhash64-free but the float
+    * k-means means are not portably SQL-expressible). */
+  def q55KnnIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (centroids, lists) = Knn.ivfIndexKMeans(emb, nlist = 16, iters = 2)
+    val index = (centroids.persist(), lists.persist())
+    Knn.ivfSearch(index, emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   def q36KnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     // build the index ONCE and persist it — the amortization an IVF index
@@ -753,6 +764,7 @@ object Queries {
     "q52_eduflow_progress_summary" -> (q52ProgressSummary _),
     "q53_eduflow_course_summary" -> (q53CourseSummary _),
     "q54_eduflow_rule_stats" -> (q54RuleStats _),
+    "q55_knn_ivf_kmeans" -> (q55KnnIvfKmeans _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

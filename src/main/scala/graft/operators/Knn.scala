@@ -177,6 +177,44 @@ object Knn {
     (centroids, lists)
   }
 
+  /** IVF index with Lloyd-refined centroids: deterministic seeding (first
+    * `nlist` vectors by id) then `iters` rounds of assign -> mean-per-list.
+    * Balanced lists cut the probe-side scan variance vs raw seeding.
+    *
+    * Physical shape per round: one assign pass (the codegen'd agg of
+    * [[assignToCentroids]]) + one posexplode/groupBy((list, dim)) average —
+    * both shuffle ids and dims only, never pairwise. Centroid means are
+    * collected per round (bounded nlist x dim — index metadata). Empty
+    * lists keep their previous centroid. */
+  def ivfIndexKMeans(corpus: DataFrame, nlist: Int, iters: Int = 3,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    var centroids = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent"))
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroids(vecs, centroids, "neighbor_id", "__cv", keep = 1)
+      val means = assigned
+        .select(col("__cent_id"), posexplode(col("__cv")))
+        .toDF("__cent_id", "__d", "__x")
+        .groupBy(col("__cent_id"), col("__d"))
+        .agg(avg(col("__x").cast("double")).as("__m"))
+        .groupBy(col("__cent_id"))
+        .agg(array_sort(collect_list(struct(col("__d"), col("__m")))).as("__ms"))
+        .select(col("__cent_id"),
+          transform(col("__ms"), m => m.getField("__m").cast("float")).as("__cent"))
+      // empty lists would drop a centroid: keep the previous vector there
+      val prev = centroids.select(col("__cent_id").as("__pid"), col("__cent").as("__pcent"))
+      centroids = prev.join(means, col("__pid") === means("__cent_id"), "left")
+        .select(col("__pid").as("__cent_id"),
+          coalesce(col("__cent"), col("__pcent")).as("__cent"))
+        .localCheckpoint()
+    }
+    val lists = assignToCentroids(vecs, centroids, "neighbor_id", "__cv", keep = 1)
+    (centroids, lists)
+  }
+
   /** Nearest-`keep` centroids per row, as added `__cent_id` rows.
     *
     * The centroid set is bounded by nlist (dozens), so it is collected once

@@ -56,6 +56,31 @@ class IvfSpec extends SparkSpec {
     assert(ivfPruned.groupBy("query_id").count()
       .collect().forall(_.getLong(1) <= 3))
   }
+
+  test("k-means IVF: separated clusters land in one list each; full probe is exact") {
+    // 4 well-separated clusters of 10 vectors along distinct axes
+    val vecs = (0L until 40L).map { i =>
+      val c = (i % 4).toInt
+      val base = Array.fill(8)(0.01f * ((i % 7) + 1))
+      base(c * 2) = 10f + (i % 5) * 0.1f
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val (centroids, lists) = Knn.ivfIndexKMeans(vecs, nlist = 4, iters = 3)
+    assert(centroids.count() == 4)
+    assert(lists.count() == 40)
+    // members of one cluster share a list (centroids converge to the axes)
+    val byCluster = lists.withColumn("cluster", col("neighbor_id") % 4)
+      .groupBy("cluster").agg(countDistinct(col("__cent_id")).as("nlists"))
+      .collect().map(r => r.getAs[Number]("nlists").longValue())
+    assert(byCluster.forall(_ == 1L))
+    // probing every list reproduces brute force exactly
+    val queries = vecs.filter(col("vec_id") < 3)
+    val exact = Knn.bruteForceTopK(vecs, queries, k = 3)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val got = Knn.ivfSearch((centroids, lists), queries, k = 3, nprobe = 4)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(got == exact)
+  }
 }
 
 class SinksSpec extends SparkSpec {
