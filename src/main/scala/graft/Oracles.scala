@@ -185,6 +185,17 @@ object Oracles {
   val all: Map[String, String] = EduOracles.all ++ Map(
 
     "q30_multimodal_features" -> q30Sql,
+
+    // q56: every-2nd 256-byte chunk of the "video" payloads (doc_id%3=2 per
+    // Multimodal.syntheticMedia); frame size = what remains in the chunk
+    "q56_multimodal_frames" ->
+      """SELECT doc_id AS media_id, CAST(k AS INT) AS frame_index,
+        | CAST(least(256, length(text) - k * 256) AS INT) AS frame_bytes
+        |FROM documents, (SELECT unnest(range(0, 64)) AS k)
+        |WHERE doc_id % 3 = 2
+        |  AND k < CAST(ceil(length(text) / 256.0) AS BIGINT)
+        |  AND k % 2 = 0
+        |ORDER BY media_id, frame_index""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -430,6 +430,20 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** Multimodal frame sampling: every 2nd fixed-size chunk of the "video"
+    * payloads (the 1 row -> many frames flatMap plumbing). Output is the
+    * frame inventory (sizes, not bytes) so the oracle can replay it in SQL
+    * over the same documents table. */
+  def q56MultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
+    Multimodal.sampleFrames(media, frameBytes = 256, everyN = 2)
+      .toDF()
+      .select(col("media_id"), col("frame_index"),
+        length(col("payload")).as("frame_bytes"))
+      .orderBy("media_id", "frame_index")
+  }
+
   /** D-3: fuzzy duplicate pairs (same email OR same name+phone) over
     * deterministic synthesized contact columns. */
   def q31FuzzyDups(s: SparkSession, dir: String): DataFrame = {
@@ -765,6 +779,7 @@ object Queries {
     "q53_eduflow_course_summary" -> (q53CourseSummary _),
     "q54_eduflow_rule_stats" -> (q54RuleStats _),
     "q55_knn_ivf_kmeans" -> (q55KnnIvfKmeans _),
+    "q56_multimodal_frames" -> (q56MultimodalFrames _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
