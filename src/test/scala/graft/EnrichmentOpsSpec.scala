@@ -94,6 +94,23 @@ class EnrichmentOpsSpec extends SparkSpec {
     assert(r.getString(1) == "Remediate invalid emails; Follow up with pending payments")
   }
 
+  test("metrics collector records completed actions with durations") {
+    val collector = graft.tools.Metrics.install(spark)
+    students.count()
+    students.agg(sum(col("completion"))).collect()
+    // listener bus is async — poll briefly for the callbacks to land
+    val deadline = System.currentTimeMillis() + 10000
+    while (collector.size < 2 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(collector.size >= 2)
+    val snap = collector.snapshot(spark).collect()
+    assert(snap.forall(r => !r.getBoolean(r.fieldIndex("failed"))))
+    assert(snap.forall(r => r.getLong(r.fieldIndex("duration_ms")) >= 0))
+    val counters = collector.counters(spark)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counters.values.sum >= 2)
+  }
+
   test("kafka option maps carry the reference topology") {
     import graft.streaming.Kafka
     val src = Kafka.sourceOptions("broker:9092", Kafka.Topics.raw,
