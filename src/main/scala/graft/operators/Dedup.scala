@@ -74,6 +74,11 @@ object Dedup {
                         shingleK: Int = 3, numHashes: Int = 32,
                         bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
+    // numHashes independent seeded hashes per shingle. A 2-pass derived
+    // family (h1 + i*h2 / xor-rotate) was tried and REJECTED: ANSI mode
+    // forbids wrapping arithmetic, and measured end-to-end time was
+    // identical — hashing is not the bottleneck at this signature width,
+    // and independent seeds have the textbook per-band independence.
     val exploded = df.select(col(idCol).as("__id"),
       explode(shingles(col(textCol), shingleK)).as("__sh"))
     val sigs = exploded.groupBy(col("__id"))
