@@ -186,6 +186,19 @@ object Oracles {
 
     "q30_multimodal_features" -> q30Sql,
 
+    // q57: incoming (odd ids + re-sent even-id copies) anti-joined on
+    // content digest against the already-ingested even-id corpus
+    "q57_dedup_incremental" ->
+      """WITH existing AS (
+        | SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 2 = 0),
+        |incoming AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        | UNION ALL
+        | SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id FROM incoming
+        |WHERE md5(text) NOT IN (SELECT d FROM existing)
+        |ORDER BY doc_id""".stripMargin,
+
     // q56: every-2nd 256-byte chunk of the "video" payloads (doc_id%3=2 per
     // Multimodal.syntheticMedia); frame size = what remains in the chunk
     "q56_multimodal_frames" ->

@@ -430,6 +430,20 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** Incremental exact dedup: an "incoming" batch (odd doc ids, plus exact
+    * copies of some even-id texts) deduped against the already-ingested
+    * even-id corpus — the batch-over-batch ingestion path. */
+  def q57DedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
+    Dedup.dropAgainstExisting(incoming, existing, "text")
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal frame sampling: every 2nd fixed-size chunk of the "video"
     * payloads (the 1 row -> many frames flatMap plumbing). Output is the
     * frame inventory (sizes, not bytes) so the oracle can replay it in SQL
@@ -780,6 +794,7 @@ object Queries {
     "q54_eduflow_rule_stats" -> (q54RuleStats _),
     "q55_knn_ivf_kmeans" -> (q55KnnIvfKmeans _),
     "q56_multimodal_frames" -> (q56MultimodalFrames _),
+    "q57_dedup_incremental" -> (q57DedupIncremental _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

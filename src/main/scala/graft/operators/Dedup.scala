@@ -28,6 +28,22 @@ object Dedup {
     df.withColumn(flag, row_number().over(w) > 1)
   }
 
+  /** Incremental exact dedup: drop incoming rows whose content digest
+    * already exists in the reference corpus — the batch-over-batch
+    * ingestion path (dedup new data against everything already ingested,
+    * without re-deduping the existing corpus).
+    *
+    * Scale shape: a digest-keyed left_anti join — both sides shuffle
+    * 16-byte md5 digests, never text. The existing side is typically the
+    * big one, so this is a plain shuffled anti-join; when the existing
+    * digest set is dim-sized, Spark broadcasts it automatically.
+    * Idempotent: re-running over the merged corpus drops nothing new. */
+  def dropAgainstExisting(incoming: DataFrame, existing: DataFrame,
+                          textCol: String): DataFrame = {
+    val seen = existing.select(md5(col(textCol)).as("__digest")).distinct()
+    incoming.join(seen, md5(incoming(textCol)) === seen("__digest"), "left_anti")
+  }
+
   /** Word k-shingles of a text column (k consecutive tokens, space-joined). */
   def shingles(text: Column, k: Int): Column = {
     val toks = TextOps.tokens(text)

@@ -117,6 +117,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)))
   }
 
+  test("incremental dedup drops only digests already in the existing corpus") {
+    val existing = Seq((1L, "aaa"), (2L, "bbb")).toDF("id", "text")
+    val incoming = Seq((10L, "aaa"), (11L, "ccc"), (12L, "bbb"), (13L, "ddd"))
+      .toDF("id", "text")
+    val kept = Dedup.dropAgainstExisting(incoming, existing, "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L))
+    // idempotent: once survivors are ingested, a re-run drops everything
+    val merged = existing.unionByName(incoming.filter(col("id").isin(11L, 13L)))
+    assert(Dedup.dropAgainstExisting(incoming, merged, "text").count() == 0)
+  }
+
   test("simhash: zero-token docs get signature 0 (pair at hamming 0)") {
     // explode_outer emits a null token for empty docs and xxhash64(null)
     // returns the seed, not null — the bulk path must still yield sig 0
