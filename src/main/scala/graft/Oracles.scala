@@ -202,12 +202,13 @@ object Oracles {
     // q56: every-2nd 256-byte chunk of the "video" payloads (doc_id%3=2 per
     // Multimodal.syntheticMedia); frame size = what remains in the chunk
     "q56_multimodal_frames" ->
-      """SELECT doc_id AS media_id, CAST(k AS INT) AS frame_index,
-        | CAST(least(256, length(text) - k * 256) AS INT) AS frame_bytes
-        |FROM documents, (SELECT unnest(range(0, 64)) AS k)
-        |WHERE doc_id % 3 = 2
-        |  AND k < CAST(ceil(length(text) / 256.0) AS BIGINT)
-        |  AND k % 2 = 0
+      """SELECT media_id, CAST(k AS INT) AS frame_index,
+        | CAST(least(256, len - k * 256) AS INT) AS frame_bytes
+        |FROM (
+        | SELECT doc_id AS media_id, length(text) AS len,
+        |  unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS k
+        | FROM documents WHERE doc_id % 3 = 2)
+        |WHERE k % 2 = 0
         |ORDER BY media_id, frame_index""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

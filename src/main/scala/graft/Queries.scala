@@ -504,6 +504,9 @@ object Queries {
     * k-means means are not portably SQL-expressible). */
   def q55KnnIvfKmeans(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
+    // persisted for the index-amortization contract; cached blocks are
+    // storage-evictable (LRU) so later queries in a shared session are not
+    // starved
     val (centroids, lists) = Knn.ivfIndexKMeans(emb, nlist = 16, iters = 2)
     val index = (centroids.persist(), lists.persist())
     Knn.ivfSearch(index, emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)

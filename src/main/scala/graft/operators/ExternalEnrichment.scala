@@ -115,6 +115,10 @@ object ExternalEnrichment {
             val r = enricher.enrich(payload)
             if (r.size == payload.size) r else fallback.enrich(payload)
           } catch { case _: Throwable => fallback.enrich(payload) }
+        // the FALLBACK must honor the one-out-per-in contract — a silent
+        // lazyZip truncation here would drop input rows
+        require(resp.size == payload.size,
+          s"fallback enricher returned ${resp.size} records for ${payload.size} inputs")
         rows.lazyZip(resp).map((r, j) => Row.fromSeq(r.toSeq :+ j))
       }
     }(Encoders.row(outSchema))

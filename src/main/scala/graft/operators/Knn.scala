@@ -50,18 +50,18 @@ object Knn {
 
   private def el(v: Column, i: Int): Column = element_at(v, i + 1).cast("double")
 
-  /** Unrolled dot product for vectors of statically-known length. */
-  def dotN(a: Column, b: Column, dim: Int): Column =
-    (0 until dim).map(i => el(a, i) * el(b, i)).reduce(_ + _)
-
   /** Unrolled L2 norm for vectors of statically-known length. */
   def normN(a: Column, dim: Int): Column =
     sqrt((0 until dim).map(i => el(a, i) * el(a, i)).reduce(_ + _))
 
   /** Probe the vector dim from the first row (one tiny job at plan time;
-    * all vectors in a column are required to share one dim). */
+    * all vectors in a column are required to share one dim). Empty input
+    * or a null first vector yields 1 — the plans below then simply flow
+    * zero (or null-scored) rows instead of crashing at plan time. */
   private def staticDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol)).as("__d")).head().getInt(0)
+    df.select(size(col(vecCol)).as("__d")).head(1).headOption
+      .collect { case r if !r.isNullAt(0) && r.getInt(0) > 0 => r.getInt(0) }
+      .getOrElse(1)
 
   /** Cosine from precomputed norms: when(n===0, 0).otherwise(dot / n). */
   private def cosineFrom(dot: Column, normProduct: Column): Column =
@@ -226,6 +226,11 @@ object Knn {
     * a pure argmax via array_max over (sim, -id) structs (keep=1, the
     * corpus-side 100 TB input — no per-row sort-shuffle window); keep>1
     * (the query side) sorts the nlist-length array per row.
+    *
+    * Rows whose vector is null or empty posexplode to nothing and are
+    * EXCLUDED from the assignment (they have no meaningful centroid) —
+    * callers indexing a corpus with nullable embeddings should filter or
+    * impute first.
     *
     * (Unrolling dim x nlist literal products into one projection instead
     * compiles to megabytes of Java — measured 60x slower than this at

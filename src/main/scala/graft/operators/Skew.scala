@@ -58,7 +58,8 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salts: Int = 16, joinType: String = "inner"): DataFrame = {
-    val allowed = Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+    val allowed =
+      Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti")
     require(allowed(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin: joinType '$joinType' would duplicate unmatched right rows " +
         "(right side is replicated per salt); use inner/left/left_semi/left_anti")

@@ -23,23 +23,33 @@ object Metrics {
     * via [[install]]; listener callbacks arrive asynchronously on the
     * listener bus, so readers should call [[snapshot]] after actions have
     * settled (tests: poll). */
-  final class Collector extends QueryExecutionListener {
+  final class Collector(maxEntries: Int = 100000) extends QueryExecutionListener {
     private val buf = new java.util.concurrent.ConcurrentLinkedQueue[ActionMetric]()
+
+    // bounded: a long-lived session (streaming driver) must not grow the
+    // buffer without limit — oldest entries are dropped past maxEntries
+    private def add(m: ActionMetric): Unit = {
+      buf.add(m)
+      while (buf.size() > maxEntries) buf.poll()
+    }
 
     override def onSuccess(funcName: String, qe: QueryExecution,
                            durationNs: Long): Unit = {
       val rows = qe.executedPlan.metrics.get("numOutputRows")
         .map(_.value).getOrElse(-1L)
-      buf.add(ActionMetric(funcName, durationNs / 1000000L, rows,
+      add(ActionMetric(funcName, durationNs / 1000000L, rows,
         failed = false, error = null))
     }
 
     override def onFailure(funcName: String, qe: QueryExecution,
                            exception: Exception): Unit =
-      buf.add(ActionMetric(funcName, -1L, -1L, failed = true,
+      add(ActionMetric(funcName, -1L, -1L, failed = true,
         error = String.valueOf(exception.getMessage)))
 
     def size: Int = buf.size()
+
+    /** Drop all collected entries (e.g. after persisting a snapshot). */
+    def clear(): Unit = buf.clear()
 
     /** All collected metrics as a frame (one row per action). */
     def snapshot(spark: SparkSession): DataFrame = {
