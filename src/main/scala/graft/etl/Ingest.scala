@@ -43,8 +43,15 @@ object Ingest {
     val len = fs.getFileStatus(p).getLen
     if (len > maxSizeMb.toLong * 1024 * 1024)
       throw ValidationError(s"file too large: $path ($len bytes > $maxSizeMb MB)")
-    val header = spark.read.option("header", "true").csv(path).columns
-    if (header.isEmpty) throw ValidationError(s"no header: $path")
+    // header check reads ONE line through the FS client — not a Spark job
+    // (a schema-inferring spark.read.csv here costs a full scan per file)
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    val headerLine = try in.readLine() finally in.close()
+    if (headerLine == null || headerLine.trim.isEmpty)
+      throw ValidationError(s"no header: $path")
+    // split respecting simple quoting — enough for header rows
+    val header = headerLine.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
     val missing = requiredColumns.filterNot(header.contains)
     if (missing.nonEmpty)
       throw ValidationError(s"missing required columns in $path: ${missing.mkString(",")}")

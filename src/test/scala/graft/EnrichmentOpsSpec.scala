@@ -64,6 +64,28 @@ class EnrichmentOpsSpec extends SparkSpec {
     assert(got.forall(_ == "Medium"))
   }
 
+  test("splitTopLevelArray: generated arrays round-trip exactly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val jsonString: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.oneOf("a,b", "x}y", "p]q", "br{ck", "\\\"esc\\\"", "tail\\\\", " sp "))
+      .map(s => "\"" + s + "\"")
+    val jsonValue: Gen[String] = Gen.oneOf(
+      jsonString, Gen.chooseNum(-999, 999).map(_.toString),
+      Gen.const("null"), Gen.const("true"))
+    val jsonObj: Gen[String] = Gen.mapOfN(3,
+        Gen.zip(Gen.identifier.suchThat(_.nonEmpty), jsonValue))
+      .map(m => m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"))
+    val arrays = Gen.listOfN(40, Gen.listOfN(4, jsonObj))
+      .pureApply(Gen.Parameters.default, Seed(7L))
+    for (elems <- arrays) {
+      val rendered = elems.mkString("[ ", " , ", " ]")
+      assert(ExternalEnrichment.splitTopLevelArray(rendered) == elems,
+        s"failed on: $rendered")
+    }
+  }
+
   test("splitTopLevelArray: nesting, strings with commas/braces, whitespace") {
     val s = """[ {"a":1,"b":{"c":[1,2]}}, {"t":"x,}]y"}, {"n":null} ]"""
     assert(ExternalEnrichment.splitTopLevelArray(s) == Seq(
