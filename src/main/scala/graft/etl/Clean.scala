@@ -42,10 +42,15 @@ object Clean {
 
     // corrections: hardcoded reference map + the master's alias column
     val corrections = Map("Mumabi" -> "Mumbai", "Banglore" -> "Bangalore")
+    // distinct: several raw misspellings ("mumbai", "MUMBAI") collapse to
+    // one title-cased alias — without it the left join below duplicates
+    // student rows, and the keep-first duplicate flag of the later-deduped
+    // row becomes a window-tie coin flip
     val aliases = cityMaster
       .select(col("city_name"), explode(split(coalesce(col("common_misspellings"), lit("")), ",")).as("alias"))
       .select(titleCase(col("alias")).as("alias"), col("city_name"))
       .filter(col("alias") =!= "")
+      .distinct()
 
     val pre = raw.select(
       col("*"),
