@@ -167,6 +167,27 @@ class StreamingSpec extends SparkSpec {
     assert(dlq.count() == 2)
   }
 
+  test("external enrichment runs inside foreachBatch (batch/stream parity)") {
+    // the same mapPartitions enrichment seam used in batch applies
+    // unchanged to each micro-batch — one codebase for both paths
+    import graft.operators.ExternalEnrichment
+    val input = MemoryStream[(String, Double)](spark)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, String)]()
+    val q = input.toDF().toDF("student_id", "completion")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        ExternalEnrichment.enrich(batch)
+          .select("student_id", "ai_risk_score", "ai_risk_category")
+          .collect().foreach(r =>
+            out.add((r.getString(0), r.getDouble(1), r.getString(2))))
+      }.start()
+    try {
+      input.addData(("STU001", 10.0), ("STU002", 90.0))
+      q.processAllAvailable()
+      assert(out.toArray.toSet == Set(("STU001", 42.0, "Medium"), ("STU002", 42.0, "Medium")))
+    } finally q.stop()
+  }
+
   test("foreachBatch staging sink upserts micro-batches idempotently (ST-8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val input = MemoryStream[(String, String, String, java.sql.Timestamp)](spark)
