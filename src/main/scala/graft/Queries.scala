@@ -430,6 +430,22 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** Incremental NEAR-dedup: an incoming batch (odd-id docs plus slightly
+    * edited copies of some even-id docs) LSH-matched against the existing
+    * even-id corpus — candidates come from cross-corpus bucket joins, never
+    * an existing-side self-join. Rows-only (xxhash64 signatures). */
+  def q58NearDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val edited = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+        array_join(slice(TextOps.tokens(col("text")), 3, 100000), " ").as("text"))
+    val incoming = docs.filter(col("doc_id") % 2 === 1).unionByName(edited)
+    Dedup.minhashNearDupsAgainst(incoming, existing, "doc_id", "text",
+        threshold = 0.5)
+      .orderBy("incoming_id", "existing_id")
+  }
+
   /** Incremental exact dedup: an "incoming" batch (odd doc ids, plus exact
     * copies of some even-id texts) deduped against the already-ingested
     * even-id corpus — the batch-over-batch ingestion path. */
@@ -798,6 +814,7 @@ object Queries {
     "q55_knn_ivf_kmeans" -> (q55KnnIvfKmeans _),
     "q56_multimodal_frames" -> (q56MultimodalFrames _),
     "q57_dedup_incremental" -> (q57DedupIncremental _),
+    "q58_neardedup_incremental" -> (q58NearDedupIncremental _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

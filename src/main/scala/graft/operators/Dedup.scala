@@ -86,9 +86,13 @@ object Dedup {
     * @param bands number of bands; rows = numHashes/bands per band
     * @return      (id_a, id_b) candidate pairs, id_a < id_b, distinct
     */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int = 3, numHashes: Int = 32,
-                        bands: Int = 8): DataFrame = {
+  /** (id, band, bucket) LSH rows for a corpus — the common substrate of
+    * the self-join (within-corpus) and cross-join (incremental) candidate
+    * passes. One codegen'd agg computes all signature minima; the bucket
+    * key is a hash of the band's slice, so downstream joins shuffle
+    * (int, long) keys only. */
+  private def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
+                             shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     // numHashes independent seeded hashes per shingle. A 2-pass derived
     // family (h1 + i*h2 / xor-rotate) was tried and REJECTED: ANSI mode
@@ -100,19 +104,59 @@ object Dedup {
     val sigs = exploded.groupBy(col("__id"))
       .agg(min(xxhash64(col("__sh"), lit(0))).as("__h0"),
         (1 until numHashes).map(i => min(xxhash64(col("__sh"), lit(i))).as(s"__h$i")): _*)
-    // one row per (band, bucket-hash): bucket key is a hash of the band's
-    // signature slice, so the self-join shuffles (int, long) keys only
-    val buckets = sigs.select(col("__id"),
+    sigs.select(col("__id"),
         posexplode(array((0 until bands).map { b =>
           xxhash64((b * rows until (b + 1) * rows).map(i => col(s"__h$i")): _*)
         }: _*)))
       .toDF("__id", "__band", "__bucket")
+  }
+
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, numHashes: Int = 32,
+                        bands: Int = 8): DataFrame = {
+    val buckets = minhashBuckets(df, idCol, textCol, shingleK, numHashes, bands)
     buckets.as("l").join(buckets.as("r"),
         col("l.__band") === col("r.__band") &&
           col("l.__bucket") === col("r.__bucket") &&
           col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
+  }
+
+  /** Incremental NEAR-dedup: rows of `incoming` that are near-duplicates
+    * (shingle Jaccard >= threshold) of some `existing` row — the
+    * cross-corpus complement of [[dropAgainstExisting]]'s exact digests.
+    *
+    * Scale shape: candidates come from joining the incoming batch's LSH
+    * buckets against the EXISTING corpus's buckets — cost tracks
+    * |incoming| x bucket collision rate, never |existing|^2; in production
+    * the existing side's buckets are a persisted table maintained
+    * incrementally. Verification materializes shingles only for candidate
+    * rows (semi-join pushdown, as in [[minhashNearDups]]).
+    * Output: (incoming_id, existing_id, jaccard_sim). */
+  def minhashNearDupsAgainst(incoming: DataFrame, existing: DataFrame,
+                             idCol: String, textCol: String,
+                             threshold: Double = 0.8, shingleK: Int = 3,
+                             numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val bNew = minhashBuckets(incoming, idCol, textCol, shingleK, numHashes, bands)
+    val bOld = minhashBuckets(existing, idCol, textCol, shingleK, numHashes, bands)
+    val cands = bNew.as("l").join(bOld.as("r"),
+        col("l.__band") === col("r.__band") &&
+          col("l.__bucket") === col("r.__bucket"))
+      .select(col("l.__id").as("incoming_id"), col("r.__id").as("existing_id"))
+      .distinct()
+    def shingleSide(df: DataFrame, key: String): DataFrame =
+      df.join(cands.select(col(key).as("__vid")).distinct(),
+          col(idCol) === col("__vid"), "left_semi")
+        .select(col(idCol).as(key), shingles(col(textCol), shingleK).as(s"__sh_$key"))
+    cands
+      .join(shingleSide(incoming, "incoming_id"), "incoming_id")
+      .join(shingleSide(existing, "existing_id"), "existing_id")
+      .withColumn("jaccard_sim",
+        jaccard(col("__sh_incoming_id"), col("__sh_existing_id")))
+      .filter(col("jaccard_sim") >= threshold)
+      .select(col("incoming_id"), col("existing_id"),
+        round(col("jaccard_sim"), 4).as("jaccard_sim"))
   }
 
   /** Near-duplicate pairs: LSH candidates verified by exact shingle Jaccard

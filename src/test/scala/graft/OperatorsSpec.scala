@@ -129,6 +129,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dropAgainstExisting(incoming, merged, "text").count() == 0)
   }
 
+  test("incremental near-dedup pairs incoming rows with similar existing rows only") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words nothing shared here at all whatsoever ok fine"
+    val existing = Seq((1L, base), (2L, other)).toDF("id", "text")
+    val incoming = Seq((10L, near), (11L, "unrelated fresh content entirely new")).toDF("id", "text")
+    val got = Dedup.minhashNearDupsAgainst(incoming, existing, "id", "text",
+        threshold = 0.5)
+      .select("incoming_id", "existing_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((10L, 1L)))
+  }
+
   test("simhash: zero-token docs get signature 0 (pair at hamming 0)") {
     // explode_outer emits a null token for empty docs and xxhash64(null)
     // returns the seed, not null — the bulk path must still yield sig 0
