@@ -42,15 +42,16 @@ object Clean {
 
     // corrections: hardcoded reference map + the master's alias column
     val corrections = Map("Mumabi" -> "Mumbai", "Banglore" -> "Bangalore")
-    // distinct: several raw misspellings ("mumbai", "MUMBAI") collapse to
-    // one title-cased alias — without it the left join below duplicates
-    // student rows, and the keep-first duplicate flag of the later-deduped
-    // row becomes a window-tie coin flip
+    // one row PER ALIAS: several raw misspellings ("mumbai", "MUMBAI")
+    // collapse to one title-cased alias, and an alias listed under two
+    // cities must still map to exactly one (min city name, deterministic) —
+    // any multiplicity here duplicates student rows in the left join below
+    // and turns the keep-first duplicate flag into a window-tie coin flip
     val aliases = cityMaster
       .select(col("city_name"), explode(split(coalesce(col("common_misspellings"), lit("")), ",")).as("alias"))
       .select(titleCase(col("alias")).as("alias"), col("city_name"))
       .filter(col("alias") =!= "")
-      .distinct()
+      .groupBy(col("alias")).agg(min(col("city_name")).as("city_name"))
 
     val pre = raw.select(
       col("*"),

@@ -43,18 +43,44 @@ object Ingest {
     val len = fs.getFileStatus(p).getLen
     if (len > maxSizeMb.toLong * 1024 * 1024)
       throw ValidationError(s"file too large: $path ($len bytes > $maxSizeMb MB)")
-    // header check reads ONE line through the FS client — not a Spark job
-    // (a schema-inferring spark.read.csv here costs a full scan per file)
-    val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
-    val headerLine = try in.readLine() finally in.close()
-    if (headerLine == null || headerLine.trim.isEmpty)
-      throw ValidationError(s"no header: $path")
-    // split respecting simple quoting — enough for header rows
-    val header = headerLine.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    // header check reads ONE line via spark.read.text (a schema-inferring
+    // spark.read.csv here costs a full type-inference scan per file; text +
+    // head reads the first line only and still handles compression codecs
+    // and directory paths)
+    val headerLine = spark.read.text(path).head(1).headOption
+      .map(_.getString(0)).getOrElse("")
+    if (headerLine.trim.isEmpty) throw ValidationError(s"no header: $path")
+    val header = splitCsvLine(stripBom(headerLine))
     val missing = requiredColumns.filterNot(header.contains)
     if (missing.nonEmpty)
       throw ValidationError(s"missing required columns in $path: ${missing.mkString(",")}")
+  }
+
+  private def stripBom(s: String): String =
+    if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+
+  /** Quote-aware split of one CSV line (RFC-4180 double-quote escaping). */
+  private[graft] def splitCsvLine(line: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else inQ = false
+        } else cur.append(c)
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += cur.result().trim; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.result().trim
+    out.toSeq
   }
 
   /** O-3: schema'd CSV scan; literal "NULL" strings become nulls (the

@@ -74,23 +74,17 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shingleArr, s => xxhash64(s, i))))
 
-  /** Candidate near-dup pairs via LSH banding over MinHash signatures.
+  /** (id, band, bucket) LSH rows for a corpus — the common substrate of
+    * the self-join (within-corpus) and cross-join (incremental) candidate
+    * passes.
     *
     * Physical shape (the 100 TB path): explode shingles once, then ONE
     * codegen'd hash aggregation computes all `numHashes` minima per doc
     * (partial aggregation map-side, so the shuffle carries one row per doc
     * per partition, not per shingle). The nested-HOF form recomputes the
     * shingle array per hash function in interpreted mode — measured 100x
-    * slower on 5k docs.
-    *
-    * @param bands number of bands; rows = numHashes/bands per band
-    * @return      (id_a, id_b) candidate pairs, id_a < id_b, distinct
-    */
-  /** (id, band, bucket) LSH rows for a corpus — the common substrate of
-    * the self-join (within-corpus) and cross-join (incremental) candidate
-    * passes. One codegen'd agg computes all signature minima; the bucket
-    * key is a hash of the band's slice, so downstream joins shuffle
-    * (int, long) keys only. */
+    * slower on 5k docs. The bucket key is a hash of the band's signature
+    * slice, so downstream joins shuffle (int, long) keys only. */
   private def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
                              shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
@@ -111,6 +105,12 @@ object Dedup {
       .toDF("__id", "__band", "__bucket")
   }
 
+  /** Candidate near-dup pairs via LSH banding over MinHash signatures
+    * ([[minhashBuckets]] + a same-(band,bucket) self-join).
+    *
+    * @param bands number of bands; rows = numHashes/bands per band
+    * @return      (id_a, id_b) candidate pairs, id_a < id_b, distinct
+    */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, numHashes: Int = 32,
                         bands: Int = 8): DataFrame = {

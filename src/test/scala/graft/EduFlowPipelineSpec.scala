@@ -105,6 +105,14 @@ class EduFlowPipelineSpec extends SparkSpec {
     }
   }
 
+  test("csv header split respects RFC-4180 quoting") {
+    assert(Ingest.splitCsvLine("id,\"city, state\",name") ==
+      Seq("id", "city, state", "name"))
+    assert(Ingest.splitCsvLine("a,\"he said \"\"hi\"\"\",b") ==
+      Seq("a", "he said \"hi\"", "b"))
+    assert(Ingest.splitCsvLine("plain") == Seq("plain"))
+  }
+
   test("metadata logs: run/quality/ai frames carry the declared fields") {
     val run = Metadata.runLog(spark, "run-1", "eduflow_batch", "graft.Main",
       java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
