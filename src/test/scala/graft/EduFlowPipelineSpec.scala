@@ -105,6 +105,13 @@ class EduFlowPipelineSpec extends SparkSpec {
     }
   }
 
+  test("file validation rejects oversized files (size cap)") {
+    intercept[Ingest.ValidationError] {
+      Ingest.validateFile(spark, "/root/reference/input_data/students_enrollment.csv",
+        Seq("student_id"), maxSizeMb = 0)
+    }
+  }
+
   test("csv header split respects RFC-4180 quoting") {
     assert(Ingest.splitCsvLine("id,\"city, state\",name") ==
       Seq("id", "city, state", "name"))
