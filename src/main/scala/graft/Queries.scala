@@ -395,6 +395,12 @@ object Queries {
 
   def q27CoursePerformance(s: SparkSession, dir: String): DataFrame =
     pipeline(s).coursePerformance
+      // money lands as DECIMAL(15,2)/(25,2): cast to double for the driver
+      // compare (pandas reads parquet decimal128 as Decimal objects, which
+      // hash-differ from the oracle's float64 despite equal values) — same
+      // convention as every other money aggregate (q01-q03)
+      .withColumn("price", col("price").cast("double"))
+      .withColumn("total_revenue", col("total_revenue").cast("double"))
       .withColumn("avg_completion_rate", round(col("avg_completion_rate"), 6))
       .withColumn("avg_student_score", round(col("avg_student_score"), 6))
       .withColumn("total_hours_spent", round(col("total_hours_spent"), 6))
