@@ -74,6 +74,28 @@ object Oracles {
   private def normSql(a: String): String =
     s"sqrt(${foldSumSql(s"list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE))")})"
 
+  /** Exact brute-force cosine top-5 for queries vec_id < 10 — the oracle
+    * for q21 AND for q59 (an IVF search probing every list must reproduce
+    * brute force bit-for-bit, so the one SQL statement green-hashes both
+    * the brute-force operator and the whole ivfIndex/ivfSearch machinery). */
+  private def bruteForceTopKSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |scored AS (
+       | SELECT query_id, neighbor_id,
+       |  ${dotSql("qv", "cv")} AS dot_p,
+       |  ${normSql("qv")} * ${normSql("cv")} AS norm_p
+       | FROM c, q WHERE neighbor_id <> query_id),
+       |sims AS (
+       | SELECT query_id, neighbor_id,
+       |  CASE WHEN norm_p = 0 THEN 0.0 ELSE dot_p / norm_p END AS sim
+       | FROM scored),
+       |ranked AS (
+       | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+       | FROM sims)
+       |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", round(sim, 6) AS cosine_sim
+       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   /** The q12 risk-scoring CTE chain, shared with q05. */
   private val riskCtes =
     """lastord AS (
@@ -154,7 +176,11 @@ object Oracles {
       .map(j => s"CAST(CAST(round(CAST(CAST(c$j AS REAL) / CAST(768 AS REAL) AS DOUBLE) * 10000) AS INT) AS VARCHAR)")
       .mkString(", ")
     s"""WITH docs AS (
-       |  SELECT doc_id AS media_id, text, length(text) AS len, $hashFold AS h
+       |  SELECT doc_id AS media_id, text,
+       |    length(text) + CASE WHEN strlen(text) <> length(text)
+       |      THEN error('q30 oracle assumes ASCII text: Spark hashes UTF-8 BYTES (character semantics here) — non-ASCII fixtures would silently diverge')
+       |      ELSE 0 END AS len,
+       |    $hashFold AS h
        |  FROM documents),
        |dims AS (
        |  SELECT *, 16 + abs(h % 48) AS wdt,
@@ -200,12 +226,17 @@ object Oracles {
         |ORDER BY doc_id""".stripMargin,
 
     // q56: every-2nd 256-byte chunk of the "video" payloads (doc_id%3=2 per
-    // Multimodal.syntheticMedia); frame size = what remains in the chunk
+    // Multimodal.syntheticMedia); frame size = what remains in the chunk.
+    // Spark chunks the UTF-8 payload BYTES; length() here is characters, so
+    // the parity holds only for ASCII fixtures — guarded loudly below.
     "q56_multimodal_frames" ->
       """SELECT media_id, CAST(k AS INT) AS frame_index,
         | CAST(least(256, len - k * 256) AS INT) AS frame_bytes
         |FROM (
-        | SELECT doc_id AS media_id, length(text) AS len,
+        | SELECT doc_id AS media_id,
+        |  length(text) + CASE WHEN strlen(text) <> length(text)
+        |    THEN error('q56 oracle assumes ASCII text (byte vs character chunking)')
+        |    ELSE 0 END AS len,
         |  unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS k
         | FROM documents WHERE doc_id % 3 = 2)
         |WHERE k % 2 = 0
@@ -441,23 +472,7 @@ object Oracles {
         | CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE) / count(*) > 0.2 AS is_anomalous
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
-    "q21_knn_brute" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-         |scored AS (
-         | SELECT query_id, neighbor_id,
-         |  ${dotSql("qv", "cv")} AS dot_p,
-         |  ${normSql("qv")} * ${normSql("cv")} AS norm_p
-         | FROM c, q WHERE neighbor_id <> query_id),
-         |sims AS (
-         | SELECT query_id, neighbor_id,
-         |  CASE WHEN norm_p = 0 THEN 0.0 ELSE dot_p / norm_p END AS sim
-         | FROM scored),
-         |ranked AS (
-         | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
-         | FROM sims)
-         |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", round(sim, 6) AS cosine_sim
-         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q21_knn_brute" -> bruteForceTopKSql,
 
     "q31_fuzzy_dups" ->
       """WITH contacts AS (
@@ -668,5 +683,36 @@ object Oracles {
         |SELECT s.lang, s.split, s.n_docs, sampled.n_sampled
         |FROM splits s LEFT JOIN sampled ON s.lang = sampled.lang
         |ORDER BY s.lang, s.split""".stripMargin,
+
+    // full-probe IVF == brute force, by construction — same oracle as q21
+    "q59_knn_ivf_fullprobe" -> bruteForceTopKSql,
+
+    // min-label connected components == min reachable id, computed by a
+    // recursive reachability CTE over the same q31-style edge set
+    "q60_dedup_cc" ->
+      """WITH RECURSIVE contacts AS (
+        | SELECT c_custkey,
+        |  'u' || CAST(c_custkey % 100 AS VARCHAR) || '@x.com' AS email,
+        |  'n' || CAST(c_custkey % 20 AS VARCHAR) AS name,
+        |  'p' || CAST(c_custkey % 30 AS VARCHAR) AS phone
+        | FROM customer WHERE c_custkey <= 1500),
+        |pairs AS (
+        | SELECT l.c_custkey AS id_a, r.c_custkey AS id_b
+        | FROM contacts l, contacts r
+        | WHERE l.email = r.email AND l.c_custkey < r.c_custkey
+        | UNION
+        | SELECT l.c_custkey, r.c_custkey
+        | FROM contacts l, contacts r
+        | WHERE l.name = r.name AND l.phone = r.phone AND l.c_custkey < r.c_custkey),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION
+        | SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id, min(lbl) AS cluster_id FROM reach
+        |GROUP BY id ORDER BY id""".stripMargin,
   )
 }

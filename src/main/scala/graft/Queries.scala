@@ -520,31 +520,45 @@ object Queries {
       .withColumn("total_value", col("total_value").cast("double"))
       .orderBy("event_type")
 
-  /** IVF approximate ANN (deterministic centroid seeding, rows-only). */
+  // One IVF index per (session, sf-dir, kind), built on first use and shared
+  // by every query that searches it (q36/q59 the seeded index, q55 the
+  // k-means one) — the amortization an IVF index exists for. Knn.ivfIndex
+  // persists AND materializes the lists at build, so searches are pure plan
+  // construction over cached blocks (storage-evictable under pressure).
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), Knn.IvfIndex]()
+  private def ivfSeeded(s: SparkSession, dir: String): Knn.IvfIndex =
+    ivfCache.computeIfAbsent((s, dir, "seed"),
+      _ => Knn.ivfIndex(t(s, dir, "embeddings"), nlist = 16))
+  private def ivfKmeans(s: SparkSession, dir: String): Knn.IvfIndex =
+    ivfCache.computeIfAbsent((s, dir, "kmeans"),
+      _ => Knn.ivfIndexKMeans(t(s, dir, "embeddings"), nlist = 16, iters = 2))
+
   /** IVF with Lloyd-refined centroids (k-means) — same search machinery as
     * q36, better-balanced lists. Rows-only (xxhash64-free but the float
     * k-means means are not portably SQL-expressible). */
-  def q55KnnIvfKmeans(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    // persisted for the index-amortization contract; cached blocks are
-    // storage-evictable (LRU) so later queries in a shared session are not
-    // starved
-    val (centroids, lists) = Knn.ivfIndexKMeans(emb, nlist = 16, iters = 2)
-    val index = (centroids.persist(), lists.persist())
-    Knn.ivfSearch(index, emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)
+  def q55KnnIvfKmeans(s: SparkSession, dir: String): DataFrame =
+    Knn.ivfSearch(ivfKmeans(s, dir),
+        t(s, dir, "embeddings").filter(col("vec_id") < 10), k = 5, nprobe = 4)
       .orderBy("query_id", "rank")
-  }
 
-  def q36KnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    // build the index ONCE and persist it — the amortization an IVF index
-    // exists for (Knn.ivfIndex scaladoc); search then touches ~nprobe/nlist
-    // of the corpus
-    val (centroids, lists) = Knn.ivfIndex(emb, nlist = 16)
-    val index = (centroids.persist(), lists.persist())
-    Knn.ivfSearch(index, emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)
+  /** IVF approximate ANN (deterministic centroid seeding, rows-only at
+    * nprobe=4; the same index is hash-verified end-to-end by q59's full
+    * probe against the brute-force oracle). */
+  def q36KnnIvf(s: SparkSession, dir: String): DataFrame =
+    Knn.ivfSearch(ivfSeeded(s, dir),
+        t(s, dir, "embeddings").filter(col("vec_id") < 10), k = 5, nprobe = 4)
       .orderBy("query_id", "rank")
-  }
+
+  /** IVF full probe (nprobe = nlist): every list is scanned, so the result
+    * must equal brute-force top-k EXACTLY — which is SQL-expressible, so
+    * this green-hashes the whole ivfIndex/ivfSearch machinery against q21's
+    * brute-force oracle while q36/q55 stay rows-only for the approximate
+    * settings. */
+  def q59KnnIvfFullProbe(s: SparkSession, dir: String): DataFrame =
+    Knn.ivfSearch(ivfSeeded(s, dir),
+        t(s, dir, "embeddings").filter(col("vec_id") < 10), k = 5, nprobe = 16)
+      .orderBy("query_id", "rank")
 
   /** Hierarchical rollup (region -> nation -> total) over the full join
     * path customer->orders. Spark `rollup` == SQL GROUP BY ROLLUP. */
@@ -660,6 +674,27 @@ object Queries {
       .groupBy()
       .agg(count(lit(1)).as("kept_docs"),
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
+  /** Connected components over the (already hash-verified) q31 fuzzy-dup
+    * edge set — green-hashes the CC operator itself against a DuckDB
+    * WITH RECURSIVE min-label oracle, while q45's xxhash64 candidate
+    * generation stays rows-only. Restricted to custkey <= 3000 so the
+    * recursive oracle and the per-round CC jobs stay bounded at bench
+    * scale (the component structure — overlapping email/name+phone
+    * cliques — is unchanged by the cap). */
+  def q60DedupCc(s: SparkSession, dir: String): DataFrame = {
+    // moduli smaller than q31's so the edge set is non-empty from sf0.001's
+    // 150 custkeys up; capped at 1500 so the edge count (and the oracle's
+    // recursive reachability) stays bounded at bench scale
+    val contacts = t(s, dir, "customer")
+      .filter(col("c_custkey") <= 1500)
+      .select(col("c_custkey"),
+        concat(lit("u"), col("c_custkey") % 100, lit("@x.com")).as("email"),
+        concat(lit("n"), col("c_custkey") % 20).as("name"),
+        concat(lit("p"), col("c_custkey") % 30).as("phone"))
+    val pairs = Dedup.fuzzyDuplicatePairs(contacts, "c_custkey", "email", "name", "phone")
+    Dedup.connectedComponents(pairs, maxIter = 20).orderBy("id")
   }
 
   /** Deterministic per-customer "tier" version history: a version at each
@@ -821,6 +856,8 @@ object Queries {
     "q56_multimodal_frames" -> (q56MultimodalFrames _),
     "q57_dedup_incremental" -> (q57DedupIncremental _),
     "q58_neardedup_incremental" -> (q58NearDedupIncremental _),
+    "q59_knn_ivf_fullprobe" -> (q59KnnIvfFullProbe _),
+    "q60_dedup_cc" -> (q60DedupCc _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

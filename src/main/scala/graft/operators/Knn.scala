@@ -156,25 +156,59 @@ object Knn {
     topK(scored, k)
   }
 
-  /** IVF index: (centroids, inverted lists). Centroids = the first `nlist`
-    * corpus vectors by id (deterministic seeding; real deployments would
-    * run k-means — the assignment/probe machinery is identical either way).
-    * Each corpus vector lands in its nearest centroid's list.
+  /** A built IVF index. `centroids` is driver-side metadata — (id, vector,
+    * norm), bounded by nlist (dozens to thousands), NOT data — so search
+    * never re-derives it from a DataFrame lineage; `lists` is the persisted
+    * AND materialized inverted-list frame (neighbor_id, __cv, __cent_id).
+    *
+    * Materializing at build time is deliberate: a lazily-persisted lists
+    * frame consumed by several search stages makes each of them race to
+    * populate the cache, recomputing the whole assignment lineage with
+    * timing-dependent cost. Build once, pay once, every search reads the
+    * cached blocks (storage-evictable — LRU under memory pressure). */
+  final case class IvfIndex(centroids: Array[(Long, Array[Double], Double)],
+                            lists: DataFrame) {
+    def dim: Int = centroids.head._2.length
+    /** Release the cached lists blocks when the index is done with. */
+    def unpersist(): Unit = { lists.unpersist(); () }
+  }
+
+  /** Collect a bounded centroid frame (__cent_id, __cent) into the
+    * driver-side (id, vector, norm) form — index METADATA, not data. */
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Double], Double)] =
+    centroids.collect().map { r =>
+      val cid = r.getAs[Number]("__cent_id").longValue()
+      val cv = r.getSeq[Number](r.fieldIndex("__cent")).map(_.doubleValue()).toArray
+      // left-to-right sum matches the Column-form fold exactly
+      (cid, cv, math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x)))
+    }
+
+  /** IVF index: centroid metadata + persisted inverted lists. Centroids =
+    * the first `nlist` corpus vectors by id (deterministic seeding; see
+    * [[ivfIndexKMeans]] for Lloyd refinement — the assignment/probe
+    * machinery is identical either way). Each corpus vector lands in its
+    * nearest centroid's list.
     *
     * IVF economics, measured at 20k vectors / 64 lists: building the index
     * costs corpus x nlist similarity evaluations — MORE than brute-forcing
     * a handful of queries (10 queries = corpus x 10). The index pays off
-    * when it is built ONCE (persist the returned frames) and queried many
-    * times, or when the query set is large relative to nlist.
-    */
+    * because it is built ONCE (the returned lists are persisted and
+    * materialized here) and queried many times. */
   def ivfIndex(corpus: DataFrame, nlist: Int, idCol: String = "vec_id",
-               vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    val centroids = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent"))
+               vecCol: String = "embedding"): IvfIndex = {
+    val cents = collectCentroids(corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent")))
+    require(cents.nonEmpty, "ivfIndex: empty corpus")
+    buildLists(corpus, cents, idCol, vecCol)
+  }
+
+  private def buildLists(corpus: DataFrame, cents: Array[(Long, Array[Double], Double)],
+                         idCol: String, vecCol: String): IvfIndex = {
     val lists = assignToCentroids(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-      centroids, "neighbor_id", "__cv", keep = 1)
-    (centroids, lists)
+      cents, "neighbor_id", "__cv", keep = 1).persist()
+    lists.count() // materialize — see [[IvfIndex]] scaladoc
+    IvfIndex(cents, lists)
   }
 
   /** IVF index with Lloyd-refined centroids: deterministic seeding (first
@@ -182,50 +216,53 @@ object Knn {
     * Balanced lists cut the probe-side scan variance vs raw seeding.
     *
     * Physical shape per round: one assign pass (the codegen'd agg of
-    * [[assignToCentroids]]) + one posexplode/groupBy((list, dim)) average —
-    * both shuffle ids and dims only, never pairwise. Centroid means are
-    * collected per round (bounded nlist x dim — index metadata). Empty
-    * lists keep their previous centroid. */
+    * [[assignToCentroids]]) + one (list, dim)-keyed average — both shuffle
+    * ids and dims only, never pairwise. The per-round means are collected
+    * driver-side (bounded nlist x dim rows — index metadata) and folded
+    * into the centroid array there, so a round is exactly one Spark job
+    * with no join/checkpoint lineage growth. Empty lists keep their
+    * previous centroid. */
   def ivfIndexKMeans(corpus: DataFrame, nlist: Int, iters: Int = 3,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    val spark = corpus.sparkSession
+                     vecCol: String = "embedding"): IvfIndex = {
     val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    var centroids = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent"))
+    var cents = collectCentroids(corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent")))
+    require(cents.nonEmpty, "ivfIndexKMeans: empty corpus")
     for (_ <- 1 to iters) {
-      val assigned = assignToCentroids(vecs, centroids, "neighbor_id", "__cv", keep = 1)
-      val means = assigned
+      val meanRows = assignToCentroids(vecs, cents, "neighbor_id", "__cv", keep = 1)
         .select(col("__cent_id"), posexplode(col("__cv")))
         .toDF("__cent_id", "__d", "__x")
         .groupBy(col("__cent_id"), col("__d"))
         .agg(avg(col("__x").cast("double")).as("__m"))
-        .groupBy(col("__cent_id"))
-        .agg(array_sort(collect_list(struct(col("__d"), col("__m")))).as("__ms"))
-        .select(col("__cent_id"),
-          transform(col("__ms"), m => m.getField("__m").cast("float")).as("__cent"))
-      // empty lists would drop a centroid: keep the previous vector there
-      val prev = centroids.select(col("__cent_id").as("__pid"), col("__cent").as("__pcent"))
-      centroids = prev.join(means, col("__pid") === means("__cent_id"), "left")
-        .select(col("__pid").as("__cent_id"),
-          coalesce(col("__cent"), col("__pcent")).as("__cent"))
-        .localCheckpoint()
+        .collect() // bounded: nlist x dim rows of index metadata
+      val byId = meanRows.groupBy(_.getAs[Number]("__cent_id").longValue())
+      cents = cents.map { case (cid, prev, prevNorm) =>
+        byId.get(cid) match {
+          case Some(rows) =>
+            val v = prev.clone()
+            rows.foreach(r => v(r.getAs[Number]("__d").intValue()) =
+              r.getAs[Number]("__m").doubleValue())
+            (cid, v, math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x)))
+          case None => (cid, prev, prevNorm) // empty list: keep the centroid
+        }
+      }
     }
-    val lists = assignToCentroids(vecs, centroids, "neighbor_id", "__cv", keep = 1)
-    (centroids, lists)
+    buildLists(corpus, cents, idCol, vecCol)
   }
 
   /** Nearest-`keep` centroids per row, as added `__cent_id` rows.
     *
-    * The centroid set is bounded by nlist (dozens), so it is collected once
-    * (driver-side, index metadata — not data) and its vectors become small
-    * array literals. The dot products against ALL centroids then compute in
-    * ONE codegen'd hash aggregation over the posexploded vectors — the
-    * [[withSrpBucket]] pattern: nlist+1 small `sum` aggregates, map-side
-    * partial agg, one shuffle keyed on the row id. The nearest centroid is
-    * a pure argmax via array_max over (sim, -id) structs (keep=1, the
-    * corpus-side 100 TB input — no per-row sort-shuffle window); keep>1
-    * (the query side) sorts the nlist-length array per row.
+    * The centroid set arrives as the bounded driver-side array (index
+    * metadata, collected ONCE at build — never re-derived here) and its
+    * vectors become small array literals. The dot products against ALL
+    * centroids then compute in ONE codegen'd hash aggregation over the
+    * posexploded vectors — the [[withSrpBucket]] pattern: nlist+1 small
+    * `sum` aggregates, map-side partial agg, one shuffle keyed on the row
+    * id. The nearest centroid is a pure argmax via array_max over
+    * (sim, -id) structs (keep=1, the corpus-side 100 TB input — no per-row
+    * sort-shuffle window); keep>1 (the query side) sorts the nlist-length
+    * array per row.
     *
     * Rows whose vector is null or empty posexplode to nothing and are
     * EXCLUDED from the assignment (they have no meaningful centroid) —
@@ -237,15 +274,9 @@ object Knn {
     * dim=64, nlist=16. Keep per-expression trees small and let the agg do
     * the fan-out.)
     */
-  private def assignToCentroids(df: DataFrame, centroids: DataFrame,
+  private def assignToCentroids(df: DataFrame,
+                                cents: Array[(Long, Array[Double], Double)],
                                 id: String, vec: String, keep: Int): DataFrame = {
-    val cents: Array[(Long, Array[Double], Double)] =
-      centroids.collect().map { r =>
-        val cid = r.getAs[Number]("__cent_id").longValue()
-        val cv = r.getSeq[Number](r.fieldIndex("__cent")).map(_.doubleValue()).toArray
-        // left-to-right sum matches the Column-form fold exactly
-        (cid, cv, math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x)))
-      }
     require(cents.nonEmpty, "assignToCentroids: empty centroid set")
     val exploded = df.select(col(id).as("__aid"), posexplode(col(vec)))
       .toDF("__aid", "__d", "__x")
@@ -273,17 +304,19 @@ object Knn {
   }
 
   /** Search a pre-built IVF index: each query probes its `nprobe` nearest
-    * lists, scanning ~nprobe/nlist of the corpus. */
-  def ivfSearch(index: (DataFrame, DataFrame), queries: DataFrame, k: Int,
+    * lists, scanning ~nprobe/nlist of the corpus. Pure plan construction —
+    * the centroid metadata is already driver-side and the lists are already
+    * cached, so search launches no extra jobs of its own. `nprobe = nlist`
+    * probes every list and reproduces brute force exactly. */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int,
                 nprobe: Int, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
-    val (centroids, lists) = index
-    val dim = staticDim(centroids, "__cent")
+    val dim = index.dim
     val probes = assignToCentroids(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
-      centroids, "query_id", "__qv", keep = nprobe)
+      index.centroids, "query_id", "__qv", keep = nprobe)
       .withColumn("__qn", normN(col("__qv"), dim))
-    val scored = lists
+    val scored = index.lists
       .withColumn("__cn", normN(col("__cv"), dim))
       .join(broadcast(probes), Seq("__cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))

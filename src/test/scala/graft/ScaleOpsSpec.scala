@@ -65,11 +65,11 @@ class IvfSpec extends SparkSpec {
       base(c * 2) = 10f + (i % 5) * 0.1f
       (i, base)
     }.toDF("vec_id", "embedding")
-    val (centroids, lists) = Knn.ivfIndexKMeans(vecs, nlist = 4, iters = 3)
-    assert(centroids.count() == 4)
-    assert(lists.count() == 40)
+    val index = Knn.ivfIndexKMeans(vecs, nlist = 4, iters = 3)
+    assert(index.centroids.length == 4)
+    assert(index.lists.count() == 40)
     // members of one cluster share a list (centroids converge to the axes)
-    val byCluster = lists.withColumn("cluster", col("neighbor_id") % 4)
+    val byCluster = index.lists.withColumn("cluster", col("neighbor_id") % 4)
       .groupBy("cluster").agg(countDistinct(col("__cent_id")).as("nlists"))
       .collect().map(r => r.getAs[Number]("nlists").longValue())
     assert(byCluster.forall(_ == 1L))
@@ -77,7 +77,7 @@ class IvfSpec extends SparkSpec {
     val queries = vecs.filter(col("vec_id") < 3)
     val exact = Knn.bruteForceTopK(vecs, queries, k = 3)
       .select("query_id", "neighbor_id", "rank").collect().toSet
-    val got = Knn.ivfSearch((centroids, lists), queries, k = 3, nprobe = 4)
+    val got = Knn.ivfSearch(index, queries, k = 3, nprobe = 4)
       .select("query_id", "neighbor_id", "rank").collect().toSet
     assert(got == exact)
   }
