@@ -36,10 +36,15 @@ city_master AS (
   SELECT * FROM read_csv('/root/reference/input_data/city_master.csv', header=true, all_varchar=true, nullstr='NULL', delim=',')
 ),
 aliases AS (
-  SELECT DISTINCT array_to_string(list_transform(string_split(regexp_replace(trim(coalesce(a,'')),'\s+',' ','g'),' '), w -> upper(substr(w,1,1))||lower(substr(w,2))),' ') AS alias, city_name
-  FROM (SELECT city_name, unnest(string_split(coalesce(common_misspellings,''),',')) AS a
-        FROM city_master)
-  WHERE array_to_string(list_transform(string_split(regexp_replace(trim(coalesce(a,'')),'\s+',' ','g'),' '), w -> upper(substr(w,1,1))||lower(substr(w,2))),' ') <> ''
+  -- min(city_name) per alias mirrors the Spark side's groupBy(alias)
+  -- .agg(min(city_name)) tie-break (Clean.scala): an alias listed under two
+  -- cities must resolve identically in both engines
+  SELECT alias, min(city_name) AS city_name FROM (
+    SELECT array_to_string(list_transform(string_split(regexp_replace(trim(coalesce(a,'')),'\s+',' ','g'),' '), w -> upper(substr(w,1,1))||lower(substr(w,2))),' ') AS alias, city_name
+    FROM (SELECT city_name, unnest(string_split(coalesce(common_misspellings,''),',')) AS a
+          FROM city_master))
+  WHERE alias <> ''
+  GROUP BY alias
 ),
 stu_pre AS (
   SELECT *,

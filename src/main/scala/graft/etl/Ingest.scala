@@ -34,7 +34,14 @@ object Ingest {
   }
 
   /** O-2: reject missing/oversized/header-broken files before reading data.
-    * Returns unit or throws — mirrors FileValidationOperator's hard error. */
+    * Returns unit or throws — mirrors FileValidationOperator's hard error.
+    *
+    * Single-line-header assumption: the probe reads exactly one PHYSICAL
+    * line, so an RFC-4180 header with a quoted embedded newline would be
+    * truncated mid-field and rejected here ([[splitCsvLine]] is quote-aware
+    * only within a line). Fine for every known fixture; if such headers
+    * appear, fall back to a spark.read.csv header parse when the probed
+    * line ends inside an unterminated quote. */
   def validateFile(spark: SparkSession, path: String, requiredColumns: Seq[String],
                    maxSizeMb: Int = 25): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

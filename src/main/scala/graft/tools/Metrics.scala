@@ -25,12 +25,17 @@ object Metrics {
     * settled (tests: poll). */
   final class Collector(maxEntries: Int = 100000) extends QueryExecutionListener {
     private val buf = new java.util.concurrent.ConcurrentLinkedQueue[ActionMetric]()
+    // counted alongside the queue: ConcurrentLinkedQueue.size() is O(n), so
+    // checking the cap with it would make every listener callback traverse
+    // the full buffer once it fills — quadratic on the listener bus
+    private val entryCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
     // bounded: a long-lived session (streaming driver) must not grow the
     // buffer without limit — oldest entries are dropped past maxEntries
     private def add(m: ActionMetric): Unit = {
       buf.add(m)
-      while (buf.size() > maxEntries) buf.poll()
+      if (entryCount.incrementAndGet() > maxEntries && buf.poll() != null)
+        entryCount.decrementAndGet()
     }
 
     override def onSuccess(funcName: String, qe: QueryExecution,
@@ -46,10 +51,10 @@ object Metrics {
       add(ActionMetric(funcName, -1L, -1L, failed = true,
         error = String.valueOf(exception.getMessage)))
 
-    def size: Int = buf.size()
+    def size: Int = entryCount.get()
 
     /** Drop all collected entries (e.g. after persisting a snapshot). */
-    def clear(): Unit = buf.clear()
+    def clear(): Unit = { buf.clear(); entryCount.set(0) }
 
     /** All collected metrics as a frame (one row per action). */
     def snapshot(spark: SparkSession): DataFrame = {
