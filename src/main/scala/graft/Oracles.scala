@@ -96,6 +96,57 @@ object Oracles {
        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", round(sim, 6) AS cosine_sim
        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** q61: the FULL MinHash+LSH pipeline replayed in SQL — shingles, 32
+    * portable md5-derived min-hashes (Dedup.portableHash64: first 15 hex
+    * digits of md5("seed:" || v) as a 60-bit integer), 8 band buckets
+    * (seeds 1000+b over the comma-joined signature slice), the same-bucket
+    * candidate self-join, and the exact-Jaccard verification. Mirrors
+    * Dedup.minhashBuckets/minhashNearDups(portable = true) step for step. */
+  private val q61Sql: String = {
+    val numHashes = 32; val bands = 8; val rows = numHashes / bands
+    def ph(expr: String, seed: Int) =
+      s"CAST('0x' || substr(md5('$seed:' || $expr), 1, 15) AS BIGINT)"
+    val mins = (0 until numHashes)
+      .map(i => s"min(${ph("s", i)}) AS h$i").mkString(",\n    ")
+    val bucketSelects = (0 until bands).map { b =>
+      val slice = (b * rows until (b + 1) * rows)
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ',' || ")
+      s"  SELECT doc_id, $b AS band, ${ph(slice, 1000 + b)} AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    array_to_string(list_slice(tk, 3, len(tk)), ' ') AS text
+       |  FROM (SELECT doc_id, ${toksSql("text")} AS tk
+       |        FROM documents WHERE doc_id % 20 = 0)),
+       |tok AS (SELECT doc_id, ${toksSql("text")} AS tk FROM corpus),
+       |shg AS (
+       |  SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |    ELSE list_transform(range(1, len(tk) - 1),
+       |           i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END AS sh
+       |  FROM tok),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM shg),
+       |sig AS (SELECT doc_id, $mins
+       |  FROM ex GROUP BY doc_id),
+       |bk AS (
+       |$bucketSelects),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM bk l JOIN bk r
+       |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+       |ver AS (
+       |  SELECT id_a, id_b,
+       |    CASE WHEN len(list_distinct(list_concat(a.sh, b2.sh))) = 0 THEN 0.0
+       |         ELSE CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)
+       |              / len(list_distinct(list_concat(a.sh, b2.sh))) END AS sim
+       |  FROM cand
+       |  JOIN shg a ON cand.id_a = a.doc_id
+       |  JOIN shg b2 ON cand.id_b = b2.doc_id)
+       |SELECT id_a, id_b, round(sim, 4) AS jaccard_sim
+       |FROM ver WHERE sim >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** The q12 risk-scoring CTE chain, shared with q05. */
   private val riskCtes =
     """lastord AS (
@@ -686,6 +737,9 @@ object Oracles {
 
     // full-probe IVF == brute force, by construction — same oracle as q21
     "q59_knn_ivf_fullprobe" -> bruteForceTopKSql,
+
+    // full MinHash+LSH replay over the portable md5-derived hash family
+    "q61_minhash_portable" -> q61Sql,
 
     // min-label connected components == min reachable id, computed by a
     // recursive reachability CTE over the same q31-style edge set

@@ -676,6 +676,25 @@ object Queries {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
   }
 
+  /** MinHash+LSH near-dedup with the PORTABLE md5-derived hash family —
+    * the full pipeline (shingle -> 32 min-hashes -> 8 band buckets ->
+    * candidate join -> Jaccard verify) replayed value-identically by a
+    * DuckDB oracle, green-hashing the MinHash machinery end-to-end. q22
+    * keeps the faster xxhash64 family for the hot path (rows-only +
+    * measured planted recall); same corpus, same thresholds. */
+  def q61MinhashPortable(s: SparkSession, dir: String): DataFrame = {
+    // a quarter of the corpus (plus planted near-dups): the md5 family is
+    // ~2.5x xxhash64, and the verification value is the same on the subset
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 4 === 0)
+    val planted = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        array_join(slice(TextOps.tokens(col("text")), 3, 100000), " ").as("text"))
+    Dedup.minhashNearDups(docs.unionByName(planted), "doc_id", "text",
+        threshold = 0.5, portable = true)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Connected components over the (already hash-verified) q31 fuzzy-dup
     * edge set — green-hashes the CC operator itself against a DuckDB
     * WITH RECURSIVE min-label oracle, while q45's xxhash64 candidate
@@ -858,6 +877,7 @@ object Queries {
     "q58_neardedup_incremental" -> (q58NearDedupIncremental _),
     "q59_knn_ivf_fullprobe" -> (q59KnnIvfFullProbe _),
     "q60_dedup_cc" -> (q60DedupCc _),
+    "q61_minhash_portable" -> (q61MinhashPortable _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -74,6 +74,17 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shingleArr, s => xxhash64(s, i))))
 
+  /** Portable seeded 60-bit hash: the first 15 hex digits of
+    * md5("seed:" || value) parsed as an integer. Computable bit-identically
+    * in DuckDB (`CAST('0x' || substr(md5('seed:' || v), 1, 15) AS BIGINT)`),
+    * which makes MinHash signatures VALUE-ORACLE-ABLE cross-engine — the
+    * `portable = true` paths below trade xxhash64's speed for that
+    * verifiability (md5 is still vectorized codegen; measured cost on the
+    * bulk signature path is small at 32 hashes). 15 hex digits = 60 bits
+    * keeps the parse inside a signed 64-bit in both engines. */
+  def portableHash64(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 15), 16, 10).cast("long")
+
   /** (id, band, bucket) LSH rows for a corpus — the common substrate of
     * the self-join (within-corpus) and cross-join (incremental) candidate
     * passes.
@@ -86,21 +97,29 @@ object Dedup {
     * slower on 5k docs. The bucket key is a hash of the band's signature
     * slice, so downstream joins shuffle (int, long) keys only. */
   private def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
-                             shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
+                             shingleK: Int, numHashes: Int, bands: Int,
+                             portable: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     // numHashes independent seeded hashes per shingle. A 2-pass derived
     // family (h1 + i*h2 / xor-rotate) was tried and REJECTED: ANSI mode
     // forbids wrapping arithmetic, and measured end-to-end time was
     // identical — hashing is not the bottleneck at this signature width,
     // and independent seeds have the textbook per-band independence.
+    // portable = true swaps xxhash64 for [[portableHash64]] so the whole
+    // signature pipeline replays in DuckDB SQL (band buckets seeded 1000+b,
+    // disjoint from the shingle seeds 0..numHashes-1).
+    def shingleHash(c: Column, i: Int): Column =
+      if (portable) portableHash64(c, i) else xxhash64(c, lit(i))
     val exploded = df.select(col(idCol).as("__id"),
       explode(shingles(col(textCol), shingleK)).as("__sh"))
     val sigs = exploded.groupBy(col("__id"))
-      .agg(min(xxhash64(col("__sh"), lit(0))).as("__h0"),
-        (1 until numHashes).map(i => min(xxhash64(col("__sh"), lit(i))).as(s"__h$i")): _*)
+      .agg(min(shingleHash(col("__sh"), 0)).as("__h0"),
+        (1 until numHashes).map(i => min(shingleHash(col("__sh"), i)).as(s"__h$i")): _*)
     sigs.select(col("__id"),
         posexplode(array((0 until bands).map { b =>
-          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"__h$i")): _*)
+          val slice = (b * rows until (b + 1) * rows).map(i => col(s"__h$i"))
+          if (portable) portableHash64(concat_ws(",", slice: _*), 1000 + b)
+          else xxhash64(slice: _*)
         }: _*)))
       .toDF("__id", "__band", "__bucket")
   }
@@ -113,8 +132,8 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, numHashes: Int = 32,
-                        bands: Int = 8): DataFrame = {
-    val buckets = minhashBuckets(df, idCol, textCol, shingleK, numHashes, bands)
+                        bands: Int = 8, portable: Boolean = false): DataFrame = {
+    val buckets = minhashBuckets(df, idCol, textCol, shingleK, numHashes, bands, portable)
     buckets.as("l").join(buckets.as("r"),
         col("l.__band") === col("r.__band") &&
           col("l.__bucket") === col("r.__bucket") &&
@@ -178,12 +197,13 @@ object Dedup {
     * Output: id_a, id_b, jaccard_sim. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8, shingleK: Int = 3,
-                      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                      numHashes: Int = 32, bands: Int = 8,
+                      portable: Boolean = false): DataFrame = {
     // eagerly local-checkpointed, like [[minhashNearDupsAgainst]]: cands
     // feeds the candidate-id union (twice) and the verify join; without the
     // materialization each consumer re-runs the signature lineage over the
     // corpus (see the scaladoc there for why checkpoint, not persist)
-    val cands = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands)
+    val cands = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands, portable)
       .localCheckpoint()
     val candIds = cands.select(col("id_a").as("__vid"))
       .unionByName(cands.select(col("id_b").as("__vid"))).distinct()
