@@ -7,7 +7,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = Engine.localSession(cpus, "graft-bench")
     // one light warm-up action so the first timed query does not absorb
     // classloading + codegen-compiler startup
@@ -26,7 +26,9 @@ object Bench {
     // a failed query must be distinguishable from a fast one: any failed rep
     // marks the query failed, its reported timing is -1
     def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted; s(s.length / 2)
+      val s = ts.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
     val meds = results.map { case (name, ts) =>
       (name, if (ts.contains(-1.0)) -1.0 else median(ts))

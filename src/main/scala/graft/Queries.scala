@@ -525,14 +525,21 @@ object Queries {
   // k-means one) — the amortization an IVF index exists for. Knn.ivfIndex
   // persists AND materializes the lists at build, so searches are pure plan
   // construction over cached blocks (storage-evictable under pressure).
+  // Entries of stopped sessions are purged on access so a JVM that cycles
+  // sessions (test suites, long-lived drivers) cannot accumulate dead
+  // session graphs behind this static map.
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), Knn.IvfIndex]()
+  private def ivfIndexFor(s: SparkSession, dir: String, kind: String)
+                         (build: => Knn.IvfIndex): Knn.IvfIndex = {
+    ivfCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    ivfCache.computeIfAbsent((s, dir, kind), _ => build)
+  }
   private def ivfSeeded(s: SparkSession, dir: String): Knn.IvfIndex =
-    ivfCache.computeIfAbsent((s, dir, "seed"),
-      _ => Knn.ivfIndex(t(s, dir, "embeddings"), nlist = 16))
+    ivfIndexFor(s, dir, "seed")(Knn.ivfIndex(t(s, dir, "embeddings"), nlist = 16))
   private def ivfKmeans(s: SparkSession, dir: String): Knn.IvfIndex =
-    ivfCache.computeIfAbsent((s, dir, "kmeans"),
-      _ => Knn.ivfIndexKMeans(t(s, dir, "embeddings"), nlist = 16, iters = 2))
+    ivfIndexFor(s, dir, "kmeans")(
+      Knn.ivfIndexKMeans(t(s, dir, "embeddings"), nlist = 16, iters = 2))
 
   /** IVF with Lloyd-refined centroids (k-means) — same search machinery as
     * q36, better-balanced lists. Rows-only (xxhash64-free but the float
@@ -687,9 +694,13 @@ object Queries {
     // ~2.5x xxhash64, and the verification value is the same on the subset
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       .filter(col("doc_id") % 4 === 0)
+    // unbounded tail slice (not a big literal length cap): the oracle uses
+    // list_slice(tk, 3, len(tk)), so both engines must drop exactly the
+    // first two tokens however long the document is
+    val toks = TextOps.tokens(col("text"))
     val planted = docs.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-        array_join(slice(TextOps.tokens(col("text")), 3, 100000), " ").as("text"))
+        array_join(slice(toks, lit(3), greatest(size(toks) - 2, lit(1))), " ").as("text"))
     Dedup.minhashNearDups(docs.unionByName(planted), "doc_id", "text",
         threshold = 0.5, portable = true)
       .orderBy("id_a", "id_b")
@@ -698,7 +709,7 @@ object Queries {
   /** Connected components over the (already hash-verified) q31 fuzzy-dup
     * edge set — green-hashes the CC operator itself against a DuckDB
     * WITH RECURSIVE min-label oracle, while q45's xxhash64 candidate
-    * generation stays rows-only. Restricted to custkey <= 3000 so the
+    * generation stays rows-only. Restricted to custkey <= 1500 so the
     * recursive oracle and the per-round CC jobs stay bounded at bench
     * scale (the component structure — overlapping email/name+phone
     * cliques — is unchanged by the cap). */

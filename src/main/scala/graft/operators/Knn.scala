@@ -194,11 +194,20 @@ object Knn {
     * a handful of queries (10 queries = corpus x 10). The index pays off
     * because it is built ONCE (the returned lists are persisted and
     * materialized here) and queried many times. */
+  /** Centroid seed frame: first `nlist` rows by id with a usable (non-null,
+    * non-empty) vector — a corpus with nullable embeddings must not NPE the
+    * driver-side collect; such rows are likewise excluded from the lists by
+    * [[assignToCentroids]] (see its scaladoc). */
+  private def seedFrame(corpus: DataFrame, nlist: Int, idCol: String,
+                        vecCol: String): DataFrame =
+    corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent"))
+
   def ivfIndex(corpus: DataFrame, nlist: Int, idCol: String = "vec_id",
                vecCol: String = "embedding"): IvfIndex = {
-    val cents = collectCentroids(corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent")))
-    require(cents.nonEmpty, "ivfIndex: empty corpus")
+    val cents = collectCentroids(seedFrame(corpus, nlist, idCol, vecCol))
+    require(cents.nonEmpty, "ivfIndex: no corpus rows with a non-empty vector")
     buildLists(corpus, cents, idCol, vecCol)
   }
 
@@ -226,9 +235,8 @@ object Knn {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): IvfIndex = {
     val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    var cents = collectCentroids(corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent")))
-    require(cents.nonEmpty, "ivfIndexKMeans: empty corpus")
+    var cents = collectCentroids(seedFrame(corpus, nlist, idCol, vecCol))
+    require(cents.nonEmpty, "ivfIndexKMeans: no corpus rows with a non-empty vector")
     for (_ <- 1 to iters) {
       val meanRows = assignToCentroids(vecs, cents, "neighbor_id", "__cv", keep = 1)
         .select(col("__cent_id"), posexplode(col("__cv")))

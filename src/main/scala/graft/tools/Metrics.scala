@@ -53,8 +53,12 @@ object Metrics {
 
     def size: Int = entryCount.get()
 
-    /** Drop all collected entries (e.g. after persisting a snapshot). */
-    def clear(): Unit = { buf.clear(); entryCount.set(0) }
+    /** Drop all collected entries (e.g. after persisting a snapshot).
+      * Drains entry-by-entry so the counter stays consistent with adds
+      * racing on the listener bus (`buf.clear()` + `set(0)` would lose an
+      * add landing between the two and desynchronize the cap forever). */
+    def clear(): Unit =
+      while (buf.poll() != null) entryCount.decrementAndGet()
 
     /** All collected metrics as a frame (one row per action). */
     def snapshot(spark: SparkSession): DataFrame = {

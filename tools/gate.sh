@@ -8,5 +8,15 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 SF=${SF:-/root/testdata/sf0.01}
 OUT=${OUT:-/tmp/graft_gate}
-sbt -batch "runMain graft.Verify $SF $OUT $*" 2>&1 | grep '\[verify\]' || true
+# sbt's exit code must abort the gate (a compile error + stale $OUT would
+# otherwise compare old parquet and report PASS); grep exiting 1 on "no
+# failure lines" must not. Capture first, filter after.
+log=$(mktemp)
+if ! sbt -batch "runMain graft.Verify $SF $OUT $*" >"$log" 2>&1; then
+  tail -30 "$log"; rm -f "$log"
+  echo "gate: sbt/Verify FAILED — aborting before the oracle compare" >&2
+  exit 1
+fi
+grep '\[verify\]' "$log" || true
+rm -f "$log"
 python3 tools/check.py "$SF" "$OUT" "$@"
