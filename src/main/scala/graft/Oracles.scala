@@ -102,10 +102,13 @@ object Oracles {
     * (seeds 1000+b over the comma-joined signature slice), the same-bucket
     * candidate self-join, and the exact-Jaccard verification. Mirrors
     * Dedup.minhashBuckets/minhashNearDups(portable = true) step for step. */
+  /** Dedup.portableHash64 in DuckDB: first 15 hex digits of
+    * md5("seed:" || v) parsed as a 60-bit integer. */
+  private def ph(expr: String, seed: Int) =
+    s"CAST('0x' || substr(md5('$seed:' || $expr), 1, 15) AS BIGINT)"
+
   private val q61Sql: String = {
     val numHashes = 32; val bands = 8; val rows = numHashes / bands
-    def ph(expr: String, seed: Int) =
-      s"CAST('0x' || substr(md5('$seed:' || $expr), 1, 15) AS BIGINT)"
     val mins = (0 until numHashes)
       .map(i => s"min(${ph("s", i)}) AS h$i").mkString(",\n    ")
     val bucketSelects = (0 until bands).map { b =>
@@ -145,6 +148,97 @@ object Oracles {
        |  JOIN shg b2 ON cand.id_b = b2.doc_id)
        |SELECT id_a, id_b, round(sim, 4) AS jaccard_sim
        |FROM ver WHERE sim >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q62: the FULL SimHash pipeline replayed in SQL — portable token hash,
+    * 64 per-bit sign sums, signature assembly, pigeonhole chunk buckets
+    * (maxDist 3 -> 4 chunks x 16 bits), candidate self-join, Hamming
+    * verify. Mirrors Dedup.simhashSigs/simhashNearDups(portable = true)
+    * step for step, including the zero-token -> signature-0 guard
+    * (explode_outer emits one NULL token row; its sign contribution is 0). */
+  private val q62Sql: String = {
+    val sums = (0 until 64).map(b =>
+      s"sum(CASE WHEN t IS NULL THEN 0 WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n    ")
+    val sigExpr = (0 until 64).map(b =>
+      s"(CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val chunkSelects = (0 until 4).map(c =>
+      s"  SELECT doc_id, sig, $c AS chunk, (sig >> ${c * 16}) & 65535 AS ckey FROM sg")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    array_to_string(list_slice(tk, 3, len(tk)), ' ') AS text
+       |  FROM (SELECT doc_id, ${toksSql("text")} AS tk
+       |        FROM documents WHERE doc_id % 25 = 0)),
+       |tok AS (SELECT doc_id, ${toksSql("text")} AS tk FROM corpus),
+       |ex AS (
+       |  SELECT doc_id,
+       |    unnest(CASE WHEN tk IS NULL OR len(tk) = 0 THEN [NULL] ELSE tk END) AS t
+       |  FROM tok),
+       |hs AS (SELECT doc_id, t, ${ph("t", 0)} AS h FROM ex),
+       |bits AS (SELECT doc_id, $sums
+       |  FROM hs GROUP BY doc_id),
+       |sg AS (SELECT doc_id, $sigExpr AS sig FROM bits),
+       |bk AS (
+       |$chunkSelects),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       |    l.sig AS siga, r.sig AS sigb
+       |  FROM bk l JOIN bk r
+       |    ON l.chunk = r.chunk AND l.ckey = r.ckey AND l.doc_id < r.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(siga, sigb)) AS INT) AS hamming
+       |FROM pairs WHERE bit_count(xor(siga, sigb)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q63: portable SRP cosine near-dups replayed in SQL — the planted
+    * float noise (REAL arithmetic: double-add-then-round == IEEE float
+    * add, and DuckDB REAL/REAL is float division, the q30 precedent), the
+    * 8 hyperplane projections as left folds over the portable hash family,
+    * the same-bucket self-join, and fold-form cosine scoring. Mirrors
+    * Knn.srpBucketPortable/cosineNearDupsPortable step for step. */
+  private val q63Sql: String = {
+    val numPlanes = 8
+    def comp(p: Int) =
+      s"(CAST(${ph("CAST(i - 1 AS VARCHAR)", p)} % 2000001 - 1000000 AS DOUBLE) / 1000000.0)"
+    val bucket = (0 until numPlanes).map { p =>
+      val proj = foldSumSql(
+        s"list_transform(range(1, len(e)+1), i -> CAST(e[i] AS DOUBLE) * ${comp(p)})")
+      s"(CASE WHEN $proj > 0 THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("\n      + ")
+    val noise =
+      s"CAST(${ph("CAST(vec_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)", 2000)} % 2001 - 1000 AS REAL) / CAST(20000 AS REAL)"
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 8 = 0),
+       |planted AS (
+       |  -- inner aliases differ from the source columns: DuckDB's lateral
+       |  -- column aliases would otherwise shadow vec_id inside the noise
+       |  -- lambda and key it on the SHIFTED id
+       |  SELECT pid AS vec_id, pemb AS embedding FROM (
+       |    SELECT vec_id + 1000000 AS pid,
+       |      list_transform(range(1, len(embedding)+1),
+       |        i -> CAST(embedding[i] + $noise AS REAL)) AS pemb
+       |    FROM base WHERE vec_id % 40 = 0)),
+       |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+       |b AS (
+       |  SELECT vec_id AS id, embedding AS e FROM corpus),
+       |bn AS (
+       |  SELECT id, e,
+       |    $bucket AS bkt,
+       |    ${normSql("e")} AS nrm
+       |  FROM b),
+       |pairs AS (
+       |  SELECT l.id AS id_a, r.id AS id_b,
+       |    ${dotSql("l.e", "r.e")} AS dp, l.nrm * r.nrm AS np
+       |  FROM bn l JOIN bn r ON l.bkt = r.bkt AND l.id < r.id),
+       |sims AS (
+       |  SELECT id_a, id_b, CASE WHEN np = 0 THEN 0.0 ELSE dp / np END AS sim
+       |  FROM pairs)
+       |SELECT id_a, id_b, round(sim, 6) AS cosine_sim FROM sims
+       |WHERE sim >= 0.9 ORDER BY id_a, id_b""".stripMargin
   }
 
   /** The q12 risk-scoring CTE chain, shared with q05. */
@@ -740,6 +834,12 @@ object Oracles {
 
     // full MinHash+LSH replay over the portable md5-derived hash family
     "q61_minhash_portable" -> q61Sql,
+
+    // full SimHash replay over the portable md5-derived token hash
+    "q62_simhash_portable" -> q62Sql,
+
+    // portable SRP bucketing + fold-form cosine, replayed end to end
+    "q63_cosine_portable" -> q63Sql,
 
     // min-label connected components == min reachable id, computed by a
     // recursive reachability CTE over the same q31-style edge set

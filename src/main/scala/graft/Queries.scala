@@ -706,6 +706,48 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** SimHash near-dedup with the PORTABLE md5-derived token hash — the
+    * whole pipeline (token hash -> 64 sign sums -> pigeonhole chunk
+    * buckets -> Hamming verify) replayed value-identically by a DuckDB
+    * oracle. q23 keeps xxhash64 (rows-only); same corpus and maxDist. */
+  def q62SimhashPortable(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = TextOps.tokens(col("text"))
+    val planted = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        array_join(slice(toks, lit(3), greatest(size(toks) - 2, lit(1))), " ").as("text"))
+    Dedup.simhashNearDups(docs.unionByName(planted), "doc_id", "text",
+        maxDist = 3, portable = true)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dups with the PORTABLE SRP bucket — hyperplanes
+    * from the md5-derived hash family, projections/norms/dots as
+    * deterministic left folds, so a DuckDB oracle replays bucketing AND
+    * scoring value-identically (q24 keeps the bulk agg-based form,
+    * rows-only). Eighth of the corpus plus planted noisy copies (the raw
+    * embeddings are near-orthogonal, max pairwise cosine ~0.39). */
+  def q63CosinePortable(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 8 === 0)
+    // the noise keys on the SOURCE id. Renaming first is load-bearing: in a
+    // single select, Spark's implicit lateral column alias resolution makes
+    // a lambda's col("vec_id") see the freshly aliased (shifted) id, not
+    // the input column — measured, and DuckDB lateral aliases behave the
+    // same way, so both sides use an unambiguous name instead
+    val noise = (x: Column, i: Column) =>
+      x + (pmod(Dedup.portableHash64(
+            concat(col("src_id").cast("string"), lit(":"), i.cast("string")), 2000),
+          lit(2001L)) - 1000L).cast("float") / lit(20000.0f)
+    val planted = emb.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("src_id"), col("embedding"))
+      .select((col("src_id") + lit(1000000L)).as("vec_id"),
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1), noise).as("embedding"))
+    Knn.cosineNearDupsPortable(emb.unionByName(planted), threshold = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Connected components over the (already hash-verified) q31 fuzzy-dup
     * edge set — green-hashes the CC operator itself against a DuckDB
     * WITH RECURSIVE min-label oracle, while q45's xxhash64 candidate
@@ -889,6 +931,8 @@ object Queries {
     "q59_knn_ivf_fullprobe" -> (q59KnnIvfFullProbe _),
     "q60_dedup_cc" -> (q60DedupCc _),
     "q61_minhash_portable" -> (q61MinhashPortable _),
+    "q62_simhash_portable" -> (q62SimhashPortable _),
+    "q63_cosine_portable" -> (q63CosinePortable _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -321,10 +321,12 @@ object Dedup {
     * form [[simhash]] folds 64 interpreted passes over the token hashes —
     * fine per-row, slow in bulk). Docs with zero tokens get signature 0,
     * matching [[simhash]]. Output: (__id, __sig). */
-  private def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private def simhashSigs(df: DataFrame, idCol: String, textCol: String,
+                          portable: Boolean = false): DataFrame = {
     val hashed = df.select(col(idCol).as("__id"),
       explode_outer(TextOps.tokens(col(textCol))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
+      .withColumn("__h",
+        if (portable) portableHash64(col("__t"), 0) else xxhash64(col("__t")))
     // zero-token docs: explode_outer emits __t = null, and xxhash64(null)
     // returns the SEED (42), never null — so the empty-doc guard must key on
     // the token column, not the hash, for signature 0 to match [[simhash]]
@@ -350,10 +352,14 @@ object Dedup {
     * failure; MinHash ([[minhashNearDups]], ~99.9% recall) when Jaccard is
     * the better similarity model for the corpus. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxDist: Int = 3): DataFrame = {
+                      maxDist: Int = 3, portable: Boolean = false): DataFrame = {
     val chunks = maxDist + 1
     val bits = 64 / chunks
-    val withSig = simhashSigs(df, idCol, textCol)
+    // portable = true swaps the token hash for [[portableHash64]] (60
+    // meaningful bits — the top 4 sign sums can never be positive, so the
+    // signature is effectively 60-bit; slightly coarser top chunk, same
+    // algorithm) so the whole pipeline replays in DuckDB SQL
+    val withSig = simhashSigs(df, idCol, textCol, portable)
     val buckets = withSig.select(col("__id"), col("__sig"),
         posexplode(array((0 until chunks).map(c =>
           shiftright(col("__sig"), c * bits)

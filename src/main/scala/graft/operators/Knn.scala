@@ -136,6 +136,47 @@ object Knn {
       col(idCol) === col("__bid")).drop("__bid")
   }
 
+  /** Hyperplane component via the portable hash family
+    * ([[Dedup.portableHash64]]) — replayable in DuckDB SQL. */
+  private def planeComponentPortable(p: Int, d: Column): Column =
+    (pmod(Dedup.portableHash64(d.cast("string"), p), lit(2000001L)) - 1000000L)
+      .cast("double") / 1000000.0
+
+  /** SRP bucket via the portable hash family with deterministic left-fold
+    * projections (a hash-agg sum's addition order is partition-dependent,
+    * so only the fold form can be value-compared cross-engine). Column
+    * form — interpreted; use on bounded subsets where verifiability
+    * matters more than bulk speed ([[withSrpBucket]] remains the hot
+    * path). */
+  def srpBucketPortable(vec: Column, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeComponentPortable(p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SRP-bucketed cosine near-dup pairs with the portable bucket and
+    * deterministic HOF folds end to end — a DuckDB oracle can replay it
+    * value-identically ([[cosineNearDups]] stays the bulk form). */
+  def cosineNearDupsPortable(df: DataFrame, threshold: Double,
+                             numPlanes: Int = 8, idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__b", srpBucketPortable(col("__v"), numPlanes))
+      .withColumn("__n", norm(col("__v")))
+    v.as("l").join(v.as("r"),
+        col("l.__b") === col("r.__b") && col("l.__id") < col("r.__id"))
+      .withColumn("cosine_sim",
+        cosineFrom(dot(col("l.__v"), col("r.__v")), col("l.__n") * col("r.__n")))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        round(col("cosine_sim"), 6).as("cosine_sim"))
+  }
+
   /** Approximate top-k: score only corpus rows whose SRP bucket matches the
     * query's (single-probe). Recall < 1.0 by construction; raise
     * `numPlanes` for smaller buckets or lower it for higher recall.

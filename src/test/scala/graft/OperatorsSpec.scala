@@ -61,6 +61,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("portableHash64 matches its DuckDB replica bit for bit") {
+    // pinned value independently computed in DuckDB via
+    // CAST('0x' || substr(md5('7:the quick brown'), 1, 15) AS BIGINT) —
+    // the cross-engine contract every portable oracle (q61-q63) rests on
+    val got = Seq("the quick brown").toDF("s")
+      .select(Dedup.portableHash64(col("s"), 7)).head().getLong(0)
+    assert(got == 859283159904724978L)
+  }
+
+  test("portable minhash finds the same planted near-dup as the xxhash64 family") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words nothing shared here at all whatsoever ok fine"
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("id", "text")
+    val pairs = Dedup.minhashNearDups(df, "id", "text", threshold = 0.5, portable = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("connected components groups transitive near-dup chains") {
     // chain 1-2, 2-3 and isolated pair 7-9: clusters {1,2,3} and {7,9}
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
