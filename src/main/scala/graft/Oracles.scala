@@ -108,7 +108,7 @@ object Oracles {
     s"CAST('0x' || substr(md5('$seed:' || $expr), 1, 15) AS BIGINT)"
 
   private val q61Sql: String = {
-    val numHashes = 32; val bands = 8; val rows = numHashes / bands
+    val numHashes = 16; val bands = 4; val rows = numHashes / bands
     val mins = (0 until numHashes)
       .map(i => s"min(${ph("s", i)}) AS h$i").mkString(",\n    ")
     val bucketSelects = (0 until bands).map { b =>
@@ -840,6 +840,10 @@ object Oracles {
 
     // portable SRP bucketing + fold-form cosine, replayed end to end
     "q63_cosine_portable" -> q63Sql,
+
+    // full probe over the k-means index == brute force, whatever centroids
+    // Lloyd produced — same oracle as q21/q59
+    "q64_knn_kmeans_fullprobe" -> bruteForceTopKSql,
 
     // min-label connected components == min reachable id, computed by a
     // recursive reachability CTE over the same q31-style edge set

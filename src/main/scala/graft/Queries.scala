@@ -701,8 +701,10 @@ object Queries {
     val planted = docs.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + lit(1000000L)).as("doc_id"),
         array_join(slice(toks, lit(3), greatest(size(toks) - 2, lit(1))), " ").as("text"))
+    // 16 hashes / 4 bands (same 4 rows per band as the default family):
+    // half the md5 volume, identical pipeline shape under verification
     Dedup.minhashNearDups(docs.unionByName(planted), "doc_id", "text",
-        threshold = 0.5, portable = true)
+        threshold = 0.5, numHashes = 16, bands = 4, portable = true)
       .orderBy("id_a", "id_b")
   }
 
@@ -747,6 +749,17 @@ object Queries {
     Knn.cosineNearDupsPortable(emb.unionByName(planted), threshold = 0.9)
       .orderBy("id_a", "id_b")
   }
+
+  /** Full probe over the K-MEANS index (q55's): with nprobe = nlist every
+    * list is scanned, so the result must equal brute force EXACTLY
+    * whatever the Lloyd iterations produced — hash-verifying that the
+    * k-means build yields a complete, non-overlapping partition of the
+    * corpus and that search over it scores correctly. The index is shared
+    * with q55 via the session cache. */
+  def q64KnnKmeansFullProbe(s: SparkSession, dir: String): DataFrame =
+    Knn.ivfSearch(ivfKmeans(s, dir),
+        t(s, dir, "embeddings").filter(col("vec_id") < 10), k = 5, nprobe = 16)
+      .orderBy("query_id", "rank")
 
   /** Connected components over the (already hash-verified) q31 fuzzy-dup
     * edge set — green-hashes the CC operator itself against a DuckDB
@@ -933,6 +946,7 @@ object Queries {
     "q61_minhash_portable" -> (q61MinhashPortable _),
     "q62_simhash_portable" -> (q62SimhashPortable _),
     "q63_cosine_portable" -> (q63CosinePortable _),
+    "q64_knn_kmeans_fullprobe" -> (q64KnnKmeansFullProbe _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
