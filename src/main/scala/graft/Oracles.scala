@@ -96,17 +96,17 @@ object Oracles {
        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", round(sim, 6) AS cosine_sim
        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
-  /** q61: the FULL MinHash+LSH pipeline replayed in SQL — shingles, 32
-    * portable md5-derived min-hashes (Dedup.portableHash64: first 15 hex
-    * digits of md5("seed:" || v) as a 60-bit integer), 8 band buckets
-    * (seeds 1000+b over the comma-joined signature slice), the same-bucket
-    * candidate self-join, and the exact-Jaccard verification. Mirrors
-    * Dedup.minhashBuckets/minhashNearDups(portable = true) step for step. */
   /** Dedup.portableHash64 in DuckDB: first 15 hex digits of
     * md5("seed:" || v) parsed as a 60-bit integer. */
   private def ph(expr: String, seed: Int) =
     s"CAST('0x' || substr(md5('$seed:' || $expr), 1, 15) AS BIGINT)"
 
+  /** q61: the FULL MinHash+LSH pipeline replayed in SQL — shingles,
+    * `numHashes` portable min-hashes, `bands` band buckets (seeds 1000+b
+    * over the comma-joined signature slice), the same-bucket candidate
+    * self-join, and the exact-Jaccard verification. Mirrors
+    * Dedup.minhashBuckets/minhashNearDups(portable = true) step for step
+    * with the same numHashes/bands the query passes. */
   private val q61Sql: String = {
     val numHashes = 16; val bands = 4; val rows = numHashes / bands
     val mins = (0 until numHashes)
@@ -209,8 +209,10 @@ object Oracles {
         s"list_transform(range(1, len(e)+1), i -> CAST(e[i] AS DOUBLE) * ${comp(p)})")
       s"(CASE WHEN $proj > 0 THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("\n      + ")
+    // power-of-two divisor: the quotient is exact in REAL and DOUBLE, so
+    // engine-internal promotion differences cannot shift a single bit
     val noise =
-      s"CAST(${ph("CAST(vec_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)", 2000)} % 2001 - 1000 AS REAL) / CAST(20000 AS REAL)"
+      s"CAST(${ph("CAST(vec_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)", 2000)} % 2001 - 1000 AS REAL) / CAST(16384 AS REAL)"
     s"""WITH base AS (
        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 8 = 0),
        |planted AS (

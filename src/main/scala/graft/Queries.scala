@@ -321,14 +321,26 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Planted near-dup copies: every doc whose id % `modulus` == 0
+    * re-appears at id + `idOffset` with its first 2 tokens dropped. The
+    * tail slice is UNBOUNDED (greatest(size - 2, 1), not a big literal
+    * cap) — the portable oracles replay it as list_slice(tk, 3, len(tk)),
+    * so both engines must agree however long a document is. One copy of
+    * this oracle-critical expression for every planted corpus. */
+  private def plantedTailDocs(docs: DataFrame, modulus: Int,
+                              idOffset: Long = 1000000L): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs.filter(col("doc_id") % modulus === 0)
+      .select((col("doc_id") + lit(idOffset)).as("doc_id"),
+        array_join(slice(toks, lit(3), greatest(size(toks) - 2, lit(1))), " ").as("text"))
+  }
+
   /** MinHash+LSH near-duplicate pairs (xxhash64 signatures — not SQL-
     * expressible, rows-only check). Corpus gets planted near-dups: every
     * 25th doc re-appears with its first 2 tokens dropped. */
   def q22MinhashNearDups(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val planted = docs.filter(col("doc_id") % 25 === 0)
-      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-        array_join(slice(TextOps.tokens(col("text")), 3, 100000), " ").as("text"))
+    val planted = plantedTailDocs(docs, modulus = 25)
     Dedup.minhashNearDups(docs.unionByName(planted), "doc_id", "text",
         threshold = 0.5)
       .orderBy("id_a", "id_b")
@@ -338,9 +350,7 @@ object Queries {
     * xxhash64-based, rows-only check). Same planted corpus as q22. */
   def q23SimhashNearDups(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val planted = docs.filter(col("doc_id") % 25 === 0)
-      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-        array_join(slice(TextOps.tokens(col("text")), 3, 100000), " ").as("text"))
+    val planted = plantedTailDocs(docs, modulus = 25)
     Dedup.simhashNearDups(docs.unionByName(planted), "doc_id", "text", maxDist = 3)
       .orderBy("id_a", "id_b")
   }
@@ -443,9 +453,7 @@ object Queries {
   def q58NearDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val existing = docs.filter(col("doc_id") % 2 === 0)
-    val edited = docs.filter(col("doc_id") % 50 === 0)
-      .select((col("doc_id") + lit(3000000L)).as("doc_id"),
-        array_join(slice(TextOps.tokens(col("text")), 3, 100000), " ").as("text"))
+    val edited = plantedTailDocs(docs, modulus = 50, idOffset = 3000000L)
     val incoming = docs.filter(col("doc_id") % 2 === 1).unionByName(edited)
     Dedup.minhashNearDupsAgainst(incoming, existing, "doc_id", "text",
         threshold = 0.5)
@@ -673,9 +681,7 @@ object Queries {
     * the canonical (min-id) doc per cluster (rows-only: xxhash64-based). */
   def q45DedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val planted = docs.filter(col("doc_id") % 25 === 0)
-      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-        array_join(slice(TextOps.tokens(col("text")), 3, 100000), " ").as("text"))
+    val planted = plantedTailDocs(docs, modulus = 25)
     Dedup.dropNearDuplicates(docs.unionByName(planted), "doc_id", "text",
         threshold = 0.5)
       .groupBy()
@@ -684,23 +690,17 @@ object Queries {
   }
 
   /** MinHash+LSH near-dedup with the PORTABLE md5-derived hash family —
-    * the full pipeline (shingle -> 32 min-hashes -> 8 band buckets ->
+    * the full pipeline (shingle -> 16 min-hashes -> 4 band buckets ->
     * candidate join -> Jaccard verify) replayed value-identically by a
     * DuckDB oracle, green-hashing the MinHash machinery end-to-end. q22
     * keeps the faster xxhash64 family for the hot path (rows-only +
-    * measured planted recall); same corpus, same thresholds. */
+    * measured planted recall); same threshold, quarter corpus. */
   def q61MinhashPortable(s: SparkSession, dir: String): DataFrame = {
     // a quarter of the corpus (plus planted near-dups): the md5 family is
     // ~2.5x xxhash64, and the verification value is the same on the subset
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       .filter(col("doc_id") % 4 === 0)
-    // unbounded tail slice (not a big literal length cap): the oracle uses
-    // list_slice(tk, 3, len(tk)), so both engines must drop exactly the
-    // first two tokens however long the document is
-    val toks = TextOps.tokens(col("text"))
-    val planted = docs.filter(col("doc_id") % 20 === 0)
-      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-        array_join(slice(toks, lit(3), greatest(size(toks) - 2, lit(1))), " ").as("text"))
+    val planted = plantedTailDocs(docs, modulus = 20)
     // 16 hashes / 4 bands (same 4 rows per band as the default family):
     // half the md5 volume, identical pipeline shape under verification
     Dedup.minhashNearDups(docs.unionByName(planted), "doc_id", "text",
@@ -714,10 +714,7 @@ object Queries {
     * oracle. q23 keeps xxhash64 (rows-only); same corpus and maxDist. */
   def q62SimhashPortable(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val toks = TextOps.tokens(col("text"))
-    val planted = docs.filter(col("doc_id") % 25 === 0)
-      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-        array_join(slice(toks, lit(3), greatest(size(toks) - 2, lit(1))), " ").as("text"))
+    val planted = plantedTailDocs(docs, modulus = 25)
     Dedup.simhashNearDups(docs.unionByName(planted), "doc_id", "text",
         maxDist = 3, portable = true)
       .orderBy("id_a", "id_b")
@@ -736,11 +733,16 @@ object Queries {
     // single select, Spark's implicit lateral column alias resolution makes
     // a lambda's col("vec_id") see the freshly aliased (shifted) id, not
     // the input column — measured, and DuckDB lateral aliases behave the
-    // same way, so both sides use an unambiguous name instead
+    // same way, so both sides use an unambiguous name instead.
+    // Float discipline (cross-engine bit-parity, no luck): the divisor is a
+    // POWER OF TWO, so noise = n/16384 with |n| <= 1000 is exact in float
+    // and double alike (no double-rounding hazard in Spark's
+    // divide-as-double), and the final .cast("float") makes the addition a
+    // single-rounded float add — exactly DuckDB's REAL + REAL
     val noise = (x: Column, i: Column) =>
-      x + (pmod(Dedup.portableHash64(
+      (x + (pmod(Dedup.portableHash64(
             concat(col("src_id").cast("string"), lit(":"), i.cast("string")), 2000),
-          lit(2001L)) - 1000L).cast("float") / lit(20000.0f)
+          lit(2001L)) - 1000L).cast("float") / lit(16384.0f)).cast("float")
     val planted = emb.filter(col("vec_id") % 40 === 0)
       .select(col("vec_id").as("src_id"), col("embedding"))
       .select((col("src_id") + lit(1000000L)).as("vec_id"),

@@ -102,20 +102,27 @@ object Knn {
   private def planeComponent(p: Int, d: Column): Column =
     (pmod(xxhash64(lit(p), d), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
 
+  /** Shared fold-form SRP bucket body: sign bits of the per-plane
+    * projections, with the hyperplane component function pluggable
+    * (xxhash64-derived for the hot path, portable md5-derived for the
+    * oracle-replayable path) — one copy of the proj > 0 convention and
+    * fold order that the DuckDB oracle replays step for step. */
+  private def srpBits(vec: Column, numPlanes: Int,
+                      component: (Int, Column) => Column): Column =
+    (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * component(p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
   /** Sign-bit bucket id from `numPlanes` random hyperplanes: bit p is 1 iff
     * dot(vec, plane_p) > 0. Vectors in the same bucket are likely close in
     * angle (classic SRP-LSH). Column form — for bulk bucketing use
     * [[withSrpBucket]] (higher-order functions are interpreted per plane). */
-  def srpBucket(vec: Column, numPlanes: Int): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") * planeComponent(p, d)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def srpBucket(vec: Column, numPlanes: Int): Column =
+    srpBits(vec, numPlanes, planeComponent)
 
   /** Bulk SRP bucketing: posexplode the vectors once and compute every
     * plane projection in ONE codegen'd hash aggregation (map-side partial
@@ -148,16 +155,8 @@ object Knn {
     * form — interpreted; use on bounded subsets where verifiability
     * matters more than bulk speed ([[withSrpBucket]] remains the hot
     * path). */
-  def srpBucketPortable(vec: Column, numPlanes: Int): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") * planeComponentPortable(p, d)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def srpBucketPortable(vec: Column, numPlanes: Int): Column =
+    srpBits(vec, numPlanes, planeComponentPortable)
 
   /** SRP-bucketed cosine near-dup pairs with the portable bucket and
     * deterministic HOF folds end to end — a DuckDB oracle can replay it
