@@ -101,54 +101,123 @@ object Oracles {
   private def ph(expr: String, seed: Int) =
     s"CAST('0x' || substr(md5('$seed:' || $expr), 1, 15) AS BIGINT)"
 
-  /** q61: the FULL MinHash+LSH pipeline replayed in SQL — shingles,
-    * `numHashes` portable min-hashes, `bands` band buckets (seeds 1000+b
-    * over the comma-joined signature slice), the same-bucket candidate
-    * self-join, and the exact-Jaccard verification. Mirrors
-    * Dedup.minhashBuckets/minhashNearDups(portable = true) step for step
-    * with the same numHashes/bands the query passes. */
-  private val q61Sql: String = {
-    val numHashes = 16; val bands = 4; val rows = numHashes / bands
+  /** Planted-near-dup corpus rows in SQL — mirrors Queries.plantedTailDocs
+    * (drop the first 2 tokens, shift the id). */
+  private def plantedSql(fromWhere: String, modulus: Int, idOffset: Long) =
+    s"""SELECT doc_id + $idOffset AS doc_id,
+       |    array_to_string(list_slice(tk, 3, len(tk)), ' ') AS text
+       |  FROM (SELECT doc_id, ${toksSql("text")} AS tk
+       |        FROM $fromWhere AND doc_id % $modulus = 0)""".stripMargin
+
+  /** CTE chain computing k=3 shingles (`{pfx}shg`) and portable LSH rows
+    * (`{pfx}bk`: doc_id, band, bucket) for a corpus CTE — mirrors
+    * Dedup.minhashBuckets(portable = true): `numHashes` md5-derived
+    * min-hashes (seeds 0..n-1), `bands` buckets (seeds 1000+b over the
+    * comma-joined signature slice). One generator for every MinHash
+    * oracle (q61/q65/q66). */
+  private def minhashCtes(corpusCte: String, pfx: String,
+                          numHashes: Int, bands: Int): String = {
+    val rows = numHashes / bands
     val mins = (0 until numHashes)
       .map(i => s"min(${ph("s", i)}) AS h$i").mkString(",\n    ")
     val bucketSelects = (0 until bands).map { b =>
       val slice = (b * rows until (b + 1) * rows)
         .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ',' || ")
-      s"  SELECT doc_id, $b AS band, ${ph(slice, 1000 + b)} AS bucket FROM sig"
+      s"  SELECT doc_id, $b AS band, ${ph(slice, 1000 + b)} AS bucket FROM ${pfx}sig"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH corpus AS (
-       |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
-       |  UNION ALL
-       |  SELECT doc_id + 1000000 AS doc_id,
-       |    array_to_string(list_slice(tk, 3, len(tk)), ' ') AS text
-       |  FROM (SELECT doc_id, ${toksSql("text")} AS tk
-       |        FROM documents WHERE doc_id % 20 = 0)),
-       |tok AS (SELECT doc_id, ${toksSql("text")} AS tk FROM corpus),
-       |shg AS (
+    s"""${pfx}tok AS (SELECT doc_id, ${toksSql("text")} AS tk FROM $corpusCte),
+       |${pfx}shg AS (
        |  SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
        |    ELSE list_transform(range(1, len(tk) - 1),
        |           i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END AS sh
-       |  FROM tok),
-       |ex AS (SELECT doc_id, unnest(sh) AS s FROM shg),
-       |sig AS (SELECT doc_id, $mins
-       |  FROM ex GROUP BY doc_id),
-       |bk AS (
-       |$bucketSelects),
+       |  FROM ${pfx}tok),
+       |${pfx}ex AS (SELECT doc_id, unnest(sh) AS s FROM ${pfx}shg),
+       |${pfx}sig AS (SELECT doc_id, $mins
+       |  FROM ${pfx}ex GROUP BY doc_id),
+       |${pfx}bk AS (
+       |$bucketSelects)""".stripMargin
+  }
+
+  /** Set-semantics Jaccard of two shingle lists (q17 precedent). */
+  private def jaccardSql(a: String, b: String) =
+    s"""CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0
+       |         ELSE CAST(len(list_intersect($a, $b)) AS DOUBLE)
+       |              / len(list_distinct(list_concat($a, $b))) END""".stripMargin
+
+  /** The q61/q65 corpus (quarter of documents + planted tails) and its
+    * verified near-dup pair chain at 16 hashes / 4 bands. */
+  private val q61Chain: String =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  ${plantedSql("documents WHERE doc_id % 4 = 0", 20, 1000000L)}),
+       |${minhashCtes("corpus", "", 16, 4)},
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
        |  FROM bk l JOIN bk r
        |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
        |ver AS (
        |  SELECT id_a, id_b,
-       |    CASE WHEN len(list_distinct(list_concat(a.sh, b2.sh))) = 0 THEN 0.0
-       |         ELSE CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)
-       |              / len(list_distinct(list_concat(a.sh, b2.sh))) END AS sim
+       |    ${jaccardSql("a.sh", "b2.sh")} AS sim
        |  FROM cand
        |  JOIN shg a ON cand.id_a = a.doc_id
-       |  JOIN shg b2 ON cand.id_b = b2.doc_id)
+       |  JOIN shg b2 ON cand.id_b = b2.doc_id),
+       |pairs AS (SELECT id_a, id_b, sim FROM ver WHERE sim >= 0.5)""".stripMargin
+
+  /** q61: the FULL MinHash+LSH pipeline replayed in SQL. Mirrors
+    * Dedup.minhashBuckets/minhashNearDups(portable = true) with the same
+    * 16-hash/4-band family the query passes. */
+  private val q61Sql: String =
+    s"""WITH $q61Chain
        |SELECT id_a, id_b, round(sim, 4) AS jaccard_sim
-       |FROM ver WHERE sim >= 0.5 ORDER BY id_a, id_b""".stripMargin
-  }
+       |FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  /** q65: the whole dropNearDuplicates composition — the q61 pair chain,
+    * then recursive min-label connected components over the verified
+    * pairs, then the keep-min-id anti-join. Mirrors
+    * Dedup.dropNearDuplicates(portable = true) end to end. */
+  private val q65Sql: String =
+    s"""WITH RECURSIVE $q61Chain,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+       |labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |losers AS (SELECT id FROM labels WHERE id <> cluster_id)
+       |SELECT doc_id FROM corpus
+       |WHERE doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q66: incremental near-dedup replay — separate bucket chains for the
+    * existing corpus and the incoming batch, cross-corpus candidate join
+    * only, shingle verification per side. Mirrors
+    * Dedup.minhashNearDupsAgainst(portable = true). */
+  private val q66Sql: String =
+    s"""WITH existing AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 8 = 0),
+       |incoming AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 8 = 4
+       |  UNION ALL
+       |  ${plantedSql("documents WHERE doc_id % 8 = 0", 40, 3000000L)}),
+       |${minhashCtes("existing", "e_", 16, 4)},
+       |${minhashCtes("incoming", "i_", 16, 4)},
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS incoming_id, r.doc_id AS existing_id
+       |  FROM i_bk l JOIN e_bk r
+       |    ON l.band = r.band AND l.bucket = r.bucket),
+       |ver AS (
+       |  SELECT incoming_id, existing_id,
+       |    ${jaccardSql("a.sh", "b2.sh")} AS sim
+       |  FROM cand
+       |  JOIN i_shg a ON cand.incoming_id = a.doc_id
+       |  JOIN e_shg b2 ON cand.existing_id = b2.doc_id)
+       |SELECT incoming_id, existing_id, round(sim, 4) AS jaccard_sim
+       |FROM ver WHERE sim >= 0.5
+       |ORDER BY incoming_id, existing_id""".stripMargin
 
   /** q62: the FULL SimHash pipeline replayed in SQL — portable token hash,
     * 64 per-bit sign sums, signature assembly, pigeonhole chunk buckets
@@ -846,6 +915,12 @@ object Oracles {
     // full probe over the k-means index == brute force, whatever centroids
     // Lloyd produced — same oracle as q21/q59
     "q64_knn_kmeans_fullprobe" -> bruteForceTopKSql,
+
+    // dropNearDuplicates end-to-end: pairs -> recursive CC -> keep min-id
+    "q65_neardedup_e2e_portable" -> q65Sql,
+
+    // incremental (cross-corpus) near-dedup, full replay
+    "q66_neardedup_incr_portable" -> q66Sql,
 
     // min-label connected components == min reachable id, computed by a
     // recursive reachability CTE over the same q31-style edge set

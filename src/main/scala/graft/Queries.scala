@@ -763,6 +763,36 @@ object Queries {
         t(s, dir, "embeddings").filter(col("vec_id") < 10), k = 5, nprobe = 16)
       .orderBy("query_id", "rank")
 
+  /** The FULL near-dedup composition (MinHash pairs -> connected
+    * components -> keep the min-id doc per cluster) on the portable hash
+    * family — the DuckDB oracle replays candidate generation, Jaccard
+    * verification, recursive min-label clustering AND the final anti-join,
+    * hash-verifying `dropNearDuplicates` end-to-end. Output is the kept
+    * doc_id set itself (stronger than q45's count row). */
+  def q65NearDedupE2EPortable(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 4 === 0)
+    val corpus = docs.unionByName(plantedTailDocs(docs, modulus = 20))
+    Dedup.dropNearDuplicates(corpus, "doc_id", "text", threshold = 0.5,
+        numHashes = 16, bands = 4, portable = true)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental near-dedup (the q58 machinery) on the portable hash
+    * family: a batch of incoming docs LSH-matched against an existing
+    * corpus, cross-corpus bucket join only — replayed in full by the
+    * DuckDB oracle, hash-verifying `minhashNearDupsAgainst` end-to-end. */
+  def q66IncrementalPortable(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") % 8 === 0)
+    val incoming = docs.filter(col("doc_id") % 8 === 4)
+      .unionByName(plantedTailDocs(existing, modulus = 40, idOffset = 3000000L))
+    Dedup.minhashNearDupsAgainst(incoming, existing, "doc_id", "text",
+        threshold = 0.5, numHashes = 16, bands = 4, portable = true)
+      .orderBy("incoming_id", "existing_id")
+  }
+
   /** Connected components over the (already hash-verified) q31 fuzzy-dup
     * edge set — green-hashes the CC operator itself against a DuckDB
     * WITH RECURSIVE min-label oracle, while q45's xxhash64 candidate
@@ -949,6 +979,8 @@ object Queries {
     "q62_simhash_portable" -> (q62SimhashPortable _),
     "q63_cosine_portable" -> (q63CosinePortable _),
     "q64_knn_kmeans_fullprobe" -> (q64KnnKmeansFullProbe _),
+    "q65_neardedup_e2e_portable" -> (q65NearDedupE2EPortable _),
+    "q66_neardedup_incr_portable" -> (q66IncrementalPortable _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -156,9 +156,10 @@ object Dedup {
   def minhashNearDupsAgainst(incoming: DataFrame, existing: DataFrame,
                              idCol: String, textCol: String,
                              threshold: Double = 0.8, shingleK: Int = 3,
-                             numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val bNew = minhashBuckets(incoming, idCol, textCol, shingleK, numHashes, bands)
-    val bOld = minhashBuckets(existing, idCol, textCol, shingleK, numHashes, bands)
+                             numHashes: Int = 32, bands: Int = 8,
+                             portable: Boolean = false): DataFrame = {
+    val bNew = minhashBuckets(incoming, idCol, textCol, shingleK, numHashes, bands, portable)
+    val bOld = minhashBuckets(existing, idCol, textCol, shingleK, numHashes, bands, portable)
     // eagerly local-checkpointed: three downstream consumers (the pair join
     // + one semi-join per side) would otherwise each recompute the whole
     // tokenize -> shingle -> 32-hash signature lineage for BOTH corpora —
@@ -293,8 +294,11 @@ object Dedup {
   /** Full near-dedup: drop all but the minimum-id member of every MinHash
     * near-duplicate cluster. */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                         threshold: Double = 0.8): DataFrame = {
-    val pairs = minhashNearDups(df, idCol, textCol, threshold)
+                         threshold: Double = 0.8, shingleK: Int = 3,
+                         numHashes: Int = 32, bands: Int = 8,
+                         portable: Boolean = false): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold, shingleK,
+      numHashes, bands, portable)
     val clusters = connectedComponents(pairs)
     val losers = clusters.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("__loser"))
