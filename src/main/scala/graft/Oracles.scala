@@ -24,9 +24,12 @@ object Oracles {
 
   // --- text-analysis snippets (mirror graft.operators.TextOps exactly) ---
 
-  /** Whitespace tokens with empties dropped. */
+  /** Whitespace tokens with empties dropped. NULL text coalesces to ''
+    * (empty token list), matching Spark's TextOps.tokens — without it a
+    * NULL doc silently vanishes from DuckDB's signature chains while the
+    * Spark side gives it a signature. */
   private def toksSql(t: String): String =
-    s"list_filter(string_split_regex($t, '\\s+'), x -> x <> '')"
+    s"list_filter(string_split_regex(coalesce($t, ''), '\\s+'), x -> x <> '')"
 
   private def tokenCountSql(t: String): String = s"len(${toksSql(t)})"
 
@@ -102,12 +105,15 @@ object Oracles {
     s"CAST('0x' || substr(md5('$seed:' || $expr), 1, 15) AS BIGINT)"
 
   /** Planted-near-dup corpus rows in SQL — mirrors Queries.plantedTailDocs
-    * (drop the first 2 tokens, shift the id). */
-  private def plantedSql(fromWhere: String, modulus: Int, idOffset: Long) =
+    * (drop the first 2 tokens, shift the id). Table and predicate are
+    * separate parameters so the generated WHERE clause is well-formed for
+    * filtered and unfiltered corpora alike. */
+  private def plantedSql(table: String, pred: String, modulus: Int,
+                         idOffset: Long) =
     s"""SELECT doc_id + $idOffset AS doc_id,
        |    array_to_string(list_slice(tk, 3, len(tk)), ' ') AS text
        |  FROM (SELECT doc_id, ${toksSql("text")} AS tk
-       |        FROM $fromWhere AND doc_id % $modulus = 0)""".stripMargin
+       |        FROM $table WHERE ($pred) AND doc_id % $modulus = 0)""".stripMargin
 
   /** CTE chain computing k=3 shingles (`{pfx}shg`) and portable LSH rows
     * (`{pfx}bk`: doc_id, band, bucket) for a corpus CTE — mirrors
@@ -150,7 +156,7 @@ object Oracles {
     s"""corpus AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
        |  UNION ALL
-       |  ${plantedSql("documents WHERE doc_id % 4 = 0", 20, 1000000L)}),
+       |  ${plantedSql("documents", "doc_id % 4 = 0", 20, 1000000L)}),
        |${minhashCtes("corpus", "", 16, 4)},
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -202,7 +208,7 @@ object Oracles {
        |incoming AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 8 = 4
        |  UNION ALL
-       |  ${plantedSql("documents WHERE doc_id % 8 = 0", 40, 3000000L)}),
+       |  ${plantedSql("documents", "doc_id % 8 = 0", 40, 3000000L)}),
        |${minhashCtes("existing", "e_", 16, 4)},
        |${minhashCtes("incoming", "i_", 16, 4)},
        |cand AS (

@@ -696,16 +696,22 @@ object Queries {
     * keeps the faster xxhash64 family for the hot path (rows-only +
     * measured planted recall); same threshold, quarter corpus. */
   def q61MinhashPortable(s: SparkSession, dir: String): DataFrame = {
-    // a quarter of the corpus (plus planted near-dups): the md5 family is
-    // ~2.5x xxhash64, and the verification value is the same on the subset
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      .filter(col("doc_id") % 4 === 0)
-    val planted = plantedTailDocs(docs, modulus = 20)
     // 16 hashes / 4 bands (same 4 rows per band as the default family):
     // half the md5 volume, identical pipeline shape under verification
-    Dedup.minhashNearDups(docs.unionByName(planted), "doc_id", "text",
+    Dedup.minhashNearDups(portableCorpus(s, dir), "doc_id", "text",
         threshold = 0.5, numHashes = 16, bands = 4, portable = true)
       .orderBy("id_a", "id_b")
+  }
+
+  /** The shared q61/q65 verification corpus: a quarter of documents (the
+    * md5 family is ~2.5x xxhash64; the verification value is the same on
+    * the subset) plus planted near-dup tails — ONE Spark definition
+    * mirroring the one `q61Chain` corpus CTE both oracles share, so query
+    * and replay cannot drift apart. */
+  private def portableCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 4 === 0)
+    docs.unionByName(plantedTailDocs(docs, modulus = 20))
   }
 
   /** SimHash near-dedup with the PORTABLE md5-derived token hash — the
@@ -769,15 +775,15 @@ object Queries {
     * verification, recursive min-label clustering AND the final anti-join,
     * hash-verifying `dropNearDuplicates` end-to-end. Output is the kept
     * doc_id set itself (stronger than q45's count row). */
-  def q65NearDedupE2EPortable(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      .filter(col("doc_id") % 4 === 0)
-    val corpus = docs.unionByName(plantedTailDocs(docs, modulus = 20))
-    Dedup.dropNearDuplicates(corpus, "doc_id", "text", threshold = 0.5,
-        numHashes = 16, bands = 4, portable = true)
+  def q65NearDedupE2EPortable(s: SparkSession, dir: String): DataFrame =
+    // maxIter 50: the oracle's recursive CC is exact, so the Spark side
+    // must actually converge (it exits early — shallow clusters pay ~3
+    // rounds regardless of the cap)
+    Dedup.dropNearDuplicates(portableCorpus(s, dir), "doc_id", "text",
+        threshold = 0.5, numHashes = 16, bands = 4, portable = true,
+        maxIter = 50)
       .select(col("doc_id"))
       .orderBy("doc_id")
-  }
 
   /** Incremental near-dedup (the q58 machinery) on the portable hash
     * family: a batch of incoming docs LSH-matched against an existing

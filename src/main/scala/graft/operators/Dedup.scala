@@ -296,10 +296,15 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.8, shingleK: Int = 3,
                          numHashes: Int = 32, bands: Int = 8,
-                         portable: Boolean = false): DataFrame = {
+                         portable: Boolean = false,
+                         maxIter: Int = 10): DataFrame = {
     val pairs = minhashNearDups(df, idCol, textCol, threshold, shingleK,
       numHashes, bands, portable)
-    val clusters = connectedComponents(pairs)
+    // maxIter is exposed because clustering depth is a corpus property:
+    // [[connectedComponents]] exits early on convergence, so a generous
+    // cap costs nothing on shallow duplicate clusters but deep similarity
+    // chains need it for the keep-min semantics to be exact
+    val clusters = connectedComponents(pairs, maxIter)
     val losers = clusters.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("__loser"))
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
