@@ -930,30 +930,38 @@ object Oracles {
 
     // min-label connected components == min reachable id, computed by a
     // recursive reachability CTE over the same q31-style edge set
-    "q60_dedup_cc" ->
-      """WITH RECURSIVE contacts AS (
-        | SELECT c_custkey,
-        |  'u' || CAST(c_custkey % 100 AS VARCHAR) || '@x.com' AS email,
-        |  'n' || CAST(c_custkey % 20 AS VARCHAR) AS name,
-        |  'p' || CAST(c_custkey % 30 AS VARCHAR) AS phone
-        | FROM customer WHERE c_custkey <= 1500),
-        |pairs AS (
-        | SELECT l.c_custkey AS id_a, r.c_custkey AS id_b
-        | FROM contacts l, contacts r
-        | WHERE l.email = r.email AND l.c_custkey < r.c_custkey
-        | UNION
-        | SELECT l.c_custkey, r.c_custkey
-        | FROM contacts l, contacts r
-        | WHERE l.name = r.name AND l.phone = r.phone AND l.c_custkey < r.c_custkey),
-        |edges AS (
-        | SELECT id_a AS src, id_b AS dst FROM pairs
-        | UNION
-        | SELECT id_b, id_a FROM pairs),
-        |reach(id, lbl) AS (
-        | SELECT src, src FROM edges
-        | UNION
-        | SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
-        |SELECT id, min(lbl) AS cluster_id FROM reach
-        |GROUP BY id ORDER BY id""".stripMargin,
+    "q60_dedup_cc" -> ccSql,
+
+    // the pointer-jumping variant must reach the SAME min-label fixpoint
+    "q67_dedup_cc_fast" -> ccSql,
   )
+
+  /** The q60/q67 oracle: recursive reachability over the shared edge set —
+    * min reachable id == the min-label fixpoint both CC algorithms
+    * (plain propagation and pointer-jumping) must produce. */
+  private def ccSql: String =
+    """WITH RECURSIVE contacts AS (
+      | SELECT c_custkey,
+      |  'u' || CAST(c_custkey % 100 AS VARCHAR) || '@x.com' AS email,
+      |  'n' || CAST(c_custkey % 20 AS VARCHAR) AS name,
+      |  'p' || CAST(c_custkey % 30 AS VARCHAR) AS phone
+      | FROM customer WHERE c_custkey <= 1500),
+      |pairs AS (
+      | SELECT l.c_custkey AS id_a, r.c_custkey AS id_b
+      | FROM contacts l, contacts r
+      | WHERE l.email = r.email AND l.c_custkey < r.c_custkey
+      | UNION
+      | SELECT l.c_custkey, r.c_custkey
+      | FROM contacts l, contacts r
+      | WHERE l.name = r.name AND l.phone = r.phone AND l.c_custkey < r.c_custkey),
+      |edges AS (
+      | SELECT id_a AS src, id_b AS dst FROM pairs
+      | UNION
+      | SELECT id_b, id_a FROM pairs),
+      |reach(id, lbl) AS (
+      | SELECT src, src FROM edges
+      | UNION
+      | SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
+      |SELECT id, min(lbl) AS cluster_id FROM reach
+      |GROUP BY id ORDER BY id""".stripMargin
 }

@@ -806,19 +806,27 @@ object Queries {
     * recursive oracle and the per-round CC jobs stay bounded at bench
     * scale (the component structure — overlapping email/name+phone
     * cliques — is unchanged by the cap). */
-  def q60DedupCc(s: SparkSession, dir: String): DataFrame = {
-    // moduli smaller than q31's so the edge set is non-empty from sf0.001's
-    // 150 custkeys up; capped at 1500 so the edge count (and the oracle's
-    // recursive reachability) stays bounded at bench scale
+  /** The q60/q67 edge set — moduli smaller than q31's so it is non-empty
+    * from sf0.001's 150 custkeys up; capped at 1500 so the edge count (and
+    * the oracle's recursive reachability) stays bounded at bench scale. */
+  private def ccEdgeSet(s: SparkSession, dir: String): DataFrame = {
     val contacts = t(s, dir, "customer")
       .filter(col("c_custkey") <= 1500)
       .select(col("c_custkey"),
         concat(lit("u"), col("c_custkey") % 100, lit("@x.com")).as("email"),
         concat(lit("n"), col("c_custkey") % 20).as("name"),
         concat(lit("p"), col("c_custkey") % 30).as("phone"))
-    val pairs = Dedup.fuzzyDuplicatePairs(contacts, "c_custkey", "email", "name", "phone")
-    Dedup.connectedComponents(pairs, maxIter = 20).orderBy("id")
+    Dedup.fuzzyDuplicatePairs(contacts, "c_custkey", "email", "name", "phone")
   }
+
+  def q60DedupCc(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(ccEdgeSet(s, dir), maxIter = 20).orderBy("id")
+
+  /** The pointer-jumping CC variant over the same edge set and oracle as
+    * q60 — both algorithms must produce the identical min-label fixpoint,
+    * so one recursive-reachability oracle hash-verifies both. */
+  def q67DedupCcFast(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponentsFast(ccEdgeSet(s, dir), maxIter = 15).orderBy("id")
 
   /** Deterministic per-customer "tier" version history: a version at each
     * of 1996/1998/2000-01-01 with a derived tier value. */
@@ -987,6 +995,7 @@ object Queries {
     "q64_knn_kmeans_fullprobe" -> (q64KnnKmeansFullProbe _),
     "q65_neardedup_e2e_portable" -> (q65NearDedupE2EPortable _),
     "q66_neardedup_incr_portable" -> (q66IncrementalPortable _),
+    "q67_dedup_cc_fast" -> (q67DedupCcFast _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

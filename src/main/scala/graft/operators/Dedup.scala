@@ -291,6 +291,64 @@ object Dedup {
     labels
   }
 
+  /** Connected components via min-label propagation WITH pointer jumping:
+    * each round every node first takes the min label among itself and its
+    * neighbours (one edge hop, as in [[connectedComponents]]), then
+    * compresses by adopting its label's label — doubling the effective
+    * path length covered per round, so convergence is O(log diameter)
+    * rounds instead of O(diameter). The 100 TB lever for DEEP similarity
+    * chains (docs/SCALE.md): duplicate clusters are usually shallow, but
+    * a 1M-hop chain pays 1M rounds under plain propagation and ~20 here.
+    *
+    * Physical shape per round: the propagation join/agg of the simple
+    * form plus one extra label->label self-join — all id-keyed hash
+    * shuffles, both frames checkpointed so the plan stays flat.
+    * Invariant making the jump sound: a node's label is always the id of
+    * some member of its own component, so label(label(id)) never escapes
+    * the component and never exceeds the current label.
+    * Output contract identical to [[connectedComponents]]. */
+  def connectedComponentsFast(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // hop: min label among self and neighbours
+      val prop = labels
+        .join(edges
+            .join(labels, edges("dst") === labels("id"))
+            .groupBy(col("src")).agg(min(col("cluster_id")).as("__nmin")),
+          labels("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
+            .as("cluster_id"),
+          col("cluster_id").as("__old"))
+        .localCheckpoint()
+      // jump: adopt label(label(id)) — path doubling
+      val lbl = prop.select(col("id").as("__lid"), col("cluster_id").as("__llbl"))
+      val jumped = prop.join(lbl, prop("cluster_id") === col("__lid"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__llbl"), col("cluster_id")))
+            .as("cluster_id"),
+          (least(col("cluster_id"), coalesce(col("__llbl"), col("cluster_id")))
+            < col("__old")).as("__changed"))
+        .localCheckpoint()
+      val anyChanged = jumped.agg(max(col("__changed"))).first()
+      converged = anyChanged.isNullAt(0) || !anyChanged.getBoolean(0)
+      labels = jumped.drop("__changed")
+      iter += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponentsFast: NOT converged after $maxIter rounds — " +
+          "clusters may be split; rerun with a higher maxIter")
+    labels
+  }
+
   /** Full near-dedup: drop all but the minimum-id member of every MinHash
     * near-duplicate cluster. */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,

@@ -88,6 +88,23 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("pointer-jumping CC matches plain propagation and converges in O(log d) rounds") {
+    // a 48-hop path graph: diameter 48, so plain propagation needs ~48
+    // rounds — pointer jumping must label everything 0 within 10
+    val chain = (0L until 48L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponentsFast(chain, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast.size == 49 && fast.values.forall(_ == 0L))
+    // and on a branchy multi-component graph both algorithms agree exactly
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 10L), (10L, 11L), (7L, 9L),
+      (20L, 25L), (25L, 21L), (21L, 26L)).toDF("id_a", "id_b")
+    val slow = Dedup.connectedComponents(pairs, maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast2 = Dedup.connectedComponentsFast(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast2 == slow)
+  }
+
   test("dropNearDuplicates keeps one canonical doc per cluster") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val near = "the quick brown fox jumps over the lazy dog again and again"
