@@ -799,16 +799,12 @@ object Queries {
       .orderBy("incoming_id", "existing_id")
   }
 
-  /** Connected components over the (already hash-verified) q31 fuzzy-dup
-    * edge set — green-hashes the CC operator itself against a DuckDB
-    * WITH RECURSIVE min-label oracle, while q45's xxhash64 candidate
-    * generation stays rows-only. Restricted to custkey <= 1500 so the
-    * recursive oracle and the per-round CC jobs stay bounded at bench
-    * scale (the component structure — overlapping email/name+phone
-    * cliques — is unchanged by the cap). */
-  /** The q60/q67 edge set — moduli smaller than q31's so it is non-empty
-    * from sf0.001's 150 custkeys up; capped at 1500 so the edge count (and
-    * the oracle's recursive reachability) stays bounded at bench scale. */
+  /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
+    * moduli smaller than q31's so it is non-empty from sf0.001's 150
+    * custkeys up; capped at 1500 so the edge count (and the oracle's
+    * recursive reachability) stays bounded at bench scale. The component
+    * structure — overlapping email/name+phone cliques — is unchanged by
+    * the cap. */
   private def ccEdgeSet(s: SparkSession, dir: String): DataFrame = {
     val contacts = t(s, dir, "customer")
       .filter(col("c_custkey") <= 1500)
@@ -819,6 +815,10 @@ object Queries {
     Dedup.fuzzyDuplicatePairs(contacts, "c_custkey", "email", "name", "phone")
   }
 
+  /** Connected components over the deterministic fuzzy-dup edge set —
+    * green-hashes the CC operator itself against a DuckDB WITH RECURSIVE
+    * min-label oracle, while q45's xxhash64 candidate generation stays
+    * rows-only. */
   def q60DedupCc(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(ccEdgeSet(s, dir), maxIter = 20).orderBy("id")
 
@@ -826,7 +826,7 @@ object Queries {
     * q60 — both algorithms must produce the identical min-label fixpoint,
     * so one recursive-reachability oracle hash-verifies both. */
   def q67DedupCcFast(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponentsFast(ccEdgeSet(s, dir), maxIter = 15).orderBy("id")
+    Dedup.connectedComponentsFast(ccEdgeSet(s, dir)).orderBy("id")
 
   /** Deterministic per-customer "tier" version history: a version at each
     * of 1996/1998/2000-01-01 with a derived tier value. */

@@ -255,41 +255,8 @@ object Dedup {
     *
     * @return (id, cluster_id) for every id appearing in `pairs`
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      // change detection is a column computed INSIDE the update join, so
-      // convergence costs one cheap max() scan over the already-checkpointed
-      // frame — not a second join + count job per round
-      val updated = labels
-        .join(edges
-            .join(labels, edges("dst") === labels("id"))
-            .groupBy(col("src")).agg(min(col("cluster_id")).as("__nmin")),
-          labels("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
-            .as("cluster_id"),
-          (coalesce(col("__nmin"), col("cluster_id")) < col("cluster_id"))
-            .as("__changed"))
-        .localCheckpoint()
-      val anyChanged = updated.agg(max(col("__changed"))).first()
-      converged = anyChanged.isNullAt(0) || !anyChanged.getBoolean(0)
-      labels = updated.drop("__changed")
-      iter += 1
-    }
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"connectedComponents: NOT converged after $maxIter rounds — " +
-          "clusters may be split; rerun with a higher maxIter")
-    labels
-  }
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame =
+    ccMinLabel(pairs, maxIter, pointerJump = false, "connectedComponents")
 
   /** Connected components via min-label propagation WITH pointer jumping:
     * each round every node first takes the min label among itself and its
@@ -298,7 +265,9 @@ object Dedup {
     * path length covered per round, so convergence is O(log diameter)
     * rounds instead of O(diameter). The 100 TB lever for DEEP similarity
     * chains (docs/SCALE.md): duplicate clusters are usually shallow, but
-    * a 1M-hop chain pays 1M rounds under plain propagation and ~20 here.
+    * a 1M-hop chain pays 1M rounds under plain propagation and ~20 here
+    * (hence the default maxIter 20 ~ log2(1M); extra rounds after
+    * convergence cost nothing — the loop exits).
     *
     * Physical shape per round: the propagation join/agg of the simple
     * form plus one extra label->label self-join — all id-keyed hash
@@ -307,7 +276,15 @@ object Dedup {
     * some member of its own component, so label(label(id)) never escapes
     * the component and never exceeds the current label.
     * Output contract identical to [[connectedComponents]]. */
-  def connectedComponentsFast(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+  def connectedComponentsFast(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    ccMinLabel(pairs, maxIter, pointerJump = true, "connectedComponentsFast")
+
+  /** One skeleton for both CC variants: symmetrize, init labels to self,
+    * then per round a hop (min label among self and neighbours) and — for
+    * the fast form — a label(label(id)) compression join. One copy of the
+    * hop join and convergence logic so the variants cannot drift. */
+  private def ccMinLabel(pairs: DataFrame, maxIter: Int, pointerJump: Boolean,
+                         name: String): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -317,8 +294,11 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // hop: min label among self and neighbours
-      val prop = labels
+      // hop: min label among self and neighbours. Change detection is a
+      // column computed inside the round's own select, so convergence
+      // costs one cheap max() scan over the already-checkpointed frame —
+      // not a second join + count job per round
+      val hop = labels
         .join(edges
             .join(labels, edges("dst") === labels("id"))
             .groupBy(col("src")).agg(min(col("cluster_id")).as("__nmin")),
@@ -327,24 +307,35 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
             .as("cluster_id"),
           col("cluster_id").as("__old"))
-        .localCheckpoint()
-      // jump: adopt label(label(id)) — path doubling
-      val lbl = prop.select(col("id").as("__lid"), col("cluster_id").as("__llbl"))
-      val jumped = prop.join(lbl, prop("cluster_id") === col("__lid"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("__llbl"), col("cluster_id")))
-            .as("cluster_id"),
-          (least(col("cluster_id"), coalesce(col("__llbl"), col("cluster_id")))
-            < col("__old")).as("__changed"))
-        .localCheckpoint()
-      val anyChanged = jumped.agg(max(col("__changed"))).first()
+      val updated =
+        if (!pointerJump)
+          hop.withColumn("__changed", col("cluster_id") < col("__old"))
+            .drop("__old")
+            .localCheckpoint()
+        else {
+          // jump: adopt label(label(id)) — path doubling. The hop frame is
+          // checkpointed first so the self-join reads it once.
+          val prop = hop.localCheckpoint()
+          val lbl = prop.select(col("id").as("__lid"), col("cluster_id").as("__llbl"))
+          prop.join(lbl, prop("cluster_id") === col("__lid"), "left")
+            .select(col("id"),
+              least(col("cluster_id"), coalesce(col("__llbl"), col("cluster_id")))
+                .as("cluster_id"),
+              // min(a, b) < old  <=>  a < old || b < old — avoids
+              // re-evaluating the least/coalesce tree a second time
+              (col("cluster_id") < col("__old") ||
+                coalesce(col("__llbl"), col("cluster_id")) < col("__old"))
+                .as("__changed"))
+            .localCheckpoint()
+        }
+      val anyChanged = updated.agg(max(col("__changed"))).first()
       converged = anyChanged.isNullAt(0) || !anyChanged.getBoolean(0)
-      labels = jumped.drop("__changed")
+      labels = updated.drop("__changed")
       iter += 1
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"connectedComponentsFast: NOT converged after $maxIter rounds — " +
+        s"$name: NOT converged after $maxIter rounds — " +
           "clusters may be split; rerun with a higher maxIter")
     labels
   }
