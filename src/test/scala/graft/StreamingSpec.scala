@@ -208,6 +208,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus ingestion dedupes each micro-batch against everything ingested") {
+    // the 100 TB ingestion pattern end-to-end: per micro-batch, keep-first
+    // within the batch (markExactDuplicates), then digest-anti-join against
+    // the corpus so far (dropAgainstExisting), then append — composing the
+    // q13/q57 operators inside foreachBatch
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    val path = s"$dir/docs"
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val withinBatch = graft.operators.Dedup.markExactDuplicates(batch, "text", "doc_id")
+          .filter(!col("is_duplicate")).drop("is_duplicate")
+        val fresh = scala.util.Try(batch.sparkSession.read.parquet(path)).toOption
+          .map(corpus => graft.operators.Dedup.dropAgainstExisting(withinBatch, corpus, "text"))
+          .getOrElse(withinBatch)
+        fresh.write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+    try {
+      input.addData((1L, "alpha doc"), (2L, "beta doc"), (3L, "alpha doc"))
+      q.processAllAvailable()
+      input.addData((4L, "beta doc"), (5L, "gamma doc"), (6L, "gamma doc"))
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(path)
+      // 3 dropped within batch 1; 4 dropped vs corpus; 6 dropped within batch 2
+      assert(corpus.select("doc_id").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
   test("staging sink survives a checkpointed restart exactly-once (ST-8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-restart").toString
     val input = MemoryStream[(String, String, String, java.sql.Timestamp)](spark)
