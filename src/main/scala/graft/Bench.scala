@@ -2,8 +2,16 @@ package graft
 object Bench {
   /** Per-query median of `SPARK_GRAFT_BENCH_REPS` (default 3) runs: single
     * measurements on a shared host are ±30%+ noise (docs/NOTES.md), so the
-    * headline numbers are medians and the raw per-rep timings ride along in
-    * "raw" for noise visibility. */
+    * headline numbers are medians.
+    *
+    * The stdout JSON line must stay SHORT: the driver keeps only the last
+    * ~2000 chars of stdout (and sbt appends a `[success]` line after us), so
+    * a long line gets its head — including `"metric":"total"` — truncated
+    * away, which is exactly what happened to BENCH_r03/r04. Hence: per-query
+    * keys are the unique `qNN` prefix (the driver-contract example itself
+    * uses `"q1"`), medians are rounded to 3 decimals, and the full-name
+    * per-rep raw timings are emitted on stderr instead of riding along.
+    */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -30,18 +38,23 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
+    def r3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def short(name: String): String = name.takeWhile(_ != '_')
     val meds = results.map { case (name, ts) =>
       (name, if (ts.contains(-1.0)) -1.0 else median(ts))
     }
-    val qs = meds.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = meds.map { case (k, v) => "\"" + short(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, ts) =>
-      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val failed = meds.collect { case (k, -1.0) => "\"" + k + "\"" }
+    val failed = meds.collect { case (k, -1.0) => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
     val total = meds.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$reps,"raw":$raw,"sf":"$sfDir"}""")
+    // full-name raw reps → stderr (kept out of the driver's stdout tail)
+    val raw = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    System.err.println(s"""{"bench_detail":$raw,"sf":"$sfDir","cpus":$cpus}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
