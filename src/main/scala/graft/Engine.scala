@@ -24,6 +24,10 @@ object Engine {
     .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     // native SQL functions (positional_similarity etc.)
     .config("spark.sql.extensions", classOf[graft.expr.GraftExtensions].getName)
+    // bucketed saveAsTable targets (Sinks.writeBucketedTable) land under
+    // the build dir, never the repo root's default ./spark-warehouse
+    .config("spark.sql.warehouse.dir",
+      new java.io.File("target/spark-warehouse").getAbsolutePath)
 
   /** Local session for tools/tests: `cores` threads, shuffle partitions
     * sized to match (not the 200 default — at local scale extra partitions

@@ -934,6 +934,85 @@ object Oracles {
 
     // the pointer-jumping variant must reach the SAME min-label fixpoint
     "q67_dedup_cc_fast" -> ccSql,
+
+    // linear-counting distinct sketch: replay hash -> bucket -> occupied ->
+    // -m*ln((m-z)/m). The estimate is a deterministic function of the
+    // bucket set; round(...,6) absorbs any last-ulp libm ln() difference
+    "q68_distinct_sketch" ->
+      s"""WITH b AS (
+         | SELECT DISTINCT ${ph("c_name", 7)} % 65536 AS bucket FROM customer)
+         |SELECT 65536 AS m, count(*) AS occupied,
+         | round(-65536 * ln((65536 - count(*)) / 65536.0), 6) AS est_distinct
+         |FROM b""".stripMargin,
+
+    // count-min sketch: counters and min-over-depths estimates are exact
+    // integers, so the whole sketch replays value-identically
+    "q69_cms_heavy_hitters" -> {
+      val ctrSelects = (0 until 4)
+        .map(d => s"  SELECT $d AS d, ${ph("token", 100 + d)} % 1024 AS bucket FROM occ")
+        .mkString("\n  UNION ALL\n")
+      val probeSelects = (0 until 4)
+        .map(d => s"  SELECT token, $d AS d, ${ph("token", 100 + d)} % 1024 AS bucket FROM cand")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH occ AS (
+         | SELECT unnest(${toksSql("lower(text)")}) AS token FROM documents),
+         |ctr AS (
+         | SELECT d, bucket, count(*) AS cnt FROM (
+         |$ctrSelects
+         | ) GROUP BY d, bucket),
+         |cand AS (SELECT DISTINCT token FROM occ),
+         |probe AS (
+         |$probeSelects
+         |)
+         |SELECT token, min(cnt) AS est_freq
+         |FROM probe JOIN ctr USING (d, bucket)
+         |GROUP BY token
+         |ORDER BY est_freq DESC, token ASC LIMIT 30""".stripMargin
+    },
+
+    // ORC round trip: the Spark side aggregates the RE-READ ORC copy; this
+    // aggregates the original parquet — equal hashes prove lossless I/O
+    "q70_orc_roundtrip" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // JSON-lines round trip, same pattern over orders
+    "q71_jsonl_roundtrip" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        | count(DISTINCT strftime(o_orderdate, '%Y-%m-%d')) AS n_days
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    // bloom prefilter: replay bit set + 4-position probe; count of matched
+    // bits = 4 <=> maybe_present (false positives replay identically too)
+    "q72_bloom_prefilter" -> {
+      val bitSelects = (0 until 4)
+        .map(i => s"  SELECT ${ph("dg", 200 + i)} % 65536 AS bit FROM ex")
+        .mkString("\n  UNION ALL\n")
+      val probeSelects = (0 until 4)
+        .map(i => s"  SELECT doc_id, ${ph("dg", 200 + i)} % 65536 AS pos FROM inc")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH ex AS (
+         | SELECT md5(text) AS dg FROM documents WHERE doc_id % 2 = 0),
+         |bits AS (SELECT DISTINCT bit FROM (
+         |$bitSelects
+         |)),
+         |inc AS (
+         | SELECT doc_id, md5(text) AS dg FROM documents WHERE doc_id % 2 = 1
+         | UNION ALL
+         | SELECT doc_id + 2000000, md5(text) FROM documents WHERE doc_id % 10 = 0),
+         |probe AS (
+         |$probeSelects
+         |),
+         |hit AS (
+         | SELECT probe.doc_id, count(bits.bit) AS nbits
+         | FROM probe LEFT JOIN bits ON probe.pos = bits.bit
+         | GROUP BY probe.doc_id)
+         |SELECT doc_id, nbits = 4 AS maybe_present FROM hit ORDER BY doc_id""".stripMargin
+    },
   )
 
   /** The q60/q67 oracle: recursive reachability over the shared edge set —

@@ -828,6 +828,97 @@ object Queries {
   def q67DedupCcFast(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponentsFast(ccEdgeSet(s, dir)).orderBy("id")
 
+  // ------------------------------------------------- sketches & source formats
+
+  /** Linear-counting distinct sketch over customer names, portable hash —
+    * the DuckDB oracle replays hash -> bucket -> occupied-count -> estimate
+    * exactly, green-hashing the sketch pipeline (the estimate itself is a
+    * deterministic function of the bucket set). m = 65536 keeps the load
+    * factor well under 1 at bench scale (15k names). */
+  def q68DistinctSketch(s: SparkSession, dir: String): DataFrame =
+    Sketch.linearCountDistinct(t(s, dir, "customer"), "c_name",
+      m = 65536, seed = 7, portable = true)
+
+  /** Count-min heavy hitters over the document token stream (portable
+    * hash): 4x1024 counters, top-30 tokens by estimated frequency. The
+    * counters and estimates are exact integers, so the DuckDB replay
+    * hash-verifies the whole sketch; q49 is the exact-count twin this
+    * overestimates against. */
+  def q69CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val occ = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+    Sketch.cmsHeavyHitters(occ, "token", k = 30, depth = 4, width = 1024,
+        portable = true)
+      .withColumnRenamed("value", "token")
+  }
+
+  /** Scratch dir for source/sink round-trip queries — under target/ so it
+    * is build-local and gitignored; keyed by sf dir so runs against
+    * different scale factors never collide. */
+  private def rtPath(dir: String, kind: String): String =
+    new java.io.File("target/rt/" + kind + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+
+  /** ORC sink + source round trip: write documents as ORC, read it back,
+    * aggregate — the oracle computes the same aggregate from the original
+    * parquet, so a green hash proves the ORC path preserves values
+    * bit-for-bit. (ORC ships in Spark's core jars; Avro's DataSource does
+    * not in this environment, so ORC/JSON/CSV/parquet is the format
+    * surface.) */
+  def q70OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = rtPath(dir, "orc")
+    t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      .coalesce(4).write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang", "source")
+  }
+
+  /** JSON-lines sink + source round trip over orders (the interchange
+    * format most LLM-corpus pipelines ingest). Long/string/date-string
+    * columns only: JSON has no timestamp type, so the date goes through an
+    * explicit yyyy-MM-dd string — schema inference on read must still
+    * reproduce every value exactly for the oracle hash to match. */
+  def q71JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = rtPath(dir, "jsonl")
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .coalesce(4).write.mode("overwrite").json(path)
+    s.read.json(path)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        countDistinct(col("o_date")).as("n_days"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** Bloom-filter membership pre-filter on the q57 incremental-dedup
+    * corpus split: the existing corpus's digest set becomes a 64 Ki-bit
+    * bloom filter; every incoming row is flagged maybe-present (must go to
+    * the digest anti-join) or definitely-new (skips the shuffle). Exact
+    * copies MUST flag true (no false negatives); the oracle replays the
+    * bit set and probes in SQL, false positives and all. */
+  def q72BloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("__dg"))
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
+      .select(col("doc_id"), md5(col("text")).as("__dg"))
+    val bits = Sketch.bloomBits(existing, "__dg", mBits = 1 << 16,
+      numHashes = 4, portable = true)
+    Sketch.bloomProbe(incoming, "__dg", bits, mBits = 1 << 16,
+        numHashes = 4, portable = true)
+      .select(col("doc_id"), col("maybe_present"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic per-customer "tier" version history: a version at each
     * of 1996/1998/2000-01-01 with a derived tier value. */
   private def tierVersions(s: SparkSession, dir: String): DataFrame =
@@ -996,6 +1087,11 @@ object Queries {
     "q65_neardedup_e2e_portable" -> (q65NearDedupE2EPortable _),
     "q66_neardedup_incr_portable" -> (q66IncrementalPortable _),
     "q67_dedup_cc_fast" -> (q67DedupCcFast _),
+    "q68_distinct_sketch" -> (q68DistinctSketch _),
+    "q69_cms_heavy_hitters" -> (q69CmsHeavyHitters _),
+    "q70_orc_roundtrip" -> (q70OrcRoundtrip _),
+    "q71_jsonl_roundtrip" -> (q71JsonlRoundtrip _),
+    "q72_bloom_prefilter" -> (q72BloomPrefilter _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic sketches for corpus-scale profiling: linear-counting
+  * distinct estimation, count-min frequency estimation (heavy hitters), and
+  * a Bloom-filter membership pre-filter.
+  *
+  * Why sketches at 100 TB: the exact forms (`countDistinct`, full token
+  * `groupBy`, digest anti-join) shuffle data proportional to the NUMBER OF
+  * DISTINCT VALUES; the sketch forms shuffle data bounded by the FIXED
+  * sketch size (m buckets / d*w counters / m bits), independent of corpus
+  * size, because partial aggregation collapses each executor's contribution
+  * to at most one row per sketch cell before the exchange. That turns a
+  * "count distinct user-ids over 100 TB" from a terabyte shuffle into a
+  * megabyte one, at a quantified accuracy cost.
+  *
+  * Every operator takes a `portable` flag: `false` (default) hashes with
+  * codegen'd xxhash64 (fastest); `true` uses [[Dedup.portableHash64]]'s
+  * md5-derived 60-bit family, which DuckDB can replay bit-identically — the
+  * registered verification queries run portable so the whole sketch
+  * pipeline is value-oracled cross-engine (sketch cells are exact integers:
+  * same hashes => same buckets => same counters => same estimates).
+  *
+  * All hash inputs go through an explicit string cast so Spark and any
+  * replaying engine hash the same bytes regardless of the column's type.
+  */
+object Sketch {
+
+  private def hash(c: Column, seed: Int, portable: Boolean): Column =
+    if (portable) Dedup.portableHash64(c.cast("string"), seed)
+    else xxhash64(c.cast("string"), lit(seed))
+
+  /** Linear-counting distinct estimate (Whang/Vander-Zanden/Taylor 1990):
+    * hash every value into one of `m` buckets, count occupied buckets `z`,
+    * estimate distinct = -m * ln((m - z) / m).
+    *
+    * Physical shape: one hash-aggregate over bucket ids in [0, m) — the
+    * map side emits at most `m` rows per partition however many input rows
+    * it saw, so the exchange carries O(m * partitions) ints, never the
+    * values themselves (exact `countDistinct` shuffles every distinct
+    * value). Standard error ~ sqrt(m*(exp(n/m)-1-n/m))/n; size m for the
+    * expected cardinality (load factor n/m <= ~1 keeps it in low percents).
+    *
+    * Output: one row (m, occupied, est_distinct); est_distinct is NULL when
+    * every bucket is occupied (estimator saturated — grow m). */
+  def linearCountDistinct(df: DataFrame, valueCol: String, m: Int = 4096,
+                          seed: Int = 7, portable: Boolean = false): DataFrame = {
+    val occupied = df
+      .select(pmod(hash(col(valueCol), seed, portable), lit(m.toLong)).as("__bucket"))
+      .agg(countDistinct(col("__bucket")).as("occupied"))
+    occupied.select(
+      lit(m).as("m"),
+      col("occupied"),
+      when(col("occupied") < m,
+          round(lit(-m.toDouble) * log((lit(m) - col("occupied")) / m.toDouble), 6))
+        .as("est_distinct"))
+  }
+
+  /** Count-min sketch counters (Cormode/Muthukrishnan 2005) for a value
+    * column: `depth` independent hash rows of `width` counters; cell
+    * (d, h_d(v) % width) accumulates the count of v's occurrences.
+    *
+    * One posexplode (depth rows per occurrence) + one hash-aggregate on
+    * (depth, bucket) — map-side combine caps the exchange at
+    * depth * width rows per partition. Output: (depth, bucket, cnt). */
+  def cmsCounters(occurrences: DataFrame, valueCol: String, depth: Int = 4,
+                  width: Int = 1024, portable: Boolean = false): DataFrame =
+    occurrences
+      .select(posexplode(array((0 until depth).map(d =>
+        pmod(hash(col(valueCol), 100 + d, portable), lit(width.toLong))): _*)))
+      .toDF("depth", "bucket")
+      .groupBy(col("depth"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Heavy hitters via count-min: estimated frequency of each candidate
+    * value is min over the `depth` rows of its counter cell — an
+    * overestimate by at most the collision mass (eps = e/width of total
+    * occurrences with probability 1 - exp(-depth)); never an underestimate.
+    *
+    * `candidates` defaults to the distinct values of the corpus itself
+    * (fine at verification scale); at 100 TB pass an explicit candidate
+    * frame (e.g. last hour's trending keys) — the sketch's point is that
+    * the counters are already built and each probe is O(depth) lookups, so
+    * frequency queries never rescan the corpus.
+    *
+    * Output: (value, est_freq) top `k` by (est_freq desc, value asc). */
+  def cmsHeavyHitters(occurrences: DataFrame, valueCol: String, k: Int = 30,
+                      depth: Int = 4, width: Int = 1024,
+                      portable: Boolean = false,
+                      candidates: Option[DataFrame] = None): DataFrame = {
+    val counters = cmsCounters(occurrences, valueCol, depth, width, portable)
+    val cand = candidates.getOrElse(occurrences.select(col(valueCol)).distinct())
+    cand
+      .select(col(valueCol).as("value"),
+        posexplode(array((0 until depth).map(d =>
+          pmod(hash(col(valueCol), 100 + d, portable), lit(width.toLong))): _*)))
+      .toDF("value", "depth", "bucket")
+      .join(counters, Seq("depth", "bucket"))
+      .groupBy(col("value"))
+      .agg(min(col("cnt")).as("est_freq"))
+      .orderBy(col("est_freq").desc, col("value").asc)
+      .limit(k)
+  }
+
+  /** Bloom-filter bit set of a value column: `numHashes` seeded hashes per
+    * value, each setting bit h % mBits. Represented relationally as the
+    * DISTINCT set-bit positions — at most mBits rows of one long each, so
+    * the filter for a billion-row corpus is still bounded by its bit width.
+    * Output: (bit) distinct. */
+  def bloomBits(df: DataFrame, valueCol: String, mBits: Int = 1 << 16,
+                numHashes: Int = 4, portable: Boolean = false): DataFrame =
+    df.select(explode(array((0 until numHashes).map(i =>
+        pmod(hash(col(valueCol), 200 + i, portable), lit(mBits.toLong))): _*))
+        .as("bit"))
+      .distinct()
+
+  /** Bloom membership probe: a probe value "may be present" iff ALL its
+    * `numHashes` bits are set (classic no-false-negative / bounded-false-
+    * positive contract, FPR ~ (1 - exp(-k*n/m))^k).
+    *
+    * The 100 TB role is JOIN PRE-FILTERING for incremental dedup
+    * ([[Dedup.dropAgainstExisting]]): the bit set is megabytes and
+    * broadcast-joinable, so the incoming batch drops its definitely-new
+    * rows BEFORE the digest anti-join ever shuffles them — the anti-join
+    * then runs only on the maybe-dup sliver.
+    *
+    * Output: probe rows + boolean `maybe_present`. */
+  def bloomProbe(probe: DataFrame, valueCol: String, bits: DataFrame,
+                 mBits: Int = 1 << 16, numHashes: Int = 4,
+                 portable: Boolean = false): DataFrame = {
+    val marked = bits.withColumn("__set", lit(1))
+    probe
+      .withColumn("__pos", explode(array((0 until numHashes).map(i =>
+        pmod(hash(col(valueCol), 200 + i, portable), lit(mBits.toLong))): _*)))
+      .join(marked, col("__pos") === col("bit"), "left")
+      .groupBy(probe.columns.map(col): _*)
+      .agg((sum(coalesce(col("__set"), lit(0))) === numHashes).as("maybe_present"))
+  }
+}

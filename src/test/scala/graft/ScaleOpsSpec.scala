@@ -107,3 +107,86 @@ class SinksSpec extends SparkSpec {
     assert(after.filter(col("date_key") =!= 20240103).count() == 80)
   }
 }
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sketch
+
+  // 1000 distinct values, each appearing 1-3 times
+  private val values = (1 to 1000).flatMap(i => Seq.fill(1 + i % 3)(s"val-$i"))
+    .toDF("v")
+
+  test("linear counting estimates distinct count within a few percent") {
+    for (portable <- Seq(false, true)) {
+      val r = Sketch.linearCountDistinct(values, "v", m = 4096,
+        portable = portable).collect().head
+      assert(r.getAs[Long]("occupied") <= 1000)
+      val est = r.getAs[Double]("est_distinct")
+      assert(math.abs(est - 1000) / 1000.0 < 0.05,
+        s"estimate $est too far from 1000 (portable=$portable)")
+    }
+  }
+
+  test("linear counting reports saturation as NULL, not infinity") {
+    val r = Sketch.linearCountDistinct(values, "v", m = 4).collect().head
+    assert(r.getAs[Long]("occupied") == 4)
+    assert(r.isNullAt(r.fieldIndex("est_distinct")))
+  }
+
+  test("count-min never underestimates and is exact without collisions") {
+    val trueFreq = values.groupBy("v").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // narrow sketch: collisions certain -> estimate >= truth everywhere
+    val narrow = Sketch.cmsHeavyHitters(values, "v", k = 1000, depth = 4,
+      width = 64).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(narrow.keySet == trueFreq.keySet)
+    assert(narrow.forall { case (v, est) => est >= trueFreq(v) })
+    // wide sketch: 1000 keys in 4x65536 counters -> whp no row has all
+    // four cells collided, so min-over-rows equals the exact count
+    val wide = Sketch.cmsHeavyHitters(values, "v", k = 1000, depth = 4,
+      width = 65536).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == trueFreq)
+  }
+
+  test("bloom filter has no false negatives; false positives stay bounded") {
+    val present = (1 to 1000).map(i => s"val-$i").toDF("v")
+    val absent = (1 to 1000).map(i => s"other-$i").toDF("v")
+    // small filter (4096 bits, ~1 bit per key at k=4) to make false
+    // positives measurable; theoretical FPR ~ (1-exp(-4*1000/4096))^4 ~ 15%
+    val bits = Sketch.bloomBits(present, "v", mBits = 4096, numHashes = 4)
+    val inFlags = Sketch.bloomProbe(present, "v", bits, mBits = 4096,
+      numHashes = 4)
+    assert(inFlags.filter(!col("maybe_present")).count() == 0) // no FN, ever
+    val fp = Sketch.bloomProbe(absent, "v", bits, mBits = 4096, numHashes = 4)
+      .filter(col("maybe_present")).count()
+    assert(fp < 400, s"false-positive count $fp out of theory's ballpark")
+  }
+}
+
+class BucketedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("joining two tables bucketed on the key needs no shuffle") {
+    val facts = (1 to 1000).map(i => (i.toLong % 100, s"f$i")).toDF("k", "a")
+    val dims = (0 to 99).map(i => (i.toLong, s"d$i")).toDF("k", "b")
+    for (tbl <- Seq("bkt_facts", "bkt_dims")) {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      // a previous JVM's managed-table directory survives while the
+      // in-memory catalog does not — creating over the leftover location
+      // throws, so clear it explicitly
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
+    Sinks.writeBucketedTable(facts, "bkt_facts", "k", buckets = 8)
+    Sinks.writeBucketedTable(dims, "bkt_dims", "k", buckets = 8)
+    // co-located: both sides pre-hashed into the same 8 buckets, so the
+    // sort-merge join reads them bucket-by-bucket with ZERO exchanges —
+    // the 100 TB lever for repeated fact/fact joins on a stable key
+    val joined = spark.table("bkt_facts")
+      .join(spark.table("bkt_dims").hint("merge"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() == 1000)
+  }
+}
