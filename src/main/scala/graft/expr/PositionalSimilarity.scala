@@ -73,6 +73,22 @@ object GraftFunctions {
   def positionalSimilarity(a: Column, b: Column): Column =
     shim.column(PositionalSimilarity(shim.expression(a), shim.expression(b)))
 
+  def wordShingles(text: Column, k: Int): Column =
+    shim.column(WordShingles(shim.expression(text), k))
+
+  val wordShinglesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "word_shingles expects (text, k)")
+      val k = children(1) match {
+        case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+        case _ => throw new IllegalArgumentException(
+          "word_shingles: k must be a literal integer")
+      }
+      WordShingles(children.head, k)
+    })
+
   val positionalSimilarityDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("positional_similarity"),
     new ExpressionInfo(classOf[PositionalSimilarity].getName, "positional_similarity"),
@@ -91,7 +107,8 @@ object GraftFunctions {
 
   /** Imperative registration into an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(positionalSimilarityDescriptor, textFingerprintDescriptor).foreach {
+    Seq(positionalSimilarityDescriptor, textFingerprintDescriptor,
+        wordShinglesDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
@@ -101,5 +118,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(GraftFunctions.positionalSimilarityDescriptor)
     extensions.injectFunction(GraftFunctions.textFingerprintDescriptor)
+    extensions.injectFunction(GraftFunctions.wordShinglesDescriptor)
   }
 }

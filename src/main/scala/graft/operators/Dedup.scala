@@ -44,13 +44,13 @@ object Dedup {
     incoming.join(seen, md5(incoming(textCol)) === seen("__digest"), "left_anti")
   }
 
-  /** Word k-shingles of a text column (k consecutive tokens, space-joined). */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = TextOps.tokens(text)
-    when(size(toks) < k, array(array_join(toks, " ")))
-      .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => array_join(slice(toks, i, lit(k)), " ")))
-  }
+  /** Word k-shingles of a text column (k consecutive tokens, space-joined).
+    * Backed by the native [[graft.expr.WordShingles]] expression — the HOF
+    * composition (transform + slice + array_join) runs interpreted and was
+    * ~3 s of q22's 5.5 s at sf0.1; the native kernel is one codegen'd call
+    * per row (ShinglesParitySpec pins the semantics to the HOF form). */
+  def shingles(text: Column, k: Int): Column =
+    graft.expr.GraftFunctions.wordShingles(coalesce(text, lit("")), k)
 
   /** Character n-grams of a text column. */
   def charNgrams(text: Column, n: Int): Column = {
