@@ -106,15 +106,18 @@ object Queries {
       .filter(col("risk_score") > 40)
       .agg(count(lit(1)).as("value"))
       .select(lit("high_risk_customers").as("metric"), col("value"))
-    val negative = t(s, dir, "documents")
-      .filter(lower(col("text")).contains("not"))
-      .agg(count(lit(1)).as("value"))
-      .select(lit("negative_sentiment_docs").as("metric"), col("value"))
-    val lowq = t(s, dir, "documents")
-      .filter(TextOps.qualityScore(col("text")) < 60)
-      .agg(count(lit(1)).as("value"))
-      .select(lit("low_quality_docs").as("metric"), col("value"))
-    risk.unionByName(negative).unionByName(lowq).orderBy("metric")
+    // both document metrics from ONE scan (conditional counts + unpivot),
+    // not one scan per UNION ALL branch
+    val docMetrics = t(s, dir, "documents")
+      .agg(
+        count(when(lower(col("text")).contains("not"), 1)).as("__neg"),
+        count(when(TextOps.textMetrics(col("text"))
+          .getField("quality_score") < 60, 1)).as("__lowq"))
+      .select(explode(array(
+        struct(lit("negative_sentiment_docs").as("metric"), col("__neg").as("value")),
+        struct(lit("low_quality_docs").as("metric"), col("__lowq").as("value")))))
+      .select("col.*")
+    risk.unionByName(docMetrics).orderBy("metric")
   }
 
   /** W-1: windowed top-k per group (rank of customers by spend inside each
@@ -257,22 +260,25 @@ object Queries {
     * / stopword ratios, mean token length, quality score, rolling-hash
     * fingerprint — per document, no shuffle. */
   def q15TextStats(s: SparkSession, dir: String): DataFrame =
+    {
+    val m = TextOps.textMetrics(col("text"))
     t(s, dir, "documents").select(
         col("doc_id"),
-        TextOps.tokenCount(col("text")).as("n_tokens"),
+        m.getField("n_tokens").as("n_tokens"),
         TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
-        TextOps.punctRatio(col("text")).as("punct_ratio"),
-        TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
-        TextOps.meanTokenLength(col("text")).as("mean_token_len"),
-        TextOps.qualityScore(col("text")).as("quality_score"),
+        m.getField("punct_ratio").as("punct_ratio"),
+        m.getField("stopword_ratio").as("stopword_ratio"),
+        m.getField("mean_token_len").as("mean_token_len"),
+        m.getField("quality_score").as("quality_score"),
         TextOps.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
+    }
 
   /** Language-ID heuristic (marker-word argmax) vs the labelled lang. */
   def q16LangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
         col("doc_id"),
-        TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.textMetrics(col("text")).getField("lang").as("lang_pred"),
         col("lang"))
       .orderBy("doc_id")
 
@@ -645,15 +651,16 @@ object Queries {
   /** Composite corpus-curation pipeline: language filter -> quality filter
     * -> PII redaction -> overlapping token-window chunking (the end-to-end
     * shape of a training-data prep job, fully oracle-checkable). */
-  def q42Curation(s: SparkSession, dir: String): DataFrame =
+  def q42Curation(s: SparkSession, dir: String): DataFrame = {
+    val m = TextOps.textMetrics(col("text"))
     t(s, dir, "documents")
-      .filter(TextOps.langId(col("text")) === "en")
-      .filter(TextOps.qualityScore(col("text")) >= 50)
+      .filter(m.getField("lang") === "en" && m.getField("quality_score") >= 50)
       .select(col("doc_id"),
         posexplode(TextOps.chunks(TextOps.redactPii(col("text")), 40, 10)))
       .toDF("doc_id", "chunk_id", "chunk_text")
       .withColumn("n_tokens", TextOps.tokenCount(col("chunk_text")))
       .orderBy("doc_id", "chunk_id")
+  }
 
   /** Pivot/crosstab: daily event counts pivoted by event type (explicit
     * value list so the output schema is static and broadcastable). */

@@ -76,6 +76,20 @@ object GraftFunctions {
   def wordShingles(text: Column, k: Int): Column =
     shim.column(WordShingles(shim.expression(text), k))
 
+  def textMetrics(text: Column): Column =
+    shim.column(TextMetrics(shim.expression(text)))
+
+  def wordChunks(text: Column, chunkSize: Int, overlap: Int): Column =
+    shim.column(WordChunks(shim.expression(text), chunkSize, overlap))
+
+  val textMetricsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("text_metrics"),
+    new ExpressionInfo(classOf[TextMetrics].getName, "text_metrics"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "text_metrics expects 1 argument")
+      TextMetrics(children.head)
+    })
+
   val wordShinglesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("word_shingles"),
     new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
@@ -108,7 +122,7 @@ object GraftFunctions {
   /** Imperative registration into an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(positionalSimilarityDescriptor, textFingerprintDescriptor,
-        wordShinglesDescriptor).foreach {
+        wordShinglesDescriptor, textMetricsDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
@@ -119,5 +133,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(GraftFunctions.positionalSimilarityDescriptor)
     extensions.injectFunction(GraftFunctions.textFingerprintDescriptor)
     extensions.injectFunction(GraftFunctions.wordShinglesDescriptor)
+    extensions.injectFunction(GraftFunctions.textMetricsDescriptor)
   }
 }

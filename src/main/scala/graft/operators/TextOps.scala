@@ -99,20 +99,24 @@ object TextOps {
     when(total === 0, "und").otherwise(chain)
   }
 
+  /** One-pass native metrics struct (n_tokens, punct_ratio,
+    * stopword_ratio, mean_token_len, quality_score, lang) — each field
+    * value-identical to the corresponding Column form here (the parity is
+    * pinned by TextMetricsParitySpec). The Column forms re-split the text
+    * once per metric through interpreted HOFs; this walks it once inside
+    * whole-stage codegen — use it whenever a query needs 2+ metrics. */
+  def textMetrics(text: Column): Column =
+    graft.expr.GraftFunctions.textMetrics(coalesce(text, lit("")))
+
   /** Token-window chunking for training pipelines: overlapping windows of
     * `chunkSize` tokens advancing by (chunkSize - overlap). Short docs yield
     * one chunk; the final window is clamped at the end of the doc. Pure
-    * per-row expression — 1-to-many via explode at the call site. */
+    * per-row expression — 1-to-many via explode at the call site. Backed by
+    * the native [[graft.expr.WordChunks]] kernel (the HOF form it replaced
+    * is kept as the executable spec in TextMetricsParitySpec). */
   def chunks(text: Column, chunkSize: Int, overlap: Int): Column = {
     require(overlap < chunkSize, "overlap must be < chunkSize")
-    val step = chunkSize - overlap
-    val toks = tokens(text)
-    val n = size(toks)
-    // number of windows: 1 + ceil(max(n - chunkSize, 0) / step)
-    val extra = greatest(n - chunkSize, lit(0))
-    val nChunks = lit(1) + ceil(extra.cast("double") / step).cast("int")
-    transform(sequence(lit(0), nChunks - 1),
-      i => array_join(slice(toks, i * step + 1, lit(chunkSize)), " "))
+    graft.expr.GraftFunctions.wordChunks(coalesce(text, lit("")), chunkSize, overlap)
   }
 
   /** PII scrubbing: redact email addresses and 10-12 digit phone-like runs
