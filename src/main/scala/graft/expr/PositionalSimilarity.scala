@@ -76,6 +76,17 @@ object GraftFunctions {
   def wordShingles(text: Column, k: Int): Column =
     shim.column(WordShingles(shim.expression(text), k))
 
+  def wordTokens(text: Column): Column =
+    shim.column(WordTokens(shim.expression(text)))
+
+  val wordTokensDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_tokens"),
+    new ExpressionInfo(classOf[WordTokens].getName, "word_tokens"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "word_tokens expects 1 argument")
+      WordTokens(children.head)
+    })
+
   def textMetrics(text: Column): Column =
     shim.column(TextMetrics(shim.expression(text)))
 
@@ -122,7 +133,8 @@ object GraftFunctions {
   /** Imperative registration into an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(positionalSimilarityDescriptor, textFingerprintDescriptor,
-        wordShinglesDescriptor, textMetricsDescriptor).foreach {
+        wordShinglesDescriptor, textMetricsDescriptor,
+        wordTokensDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
@@ -134,5 +146,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(GraftFunctions.textFingerprintDescriptor)
     extensions.injectFunction(GraftFunctions.wordShinglesDescriptor)
     extensions.injectFunction(GraftFunctions.textMetricsDescriptor)
+    extensions.injectFunction(GraftFunctions.wordTokensDescriptor)
   }
 }

@@ -18,6 +18,16 @@ object ShingleKernel {
     * semantics of the HOF composition it replaces
     * (`transform(sequence(...), i => array_join(slice(toks, i, k), " "))`,
     * [[graft.operators.Dedup.shingles]]'s original form). */
+  /** Whitespace tokens (split + empty filter) as ArrayData — shared by
+    * [[WordTokens]] and callers needing the raw token array. */
+  def tokens(text: UTF8String): ArrayData = {
+    val toks = WS.split(text.toString, -1).filter(_.nonEmpty)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
   def wordShingles(text: UTF8String, k: Int): ArrayData = {
     val toks = WS.split(text.toString, -1).filter(_.nonEmpty)
     if (toks.length < k)
@@ -38,6 +48,30 @@ object ShingleKernel {
     }
     new GenericArrayData(out)
   }
+}
+
+/** Native whitespace tokenizer: the `filter(split(text, "\\s+"), _ != "")`
+  * composition is the engine's most-used text primitive (simhash, CMS,
+  * jaccard, token frequency, stopword ratio all explode or fold it) and
+  * the `filter` HOF runs interpreted. One pass, identical semantics —
+  * including `[]` (not `[""]`) for empty/whitespace-only input. */
+case class WordTokens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_tokens expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_tokens"
+
+  override protected def nullSafeEval(t: Any): Any =
+    ShingleKernel.tokens(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ShingleKernel.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordTokens =
+    copy(child = newChild)
 }
 
 /** Native Catalyst expression for word-shingle generation — the single

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Whitespace tokens (empty strings filtered — split keeps trailing
-    * empties). */
+    * empties). Backed by the native [[graft.expr.WordTokens]] kernel; the
+    * filter-HOF form it replaced is the executable spec in
+    * ShinglesParitySpec. */
   def tokens(text: Column): Column =
-    filter(split(coalesce(text, lit("")), "\\s+"), t => t =!= "")
+    graft.expr.GraftFunctions.wordTokens(coalesce(text, lit("")))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

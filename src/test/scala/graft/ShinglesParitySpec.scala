@@ -50,6 +50,24 @@ class ShinglesParitySpec extends SparkSpec {
     assertParity(inputs, 3)
   }
 
+  test("native tokens == filter(split) tokens") {
+    val edges = Seq(null, "", " ", "\t \n", "one", " a  b\tc ", "é 漢 字",
+      "x" * 100 + " y")
+    val gen = Gen.listOfN(300,
+        Gen.listOf(Gen.oneOf(Gen.alphaNumStr.map(_.take(5)), Gen.const("")))
+          .map(_.mkString(" ")))
+      .pureApply(Gen.Parameters.default, Seed(13L))
+    val rows = (edges ++ gen).toDF("text").select(
+        TextOps.tokens(col("text")).as("native"),
+        filter(split(coalesce(col("text"), lit("")), "\\s+"),
+          t => t =!= "").as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"token mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+    }
+  }
+
   test("word_shingles is SQL-callable and codegen'd") {
     val out = spark.sql(
       "SELECT word_shingles('a b c d', 3) AS s").collect().head.getSeq[String](0)
