@@ -922,6 +922,10 @@ object Oracles {
     // Lloyd produced — same oracle as q21/q59
     "q64_knn_kmeans_fullprobe" -> bruteForceTopKSql,
 
+    // full probe over the incrementally-grown index (build on evens,
+    // ivfAdd odds) == brute force over the whole corpus — same oracle
+    "q73_knn_ivf_incremental" -> bruteForceTopKSql,
+
     // dropNearDuplicates end-to-end: pairs -> recursive CC -> keep min-id
     "q65_neardedup_e2e_portable" -> q65Sql,
 

@@ -581,6 +581,22 @@ object Queries {
         t(s, dir, "embeddings").filter(col("vec_id") < 10), k = 5, nprobe = 16)
       .orderBy("query_id", "rank")
 
+  /** Incrementally-grown IVF index: build on the even vec_ids, ivfAdd the
+    * odd batch, then full-probe — must STILL equal brute force over the
+    * whole corpus (q21's oracle), hash-verifying the incremental ANN
+    * ingestion path end-to-end. */
+  def q73KnnIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val index = ivfIndexFor(s, dir, "incr") {
+      val emb = t(s, dir, "embeddings")
+      Knn.ivfAdd(
+        Knn.ivfIndex(emb.filter(col("vec_id") % 2 === 0), nlist = 16),
+        emb.filter(col("vec_id") % 2 === 1))
+    }
+    Knn.ivfSearch(index,
+        t(s, dir, "embeddings").filter(col("vec_id") < 10), k = 5, nprobe = 16)
+      .orderBy("query_id", "rank")
+  }
+
   /** Hierarchical rollup (region -> nation -> total) over the full join
     * path customer->orders. Spark `rollup` == SQL GROUP BY ROLLUP. */
   def q37Rollup(s: SparkSession, dir: String): DataFrame =
@@ -1099,6 +1115,7 @@ object Queries {
     "q70_orc_roundtrip" -> (q70OrcRoundtrip _),
     "q71_jsonl_roundtrip" -> (q71JsonlRoundtrip _),
     "q72_bloom_prefilter" -> (q72BloomPrefilter _),
+    "q73_knn_ivf_incremental" -> (q73KnnIvfIncremental _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -351,6 +351,30 @@ object Knn {
     df.join(assigned, col(id) === col("__aid")).drop("__aid")
   }
 
+  /** Incremental IVF ingestion: assign a new vector batch to the EXISTING
+    * centroids and append to the inverted lists — the batch-over-batch ANN
+    * shape (the index grows without a rebuild, completing the incremental
+    * family next to [[Dedup.dropAgainstExisting]] /
+    * [[Dedup.minhashNearDupsAgainst]]). Cost is one assignment pass over
+    * the BATCH (batch x nlist dot products), never the indexed corpus.
+    *
+    * The merged lists are persisted and materialized before the old cache
+    * is released, so searches never recompute the old assignment lineage;
+    * after many increments the merged lineage is a deep union — production
+    * pipelines should periodically rewrite the lists to a table (and
+    * refresh centroids via [[ivfIndexKMeans]] as the distribution drifts —
+    * appended vectors do not move centroids here). */
+  def ivfAdd(index: IvfIndex, batch: DataFrame, idCol: String = "vec_id",
+             vecCol: String = "embedding"): IvfIndex = {
+    val newRows = assignToCentroids(
+      batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      index.centroids, "neighbor_id", "__cv", keep = 1)
+    val merged = index.lists.unionByName(newRows).persist()
+    merged.count() // materialize before releasing the old blocks
+    index.unpersist()
+    IvfIndex(index.centroids, merged)
+  }
+
   /** Search a pre-built IVF index: each query probes its `nprobe` nearest
     * lists, scanning ~nprobe/nlist of the corpus. Pure plan construction —
     * the centroid metadata is already driver-side and the lists are already

@@ -114,6 +114,29 @@ object Stream {
       .agg(approx_count_distinct("student_id").as("active_students"))
       .select(col("window.start").as("window_start"), col("active_students"))
 
+  /** Active-distinct per window via the engine's own linear-counting
+    * sketch ([[graft.operators.Sketch.linearCountDistinct]]'s streaming
+    * twin): stage 1 keeps one state row per OCCUPIED BUCKET per window
+    * (bounded by m, not by distinct ids), stage 2 counts occupied buckets
+    * per closed window and applies the -m*ln((m-z)/m) estimator — two
+    * chained watermark-bounded aggregations (Spark 4 multiple stateful
+    * operators, append mode). Same bounded-state argument as
+    * [[activeStudents]]'s HLL, but with the sketch the batch side already
+    * value-oracles, so batch and stream share one estimator. */
+  def activeStudentsSketch(cleaned: DataFrame, m: Int = 4096,
+                           watermark: String = "10 minutes"): DataFrame =
+    cleaned
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "5 minutes", "1 minute"),
+        pmod(xxhash64(col("student_id"), lit(7)), lit(m.toLong)).as("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("occupied"))
+      .select(col("window.start").as("window_start"), col("occupied"),
+        when(col("occupied") < m,
+          round(lit(-m.toDouble) * log((lit(m) - col("occupied")) / m.toDouble), 6))
+          .as("est_active"))
+
   /** ST-3 with explicit state + TTL via flatMapGroupsWithState — the
     * unbounded-dict fix (SURVEY §7.4-4): state for an idle student expires
     * after `ttlMs` of processing time instead of living forever like the

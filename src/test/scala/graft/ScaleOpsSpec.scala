@@ -83,6 +83,27 @@ class IvfSpec extends SparkSpec {
   }
 }
 
+class IvfAddSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incrementally-grown index full-probe equals brute force") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => (math.sin(i * 41.0 + d) * 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val exact = Knn.bruteForceTopK(vecs, queries, k = 4)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val grown = Knn.ivfAdd(
+      Knn.ivfIndex(vecs.filter(col("vec_id") % 3 =!= 0), nlist = 4),
+      vecs.filter(col("vec_id") % 3 === 0))
+    assert(grown.lists.count() == 60) // every vector landed in a list
+    val got = Knn.ivfSearch(grown, queries, k = 4, nprobe = 4)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(got == exact)
+    grown.unpersist()
+  }
+}
+
 class SinksSpec extends SparkSpec {
   import spark.implicits._
 

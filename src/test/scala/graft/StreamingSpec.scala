@@ -97,6 +97,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming linear-count sketch estimates distinct students per window") {
+    val input = MemoryStream[(String, java.sql.Timestamp, String)](spark)
+    val ts = (m: Int, s: Int) => java.sql.Timestamp.valueOf(f"2024-02-01 10:$m%02d:$s%02d")
+    val cleaned = Stream.cleanEvent(
+        input.toDF().toDF("student_id", "event_time", "score"))
+      .withColumn("duration_seconds", lit("60"))
+    val q = Stream.activeStudentsSketch(cleaned, m = 4096)
+      .writeStream.format("memory").queryName("sketch_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 50 distinct students, several events each, inside 10:00-10:01
+      val events = (1 to 50).flatMap(i =>
+        Seq((f"STU$i%03d", ts(0, i % 60), "80"), (f"STU$i%03d", ts(1, i % 60), "90")))
+      input.addData(events)
+      q.processAllAvailable()
+      // push the watermark far ahead to close every window the events touch
+      input.addData(("STU999", ts(40, 0), "50"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT occupied, est_active FROM sketch_test " +
+        "WHERE window_start = timestamp'2024-02-01 10:00:00'").collect()
+      assert(got.length == 1)
+      // 50 ids in 4096 buckets: collisions possible but bounded
+      val occ = got.head.getAs[Long]("occupied")
+      assert(occ >= 45 && occ <= 50, s"occupied $occ")
+      val est = got.head.getAs[Double]("est_active")
+      assert(math.abs(est - 50.0) < 5.0, s"estimate $est")
+    } finally q.stop()
+  }
+
   test("rate-source simulator replays fixture rows with emit-time stamps (ST-1)") {
     val fixture = Seq(("e1", "STU001"), ("e2", "STU002"), ("e3", "STU003"))
       .toDF("event_id", "student_id")
