@@ -44,6 +44,10 @@ object Bench {
     val meds = results.map { case (name, ts) =>
       (name, if (ts.contains(-1.0)) -1.0 else median(ts))
     }
+    // duplicate short keys would silently overwrite each other in the JSON
+    // object — fail fast instead if a registry name ever reuses a qNN prefix
+    require(meds.map(m => short(m._1)).distinct.size == meds.size,
+      "duplicate qNN prefixes in SparkEntry.queries")
     val qs = meds.map { case (k, v) => "\"" + short(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failed = meds.collect { case (k, -1.0) => "\"" + short(k) + "\"" }

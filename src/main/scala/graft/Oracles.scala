@@ -968,8 +968,8 @@ object Oracles {
          |probe AS (
          |$probeSelects
          |)
-         |SELECT token, min(cnt) AS est_freq
-         |FROM probe JOIN ctr USING (d, bucket)
+         |SELECT token, min(coalesce(cnt, 0)) AS est_freq
+         |FROM probe LEFT JOIN ctr USING (d, bucket)
          |GROUP BY token
          |ORDER BY est_freq DESC, token ASC LIMIT 30""".stripMargin
     },

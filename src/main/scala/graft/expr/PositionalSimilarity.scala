@@ -130,22 +130,22 @@ object GraftFunctions {
       TextFingerprint(children.head)
     })
 
+  /** Every registered native function — ONE list consumed by both
+    * registration paths, so a new descriptor cannot reach one and not
+    * the other. */
+  val allDescriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(positionalSimilarityDescriptor, textFingerprintDescriptor,
+      wordShinglesDescriptor, textMetricsDescriptor, wordTokensDescriptor)
+
   /** Imperative registration into an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(positionalSimilarityDescriptor, textFingerprintDescriptor,
-        wordShinglesDescriptor, textMetricsDescriptor,
-        wordTokensDescriptor).foreach {
+    allDescriptors.foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit = {
-    extensions.injectFunction(GraftFunctions.positionalSimilarityDescriptor)
-    extensions.injectFunction(GraftFunctions.textFingerprintDescriptor)
-    extensions.injectFunction(GraftFunctions.wordShinglesDescriptor)
-    extensions.injectFunction(GraftFunctions.textMetricsDescriptor)
-    extensions.injectFunction(GraftFunctions.wordTokensDescriptor)
-  }
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftFunctions.allDescriptors.foreach(extensions.injectFunction)
 }

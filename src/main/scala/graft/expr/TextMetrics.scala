@@ -24,7 +24,6 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - ratios divide in double exactly where the Column forms do.
   */
 object TextMetricsKernel {
-  private val WS = java.util.regex.Pattern.compile("\\s+")
   private val PUNCT = java.util.regex.Pattern.compile("[\\p{Punct}]")
 
   private lazy val stopSet: java.util.HashSet[String] = {
@@ -40,12 +39,9 @@ object TextMetricsKernel {
     }.toArray
   private val UND = UTF8String.fromString("und")
 
-  private def splitTokens(s: String): Array[String] =
-    WS.split(s, -1).filter(_.nonEmpty)
-
   def compute(text: UTF8String): InternalRow = {
     val s = text.toString
-    val toks = splitTokens(s)
+    val toks = ShingleKernel.splitTokens(s)
     val nTokens = toks.length
     // punct ratio: punct code points / total code points (0 for empty)
     val nChars = s.codePointCount(0, s.length)
@@ -62,7 +58,7 @@ object TextMetricsKernel {
     val meanLen = if (nTokens == 0) 0.0 else sumLen.toDouble / nTokens.toDouble
     // stopword ratio + language markers over the LOWERED token stream
     // (lower() then re-tokenize, exactly like the Column forms)
-    val toksLower = splitTokens(text.toLowerCase.toString)
+    val toksLower = ShingleKernel.splitTokens(text.toLowerCase.toString)
     var stops = 0
     val hits = new Array[Int](markers.length)
     i = 0
@@ -101,7 +97,7 @@ object TextMetricsKernel {
   /** Overlapping token-window chunks, one pass — the native twin of
     * [[graft.operators.TextOps.chunks]]'s HOF form. */
   def wordChunks(text: UTF8String, chunkSize: Int, overlap: Int): ArrayData = {
-    val toks = splitTokens(text.toString)
+    val toks = ShingleKernel.splitTokens(text.toString)
     val n = toks.length
     val step = chunkSize - overlap
     val extra = math.max(n - chunkSize, 0)

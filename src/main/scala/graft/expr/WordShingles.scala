@@ -11,25 +11,31 @@ import org.apache.spark.unsafe.types.UTF8String
 object ShingleKernel {
   private val WS = java.util.regex.Pattern.compile("\\s+")
 
-  /** Word k-shingles in one pass: tokenize on whitespace (same regex class
-    * as `split(text, "\\s+")` + empty filter), then emit the n-k+1
-    * space-joined windows; fewer than k tokens collapse to one shingle of
-    * the whole (whitespace-normalized) token stream — exactly the
-    * semantics of the HOF composition it replaces
-    * (`transform(sequence(...), i => array_join(slice(toks, i, k), " "))`,
-    * [[graft.operators.Dedup.shingles]]'s original form). */
+  /** THE whitespace tokenizer all text kernels share (split on \s+ and
+    * drop empties — the executable twin of filter(split(text, "\\s+"),
+    * _ != "")). One definition so shingles, chunks and the metric battery
+    * can never diverge on token boundaries. */
+  private[expr] def splitTokens(s: String): Array[String] =
+    WS.split(s, -1).filter(_.nonEmpty)
+
   /** Whitespace tokens (split + empty filter) as ArrayData — shared by
     * [[WordTokens]] and callers needing the raw token array. */
   def tokens(text: UTF8String): ArrayData = {
-    val toks = WS.split(text.toString, -1).filter(_.nonEmpty)
+    val toks = splitTokens(text.toString)
     val out = new Array[Any](toks.length)
     var i = 0
     while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
     new GenericArrayData(out)
   }
 
+  /** Word k-shingles in one pass: the n-k+1 space-joined token windows;
+    * fewer than k tokens collapse to one shingle of the whole
+    * (whitespace-normalized) token stream — exactly the semantics of the
+    * HOF composition it replaces (`transform(sequence(...), i =>
+    * array_join(slice(toks, i, k), " "))`,
+    * [[graft.operators.Dedup.shingles]]'s original form). */
   def wordShingles(text: UTF8String, k: Int): ArrayData = {
-    val toks = WS.split(text.toString, -1).filter(_.nonEmpty)
+    val toks = splitTokens(text.toString)
     if (toks.length < k)
       return new GenericArrayData(
         Array[Any](UTF8String.fromString(toks.mkString(" "))))

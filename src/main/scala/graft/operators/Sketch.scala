@@ -32,6 +32,21 @@ object Sketch {
     if (portable) Dedup.portableHash64(c.cast("string"), seed)
     else xxhash64(c.cast("string"), lit(seed))
 
+  /** The sketch-family bucket column: seeded hash mod m. One definition
+    * shared by the batch operators and the streaming twin
+    * ([[graft.streaming.Stream.activeStudentsSketch]]) so the two can
+    * never desynchronize on seed, cast, or modulus. */
+  def bucketCol(c: Column, m: Int, seed: Int = 7,
+                portable: Boolean = false): Column =
+    pmod(hash(c, seed, portable), lit(m.toLong))
+
+  /** The linear-counting estimator -m*ln((m-z)/m) as a Column over an
+    * occupied-bucket count; NULL when saturated (z == m). Shared by the
+    * batch and streaming forms — one estimator to trust. */
+  def lcEstimate(m: Int, occupied: Column): Column =
+    when(occupied < m,
+      round(lit(-m.toDouble) * log((lit(m) - occupied) / m.toDouble), 6))
+
   /** Linear-counting distinct estimate (Whang/Vander-Zanden/Taylor 1990):
     * hash every value into one of `m` buckets, count occupied buckets `z`,
     * estimate distinct = -m * ln((m - z) / m).
@@ -48,14 +63,12 @@ object Sketch {
   def linearCountDistinct(df: DataFrame, valueCol: String, m: Int = 4096,
                           seed: Int = 7, portable: Boolean = false): DataFrame = {
     val occupied = df
-      .select(pmod(hash(col(valueCol), seed, portable), lit(m.toLong)).as("__bucket"))
+      .select(bucketCol(col(valueCol), m, seed, portable).as("__bucket"))
       .agg(countDistinct(col("__bucket")).as("occupied"))
     occupied.select(
       lit(m).as("m"),
       col("occupied"),
-      when(col("occupied") < m,
-          round(lit(-m.toDouble) * log((lit(m) - col("occupied")) / m.toDouble), 6))
-        .as("est_distinct"))
+      lcEstimate(m, col("occupied")).as("est_distinct"))
   }
 
   /** Count-min sketch counters (Cormode/Muthukrishnan 2005) for a value
@@ -97,9 +110,14 @@ object Sketch {
         posexplode(array((0 until depth).map(d =>
           pmod(hash(col(valueCol), 100 + d, portable), lit(width.toLong))): _*)))
       .toDF("value", "depth", "bucket")
-      .join(counters, Seq("depth", "bucket"))
+      // LEFT join: a candidate the corpus never saw has no counter row in
+      // some (or every) depth — that cell's count is 0, and CMS must
+      // report min(..., 0) = 0, not the min over only the colliding cells
+      // (an inner join would report a colliding heavy token's count, or
+      // drop the candidate entirely)
+      .join(counters, Seq("depth", "bucket"), "left")
       .groupBy(col("value"))
-      .agg(min(col("cnt")).as("est_freq"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_freq"))
       .orderBy(col("est_freq").desc, col("value").asc)
       .limit(k)
   }
@@ -126,7 +144,9 @@ object Sketch {
     * rows BEFORE the digest anti-join ever shuffles them — the anti-join
     * then runs only on the maybe-dup sliver.
     *
-    * Output: probe rows + boolean `maybe_present`. */
+    * Output: probe rows + boolean `maybe_present`. Probe rows are grouped
+    * by their full column set, so exact-duplicate probe rows collapse to
+    * one output row (give probes a unique id when multiplicity matters). */
   def bloomProbe(probe: DataFrame, valueCol: String, bits: DataFrame,
                  mBits: Int = 1 << 16, numHashes: Int = 4,
                  portable: Boolean = false): DataFrame = {
@@ -136,6 +156,10 @@ object Sketch {
         pmod(hash(col(valueCol), 200 + i, portable), lit(mBits.toLong))): _*)))
       .join(marked, col("__pos") === col("bit"), "left")
       .groupBy(probe.columns.map(col): _*)
-      .agg((sum(coalesce(col("__set"), lit(0))) === numHashes).as("maybe_present"))
+      // all-positions-set via min, NOT sum === numHashes: duplicate probe
+      // rows collapse into one group with a multiple of numHashes matches,
+      // and a sum test would flag a definitely-present duplicate as new —
+      // a false NEGATIVE, the one error class a bloom filter must not make
+      .agg((min(coalesce(col("__set"), lit(0))) === 1).as("maybe_present"))
   }
 }

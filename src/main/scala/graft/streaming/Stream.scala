@@ -128,14 +128,14 @@ object Stream {
     cleaned
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), "5 minutes", "1 minute"),
-        pmod(xxhash64(col("student_id"), lit(7)), lit(m.toLong)).as("__bucket"))
+        // the batch operator's own bucket/estimator definitions
+        // (graft.operators.Sketch) — one code path, never two
+        graft.operators.Sketch.bucketCol(col("student_id"), m).as("__bucket"))
       .agg(count(lit(1)).as("__n"))
       .groupBy(col("window"))
       .agg(count(lit(1)).as("occupied"))
       .select(col("window.start").as("window_start"), col("occupied"),
-        when(col("occupied") < m,
-          round(lit(-m.toDouble) * log((lit(m) - col("occupied")) / m.toDouble), 6))
-          .as("est_active"))
+        graft.operators.Sketch.lcEstimate(m, col("occupied")).as("est_active"))
 
   /** ST-3 with explicit state + TTL via flatMapGroupsWithState — the
     * unbounded-dict fix (SURVEY §7.4-4): state for an idle student expires

@@ -169,6 +169,17 @@ class SketchSpec extends SparkSpec {
     assert(wide == trueFreq)
   }
 
+  test("count-min reports 0 for candidates the corpus never saw") {
+    val candidates = Seq("val-1", "never-seen-a", "never-seen-b").toDF("v")
+    val est = Sketch.cmsHeavyHitters(values, "v", k = 10, depth = 4,
+        width = 65536, candidates = Some(candidates))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == Set("val-1", "never-seen-a", "never-seen-b"))
+    assert(est("val-1") == 2)           // true count survives
+    assert(est("never-seen-a") == 0)    // absent candidate reports 0,
+    assert(est("never-seen-b") == 0)    // not a collision's count
+  }
+
   test("bloom filter has no false negatives; false positives stay bounded") {
     val present = (1 to 1000).map(i => s"val-$i").toDF("v")
     val absent = (1 to 1000).map(i => s"other-$i").toDF("v")
@@ -181,6 +192,13 @@ class SketchSpec extends SparkSpec {
     val fp = Sketch.bloomProbe(absent, "v", bits, mBits = 4096, numHashes = 4)
       .filter(col("maybe_present")).count()
     assert(fp < 400, s"false-positive count $fp out of theory's ballpark")
+    // duplicate probe rows must STILL flag present (the sum===k form
+    // regressed here: a collapsed duplicate group summed to 2k matches)
+    val dupProbe = present.limit(10).unionAll(present.limit(10))
+    val dupFlags = Sketch.bloomProbe(dupProbe, "v", bits, mBits = 4096,
+      numHashes = 4)
+    assert(dupFlags.count() == 10) // duplicates collapse, documented
+    assert(dupFlags.filter(!col("maybe_present")).count() == 0)
   }
 }
 
