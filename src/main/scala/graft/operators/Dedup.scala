@@ -28,6 +28,29 @@ object Dedup {
     df.withColumn(flag, row_number().over(w) > 1)
   }
 
+  /** [[markExactDuplicates]]'s skew-proof form: min(orderCol) per digest
+    * via a hash AGGREGATE, joined back — same flag values when `orderCol`
+    * is unique per digest group (callers use a unique row id; asserted by
+    * the parity test).
+    *
+    * Why a second form exists (SCALE.md's own "first bottleneck" entry for
+    * exact dedup): the window form sorts every digest partition, and a
+    * pathological corpus — one document duplicated 100M times — lands all
+    * its copies in ONE window partition that a single task must sort. Here
+    * the map-side partial aggregation collapses the hot digest to one row
+    * per input partition before any exchange, and the flag join is a JOIN,
+    * which AQE's skew-join splitting can break up (it cannot split a
+    * window). Use the window form for small/balanced corpora (one shuffle,
+    * no join), this one when a digest can be pathologically hot. */
+  def markExactDuplicatesAgg(df: DataFrame, textCol: String, orderCol: String,
+                             flag: String = "is_duplicate"): DataFrame = {
+    val firsts = df.groupBy(md5(col(textCol)).as("__digest"))
+      .agg(min(col(orderCol)).as("__first"))
+    df.join(firsts, md5(df(textCol)) === col("__digest"))
+      .withColumn(flag, col(orderCol) =!= col("__first"))
+      .drop("__digest", "__first")
+  }
+
   /** Incremental exact dedup: drop incoming rows whose content digest
     * already exists in the reference corpus — the batch-over-batch
     * ingestion path (dedup new data against everything already ingested,

@@ -129,6 +129,25 @@ class SinksSpec extends SparkSpec {
   }
 }
 
+class ExactDedupAggSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  test("agg form of exact dedup equals the window form, skewed corpus included") {
+    // one hot text duplicated 500x + 100 distinct rows
+    val rows = (1 to 500).map(i => (i.toLong, "hot text")) ++
+      (501 to 600).map(i => (i.toLong, s"text $i"))
+    val df = rows.toDF("id", "text").repartition(8)
+    val win = Dedup.markExactDuplicates(df, "text", "id")
+      .select("id", "is_duplicate").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val agg = Dedup.markExactDuplicatesAgg(df, "text", "id")
+      .select("id", "is_duplicate").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(agg == win)
+    assert(agg(1L) == false && agg(2L) == true && agg(500L) == true)
+    assert((501L to 600L).forall(agg(_) == false))
+  }
+}
+
 class SketchSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Sketch
