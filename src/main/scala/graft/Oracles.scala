@@ -926,6 +926,28 @@ object Oracles {
     // ivfAdd odds) == brute force over the whole corpus — same oracle
     "q73_knn_ivf_incremental" -> bruteForceTopKSql,
 
+    // int8 quantization replay: scale = max|x|/127, codes = round(x/scale),
+    // max reconstruction error over dims (max is order-independent). The
+    // error lambda lives in its OWN CTE layer: aliasing round(scale,6) AS
+    // scale in the same SELECT would lateral-shadow the lambda's scale ref
+    "q74_embedding_quantize" ->
+      """WITH s AS (
+        | SELECT vec_id, embedding,
+        |  coalesce(list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE)))), 0) / 127.0 AS scale
+        | FROM embeddings),
+        |e AS (
+        | SELECT vec_id, scale,
+        |  list_max(list_transform(embedding,
+        |   x -> abs(CAST(x AS DOUBLE) -
+        |     (CASE WHEN scale = 0 THEN 0
+        |           ELSE round(CAST(x AS DOUBLE) / scale) END) * scale)))
+        |   AS maxerr
+        | FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        | round(coalesce(maxerr, 0), 6) AS max_err
+        |FROM e ORDER BY vec_id""".stripMargin,
+
     // dropNearDuplicates end-to-end: pairs -> recursive CC -> keep min-id
     "q65_neardedup_e2e_portable" -> q65Sql,
 

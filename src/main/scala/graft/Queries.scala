@@ -942,6 +942,14 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Int8 embedding quantization quality: per-vector scale + max
+    * reconstruction error (max over dims is order-independent, so the
+    * whole pipeline — scale, codes, dequantize, error — replays
+    * value-identically in DuckDB SQL). */
+  def q74EmbeddingQuantize(s: SparkSession, dir: String): DataFrame =
+    Quantize.reconstructionError(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id")
+
   /** Deterministic per-customer "tier" version history: a version at each
     * of 1996/1998/2000-01-01 with a derived tier value. */
   private def tierVersions(s: SparkSession, dir: String): DataFrame =
@@ -1116,6 +1124,7 @@ object Queries {
     "q71_jsonl_roundtrip" -> (q71JsonlRoundtrip _),
     "q72_bloom_prefilter" -> (q72BloomPrefilter _),
     "q73_knn_ivf_incremental" -> (q73KnnIvfIncremental _),
+    "q74_embedding_quantize" -> (q74EmbeddingQuantize _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

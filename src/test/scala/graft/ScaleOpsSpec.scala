@@ -104,6 +104,42 @@ class IvfAddSpec extends SparkSpec {
   }
 }
 
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{Knn, Quantize}
+
+  private val vecs = (0L until 80L).map { i =>
+    (i, Array.tabulate(16)(d => (math.sin(i * 53.0 + d * 7) * 5).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("int8 codes stay in [-127,127] and reconstruction error <= scale/2 + eps") {
+    val s = Quantize.scaleOf(col("embedding"))
+    val bad = vecs.select(
+        explode(Quantize.quantize(col("embedding"), s)).as("q"))
+      .filter(col("q") > 127 || col("q") < -127).count()
+    assert(bad == 0)
+    val viol = Quantize.reconstructionError(vecs, "vec_id", "embedding")
+      .filter(col("max_err") > col("scale") / 2 + 1e-9).count()
+    assert(viol == 0) // round-to-nearest bounds the error by scale/2
+  }
+
+  test("top-k recall on dequantized vectors stays high") {
+    val queries = vecs.filter(col("vec_id") < 5)
+    val exact = Knn.bruteForceTopK(vecs, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s = Quantize.scaleOf(col("embedding"))
+    val deq = vecs.select(col("vec_id"),
+      Quantize.dequantize(Quantize.quantize(col("embedding"), s), s)
+        .as("embedding"))
+    val approx = Knn.bruteForceTopK(deq, deq.filter(col("vec_id") < 5), k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized top-k recall $recall < 0.9")
+  }
+}
+
 class SinksSpec extends SparkSpec {
   import spark.implicits._
 
