@@ -948,6 +948,66 @@ object Oracles {
         | round(coalesce(maxerr, 0), 6) AS max_err
         |FROM e ORDER BY vec_id""".stripMargin,
 
+    // TF-IDF replay: same tokenizer CTE, tf * ln((N+1)/(df+1)) rounded to
+    // 6 BEFORE the per-doc ranking window (ties break token-asc)
+    "q75_tfidf" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, unnest(${toksSql("lower(text)")}) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         | SELECT doc_id, token,
+         |  round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score
+         | FROM tf JOIN df USING (token) CROSS JOIN n),
+         |r AS (
+         | SELECT doc_id, token, score,
+         |  row_number() OVER (PARTITION BY doc_id
+         |                     ORDER BY score DESC, token ASC) AS rank
+         | FROM scored)
+         |SELECT doc_id, rank, token, score FROM r
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // BM25 replay: identical literals (0.25/0.75 exact binary fractions;
+    // 1.2/2.2 the same decimal TEXT both engines parse, never k1+1 in
+    // Scala), identical association order, per-term partials summed in
+    // fixed term order via the pivoted columns
+    "q76_bm25" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, unnest(${toksSql("lower(text)")}) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |stats AS (
+         | SELECT count(*) AS n_docs,
+         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |df AS (
+         | SELECT token, count(*) AS df FROM tf
+         | WHERE token IN ('spark', 'vector', 'query') GROUP BY 1),
+         |posting AS (
+         | SELECT tf.doc_id, tf.token, tf.tf, dl.dl, s.n_docs, s.avgdl, df.df
+         | FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats s
+         | WHERE tf.token IN ('spark', 'vector', 'query')),
+         |st AS (
+         | SELECT doc_id, token, dl,
+         |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) AS st
+         | FROM posting),
+         |pivoted AS (
+         | SELECT doc_id, dl,
+         |  max(CASE WHEN token = 'spark' THEN st END) AS s0,
+         |  max(CASE WHEN token = 'vector' THEN st END) AS s1,
+         |  max(CASE WHEN token = 'query' THEN st END) AS s2
+         | FROM st GROUP BY 1, 2),
+         |top AS (
+         | SELECT doc_id, dl,
+         |  round(coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0), 6)
+         |   AS score
+         | FROM pivoted ORDER BY score DESC, doc_id ASC LIMIT 20)
+         |SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         | doc_id, dl, score
+         |FROM top ORDER BY rank""".stripMargin,
+
     // dropNearDuplicates end-to-end: pairs -> recursive CC -> keep min-id
     "q65_neardedup_e2e_portable" -> q65Sql,
 

@@ -950,6 +950,20 @@ object Queries {
     Quantize.reconstructionError(t(s, dir, "embeddings"), "vec_id", "embedding")
       .orderBy("vec_id")
 
+  /** TF-IDF per-document top terms (Rank.tfidfTopTerms): the corpus-sized
+    * shuffle is the (doc, token) tf aggregate; df and N broadcast back.
+    * Scores rounded to 6 before ranking; ties break token-asc. */
+  def q75Tfidf(s: SparkSession, dir: String): DataFrame =
+    Rank.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", topK = 3)
+      .orderBy("doc_id", "rank")
+
+  /** BM25 keyword search (Rank.bm25Search) for a fixed 3-term query over
+    * documents; postings filtered to the query terms before any join. */
+  def q76Bm25(s: SparkSession, dir: String): DataFrame =
+    Rank.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("spark", "vector", "query"), topK = 20)
+      .orderBy("rank")
+
   /** Deterministic per-customer "tier" version history: a version at each
     * of 1996/1998/2000-01-01 with a derived tier value. */
   private def tierVersions(s: SparkSession, dir: String): DataFrame =
@@ -1125,6 +1139,8 @@ object Queries {
     "q72_bloom_prefilter" -> (q72BloomPrefilter _),
     "q73_knn_ivf_incremental" -> (q73KnnIvfIncremental _),
     "q74_embedding_quantize" -> (q74EmbeddingQuantize _),
+    "q75_tfidf" -> (q75Tfidf _),
+    "q76_bm25" -> (q76Bm25 _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval over a document corpus: TF-IDF term weighting and BM25
+  * keyword search (Robertson/Sparck Jones probabilistic relevance — the
+  * reference's analytics layer has no search operator, but any corpus
+  * pipeline that feeds retrieval-augmented training needs one; reference
+  * transformations.py's text cleaning is the upstream of this family).
+  *
+  * Physical shape at 100 TB:
+  *  - the (doc, token) term-frequency aggregate is the only corpus-sized
+  *    shuffle, keyed by (doc_id, token) with map-side partial aggregation;
+  *  - document-frequency and corpus-stat tables are VOCABULARY-sized and
+  *    row-count-sized respectively — broadcast to the tf side, never
+  *    shuffling the corpus again;
+  *  - BM25 filters the term list to the query terms BEFORE any join, so
+  *    the search path aggregates only matching postings (predicate pushes
+  *    to the scan; a 3-term query over 100 TB touches the token explode
+  *    but joins only the 3-term slice).
+  *
+  * Cross-engine float discipline (every score replays in DuckDB):
+  * constants are decimal literals parsed identically by both engines
+  * (0.75 / 0.25 are exact binary fractions; 1.2 / 2.2 parse to the same
+  * nearest-double from the SAME literal text — never computed as k1+1 in
+  * Scala, which can land one ulp away); every +,*,/ is written in the
+  * same association order as the SQL oracle; ln() agrees across engines
+  * (established by the q68 linear-counting gate); scores are rounded to 6
+  * decimals BEFORE ranking so order-sensitive window ties cannot straddle
+  * an ulp, and ties break on the token / doc_id column.
+  */
+object Rank {
+
+  /** Per-document top-k TF-IDF terms: tf * ln((N+1)/(df+1)), rounded to 6
+    * decimals, ranked per document (score desc, token asc).
+    * Output: (doc_id, rank, token, score). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 3): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(lower(col(textCol)))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("token"), col("score"))
+  }
+
+  /** BM25 top-k search for a fixed bag of query terms (k1 = 1.2,
+    * b = 0.75): per matching document,
+    *   sum_t idf(t) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl/avgdl)))
+    * with idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)).
+    *
+    * The per-term partial scores are summed in the FIXED order of `terms`
+    * (one pivoted column per term, coalesced to 0, added left-to-right) —
+    * a groupBy sum over doubles would be partition-order-dependent and
+    * unverifiable cross-engine.
+    * Output: (rank, doc_id, dl, score), top `topK` by score desc / doc_id
+    * asc. */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, "bm25: 1..8 literal terms")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(lower(col(textCol)))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // document length + corpus stats (avgdl = exact long sum / exact count,
+    // one double division — identical in any engine)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+    val dfreq = tf.filter(col("token").isin(terms: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val postings = tf.filter(col("token").isin(terms: _*))
+      .join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats.select(col("n_docs"), col("avgdl"))))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termScore = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("token") === t, col("st"))).as(s"s$i")
+    }
+    val perTerm = postings.withColumn("st", termScore)
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(pivots.head, pivots.tail: _*)
+    val total = terms.indices
+      .map(i => coalesce(col(s"s$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    // top-k FIRST (TakeOrderedAndProject — per-partition heaps, no global
+    // sort), then rank the k survivors; a bare global row_number window
+    // would funnel every matching doc through one partition.
+    perTerm.withColumn("score", round(total, 6))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id"), col("dl"), col("score"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Rank
+
+class RankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-doc corpus with hand-computable statistics:
+  //   d1: "a a b"    d2: "a c"    d3: "b b b c"    d4: "d"
+  private val docs = Seq(
+    (1L, "a a b"), (2L, "a c"), (3L, "b b b c"), (4L, "d"))
+    .toDF("doc_id", "text")
+
+  test("tfidf: hand-computed scores, ranking and ties") {
+    val out = Rank.tfidfTopTerms(docs, "doc_id", "text", topK = 2)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    // N=4; df: a=2, b=2, c=2, d=1. idf(df=2)=ln(5/3), idf(df=1)=ln(5/2).
+    def s(tf: Int, df: Int): Double =
+      BigDecimal(tf * math.log(5.0 / (df + 1.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      (1L, 1, "a", s(2, 2)), (1L, 2, "b", s(1, 2)),
+      // d2: a and c tie at tf=1,df=2 -> token-asc breaks the tie
+      (2L, 1, "a", s(1, 2)), (2L, 2, "c", s(1, 2)),
+      (3L, 1, "b", s(3, 2)), (3L, 2, "c", s(1, 2)),
+      (4L, 1, "d", s(1, 1))))
+  }
+
+  test("bm25: matched docs only, ordered by score, rank contiguous") {
+    val out = Rank.bm25Search(docs, "doc_id", "text", Seq("a", "d"), topK = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // docs 1, 2, 4 match; 3 (no 'a'/'d') must not appear
+    assert(out.map(_._2).toSet == Set(1L, 2L, 4L))
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(out.map(_._4).toSeq == out.map(_._4).toSeq.sorted.reverse)
+    // d4 is the only doc with the rarest term (df=1) and the shortest dl —
+    // BM25 must rank it first
+    assert(out.head._2 == 4L)
+    // dl column carries the document token count
+    assert(out.find(_._2 == 1L).get._3 == 3L)
+  }
+
+  test("bm25: score increases with tf at equal dl (saturating, positive)") {
+    val corpus = Seq(
+      (1L, "t x x x"), (2L, "t t x x"), (3L, "t t t x"), (4L, "y y y y"))
+      .toDF("doc_id", "text")
+    val out = Rank.bm25Search(corpus, "doc_id", "text", Seq("t"), topK = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(3L, 2L, 1L))
+    assert(out.forall(_._2 > 0.0))
+    // saturation: the tf=1 -> 2 gain exceeds the tf=2 -> 3 gain
+    val byId = out.toMap
+    assert(byId(2L) - byId(1L) > byId(3L) - byId(2L))
+  }
+
+  test("bm25 rejects empty or oversized term lists") {
+    intercept[IllegalArgumentException] {
+      Rank.bm25Search(docs, "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Rank.bm25Search(docs, "doc_id", "text", (1 to 9).map(i => s"t$i"))
+    }
+  }
+}
