@@ -1031,6 +1031,38 @@ object Oracles {
          | round(-65536 * ln((65536 - count(*)) / 65536.0), 6) AS est_distinct
          |FROM b""".stripMargin,
 
+    // HyperLogLog replay: registers via length(bin(w)) (exact minimal-
+    // binary bit length in both engines), harmonic sum as exact integers
+    // (2^(49-reg) summed wide) before ONE double division; alpha*m^2 is
+    // interpolated from the Scala constant so both engines parse the same
+    // double bits. Small-range branch on the identical raw value.
+    "q77_hll_distinct" -> {
+      val m = 1 << 12
+      val w49 = 1L << 49
+      s"""WITH w AS (
+         | SELECT ${ph("o_orderkey", 7)} % $m AS bucket,
+         |  ${ph("o_orderkey", 8)} % ${1L << 48} AS wv
+         | FROM orders),
+         |r AS (
+         | SELECT bucket,
+         |  max(CASE WHEN wv = 0 THEN 49 ELSE 49 - length(bin(wv)) END) AS reg
+         | FROM w GROUP BY bucket),
+         |a AS (
+         | SELECT count(*) AS occupied, max(reg) AS max_reg,
+         |  coalesce(sum((CAST(1 AS BIGINT) << (49 - reg))), 0)
+         |   + ($m - count(*)) * CAST($w49 AS HUGEINT) AS s_total
+         | FROM r),
+         |e AS (
+         | SELECT occupied, max_reg,
+         |  ${graft.operators.Sketch.hllAlphaM2(12)} / (CAST(s_total AS DOUBLE) / $w49.0) AS raw
+         | FROM a)
+         |SELECT $m AS m, occupied, max_reg,
+         | round(CASE WHEN raw <= ${2.5 * m} AND $m - occupied > 0
+         |   THEN $m.0 * ln($m.0 / ($m - occupied)) ELSE raw END, 6)
+         |  AS est_distinct
+         |FROM e""".stripMargin
+    },
+
     // count-min sketch: counters and min-over-depths estimates are exact
     // integers, so the whole sketch replays value-identically
     "q69_cms_heavy_hitters" -> {

@@ -964,6 +964,15 @@ object Queries {
       terms = Seq("spark", "vector", "query"), topK = 20)
       .orderBy("rank")
 
+  /** HyperLogLog distinct estimate over order keys (Sketch.hllDistinct,
+    * portable hashes): registers are exact cross-engine integers via
+    * length(bin(w)); the harmonic sum is computed exactly in DECIMAL(38,0)
+    * before one double division, so the published-estimator value replays
+    * bit-for-bit in DuckDB. */
+  def q77HllDistinct(s: SparkSession, dir: String): DataFrame =
+    Sketch.hllDistinct(t(s, dir, "orders"), "o_orderkey", p = 12,
+      portable = true)
+
   /** Deterministic per-customer "tier" version history: a version at each
     * of 1996/1998/2000-01-01 with a derived tier value. */
   private def tierVersions(s: SparkSession, dir: String): DataFrame =
@@ -1141,6 +1150,7 @@ object Queries {
     "q74_embedding_quantize" -> (q74EmbeddingQuantize _),
     "q75_tfidf" -> (q75Tfidf _),
     "q76_bm25" -> (q76Bm25 _),
+    "q77_hll_distinct" -> (q77HllDistinct _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -71,6 +71,88 @@ object Sketch {
       lcEstimate(m, col("occupied")).as("est_distinct"))
   }
 
+  /** HyperLogLog registers (Flajolet et al. 2007) for a value column:
+    * bucket = hash1 % 2^p, rank rho = leading-zero count (+1) of a SECOND
+    * independent 48-bit hash, register = max rho per bucket. Two
+    * independent hashes instead of bit-slicing one: the portable family is
+    * only 60 bits, and `length(bin(w))` on a positive long computes the
+    * bit length EXACTLY the same way in Spark and DuckDB (minimal binary
+    * string, no float log2 anywhere), so every register is an exact
+    * cross-engine integer.
+    *
+    * Physical shape: one hash-aggregate keyed by bucket — map-side partial
+    * max caps the exchange at m rows per partition, the HLL selling point
+    * over exact countDistinct at 100 TB (same O(m * partitions) bound as
+    * [[linearCountDistinct]], but usable orders of magnitude past m
+    * distincts where linear counting saturates).
+    *
+    * Output: (bucket, reg), occupied buckets only. */
+  def hllRegisters(df: DataFrame, valueCol: String, p: Int = 12,
+                   seed: Int = 7, portable: Boolean = false): DataFrame = {
+    require(p >= 7 && p <= 18, "hll: p in [7, 18]")
+    val m = 1 << p
+    val w = pmod(hash(col(valueCol), seed + 1, portable), lit(1L << 48))
+    val rho = when(w === 0L, lit(49))
+      .otherwise(lit(49) - length(bin(w)).cast("int"))
+    df.select(bucketCol(col(valueCol), m, seed, portable).as("bucket"),
+        rho.as("rho"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  /** Merge HLL register sets (the mergeability that makes HLL the
+    * distributed distinct-count sketch: per-shard registers union by
+    * bucket-wise max, never revisiting the data). */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+
+  /** The HLL estimate numerator alpha_m * m^2 for [[hllEstimate]] —
+    * exposed so the SQL oracle can interpolate the IDENTICAL double
+    * (Double.toString round-trips, so both engines parse the same bits). */
+  def hllAlphaM2(p: Int): Double = {
+    val m = (1 << p).toDouble
+    (0.7213 / (1.0 + 1.079 / m)) * m * m
+  }
+
+  /** HyperLogLog distinct estimate over [[hllRegisters]] output.
+    *
+    * Cross-engine float discipline: the harmonic denominator
+    * sum(2^-reg) is order-dependent in naive double arithmetic, so it is
+    * computed EXACTLY — each occupied bucket contributes the integer
+    * 2^(49-reg) (reg <= 49, so it fits a long), summed as DECIMAL(38,0)
+    * with the m-z empty buckets contributing 2^49 each, then ONE cast to
+    * double and ONE division by 2^49. Small-range correction (raw <=
+    * 2.5m with empty buckets) switches to linear counting over the zero
+    * count, matching the published estimator.
+    *
+    * Output: one row (m, occupied, max_reg, est_distinct). */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val agg = registers.agg(
+      count(lit(1)).as("occupied"),
+      max(col("reg")).as("max_reg"),
+      // the DSL shiftleft only takes a literal shift; the SQL form shifts
+      // by a column (1L << (49 - reg) is exact for reg in [1, 49])
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - reg)").cast("decimal(38,0)"))
+        .as("s_occ"))
+    val sTotal = coalesce(col("s_occ"), lit(0).cast("decimal(38,0)")) +
+      (lit(m.toLong) - col("occupied")).cast("decimal(38,0)") *
+        lit(1L << 49).cast("decimal(38,0)")
+    val sum2 = sTotal.cast("double") / lit((1L << 49).toDouble)
+    val raw = lit(hllAlphaM2(p)) / sum2
+    val zeros = lit(m.toLong) - col("occupied")
+    val est = when(raw <= lit(2.5 * m) && zeros > 0L,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros))
+      .otherwise(raw)
+    agg.select(lit(m).as("m"), col("occupied"), col("max_reg"),
+      round(est, 6).as("est_distinct"))
+  }
+
+  /** Registers + estimate in one call (the batch entry point). */
+  def hllDistinct(df: DataFrame, valueCol: String, p: Int = 12,
+                  seed: Int = 7, portable: Boolean = false): DataFrame =
+    hllEstimate(hllRegisters(df, valueCol, p, seed, portable), p)
+
   /** Count-min sketch counters (Cormode/Muthukrishnan 2005) for a value
     * column: `depth` independent hash rows of `width` counters; cell
     * (d, h_d(v) % width) accumulates the count of v's occurrences.

@@ -235,6 +235,48 @@ class SketchSpec extends SparkSpec {
     assert(est("never-seen-b") == 0)    // not a collision's count
   }
 
+  test("hll estimates 20k distincts within 5% in the raw regime") {
+    val big = (1 to 20000).flatMap(i => Seq.fill(1 + i % 2)(s"id-$i")).toDF("v")
+    for (portable <- Seq(false, true)) {
+      val r = Sketch.hllDistinct(big, "v", p = 12, portable = portable)
+        .collect().head
+      // n/m ~ 5 >> linear-counting range: the raw harmonic path must fire
+      assert(r.getAs[Long]("occupied") > 4096 * 9 / 10)
+      val est = r.getAs[Double]("est_distinct")
+      // std err 1.04/sqrt(4096) ~ 1.6%; 5% is 3 sigma
+      assert(math.abs(est - 20000) / 20000.0 < 0.05,
+        s"estimate $est too far from 20000 (portable=$portable)")
+    }
+  }
+
+  test("hll small-range correction matches linear counting on sparse input") {
+    val small = (1 to 50).map(i => s"id-$i").toDF("v")
+    val r = Sketch.hllDistinct(small, "v", p = 12).collect().head
+    val occupied = r.getAs[Long]("occupied")
+    val expected = BigDecimal(4096.0 * math.log(4096.0 / (4096 - occupied)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("est_distinct") == expected)
+  }
+
+  test("hll registers merge by bucket-wise max: merged halves == whole") {
+    val all = (1 to 5000).map(i => s"id-$i").toDF("v")
+    val a = (1 to 3000).map(i => s"id-$i").toDF("v")    // overlapping halves
+    val b = (2000 to 5000).map(i => s"id-$i").toDF("v")
+    val whole = Sketch.hllEstimate(Sketch.hllRegisters(all, "v"), p = 12)
+      .collect().head
+    val merged = Sketch.hllEstimate(
+      Sketch.hllMerge(Sketch.hllRegisters(a, "v"), Sketch.hllRegisters(b, "v")),
+      p = 12).collect().head
+    assert(whole.toSeq == merged.toSeq)
+  }
+
+  test("hll on empty input estimates 0, not NaN") {
+    val empty = Seq.empty[String].toDF("v")
+    val r = Sketch.hllDistinct(empty, "v", p = 12).collect().head
+    assert(r.getAs[Long]("occupied") == 0L)
+    assert(r.getAs[Double]("est_distinct") == 0.0)
+  }
+
   test("bloom filter has no false negatives; false positives stay bounded") {
     val present = (1 to 1000).map(i => s"val-$i").toDF("v")
     val absent = (1 to 1000).map(i => s"other-$i").toDF("v")
