@@ -1031,6 +1031,16 @@ object Oracles {
          | round(-65536 * ln((65536 - count(*)) / 65536.0), 6) AS est_distinct
          |FROM b""".stripMargin,
 
+    // partitioned-layout round trip: the oracle aggregates the ORIGINAL
+    // parquet with the same lang filter — green hash = the Hive-style
+    // layout (partition values in directory names) lost nothing
+    "q78_partition_pruning" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | sum(length(text)) AS total_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
     // HyperLogLog replay: registers via length(bin(w)) (exact minimal-
     // binary bit length in both engines), harmonic sum as exact integers
     // (2^(49-reg) summed wide) before ONE double division; alpha*m^2 is

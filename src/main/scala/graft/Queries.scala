@@ -920,6 +920,30 @@ object Queries {
       .orderBy("o_orderstatus", "o_orderpriority")
   }
 
+  /** Hive-style partitioned layout + partition pruning: write documents
+    * partitioned by lang, read back with a lang predicate, aggregate.
+    * The oracle filters the ORIGINAL parquet the same way, so a green
+    * hash proves the partitioned layout preserves every value AND that
+    * the partition column (which lives in directory names, not data
+    * files) round-trips. PartitionedLayoutSpec asserts the physical
+    * side: the scan's PartitionFilters prune to 2 of 5 directories —
+    * the 100 TB point, a lang-filtered query over a lang-partitioned
+    * corpus never opens the other partitions' files. */
+  def q78PartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val path = rtPath(dir, "partdocs")
+    t(s, dir, "documents").select("doc_id", "text", "source", "lang")
+      .repartition(col("lang"))        // one file per partition dir, not
+      .write.mode("overwrite")         // one per (task x lang)
+      .partitionBy("lang").parquet(path)
+    s.read.parquet(path)
+      .filter(col("lang").isin("en", "fr"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang", "source")
+  }
+
   /** Bloom-filter membership pre-filter on the q57 incremental-dedup
     * corpus split: the existing corpus's digest set becomes a 64 Ki-bit
     * bloom filter; every incoming row is flagged maybe-present (must go to
@@ -1151,6 +1175,7 @@ object Queries {
     "q75_tfidf" -> (q75Tfidf _),
     "q76_bm25" -> (q76Bm25 _),
     "q77_hll_distinct" -> (q77HllDistinct _),
+    "q78_partition_pruning" -> (q78PartitionPruning _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
