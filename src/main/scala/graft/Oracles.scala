@@ -275,7 +275,9 @@ object Oracles {
     * 8 hyperplane projections as left folds over the portable hash family,
     * the same-bucket self-join, and fold-form cosine scoring. Mirrors
     * Knn.srpBucketPortable/cosineNearDupsPortable step for step. */
-  private val q63Sql: String = {
+  /** The q63 CTE chain (planted corpus -> SRP buckets -> fold-form cosine
+    * sims) WITHOUT the final select, so q63 and q80 share one replay. */
+  private val q63Chain: String = {
     val numPlanes = 8
     def comp(p: Int) =
       s"(CAST(${ph("CAST(i - 1 AS VARCHAR)", p)} % 2000001 - 1000000 AS DOUBLE) / 1000000.0)"
@@ -288,7 +290,7 @@ object Oracles {
     // engine-internal promotion differences cannot shift a single bit
     val noise =
       s"CAST(${ph("CAST(vec_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)", 2000)} % 2001 - 1000 AS REAL) / CAST(16384 AS REAL)"
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 8 = 0),
        |planted AS (
        |  -- inner aliases differ from the source columns: DuckDB's lateral
@@ -313,10 +315,32 @@ object Oracles {
        |  FROM bn l JOIN bn r ON l.bkt = r.bkt AND l.id < r.id),
        |sims AS (
        |  SELECT id_a, id_b, CASE WHEN np = 0 THEN 0.0 ELSE dp / np END AS sim
-       |  FROM pairs)
+       |  FROM pairs)""".stripMargin
+  }
+
+  private val q63Sql: String =
+    s"""WITH $q63Chain
        |SELECT id_a, id_b, round(sim, 6) AS cosine_sim FROM sims
        |WHERE sim >= 0.9 ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** q80: the q63 pair chain + recursive min-label CC + keep-min anti-join
+    * — the full SemanticDedup.semanticDedupPortable composition. */
+  private val q80Sql: String =
+    s"""WITH RECURSIVE $q63Chain,
+       |dup AS (SELECT id_a, id_b FROM sims WHERE sim >= 0.9),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM dup
+       |  UNION
+       |  SELECT id_b, id_a FROM dup),
+       |reach(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+       |labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |losers AS (SELECT id FROM labels WHERE id <> cluster_id)
+       |SELECT vec_id FROM corpus
+       |WHERE vec_id NOT IN (SELECT id FROM losers)
+       |ORDER BY vec_id""".stripMargin
 
   /** The q12 risk-scoring CTE chain, shared with q05. */
   private val riskCtes =
@@ -917,6 +941,10 @@ object Oracles {
 
     // portable SRP bucketing + fold-form cosine, replayed end to end
     "q63_cosine_portable" -> q63Sql,
+
+    // SemDeDup verification twin: q63's pair chain + recursive CC +
+    // keep-min anti-join (q79's k-means default is rows-only by design)
+    "q80_semantic_dedup_portable" -> q80Sql,
 
     // full probe over the k-means index == brute force, whatever centroids
     // Lloyd produced — same oracle as q21/q59

@@ -755,7 +755,10 @@ object Queries {
     * scoring value-identically (q24 keeps the bulk agg-based form,
     * rows-only). Eighth of the corpus plus planted noisy copies (the raw
     * embeddings are near-orthogonal, max pairwise cosine ~0.39). */
-  def q63CosinePortable(s: SparkSession, dir: String): DataFrame = {
+  /** The shared q63/q79/q80 embedding corpus: an eighth of the vectors
+    * plus float-noised copies of every fortieth (id + 1000000) — the
+    * planted near-duplicates every cosine-dedup variant must find. */
+  private def plantedEmbCorpus(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       .filter(col("vec_id") % 8 === 0)
     // the noise keys on the SOURCE id. Renaming first is load-bearing: in a
@@ -777,9 +780,30 @@ object Queries {
       .select((col("src_id") + lit(1000000L)).as("vec_id"),
         zip_with(col("embedding"),
           sequence(lit(0), size(col("embedding")) - 1), noise).as("embedding"))
-    Knn.cosineNearDupsPortable(emb.unionByName(planted), threshold = 0.9)
-      .orderBy("id_a", "id_b")
+    emb.unionByName(planted)
   }
+
+  def q63CosinePortable(s: SparkSession, dir: String): DataFrame =
+    Knn.cosineNearDupsPortable(plantedEmbCorpus(s, dir), threshold = 0.9)
+      .orderBy("id_a", "id_b")
+
+  /** SemDeDup (k-means-clustered semantic dedup): kept representatives
+    * after within-cluster cosine pairing + CC + keep-min on the planted
+    * corpus. Rows-only (Lloyd centroids aren't SQL-expressible);
+    * SemanticDedupSpec pins planted-dup recall, and q80 hash-verifies the
+    * same composition on the portable SRP path. */
+  def q79SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    SemanticDedup.semanticDedup(plantedEmbCorpus(s, dir), nlist = 16,
+        iters = 2, threshold = 0.9)
+      .select(col("vec_id")).orderBy("vec_id")
+
+  /** The verification twin: portable SRP buckets + exact CC + keep-min,
+    * replayed end-to-end by the DuckDB oracle (q63's pair chain + a
+    * recursive min-label CTE + the anti-join). */
+  def q80SemanticDedupPortable(s: SparkSession, dir: String): DataFrame =
+    SemanticDedup.semanticDedupPortable(plantedEmbCorpus(s, dir),
+        threshold = 0.9)
+      .select(col("vec_id")).orderBy("vec_id")
 
   /** Full probe over the K-MEANS index (q55's): with nprobe = nlist every
     * list is scanned, so the result must equal brute force EXACTLY
@@ -1176,6 +1200,8 @@ object Queries {
     "q76_bm25" -> (q76Bm25 _),
     "q77_hll_distinct" -> (q77HllDistinct _),
     "q78_partition_pruning" -> (q78PartitionPruning _),
+    "q79_semantic_dedup" -> (q79SemanticDedup _),
+    "q80_semantic_dedup_portable" -> (q80SemanticDedupPortable _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
