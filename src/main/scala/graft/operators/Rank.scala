@@ -33,15 +33,29 @@ import org.apache.spark.sql.functions._
   */
 object Rank {
 
+  /** The (doc_id, token, tf) term-frequency frame — the ONE corpus-sized
+    * aggregation every retrieval statistic derives from, materialized
+    * eagerly (localCheckpoint) because its consumers (df, dl, postings)
+    * are different aggregates over it: Catalyst prunes them into
+    * NON-identical subtrees, so exchange reuse can never kick in and a
+    * lazy tf would re-tokenize and re-shuffle the whole corpus once per
+    * consumer (verified in RankSpec's plan assertion). At production
+    * scale this frame is the inverted-index table you'd persist/bucket by
+    * token once per corpus version and share across every query. */
+  private def termFreq(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+
   /** Per-document top-k TF-IDF terms: tf * ln((N+1)/(df+1)), rounded to 6
     * decimals, ranked per document (score desc, token asc).
     * Output: (doc_id, rank, token, score). */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     topK: Int = 3): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(TextOps.tokens(lower(col(textCol)))).as("token"))
-    val tf = tok.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFreq(docs, idCol, textCol)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(broadcast(dfreq), "token")
@@ -69,10 +83,7 @@ object Rank {
   def bm25Search(docs: DataFrame, idCol: String, textCol: String,
                  terms: Seq[String], topK: Int = 20): DataFrame = {
     require(terms.nonEmpty && terms.size <= 8, "bm25: 1..8 literal terms")
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(TextOps.tokens(lower(col(textCol)))).as("token"))
-    val tf = tok.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFreq(docs, idCol, textCol)
     // document length + corpus stats (avgdl = exact long sum / exact count,
     // one double division — identical in any engine)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))

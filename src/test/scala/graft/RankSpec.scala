@@ -55,6 +55,21 @@ class RankSpec extends SparkSpec {
     assert(byId(2L) - byId(1L) > byId(3L) - byId(2L))
   }
 
+  test("tf is computed once: no consumer re-tokenizes the corpus") {
+    // df/dl/postings are DIFFERENT aggregates over tf — Catalyst prunes
+    // them into non-identical subtrees, so exchange reuse can never fire
+    // and a lazy tf would re-run the corpus-sized tokenize+shuffle per
+    // consumer. The checkpointed tf must leave ZERO tokenize calls in
+    // the consuming plans (they read the materialized RDD instead).
+    for (q <- Seq(Rank.tfidfTopTerms(docs, "doc_id", "text", topK = 2),
+                  Rank.bm25Search(docs, "doc_id", "text", Seq("a", "d")))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("word_tokens"),
+        s"corpus re-tokenized by a tf consumer:\n$plan")
+      assert(plan.contains("ExistingRDD"), s"tf not checkpoint-backed:\n$plan")
+    }
+  }
+
   test("bm25 rejects empty or oversized term lists") {
     intercept[IllegalArgumentException] {
       Rank.bm25Search(docs, "doc_id", "text", Seq.empty)
