@@ -1059,6 +1059,67 @@ object Oracles {
          | round(-65536 * ln((65536 - count(*)) / 65536.0), 6) AS est_distinct
          |FROM b""".stripMargin,
 
+    // histogram-quantile sketch: DECIMAL-exact cents, integer bins /
+    // cumulative counts / ceil-rational ranks / floor-div interpolation —
+    // the only float op is the final /100.0 on identical integers
+    "q82_hist_quantiles" ->
+      """WITH h AS (
+        | SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         // 100000 AS bin,
+        |  count(*) AS cnt
+        | FROM orders GROUP BY 1),
+        |c AS (
+        | SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
+        |  sum(cnt) OVER (ORDER BY bin) - cnt AS cum_before
+        | FROM h),
+        |n AS (SELECT sum(cnt) AS n FROM h),
+        |qr AS (
+        | SELECT quantile_bp, (CAST(quantile_bp AS BIGINT) * n + 9999) // 10000 AS r
+        | FROM (SELECT unnest([5000, 9000, 9900]) AS quantile_bp) CROSS JOIN n),
+        |sel AS (
+        | SELECT quantile_bp, r, min(bin) AS bin
+        | FROM qr JOIN c ON cum >= r GROUP BY 1, 2)
+        |SELECT quantile_bp,
+        | (bin * 100000 + 100000 * (r - cum_before) // cnt) / 100.0 AS est
+        |FROM sel JOIN c USING (bin) ORDER BY quantile_bp""".stripMargin,
+
+    // contiguous sequence packing: per-shard cumulative token sums (exact
+    // longs) + integer division — every output cell an integer
+    "q83_sequence_packing" ->
+      s"""WITH d AS (
+         | SELECT source AS shard, doc_id,
+         |  CAST(len(${toksSql("text")}) AS BIGINT) AS n_tok
+         | FROM documents),
+         |c AS (
+         | SELECT shard, doc_id, n_tok,
+         |  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) - n_tok
+         |   AS cum_before
+         | FROM d),
+         |sq AS (SELECT shard, doc_id, n_tok, cum_before // 512 AS seq_id FROM c)
+         |SELECT shard, seq_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM sq GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
+
+    // char-trigram jaccard: distinct n-gram sets via range+substr (DuckDB
+    // range is exclusive-and-empty-when-degenerate; the Spark side guards
+    // its DESCENDING sequence(1,0) explicitly), exact set sizes, one
+    // double division, threshold on the unrounded sim — mirrors q17's
+    // set-semantics oracle shape
+    "q81_char_ngram_jaccard" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(length(text) - 1, 1)),
+        |    i -> substr(text, i, 3))) AS g
+        | FROM documents WHERE doc_id < 60),
+        |pairs AS (
+        | SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+        |  CASE WHEN len(list_distinct(list_concat(l.g, r.g))) = 0 THEN 0.0
+        |       ELSE CAST(len(list_intersect(l.g, r.g)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(l.g, r.g))) END AS sim
+        | FROM d l, d r WHERE l.doc_id < r.doc_id)
+        |SELECT id_a, id_b, round(sim, 6) AS trigram_sim
+        |FROM pairs WHERE sim >= 0.62 ORDER BY id_a, id_b""".stripMargin,
+
     // partitioned-layout round trip: the oracle aggregates the ORIGINAL
     // parquet with the same lang filter — green hash = the Hive-style
     // layout (partition values in directory names) lost nothing

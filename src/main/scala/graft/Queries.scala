@@ -295,6 +295,21 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Character-trigram Jaccard near-dup pairs over the same bounded probe
+    * set as q17 — the n-gram granularity that works without word
+    * boundaries (CJK-safe) and survives word-level edits. Exact integer
+    * set sizes -> one double division, replayed in DuckDB. */
+  def q81CharNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
+      .select(col("doc_id"), TextOps.charNgrams(col("text"), 3).as("__g"))
+    docs.as("l").join(docs.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+        Dedup.jaccard(col("l.__g"), col("r.__g")).as("sim"))
+      .filter(col("sim") >= 0.62)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("trigram_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Gap-based sessionization (30-min inactivity gap) + per-session rollup. */
   def q18Sessionize(s: SparkSession, dir: String): DataFrame =
     Sessionize.sessionSummary(t(s, dir, "events"), "user_id", "ts", "value", 30)
@@ -1021,6 +1036,23 @@ object Queries {
     Sketch.hllDistinct(t(s, dir, "orders"), "o_orderkey", p = 12,
       portable = true)
 
+  /** Histogram-sketch quantiles over order prices (Sketch
+    * .histogramQuantiles): $1000 bins on exact DECIMAL cents, integer
+    * ranks and interpolation — the mergeable bounded-shuffle quantile
+    * estimator, exact-replayed in DuckDB. q44 is the exact twin. */
+  def q82HistQuantiles(s: SparkSession, dir: String): DataFrame =
+    Sketch.histogramQuantiles(t(s, dir, "orders"),
+      dec2(col("o_totalprice")) * 100, binWidthCents = 100000L,
+      quantilesBp = Seq(5000, 9000, 9900))
+
+  /** Contiguous sequence packing (Pack.packSequences): documents packed
+    * into 512-token training sequences per source shard — the per-shard
+    * cumulative-sum window parallelizes across shards, no global order. */
+  def q83SequencePacking(s: SparkSession, dir: String): DataFrame =
+    Pack.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        shardCol = "source", seqLen = 512)
+      .orderBy("shard", "seq_id")
+
   /** Deterministic per-customer "tier" version history: a version at each
     * of 1996/1998/2000-01-01 with a derived tier value. */
   private def tierVersions(s: SparkSession, dir: String): DataFrame =
@@ -1202,6 +1234,9 @@ object Queries {
     "q78_partition_pruning" -> (q78PartitionPruning _),
     "q79_semantic_dedup" -> (q79SemanticDedup _),
     "q80_semantic_dedup_portable" -> (q80SemanticDedupPortable _),
+    "q81_char_ngram_jaccard" -> (q81CharNgramJaccard _),
+    "q82_hist_quantiles" -> (q82HistQuantiles _),
+    "q83_sequence_packing" -> (q83SequencePacking _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

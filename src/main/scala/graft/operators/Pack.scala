@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining: assign documents, in a
+  * deterministic order, to fixed-token-budget training sequences. This is
+  * the CONTIGUOUS packing used by GPT-style pipelines (documents
+  * concatenated in order, sequence boundaries every `seqLen` tokens,
+  * documents may straddle a boundary) — not first-fit bin packing, which
+  * is inherently sequential and order-fragile.
+  *
+  * A document's sequence is floor(tokens_before_it / seqLen) — a pure
+  * function of the running token count, so the whole plan is one window
+  * cumulative sum over exact longs plus integer division: replayable
+  * cross-engine (q83) and deterministic under retries.
+  *
+  * Scale shape: packing runs PER SHARD (`shardCol`), so the cumulative-sum
+  * window partitions by shard and parallelizes across them —
+  * embarrassingly parallel, no global total order. At 100 TB the shard is
+  * the unit a trainer reads (file / date / hash range); a single global
+  * ordering would funnel the corpus through one partition for no
+  * training-relevant gain.
+  *
+  * Output: one row per (shard, seq_id): doc and token counts, the first/
+  * last document, and the tokens the sequence holds of its budget
+  * (tail sequences underfill; mid sequences hold exactly `seqLen` minus
+  * straddle carryover accounting, all integers). */
+object Pack {
+
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "packSequences: seqLen > 0")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val counted = docs.select(col(shardCol).as("shard"), col(idCol).as("doc_id"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("cum_before", col("cum") - col("n_tok"))
+      .withColumn("seq_id", expr(s"cum_before DIV $seqLen"))
+    counted.groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+}

@@ -204,6 +204,51 @@ object Sketch {
       .limit(k)
   }
 
+  /** Fixed-width histogram quantile sketch over an integer (cents-scaled)
+    * value column: bin = value div binWidth, one bounded hash aggregate
+    * (≤ range/binWidth rows per partition after partial agg), then
+    * quantile extraction over the TINY histogram. The mergeable exact-
+    * integer cousin of t-digest: histograms union by bin-wise count sum,
+    * and every arithmetic step is integer (bins, cumulative counts, ranks
+    * as ceil-rational, integer-division interpolation) except the single
+    * final /100.0 — so the whole estimator replays cross-engine (q82).
+    *
+    * Ranks: r(q) = ceil(q * N) computed as (num*N + den - 1) div den with
+    * q = num/den in ten-thousandths — NEVER ceil(double): 0.9 * 15000
+    * rounds UP to 13500.000000000002 in binary and ceil would skip a rank.
+    *
+    * Estimate: lower bin edge + binWidth * (r - cum_before) div count —
+    * within-bin linear interpolation, floor semantics.
+    * Output: (quantile_bp, est) — quantile in basis points, est in the
+    * /100.0 unit (dollars for cents input). */
+  def histogramQuantiles(df: DataFrame, centsCol: Column,
+                         binWidthCents: Long,
+                         quantilesBp: Seq[Int]): DataFrame = {
+    require(quantilesBp.nonEmpty && quantilesBp.forall(q => q > 0 && q <= 10000),
+      "histogramQuantiles: quantiles in basis points (1..10000)")
+    val hist = df.select(centsCol.cast("long").as("__cents"))
+      .select(expr(s"__cents DIV $binWidthCents").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bin"))))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    val n = hist.agg(sum(col("cnt")).as("n"))
+    val qs = n.select(explode(array(quantilesBp.map(q => lit(q)): _*))
+        .as("quantile_bp"), col("n"))
+      .withColumn("r",
+        expr("(CAST(quantile_bp AS BIGINT) * n + 9999) DIV 10000"))
+    val sel = qs.join(cum, col("cum") >= col("r"))
+      .groupBy(col("quantile_bp"), col("r"))
+      .agg(min(col("bin")).as("bin"))
+    sel.join(cum, "bin")
+      .select(col("quantile_bp"),
+        ((col("bin") * binWidthCents +
+          expr(s"$binWidthCents * (r - cum_before) DIV cnt")) / 100.0)
+          .as("est"))
+      .orderBy("quantile_bp")
+  }
+
   /** Bloom-filter bit set of a value column: `numHashes` seeded hashes per
     * value, each setting bit h % mBits. Represented relationally as the
     * DISTINCT set-bit positions — at most mBits rows of one long each, so

@@ -29,6 +29,22 @@ object TextOps {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(coalesce(text, lit("")), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Distinct character n-grams of a string — the shingle granularity
+    * for scripts without whitespace word boundaries (CJK) and for
+    * robustness to word-level edits. Empty/short strings yield an empty
+    * array (the explicit guard matters: Spark's sequence(1, 0) DESCENDS,
+    * it is not empty like DuckDB's range). Lengths are UTF-16 code units
+    * on the Spark side vs code points in DuckDB — identical for BMP text,
+    * so oracle-verified corpora must stay supplementary-plane-free (the
+    * testdata is ASCII). */
+  def charNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, "charNgrams: n >= 1")
+    val t = coalesce(text, lit(""))
+    when(length(t) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n)))))
+  }
+
   /** Ratio of punctuation chars to total chars (0 for empty). */
   def punctRatio(text: Column): Column = {
     val t = coalesce(text, lit(""))

@@ -46,6 +46,17 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq(false, true, false))
   }
 
+  test("charNgrams: sliding distinct n-grams with degenerate-input guards") {
+    val rows = Seq("abcd", "aaaa", "ab", "", null).toDF("t")
+      .select(TextOps.charNgrams(col("t"), 3).as("g"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(rows(0) == List("abc", "bcd"))
+    assert(rows(1) == List("aaa"))          // distinct, not 2 copies
+    assert(rows(2) == Nil)                  // shorter than n: EMPTY —
+    assert(rows(3) == Nil)                  // sequence(1,0) would descend
+    assert(rows(4) == Nil)                  // null-safe
+  }
+
   test("jaccard is set-semantics intersection over union") {
     val df = Seq((Seq("a", "b", "b"), Seq("b", "c"))).toDF("x", "y")
     assert(df.select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0) == 1.0 / 3.0)

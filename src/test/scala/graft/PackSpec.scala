@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Pack, TextOps}
+
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contiguous packing: hand-computed sequence assignment") {
+    // shard A token counts by doc order: 3, 4, 2 -> cum_before 0, 3, 7
+    // with seqLen 5 -> seqs 0, 0, 1; shard B independent: 6 tokens -> seq 0
+    val docs = Seq(
+      (1L, "a b c", "A"), (2L, "d e f g", "A"), (3L, "h i", "A"),
+      (4L, "p q r s t u", "B"))
+      .toDF("doc_id", "text", "src")
+    val out = Pack.packSequences(docs, "doc_id", "text", "src", seqLen = 5)
+      .orderBy("shard", "seq_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("A", 0L, 2L, 7L, 1L, 2L),   // docs 1+2 start inside seq 0
+      ("A", 1L, 1L, 2L, 3L, 3L),
+      ("B", 0L, 1L, 6L, 4L, 4L)))
+  }
+
+  test("packing conserves documents and tokens, shards stay independent") {
+    val docs = (1 to 300)
+      .map(i => (i.toLong, ("tok " * (1 + i % 17)).trim, s"s${i % 4}"))
+      .toDF("doc_id", "text", "src")
+    val out = Pack.packSequences(docs, "doc_id", "text", "src", seqLen = 64)
+    val totTok = docs.select(sum(TextOps.tokenCount(col("text")).cast("long")))
+      .collect().head.getLong(0)
+    assert(out.agg(sum(col("n_docs"))).collect().head.getLong(0) == 300L)
+    assert(out.agg(sum(col("n_tokens"))).collect().head.getLong(0) == totTok)
+    // every shard's sequence ids are contiguous from 0
+    val bad = out.groupBy("shard")
+      .agg(min(col("seq_id")).as("lo"), max(col("seq_id")).as("hi"),
+        count(lit(1)).as("n"))
+      .filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1)
+    assert(bad.count() == 0)
+  }
+
+  test("empty documents take no budget but keep their slot") {
+    val docs = Seq((1L, "a b", "A"), (2L, "", "A"), (3L, "c d e", "A"))
+      .toDF("doc_id", "text", "src")
+    val out = Pack.packSequences(docs, "doc_id", "text", "src", seqLen = 4)
+      .orderBy("seq_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // cum_before: 0, 2, 2 -> all in seq 0 (empty doc contributes 0 tokens)
+    assert(out.toSeq == Seq((0L, 3L, 5L)))
+  }
+}

@@ -277,6 +277,31 @@ class SketchSpec extends SparkSpec {
     assert(r.getAs[Double]("est_distinct") == 0.0)
   }
 
+  test("histogram quantiles land within one bin of the exact percentile") {
+    // values 1.00 .. 100.00 dollars (cents 100..10000), $1 bins
+    val cents = (1 to 10000 by 100).flatMap(c => Seq.fill(3)(c.toLong)).toDF("c")
+    val est = Sketch.histogramQuantiles(cents, col("c"), binWidthCents = 100L,
+        quantilesBp = Seq(5000, 9000, 9900, 10000))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val sorted = cents.collect().map(_.getLong(0)).sorted
+    for ((bp, e) <- est) {
+      val exact = sorted(math.ceil(bp / 10000.0 * sorted.length).toInt - 1) / 100.0
+      assert(math.abs(e - exact) <= 1.0, s"q$bp: est $e vs exact $exact")
+    }
+  }
+
+  test("histogram quantile ranks use rational ceil, not double ceil") {
+    // 15000 rows: ceil(0.9 * 15000) must be 13500 — the double product
+    // rounds UP to 13500.000000000002 and a double ceil would skip to
+    // 13501. All rows in one bin -> est depends directly on r.
+    val cents = (1 to 15000).map(_ => 100L).toDF("c")
+    val est = Sketch.histogramQuantiles(cents, col("c"), binWidthCents = 100L,
+        quantilesBp = Seq(9000))
+      .collect().head.getDouble(1)
+    // bin 1, cum_before 0, cnt 15000: est = (100 + 100*13500 div 15000)/100
+    assert(est == (100L + 100L * 13500L / 15000L) / 100.0)
+  }
+
   test("bloom filter has no false negatives; false positives stay bounded") {
     val present = (1 to 1000).map(i => s"val-$i").toDF("v")
     val absent = (1 to 1000).map(i => s"other-$i").toDF("v")
