@@ -1059,6 +1059,56 @@ object Oracles {
          | round(-65536 * ln((65536 - count(*)) / 65536.0), 6) AS est_distinct
          |FROM b""".stripMargin,
 
+    // repetition stats: k=3 shingles (same <k whole-text rule as the
+    // MinHash chain), exact set sizes, one double division; keep compares
+    // the ROUNDED ratio on both sides
+    "q84_repetition_filter" ->
+      s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+         |shg AS (
+         | SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |   ELSE list_transform(range(1, len(tk) - 1),
+         |          i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END AS sh
+         | FROM tok),
+         |m AS (
+         | SELECT doc_id, CAST(len(sh) AS INT) AS n_shingles,
+         |  CAST(len(list_distinct(sh)) AS INT) AS n_distinct
+         | FROM shg),
+         |r AS (
+         | SELECT doc_id, n_shingles, n_distinct,
+         |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+         |   AS dup_ratio
+         | FROM m)
+         |SELECT doc_id, n_shingles, n_distinct, dup_ratio,
+         | dup_ratio <= 0.5 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // decontamination: distinct benchmark 8-shingles vs per-doc distinct
+    // training 8-shingles (same <k whole-text rule), count of overlaps;
+    // planted tail-copies of benchmark docs must all be flagged
+    "q85_decontamination" -> {
+      def shg8(tokCte: String, pfx: String) =
+        s"""${pfx}shg AS (
+           | SELECT doc_id, CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+           |   ELSE list_transform(range(1, len(tk) - 6),
+           |          i -> array_to_string(list_slice(tk, i, i + 7), ' ')) END AS sh
+           | FROM $tokCte)""".stripMargin
+      s"""WITH bench AS (
+         | SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+         |train AS (
+         | SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+         | UNION ALL
+         | ${plantedSql("documents", "true", 50, 500000L)}),
+         |btok AS (SELECT doc_id, ${toksSql("text")} AS tk FROM bench),
+         |ttok AS (SELECT doc_id, ${toksSql("text")} AS tk FROM train),
+         |${shg8("btok", "b")},
+         |${shg8("ttok", "t")},
+         |bset AS (SELECT DISTINCT unnest(sh) AS sh FROM bshg),
+         |texp AS (SELECT doc_id, unnest(list_distinct(sh)) AS sh FROM tshg)
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM texp JOIN bset USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     // histogram-quantile sketch: DECIMAL-exact cents, integer bins /
     // cumulative counts / ceil-rational ranks / floor-div interpolation —
     // the only float op is the final /100.0 on identical integers

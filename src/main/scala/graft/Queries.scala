@@ -1053,6 +1053,28 @@ object Queries {
         shardCol = "source", seqLen = 512)
       .orderBy("shard", "seq_id")
 
+  /** C4/Gopher-style within-document repetition stats (TextOps
+    * .repetitionStats): shingle dup ratio as a quality filter — pure
+    * per-row set arithmetic, hash-verified. */
+  def q84RepetitionFilter(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, maxDupRatio = 0.5)
+      .orderBy("doc_id")
+
+  /** Benchmark decontamination (Decontaminate.overlaps): 8-gram overlap
+    * between the training corpus and a benchmark split, with planted
+    * contaminated docs (tail-copies of benchmark docs at id + 500000)
+    * that MUST be flagged. Benchmark shingles broadcast; the training
+    * corpus never shuffles. */
+  def q85Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+      .unionByName(plantedTailDocs(docs, 50, 500000L))
+    Decontaminate.overlaps(train, bench, "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+  }
+
   /** Deterministic per-customer "tier" version history: a version at each
     * of 1996/1998/2000-01-01 with a derived tier value. */
   private def tierVersions(s: SparkSession, dir: String): DataFrame =
@@ -1237,6 +1259,8 @@ object Queries {
     "q81_char_ngram_jaccard" -> (q81CharNgramJaccard _),
     "q82_hist_quantiles" -> (q82HistQuantiles _),
     "q83_sequence_packing" -> (q83SequencePacking _),
+    "q84_repetition_filter" -> (q84RepetitionFilter _),
+    "q85_decontamination" -> (q85Decontamination _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -117,6 +117,26 @@ object TextOps {
     when(total === 0, "und").otherwise(chain)
   }
 
+  /** Within-document shingle repetition — the C4/Gopher-family quality
+    * signal: a document whose k-shingles repeat heavily is boilerplate or
+    * a degenerate loop, not prose. dup_ratio = 1 - distinct/total shingles
+    * (0 for docs short enough to yield a single shingle). Pure per-row
+    * expressions over the native shingle kernel — no shuffle; exact
+    * integer set sizes, one double division (replayed in SQL, q84).
+    * Output: idCol, n_shingles, n_distinct, dup_ratio, keep. */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, k: Int = 3,
+                      maxDupRatio: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val sh = Dedup.shingles(col(textCol), k)
+    df.select(col(idCol),
+        size(sh).as("n_shingles"),
+        size(array_distinct(sh)).as("n_distinct"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_shingles").cast("double"), 6))
+      .withColumn("keep", col("dup_ratio") <= maxDupRatio)
+  }
+
   /** One-pass native metrics struct (n_tokens, punct_ratio,
     * stopword_ratio, mean_token_len, quality_score, lang) — each field
     * value-identical to the corresponding Column form here (the parity is
