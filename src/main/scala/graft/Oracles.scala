@@ -1059,6 +1059,39 @@ object Oracles {
          | round(-65536 * ln((65536 - count(*)) / 65536.0), 6) AS est_distinct
          |FROM b""".stripMargin,
 
+    // JSON field extraction: ->> + CAST mirrors from_json's typed field
+    "q86_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        | sum(CAST(props->>'k' AS INT)) AS sum_k,
+        | min(CAST(props->>'k' AS INT)) AS min_k,
+        | max(CAST(props->>'k' AS INT)) AS max_k,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mixture sampling: largest-remainder allocation in pure integer
+    // arithmetic (floor/remainder/rank), portable-hash selection ranking
+    "q87_mixture_sample" ->
+      s"""WITH w AS (
+         | SELECT * FROM (VALUES ('en', 5000), ('fr', 2000), ('de', 1500),
+         |   ('es', 1000), ('zh', 500)) AS t(src, wbp)),
+         |alloc AS (
+         | SELECT src, CAST(wbp AS BIGINT) * 200 // 10000 AS fl,
+         |  CAST(wbp AS BIGINT) * 200 % 10000 AS rem
+         | FROM w),
+         |lo AS (SELECT 200 - sum(fl) AS leftover FROM alloc),
+         |tgt AS (
+         | SELECT src, fl + (CASE WHEN row_number() OVER
+         |     (ORDER BY rem DESC, src ASC) <= leftover THEN 1 ELSE 0 END)
+         |   AS target_n
+         | FROM alloc CROSS JOIN lo),
+         |ranked AS (
+         | SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |   ORDER BY ${ph("CAST(doc_id AS VARCHAR)", 77)} ASC, doc_id ASC)
+         |   AS rnk
+         | FROM documents)
+         |SELECT lang, doc_id FROM ranked JOIN tgt ON lang = src
+         |WHERE rnk <= target_n ORDER BY lang, doc_id""".stripMargin,
+
     // repetition stats: k=3 shingles (same <k whole-text rule as the
     // MinHash chain), exact set sizes, one double division; keep compares
     // the ROUNDED ratio on both sides

@@ -1075,6 +1075,33 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Semi-structured JSON column processing: parse events.props with an
+    * explicit schema (from_json — codegen'd, no UDF) and aggregate the
+    * extracted field per event type. */
+  def q86JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  /** Deterministic mixture sampling (Split.mixtureSample): draw exactly
+    * 200 documents with lang weights 50/20/15/10/5% by largest-remainder
+    * allocation + portable-hash ranking — the pretraining data-mixing
+    * step, replayed exactly in DuckDB. */
+  def q87MixtureSample(s: SparkSession, dir: String): DataFrame =
+    Split.mixtureSample(t(s, dir, "documents"), "lang", "doc_id",
+        weightsBp = Seq("en" -> 5000, "fr" -> 2000, "de" -> 1500,
+          "es" -> 1000, "zh" -> 500),
+        total = 200L)
+      .orderBy("lang", "doc_id")
+
   /** Deterministic per-customer "tier" version history: a version at each
     * of 1996/1998/2000-01-01 with a derived tier value. */
   private def tierVersions(s: SparkSession, dir: String): DataFrame =
@@ -1261,6 +1288,8 @@ object Queries {
     "q83_sequence_packing" -> (q83SequencePacking _),
     "q84_repetition_filter" -> (q84RepetitionFilter _),
     "q85_decontamination" -> (q85Decontamination _),
+    "q86_json_extract" -> (q86JsonExtract _),
+    "q87_mixture_sample" -> (q87MixtureSample _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -40,6 +40,58 @@ object Split {
   def sample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(bucket(col(keyCol), 100) < pct)
 
+  /** Deterministic mixture sampling — the pretraining "data mixing" step:
+    * draw an exact-size corpus from weighted sources (weights in basis
+    * points, summing to 10000) with no randomness anywhere.
+    *
+    * Per-source counts use the LARGEST-REMAINDER method in pure integer
+    * arithmetic: floor(w*total/10000) each, then the `total - sum(floors)`
+    * leftover slots go to the largest remainders (ties: source asc) — the
+    * allocation is exact, deterministic, and engine-portable. Selection
+    * within a source ranks documents by (portable hash of the id, id) and
+    * keeps the first target_n — a reproducible "random" sample any engine
+    * can re-derive (q87).
+    *
+    * A source with fewer rows than its target contributes everything it
+    * has (the shortfall is visible to the caller by counting).
+    *
+    * Scale shape: the allocation table is #sources rows of driver-side
+    * metadata computed relationally (no collect); the selection is one
+    * per-source window over the hash order — shuffle keyed by source,
+    * WindowGroupLimit prunes to target_n per partition before any full
+    * sort materializes.
+    *
+    * Output: the selected rows as (sourceCol, idCol). */
+  def mixtureSample(df: DataFrame, sourceCol: String, idCol: String,
+                    weightsBp: Seq[(String, Int)], total: Long): DataFrame = {
+    require(weightsBp.map(_._2).sum == 10000,
+      "mixtureSample: weights must sum to 10000 bp")
+    require(weightsBp.map(_._1).distinct.size == weightsBp.size,
+      "mixtureSample: duplicate source")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weightsBp.toDF("__src", "__wbp")
+      .withColumn("__floor", expr(s"CAST(__wbp AS BIGINT) * $total DIV 10000"))
+      .withColumn("__rem", expr(s"CAST(__wbp AS BIGINT) * $total % 10000"))
+    val leftover = w.withColumn("__left",
+        lit(total) - sum(col("__floor")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("__rrank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__rem").desc, col("__src").asc)))
+      .withColumn("target_n",
+        col("__floor") + when(col("__rrank") <= col("__left"), 1L).otherwise(0L))
+      .select(col("__src"), col("target_n"))
+    val ranked = df.select(col(sourceCol).as("__src"), col(idCol).as("__id"))
+      .withColumn("__h", Dedup.portableHash64(col("__id").cast("string"), 77))
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__src"))
+          .orderBy(col("__h").asc, col("__id").asc)))
+    ranked.join(broadcast(leftover), "__src")
+      .filter(col("__rank") <= col("target_n"))
+      .select(col("__src").as(sourceCol), col("__id").as(idCol))
+  }
+
   /** Stratified deterministic sampling: per-stratum percentage targets
     * (strata absent from the map keep `defaultPct`). */
   def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,

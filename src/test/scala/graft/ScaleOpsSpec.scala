@@ -324,6 +324,60 @@ class SketchSpec extends SparkSpec {
   }
 }
 
+class MixtureSampleSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Split
+
+  private val corpus = (1 to 1000).map(i =>
+    (i.toLong, Seq("a", "b", "c")(i % 3))).toDF("id", "src")
+
+  test("largest-remainder allocation hits the exact total and hand counts") {
+    // 7 * 101 / 10000 floors to 0.0707 -> floors 70/29/1 = 100, remainders
+    // 0.07/0.29/0.01 of 101: floor 70+29+1=100, leftover 1 goes to the
+    // largest remainder
+    val out = Split.mixtureSample(corpus, "src", "id",
+      Seq("a" -> 7000, "b" -> 2900, "c" -> 100), total = 101L)
+    val counts = out.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // floors: 70 (rem 7000*101%10000=7000), 29 (rem 2900*101%10000=2900+...)
+    // computed: a: 70.7 -> 70 r 7000; b: 29.29 -> 29 r 2900; c: 1.01 -> 1 r 100
+    // leftover = 101 - 100 = 1 -> goes to a (largest remainder)
+    assert(counts == Map("a" -> 71, "b" -> 29, "c" -> 1))
+    assert(out.count() == 101)
+  }
+
+  test("a short source contributes everything it has, visibly") {
+    val tiny = (1 to 10).map(i => (i.toLong, if (i <= 2) "rare" else "big"))
+      .toDF("id", "src")
+    val out = Split.mixtureSample(tiny, "src", "id",
+      Seq("rare" -> 5000, "big" -> 5000), total = 10L)
+    val counts = out.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("rare") == 2)   // target 5, only 2 exist
+    assert(counts("big") == 5)
+  }
+
+  test("selection is a pure function of ids: input order cannot change it") {
+    val a = Split.mixtureSample(corpus, "src", "id",
+      Seq("a" -> 6000, "b" -> 3000, "c" -> 1000), 60L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Split.mixtureSample(corpus.orderBy(rand(123)), "src", "id",
+      Seq("a" -> 6000, "b" -> 3000, "c" -> 1000), 60L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b && a.size == 60)
+  }
+
+  test("mixtureSample validates weights") {
+    intercept[IllegalArgumentException] {
+      Split.mixtureSample(corpus, "src", "id", Seq("a" -> 5000), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Split.mixtureSample(corpus, "src", "id",
+        Seq("a" -> 5000, "a" -> 5000), 10L)
+    }
+  }
+}
+
 class BucketedJoinSpec extends SparkSpec {
   import spark.implicits._
 
