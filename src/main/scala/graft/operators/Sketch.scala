@@ -87,15 +87,25 @@ object Sketch {
     * distincts where linear counting saturates).
     *
     * Output: (bucket, reg), occupied buckets only. */
+  /** The HLL bucket column — exposed (with [[hllRho]]) so the streaming
+    * twin groups by the SAME definitions (one code path to trust, as with
+    * [[bucketCol]]/[[lcEstimate]]). */
+  def hllBucket(c: Column, p: Int, seed: Int = 7,
+                portable: Boolean = false): Column =
+    bucketCol(c, 1 << p, seed, portable)
+
+  /** The HLL rank column: leading-zero count (+1) of the second 48-bit
+    * hash, via exact bit length. */
+  def hllRho(c: Column, seed: Int = 7, portable: Boolean = false): Column = {
+    val w = pmod(hash(c, seed + 1, portable), lit(1L << 48))
+    when(w === 0L, lit(49)).otherwise(lit(49) - length(bin(w)).cast("int"))
+  }
+
   def hllRegisters(df: DataFrame, valueCol: String, p: Int = 12,
                    seed: Int = 7, portable: Boolean = false): DataFrame = {
     require(p >= 7 && p <= 18, "hll: p in [7, 18]")
-    val m = 1 << p
-    val w = pmod(hash(col(valueCol), seed + 1, portable), lit(1L << 48))
-    val rho = when(w === 0L, lit(49))
-      .otherwise(lit(49) - length(bin(w)).cast("int"))
-    df.select(bucketCol(col(valueCol), m, seed, portable).as("bucket"),
-        rho.as("rho"))
+    df.select(hllBucket(col(valueCol), p, seed, portable).as("bucket"),
+        hllRho(col(valueCol), seed, portable).as("rho"))
       .groupBy(col("bucket"))
       .agg(max(col("rho")).as("reg"))
   }
@@ -126,27 +136,37 @@ object Sketch {
     * count, matching the published estimator.
     *
     * Output: one row (m, occupied, max_reg, est_distinct). */
-  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+  /** The per-register term 2^(49-reg) as DECIMAL(38,0) — the exact-sum
+    * contribution each occupied bucket feeds the harmonic denominator.
+    * (The DSL shiftleft only takes a literal shift; the SQL form shifts by
+    * a column — 1L << (49 - reg) is exact for reg in [1, 49].) */
+  def hllTerm: Column =
+    expr("shiftleft(CAST(1 AS BIGINT), 49 - reg)").cast("decimal(38,0)")
+
+  /** The estimate from the (occupied, sum-of-terms) aggregates — one
+    * estimator expression shared by the batch form and the streaming
+    * per-window twin ([[graft.streaming.Stream.activeStudentsHll]]). */
+  def hllEstimateCol(p: Int, occupied: Column, sOcc: Column): Column = {
     val m = 1 << p
-    val agg = registers.agg(
-      count(lit(1)).as("occupied"),
-      max(col("reg")).as("max_reg"),
-      // the DSL shiftleft only takes a literal shift; the SQL form shifts
-      // by a column (1L << (49 - reg) is exact for reg in [1, 49])
-      sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - reg)").cast("decimal(38,0)"))
-        .as("s_occ"))
-    val sTotal = coalesce(col("s_occ"), lit(0).cast("decimal(38,0)")) +
-      (lit(m.toLong) - col("occupied")).cast("decimal(38,0)") *
+    val sTotal = coalesce(sOcc, lit(0).cast("decimal(38,0)")) +
+      (lit(m.toLong) - occupied).cast("decimal(38,0)") *
         lit(1L << 49).cast("decimal(38,0)")
     val sum2 = sTotal.cast("double") / lit((1L << 49).toDouble)
     val raw = lit(hllAlphaM2(p)) / sum2
-    val zeros = lit(m.toLong) - col("occupied")
+    val zeros = lit(m.toLong) - occupied
     val est = when(raw <= lit(2.5 * m) && zeros > 0L,
         lit(m.toDouble) * log(lit(m.toDouble) / zeros))
       .otherwise(raw)
-    agg.select(lit(m).as("m"), col("occupied"), col("max_reg"),
-      round(est, 6).as("est_distinct"))
+    round(est, 6)
   }
+
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame =
+    registers.agg(
+        count(lit(1)).as("occupied"),
+        max(col("reg")).as("max_reg"),
+        sum(hllTerm).as("s_occ"))
+      .select(lit(1 << p).as("m"), col("occupied"), col("max_reg"),
+        hllEstimateCol(p, col("occupied"), col("s_occ")).as("est_distinct"))
 
   /** Registers + estimate in one call (the batch entry point). */
   def hllDistinct(df: DataFrame, valueCol: String, p: Int = 12,

@@ -137,6 +137,28 @@ object Stream {
       .select(col("window.start").as("window_start"), col("occupied"),
         graft.operators.Sketch.lcEstimate(m, col("occupied")).as("est_active"))
 
+  /** Active-distinct per window via HYPERLOGLOG registers — the
+    * [[activeStudentsSketch]] shape (two chained watermark-bounded
+    * aggregations, append mode) with HLL instead of linear counting, for
+    * cardinalities past LC's saturation: stage 1 state is one MAX register
+    * per (window, bucket) — still bounded by m per window, never the id
+    * set — and stage 2 folds the registers through the SAME estimator
+    * expression the batch operator oracles
+    * ([[graft.operators.Sketch.hllEstimateCol]]). */
+  def activeStudentsHll(cleaned: DataFrame, p: Int = 12,
+                        watermark: String = "10 minutes"): DataFrame =
+    cleaned
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "5 minutes", "1 minute"),
+        graft.operators.Sketch.hllBucket(col("student_id"), p).as("__bucket"))
+      .agg(max(graft.operators.Sketch.hllRho(col("student_id"))).as("reg"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("occupied"),
+        sum(graft.operators.Sketch.hllTerm).as("__s"))
+      .select(col("window.start").as("window_start"), col("occupied"),
+        graft.operators.Sketch.hllEstimateCol(p, col("occupied"), col("__s"))
+          .as("est_active"))
+
   /** ST-3 with explicit state + TTL via flatMapGroupsWithState — the
     * unbounded-dict fix (SURVEY §7.4-4): state for an idle student expires
     * after `ttlMs` of processing time instead of living forever like the

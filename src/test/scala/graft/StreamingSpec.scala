@@ -127,6 +127,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers match the batch estimator per window") {
+    val input = MemoryStream[(String, java.sql.Timestamp, String)](spark)
+    val ts = (m: Int, s: Int) => java.sql.Timestamp.valueOf(f"2024-02-01 10:$m%02d:$s%02d")
+    val cleaned = Stream.cleanEvent(
+        input.toDF().toDF("student_id", "event_time", "score"))
+      .withColumn("duration_seconds", lit("60"))
+    val q = Stream.activeStudentsHll(cleaned, p = 12)
+      .writeStream.format("memory").queryName("hll_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val events = (1 to 60).flatMap(i =>
+        Seq((f"STU$i%03d", ts(0, i % 60), "80"), (f"STU$i%03d", ts(1, i % 60), "90")))
+      input.addData(events)
+      q.processAllAvailable()
+      input.addData(("STU999", ts(40, 0), "50"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT occupied, est_active FROM hll_stream_test " +
+        "WHERE window_start = timestamp'2024-02-01 10:00:00'").collect()
+      assert(got.length == 1)
+      // the stream's estimate must EQUAL the batch operator's on the same
+      // ids — same buckets, same registers, same estimator expression
+      import spark.implicits._
+      val batch = graft.operators.Sketch.hllDistinct(
+          (1 to 60).map(i => f"STU$i%03d").toDF("student_id"), "student_id",
+          p = 12)
+        .collect().head
+      assert(got.head.getAs[Long]("occupied") == batch.getAs[Long]("occupied"))
+      assert(got.head.getAs[Double]("est_active") ==
+        batch.getAs[Double]("est_distinct"))
+    } finally q.stop()
+  }
+
   test("rate-source simulator replays fixture rows with emit-time stamps (ST-1)") {
     val fixture = Seq(("e1", "STU001"), ("e2", "STU002"), ("e3", "STU003"))
       .toDF("event_id", "student_id")
