@@ -1059,6 +1059,27 @@ object Oracles {
          | round(-65536 * ln((65536 - count(*)) / 65536.0), 6) AS est_distinct
          |FROM b""".stripMargin,
 
+    // z-order layout audit: the bucketize and Morton-interleave bit
+    // expressions are GENERATED here with the same unrolling as the Scala
+    // side — pure integer shift/and/or, no floats anywhere
+    "q88_zorder_layout" -> {
+      def bkt(vExpr: String, lo: Long, hi: Long, bits: Int) =
+        s"(((least(greatest(CAST($vExpr AS BIGINT), $lo), $hi) - $lo)" +
+          s" * ${1L << bits}) // ${hi - lo + 1})"
+      val z = (0 until 8).flatMap(i => Seq(
+          s"(((a >> $i) & 1) << ${2 * i})",
+          s"(((b >> $i) & 1) << ${2 * i + 1})"))
+        .mkString(" | ")
+      s"""WITH ab AS (
+         | SELECT ${bkt("user_id", 0, 2047, 8)} AS a,
+         |  ${bkt("event_id", 0, 131071, 8)} AS b
+         | FROM events),
+         |zz AS (SELECT ($z) AS z, a, b FROM ab)
+         |SELECT z // 16 AS z_chunk, count(*) AS n,
+         | min(a) AS min_a, max(a) AS max_a, min(b) AS min_b, max(b) AS max_b
+         |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // JSON field extraction: ->> + CAST mirrors from_json's typed field
     "q86_json_extract" ->
       """SELECT event_type, count(*) AS n_events,

@@ -1075,6 +1075,23 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Z-order layout audit (Layout.zValue): events bucketized on
+    * (user_id, event_id), Morton-interleaved, grouped into z-chunks —
+    * the per-chunk min/max of BOTH dimensions is the data-skipping
+    * guarantee a z-sorted file layout gives parquet stats. Pure integer
+    * bit arithmetic, hash-verified. */
+  def q88ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val a = Layout.bucketize(col("user_id"), 0L, 2047L, 8)
+    val b = Layout.bucketize(col("event_id"), 0L, 131071L, 8)
+    t(s, dir, "events")
+      .select(Layout.zValue(a, b, 8).as("z"), a.as("a"), b.as("b"))
+      .groupBy(expr("z DIV 16").as("z_chunk"))
+      .agg(count(lit(1)).as("n"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+      .orderBy("z_chunk")
+  }
+
   /** Semi-structured JSON column processing: parse events.props with an
     * explicit schema (from_json — codegen'd, no UDF) and aggregate the
     * extracted field per event type. */
@@ -1290,6 +1307,7 @@ object Queries {
     "q85_decontamination" -> (q85Decontamination _),
     "q86_json_extract" -> (q86JsonExtract _),
     "q87_mixture_sample" -> (q87MixtureSample _),
+    "q88_zorder_layout" -> (q88ZorderLayout _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
