@@ -1059,6 +1059,52 @@ object Oracles {
          | round(-65536 * ln((65536 - count(*)) / 65536.0), 6) AS est_distinct
          |FROM b""".stripMargin,
 
+    // per-source report card: int sums exact; the rounded dup ratio sums
+    // through DECIMAL(25,6); every mean is CAST(sum AS DOUBLE)/count
+    "q89_corpus_report" ->
+      s"""WITH tok AS (
+         | SELECT source, lang, text, ${toksSql("text")} AS tk FROM documents),
+         |shg AS (
+         | SELECT source, lang, text,
+         |  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |   ELSE list_transform(range(1, len(tk) - 1),
+         |          i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END AS sh
+         | FROM tok),
+         |b AS (
+         | SELECT source, lang,
+         |  CAST(${tokenCountSql("text")} AS BIGINT) AS n_tok,
+         |  CAST(${qualitySql("text")} AS INT) AS q,
+         |  round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+         |    / CAST(len(sh) AS DOUBLE), 6) AS dup
+         | FROM shg)
+         |SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+         | round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS avg_quality,
+         | round(CAST(sum(CAST(dup AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6)
+         |  AS avg_dup_ratio,
+         | round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / count(*), 6) AS pct_en
+         |FROM b GROUP BY source ORDER BY source""".stripMargin,
+
+    // grouped top-k: per-lang bigram heavy hitters, rank window with
+    // freq-desc/bigram-asc tie-break on both sides
+    "q90_top_bigrams_per_lang" ->
+      s"""WITH tok AS (
+         | SELECT lang, ${toksSql("lower(text)")} AS tk FROM documents),
+         |shg AS (
+         | SELECT lang, CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+         |  ELSE list_transform(range(1, len(tk)),
+         |         i -> array_to_string(list_slice(tk, i, i + 1), ' ')) END AS sh
+         | FROM tok),
+         |f AS (
+         | SELECT lang, bigram, count(*) AS freq
+         | FROM (SELECT lang, unnest(sh) AS bigram FROM shg) GROUP BY 1, 2),
+         |r AS (
+         | SELECT lang, bigram, freq, row_number() OVER (PARTITION BY lang
+         |   ORDER BY freq DESC, bigram ASC) AS rank
+         | FROM f)
+         |SELECT lang, rank, bigram, freq FROM r
+         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
     // z-order layout audit: the bucketize and Morton-interleave bit
     // expressions are GENERATED here with the same unrolling as the Scala
     // side — pure integer shift/and/or, no floats anywhere

@@ -1075,6 +1075,49 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Per-source corpus report card: doc/token volume, mean quality, mean
+    * shingle-repetition ratio, english share — the one-pass profile a
+    * curation pipeline emits per ingest source. Quality is an int (exact
+    * sums); the dup ratio is a rounded double summed through
+    * DECIMAL(25,6) (order-independent) per the repo float discipline. */
+  def q89CorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val m = TextOps.textMetrics(col("text"))
+    val sh = Dedup.shingles(col("text"), 3)
+    val dup = round(lit(1.0) -
+      size(array_distinct(sh)).cast("double") / size(sh).cast("double"), 6)
+    t(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        m.getField("n_tokens").as("n_tok"),
+        m.getField("quality_score").as("q"), dup.as("dup"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("total_tokens"),
+        round(sum(col("q")).cast("double") / count(lit(1)), 6)
+          .as("avg_quality"),
+        round(sum(dec6(col("dup"))).cast("double") / count(lit(1)), 6)
+          .as("avg_dup_ratio"),
+        round(sum(when(col("lang") === "en", 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("pct_en"))
+      .orderBy("source")
+  }
+
+  /** Grouped top-k vocabulary: the 5 most frequent token bigrams per
+    * language (ties token-asc) — the per-group heavy-hitter shape, rank
+    * filter pushed down via WindowGroupLimit. */
+  def q90TopBigramsPerLang(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(col("lang"),
+        explode(Dedup.shingles(lower(col("text")), 2)).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("freq"))
+    counts.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("freq").desc, col("bigram").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("bigram"), col("freq"))
+      .orderBy("lang", "rank")
+  }
+
   /** Z-order layout audit (Layout.zValue): events bucketized on
     * (user_id, event_id), Morton-interleaved, grouped into z-chunks —
     * the per-chunk min/max of BOTH dimensions is the data-skipping
@@ -1308,6 +1351,8 @@ object Queries {
     "q86_json_extract" -> (q86JsonExtract _),
     "q87_mixture_sample" -> (q87MixtureSample _),
     "q88_zorder_layout" -> (q88ZorderLayout _),
+    "q89_corpus_report" -> (q89CorpusReport _),
+    "q90_top_bigrams_per_lang" -> (q90TopBigramsPerLang _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -159,6 +159,28 @@ object Stream {
         graft.operators.Sketch.hllEstimateCol(p, col("occupied"), col("__s"))
           .as("est_active"))
 
+  /** Stream-stream interval join: pair each left event with the right
+    * events of the same key whose timestamp lands in [left_ts, left_ts +
+    * horizon] — the attribution-window shape (click -> purchase). BOTH
+    * sides carry watermarks and the join condition bounds the time range
+    * in BOTH directions, which is what lets Spark expire buffered state:
+    * a left row older than the watermark minus horizon can never match
+    * again and is evicted, so state is horizon-bounded per key, not
+    * stream-length-bounded.
+    *
+    * Column contract: left has (keyCol, `left_time`), right has (keyCol,
+    * `right_time`); output is inner-joined rows with both timestamps. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   horizonMinutes: Int = 10,
+                   watermark: String = "10 minutes"): DataFrame =
+    left.withWatermark("left_time", watermark).alias("l")
+      .join(right.withWatermark("right_time", watermark).alias("r"),
+        expr(s"""l.$keyCol = r.$keyCol AND
+                 right_time >= left_time AND
+                 right_time <= left_time + INTERVAL $horizonMinutes MINUTES"""))
+      .select(col(s"l.$keyCol").as(keyCol), col("left_time"),
+        col("right_time"))
+
   /** ST-3 with explicit state + TTL via flatMapGroupsWithState — the
     * unbounded-dict fix (SURVEY §7.4-4): state for an idle student expires
     * after `ttlMs` of processing time instead of living forever like the

@@ -160,6 +160,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events inside the horizon only") {
+    val clicks = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val buys = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-03-01 09:$m%02d:00")
+    val joined = Stream.intervalJoin(
+      clicks.toDF().toDF("user", "left_time"),
+      buys.toDF().toDF("user", "right_time"),
+      "user", horizonMinutes = 10)
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(("u1", ts(0)), ("u2", ts(5)))
+      buys.addData(
+        ("u1", ts(4)),   // within u1's [09:00, 09:10] -> match
+        ("u1", ts(20)),  // past the horizon -> no match
+        ("u2", ts(3)),   // BEFORE u2's click -> no match
+        ("u3", ts(6)))   // no click at all -> no match
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user, right_time FROM ssj_test").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)))
+      assert(got.toSeq == Seq(("u1", ts(4))))
+    } finally q.stop()
+  }
+
   test("rate-source simulator replays fixture rows with emit-time stamps (ST-1)") {
     val fixture = Seq(("e1", "STU001"), ("e2", "STU002"), ("e3", "STU003"))
       .toDF("event_id", "student_id")
