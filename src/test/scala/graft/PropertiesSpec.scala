@@ -89,4 +89,46 @@ class PropertiesSpec extends SparkSpec {
         .orderBy("id").select("id", "is_duplicate").collect().toSeq
     assert(flags(1) == flags(7) && flags(7) == flags(32))
   }
+
+  test("charNgrams: generated strings — count bound, width, membership") {
+    val texts = sample(Gen.oneOf(Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.const(""), Gen.const("aaa")), 200)
+    val rows = texts.toDF("t")
+      .select(col("t"), graft.operators.TextOps.charNgrams(col("t"), 3).as("g"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    rows.foreach { case (t, g) =>
+      assert(g.length <= math.max(t.length - 2, 0)) // distinct <= sliding count
+      assert(g.forall(_.length == 3))
+      assert(g.distinct.length == g.length)
+      assert(g.forall(t.contains(_)))
+      if (t.length >= 3) assert(g.nonEmpty)
+    }
+  }
+
+  test("hll merge is commutative and idempotent over generated shards") {
+    import graft.operators.Sketch
+    val ids = sample(Gen.choose(0L, 5000L), 400)
+    val (l, r) = ids.splitAt(200)
+    val (ra, rb) = (Sketch.hllRegisters(l.toDF("v"), "v"),
+      Sketch.hllRegisters(r.toDF("v"), "v"))
+    def est(regs: org.apache.spark.sql.DataFrame) =
+      Sketch.hllEstimate(regs, 12).collect().head.toSeq
+    assert(est(Sketch.hllMerge(ra, rb)) == est(Sketch.hllMerge(rb, ra)))
+    assert(est(Sketch.hllMerge(ra, ra)) == est(ra))
+  }
+
+  test("mixture allocation is exact for generated weight vectors") {
+    val corpus = (1 to 2000).map(i => (i.toLong, s"s${i % 5}")).toDF("id", "src")
+    // generated 5-way weight splits summing to 10000 bp
+    val cuts = sample(for {
+      a <- Gen.choose(1, 9996); b <- Gen.choose(1, 9997 - a)
+      c <- Gen.choose(1, 9998 - a - b); d <- Gen.choose(1, 9999 - a - b - c)
+    } yield Seq(a, b, c, d, 10000 - a - b - c - d), 5)
+    for (ws <- cuts) {
+      val weights = ws.zipWithIndex.map { case (w, i) => s"s$i" -> w }
+      val n = graft.operators.Split
+        .mixtureSample(corpus, "src", "id", weights, total = 137L).count()
+      assert(n == 137L, s"weights $weights drew $n != 137")
+    }
+  }
 }
