@@ -1312,6 +1312,38 @@ object Oracles {
          |FROM e""".stripMargin
     },
 
+    // grouped HLL: the q77 replay partitioned by market segment
+    "q91_hll_by_group" -> {
+      val m = 1 << 12
+      val w49 = 1L << 49
+      s"""WITH j AS (
+         | SELECT c_mktsegment, o_orderkey FROM orders
+         | JOIN customer ON o_custkey = c_custkey),
+         |w AS (
+         | SELECT c_mktsegment, ${ph("o_orderkey", 7)} % $m AS bucket,
+         |  ${ph("o_orderkey", 8)} % ${1L << 48} AS wv
+         | FROM j),
+         |r AS (
+         | SELECT c_mktsegment, bucket,
+         |  max(CASE WHEN wv = 0 THEN 49 ELSE 49 - length(bin(wv)) END) AS reg
+         | FROM w GROUP BY 1, 2),
+         |a AS (
+         | SELECT c_mktsegment, count(*) AS occupied, max(reg) AS max_reg,
+         |  coalesce(sum((CAST(1 AS BIGINT) << (49 - reg))), 0)
+         |   + ($m - count(*)) * CAST($w49 AS HUGEINT) AS s_total
+         | FROM r GROUP BY 1),
+         |e AS (
+         | SELECT c_mktsegment, occupied, max_reg,
+         |  ${graft.operators.Sketch.hllAlphaM2(12)}
+         |   / (CAST(s_total AS DOUBLE) / $w49.0) AS raw
+         | FROM a)
+         |SELECT c_mktsegment, occupied, max_reg,
+         | round(CASE WHEN raw <= ${2.5 * m} AND $m - occupied > 0
+         |   THEN $m.0 * ln($m.0 / ($m - occupied)) ELSE raw END, 6)
+         |  AS est_distinct
+         |FROM e ORDER BY c_mktsegment""".stripMargin
+    },
+
     // count-min sketch: counters and min-over-depths estimates are exact
     // integers, so the whole sketch replays value-identically
     "q69_cms_heavy_hitters" -> {

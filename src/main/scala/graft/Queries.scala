@@ -1162,6 +1162,16 @@ object Queries {
         total = 200L)
       .orderBy("lang", "doc_id")
 
+  /** Per-customer-segment HLL distinct order counts (Sketch
+    * .hllDistinctBy): the grouped approx_count_distinct replacement whose
+    * registers replay exactly in SQL — state per group is <= m ints. */
+  def q91HllByGroup(s: SparkSession, dir: String): DataFrame =
+    Sketch.hllDistinctBy(
+        t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", "o_orderkey", p = 12, portable = true)
+      .orderBy("c_mktsegment")
+
   /** Deterministic per-customer "tier" version history: a version at each
     * of 1996/1998/2000-01-01 with a derived tier value. */
   private def tierVersions(s: SparkSession, dir: String): DataFrame =
@@ -1353,6 +1363,7 @@ object Queries {
     "q88_zorder_layout" -> (q88ZorderLayout _),
     "q89_corpus_report" -> (q89CorpusReport _),
     "q90_top_bigrams_per_lang" -> (q90TopBigramsPerLang _),
+    "q91_hll_by_group" -> (q91HllByGroup _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -173,6 +173,25 @@ object Sketch {
                   seed: Int = 7, portable: Boolean = false): DataFrame =
     hllEstimate(hllRegisters(df, valueCol, p, seed, portable), p)
 
+  /** Per-group HLL distinct estimates — approx_count_distinct with a
+    * verifiable, mergeable sketch: group state is ≤ m registers per key
+    * (two partial-agg'd hash aggregations keyed (key, bucket) then key),
+    * so a per-key distinct over 100 TB shuffles O(keys * m) ints, never
+    * the values. Output: (keyCol, occupied, max_reg, est_distinct). */
+  def hllDistinctBy(df: DataFrame, keyCol: String, valueCol: String,
+                    p: Int = 12, seed: Int = 7,
+                    portable: Boolean = false): DataFrame =
+    df.select(col(keyCol),
+        hllBucket(col(valueCol), p, seed, portable).as("bucket"),
+        hllRho(col(valueCol), seed, portable).as("rho"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("occupied"), max(col("reg")).as("max_reg"),
+        sum(hllTerm).as("__s"))
+      .select(col(keyCol), col("occupied"), col("max_reg"),
+        hllEstimateCol(p, col("occupied"), col("__s")).as("est_distinct"))
+
   /** Count-min sketch counters (Cormode/Muthukrishnan 2005) for a value
     * column: `depth` independent hash rows of `width` counters; cell
     * (d, h_d(v) % width) accumulates the count of v's occurrences.

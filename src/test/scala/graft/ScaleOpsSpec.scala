@@ -270,6 +270,20 @@ class SketchSpec extends SparkSpec {
     assert(whole.toSeq == merged.toSeq)
   }
 
+  test("grouped hll equals the per-group batch estimator") {
+    val df = (1 to 3000).map(i => (s"g${i % 3}", s"id-${i % 700}"))
+      .toDF("g", "v")
+    val grouped = Sketch.hllDistinctBy(df, "g", "v", p = 12)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Sketch.hllDistinct(df.filter(col("g") === g), "v", p = 12)
+        .collect().head
+      assert(grouped(g) ==
+        ((solo.getAs[Long]("occupied"), solo.getAs[Double]("est_distinct"))))
+    }
+  }
+
   test("hll on empty input estimates 0, not NaN") {
     val empty = Seq.empty[String].toDF("v")
     val r = Sketch.hllDistinct(empty, "v", p = 12).collect().head
