@@ -87,6 +87,12 @@ object Split {
       .withColumn("__rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__src"))
           .orderBy(col("__h").asc, col("__id").asc)))
+      // the per-source target is data-dependent (join below), which
+      // WindowGroupLimit cannot use — but no target exceeds `total`, so
+      // this LITERAL bound lets the rank window drop each partition to at
+      // most `total` rows before the join (verified: WindowGroupLimit in
+      // the plan only with this filter present)
+      .filter(col("__rank") <= lit(total))
     ranked.join(broadcast(leftover), "__src")
       .filter(col("__rank") <= col("target_n"))
       .select(col("__src").as(sourceCol), col("__id").as(idCol))
