@@ -1059,6 +1059,24 @@ object Oracles {
          | round(-65536 * ln((65536 - count(*)) / 65536.0), 6) AS est_distinct
          |FROM b""".stripMargin,
 
+    // corpus snapshot diff: md5 digests on both sides, full-outer join,
+    // status CASE — the same digest family as the dedup oracles
+    "q92_corpus_diff" ->
+      """WITH prev AS (
+        | SELECT doc_id, md5(text) AS pd FROM documents WHERE doc_id % 7 <> 0),
+        |next AS (
+        | SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 11 = 0 THEN text || ' revised' ELSE text END)
+        |   AS nd
+        | FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT doc_id,
+        | CASE WHEN pd IS NULL THEN 'added'
+        |      WHEN nd IS NULL THEN 'removed'
+        |      WHEN pd <> nd THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |FROM prev FULL OUTER JOIN next USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // per-source report card: int sums exact; the rounded dup ratio sums
     // through DECIMAL(25,6); every mean is CAST(sum AS DOUBLE)/count
     "q89_corpus_report" ->

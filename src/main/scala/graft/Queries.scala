@@ -1075,6 +1075,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Corpus snapshot diff (Dedup.corpusDiff): two deterministic corpus
+    * versions (drop every 7th doc in prev, every 5th in next, revise
+    * every 11th) — the per-doc added/removed/changed/unchanged audit an
+    * incremental pipeline runs to scope re-processing. Digest-only
+    * full-outer join, hash-verified. */
+  def q92CorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val prev = docs.filter(col("doc_id") % 7 =!= 0)
+    val next = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" revised")))
+          .otherwise(col("text")).as("text"))
+    Dedup.corpusDiff(prev, next, "doc_id", "text").orderBy("doc_id")
+  }
+
   /** Per-source corpus report card: doc/token volume, mean quality, mean
     * shingle-repetition ratio, english share — the one-pass profile a
     * curation pipeline emits per ingest source. Quality is an int (exact
@@ -1364,6 +1379,7 @@ object Queries {
     "q89_corpus_report" -> (q89CorpusReport _),
     "q90_top_bigrams_per_lang" -> (q90TopBigramsPerLang _),
     "q91_hll_by_group" -> (q91HllByGroup _),
+    "q92_corpus_diff" -> (q92CorpusDiff _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -61,6 +61,28 @@ object Dedup {
     * big one, so this is a plain shuffled anti-join; when the existing
     * digest set is dim-sized, Spark broadcasts it automatically.
     * Idempotent: re-running over the merged corpus drops nothing new. */
+  /** Corpus snapshot diff: classify every document as added / removed /
+    * changed / unchanged between two corpus versions — the audit a
+    * versioned training-corpus pipeline runs before re-processing (only
+    * `added`+`changed` need the expensive downstream passes; `removed`
+    * feeds tombstones).
+    *
+    * Scale shape: one id-keyed full-outer join carrying 16-byte content
+    * digests, never text — both sides shuffle (id, digest) only, and the
+    * changed/unchanged call is a digest compare, not a text compare.
+    * Output: (idCol, status). */
+  def corpusDiff(prev: DataFrame, next: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val p = prev.select(col(idCol).as("__id"), md5(col(textCol)).as("__pd"))
+    val n = next.select(col(idCol).as("__id"), md5(col(textCol)).as("__nd"))
+    p.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__pd").isNull, "added")
+          .when(col("__nd").isNull, "removed")
+          .when(col("__pd") =!= col("__nd"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   def dropAgainstExisting(incoming: DataFrame, existing: DataFrame,
                           textCol: String): DataFrame = {
     val seen = existing.select(md5(col(textCol)).as("__digest")).distinct()

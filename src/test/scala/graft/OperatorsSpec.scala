@@ -164,6 +164,15 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)))
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged exactly") {
+    val prev = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("id", "text")
+    val next = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("id", "text")
+    val got = Dedup.corpusDiff(prev, next, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+  }
+
   test("incremental dedup drops only digests already in the existing corpus") {
     val existing = Seq((1L, "aaa"), (2L, "bbb")).toDF("id", "text")
     val incoming = Seq((10L, "aaa"), (11L, "ccc"), (12L, "bbb"), (13L, "ddd"))
