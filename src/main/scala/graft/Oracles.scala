@@ -1059,6 +1059,27 @@ object Oracles {
          | round(-65536 * ln((65536 - count(*)) / 65536.0), 6) AS est_distinct
          |FROM b""".stripMargin,
 
+    // vocab + token-id encoding: rank window over (freq desc, token asc),
+    // positions via a lateral range join (Spark's posexplode), OOV -> 0
+    "q93_token_encode" ->
+      s"""WITH vocab AS (
+         | SELECT token, row_number() OVER (ORDER BY freq DESC, token ASC)
+         |   AS token_id
+         | FROM (
+         |  SELECT token, count(*) AS freq
+         |  FROM (SELECT unnest(${toksSql("lower(text)")}) AS token FROM documents)
+         |  GROUP BY token ORDER BY freq DESC, token ASC LIMIT 40)),
+         |tok AS (
+         | SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM documents
+         | WHERE doc_id < 20),
+         |pos AS (
+         | SELECT doc_id, CAST(generate_subscripts(tk, 1) AS INT) AS pos,
+         |  unnest(tk) AS token
+         | FROM tok)
+         |SELECT doc_id, pos, CAST(coalesce(token_id, 0) AS INT) AS token_id
+         |FROM pos LEFT JOIN vocab USING (token)
+         |ORDER BY doc_id, pos""".stripMargin,
+
     // corpus snapshot diff: md5 digests on both sides, full-outer join,
     // status CASE — the same digest family as the dedup oracles
     "q92_corpus_diff" ->

@@ -1075,6 +1075,18 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary build + token-id encoding (TextOps.buildVocab/
+    * encodeTokens): top-40 vocab over the corpus, docs under id 20
+    * encoded position-by-position with OOV = 0 — the tokenize-and-cache
+    * step a training loader reads. Exploded scalar cells, hash-verified. */
+  def q93TokenEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = TextOps.buildVocab(docs, "text", size = 40)
+    TextOps.encodeTokens(docs.filter(col("doc_id") < 20), "doc_id", "text",
+        vocab)
+      .orderBy("doc_id", "pos")
+  }
+
   /** Corpus snapshot diff (Dedup.corpusDiff): two deterministic corpus
     * versions (drop every 7th doc in prev, every 5th in next, revise
     * every 11th) — the per-doc added/removed/changed/unchanged audit an
@@ -1380,6 +1392,7 @@ object Queries {
     "q90_top_bigrams_per_lang" -> (q90TopBigramsPerLang _),
     "q91_hll_by_group" -> (q91HllByGroup _),
     "q92_corpus_diff" -> (q92CorpusDiff _),
+    "q93_token_encode" -> (q93TokenEncode _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

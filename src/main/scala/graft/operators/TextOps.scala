@@ -117,6 +117,38 @@ object TextOps {
     when(total === 0, "und").otherwise(chain)
   }
 
+  /** Frequency-ranked vocabulary over a corpus: the `size` most frequent
+    * tokens, ids 1..size by (freq desc, token asc); id 0 is reserved for
+    * out-of-vocabulary. One corpus-sized (token) aggregate; the ranked
+    * vocab itself is `size` rows — broadcast metadata.
+    * Output: (token, token_id, freq). */
+  def buildVocab(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 size: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0, "buildVocab: size > 0")
+    df.select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc).limit(size)
+      .withColumn("token_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("token").asc)))
+      .select(col("token"), col("token_id"), col("freq"))
+  }
+
+  /** Encode documents against a vocabulary: one output row per token
+    * position, OOV mapping to id 0 — the materialized form a training
+    * loader consumes (and the exploded shape keeps every cell scalar, so
+    * cross-engine value comparison is exact). Vocab joins broadcast.
+    * Output: (idCol, pos, token_id). */
+  def encodeTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String,
+                   vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), posexplode(tokens(lower(col(textCol)))))
+      .toDF(idCol, "pos", "token")
+      .join(broadcast(vocab.select(col("token"), col("token_id"))),
+        Seq("token"), "left")
+      .select(col(idCol), (col("pos") + 1).as("pos"),
+        coalesce(col("token_id"), lit(0)).as("token_id"))
+
   /** Within-document shingle repetition — the C4/Gopher-family quality
     * signal: a document whose k-shingles repeat heavily is boilerplate or
     * a degenerate loop, not prose. dup_ratio = 1 - distinct/total shingles

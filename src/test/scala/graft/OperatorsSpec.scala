@@ -164,6 +164,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)))
   }
 
+  test("vocab build + encode: rank order, OOV zero, position fidelity") {
+    val docs = Seq((1L, "b a b c"), (2L, "a a zz")).toDF("id", "text")
+    val vocab = TextOps.buildVocab(docs, "text", size = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // freq: a=3, b=2, c=1, zz=1 -> top-3 = a(1), b(2), c(3) (tie c<zz)
+    assert(vocab.toSeq == Seq(("a", 1, 3L), ("b", 2, 2L), ("c", 3, 1L)))
+    val enc = TextOps.encodeTokens(docs, "id", "text",
+        TextOps.buildVocab(docs, "text", size = 3))
+      .orderBy("id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(enc.toSeq == Seq(
+      (1L, 1, 2), (1L, 2, 1), (1L, 3, 2), (1L, 4, 3),
+      (2L, 1, 1), (2L, 2, 1), (2L, 3, 0)))   // zz is OOV -> 0
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged exactly") {
     val prev = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("id", "text")
     val next = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("id", "text")
