@@ -1059,6 +1059,56 @@ object Oracles {
          | round(-65536 * ln((65536 - count(*)) / 65536.0), 6) AS est_distinct
          |FROM b""".stripMargin,
 
+    // rolling 3-day per-user aggregates: daily partials, RANGE window on
+    // day ordinals, DECIMAL-exact value sums
+    "q94_rolling_window" ->
+      """WITH daily AS (
+        | SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS v
+        | FROM events GROUP BY 1, 2),
+        |d2 AS (
+        | SELECT *, date_diff('day', DATE '2024-01-01', day) AS ord FROM daily)
+        |SELECT user_id, day,
+        | sum(n) OVER (PARTITION BY user_id ORDER BY ord
+        |   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_events_3d,
+        | round(CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ord
+        |   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+        |  AS value_3d
+        |FROM d2 ORDER BY user_id, day""".stripMargin,
+
+    // ordered funnel: min-ts chaining per user, no raw-event self-join
+    "q95_funnel" ->
+      """WITH s1 AS (
+        | SELECT user_id, min(ts) AS t1 FROM events
+        | WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        | SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        | WHERE event_type = 'click' AND ts >= t1 GROUP BY 1),
+        |s3 AS (
+        | SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        | WHERE event_type = 'purchase' AND ts >= t2 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        | (SELECT count(*) FROM s2) AS n_click,
+        | (SELECT count(*) FROM s3) AS n_purchase,
+        | round(CAST((SELECT count(*) FROM s2) AS DOUBLE)
+        |   / (SELECT count(*) FROM s1), 6) AS click_rate,
+        | round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
+        |   / (SELECT count(*) FROM s2), 6) AS purchase_rate""".stripMargin,
+
+    // cohort retention matrix: integer week ordinals, distinct activity
+    "q96_cohort_retention" ->
+      """WITH ev AS (
+        | SELECT user_id,
+        |  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+        | FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+        |a AS (
+        | SELECT DISTINCT cohort_week, week - cohort_week AS week_offset,
+        |  user_id
+        | FROM ev JOIN c USING (user_id))
+        |SELECT cohort_week, week_offset, count(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // vocab + token-id encoding: rank window over (freq desc, token asc),
     // positions via a lateral range join (Spark's posexplode), OOV -> 0
     "q93_token_encode" ->

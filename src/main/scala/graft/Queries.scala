@@ -1075,6 +1075,58 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Per-user 3-day rolling aggregates (Sessionize.rollingDaily): daily
+    * partials first, then a RANGE window over day ordinals — window
+    * state is 3 partial rows per user, never raw events; value sums
+    * through exact DECIMAL. */
+  def q94RollingWindow(s: SparkSession, dir: String): DataFrame =
+    Sessionize.rollingDaily(t(s, dir, "events"), "user_id", "ts", "value",
+        days = 3)
+      .orderBy("user_id", "day")
+
+  /** Ordered conversion funnel over the event stream: first signup, then
+    * the first click AT OR AFTER it, then the first purchase at or after
+    * that click — per-step user counts plus rounded conversion rates.
+    * Timestamp chaining via per-user min-aggregates (no self-join on raw
+    * events; three tiny per-user frames). */
+  def q95Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      col("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts = s1.agg(count(lit(1)).as("n_signup")).crossJoin(
+      s2.agg(count(lit(1)).as("n_click"))).crossJoin(
+      s3.agg(count(lit(1)).as("n_purchase")))
+    counts.select(col("n_signup"), col("n_click"), col("n_purchase"),
+      round(col("n_click").cast("double") / col("n_signup"), 6)
+        .as("click_rate"),
+      round(col("n_purchase").cast("double") / col("n_click"), 6)
+        .as("purchase_rate"))
+  }
+
+  /** Cohort retention: users grouped by first-event week, counted as
+    * retained in each later week they were active — the (cohort_week,
+    * week_offset, n_users) retention matrix, all integer arithmetic. */
+  def q96CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      (datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+        .cast("long") / lit(7L)).cast("long").as("week"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.join(cohort, "user_id")
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Vocabulary build + token-id encoding (TextOps.buildVocab/
     * encodeTokens): top-40 vocab over the corpus, docs under id 20
     * encoded position-by-position with OOV = 0 — the tokenize-and-cache
@@ -1393,6 +1445,9 @@ object Queries {
     "q91_hll_by_group" -> (q91HllByGroup _),
     "q92_corpus_diff" -> (q92CorpusDiff _),
     "q93_token_encode" -> (q93TokenEncode _),
+    "q94_rolling_window" -> (q94RollingWindow _),
+    "q95_funnel" -> (q95Funnel _),
+    "q96_cohort_retention" -> (q96CohortRetention _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

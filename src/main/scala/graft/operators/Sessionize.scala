@@ -75,4 +75,30 @@ object Sessionize {
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col(userCol)).as("active_users"))
+
+  /** Per-key rolling N-day aggregates at day granularity: daily partial
+    * aggregation FIRST (the corpus-sized shuffle is (key, day) — tiny
+    * rows), then a RANGE window over day ordinals sums the last N days.
+    * The rolling sums run over day-level partials, so the window state is
+    * N rows per key, not N days of raw events; value sums go through
+    * exact DECIMAL(18,2) (a rolling double sum would be frame-order
+    * sensitive). Output: (keyCol, day, n_events_Nd, value_Nd). */
+  def rollingDaily(events: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, days: Int,
+                   epochDate: String = "2024-01-01"): DataFrame = {
+    require(days >= 1, "rollingDaily: days >= 1")
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__v"))
+      .withColumn("__ord", datediff(col("day"), to_date(lit(epochDate))))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ord"))
+      .rangeBetween(-(days - 1), 0)
+    daily
+      .withColumn(s"n_events_${days}d", sum(col("__n")).over(w))
+      .withColumn(s"value_${days}d",
+        round(sum(col("__v")).over(w).cast("double"), 2))
+      .select(col(keyCol), col("day"), col(s"n_events_${days}d"),
+        col(s"value_${days}d"))
+  }
 }

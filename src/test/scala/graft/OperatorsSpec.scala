@@ -385,6 +385,23 @@ class SessionizeSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
+
+  test("rollingDaily: 3-day RANGE window skips gap days, exact value sums") {
+    val t = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // user 1: days 1, 2, 5 — day 5's window must NOT see days 1-2 (RANGE,
+    // not ROWS: the gap matters)
+    val df = Seq((1L, t(1), 10.0), (1L, t(1), 2.5), (1L, t(2), 1.0),
+        (1L, t(5), 4.0), (2L, t(3), 7.0))
+      .toDF("user_id", "ts", "value")
+    val got = Sessionize.rollingDaily(df, "user_id", "ts", "value", days = 3)
+      .orderBy("user_id", "day").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01", 2L, 12.5),
+      (1L, "2024-01-02", 3L, 13.5),
+      (1L, "2024-01-05", 1L, 4.0),   // ROWS -2 would wrongly include day 2
+      (2L, "2024-01-03", 1L, 7.0)))
+  }
 }
 
 class DateDimSpec extends SparkSpec {
