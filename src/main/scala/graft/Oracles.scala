@@ -1059,6 +1059,19 @@ object Oracles {
          | round(-65536 * ln((65536 - count(*)) / 65536.0), 6) AS est_distinct
          |FROM b""".stripMargin,
 
+    // matryoshka audit: fold-form norms (the q63 float discipline), CTE
+    // so each norm computes once, single-op divisions, round 6
+    "q97_matryoshka" -> {
+      s"""WITH n AS (
+         | SELECT vec_id, ${normSql("embedding")} AS nf,
+         |  ${normSql("list_slice(embedding, 1, 8)")} AS nd
+         | FROM embeddings WHERE vec_id % 4 = 0)
+         |SELECT vec_id, round(nf, 6) AS norm, round(nd, 6) AS norm_d,
+         | round(CASE WHEN nf = 0 THEN 0.0
+         |   ELSE (nd * nd) / (nf * nf) END, 6) AS energy_ratio
+         |FROM n ORDER BY vec_id""".stripMargin
+    },
+
     // rolling 3-day per-user aggregates: daily partials, RANGE window on
     // day ordinals, DECIMAL-exact value sums
     "q94_rolling_window" ->

@@ -1075,6 +1075,15 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Matryoshka truncation audit (Quantize.matryoshkaAudit): full norm,
+    * leading-8-dim norm, and energy ratio per vector — left-fold float
+    * arithmetic, hash-verified. */
+  def q97Matryoshka(s: SparkSession, dir: String): DataFrame =
+    Quantize.matryoshkaAudit(
+        t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", d = 8)
+      .orderBy("vec_id")
+
   /** Per-user 3-day rolling aggregates (Sessionize.rollingDaily): daily
     * partials first, then a RANGE window over day ordinals — window
     * state is 3 partial rows per user, never raw events; value sums
@@ -1448,6 +1457,7 @@ object Queries {
     "q94_rolling_window" -> (q94RollingWindow _),
     "q95_funnel" -> (q95Funnel _),
     "q96_cohort_retention" -> (q96CohortRetention _),
+    "q97_matryoshka" -> (q97Matryoshka _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

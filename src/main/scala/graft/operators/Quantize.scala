@@ -33,6 +33,32 @@ object Quantize {
   def dequantize(codes: Column, scale: Column): Column =
     transform(codes, q => q.cast("double") * scale)
 
+  /** L2-normalize a vector (zero vectors stay zero). The norm is the
+    * deterministic left-fold form ([[Knn.norm]]), so the whole transform
+    * replays cross-engine. */
+  def l2Normalize(vec: Column): Column = {
+    val n = Knn.norm(vec)
+    when(n === 0.0, transform(vec, x => x.cast("double")))
+      .otherwise(transform(vec, x => x.cast("double") / n))
+  }
+
+  /** Matryoshka truncation audit (Kusupati et al. 2022): per vector, the
+    * full norm, the norm of the leading `d` dims, and the energy ratio
+    * (norm_d^2 / norm^2) — how much of the vector's mass the truncated
+    * prefix keeps, which is the whole premise of serving shorter
+    * embeddings. Left-fold norms, single-op divisions: hash-verifiable.
+    * Output: (idCol, norm, norm_d, energy_ratio). */
+  def matryoshkaAudit(df: DataFrame, idCol: String, vecCol: String,
+                      d: Int): DataFrame = {
+    require(d >= 1, "matryoshkaAudit: d >= 1")
+    val n = Knn.norm(col(vecCol))
+    val nd = Knn.norm(slice(col(vecCol), 1, d))
+    df.select(col(idCol), round(n, 6).as("norm"),
+      round(nd, 6).as("norm_d"),
+      round(when(n === 0.0, 0.0).otherwise((nd * nd) / (n * n)), 6)
+        .as("energy_ratio"))
+  }
+
   /** Quantization quality frame: per vector, the scale and the maximum
     * absolute reconstruction error over dimensions (max is
     * order-independent — cross-engine comparable, unlike a sum).
