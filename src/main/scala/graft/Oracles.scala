@@ -1004,7 +1004,7 @@ object Oracles {
       s"""WITH tok AS (
          | SELECT doc_id, unnest(${toksSql("lower(text)")}) AS token FROM documents),
          |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
          |stats AS (
          | SELECT count(*) AS n_docs,
          |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
@@ -1082,8 +1082,8 @@ object Oracles {
         |d2 AS (
         | SELECT *, date_diff('day', DATE '2024-01-01', day) AS ord FROM daily)
         |SELECT user_id, day,
-        | sum(n) OVER (PARTITION BY user_id ORDER BY ord
-        |   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_events_3d,
+        | CAST(sum(n) OVER (PARTITION BY user_id ORDER BY ord
+        |   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_events_3d,
         | round(CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ord
         |   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
         |  AS value_3d
@@ -1179,7 +1179,8 @@ object Oracles {
          |  round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
          |    / CAST(len(sh) AS DOUBLE), 6) AS dup
          | FROM shg)
-         |SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(n_tok) AS BIGINT) AS total_tokens,
          | round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS avg_quality,
          | round(CAST(sum(CAST(dup AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6)
          |  AS avg_dup_ratio,
@@ -1231,7 +1232,7 @@ object Oracles {
     // JSON field extraction: ->> + CAST mirrors from_json's typed field
     "q86_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
-        | sum(CAST(props->>'k' AS INT)) AS sum_k,
+        | CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
         | min(CAST(props->>'k' AS INT)) AS min_k,
         | max(CAST(props->>'k' AS INT)) AS max_k,
         | count(DISTINCT user_id) AS n_users
@@ -1347,8 +1348,10 @@ object Oracles {
          |  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) - n_tok
          |   AS cum_before
          | FROM d),
-         |sq AS (SELECT shard, doc_id, n_tok, cum_before // 512 AS seq_id FROM c)
-         |SELECT shard, seq_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+         |sq AS (SELECT shard, doc_id, n_tok,
+         |  CAST(cum_before // 512 AS BIGINT) AS seq_id FROM c)
+         |SELECT shard, seq_id, count(*) AS n_docs,
+         | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          | min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM sq GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
 
@@ -1377,7 +1380,7 @@ object Oracles {
     // layout (partition values in directory names) lost nothing
     "q78_partition_pruning" ->
       """SELECT lang, source, count(*) AS n_docs,
-        | sum(length(text)) AS total_chars,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars,
         | min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents WHERE lang IN ('en', 'fr')
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,

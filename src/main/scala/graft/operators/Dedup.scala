@@ -97,13 +97,9 @@ object Dedup {
   def shingles(text: Column, k: Int): Column =
     graft.expr.GraftFunctions.wordShingles(coalesce(text, lit("")), k)
 
-  /** Character n-grams of a text column. */
-  def charNgrams(text: Column, n: Int): Column = {
-    val t = coalesce(text, lit(""))
-    when(length(t) <= n, array(t))
-      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
-        i => t.substr(i, lit(n))))
-  }
+  // (char n-grams live at TextOps.charNgrams — the ONE definition; its
+  // short-string rule is "empty array", documented there. A same-named
+  // helper here with whole-text-for-short semantics was removed as unused.)
 
   /** Exact Jaccard similarity of two string arrays (set semantics). */
   def jaccard(a: Column, b: Column): Column = {

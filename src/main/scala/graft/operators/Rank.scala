@@ -83,6 +83,9 @@ object Rank {
   def bm25Search(docs: DataFrame, idCol: String, textCol: String,
                  terms: Seq[String], topK: Int = 20): DataFrame = {
     require(terms.nonEmpty && terms.size <= 8, "bm25: 1..8 literal terms")
+    // a repeated term would produce two pivot columns holding the same
+    // partial score, both summed — double-counting that term
+    require(terms.distinct.size == terms.size, "bm25: terms must be distinct")
     val tf = termFreq(docs, idCol, textCol)
     // document length + corpus stats (avgdl = exact long sum / exact count,
     // one double division — identical in any engine)
@@ -111,10 +114,13 @@ object Rank {
     // top-k FIRST (TakeOrderedAndProject — per-partition heaps, no global
     // sort), then rank the k survivors; a bare global row_number window
     // would funnel every matching doc through one partition.
+    // The unpartitioned window below is safe: it ranks only the `topK`
+    // rows surviving the limit, never the corpus (WindowExec's single-
+    // partition warning is about the k-row frame, not a data path).
     perTerm.withColumn("score", round(total, 6))
       .orderBy(col("score").desc, col("doc_id").asc).limit(topK)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id").asc)))
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
       .select(col("rank"), col("doc_id"), col("dl"), col("score"))
   }
 }

@@ -26,17 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object SemanticDedup {
 
-  /** Within-cluster cosine-near-dup pairs: (id_a, id_b, cosine_sim),
-    * id_a < id_b, both members of the same k-means cluster. */
-  def semanticDupPairs(corpus: DataFrame, idCol: String = "vec_id",
-                       vecCol: String = "embedding", nlist: Int = 16,
-                       iters: Int = 3, threshold: Double = 0.95): DataFrame = {
-    val index = Knn.ivfIndexKMeans(corpus, nlist, iters, idCol, vecCol)
+  /** Within-cluster cosine-near-dup pairs over a PREBUILT k-means IVF
+    * index (the "index built once, serves search AND dedup" path — an ANN
+    * pipeline that already maintains [[Knn.ivfIndexKMeans]]'s index pays
+    * zero extra clustering cost for dedup). The caller owns the index
+    * lifecycle: its cached lists are NOT released here, and the returned
+    * pairs read them lazily. */
+  def semanticDupPairs(index: Knn.IvfIndex, threshold: Double): DataFrame = {
     // lists: (neighbor_id, __cv, __cent_id), persisted+materialized
     val side = index.lists.select(col("neighbor_id").as("__id"),
         col("__cv").as("__v"), col("__cent_id"))
       .withColumn("__n", Knn.norm(col("__v")))
-    val pairs = side.as("l").join(side.as("r"),
+    side.as("l").join(side.as("r"),
         col("l.__cent_id") === col("r.__cent_id") &&
           col("l.__id") < col("r.__id"))
       .withColumn("cosine_sim",
@@ -46,12 +47,31 @@ object SemanticDedup {
       .filter(col("cosine_sim") >= threshold)
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
         round(col("cosine_sim"), 6).as("cosine_sim"))
-      // pin the pair set before releasing the index's cached lists — a
-      // lazy consumer would otherwise recompute the whole k-means lineage
-      .localCheckpoint()
+  }
+
+  /** Within-cluster cosine-near-dup pairs: (id_a, id_b, cosine_sim),
+    * id_a < id_b, both members of the same k-means cluster. Builds a
+    * throwaway index; prefer the [[Knn.IvfIndex]] overload when the ANN
+    * path already maintains one. */
+  def semanticDupPairs(corpus: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding", nlist: Int = 16,
+                       iters: Int = 3, threshold: Double = 0.95): DataFrame = {
+    val index = Knn.ivfIndexKMeans(corpus, nlist, iters, idCol, vecCol)
+    // pin the pair set before releasing the index's cached lists — a
+    // lazy consumer would otherwise recompute the whole k-means lineage
+    val pairs = semanticDupPairs(index, threshold).localCheckpoint()
     index.unpersist()
     pairs
   }
+
+  /** SemDeDup keep-set over a PREBUILT index (see the pairs overload for
+    * the lifecycle contract): `corpus` must be the frame the index was
+    * built from, `idCol` its id column. */
+  def semanticDedup(corpus: DataFrame, idCol: String,
+                    index: Knn.IvfIndex, threshold: Double,
+                    maxIter: Int): DataFrame =
+    keepRepresentatives(corpus, idCol,
+      semanticDupPairs(index, threshold), maxIter)
 
   /** SemDeDup keep-set: corpus rows minus every non-representative member
     * of a semantic-duplicate group (min id per connected component is the

@@ -265,7 +265,15 @@ object Sketch {
                          quantilesBp: Seq[Int]): DataFrame = {
     require(quantilesBp.nonEmpty && quantilesBp.forall(q => q > 0 && q <= 10000),
       "histogramQuantiles: quantiles in basis points (1..10000)")
+    // Domain: non-negative cents only. DIV truncates toward zero, so a
+    // negative value would collapse into bin 0's neighborhood and the
+    // lower-edge + positive-offset interpolation below would be wrong
+    // (and diverge from DuckDB's floor //). Enforced per-row rather than
+    // silently mis-binned.
     val hist = df.select(centsCol.cast("long").as("__cents"))
+      .select(when(col("__cents") < 0, raise_error(lit(
+          "histogramQuantiles: negative cents unsupported (DIV truncation)")))
+        .otherwise(col("__cents")).as("__cents"))
       .select(expr(s"__cents DIV $binWidthCents").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
     val cum = hist.withColumn("cum",

@@ -30,16 +30,23 @@ class RankSpec extends SparkSpec {
 
   test("bm25: matched docs only, ordered by score, rank contiguous") {
     val out = Rank.bm25Search(docs, "doc_id", "text", Seq("a", "d"), topK = 10)
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     // docs 1, 2, 4 match; 3 (no 'a'/'d') must not appear
     assert(out.map(_._2).toSet == Set(1L, 2L, 4L))
-    assert(out.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
     assert(out.map(_._4).toSeq == out.map(_._4).toSeq.sorted.reverse)
     // d4 is the only doc with the rarest term (df=1) and the shortest dl —
     // BM25 must rank it first
     assert(out.head._2 == 4L)
     // dl column carries the document token count
     assert(out.find(_._2 == 1L).get._3 == 3L)
+  }
+
+  test("bm25 rejects duplicate query terms (would double-count)") {
+    val e = intercept[IllegalArgumentException] {
+      Rank.bm25Search(docs, "doc_id", "text", Seq("a", "a"), topK = 5)
+    }
+    assert(e.getMessage.contains("distinct"))
   }
 
   test("bm25: score increases with tf at equal dl (saturating, positive)") {

@@ -225,6 +225,29 @@ class SinksSpec extends SparkSpec {
     assert(after.filter(col("date_key") === 20240103).count() == 1)
     assert(after.filter(col("date_key") =!= 20240103).count() == 80)
   }
+
+  test("scaled partitioned write spreads a hot partition over several files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sinkscaled").toString
+    // one hot date (800 rows) + two small ones: the single-task-per-value
+    // hazard the scaled variant exists for
+    val facts = ((1 to 800).map(i => (20240101, i.toLong, i * 1.0)) ++
+      (1 to 20).map(i => (20240102, i.toLong, 0.0)) ++
+      (1 to 20).map(i => (20240103, i.toLong, 0.0)))
+      .toDF("date_key", "id", "value").repartition(8)
+    Sinks.writePartitionedFactScaled(facts, s"$dir/fact",
+      tasksPerPartition = 4, maxRecordsPerFile = 100L)
+    // values and pruning are unchanged vs the simple writer
+    val back = spark.read.parquet(s"$dir/fact")
+    assert(back.count() == 840)
+    val one = back.filter(col("date_key") === 20240101)
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(one.count() == 800)
+    // the hot directory holds MULTIPLE files (salt spread x records cap) —
+    // a repartition(col) write would produce exactly one
+    val hotFiles = new java.io.File(s"$dir/fact/date_key=20240101")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(hotFiles > 1, s"hot partition written as $hotFiles file(s)")
+  }
 }
 
 class ExactDedupAggSpec extends SparkSpec {
@@ -364,6 +387,16 @@ class SketchSpec extends SparkSpec {
       val exact = sorted(math.ceil(bp / 10000.0 * sorted.length).toInt - 1) / 100.0
       assert(math.abs(e - exact) <= 1.0, s"q$bp: est $e vs exact $exact")
     }
+  }
+
+  test("histogram quantiles reject negative cents (DIV truncation domain)") {
+    val cents = Seq(-100L, 100L, 200L).toDF("c")
+    val e = intercept[Exception] {
+      Sketch.histogramQuantiles(cents, col("c"), binWidthCents = 100L,
+        quantilesBp = Seq(5000)).collect()
+    }
+    assert(e.getMessage.contains("negative cents")
+      || e.getCause != null && e.getCause.getMessage.contains("negative cents"))
   }
 
   test("histogram quantile ranks use rational ceil, not double ceil") {

@@ -54,6 +54,23 @@ class SemanticDedupSpec extends SparkSpec {
     assert(kept.count() == df.count())
   }
 
+  test("prebuilt-index overload: identical keep-set, caller keeps the index") {
+    val df = corpus()
+    val fresh = SemanticDedup.semanticDedup(df, nlist = 8, iters = 2,
+      threshold = 0.95).select("vec_id").collect().map(_.getLong(0)).toSet
+    val index = Knn.ivfIndexKMeans(df, nlist = 8, iters = 2)
+    val reused = SemanticDedup.semanticDedup(df, "vec_id", index,
+      threshold = 0.95, maxIter = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(reused == fresh)
+    // the caller-owned index must still be usable for SEARCH afterwards —
+    // the "one index serves search AND dedup" contract
+    val hits = Knn.ivfSearch(index, df.filter(col("vec_id") < 3), k = 3,
+      nprobe = 8)
+    assert(hits.count() > 0)
+    index.unpersist()
+  }
+
   test("both variants only ever drop genuine brute-force near-dups") {
     val df = corpus()
     val clustered = SemanticDedup.semanticDedup(df, nlist = 8, iters = 2,

@@ -51,6 +51,25 @@ def main():
             print(f"FAIL {name}: rows differ oracle={len(want)} spark={len(got)}")
             n_fail += 1
             continue
+        # dtype-strict gate: the driver hashes REPRESENTATIONS, so an
+        # int64 column on one side and float64 on the other hash-differ
+        # even when every value compares equal (the r3-q27 / r5-x6 trap).
+        # Compare dtype KIND (i/u vs f vs O/b/M): the driver demonstrably
+        # tolerates int32-vs-int64 (q75's rank is green) but not
+        # int-vs-float, so exact-dtype equality would over-reject.
+        def kind(dt):
+            return "i" if dt.kind in "iu" else dt.kind
+        dtype_diffs = [
+            f"col {c}: dtype kind differs oracle={want[c].dtype} "
+            f"spark={got[c].dtype}"
+            for c in want.columns
+            if kind(want[c].dtype) != kind(got[c].dtype)]
+        if dtype_diffs:
+            print(f"FAIL {name}:")
+            for d in dtype_diffs:
+                print("  " + d)
+            n_fail += 1
+            continue
         ws = want.sort_values(by=list(want.columns), ignore_index=True)
         gs = got.sort_values(by=list(got.columns), ignore_index=True)
         diffs = []
