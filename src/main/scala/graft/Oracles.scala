@@ -178,6 +178,28 @@ object Oracles {
        |SELECT id_a, id_b, round(sim, 4) AS jaccard_sim
        |FROM pairs ORDER BY id_a, id_b""".stripMargin
 
+  /** q93 AND q98: vocab + token-id encoding to exploded scalar cells.
+    * q93 runs the exploded encoder directly; q98 packs to the array-form
+    * production sink then re-explodes — both must hash to this replay. */
+  private val q93Sql: String =
+    s"""WITH vocab AS (
+       | SELECT token, row_number() OVER (ORDER BY freq DESC, token ASC)
+       |   AS token_id
+       | FROM (
+       |  SELECT token, count(*) AS freq
+       |  FROM (SELECT unnest(${toksSql("lower(text)")}) AS token FROM documents)
+       |  GROUP BY token ORDER BY freq DESC, token ASC LIMIT 40)),
+       |tok AS (
+       | SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM documents
+       | WHERE doc_id < 20),
+       |pos AS (
+       | SELECT doc_id, CAST(generate_subscripts(tk, 1) AS INT) AS pos,
+       |  unnest(tk) AS token
+       | FROM tok)
+       |SELECT doc_id, pos, CAST(coalesce(token_id, 0) AS INT) AS token_id
+       |FROM pos LEFT JOIN vocab USING (token)
+       |ORDER BY doc_id, pos""".stripMargin
+
   /** q65: the whole dropNearDuplicates composition — the q61 pair chain,
     * then recursive min-label connected components over the verified
     * pairs, then the keep-min-id anti-join. Mirrors
@@ -1124,24 +1146,185 @@ object Oracles {
 
     // vocab + token-id encoding: rank window over (freq desc, token asc),
     // positions via a lateral range join (Spark's posexplode), OOV -> 0
-    "q93_token_encode" ->
-      s"""WITH vocab AS (
-         | SELECT token, row_number() OVER (ORDER BY freq DESC, token ASC)
-         |   AS token_id
-         | FROM (
-         |  SELECT token, count(*) AS freq
-         |  FROM (SELECT unnest(${toksSql("lower(text)")}) AS token FROM documents)
-         |  GROUP BY token ORDER BY freq DESC, token ASC LIMIT 40)),
-         |tok AS (
-         | SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM documents
-         | WHERE doc_id < 20),
-         |pos AS (
-         | SELECT doc_id, CAST(generate_subscripts(tk, 1) AS INT) AS pos,
-         |  unnest(tk) AS token
-         | FROM tok)
-         |SELECT doc_id, pos, CAST(coalesce(token_id, 0) AS INT) AS token_id
-         |FROM pos LEFT JOIN vocab USING (token)
-         |ORDER BY doc_id, pos""".stripMargin,
+    "q93_token_encode" -> q93Sql,
+
+    // packed (array-form) encoding, re-exploded: the SAME oracle — a green
+    // hash proves encodeTokensPacked's pack->unpack round trip is lossless
+    // and position-ordered
+    "q98_token_pack" -> q93Sql,
+
+    // self-trained unigram LM score: exact tf/freq/N integers, ln on the
+    // identical double freq/N, per-term round(.,6) summed through
+    // DECIMAL(25,6) (order-independent), one double division at the end
+    "q99_unigram_lm" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, unnest(${toksSql("lower(text)")}) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |freq AS (SELECT token, CAST(sum(tf) AS BIGINT) AS freq FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM freq),
+         |term AS (
+         | SELECT doc_id, tf,
+         |  CAST(round(tf * ln(CAST(freq AS DOUBLE) / n), 6) AS DECIMAL(25,6)) AS t
+         | FROM tf JOIN freq USING (token) CROSS JOIN n),
+         |d AS (
+         | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(t) AS DOUBLE)
+         |    / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE), 6) AS logprob_mean
+         | FROM term GROUP BY 1)
+         |SELECT doc_id, n_tokens, logprob_mean,
+         | logprob_mean >= -9.0 AS keep
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // span dedup replay: same 16-token windows (the q42 chunk formula at
+    // overlap 0), md5 span digests, first occurrence by (doc_id, pos)
+    // window, ordered string_agg reassembly; planted header literal is
+    // THE shared Scala constant (Queries.spanDedupHeader)
+    "q100_span_dedup" -> {
+      val hdr = Queries.spanDedupHeader.replace("'", "''")
+      s"""WITH d0 AS (
+         | SELECT doc_id, '$hdr' || text AS text FROM documents),
+         |tok AS (SELECT doc_id, ${toksSql("text")} AS tk FROM d0),
+         |sp AS (
+         | SELECT doc_id, unnest(list_transform(
+         |   range(0, 1 + CAST(ceil(greatest(len(tk) - 16, 0) / 16.0) AS BIGINT)),
+         |   i -> {'pos': i,
+         |         'span': array_to_string(list_slice(tk, i*16 + 1, i*16 + 16), ' ')}))
+         |  AS u
+         | FROM tok),
+         |p AS (
+         | SELECT doc_id, CAST(u.pos AS INT) AS pos, u.span AS span,
+         |  md5(u.span) AS dg
+         | FROM sp),
+         |fst AS (
+         | SELECT dg, doc_id AS fid, pos AS fpos FROM (
+         |  SELECT dg, doc_id, pos,
+         |   row_number() OVER (PARTITION BY dg ORDER BY doc_id, pos) AS rn
+         |  FROM p)
+         | WHERE rn = 1),
+         |kept AS (
+         | SELECT p.doc_id, p.pos, p.span
+         | FROM p JOIN fst ON p.dg = fst.dg AND p.doc_id = fst.fid
+         |  AND p.pos = fst.fpos),
+         |agg AS (
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_kept,
+         |  string_agg(span, ' ' ORDER BY pos) AS text_dedup
+         | FROM kept GROUP BY 1),
+         |tot AS (
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM p GROUP BY 1)
+         |SELECT t.doc_id, t.n_spans,
+         | coalesce(n_spans_kept, 0) AS n_spans_kept,
+         | coalesce(text_dedup, '') AS text_dedup
+         |FROM tot t LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // contrastive negative sampling: the q21 cosine fold chain, sim
+    // threshold on the unrounded value (q81 convention), md5 portable-hash
+    // selection rank — sampling is a pure function of the corpus
+    "q101_negative_samples" ->
+      s"""WITH q AS (
+         | SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         | WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (
+         | SELECT query_id, neighbor_id,
+         |  ${dotSql("qv", "cv")} AS dot_p,
+         |  ${normSql("qv")} * ${normSql("cv")} AS norm_p
+         | FROM c, q WHERE neighbor_id <> query_id),
+         |sims AS (
+         | SELECT query_id, neighbor_id,
+         |  CASE WHEN norm_p = 0 THEN 0.0 ELSE dot_p / norm_p END AS sim
+         | FROM scored),
+         |cand AS (
+         | SELECT query_id, neighbor_id, sim,
+         |  ${ph("CAST(query_id AS VARCHAR) || ':' || CAST(neighbor_id AS VARCHAR)", 4242)} AS h
+         | FROM sims WHERE sim < 0.2),
+         |ranked AS (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY h ASC, neighbor_id ASC) AS rnk
+         | FROM cand)
+         |SELECT query_id, CAST(rnk AS INT) AS "rank", neighbor_id,
+         | round(sim, 6) AS cosine_sim
+         |FROM ranked WHERE rnk <= 8 ORDER BY query_id, rnk""".stripMargin,
+
+    // length-grouped batching: integer token counts, DIV bands, per-band
+    // row_number in id order, DIV/% batch arithmetic — every cell exact
+    "q102_length_batches" ->
+      s"""WITH d AS (
+         | SELECT doc_id, CAST(${tokenCountSql("text")} AS BIGINT) AS n_tokens
+         | FROM documents),
+         |b AS (
+         | SELECT doc_id, n_tokens, n_tokens // 64 AS bucket,
+         |  row_number() OVER (PARTITION BY n_tokens // 64 ORDER BY doc_id) - 1
+         |   AS r
+         | FROM d)
+         |SELECT doc_id, n_tokens, bucket,
+         | CAST(r // 8 AS INT) AS batch_id, CAST(r % 8 AS INT) AS pos_in_batch
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // leakage-safe split: q61's verified pair chain + the q65 recursive
+    // min-label CC + representative hashing — the split CASE replays the
+    // portable hash mod 10000 against the 8000 bp cut
+    "q105_group_split" ->
+      s"""WITH RECURSIVE $q61Chain,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |rep AS (
+         | SELECT doc_id, coalesce(cluster_id, doc_id) AS rep
+         | FROM corpus LEFT JOIN labels ON doc_id = labels.id)
+         |SELECT doc_id, rep,
+         | CASE WHEN ${ph("CAST(rep AS VARCHAR)", 99)} % 10000 < 8000
+         |  THEN 'train' ELSE 'eval' END AS split
+         |FROM rep ORDER BY doc_id""".stripMargin,
+
+    // asymmetric shingle containment: distinct 3-shingle sets (same <3
+    // whole-text rule as every shingle oracle), |A∩B|/|A| with both casts
+    // explicit, threshold on the unrounded value, ordered pairs
+    "q103_containment" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+         |corpus AS (
+         | SELECT doc_id, text FROM base
+         | UNION ALL
+         | ${plantedSql("documents", "doc_id < 60", 10, 2000L)}),
+         |tok AS (SELECT doc_id, ${toksSql("text")} AS tk FROM corpus),
+         |shg AS (
+         | SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |   ELSE list_transform(range(1, len(tk) - 1),
+         |          i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END AS sh
+         | FROM tok),
+         |d AS (SELECT doc_id, list_distinct(sh) AS sh FROM shg),
+         |pairs AS (
+         | SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         |  CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+         |   / CAST(len(l.sh) AS DOUBLE) AS c
+         | FROM d l, d r WHERE l.doc_id <> r.doc_id)
+         |SELECT id_a, id_b, round(c, 6) AS containment
+         |FROM pairs WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
+    // vocabulary coverage curve: ranked cumulative token mass, integer
+    // threshold compare (cum*10000 >= bp*total) — no floats anywhere
+    "q104_vocab_coverage" ->
+      s"""WITH tok AS (
+         | SELECT unnest(${toksSql("lower(text)")}) AS token FROM documents),
+         |f AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+         |r AS (
+         | SELECT token, freq,
+         |  row_number() OVER (ORDER BY freq DESC, token ASC) AS rnk,
+         |  sum(freq) OVER (ORDER BY freq DESC, token ASC) AS cum
+         | FROM f),
+         |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total_tokens FROM f),
+         |th AS (SELECT unnest([5000, 9000, 9900]) AS coverage_bp)
+         |SELECT coverage_bp, CAST(min(rnk) AS INT) AS n_vocab, total_tokens
+         |FROM th CROSS JOIN tot JOIN r
+         | ON cum * 10000 >= coverage_bp * total_tokens
+         |GROUP BY 1, total_tokens ORDER BY 1""".stripMargin,
 
     // corpus snapshot diff: md5 digests on both sides, full-outer join,
     // status CASE — the same digest family as the dedup oracles

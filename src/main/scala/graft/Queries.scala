@@ -1091,6 +1091,127 @@ object Queries {
         "vec_id", "embedding", d = 8)
       .orderBy("vec_id")
 
+  /** Packed token-id round trip: encode with the ARRAY-form production
+    * sink (TextOps.encodeTokensPacked — one row per doc, ids in position
+    * order), then posexplode back to scalar cells. Hash-verified against
+    * the SAME oracle as q93, proving pack→unpack loses nothing and the
+    * packed sink orders positions correctly (the oracle layer stays
+    * scalar-exact; the array column itself ships to production). */
+  /** q100's planted boilerplate: 17 tokens, so the first 16-token window
+    * of every document is pure header — identical corpus-wide. ONE
+    * definition shared with the oracle (Oracles references this val);
+    * the trailing space keeps the concat token-clean. */
+  val spanDedupHeader: String = "subscribe to our newsletter terms of " +
+    "service apply all rights reserved contact us today for more information "
+
+  def q98TokenPack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = TextOps.buildVocab(docs, "text", size = 40)
+    TextOps.encodeTokensPacked(docs.filter(col("doc_id") < 20), "doc_id",
+        "text", vocab)
+      .select(col("doc_id"), posexplode(col("token_ids")))
+      .toDF("doc_id", "pos", "token_id")
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Self-trained unigram-LM quality score per document
+    * (TextOps.unigramLogProb): mean token log-likelihood under the
+    * corpus's own unigram distribution — the perplexity-style filter.
+    * DECIMAL-summed ln terms, hash-verified. */
+  def q99UnigramLm(s: SparkSession, dir: String): DataFrame =
+    TextOps.unigramLogProb(t(s, dir, "documents"), "doc_id", "text",
+        minLogProb = -9.0)
+      .orderBy("doc_id")
+
+  /** Corpus-level span (paragraph/line) dedup (Dedup.dropDuplicateSpans)
+    * over 16-token windows, with a PLANTED boilerplate header prepended
+    * to every document — the cross-document repeated-paragraph shape the
+    * operator exists for. The header's first window must survive only in
+    * the minimum doc_id; every document's span counts and reassembled
+    * text replay exactly in DuckDB. */
+  def q100SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit(spanDedupHeader), col("text")).as("text"))
+    Dedup.dropDuplicateSpans(docs, "doc_id",
+        TextOps.chunks(col("text"), chunkSize = 16, overlap = 0))
+      .orderBy("doc_id")
+  }
+
+  /** Contrastive negative sampling (Knn.negativeSamples): 8 deterministic
+    * far-negatives per anchor (vec_id < 10), portable-hash-selected from
+    * the corpus outside the cosine-0.2 neighborhood — the training-pair
+    * generator for contrastive embedding fine-tuning. Hash-verified: the
+    * oracle replays the exact cosine folds, the threshold, and the md5
+    * selection rank. */
+  def q101NegativeSamples(s: SparkSession, dir: String): DataFrame =
+    Knn.negativeSamples(t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
+        k = 8, maxSim = 0.2)
+      .orderBy("query_id", "rank")
+
+  /** Length-grouped batching (Pack.lengthBatches): 64-token length bands,
+    * 8-doc batches numbered in id order within each band — the dynamic-
+    * padding loader assignment, all exact integers. */
+  def q102LengthBatches(s: SparkSession, dir: String): DataFrame =
+    Pack.lengthBatches(t(s, dir, "documents"), "doc_id", "text",
+        bucketWidth = 64, batchSize = 8)
+      .orderBy("doc_id")
+
+  /** Asymmetric shingle containment (Dedup.containmentPairs) over the
+    * bounded probe slice with planted tail-quotes: every 10th doc under 60
+    * re-appears at id+2000 minus its first two tokens, so the plant's
+    * shingles are a subset of its source's — containment 1.0 in the
+    * planted→source direction (which Jaccard-based q17 would score well
+    * under 1). Hash-verified set arithmetic. */
+  def q103Containment(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      plantedTailDocs(base, modulus = 10, idOffset = 2000L))
+    Dedup.containmentPairs(corpus, "doc_id", "text", k = 3, threshold = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Vocabulary coverage curve (how many distinct tokens cover 50/90/99%
+    * of corpus token mass) — the statistic that sizes a tokenizer's vocab
+    * and the OOV budget. Pure integer arithmetic: the threshold compare
+    * is cum*10000 >= bp*total, no division anywhere. */
+  def q104VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token").asc)
+    // vocabulary-sized frame: the global rank window holds distinct
+    // tokens, not the corpus
+    val ranked = freq.withColumn("rnk", row_number().over(w))
+      .withColumn("cum", sum(col("freq")).over(w))
+    val th = freq.agg(sum(col("freq")).as("total_tokens"))
+      .select(explode(array(Seq(5000, 9000, 9900).map(lit): _*))
+        .as("coverage_bp"), col("total_tokens"))
+    th.join(ranked,
+        col("cum") * lit(10000L) >= col("coverage_bp") * col("total_tokens"))
+      .groupBy(col("coverage_bp"), col("total_tokens"))
+      .agg(min(col("rnk")).as("n_vocab"))
+      .select(col("coverage_bp"), col("n_vocab"), col("total_tokens"))
+      .orderBy("coverage_bp")
+  }
+
+  /** Leakage-safe train/eval split (Split.groupAwareSplit) over the q61
+    * portable corpus: near-dup clusters (portable MinHash pairs → CC)
+    * move between splits atomically — a planted near-dup can never land
+    * in eval while its source trains. The oracle replays the whole
+    * composition: the q61 pair chain, recursive CC, representative
+    * hashing, the split CASE. */
+  def q105GroupSplit(s: SparkSession, dir: String): DataFrame = {
+    val corpus = portableCorpus(s, dir)
+    val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
+      threshold = 0.5, numHashes = 16, bands = 4, portable = true)
+    Split.groupAwareSplit(corpus, "doc_id", pairs, trainBp = 8000, seed = 99)
+      .orderBy("doc_id")
+  }
+
   /** Per-user 3-day rolling aggregates (Sessionize.rollingDaily): daily
     * partials first, then a RANGE window over day ordinals — window
     * state is 3 partial rows per user, never raw events; value sums
@@ -1468,6 +1589,14 @@ object Queries {
     "q95_funnel" -> (q95Funnel _),
     "q96_cohort_retention" -> (q96CohortRetention _),
     "q97_matryoshka" -> (q97Matryoshka _),
+    "q98_token_pack" -> (q98TokenPack _),
+    "q99_unigram_lm" -> (q99UnigramLm _),
+    "q100_span_dedup" -> (q100SpanDedup _),
+    "q101_negative_samples" -> (q101NegativeSamples _),
+    "q102_length_batches" -> (q102LengthBatches _),
+    "q103_containment" -> (q103Containment _),
+    "q104_vocab_coverage" -> (q104VocabCoverage _),
+    "q105_group_split" -> (q105GroupSplit _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -90,6 +90,12 @@ object GraftFunctions {
   def textMetrics(text: Column): Column =
     shim.column(TextMetrics(shim.expression(text)))
 
+  def vectorDot(a: Column, b: Column): Column =
+    shim.column(VectorDot(shim.expression(a), shim.expression(b)))
+
+  def vectorNorm(a: Column): Column =
+    shim.column(VectorNorm(shim.expression(a)))
+
   def wordChunks(text: Column, chunkSize: Int, overlap: Int): Column =
     shim.column(WordChunks(shim.expression(text), chunkSize, overlap))
 
@@ -130,12 +136,29 @@ object GraftFunctions {
       TextFingerprint(children.head)
     })
 
+  val vectorDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vector_dot"),
+    new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "vector_dot expects 2 arguments")
+      VectorDot(children.head, children(1))
+    })
+
+  val vectorNormDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vector_norm"),
+    new ExpressionInfo(classOf[VectorNorm].getName, "vector_norm"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "vector_norm expects 1 argument")
+      VectorNorm(children.head)
+    })
+
   /** Every registered native function — ONE list consumed by both
     * registration paths, so a new descriptor cannot reach one and not
     * the other. */
   val allDescriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(positionalSimilarityDescriptor, textFingerprintDescriptor,
-      wordShinglesDescriptor, textMetricsDescriptor, wordTokensDescriptor)
+      wordShinglesDescriptor, textMetricsDescriptor, wordTokensDescriptor,
+      vectorDotDescriptor, vectorNormDescriptor)
 
   /** Imperative registration into an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -1,0 +1,119 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native kernels for the embedding hot path: dot product and L2 norm
+  * over float/double array columns.
+  *
+  * The Column compositions in [[graft.operators.Knn]]
+  * (`aggregate(zip_with(...))` / `aggregate(transform(...))`) are the
+  * executable spec — Spark evaluates higher-order functions INTERPRETED,
+  * allocating a lambda frame per element; on pair-scoring paths (brute
+  * force, SRP/IVF candidate verify, semantic-dedup within-cluster pairs,
+  * negative sampling) that interpreter tax dominates. Each kernel here is
+  * one codegen'd static call per row — the WordShingles/TextMetrics
+  * pattern (a tight JVM loop behind `defineCodeGen`, never an unrolled
+  * expression tree, which bloats janino compiles — Knn's scaladoc
+  * documents that measured failure mode).
+  *
+  * Float discipline (oracle-critical): the fold is LEFT-TO-RIGHT in
+  * double with each element widened exactly like `x.cast("double")`, so
+  * results are bit-identical to the HOF forms (0.0 + x == x in IEEE754;
+  * VectorOpsParitySpec pins this on generated vectors).
+  *
+  * Contract: equal lengths, non-null elements (embedding columns — the
+  * HOF forms instead return null via zip_with padding; callers that need
+  * that behavior keep the Column forms). */
+object VectorKernel {
+
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"vector_dot: length mismatch ($n vs ${b.numElements()})")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  def norm(a: ArrayData, aFloat: Boolean): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+}
+
+private object VectorOps {
+  def elemCheck(name: String, dts: Seq[DataType]): TypeCheckResult = {
+    val ok = dts.forall {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<float>/array<double>, got ${dts.map(_.simpleString).mkString(", ")}")
+  }
+  def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/** Codegen'd left-fold dot product of two vector columns (double). */
+case class VectorDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorOps.elemCheck("vector_dot", Seq(left.dataType, right.dataType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_dot"
+
+  private def lf = VectorOps.isFloat(left.dataType)
+  private def rf = VectorOps.isFloat(right.dataType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lf, rf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expr.VectorKernel.dot($a, $b, $lf, $rf)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd left-fold L2 norm of a vector column (double). */
+case class VectorNorm(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorOps.elemCheck("vector_norm", Seq(child.dataType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_norm"
+
+  private def cf = VectorOps.isFloat(child.dataType)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernel.norm(a.asInstanceOf[ArrayData], cf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.VectorKernel.norm($a, $cf)")
+
+  override protected def withNewChildInternal(newChild: Expression): VectorNorm =
+    copy(child = newChild)
+}

@@ -89,6 +89,51 @@ object Dedup {
     incoming.join(seen, md5(incoming(textCol)) === seen("__digest"), "left_anti")
   }
 
+  /** Corpus-level SPAN deduplication — paragraph/line dedup (the
+    * RefinedWeb / Dolma pass below document granularity: boilerplate
+    * headers, navigation lines and repeated paragraphs recur across
+    * millions of pages whose full documents are all distinct, so
+    * document-level dedup never sees them). The caller supplies the span
+    * array (paragraph splitter, line splitter, fixed token windows —
+    * whatever the corpus's structure supports); each distinct span
+    * survives only at its FIRST corpus occurrence (min (id, position)
+    * lexicographically — deterministic, replayable), later copies are
+    * dropped, and each document is reassembled from its surviving spans
+    * in original order. Documents losing every span remain, with an
+    * empty text (the downstream length filter is the right place to
+    * drop them — this operator must not silently change corpus row
+    * membership).
+    *
+    * Scale shape: posexplode (1→spans), then the shuffle key is the
+    * 32-char md5 span digest for BOTH the first-occurrence aggregate
+    * (map-side combined min-struct — a hot boilerplate span collapses
+    * per input partition before the exchange, the exact-dedup agg-twin
+    * argument) and the keep join (AQE-splittable); reassembly is one
+    * id-keyed aggregate. Text shuffles exactly twice (explode→agg-join,
+    * reassembly), never joined corpus-against-corpus.
+    * Output: (idCol, n_spans, n_spans_kept, text_dedup). */
+  def dropDuplicateSpans(df: DataFrame, idCol: String,
+                         spans: Column, joiner: String = " "): DataFrame = {
+    val pos = df.select(col(idCol).as("__id"), posexplode(spans))
+      .toDF("__id", "__pos", "__span")
+    val keyed = pos.withColumn("__dg", md5(col("__span")))
+    val first = keyed.groupBy(col("__dg"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    val kept = keyed.join(first, "__dg")
+      .filter(col("__id") === col("__first.__id") &&
+        col("__pos") === col("__first.__pos"))
+      .groupBy(col("__id"))
+      .agg(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__span")))),
+          p => p.getField("__span")).as("__kept"))
+    pos.groupBy(col("__id")).agg(count(lit(1)).as("n_spans"))
+      .join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        col("n_spans"),
+        coalesce(size(col("__kept")), lit(0)).cast("long").as("n_spans_kept"),
+        coalesce(array_join(col("__kept"), joiner), lit("")).as("text_dedup"))
+  }
+
   /** Word k-shingles of a text column (k consecutive tokens, space-joined).
     * Backed by the native [[graft.expr.WordShingles]] expression — the HOF
     * composition (transform + slice + array_join) runs interpreted and was
@@ -96,6 +141,31 @@ object Dedup {
     * per row (ShinglesParitySpec pins the semantics to the HOF form). */
   def shingles(text: Column, k: Int): Column =
     graft.expr.GraftFunctions.wordShingles(coalesce(text, lit("")), k)
+
+  /** Asymmetric shingle containment (Broder): containment(A in B) =
+    * |sh(A) ∩ sh(B)| / |sh(A)| — the quotation/subset detector symmetric
+    * Jaccard dilutes (a 50-token quote inside a 5000-token page has
+    * Jaccard ≈ 0.01 but containment 1.0, so Jaccard-thresholded dedup
+    * never sees it). Emits ORDERED pairs (id_a contained in id_b);
+    * both directions are evaluated, a full copy shows up twice.
+    *
+    * Pair generation here is the bounded-probe self-join (the q17 shape,
+    * for exact verification); at corpus scale feed candidates from the
+    * MinHash bucket machinery instead and apply this as the verify step.
+    * The denominator is never 0: the shingle kernel's <k rule yields
+    * [whole text] (size 1) for short docs.
+    * Output: (id_a, id_b, containment), containment >= threshold. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val d = df.select(col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), k)).as("__sh"))
+    d.as("l").join(d.as("r"), col("l.__id") =!= col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        (size(array_intersect(col("l.__sh"), col("r.__sh"))).cast("double") /
+          size(col("l.__sh")).cast("double")).as("__c"))
+      .filter(col("__c") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__c"), 6).as("containment"))
+  }
 
   // (char n-grams live at TextOps.charNgrams — the ONE definition; its
   // short-string rule is "empty array", documented there. A same-named

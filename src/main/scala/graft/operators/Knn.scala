@@ -19,20 +19,34 @@ import org.apache.spark.sql.functions._
 object Knn {
 
   /** Dot product of two equal-length float-array columns, in double.
-    * Higher-order-function form — runs interpreted, but with a tiny plan
-    * footprint. Division of labor in this module: HOF dot for per-PAIR
-    * scoring (candidate pairs are bucket/probe-pruned, and norms are
-    * hoisted to per-row columns first), unrolled [[normN]] for per-ROW
-    * norms, and one posexplode+agg for anything evaluated against many
-    * vectors at once ([[withSrpBucket]], assignToCentroids). Unrolling the
-    * pair dot into codegen instead bloats whole-stage codegen into
-    * multi-second janino compiles — measured slower end-to-end. */
+    * Native codegen'd kernel ([[graft.expr.VectorDot]]): one static call
+    * per row, bit-identical to the HOF fold it replaced (left-to-right
+    * double accumulation — [[dotComposed]] stays as the executable spec,
+    * pinned by VectorOpsParitySpec). Division of labor in this module:
+    * kernel dot for per-PAIR scoring (candidate pairs are bucket/probe-
+    * pruned, norms hoisted to per-row columns first), unrolled [[normN]]
+    * for static-dim per-ROW norms, and one posexplode+agg for anything
+    * evaluated against many vectors at once ([[withSrpBucket]],
+    * assignToCentroids). Unrolling the pair dot into an expression TREE
+    * instead bloats whole-stage codegen into multi-second janino
+    * compiles — measured slower end-to-end; the kernel keeps codegen one
+    * call wide. */
   def dot(a: Column, b: Column): Column =
+    graft.expr.GraftFunctions.vectorDot(a, b)
+
+  /** The pure-Column composition of [[dot]] (the spec form — interpreted
+    * HOF, value-identical; also the form that returns null on unequal
+    * lengths via zip_with padding, where the kernel raises). */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** L2 norm (HOF form — see [[dot]] note). */
+  /** L2 norm (native kernel — see [[dot]] note). */
   def norm(a: Column): Column =
+    graft.expr.GraftFunctions.vectorNorm(a)
+
+  /** The pure-Column composition of [[norm]] (the spec form). */
+  def normComposed(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
@@ -83,6 +97,46 @@ object Knn {
       .withColumn("cosine_sim",
         cosineFrom(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
     topK(scored, k)
+  }
+
+  /** Contrastive negative sampling: for each anchor vector, `k`
+    * deterministic negatives drawn from the corpus OUTSIDE the anchor's
+    * near-neighborhood (cosine < maxSim — self and near-duplicates are
+    * hard-excluded so a contrastive loss never trains against a false
+    * negative). Selection ranks candidates by the portable hash of
+    * "anchor:candidate" — uniform like rand() but reproducible across
+    * runs, retries and engines (no RNG state ships to executors), so the
+    * training set is a pure function of the corpus version.
+    *
+    * Scale shape: anchors broadcast, corpus streams through scoring
+    * map-side (the [[bruteForceTopK]] shape); the per-anchor rank window
+    * holds one anchor's candidates — parallel across anchors, which are
+    * bounded (a training batch), never corpus x corpus. For corpus-sized
+    * anchor sets, pre-prune candidates per anchor with the SRP/IVF
+    * bucketing first.
+    * Output: (query_id, rank, neighbor_id, cosine_sim). */
+  def negativeSamples(corpus: DataFrame, queries: DataFrame, k: Int,
+                      maxSim: Double, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val dim = staticDim(corpus, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", normN(col("__qv"), dim))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", normN(col("__cv"), dim))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__h").asc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        cosineFrom(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
+      .filter(col("cosine_sim") < maxSim)
+      .withColumn("__h", Dedup.portableHash64(
+        concat(col("query_id").cast("string"), lit(":"),
+          col("neighbor_id").cast("string")), 4242))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine_sim"), 6).as("cosine_sim"))
   }
 
   /** Per-query top-k over a scored (query_id, neighbor_id, cosine_sim)

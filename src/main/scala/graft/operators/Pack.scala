@@ -44,4 +44,32 @@ object Pack {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
   }
+
+  /** Length-grouped batching — the dynamic-padding loader shape: batching
+    * documents of similar token length together bounds per-batch padding
+    * waste (padding cost is batch_max_len - doc_len; mixing a 10-token
+    * doc into a 500-token batch wastes 98% of its rows). Documents land
+    * in `bucketWidth`-token length bands, then fixed-size batches are
+    * numbered inside each band in deterministic id order.
+    *
+    * Scale shape: one projection (token count — codegen'd kernel), then a
+    * per-bucket row_number window. Buckets are the parallel unit;
+    * numbering within a bucket is sequential BY DEFINITION (batch ids are
+    * a total order per bucket) — at 100 TB, shard first (the q83
+    * argument) and number batches per (shard, bucket). All outputs are
+    * exact integers; replayable cross-engine (q102).
+    * Output: (idCol, n_tokens, bucket, batch_id, pos_in_batch). */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+                    bucketWidth: Int = 64, batchSize: Int = 8): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0,
+      "lengthBatches: bucketWidth and batchSize > 0")
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+    docs.select(col(idCol),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens DIV $bucketWidth"))
+      .withColumn("__r", row_number().over(w) - 1)
+      .select(col(idCol), col("n_tokens"), col("bucket"),
+        expr(s"__r DIV $batchSize").cast("int").as("batch_id"),
+        expr(s"__r % $batchSize").cast("int").as("pos_in_batch"))
+  }
 }

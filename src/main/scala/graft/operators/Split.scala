@@ -98,6 +98,36 @@ object Split {
       .select(col("__src").as(sourceCol), col("__id").as(idCol))
   }
 
+  /** Leakage-safe (group-aware) split: every member of a near-duplicate
+    * cluster lands in the SAME split. A row-wise split re-creates the
+    * contamination problem dedup exists to prevent — a near-dup pair
+    * straddling train/eval leaks eval content into training and inflates
+    * eval scores. Cluster membership comes from connected components over
+    * the caller's verified pair set (any of the near-dup families);
+    * assignment hashes the cluster REPRESENTATIVE (the CC min-member
+    * label; docs in no pair represent themselves), so a cluster moves
+    * between splits atomically and the split stays a pure function of
+    * the corpus version (portable hash, no rand()).
+    *
+    * Scale shape: CC is id-keyed rounds (Dedup.connectedComponents);
+    * the assignment itself is one left join against the label frame
+    * (pair-member-sized, usually a small fraction of the corpus — Spark
+    * broadcasts it when it fits) plus a per-row hash.
+    * Output: (idCol, rep, split ∈ {train, eval}). */
+  def groupAwareSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                      trainBp: Int = 8000, seed: Int = 99,
+                      maxIter: Int = 10): DataFrame = {
+    require(trainBp > 0 && trainBp < 10000, "groupAwareSplit: trainBp in (0, 10000)")
+    val labels = Dedup.connectedComponents(pairs, maxIter)
+      .select(col("id").as("__cid"), col("cluster_id"))
+    df.join(labels, col(idCol) === col("__cid"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col(idCol).cast("long")))
+      .select(col(idCol), col("rep"),
+        when(pmod(Dedup.portableHash64(col("rep").cast("string"), seed),
+            lit(10000L)) < trainBp, "train")
+          .otherwise("eval").as("split"))
+  }
+
   /** Stratified deterministic sampling: per-stratum percentage targets
     * (strata absent from the map keep `defaultPct`). */
   def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,

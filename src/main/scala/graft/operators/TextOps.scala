@@ -149,6 +149,63 @@ object TextOps {
       .select(col(idCol), (col("pos") + 1).as("pos"),
         coalesce(col("token_id"), lit(0)).as("token_id"))
 
+  /** Packed (array-form) token-id encoding — the PRODUCTION sink shape a
+    * training loader memory-maps: one row per document, token ids in
+    * position order in a single array column (vs [[encodeTokens]]'s
+    * exploded scalar twin, kept for cross-engine cell-exact
+    * verification — SCALE.md's "3x rows for scalar-exact verifiability"
+    * trade). Same broadcast vocab join; the pack is one per-doc
+    * aggregation keyed on the id (sort_array on (pos, id) structs
+    * restores position order deterministically regardless of partial-agg
+    * arrival order). q98 hash-verifies pack→unpack == the q93 oracle.
+    * Output: (idCol, token_ids array<int>, n_tokens). */
+  def encodeTokensPacked(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String,
+                         vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    encodeTokens(df, idCol, textCol, vocab)
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("token_id")))),
+        p => p.getField("token_id")).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")))
+
+  /** Self-trained unigram language-model score per document — the
+    * perplexity-style quality filter (Wenzek et al., CCNet: docs scoring
+    * far below the corpus's own distribution are noise/boilerplate;
+    * here the LM is the corpus itself, so no external model ships).
+    * score = (1/n_d) * Σ_t tf_dt · ln(freq_t / N), i.e. mean token
+    * log-likelihood (≤ 0; higher = more typical text).
+    *
+    * Physical shape at 100 TB: ONE corpus-sized (doc, token) tf
+    * aggregate (map-side combined), a vocabulary-sized freq frame
+    * broadcast back, then a per-doc agg keyed on the id — no joins of
+    * corpus against corpus. Cross-engine float discipline: each term is
+    * rounded to 6 decimals then summed through DECIMAL(25,6) (exact,
+    * order-independent — the q89 pattern); ln operates on the identical
+    * double freq/N in both engines (1-ulp ln cases have ~1e6x margin
+    * against the round-6 grid, docs/NOTES.md).
+    * Output: (idCol, n_tokens, logprob_mean, keep). */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String,
+                     minLogProb: Double = -9.0): org.apache.spark.sql.DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // two consumers (freq, per-doc agg) — compute once
+    val freq = tf.groupBy(col("token")).agg(sum(col("tf")).as("freq"))
+    val n = freq.agg(sum(col("freq")).as("n"))
+    tf.join(broadcast(freq), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("__t",
+        round(col("tf") * log(col("freq").cast("double") / col("n")), 6)
+          .cast("decimal(25,6)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("__t")).as("__lsum"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__lsum").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("logprob_mean"))
+      .withColumn("keep", col("logprob_mean") >= minLogProb)
+  }
+
   /** Within-document shingle repetition — the C4/Gopher-family quality
     * signal: a document whose k-shingles repeat heavily is boilerplate or
     * a degenerate loop, not prose. dup_ratio = 1 - distinct/total shingles

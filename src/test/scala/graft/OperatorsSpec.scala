@@ -164,6 +164,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)))
   }
 
+  test("containment is asymmetric: quote scores 1.0 in the quoted, not back") {
+    val page = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val quote = "gamma delta epsilon zeta"    // contiguous slice of page
+    val other = "one two three four five six"
+    val df = Seq((1L, page), (2L, quote), (3L, other)).toDF("id", "text")
+    val got = Dedup.containmentPairs(df, "id", "text", k = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // quote's shingles ⊂ page's -> (2 in 1) = 1.0; reverse direction is
+    // 2/8 = 0.25 and must NOT appear; `other` matches nothing
+    assert(got == Set((2L, 1L, 1.0)))
+  }
+
   test("vocab build + encode: rank order, OOV zero, position fidelity") {
     val docs = Seq((1L, "b a b c"), (2L, "a a zz")).toDF("id", "text")
     val vocab = TextOps.buildVocab(docs, "text", size = 3)
@@ -177,6 +189,60 @@ class DedupSpec extends SparkSpec {
     assert(enc.toSeq == Seq(
       (1L, 1, 2), (1L, 2, 1), (1L, 3, 2), (1L, 4, 3),
       (2L, 1, 1), (2L, 2, 1), (2L, 3, 0)))   // zz is OOV -> 0
+  }
+
+  test("encodeTokensPacked: array order == exploded encoder, round trip lossless") {
+    val docs = Seq((1L, "b a b c"), (2L, "a a zz"), (3L, "")).toDF("id", "text")
+    val vocab = TextOps.buildVocab(docs, "text", size = 3)
+    val packed = TextOps.encodeTokensPacked(docs, "id", "text", vocab)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getInt(2)))
+    // position order restored regardless of agg arrival order; OOV -> 0
+    assert(packed.toSeq == Seq(
+      (1L, Seq(2, 1, 2, 3), 4), (2L, Seq(1, 1, 0), 3)))
+    // the empty doc has no token rows — absent from the packed frame (the
+    // exploded encoder drops it the same way), so the twins agree
+    val exploded = TextOps.encodeTokens(docs, "id", "text", vocab)
+      .orderBy("id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+    assert(exploded.map(_._1).distinct.toSeq == packed.map(_._1).toSeq)
+    assert(exploded.map(_._2).toSeq == packed.flatMap(_._2).toSeq)
+  }
+
+  test("unigramLogProb: hand-computed scores, rare-token docs score lower") {
+    // corpus: a x3, b x2, c x1 -> N = 6
+    val docs = Seq((1L, "a a b"), (2L, "b c a")).toDF("id", "text")
+    val got = TextOps.unigramLogProb(docs, "id", "text", minLogProb = -1.0)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    def term(tf: Long, freq: Long) =
+      BigDecimal(tf * math.log(freq / 6.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)
+    def mean(ts: Seq[BigDecimal], n: Long) =
+      BigDecimal(ts.sum.toDouble / n).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = mean(Seq(term(2, 3), term(1, 2)), 3)   // a a b
+    val d2 = mean(Seq(term(1, 2), term(1, 1), term(1, 3)), 3) // b c a
+    assert(got.toSeq == Seq((1L, 3L, d1, d1 >= -1.0), (2L, 3L, d2, d2 >= -1.0)))
+    // doc 2 carries the rare token c -> strictly less typical
+    assert(d2 < d1)
+  }
+
+  test("dropDuplicateSpans: keep-first across docs, empty-doc row kept") {
+    val docs = Seq(
+      (1L, Seq("header", "body one")),
+      (2L, Seq("header", "body two")),
+      (3L, Seq("header")),           // loses everything
+      (4L, Seq("body one", "tail"))) // "body one" already seen in doc 1
+      .toDF("id", "spans")
+    val got = Dedup.dropDuplicateSpans(docs, "id", col("spans"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, "header body one"),
+      (2L, 2L, 1L, "body two"),
+      (3L, 1L, 0L, ""),      // row survives with empty text, not dropped
+      (4L, 2L, 1L, "tail")))
   }
 
   test("corpusDiff classifies added/removed/changed/unchanged exactly") {
@@ -340,6 +406,26 @@ class KnnSpec extends SparkSpec {
     val got = Knn.bruteForceTopK(df, df.filter(col("vec_id") === 1), k = 2)
       .orderBy("rank").select("neighbor_id").collect().map(_.getLong(0))
     assert(got.toSeq == Seq(2L, 3L))
+  }
+
+  test("negative samples exclude self and near-neighbors, deterministic") {
+    // anchor 1 points +x; 2 is a near-dup (cos ~0.994), 3..6 orthogonal/far
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f)),
+      (5L, Seq(0.0f, -1.0f)), (6L, Seq(-0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val anchors = df.filter(col("vec_id") === 1)
+    def run() = Knn.negativeSamples(df, anchors, k = 3, maxSim = 0.5)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val got = run()
+    // the near-dup (2) and self (1) never appear; ranks are contiguous
+    assert(!got.map(_._2).contains(2L) && !got.map(_._2).contains(1L))
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(got.forall(_._3 < 0.5))
+    // hash selection: a second run returns the identical sample
+    assert(run().toSeq == got.toSeq)
   }
 }
 

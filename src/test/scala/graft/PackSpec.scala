@@ -49,4 +49,25 @@ class PackSpec extends SparkSpec {
     // cum_before: 0, 2, 2 -> all in seq 0 (empty doc contributes 0 tokens)
     assert(out.toSeq == Seq((0L, 3L, 5L)))
   }
+
+  test("length batches: band assignment, batch caps, id-ordered numbering") {
+    // token counts 1..20, bucketWidth 4 -> buckets 0 (1-3 tok), 1, ... 5
+    val docs = (1 to 20).map(i => (i.toLong, ("t " * i).trim))
+      .toDF("doc_id", "text")
+    val out = Pack.lengthBatches(docs, "doc_id", "text",
+        bucketWidth = 4, batchSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4)))
+    assert(out.length == 20)
+    // bucket = n_tokens DIV 4; n_tokens == doc_id here
+    assert(out.forall { case (id, n, b, _, _) => n == id && b == id / 4 })
+    // within a bucket: ids ascend through (batch_id, pos); batches hold
+    // at most batchSize and positions stay below it
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._5))
+      assert(ordered.map(_._1).toSeq == ordered.map(_._1).sorted.toSeq)
+      assert(rows.groupBy(_._4).values.forall(_.size <= 2))
+      assert(rows.forall(_._5 < 2))
+    }
+  }
 }

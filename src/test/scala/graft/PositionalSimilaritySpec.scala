@@ -49,4 +49,12 @@ class PositionalSimilaritySpec extends SparkSpec {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT text_fingerprint('ab c') AS f").head().getLong(0) == 397249L)
   }
+
+  test("SQL registration: vector_dot / vector_norm callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+        "vector_norm(array(3.0D, 4.0D)) AS n").head()
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0)
+  }
 }

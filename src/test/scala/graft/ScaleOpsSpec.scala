@@ -485,6 +485,28 @@ class MixtureSampleSpec extends SparkSpec {
         Seq("a" -> 5000, "a" -> 5000), 10L)
     }
   }
+
+  test("group-aware split: clusters move atomically, singletons deterministic") {
+    val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("id", "text")
+    // two clusters: {1,2,3} (chained) and {50,51}; everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (50L, 51L)).toDF("id_a", "id_b")
+    val got = Split.groupAwareSplit(docs, "id", pairs, trainBp = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = got.map(g => g._1 -> g).toMap
+    // cluster members share the representative (the min id) AND the split
+    for (c <- Seq(Seq(1L, 2L, 3L), Seq(50L, 51L))) {
+      assert(c.map(byId(_)._2).distinct == Seq(c.min))
+      assert(c.map(byId(_)._3).distinct.size == 1)
+    }
+    // singletons represent themselves; re-running yields the identical split
+    assert(byId(7L)._2 == 7L)
+    val again = Split.groupAwareSplit(docs, "id", pairs, trainBp = 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+    // the cut is roughly 80/20 over 100 keys (hash uniformity, loose band)
+    val train = got.count(_._3 == "train")
+    assert(train > 60 && train < 95, s"train=$train of 100")
+  }
 }
 
 class BucketedJoinSpec extends SparkSpec {

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Knn
+
+/** Pins the native VectorDot/VectorNorm kernels to the HOF Column forms
+  * they replaced (kept as Knn.dotComposed/normComposed — the executable
+  * spec): bit-identical doubles, not approximate equality. The oracles
+  * replay the HOF fold, so kernel-vs-spec parity is what keeps every
+  * embedding query hash-green. */
+class VectorOpsParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def genVectors(n: Int, dim: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      (i.toLong,
+        Array.fill(dim)((rnd.nextDouble() * 4 - 2).toFloat),
+        Array.fill(dim)((rnd.nextDouble() * 4 - 2).toFloat))
+    }.toDF("id", "a", "b")
+  }
+
+  test("kernel dot == HOF fold, bit for bit, over generated float vectors") {
+    val df = genVectors(300, 64, seed = 7)
+    val bad = df.select(Knn.dot(col("a"), col("b")).as("k"),
+        Knn.dotComposed(col("a"), col("b")).as("s"))
+      .filter(col("k") =!= col("s"))
+    assert(bad.count() == 0)
+  }
+
+  test("kernel norm == HOF fold, bit for bit; zero vector -> 0") {
+    val df = genVectors(300, 48, seed = 11)
+    val bad = df.select(Knn.norm(col("a")).as("k"),
+        Knn.normComposed(col("a")).as("s"))
+      .filter(col("k") =!= col("s"))
+    assert(bad.count() == 0)
+    val z = Seq(Tuple1(Array(0.0f, 0.0f))).toDF("v")
+    assert(z.select(Knn.norm(col("v"))).head().getDouble(0) == 0.0)
+  }
+
+  test("double-element arrays and empty arrays work; nulls propagate") {
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    assert(df.select(Knn.dot(col("a"), col("b"))).head().getDouble(0) == 11.0)
+    val e = Seq(Tuple1(Seq.empty[Double])).toDF("v")
+    assert(e.select(Knn.norm(col("v"))).head().getDouble(0) == 0.0)
+    val nl = Seq(Tuple1(null.asInstanceOf[Seq[Double]])).toDF("v")
+    assert(nl.select(Knn.norm(col("v"))).head().isNullAt(0))
+  }
+
+  test("interpreted eval path matches codegen (single-expression project)") {
+    // force the interpreted path via a filter on the expression inside a
+    // non-codegen context: collect both and compare
+    val df = genVectors(50, 16, seed = 3)
+    val viaSelect = df.select(col("id"), Knn.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaSpec = df.select(col("id"), Knn.dotComposed(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSelect == viaSpec)
+  }
+}
