@@ -1326,6 +1326,53 @@ object Oracles {
          | ON cum * 10000 >= coverage_bp * total_tokens
          |GROUP BY 1, total_tokens ORDER BY 1""".stripMargin,
 
+    // incremental span dedup: q100's window/digest/keep-first replay,
+    // with the existing half's DISTINCT span digests anti-joined out of
+    // the incoming half first
+    "q106_span_dedup_incr" -> {
+      val hdr = Queries.spanDedupHeader.replace("'", "''")
+      s"""WITH d0 AS (
+         | SELECT doc_id, '$hdr' || text AS text FROM documents),
+         |tok AS (SELECT doc_id, ${toksSql("text")} AS tk FROM d0),
+         |sp AS (
+         | SELECT doc_id, unnest(list_transform(
+         |   range(0, 1 + CAST(ceil(greatest(len(tk) - 16, 0) / 16.0) AS BIGINT)),
+         |   i -> {'pos': i,
+         |         'span': array_to_string(list_slice(tk, i*16 + 1, i*16 + 16), ' ')}))
+         |  AS u
+         | FROM tok),
+         |allp AS (
+         | SELECT doc_id, CAST(u.pos AS INT) AS pos, u.span AS span,
+         |  md5(u.span) AS dg
+         | FROM sp),
+         |seen AS (SELECT DISTINCT dg FROM allp WHERE doc_id % 2 = 0),
+         |pin AS (SELECT * FROM allp WHERE doc_id % 2 = 1),
+         |fresh AS (
+         | SELECT * FROM pin WHERE dg NOT IN (SELECT dg FROM seen)),
+         |fst AS (
+         | SELECT dg, doc_id AS fid, pos AS fpos FROM (
+         |  SELECT dg, doc_id, pos,
+         |   row_number() OVER (PARTITION BY dg ORDER BY doc_id, pos) AS rn
+         |  FROM fresh)
+         | WHERE rn = 1),
+         |kept AS (
+         | SELECT f.doc_id, f.pos, f.span
+         | FROM fresh f JOIN fst ON f.dg = fst.dg AND f.doc_id = fst.fid
+         |  AND f.pos = fst.fpos),
+         |agg AS (
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_kept,
+         |  string_agg(span, ' ' ORDER BY pos) AS text_dedup
+         | FROM kept GROUP BY 1),
+         |tot AS (
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM pin
+         | GROUP BY 1)
+         |SELECT t.doc_id, t.n_spans,
+         | coalesce(n_spans_kept, 0) AS n_spans_kept,
+         | coalesce(text_dedup, '') AS text_dedup
+         |FROM tot t LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // corpus snapshot diff: md5 digests on both sides, full-outer join,
     // status CASE — the same digest family as the dedup oracles
     "q92_corpus_diff" ->

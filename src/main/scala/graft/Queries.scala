@@ -733,12 +733,24 @@ object Queries {
     * DuckDB oracle, green-hashing the MinHash machinery end-to-end. q22
     * keeps the faster xxhash64 family for the hot path (rows-only +
     * measured planted recall); same threshold, quarter corpus. */
-  def q61MinhashPortable(s: SparkSession, dir: String): DataFrame = {
-    // 16 hashes / 4 bands (same 4 rows per band as the default family):
-    // half the md5 volume, identical pipeline shape under verification
-    Dedup.minhashNearDups(portableCorpus(s, dir), "doc_id", "text",
-        threshold = 0.5, numHashes = 16, bands = 4, portable = true)
-      .orderBy("id_a", "id_b")
+  def q61MinhashPortable(s: SparkSession, dir: String): DataFrame =
+    portablePairs(s, dir).orderBy("id_a", "id_b")
+
+  // The verified portable pair set is shared by THREE consumers — q61
+  // (the pair list itself), q65 (dedup composition) and q105 (leakage-
+  // safe split) — so it is computed once per (session, sf-dir) and
+  // localCheckpointed, the ivfCache amortization applied to the LSH
+  // chain. 16 hashes / 4 bands (same 4 rows per band as the default
+  // family): half the md5 volume, identical pipeline shape under
+  // verification.
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def portablePairs(s: SparkSession, dir: String): DataFrame = {
+    pairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    pairsCache.computeIfAbsent((s, dir), _ =>
+      Dedup.minhashNearDups(portableCorpus(s, dir), "doc_id", "text",
+          threshold = 0.5, numHashes = 16, bands = 4, portable = true)
+        .localCheckpoint())
   }
 
   /** The shared q61/q65 verification corpus: a quarter of documents (the
@@ -847,10 +859,10 @@ object Queries {
   def q65NearDedupE2EPortable(s: SparkSession, dir: String): DataFrame =
     // maxIter 50: the oracle's recursive CC is exact, so the Spark side
     // must actually converge (it exits early — shallow clusters pay ~3
-    // rounds regardless of the cap)
-    Dedup.dropNearDuplicates(portableCorpus(s, dir), "doc_id", "text",
-        threshold = 0.5, numHashes = 16, bands = 4, portable = true,
-        maxIter = 50)
+    // rounds regardless of the cap). Pairs come from the shared
+    // session-cached chain (portablePairs) via the FromPairs overload.
+    Dedup.dropNearDuplicatesFromPairs(portableCorpus(s, dir), "doc_id",
+        portablePairs(s, dir), maxIter = 50)
       .select(col("doc_id"))
       .orderBy("doc_id")
 
@@ -1204,11 +1216,24 @@ object Queries {
     * in eval while its source trains. The oracle replays the whole
     * composition: the q61 pair chain, recursive CC, representative
     * hashing, the split CASE. */
-  def q105GroupSplit(s: SparkSession, dir: String): DataFrame = {
-    val corpus = portableCorpus(s, dir)
-    val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
-      threshold = 0.5, numHashes = 16, bands = 4, portable = true)
-    Split.groupAwareSplit(corpus, "doc_id", pairs, trainBp = 8000, seed = 99)
+  def q105GroupSplit(s: SparkSession, dir: String): DataFrame =
+    Split.groupAwareSplit(portableCorpus(s, dir), "doc_id",
+        portablePairs(s, dir), trainBp = 8000, seed = 99)
+      .orderBy("doc_id")
+
+  /** Incremental span dedup (Dedup.dropSpansAgainstExisting): the odd-id
+    * half of the corpus ingested against the even-id half, both wearing
+    * the planted boilerplate header — every incoming doc must lose its
+    * header window (the corpus has it) plus anything else the corpus or
+    * an earlier batch position already holds. Hash-verified. */
+  def q106SpanDedupIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit(spanDedupHeader), col("text")).as("text"))
+    val spans = TextOps.chunks(col("text"), chunkSize = 16, overlap = 0)
+    Dedup.dropSpansAgainstExisting(
+        incoming = docs.filter(col("doc_id") % 2 === 1),
+        existing = docs.filter(col("doc_id") % 2 === 0),
+        idCol = "doc_id", incomingSpans = spans, existingSpans = spans)
       .orderBy("doc_id")
   }
 
@@ -1597,6 +1622,7 @@ object Queries {
     "q103_containment" -> (q103Containment _),
     "q104_vocab_coverage" -> (q104VocabCoverage _),
     "q105_group_split" -> (q105GroupSplit _),
+    "q106_span_dedup_incr" -> (q106SpanDedupIncr _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -117,6 +117,40 @@ object Dedup {
     val pos = df.select(col(idCol).as("__id"), posexplode(spans))
       .toDF("__id", "__pos", "__span")
     val keyed = pos.withColumn("__dg", md5(col("__span")))
+    keepFirstSpansAndReassemble(pos, keyed, idCol, joiner)
+  }
+
+  /** Incremental span dedup — the batch-over-corpus form of
+    * [[dropDuplicateSpans]]: spans whose digest already exists ANYWHERE
+    * in the reference corpus are dropped from the incoming batch
+    * entirely (the corpus keeps its copy), and the batch then
+    * keep-firsts within itself. The ingestion-time shape: boilerplate
+    * the corpus has seen never enters, without re-processing the corpus.
+    *
+    * Scale shape: the corpus side reduces to a DISTINCT digest set (32
+    * bytes/span) before the anti-join — the [[dropAgainstExisting]]
+    * argument at span granularity; corpus text never shuffles.
+    * Output: same contract as [[dropDuplicateSpans]], for the batch. */
+  def dropSpansAgainstExisting(incoming: DataFrame, existing: DataFrame,
+                               idCol: String, incomingSpans: Column,
+                               existingSpans: Column,
+                               joiner: String = " "): DataFrame = {
+    val seen = existing.select(explode(existingSpans).as("__s"))
+      .select(md5(col("__s")).as("__dg")).distinct()
+    val pos = incoming.select(col(idCol).as("__id"), posexplode(incomingSpans))
+      .toDF("__id", "__pos", "__span")
+    val keyed = pos.withColumn("__dg", md5(col("__span")))
+      .join(seen, Seq("__dg"), "left_anti")
+    keepFirstSpansAndReassemble(pos, keyed, idCol, joiner)
+  }
+
+  /** Shared tail of the span-dedup family: keep each digest's first
+    * (id, pos) occurrence among `keyed`, reassemble survivors per doc in
+    * position order; `pos` supplies the per-doc span totals (docs whose
+    * spans are all dropped keep their row, empty text). */
+  private def keepFirstSpansAndReassemble(pos: DataFrame, keyed: DataFrame,
+                                          idCol: String,
+                                          joiner: String): DataFrame = {
     val first = keyed.groupBy(col("__dg"))
       .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
     val kept = keyed.join(first, "__dg")
@@ -457,13 +491,23 @@ object Dedup {
                          threshold: Double = 0.8, shingleK: Int = 3,
                          numHashes: Int = 32, bands: Int = 8,
                          portable: Boolean = false,
-                         maxIter: Int = 10): DataFrame = {
-    val pairs = minhashNearDups(df, idCol, textCol, threshold, shingleK,
-      numHashes, bands, portable)
+                         maxIter: Int = 10): DataFrame =
     // maxIter is exposed because clustering depth is a corpus property:
     // [[connectedComponents]] exits early on convergence, so a generous
     // cap costs nothing on shallow duplicate clusters but deep similarity
     // chains need it for the keep-min semantics to be exact
+    dropNearDuplicatesFromPairs(df, idCol,
+      minhashNearDups(df, idCol, textCol, threshold, shingleK,
+        numHashes, bands, portable),
+      maxIter)
+
+  /** [[dropNearDuplicates]] over a PREBUILT pair set — the caller may
+    * share one verified pair frame across dedup, clustering audits and
+    * the leakage-safe split ([[graft.operators.Split.groupAwareSplit]])
+    * instead of recomputing the LSH chain per consumer. */
+  def dropNearDuplicatesFromPairs(df: DataFrame, idCol: String,
+                                  pairs: DataFrame,
+                                  maxIter: Int = 10): DataFrame = {
     val clusters = connectedComponents(pairs, maxIter)
     val losers = clusters.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("__loser"))

@@ -245,6 +245,23 @@ class DedupSpec extends SparkSpec {
       (4L, 2L, 1L, "tail")))
   }
 
+  test("dropSpansAgainstExisting: corpus spans never re-enter, batch keep-firsts") {
+    val existing = Seq((1L, Seq("header", "old body"))).toDF("id", "spans")
+    val incoming = Seq(
+      (10L, Seq("header", "new a")),           // header known to the corpus
+      (11L, Seq("new a", "new b")),            // "new a" seen earlier in batch
+      (12L, Seq("old body")))                  // fully known -> empty
+      .toDF("id", "spans")
+    val got = Dedup.dropSpansAgainstExisting(incoming, existing, "id",
+        col("spans"), col("spans"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (10L, 2L, 1L, "new a"),
+      (11L, 2L, 1L, "new b"),
+      (12L, 1L, 0L, "")))
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged exactly") {
     val prev = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("id", "text")
     val next = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("id", "text")

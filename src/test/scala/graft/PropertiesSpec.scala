@@ -131,4 +131,55 @@ class PropertiesSpec extends SparkSpec {
       assert(n == 137L, s"weights $weights drew $n != 137")
     }
   }
+
+  test("containment: bounds in [0,1], reflexive slices score 1, monotone") {
+    val words = sample(Gen.listOfN(8, Gen.oneOf(
+      "red", "blue", "green", "gold", "iron", "salt", "wind", "moon"))
+      .map(_.mkString(" ")), 60)
+    val docs = words.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // add a contiguous 5-word slice of every 10th doc as a planted quote
+    val planted = docs.collect { case (id, t) if id % 10 == 0 =>
+      (id + 1000L, t.split(" ").slice(2, 7).mkString(" "))
+    }
+    val df = (docs ++ planted).toDF("id", "text")
+    val pairs = graft.operators.Dedup
+      .containmentPairs(df, "id", "text", k = 3, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.forall(p => p._3 >= 0.0 && p._3 <= 1.0))
+    // every planted quote is fully contained in its source
+    for ((qid, _) <- planted) {
+      val src = qid - 1000L
+      assert(pairs.exists(p => p._1 == qid && p._2 == src && p._3 == 1.0),
+        s"quote $qid not contained in $src")
+    }
+  }
+
+  test("span dedup conserves counts: kept <= total, distinct digests survive once") {
+    val spanGen = Gen.listOfN(4, Gen.oneOf("sp a", "sp b", "sp c", "sp d", "sp e"))
+    val rows = sample(spanGen, 50).zipWithIndex
+      .map { case (sp, i) => (i.toLong, sp) }
+    val df = rows.toDF("id", "spans")
+    val out = graft.operators.Dedup
+      .dropDuplicateSpans(df, "id", col("spans"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == rows.size)               // no doc rows lost
+    assert(out.forall(r => r._3 <= r._2))         // kept <= total
+    // total kept across the corpus == number of DISTINCT spans
+    val distinctSpans = rows.flatMap(_._2).distinct.size
+    assert(out.map(_._3).sum == distinctSpans.toLong)
+  }
+
+  test("group-aware split: every pair co-located under generated pair sets") {
+    val ids = (1L to 60L)
+    val docs = ids.map(i => (i, s"d$i")).toDF("id", "text")
+    val pairGen = for {
+      a <- Gen.choose(1L, 60L); b <- Gen.choose(1L, 60L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val pairs = sample(pairGen, 25).distinct
+    val got = graft.operators.Split
+      .groupAwareSplit(docs, "id", pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    for ((a, b) <- pairs)
+      assert(got(a) == got(b), s"pair ($a,$b) straddles splits")
+  }
 }
