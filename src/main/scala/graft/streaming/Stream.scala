@@ -218,6 +218,28 @@ object Stream {
     }.toDF()
   }
 
+  /** Corpus-ingest quality router — the training-data quality filter run
+    * AS documents arrive (the streaming face of the batch curation chain,
+    * q42): the native one-pass metric kernel scores each document, keeps
+    * or rejects against `minQuality`, and attaches the reject reason for
+    * the reject topic/DLQ. Pure per-row expressions — stateless, no
+    * watermark, identical semantics on batch and stream (the spec pins
+    * stream output to the batch expression). At 100 TB this is the
+    * filter you want BEFORE anything stateful: rejected documents never
+    * enter the dedup/index pipelines at all. */
+  def qualityRouter(docs: DataFrame, textCol: String = "text",
+                    minQuality: Int = 50): DataFrame = {
+    val m = graft.operators.TextOps.textMetrics(col(textCol))
+    docs.withColumn("__m", m)
+      .withColumn("quality_score", col("__m.quality_score"))
+      .withColumn("lang", col("__m.lang"))
+      .withColumn("keep", col("quality_score") >= minQuality)
+      .withColumn("reject_reason",
+        when(col("keep"), lit(null).cast("string"))
+          .otherwise(lit(s"quality_below_$minQuality")))
+      .drop("__m")
+  }
+
   /** Streaming exact dedup on event id within the watermark horizon —
     * upstream at-least-once delivery (Kafka producer retries) becomes
     * exactly-once before any stateful aggregation sees the events. State is

@@ -356,4 +356,36 @@ class StreamingSpec extends SparkSpec {
         .getAs[Double]("clean_score") == 99.0)
     } finally q2.stop()
   }
+
+  test("quality router: stream output == batch expression, rejects reasoned") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog ran to the park today"),
+      (2L, "!!! ??? ... ;;; :::"),
+      (3L, ""))
+    val input = MemoryStream[(Long, String)](spark)
+    val routed = Stream.qualityRouter(
+      input.toDF().toDF("doc_id", "text"), minQuality = 50)
+    val q = routed.writeStream.format("memory")
+      .queryName("quality_routed").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("quality_routed")
+        .select("doc_id", "quality_score", "keep", "reject_reason")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+          Option(r.getString(3)))).sortBy(_._1)
+      // batch twin: the SAME expression applied to a static frame
+      val want = Stream.qualityRouter(docs.toDF("doc_id", "text"),
+          minQuality = 50)
+        .select("doc_id", "quality_score", "keep", "reject_reason")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+          Option(r.getString(3)))).sortBy(_._1)
+      assert(got.toSeq == want.toSeq)
+      // the prose doc survives; punctuation soup and empty are rejected
+      val byId = got.map(g => g._1 -> g).toMap
+      assert(byId(1L)._3)
+      assert(!byId(2L)._3 && byId(2L)._4.contains("quality_below_50"))
+      assert(!byId(3L)._3)
+    } finally q.stop()
+  }
 }
