@@ -1373,6 +1373,92 @@ object Oracles {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // end-to-end curation composition: quality gate -> q100's span
+    // keep-first chain (no planted header) -> exact keep-first on the
+    // reassembled text -> final token counts
+    "q107_pipeline_e2e" -> {
+      val hdr = Queries.spanDedupHeader.replace("'", "''")
+      s"""WITH hdrd AS (
+         | SELECT doc_id, '$hdr' || text AS text FROM documents),
+         |corpus AS (
+         | SELECT doc_id, text FROM hdrd
+         | UNION ALL
+         | SELECT doc_id + 1000000, text FROM hdrd WHERE doc_id % 10 = 0
+         | UNION ALL
+         | SELECT doc_id + 2000000, '!!! ??? !!!' FROM documents
+         | WHERE doc_id % 25 = 0),
+         |keepq AS (
+         | SELECT doc_id, text FROM corpus
+         | WHERE ${qualitySql("text")} >= 50),
+         |tok AS (SELECT doc_id, ${toksSql("text")} AS tk FROM keepq),
+         |sp AS (
+         | SELECT doc_id, unnest(list_transform(
+         |   range(0, 1 + CAST(ceil(greatest(len(tk) - 16, 0) / 16.0) AS BIGINT)),
+         |   i -> {'pos': i,
+         |         'span': array_to_string(list_slice(tk, i*16 + 1, i*16 + 16), ' ')}))
+         |  AS u
+         | FROM tok),
+         |p AS (
+         | SELECT doc_id, CAST(u.pos AS INT) AS pos, u.span AS span,
+         |  md5(u.span) AS dg
+         | FROM sp),
+         |fst AS (
+         | SELECT dg, doc_id AS fid, pos AS fpos FROM (
+         |  SELECT dg, doc_id, pos,
+         |   row_number() OVER (PARTITION BY dg ORDER BY doc_id, pos) AS rn
+         |  FROM p)
+         | WHERE rn = 1),
+         |kept AS (
+         | SELECT p.doc_id, p.pos, p.span
+         | FROM p JOIN fst ON p.dg = fst.dg AND p.doc_id = fst.fid
+         |  AND p.pos = fst.fpos),
+         |agg AS (
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_kept,
+         |  string_agg(span, ' ' ORDER BY pos) AS text_dedup
+         | FROM kept GROUP BY 1),
+         |tot AS (
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM p GROUP BY 1),
+         |re AS (
+         | SELECT t.doc_id, t.n_spans,
+         |  coalesce(n_spans_kept, 0) AS n_spans_kept,
+         |  coalesce(text_dedup, '') AS text_dedup
+         | FROM tot t LEFT JOIN agg USING (doc_id)),
+         |ex AS (
+         | SELECT *, row_number() OVER (PARTITION BY md5(text_dedup)
+         |   ORDER BY doc_id) AS exrn
+         | FROM re)
+         |SELECT doc_id, n_spans, n_spans_kept,
+         | CAST(len(${toksSql("text_dedup")}) AS BIGINT) AS n_tokens_final
+         |FROM ex WHERE exrn = 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // dataset card over the q105 assignment: per-split doc, cluster and
+    // token totals — the same recursive chain, one GROUP BY deeper
+    "q108_split_card" ->
+      s"""WITH RECURSIVE $q61Chain,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |rep AS (
+         | SELECT doc_id, coalesce(cluster_id, doc_id) AS rep
+         | FROM corpus LEFT JOIN labels ON doc_id = labels.id),
+         |asg AS (
+         | SELECT doc_id, rep,
+         |  CASE WHEN ${ph("CAST(rep AS VARCHAR)", 99)} % 10000 < 8000
+         |   THEN 'train' ELSE 'eval' END AS split
+         | FROM rep)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+         | CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS total_tokens
+         |FROM asg JOIN corpus USING (doc_id)
+         |GROUP BY split ORDER BY split""".stripMargin,
+
     // corpus snapshot diff: md5 digests on both sides, full-outer join,
     // status CASE — the same digest family as the dedup oracles
     "q92_corpus_diff" ->

@@ -1237,6 +1237,55 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The training-data pipeline composed END TO END as one declarative
+    * plan — quality filter → span dedup → exact dedup of the reassembled
+    * texts — proving the curation operators chain (Catalyst sees ONE
+    * tree; nothing materializes between stages). Output is the surviving
+    * corpus with its per-stage span accounting and final token counts;
+    * the oracle replays the whole composition. */
+  def q107PipelineE2E(s: SparkSession, dir: String): DataFrame = {
+    // every stage must FIRE, not just plumb: the corpus wears the
+    // boilerplate header (span dedup drops it corpus-wide), every 10th
+    // doc re-appears as an exact copy (its spans all dedup away, the
+    // empty survivors collapse in the exact stage), and planted junk
+    // docs fail the quality gate
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val hdrd = base.select(col("doc_id"),
+      concat(lit(spanDedupHeader), col("text")).as("text"))
+    val copies = hdrd.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+    val junk = base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        lit("!!! ??? !!!").as("text"))
+    val docs = hdrd.unionByName(copies).unionByName(junk)
+    val kept = docs.filter(
+      TextOps.textMetrics(col("text")).getField("quality_score") >= 50)
+    val spanned = Dedup.dropDuplicateSpans(kept, "doc_id",
+      TextOps.chunks(col("text"), chunkSize = 16, overlap = 0))
+    Dedup.markExactDuplicates(spanned, "text_dedup", "doc_id")
+      .filter(!col("is_duplicate"))
+      .select(col("doc_id"), col("n_spans"), col("n_spans_kept"),
+        TextOps.tokenCount(col("text_dedup")).cast("long")
+          .as("n_tokens_final"))
+      .orderBy("doc_id")
+  }
+
+  /** Dataset card for the leakage-safe split (q105's assignment): per
+    * split, document count, distinct cluster-representative count and
+    * total token mass — the summary a training run records next to the
+    * corpus version. Shares the session pair cache. */
+  def q108SplitCard(s: SparkSession, dir: String): DataFrame = {
+    val corpus = portableCorpus(s, dir)
+    val assigned = Split.groupAwareSplit(corpus, "doc_id",
+      portablePairs(s, dir), trainBp = 8000, seed = 99)
+    assigned.join(corpus, "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"))
+      .orderBy("split")
+  }
+
   /** Per-user 3-day rolling aggregates (Sessionize.rollingDaily): daily
     * partials first, then a RANGE window over day ordinals — window
     * state is 3 partial rows per user, never raw events; value sums
@@ -1623,6 +1672,8 @@ object Queries {
     "q104_vocab_coverage" -> (q104VocabCoverage _),
     "q105_group_split" -> (q105GroupSplit _),
     "q106_span_dedup_incr" -> (q106SpanDedupIncr _),
+    "q107_pipeline_e2e" -> (q107PipelineE2E _),
+    "q108_split_card" -> (q108SplitCard _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
