@@ -1459,6 +1459,18 @@ object Oracles {
          |FROM asg JOIN corpus USING (doc_id)
          |GROUP BY split ORDER BY split""".stripMargin,
 
+    // schema-evolution read: the oracle replays the generation split from
+    // the ORIGINAL table (v1 rows carry no price), so a green hash proves
+    // the two-generation mergeSchema scan lost nothing and nulled right
+    "q109_schema_evolution" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+        |  AS n_with_price,
+        | CAST(sum(CASE WHEN o_orderkey % 2 = 1
+        |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  AS total_priced
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // corpus snapshot diff: md5 digests on both sides, full-outer join,
     // status CASE — the same digest family as the dedup oracles
     "q92_corpus_diff" ->

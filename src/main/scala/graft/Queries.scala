@@ -1286,6 +1286,29 @@ object Queries {
       .orderBy("split")
   }
 
+  /** Schema-evolution read (mergeSchema): two parquet generations under
+    * one root — v1 without the price column (an old producer), v2 with
+    * it — unified by a mergeSchema scan where v1 rows surface NULL
+    * price. The real ingestion concern a long-lived 100 TB table has:
+    * producers upgrade, history stays readable. The oracle replays the
+    * generation split with a CASE on the same modulus. */
+  def q109SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = rtPath(dir, "schemaevo")
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))     // v1: no price
+      .write.mode("overwrite").parquet(s"$path/gen=1")
+    orders.filter(col("o_orderkey") % 2 === 1)             // v2: adds price
+      .write.mode("overwrite").parquet(s"$path/gen=2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("o_totalprice")).as("n_with_price"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_priced"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Per-user 3-day rolling aggregates (Sessionize.rollingDaily): daily
     * partials first, then a RANGE window over day ordinals — window
     * state is 3 partial rows per user, never raw events; value sums
@@ -1674,6 +1697,7 @@ object Queries {
     "q106_span_dedup_incr" -> (q106SpanDedupIncr _),
     "q107_pipeline_e2e" -> (q107PipelineE2E _),
     "q108_split_card" -> (q108SplitCard _),
+    "q109_schema_evolution" -> (q109SchemaEvolution _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -56,6 +56,47 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Small-file compaction: rewrite a parquet table into ~`targetFiles`
+    * files. Streaming sinks and incremental loads accrete files (one per
+    * micro-batch x partition); at 100 TB scale the resulting
+    * listing/open overhead dominates scan setup (every file is a
+    * driver-side listing entry and an executor open), so periodic
+    * compaction is table maintenance, not an optimization. The rewrite
+    * stages into a sibling directory and swaps atomically-enough for a
+    * single writer (production table formats do this transactionally;
+    * the staging-then-swap here keeps readers from ever seeing a
+    * half-written directory on the happy path).
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFiles: Int): (Int, Int) = {
+    require(targetFiles >= 1, "compact: targetFiles >= 1")
+    def parquetFiles(p: java.io.File): Int = {
+      val fs = p.listFiles()
+      if (fs == null) 0
+      else fs.count(f => f.isFile && f.getName.endsWith(".parquet")) +
+        fs.filter(_.isDirectory).map(parquetFiles).sum
+    }
+    val dir = new java.io.File(path)
+    val before = parquetFiles(dir)
+    val staging = path.stripSuffix("/") + "__compact_staging"
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val old = path.stripSuffix("/") + "__compact_old"
+    val oldDir = new java.io.File(old)
+    def rm(f: java.io.File): Unit = {
+      val fs = f.listFiles(); if (fs != null) fs.foreach(rm); f.delete(); ()
+    }
+    if (oldDir.exists()) rm(oldDir)
+    if (!dir.renameTo(oldDir))
+      throw new java.io.IOException(s"compact: cannot stage out $path")
+    if (!new java.io.File(staging).renameTo(dir)) {
+      oldDir.renameTo(dir) // roll back
+      throw new java.io.IOException(s"compact: cannot swap in $staging")
+    }
+    rm(oldDir)
+    (before, parquetFiles(dir))
+  }
+
   /** Bucketed write for co-located joins: both sides bucketed by the join
     * key join without a shuffle. Requires a table (metastore) target. */
   def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,

@@ -226,6 +226,22 @@ class SinksSpec extends SparkSpec {
     assert(after.filter(col("date_key") =!= 20240103).count() == 80)
   }
 
+  test("compaction shrinks file count, preserves rows, survives re-read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val path = s"$dir/tbl"
+    // accrete many small files the way a micro-batch sink does
+    for (b <- 1 to 6)
+      (1 to 50).map(i => (b * 100L + i, s"v$b-$i")).toDF("id", "v")
+        .repartition(4).write.mode("append").parquet(path)
+    val want = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val (before, after) = Sinks.compact(spark, path, targetFiles = 2)
+    assert(before >= 20 && after <= 2, s"files $before -> $after")
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+  }
+
   test("scaled partitioned write spreads a hot partition over several files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sinkscaled").toString
     // one hot date (800 rows) + two small ones: the single-task-per-value
