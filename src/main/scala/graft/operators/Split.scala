@@ -120,8 +120,11 @@ object Split {
     require(trainBp > 0 && trainBp < 10000, "groupAwareSplit: trainBp in (0, 10000)")
     val labels = Dedup.connectedComponents(pairs, maxIter)
       .select(col("id").as("__cid"), col("cluster_id"))
+    // no cast on the fallback: cluster_id carries the pair-id type, which
+    // matches idCol's by construction — a forced long cast would null out
+    // string-keyed corpora
     df.join(labels, col(idCol) === col("__cid"), "left")
-      .withColumn("rep", coalesce(col("cluster_id"), col(idCol).cast("long")))
+      .withColumn("rep", coalesce(col("cluster_id"), col(idCol)))
       .select(col(idCol), col("rep"),
         when(pmod(Dedup.portableHash64(col("rep").cast("string"), seed),
             lit(10000L)) < trainBp, "train")

@@ -114,6 +114,24 @@ object Stream {
       .agg(approx_count_distinct("student_id").as("active_students"))
       .select(col("window.start").as("window_start"), col("active_students"))
 
+  /** ST-5 completion: EVENT-TIME SESSION windows — dynamic per-student
+    * windows that close after `gap` of inactivity (the streaming twin of
+    * the batch sessionizer, q18; tumbling / sliding / session all now
+    * exist on both the batch and stream sides). Session-window state is
+    * watermark-bounded and merges adjacent micro-batch fragments; append
+    * mode emits a session only when the watermark passes its end. */
+  def sessionMetrics(cleaned: DataFrame, gap: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    cleaned
+      .filter(col("student_id").isNotNull)
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("student_id"))
+      .agg(count(lit(1)).as("n_events"),
+        avg(col("clean_score")).as("avg_score"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("student_id"), col("n_events"), col("avg_score"))
+
   /** Active-distinct per window via the engine's own linear-counting
     * sketch ([[graft.operators.Sketch.linearCountDistinct]]'s streaming
     * twin): stage 1 keeps one state row per OCCUPIED BUCKET per window

@@ -522,6 +522,13 @@ class MixtureSampleSpec extends SparkSpec {
     // the cut is roughly 80/20 over 100 keys (hash uniformity, loose band)
     val train = got.count(_._3 == "train")
     assert(train > 60 && train < 95, s"train=$train of 100")
+    // string-keyed corpora work too (no forced numeric cast on the rep)
+    val sdocs = Seq(("a", "t"), ("b", "t"), ("c", "t")).toDF("id", "text")
+    val spairs = Seq(("a", "b")).toDF("id_a", "id_b")
+    val sgot = Split.groupAwareSplit(sdocs, "id", spairs)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(sgot("a")._1 == "a" && sgot("b")._1 == "a" && sgot("c")._1 == "c")
+    assert(sgot("a")._2 == sgot("b")._2)
   }
 }
 

@@ -97,6 +97,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows merge bursts, split on gaps, close at the watermark") {
+    val input = MemoryStream[(String, java.sql.Timestamp, String)](spark)
+    val ts = (m: Int, s: Int) => java.sql.Timestamp.valueOf(f"2024-02-01 10:$m%02d:$s%02d")
+    val cleaned = Stream.cleanEvent(
+        input.toDF().toDF("student_id", "event_time", "score"))
+      .withColumn("duration_seconds", lit("60"))
+    val q = Stream.sessionMetrics(cleaned, gap = "2 minutes")
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // burst 1: 10:00:00, 10:01:00 (within gap -> one session);
+      // burst 2 after a >2min silence: 10:05:00
+      input.addData(("STU001", ts(0, 0), "80"), ("STU001", ts(1, 0), "90"),
+        ("STU001", ts(5, 0), "70"))
+      q.processAllAvailable()
+      input.addData(("STU999", ts(40, 0), "50")) // advance the watermark
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT session_start, session_end, n_events, avg_score FROM sess_test " +
+        "WHERE student_id = 'STU001' ORDER BY session_start").collect()
+      assert(got.length == 2)
+      assert(got(0).getAs[Long]("n_events") == 2)
+      assert(got(0).getAs[Double]("avg_score") == 85.0)
+      // session end = last event + gap
+      assert(got(0).getAs[java.sql.Timestamp]("session_end") == ts(3, 0))
+      assert(got(1).getAs[Long]("n_events") == 1)
+      assert(got(1).getAs[java.sql.Timestamp]("session_start") == ts(5, 0))
+    } finally q.stop()
+  }
+
   test("streaming linear-count sketch estimates distinct students per window") {
     val input = MemoryStream[(String, java.sql.Timestamp, String)](spark)
     val ts = (m: Int, s: Int) => java.sql.Timestamp.valueOf(f"2024-02-01 10:$m%02d:$s%02d")
