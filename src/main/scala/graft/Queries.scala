@@ -1309,6 +1309,15 @@ object Queries {
       .orderBy("o_orderstatus")
   }
 
+  /** Robust per-type outlier statistics (Robust.madOutlierStats): exact
+    * median / MAD fences over event values — the 50%-breakdown-point
+    * quality gate mean/sigma rules can't provide. Hash-verified via the
+    * established percentile/quantile_cont parity (q44). */
+  def q110MadOutliers(s: SparkSession, dir: String): DataFrame =
+    Robust.madOutlierStats(t(s, dir, "events"), "event_type", "value",
+        k = 3.0)
+      .orderBy("event_type")
+
   /** Per-user 3-day rolling aggregates (Sessionize.rollingDaily): daily
     * partials first, then a RANGE window over day ordinals — window
     * state is 3 partial rows per user, never raw events; value sums
@@ -1698,6 +1707,7 @@ object Queries {
     "q107_pipeline_e2e" -> (q107PipelineE2E _),
     "q108_split_card" -> (q108SplitCard _),
     "q109_schema_evolution" -> (q109SchemaEvolution _),
+    "q110_mad_outliers" -> (q110MadOutliers _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -449,6 +449,37 @@ class SketchSpec extends SparkSpec {
   }
 }
 
+class RobustSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Robust
+
+  test("MAD fences catch planted outliers and resist masking") {
+    // 100 values near 50 (spread 0..9) + 20 plants at 1000: heavy enough
+    // contamination that a 3-sigma rule MASKS (sigma inflates past the
+    // plants' own deviation and flags nothing); the MAD fence, with its
+    // 50% breakdown point, still flags exactly the 20 plants.
+    val base = (1 to 100).map(i => ("a", 50.0 + (i % 10)))
+    val plants = Seq.fill(20)(("a", 1000.0))
+    val out = Robust.madOutlierStats((base ++ plants).toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(out.getAs[Long]("n") == 120L)
+    assert(out.getAs[Long]("n_outliers") == 20L)
+    assert(out.getAs[Double]("med") >= 50.0 && out.getAs[Double]("med") <= 59.0)
+    // the mean/sigma rule on the same data: fully masked
+    val vs = (base ++ plants).map(_._2)
+    val mean = vs.sum / vs.size
+    val sigma = math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / vs.size)
+    assert(vs.count(v => math.abs(v - mean) > 3 * sigma) == 0)
+  }
+
+  test("constant column: MAD 0, everything off-median is an outlier") {
+    val df = (Seq.fill(20)(("k", 7.0)) ++ Seq(("k", 8.0))).toDF("g", "v")
+    val out = Robust.madOutlierStats(df, "g", "v").collect().head
+    assert(out.getAs[Double]("mad") == 0.0)
+    assert(out.getAs[Long]("n_outliers") == 1L)
+  }
+}
+
 class MixtureSampleSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Split
