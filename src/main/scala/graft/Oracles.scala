@@ -955,6 +955,14 @@ object Oracles {
     // full-probe IVF == brute force, by construction — same oracle as q21
     "q59_knn_ivf_fullprobe" -> bruteForceTopKSql,
 
+    // full probe over a SAVED-then-RELOADED index == brute force: the
+    // persisted centroids + lists must be complete and value-preserving
+    "q112_knn_ivf_reload" -> bruteForceTopKSql,
+
+    // incremental near-dedup via the persisted bucket TABLE must equal the
+    // recompute-per-batch form — same replay as q66, same corpus split
+    "q111_neardedup_table" -> q66Sql,
+
     // full MinHash+LSH replay over the portable md5-derived hash family
     "q61_minhash_portable" -> q61Sql,
 

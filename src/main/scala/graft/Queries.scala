@@ -880,6 +880,55 @@ object Queries {
       .orderBy("incoming_id", "existing_id")
   }
 
+  /** Incremental near-dedup against the PERSISTED bucket table
+    * (Dedup.writeBucketTable + minhashNearDupsAgainstTable) — q66's exact
+    * corpus split and hash family, but the existing side's signatures are
+    * written once and READ back as parquet instead of recomputed: the
+    * maintained-index production shape the incremental scale story
+    * promises. Shares q66's oracle — a green hash proves batch-vs-TABLE
+    * output == batch-vs-corpus. */
+  // the bucket table is MAINTAINED, not rebuilt per query: write it once
+  // per (session, sf-dir) — the ivfCache amortization applied to the LSH
+  // index — so q111's steady-state cost is the incremental PROBE (the
+  // production per-batch shape), with the one-time index build in the
+  // bench's warm rep. Stopped-session entries purged as in ivfCache.
+  private val bucketTableBuilt = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Boolean]()
+
+  def q111NearDedupTable(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") % 8 === 0)
+    val incoming = docs.filter(col("doc_id") % 8 === 4)
+      .unionByName(plantedTailDocs(existing, modulus = 40, idOffset = 3000000L))
+    val path = rtPath(dir, "lshidx")
+    bucketTableBuilt.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    bucketTableBuilt.computeIfAbsent((s, dir), _ => {
+      Dedup.writeBucketTable(existing, path, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 4, portable = true)
+      java.lang.Boolean.TRUE
+    })
+    Dedup.minhashNearDupsAgainstTable(incoming, path, "doc_id", "text",
+        threshold = 0.5)
+      .orderBy("incoming_id", "existing_id")
+  }
+
+  /** IVF index SAVE/LOAD round trip (Knn.ivfSave/ivfLoad): persist the
+    * seeded index — centroid metadata + inverted lists — as parquet,
+    * reload it, and full-probe. nprobe = nlist scans every list, so the
+    * result must equal brute force EXACTLY (q59's oracle), proving the
+    * persisted index is complete and value-preserving across the
+    * save/load boundary. */
+  def q112KnnIvfReload(s: SparkSession, dir: String): DataFrame = {
+    val path = rtPath(dir, "ivfidx")
+    val index = ivfIndexFor(s, dir, "reload") {
+      Knn.ivfSave(ivfSeeded(s, dir), path)
+      Knn.ivfLoad(s, path)
+    }
+    Knn.ivfSearch(index,
+        t(s, dir, "embeddings").filter(col("vec_id") < 10), k = 5, nprobe = 16)
+      .orderBy("query_id", "rank")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -1291,7 +1340,13 @@ object Queries {
     * it — unified by a mergeSchema scan where v1 rows surface NULL
     * price. The real ingestion concern a long-lived 100 TB table has:
     * producers upgrade, history stays readable. The oracle replays the
-    * generation split with a CASE on the same modulus. */
+    * generation split with a CASE on the same modulus.
+    *
+    * Note: writes overwrite a fixed rtPath target per sf-dir — fine for
+    * the sequential harness (Verify/Bench run queries one at a time), but
+    * two PROCESSES running this query concurrently against the same
+    * working directory would race on the generation dirs; key the path on
+    * the session (as the streaming tests do) if that ever changes. */
   def q109SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
     val path = rtPath(dir, "schemaevo")
     val orders = t(s, dir, "orders")
@@ -1708,6 +1763,8 @@ object Queries {
     "q108_split_card" -> (q108SplitCard _),
     "q109_schema_evolution" -> (q109SchemaEvolution _),
     "q110_mad_outliers" -> (q110MadOutliers _),
+    "q111_neardedup_table" -> (q111NearDedupTable _),
+    "q112_knn_ivf_reload" -> (q112KnnIvfReload _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

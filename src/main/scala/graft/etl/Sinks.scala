@@ -41,13 +41,19 @@ object Sinks {
                                  tasksPerPartition: Int = 8,
                                  maxRecordsPerFile: Long = 5000000L): Unit = {
     require(tasksPerPartition >= 1, "tasksPerPartition >= 1")
-    import org.apache.spark.sql.functions.{col, pmod, spark_partition_id, xxhash64}
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val salted = df.repartition(
-      // salt derived from a stable row hash, NOT rand(): deterministic
-      // re-runs (speculative tasks, retries) must land rows identically
+      // salt = hash of the FULL ROW CONTENT, NOT rand() and NOT
+      // spark_partition_id(): rand() breaks deterministic re-runs
+      // (speculative tasks, retries must land rows identically), and a
+      // partition-id salt takes at most as many values as there are
+      // upstream partitions — after AQE coalescing or a small input the
+      // promised fan-out silently collapses back to a straggler (and the
+      // nondeterministic flag blocks optimizations). A row-content hash is
+      // deterministic per row, independent of upstream partitioning, and
+      // spreads a hot partition value across all tasksPerPartition tasks.
       (partitionCols.map(col) :+
-        pmod(xxhash64(spark_partition_id()), org.apache.spark.sql.functions
-          .lit(tasksPerPartition.toLong))): _*)
+        pmod(xxhash64(df.columns.map(col): _*), lit(tasksPerPartition.toLong))): _*)
     salted.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -61,12 +67,17 @@ object Sinks {
     * micro-batch x partition); at 100 TB scale the resulting
     * listing/open overhead dominates scan setup (every file is a
     * driver-side listing entry and an executor open), so periodic
-    * compaction is table maintenance, not an optimization. The rewrite
-    * stages into a sibling directory and swaps atomically-enough for a
-    * single writer (production table formats do this transactionally;
-    * the staging-then-swap here keeps readers from ever seeing a
-    * half-written directory on the happy path).
-    * Returns (filesBefore, filesAfter). */
+    * compaction is table maintenance, not an optimization.
+    *
+    * SCOPE: LOCAL FILESYSTEM, SINGLE WRITER ONLY. The swap is
+    * `java.io.File.renameTo`, which (a) does not exist on object stores —
+    * on S3/HDFS use a transactional table format (Iceberg/Delta/Hudi
+    * rewrite-files actions) instead — and (b) is atomic per rename but the
+    * stage-out/swap-in PAIR is not: a crash between the two renames leaves
+    * the table path missing with the data intact in `<path>__compact_old`
+    * (recover by renaming it back). On the happy path readers never see a
+    * half-written directory; the staging directory is removed on any
+    * failure. Returns (filesBefore, filesAfter). */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFiles: Int): (Int, Int) = {
     require(targetFiles >= 1, "compact: targetFiles >= 1")
@@ -79,22 +90,32 @@ object Sinks {
     val dir = new java.io.File(path)
     val before = parquetFiles(dir)
     val staging = path.stripSuffix("/") + "__compact_staging"
-    spark.read.parquet(path).repartition(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    val old = path.stripSuffix("/") + "__compact_old"
-    val oldDir = new java.io.File(old)
+    val stagingDir = new java.io.File(staging)
     def rm(f: java.io.File): Unit = {
       val fs = f.listFiles(); if (fs != null) fs.foreach(rm); f.delete(); ()
     }
-    if (oldDir.exists()) rm(oldDir)
-    if (!dir.renameTo(oldDir))
-      throw new java.io.IOException(s"compact: cannot stage out $path")
-    if (!new java.io.File(staging).renameTo(dir)) {
-      oldDir.renameTo(dir) // roll back
-      throw new java.io.IOException(s"compact: cannot swap in $staging")
+    var swapped = false
+    try {
+      spark.read.parquet(path).repartition(targetFiles)
+        .write.mode(SaveMode.Overwrite).parquet(staging)
+      val old = path.stripSuffix("/") + "__compact_old"
+      val oldDir = new java.io.File(old)
+      if (oldDir.exists()) rm(oldDir)
+      if (!dir.renameTo(oldDir))
+        throw new java.io.IOException(s"compact: cannot stage out $path")
+      if (!stagingDir.renameTo(dir)) {
+        if (!oldDir.renameTo(dir)) // roll back
+          throw new java.io.IOException(
+            s"compact: swap-in AND rollback failed — table data is intact at $old; rename it back to $path")
+        throw new java.io.IOException(s"compact: cannot swap in $staging")
+      }
+      swapped = true
+      rm(oldDir)
+      (before, parquetFiles(dir))
+    } finally {
+      // never leak the staging rewrite on failure (it may hold a full copy)
+      if (!swapped && stagingDir.exists()) rm(stagingDir)
     }
-    rm(oldDir)
-    (before, parquetFiles(dir))
   }
 
   /** Bucketed write for co-located joins: both sides bucketed by the join

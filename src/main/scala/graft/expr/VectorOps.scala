@@ -25,10 +25,20 @@ import org.apache.spark.sql.types._
   * results are bit-identical to the HOF forms (0.0 + x == x in IEEE754;
   * VectorOpsParitySpec pins this on generated vectors).
   *
-  * Contract: equal lengths, non-null elements (embedding columns — the
-  * HOF forms instead return null via zip_with padding; callers that need
-  * that behavior keep the Column forms). */
+  * Contract: equal lengths, non-null elements (embedding columns). Both
+  * are ENFORCED, not just documented: `ArrayData.getFloat/getDouble` on a
+  * null slot silently reads garbage (typically 0.0), which would be a
+  * silent value divergence from the HOF spec forms (they propagate null
+  * through zip_with/transform) — so the kernels raise on a null element
+  * instead, and callers whose vectors can legitimately hold nulls keep
+  * the Column forms (null-propagating) or filter first. */
 object VectorKernel {
+
+  private def checkNotNull(v: ArrayData, i: Int, op: String): Unit =
+    if (v.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"$op: null element at index $i — embedding vectors must be dense " +
+          "(use the HOF Column forms for null-propagating semantics)")
 
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = a.numElements()
@@ -37,6 +47,7 @@ object VectorKernel {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      checkNotNull(a, i, "vector_dot"); checkNotNull(b, i, "vector_dot")
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -50,6 +61,7 @@ object VectorKernel {
     var i = 0
     val n = a.numElements()
     while (i < n) {
+      checkNotNull(a, i, "vector_norm")
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       acc += x * x
       i += 1

@@ -137,11 +137,58 @@ object Dedup {
                                joiner: String = " "): DataFrame = {
     val seen = existing.select(explode(existingSpans).as("__s"))
       .select(md5(col("__s")).as("__dg")).distinct()
+    dropSpansAgainstDigestFrame(incoming, seen, idCol, incomingSpans, joiner)
+  }
+
+  /** The shared body of the span-level incremental family: drop incoming
+    * spans whose digest appears in `seen` (one column, `__dg`), then
+    * keep-first within the batch and reassemble. */
+  private def dropSpansAgainstDigestFrame(incoming: DataFrame, seen: DataFrame,
+                                          idCol: String, incomingSpans: Column,
+                                          joiner: String): DataFrame = {
     val pos = incoming.select(col(idCol).as("__id"), posexplode(incomingSpans))
       .toDF("__id", "__pos", "__span")
     val keyed = pos.withColumn("__dg", md5(col("__span")))
       .join(seen, Seq("__dg"), "left_anti")
     keepFirstSpansAndReassemble(pos, keyed, idCol, joiner)
+  }
+
+  // ---- persisted span-digest table: the maintained-table form of
+  // [[dropSpansAgainstExisting]] — the corpus's span digests are written
+  // once (32 bytes/distinct span) and each ingested batch appends its own,
+  // so boilerplate the corpus has seen never enters WITHOUT re-exploding
+  // the corpus per batch.
+
+  /** Write the distinct span digests of a corpus as a table. `ingestStamp`
+    * as in [[writeBucketTable]] (-1 = seed, visible to every batch). */
+  def writeSpanDigestTable(existing: DataFrame, path: String,
+                           existingSpans: Column,
+                           ingestStamp: Long = -1L): Unit =
+    existing.select(explode(existingSpans).as("__s"))
+      .select(md5(col("__s")).as("dg")).distinct()
+      .withColumn("ingest", lit(ingestStamp))
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a batch's distinct span digests. Duplicate digests across
+    * stamps are harmless — the consumer is an anti-join. */
+  def appendToSpanDigestTable(batch: DataFrame, path: String,
+                              batchSpans: Column, ingestStamp: Long): Unit =
+    batch.select(explode(batchSpans).as("__s"))
+      .select(md5(col("__s")).as("dg")).distinct()
+      .withColumn("ingest", lit(ingestStamp))
+      .write.mode("append").parquet(path)
+
+  /** [[dropSpansAgainstExisting]] with the corpus side read from a
+    * persisted digest table; `beforeIngest` as in
+    * [[minhashNearDupsAgainstTable]] (streaming replay safety). */
+  def dropSpansAgainstDigestTable(incoming: DataFrame, path: String,
+                                  idCol: String, incomingSpans: Column,
+                                  joiner: String = " ",
+                                  beforeIngest: Option[Long] = None): DataFrame = {
+    val all = incoming.sparkSession.read.parquet(path)
+    val seen = beforeIngest.map(b => all.filter(col("ingest") < b)).getOrElse(all)
+      .select(col("dg").as("__dg")).distinct()
+    dropSpansAgainstDigestFrame(incoming, seen, idCol, incomingSpans, joiner)
   }
 
   /** Shared tail of the span-dedup family: keep each digest's first
@@ -315,26 +362,165 @@ object Dedup {
     // (measured 8x slowdown across a 180-action session), and its blocks
     // are freed by the ContextCleaner when the result frame is dropped.
     // Cluster caveat: local-checkpoint blocks are not recomputable after
-    // executor loss — long-lived production pipelines should swap in
-    // reliable checkpointing (sc.setCheckpointDir) at the same call site.
+    // executor loss — long-lived production pipelines set
+    // spark.graft.reliableCheckpoint=true + sc.setCheckpointDir to route
+    // every such site through reliable checkpointing ([[Checkpoints]]).
     val cands = bNew.as("l").join(bOld.as("r"),
         col("l.__band") === col("r.__band") &&
           col("l.__bucket") === col("r.__bucket"))
       .select(col("l.__id").as("incoming_id"), col("r.__id").as("existing_id"))
       .distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.ckpt)
     def shingleSide(df: DataFrame, key: String): DataFrame =
       df.join(cands.select(col(key).as("__vid")).distinct(),
           col(idCol) === col("__vid"), "left_semi")
         .select(col(idCol).as(key), shingles(col(textCol), shingleK).as(s"__sh_$key"))
+    verifyCross(cands,
+      shingleSide(incoming, "incoming_id"),
+      shingleSide(existing, "existing_id"), threshold)
+  }
+
+  /** Shared verify tail of the incremental near-dedup family (the
+    * corpus-frame and persisted-table forms must not drift): join the
+    * candidate pairs with per-side shingle arrays, exact-Jaccard filter.
+    * `shIncoming` = (incoming_id, __sh_incoming_id);
+    * `shExisting` = (existing_id, __sh_existing_id). */
+  private def verifyCross(cands: DataFrame, shIncoming: DataFrame,
+                          shExisting: DataFrame, threshold: Double): DataFrame =
     cands
-      .join(shingleSide(incoming, "incoming_id"), "incoming_id")
-      .join(shingleSide(existing, "existing_id"), "existing_id")
+      .join(shIncoming, "incoming_id")
+      .join(shExisting, "existing_id")
       .withColumn("jaccard_sim",
         jaccard(col("__sh_incoming_id"), col("__sh_existing_id")))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("incoming_id"), col("existing_id"),
         round(col("jaccard_sim"), 4).as("jaccard_sim"))
+
+  // ---- persisted LSH bucket table: the maintained-index production shape.
+  // minhashNearDupsAgainst recomputes the EXISTING corpus's signatures on
+  // every call — correct, but at ingestion cadence that is an O(corpus)
+  // tokenize+hash pass per batch. The table form signs the corpus ONCE
+  // (write), each ingested batch appends its own signatures, and the
+  // incremental pass reads (id, band, bucket) + shingle parquet instead.
+
+  /** Hash-family parameters a bucket table was built with, persisted in
+    * the table's `meta/` so read paths can never mismatch the write. */
+  final case class BucketTableMeta(shingleK: Int, numHashes: Int, bands: Int,
+                                   portable: Boolean)
+
+  private def readBucketMeta(spark: org.apache.spark.sql.SparkSession,
+                             path: String): BucketTableMeta = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    BucketTableMeta(r.getAs[Int]("shingle_k"), r.getAs[Int]("num_hashes"),
+      r.getAs[Int]("bands"), r.getAs[Boolean]("portable"))
+  }
+
+  /** Persist a corpus's LSH index as a maintained TABLE under `path`:
+    *   meta/      one row — the hash-family parameters (read back by every
+    *              consumer, so write and probe can never disagree)
+    *   buckets/   (id, band, bucket, ingest) — the LSH candidate-join side
+    *   shingles/  (id, sh, ingest)           — the Jaccard verify side
+    *
+    * Scale shape: one signature pass over the corpus (the
+    * [[minhashBuckets]] aggregation), written once; `shingles/` is
+    * corpus-sized but verification only ever reads candidate rows
+    * (semi-join pushdown), and an incremental pass touches the SOURCE
+    * corpus zero times — PersistedIndexSpec asserts the scan set.
+    * `ingestStamp` tags provenance for streaming exactly-once (see
+    * [[minhashNearDupsAgainstTable]]'s `beforeIngest`); the default -1
+    * marks the seed corpus (visible to every batch). */
+  def writeBucketTable(existing: DataFrame, path: String, idCol: String,
+                       textCol: String, shingleK: Int = 3, numHashes: Int = 32,
+                       bands: Int = 8, portable: Boolean = false,
+                       ingestStamp: Long = -1L): Unit = {
+    val spark = existing.sparkSession
+    import spark.implicits._
+    Seq((shingleK, numHashes, bands, portable))
+      .toDF("shingle_k", "num_hashes", "bands", "portable")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    minhashBuckets(existing, idCol, textCol, shingleK, numHashes, bands, portable)
+      .toDF("id", "band", "bucket")
+      .withColumn("ingest", lit(ingestStamp))
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    existing
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"),
+        lit(ingestStamp).as("ingest"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Append a batch's signatures to an existing bucket table (parameters
+    * come from the table's own meta). Appends are at-least-once under
+    * streaming replay — READS dedup (distinct buckets, one shingle row per
+    * id), so duplicate appends are harmless rather than forbidden. */
+  def appendToBucketTable(batch: DataFrame, path: String, idCol: String,
+                          textCol: String, ingestStamp: Long): Unit = {
+    val m = readBucketMeta(batch.sparkSession, path)
+    minhashBuckets(batch, idCol, textCol, m.shingleK, m.numHashes, m.bands,
+        m.portable)
+      .toDF("id", "band", "bucket")
+      .withColumn("ingest", lit(ingestStamp))
+      .write.mode("append").parquet(s"$path/buckets")
+    batch
+      .select(col(idCol).as("id"), shingles(col(textCol), m.shingleK).as("sh"),
+        lit(ingestStamp).as("ingest"))
+      .write.mode("append").parquet(s"$path/shingles")
+  }
+
+  /** [[minhashNearDupsAgainst]] with the existing side read from a
+    * persisted bucket table: same output contract (incoming_id,
+    * existing_id, jaccard_sim), but the corpus cost per batch is a parquet
+    * READ of small keys, not a recomputed signature pass.
+    *
+    * `beforeIngest`: only table rows with `ingest < beforeIngest` are
+    * visible — a streaming sink passes its batch id so a REPLAYED batch
+    * sees exactly the index state the original attempt saw (its own
+    * partially-appended rows are invisible), which is what makes the drop
+    * decision — and the resulting corpus — replay-identical. Candidates
+    * additionally require `incoming id != table id` (disjoint corpora are
+    * unaffected; a replayed batch must not match itself). */
+  def minhashNearDupsAgainstTable(incoming: DataFrame, path: String,
+                                  idCol: String, textCol: String,
+                                  threshold: Double = 0.8,
+                                  beforeIngest: Option[Long] = None): DataFrame = {
+    val spark = incoming.sparkSession
+    val m = readBucketMeta(spark, path)
+    def cut(df: DataFrame): DataFrame =
+      beforeIngest.map(b => df.filter(col("ingest") < b)).getOrElse(df)
+    val bOld = cut(spark.read.parquet(s"$path/buckets"))
+      .select(col("id").as("__id"), col("band").as("__band"),
+        col("bucket").as("__bucket"))
+      .distinct()
+    val bNew = minhashBuckets(incoming, idCol, textCol, m.shingleK,
+      m.numHashes, m.bands, m.portable)
+    val cands = bNew.as("l").join(bOld.as("r"),
+        col("l.__band") === col("r.__band") &&
+          col("l.__bucket") === col("r.__bucket") &&
+          col("l.__id") =!= col("r.__id"))
+      .select(col("l.__id").as("incoming_id"), col("r.__id").as("existing_id"))
+      .distinct()
+      .transform(Checkpoints.ckpt)
+    val shNew = incoming
+      .join(cands.select(col("incoming_id").as("__vid")).distinct(),
+        col(idCol) === col("__vid"), "left_semi")
+      .select(col(idCol).as("incoming_id"),
+        shingles(col(textCol), m.shingleK).as("__sh_incoming_id"))
+    val shOld = cut(spark.read.parquet(s"$path/shingles"))
+      .join(cands.select(col("existing_id").as("__vid")).distinct(),
+        col("id") === col("__vid"), "left_semi")
+      .dropDuplicates("id")
+      .select(col("id").as("existing_id"), col("sh").as("__sh_existing_id"))
+    verifyCross(cands, shNew, shOld, threshold)
+  }
+
+  /** Drop incoming rows that near-dup the persisted bucket table — the
+    * ingest-filter convenience over [[minhashNearDupsAgainstTable]]. */
+  def dropAgainstBucketTable(incoming: DataFrame, path: String, idCol: String,
+                             textCol: String, threshold: Double = 0.8,
+                             beforeIngest: Option[Long] = None): DataFrame = {
+    val matched = minhashNearDupsAgainstTable(incoming, path, idCol, textCol,
+        threshold, beforeIngest)
+      .select(col("incoming_id").as("__m")).distinct()
+    incoming.join(matched, col(idCol) === col("__m"), "left_anti")
   }
 
   /** Near-duplicate pairs: LSH candidates verified by exact shingle Jaccard
@@ -350,14 +536,14 @@ object Dedup {
     // materialization each consumer re-runs the signature lineage over the
     // corpus (see the scaladoc there for why checkpoint, not persist)
     val cands = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands, portable)
-      .localCheckpoint()
+      .transform(Checkpoints.ckpt)
     val candIds = cands.select(col("id_a").as("__vid"))
       .unionByName(cands.select(col("id_b").as("__vid"))).distinct()
     // sh is joined twice (id_a and id_b side) — checkpoint the
     // candidate-only shingle arrays so tokenization runs once per doc
     val sh = df.join(candIds, col(idCol) === col("__vid"), "left_semi")
       .select(col(idCol).as("__vid"), shingles(col(textCol), shingleK).as("__sh"))
-      .localCheckpoint()
+      .transform(Checkpoints.ckpt)
     cands
       .join(sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
       .join(sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
@@ -433,7 +619,7 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.ckpt)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
     var iter = 0
@@ -456,11 +642,11 @@ object Dedup {
         if (!pointerJump)
           hop.withColumn("__changed", col("cluster_id") < col("__old"))
             .drop("__old")
-            .localCheckpoint()
+            .transform(Checkpoints.ckpt)
         else {
           // jump: adopt label(label(id)) — path doubling. The hop frame is
           // checkpointed first so the self-join reads it once.
-          val prop = hop.localCheckpoint()
+          val prop = hop.transform(Checkpoints.ckpt)
           val lbl = prop.select(col("id").as("__lid"), col("cluster_id").as("__llbl"))
           prop.join(lbl, prop("cluster_id") === col("__lid"), "left")
             .select(col("id"),
@@ -471,7 +657,7 @@ object Dedup {
               (col("cluster_id") < col("__old") ||
                 coalesce(col("__llbl"), col("cluster_id")) < col("__old"))
                 .as("__changed"))
-            .localCheckpoint()
+            .transform(Checkpoints.ckpt)
         }
       val anyChanged = updated.agg(max(col("__changed"))).first()
       converged = anyChanged.isNullAt(0) || !anyChanged.getBoolean(0)

@@ -429,6 +429,43 @@ object Knn {
     IvfIndex(index.centroids, merged)
   }
 
+  /** Persist an IVF index as parquet under `path`: `lists/` is the
+    * inverted-list frame as-is (neighbor_id, __cv, __cent_id — the
+    * corpus-sized side), `centroids/` the bounded nlist-row centroid
+    * metadata. The production analogue of the in-session index cache:
+    * build (or [[ivfAdd]]-grow) once, save, and every later job/session
+    * [[ivfLoad]]s instead of re-assigning the corpus — this is also the
+    * "periodically rewrite the lists to a table" maintenance step the
+    * incremental path calls for (a saved index has a flat one-scan
+    * lineage, however many increments produced it). */
+  def ivfSave(index: IvfIndex, path: String): Unit = {
+    val spark = index.lists.sparkSession
+    index.lists.write.mode("overwrite").parquet(s"$path/lists")
+    val rows = index.centroids.toIndexedSeq.map { case (cid, cv, _) =>
+      org.apache.spark.sql.Row(cid, cv.toSeq) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__cent_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__cent",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a saved IVF index: centroid metadata is collected driver-side
+    * (bounded — nlist rows; norms re-derived by the same left-to-right
+    * fold as at build), lists are persisted + materialized exactly like a
+    * fresh build, so search over a loaded index is the same pure plan
+    * construction. */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val cents = collectCentroids(spark.read.parquet(s"$path/centroids"))
+    require(cents.nonEmpty, s"ivfLoad: no centroids at $path")
+    val lists = spark.read.parquet(s"$path/lists").persist()
+    lists.count() // materialize — see [[IvfIndex]] scaladoc
+    IvfIndex(cents, lists)
+  }
+
   /** Search a pre-built IVF index: each query probes its `nprobe` nearest
     * lists, scanning ~nprobe/nlist of the corpus. Pure plan construction —
     * the centroid metadata is already driver-side and the lists are already

@@ -48,7 +48,7 @@ object Rank {
         explode(TextOps.tokens(lower(col(textCol)))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .transform(Checkpoints.ckpt)
 
   /** Per-document top-k TF-IDF terms: tf * ln((N+1)/(df+1)), rounded to 6
     * decimals, ranked per document (score desc, token asc).

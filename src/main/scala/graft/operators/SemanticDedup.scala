@@ -59,7 +59,7 @@ object SemanticDedup {
     val index = Knn.ivfIndexKMeans(corpus, nlist, iters, idCol, vecCol)
     // pin the pair set before releasing the index's cached lists — a
     // lazy consumer would otherwise recompute the whole k-means lineage
-    val pairs = semanticDupPairs(index, threshold).localCheckpoint()
+    val pairs = semanticDupPairs(index, threshold).transform(Checkpoints.ckpt)
     index.unpersist()
     pairs
   }

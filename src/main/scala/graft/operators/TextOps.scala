@@ -190,7 +190,7 @@ object TextOps {
                      minLogProb: Double = -9.0): org.apache.spark.sql.DataFrame = {
     val tf = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // two consumers (freq, per-doc agg) — compute once
+      .transform(Checkpoints.ckpt) // two consumers (freq, per-doc agg) — compute once
     val freq = tf.groupBy(col("token")).agg(sum(col("tf")).as("freq"))
     val n = freq.agg(sum(col("freq")).as("n"))
     tf.join(broadcast(freq), "token")

@@ -269,6 +269,75 @@ object Stream {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming NEAR-duplicate corpus ingestion over the persisted LSH
+    * bucket table ([[graft.operators.Dedup.writeBucketTable]]) — the
+    * near-dup completion of the exact-digest micro-batch dedup pattern.
+    * Per micro-batch: (1) collapse near-dup clusters WITHIN the batch
+    * (MinHash pairs -> CC -> keep-min — micro-batches are trigger-bounded,
+    * so the per-batch CC is tiny); (2) drop rows that near-dup the
+    * maintained index, reading (id, band, bucket) + shingle parquet
+    * instead of re-signaturing the corpus; (3) upsert survivors into the
+    * corpus table and append their signatures to the index stamped with
+    * the batch id.
+    *
+    * Exactly-once: offsets are checkpointed; the corpus write is an
+    * idempotent keyed upsert; index appends are at-least-once but reads
+    * dedup; and the `ingest < batchId` filter makes a REPLAYED batch see
+    * exactly the index state the original attempt saw (its own partially
+    * appended rows are invisible, so it cannot drop itself as its own
+    * near-duplicate) — the drop decision, and hence the corpus, is
+    * replay-identical. The index table must exist: call
+    * `Dedup.writeBucketTable` on the seed corpus (possibly empty) first;
+    * its hash-family meta then governs the index appends, while
+    * `threshold` governs both drop decisions. */
+  def nearDupIngestSink(docs: DataFrame, corpusPath: String, indexPath: String,
+                        checkpoint: String, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        threshold: Double = 0.8): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{Checkpoints, Dedup}
+        val withinKept = Dedup.dropNearDuplicates(batch, idCol, textCol, threshold)
+        val fresh = Dedup.dropAgainstBucketTable(withinKept, indexPath, idCol,
+            textCol, threshold, beforeIngest = Some(batchId))
+          .transform(Checkpoints.ckpt) // two consumers: upsert + index append
+        Upsert.upsertParquet(corpusPath, fresh, Seq(idCol), idCol)
+        Dedup.appendToBucketTable(fresh, indexPath, idCol, textCol,
+          ingestStamp = batchId)
+      }
+
+  /** Streaming SPAN (paragraph) dedup ingestion over the persisted span
+    * digest table ([[graft.operators.Dedup.writeSpanDigestTable]]): per
+    * micro-batch, spans the corpus has ever seen are dropped, the batch
+    * keep-firsts within itself, reassembled documents (idCol, n_spans,
+    * n_spans_kept, text_dedup) are upserted, and the batch's span digests
+    * are appended stamped with the batch id. Exactly-once by the same
+    * argument as [[nearDupIngestSink]]: `ingest < batchId` replays the
+    * original drop decision, the upsert is idempotent, digest appends are
+    * at-least-once into an anti-join (duplicates harmless).
+    * `spans` is the span expression over the batch's columns (paragraph
+    * split, line split, token windows — the batch operator's contract). */
+  def spanDedupIngestSink(docs: DataFrame, outPath: String, digestPath: String,
+                          checkpoint: String, spans: Column,
+                          idCol: String = "doc_id",
+                          joiner: String = " "): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{Checkpoints, Dedup}
+        val deduped = Dedup.dropSpansAgainstDigestTable(batch, digestPath,
+            idCol, spans, joiner, beforeIngest = Some(batchId))
+          .transform(Checkpoints.ckpt) // consumed by upsert; digests come
+                                       // from the RAW batch (cheaper + the
+                                       // dropped spans are already tabled)
+        Upsert.upsertParquet(outPath, deduped, Seq(idCol), idCol)
+        Dedup.appendToSpanDigestTable(batch, digestPath, spans,
+          ingestStamp = batchId)
+      }
+
   /** ST-8: stream -> staging via foreachBatch reusing the batch upsert
     * (exactly-once: checkpointed offsets + idempotent merge on event_id).
     * Synthesizes event_id when missing like StagingProgressWriter

@@ -357,6 +357,92 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming NEAR-dup ingestion over the persisted bucket table == the batch operators, across a restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val seed = Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeBucketTable(seed, s"$dir/idx", "doc_id", "text",
+      shingleK = 3, numHashes = 16, bands = 4)
+
+    val input = MemoryStream[(Long, String)](spark)
+    def start() = Stream.nearDupIngestSink(
+      input.toDF().toDF("doc_id", "text"), s"$dir/corpus", s"$dir/idx",
+      s"$dir/ckpt", threshold = 0.5).start()
+
+    val batch1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup of seed
+      (11L, "pack my box with five dozen liquor jugs right now"),   // fresh
+      (12L, "pack my box with five dozen liquor jugs right now"))   // within-batch dup of 11
+    val batch2 = Seq(
+      (20L, "pack my box with five dozen liquor jugs right now"),   // dup of 11 (batch 1)
+      (21L, "sphinx of black quartz judge my vow they all said"))   // fresh
+
+    val q1 = start()
+    try {
+      input.addData(batch1: _*); q1.processAllAvailable()
+      input.addData(batch2: _*); q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the same checkpoint: batch 3 must dedup against seed +
+    // batch-1 + batch-2 survivors exactly as the batch operators would
+    input.addData(
+      (30L, "sphinx of black quartz judge my vow they all said"),   // dup of 21
+      (31L, "completely new sentence about spark structured streaming"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").as[Long].collect().toSet
+
+    // the batch reference: fold the same micro-batches through the batch
+    // operator family (within-batch near-dedup, then drop-vs-corpus)
+    var corpus = seed
+    for (b <- Seq(batch1, batch2,
+        Seq((30L, "sphinx of black quartz judge my vow they all said"),
+          (31L, "completely new sentence about spark structured streaming")))) {
+      val bdf = b.toDF("doc_id", "text")
+      val within = graft.operators.Dedup.dropNearDuplicates(bdf, "doc_id",
+        "text", threshold = 0.5)
+      val fresh = within.join(
+        graft.operators.Dedup.minhashNearDupsAgainst(within, corpus, "doc_id",
+            "text", threshold = 0.5, numHashes = 16, bands = 4) // the index's family
+          .select(col("incoming_id").as("__m")).distinct(),
+        col("doc_id") === col("__m"), "left_anti")
+      corpus = corpus.unionByName(fresh)
+    }
+    val expected = corpus.select("doc_id").as[Long].collect().toSet - 1L // seed not in corpusPath
+    assert(streamed == expected)
+    assert(streamed == Set(11L, 21L, 31L))
+  }
+
+  test("streaming SPAN dedup ingestion over the persisted digest table == the batch operator") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanstream").toString
+    val spansOf = split(col("text"), "\\. ")
+    val seed = Seq((1L, "common boilerplate header. seed body text"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeSpanDigestTable(seed, s"$dir/dg", spansOf)
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Stream.spanDedupIngestSink(
+      input.toDF().toDF("doc_id", "text"), s"$dir/out", s"$dir/dg",
+      s"$dir/ckpt", spansOf, joiner = ". ").start()
+    try {
+      input.addData(
+        (10L, "common boilerplate header. alpha paragraph"),
+        (11L, "alpha paragraph. beta paragraph"))
+      q.processAllAvailable()
+      input.addData((20L, "beta paragraph. gamma paragraph"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(s"$dir/out").orderBy("doc_id")
+      .select("doc_id", "text_dedup").as[(Long, String)].collect().toSeq
+    // header seen in seed; alpha keeps first occurrence (doc 10); beta
+    // keeps at 11; batch 2's beta already tabled, gamma fresh
+    assert(got == Seq((10L, "alpha paragraph"), (11L, "beta paragraph"),
+      (20L, "gamma paragraph")))
+  }
+
   test("staging sink survives a checkpointed restart exactly-once (ST-8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-restart").toString
     val input = MemoryStream[(String, String, String, java.sql.Timestamp)](spark)

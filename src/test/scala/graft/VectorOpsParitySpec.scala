@@ -47,6 +47,22 @@ class VectorOpsParitySpec extends SparkSpec {
     assert(nl.select(Knn.norm(col("v"))).head().isNullAt(0))
   }
 
+  test("null ELEMENTS are rejected, not silently read as 0") {
+    // ArrayData.getDouble on a null slot reads garbage — the kernel must
+    // raise instead of diverging from the null-propagating HOF forms
+    val df = Seq(Tuple1(Seq[java.lang.Double](1.0, null, 3.0))).toDF("v")
+    val ex = intercept[Exception] {
+      df.select(Knn.norm(col("v"))).collect()
+    }
+    def rootMessages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ rootMessages(t.getCause)
+    assert(rootMessages(ex).exists(_.contains("null element")))
+    // the HOF spec form propagates null for the same input — documented
+    // division of labor, both behaviors pinned
+    assert(df.select(Knn.normComposed(col("v"))).head().isNullAt(0))
+  }
+
   test("interpreted eval path matches codegen (single-expression project)") {
     // force the interpreted path via a filter on the expression inside a
     // non-codegen context: collect both and compare
