@@ -963,6 +963,64 @@ object Oracles {
     // recompute-per-batch form — same replay as q66, same corpus split
     "q111_neardedup_table" -> q66Sql,
 
+    // interpolated bigram LM: bigrams via lead() per doc (identical window
+    // both engines), exact integer counts, dyadic lambda (0.75/0.25 exact
+    // in double), per-term round(.,6) through DECIMAL(25,6), ln parity as
+    // q99. Docs with < 2 tokens have no bigrams (absent, both engines).
+    "q113_bigram_lm" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, CAST(generate_subscripts(tk, 1) AS BIGINT) AS pos,
+         |  unnest(tk) AS w
+         | FROM (SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM documents)),
+         |big AS (
+         | SELECT doc_id, w AS w1,
+         |  lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         | FROM tok),
+         |tf2 AS (
+         | SELECT doc_id, w1, w2, count(*) AS tf2 FROM big
+         | WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+         |c2 AS (SELECT w1, w2, CAST(sum(tf2) AS BIGINT) AS c2 FROM tf2 GROUP BY 1, 2),
+         |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+         |term AS (
+         | SELECT doc_id, tf2,
+         |  CAST(round(tf2 * ln(
+         |    0.75 * (CAST(c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+         |    + 0.25 * (CAST(u2.c1 AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+         |   AS DECIMAL(25,6)) AS t
+         | FROM tf2
+         | JOIN c2 USING (w1, w2)
+         | JOIN c1 u1 ON tf2.w1 = u1.w
+         | JOIN c1 u2 ON tf2.w2 = u2.w
+         | CROSS JOIN n),
+         |d AS (
+         | SELECT doc_id, CAST(sum(tf2) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(t) AS DOUBLE)
+         |    / CAST(CAST(sum(tf2) AS BIGINT) AS DOUBLE), 6) AS logprob_mean
+         | FROM term GROUP BY 1)
+         |SELECT doc_id, n_bigrams, logprob_mean,
+         | logprob_mean >= -10.0 AS keep
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // cross-source overlap matrix: the q61 verified pair chain, planted
+    // ids mapped to their origin (% 1e6), two source joins, unordered
+    // least/greatest pairing, order-independent min/max of rounded sims
+    "q114_source_overlap" ->
+      s"""WITH $q61Chain,
+         |m AS (
+         | SELECT id_a % 1000000 AS ia, id_b % 1000000 AS ib,
+         |  round(sim, 4) AS js
+         | FROM pairs),
+         |j AS (
+         | SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b, js
+         | FROM m
+         | JOIN documents da ON m.ia = da.doc_id
+         | JOIN documents db ON m.ib = db.doc_id)
+         |SELECT source_a, source_b, count(*) AS n_pairs,
+         | min(js) AS min_sim, max(js) AS max_sim
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // full MinHash+LSH replay over the portable md5-derived hash family
     "q61_minhash_portable" -> q61Sql,
 

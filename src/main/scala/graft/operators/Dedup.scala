@@ -700,6 +700,37 @@ object Dedup {
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Cross-source near-duplicate OVERLAP MATRIX — the corpus-governance
+    * audit over a verified pair set: how much does source A duplicate
+    * source B (and itself)? The question a training-data curator asks
+    * before mixing corpora (is the "new" crawl mostly re-crawled
+    * Wikipedia?) and the per-source-pair evidence behind decontamination
+    * decisions. Pairs are unordered — (A,B) and (B,A) count together via
+    * least/greatest — and the diagonal (A,A) is within-source duplication.
+    *
+    * Scale shape: the pair set is LSH-verified (tiny vs corpus); two
+    * id-keyed joins attach sources, then a #sources^2-bounded aggregate.
+    * min/max of the (rounded) similarities are reported rather than an
+    * average — order-independent, so the matrix replays exactly
+    * cross-engine.
+    * Output: (source_a, source_b, n_pairs, min_sim, max_sim). */
+  def sourceOverlapMatrix(pairs: DataFrame, docs: DataFrame, idCol: String,
+                          srcCol: String): DataFrame = {
+    val s = docs.select(col(idCol).as("__sid"), col(srcCol).as("__src"))
+    pairs
+      .join(s.select(col("__sid"), col("__src").as("__src_a")),
+        col("id_a") === col("__sid")).drop("__sid")
+      .join(s.select(col("__sid"), col("__src").as("__src_b")),
+        col("id_b") === col("__sid")).drop("__sid")
+      .select(least(col("__src_a"), col("__src_b")).as("source_a"),
+        greatest(col("__src_a"), col("__src_b")).as("source_b"),
+        col("jaccard_sim"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard_sim")).as("min_sim"),
+        max(col("jaccard_sim")).as("max_sim"))
+  }
+
   /** 64-bit SimHash of the token stream: bit b of the result is 1 iff the
     * sum over tokens of sign(bit b of xxhash64(token)) is positive.
     * Computed per-row as a pure expression (64-way fold over the token

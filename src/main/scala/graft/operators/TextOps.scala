@@ -206,6 +206,59 @@ object TextOps {
       .withColumn("keep", col("logprob_mean") >= minLogProb)
   }
 
+  /** Self-trained INTERPOLATED BIGRAM-LM quality score per document —
+    * the next rung above [[unigramLogProb]] on the KenLM-style filter
+    * ladder: mean log-likelihood of each bigram under
+    * P(w2|w1) = lambda * c(w1,w2)/c(w1) + (1-lambda) * c(w2)/N,
+    * all counts from the corpus itself. Degenerate/boilerplate text
+    * scores high (its bigrams repeat), incoherent token soup scores low
+    * even when its unigrams are common — the signal the unigram filter
+    * cannot see.
+    *
+    * Scale shape: bigrams via lead() over a per-DOC window (partition =
+    * one document's tokens, never the corpus), then ONE corpus-sized
+    * (doc, w1, w2) aggregate; the c2/c1/N statistics are vocabulary- or
+    * scalar-sized and broadcast back — no corpus-vs-corpus joins. Float
+    * discipline: lambda defaults to a DYADIC rational (0.75) so both
+    * interpolation products are exact in double; each term rounds to 6
+    * then sums through DECIMAL(25,6) (order-independent); ln operates on
+    * identical doubles in both engines (q99's established parity).
+    * Docs with < 2 tokens have no bigrams and are absent from the
+    * output (the unigram filter is the right gate for those).
+    * Output: (idCol, n_bigrams, logprob_mean, keep). */
+  def bigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, lambda: Double = 0.75,
+                    minLogProb: Double = -10.0): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val tok = df.select(col(idCol), posexplode(tokens(lower(col(textCol)))))
+      .toDF(idCol, "__pos", "__w")
+      .transform(Checkpoints.ckpt) // consumers: bigram chain + c1 + N
+    val big = tok.withColumn("__w2", lead(col("__w"), 1).over(w))
+      .filter(col("__w2").isNotNull)
+      .groupBy(col(idCol), col("__w").as("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__tf2"))
+      .transform(Checkpoints.ckpt) // consumers: c2 + the per-doc agg
+    val c2 = big.groupBy(col("__w1"), col("__w2")).agg(sum(col("__tf2")).as("__c2"))
+    val c1 = tok.groupBy(col("__w")).agg(count(lit(1)).as("__c1"))
+    val n = tok.agg(count(lit(1)).as("__n"))
+    big
+      .join(broadcast(c2), Seq("__w1", "__w2"))
+      .join(broadcast(c1.select(col("__w").as("__w1"), col("__c1").as("__cw1"))), "__w1")
+      .join(broadcast(c1.select(col("__w").as("__w2"), col("__c1").as("__cw2"))), "__w2")
+      .crossJoin(broadcast(n))
+      .withColumn("__p",
+        lit(lambda) * (col("__c2").cast("double") / col("__cw1").cast("double")) +
+          lit(1.0 - lambda) * (col("__cw2").cast("double") / col("__n").cast("double")))
+      .withColumn("__t", round(col("__tf2") * log(col("__p")), 6).cast("decimal(25,6)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf2")).as("n_bigrams"), sum(col("__t")).as("__lsum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__lsum").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("logprob_mean"))
+      .withColumn("keep", col("logprob_mean") >= minLogProb)
+  }
+
   /** Within-document shingle repetition — the C4/Gopher-family quality
     * signal: a document whose k-shingles repeat heavily is boilerplate or
     * a degenerate loop, not prose. dup_ratio = 1 - distinct/total shingles

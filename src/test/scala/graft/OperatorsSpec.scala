@@ -228,6 +228,43 @@ class DedupSpec extends SparkSpec {
     assert(d2 < d1)
   }
 
+  test("bigramLogProb: hand-computed interpolated scores; token soup scores lower than fluent repeats") {
+    // corpus tokens: doc1 = a b a b, doc2 = a a -> N = 6, c(a) = 4, c(b) = 2
+    // bigrams: doc1 (a,b)x2 (b,a)x1; doc2 (a,a)x1
+    val docs = Seq((1L, "a b a b"), (2L, "a a")).toDF("id", "text")
+    val got = TextOps.bigramLogProb(docs, "id", "text", lambda = 0.75,
+        minLogProb = -1.0)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    def p(c2: Long, c1: Long, cw2: Long) =
+      0.75 * (c2.toDouble / c1) + 0.25 * (cw2.toDouble / 6.0)
+    def term(tf: Long, prob: Double) =
+      BigDecimal(tf * math.log(prob)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def mean(ts: Seq[BigDecimal], n: Long) =
+      BigDecimal(ts.sum.toDouble / n).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = mean(Seq(term(2, p(2, 4, 2)), term(1, p(1, 2, 4))), 3)
+    val d2 = mean(Seq(term(1, p(1, 4, 4))), 1)
+    assert(got.toSeq == Seq((1L, 3L, d1, d1 >= -1.0), (2L, 1L, d2, d2 >= -1.0)))
+    // one-token docs have no bigrams and are absent (unigram filter's job)
+    val single = Seq((9L, "a")).toDF("id", "text")
+    assert(TextOps.bigramLogProb(single, "id", "text").count() == 0)
+  }
+
+  test("sourceOverlapMatrix: unordered pair counting, diagonal = within-source") {
+    val pairs = Seq((1L, 2L, 0.9), (2L, 1L, 0.8), (1L, 3L, 0.7), (3L, 4L, 0.6))
+      .toDF("id_a", "id_b", "jaccard_sim")
+    val docs = Seq((1L, "wiki"), (2L, "crawl"), (3L, "wiki"), (4L, "wiki"))
+      .toDF("doc_id", "source")
+    val got = Dedup.sourceOverlapMatrix(pairs, docs, "doc_id", "source")
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("crawl", "wiki", 2L, 0.8, 0.9),   // (1,2) and (2,1) both land here
+      ("wiki", "wiki", 2L, 0.6, 0.7)))   // within-source duplication
+  }
+
   test("dropDuplicateSpans: keep-first across docs, empty-doc row kept") {
     val docs = Seq(
       (1L, Seq("header", "body one")),

@@ -109,6 +109,44 @@ class PersistedIndexSpec extends SparkSpec {
     assert(texts(1) == "fresh paragraph beta")       // alpha keep-first at doc 10
   }
 
+  test("bucket-table maintenance: compaction of the append-accreted table changes nothing") {
+    val dir = tmp("graft-lsh-compact")
+    Dedup.writeBucketTable(existingDocs.take(2).toDF("doc_id", "text"),
+      s"$dir/idx", "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4)
+    Dedup.appendToBucketTable(existingDocs.drop(2).toDF("doc_id", "text"),
+      s"$dir/idx", "doc_id", "text", ingestStamp = 1L)
+    Dedup.appendToBucketTable(existingDocs.drop(3).toDF("doc_id", "text"),
+      s"$dir/idx", "doc_id", "text", ingestStamp = 2L) // duplicate rows on purpose
+    val incoming = incomingDocs.toDF("doc_id", "text")
+    def probe() = Dedup.minhashNearDupsAgainstTable(incoming, s"$dir/idx",
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = probe()
+    val (b1, a1) = graft.etl.Sinks.compact(spark, s"$dir/idx/buckets", 1)
+    val (b2, a2) = graft.etl.Sinks.compact(spark, s"$dir/idx/shingles", 1)
+    assert(a1 <= b1 && a2 <= b2 && a1 == 1 && a2 == 1)
+    assert(probe() == before && before.nonEmpty)
+  }
+
+  test("IVF maintenance: ivfAdd growth -> save -> load == the grown index") {
+    val dir = tmp("graft-ivf-grow")
+    val rnd = new scala.util.Random(7)
+    val all = (0 until 150).map(i =>
+      (i.toLong, Array.fill(12)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val base = all.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+    val batch = all.filter(_._1 % 2 == 1).toDF("vec_id", "embedding")
+    val queries = all.take(4).toDF("vec_id", "embedding")
+    val grown = Knn.ivfAdd(Knn.ivfIndex(base, nlist = 6), batch)
+    val want = Knn.ivfSearch(grown, queries, k = 3, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    Knn.ivfSave(grown, s"$dir/idx")
+    val loaded = Knn.ivfLoad(spark, s"$dir/idx")
+    val got = Knn.ivfSearch(loaded, queries, k = 3, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want && got.nonEmpty)
+    grown.unpersist(); loaded.unpersist()
+  }
+
   test("IVF save/load round trip: reloaded index searches identically") {
     val dir = tmp("graft-ivf")
     val rnd = new scala.util.Random(42)
