@@ -79,7 +79,15 @@ object Sinks {
     * half-written directory; the staging directory is removed on any
     * failure. Returns (filesBefore, filesAfter). */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-              targetFiles: Int): (Int, Int) = {
+              targetFiles: Int): (Int, Int) =
+    compactWith(spark, path, targetFiles, identity)
+
+  /** [[compact]] with a row-level fold applied during the rewrite (e.g.
+    * collapsing duplicate appends — [[graft.operators.Dedup.compactBucketTable]]);
+    * same staging-swap mechanics and local-FS scope. */
+  def compactWith(spark: org.apache.spark.sql.SparkSession, path: String,
+                  targetFiles: Int,
+                  fold: DataFrame => DataFrame): (Int, Int) = {
     require(targetFiles >= 1, "compact: targetFiles >= 1")
     def parquetFiles(p: java.io.File): Int = {
       val fs = p.listFiles()
@@ -96,7 +104,7 @@ object Sinks {
     }
     var swapped = false
     try {
-      spark.read.parquet(path).repartition(targetFiles)
+      fold(spark.read.parquet(path)).repartition(targetFiles)
         .write.mode(SaveMode.Overwrite).parquet(staging)
       val old = path.stripSuffix("/") + "__compact_old"
       val oldDir = new java.io.File(old)

@@ -408,12 +408,20 @@ object Dedup {
   final case class BucketTableMeta(shingleK: Int, numHashes: Int, bands: Int,
                                    portable: Boolean)
 
+  // meta is immutable for a table's lifetime (only writeBucketTable
+  // rewrites it, and it invalidates here), so probes skip the one-row
+  // parquet job after first touch — at ingestion cadence that job is
+  // pure per-batch overhead
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, BucketTableMeta]()
+
   private def readBucketMeta(spark: org.apache.spark.sql.SparkSession,
-                             path: String): BucketTableMeta = {
-    val r = spark.read.parquet(s"$path/meta").head()
-    BucketTableMeta(r.getAs[Int]("shingle_k"), r.getAs[Int]("num_hashes"),
-      r.getAs[Int]("bands"), r.getAs[Boolean]("portable"))
-  }
+                             path: String): BucketTableMeta =
+    metaCache.computeIfAbsent(path, _ => {
+      val r = spark.read.parquet(s"$path/meta").head()
+      BucketTableMeta(r.getAs[Int]("shingle_k"), r.getAs[Int]("num_hashes"),
+        r.getAs[Int]("bands"), r.getAs[Boolean]("portable"))
+    })
 
   /** Persist a corpus's LSH index as a maintained TABLE under `path`:
     *   meta/      one row — the hash-family parameters (read back by every
@@ -435,6 +443,7 @@ object Dedup {
                        ingestStamp: Long = -1L): Unit = {
     val spark = existing.sparkSession
     import spark.implicits._
+    metaCache.remove(path) // a rewrite may change the hash family
     Seq((shingleK, numHashes, bands, portable))
       .toDF("shingle_k", "num_hashes", "bands", "portable")
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -464,6 +473,29 @@ object Dedup {
       .select(col(idCol).as("id"), shingles(col(textCol), m.shingleK).as("sh"),
         lit(ingestStamp).as("ingest"))
       .write.mode("append").parquet(s"$path/shingles")
+  }
+
+  /** Fold a bucket table's duplicate appends (streaming replays append
+    * at-least-once) down to one row each and rewrite into `targetFiles`
+    * files per side — the table-maintenance pass for an append-accreted
+    * index. Ingest-cut semantics are PRESERVED exactly: a row is visible
+    * at cut b iff ANY copy has `ingest < b`, so the fold keeps
+    * min(ingest) per logical row. Uses the [[graft.etl.Sinks]] staging
+    * rename swap — local-FS scope as documented there; on object stores
+    * route the same frames through a transactional table format.
+    * Returns ((bucketFilesBefore, after), (shingleFilesBefore, after)). */
+  def compactBucketTable(spark: org.apache.spark.sql.SparkSession,
+                         path: String,
+                         targetFiles: Int = 1): ((Int, Int), (Int, Int)) = {
+    import org.apache.spark.sql.expressions.Window
+    val b = graft.etl.Sinks.compactWith(spark, s"$path/buckets", targetFiles,
+      df => df.groupBy(col("id"), col("band"), col("bucket"))
+        .agg(min(col("ingest")).as("ingest")))
+    val s = graft.etl.Sinks.compactWith(spark, s"$path/shingles", targetFiles,
+      df => df.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("ingest").asc)))
+        .filter(col("__rn") === 1).drop("__rn"))
+    (b, s)
   }
 
   /** [[minhashNearDupsAgainst]] with the existing side read from a

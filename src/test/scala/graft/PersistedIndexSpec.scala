@@ -118,14 +118,20 @@ class PersistedIndexSpec extends SparkSpec {
     Dedup.appendToBucketTable(existingDocs.drop(3).toDF("doc_id", "text"),
       s"$dir/idx", "doc_id", "text", ingestStamp = 2L) // duplicate rows on purpose
     val incoming = incomingDocs.toDF("doc_id", "text")
-    def probe() = Dedup.minhashNearDupsAgainstTable(incoming, s"$dir/idx",
-        "doc_id", "text", threshold = 0.5)
+    def probe(cut: Option[Long]) = Dedup.minhashNearDupsAgainstTable(incoming,
+        s"$dir/idx", "doc_id", "text", threshold = 0.5, beforeIngest = cut)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val before = probe()
-    val (b1, a1) = graft.etl.Sinks.compact(spark, s"$dir/idx/buckets", 1)
-    val (b2, a2) = graft.etl.Sinks.compact(spark, s"$dir/idx/shingles", 1)
+    val before = probe(None)
+    val beforeCut2 = probe(Some(2L)) // excludes the ingest=2 duplicate append
+    val ((b1, a1), (b2, a2)) = Dedup.compactBucketTable(spark, s"$dir/idx", 1)
     assert(a1 <= b1 && a2 <= b2 && a1 == 1 && a2 == 1)
-    assert(probe() == before && before.nonEmpty)
+    // results unchanged at EVERY ingest cut: the fold keeps min(ingest),
+    // so duplicate appends collapse without shifting replay visibility
+    assert(probe(None) == before && before.nonEmpty)
+    assert(probe(Some(2L)) == beforeCut2)
+    // logical row counts actually shrank (the duplicate append folded)
+    assert(spark.read.parquet(s"$dir/idx/shingles")
+      .groupBy("id").count().filter(col("count") > 1).count() == 0)
   }
 
   test("IVF maintenance: ivfAdd growth -> save -> load == the grown index") {
