@@ -1002,6 +1002,56 @@ object Oracles {
          | logprob_mean >= -10.0 AS keep
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    // token/byte compression ratio per source: exact integer totals, one
+    // double division at the end
+    "q115_token_byte_ratio" ->
+      s"""WITH a AS (
+         | SELECT source, count(*) AS n_docs,
+         |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+         |  CAST(sum(len(${toksSql("text")})) AS BIGINT) AS total_tokens
+         | FROM documents GROUP BY source)
+         |SELECT source, n_docs, total_bytes, total_tokens,
+         | round(CAST(total_bytes AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         |  AS bytes_per_token
+         |FROM a ORDER BY source""".stripMargin,
+
+    // largest exact-duplicate families: md5 groups identically in both
+    // engines; two planted copy generations make sizes 2 and 3; top-k
+    // ties break on digest
+    "q116_top_dup_families" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        | WHERE doc_id % 10 = 0
+        | UNION ALL
+        | SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        | WHERE doc_id % 50 = 0),
+        |f AS (
+        | SELECT md5(text) AS digest, count(*) AS n_copies,
+        |  min(doc_id) AS first_id
+        | FROM corpus GROUP BY 1)
+        |SELECT digest, n_copies, first_id FROM f
+        |WHERE n_copies > 1
+        |ORDER BY n_copies DESC, digest ASC LIMIT 20""".stripMargin,
+
+    // cluster-size histogram over the verified pair chain: the q65
+    // recursive min-label CC, then per-cluster sizes, then the histogram
+    "q117_cluster_size_hist" ->
+      s"""WITH RECURSIVE $q61Chain,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY 1)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // cross-source overlap matrix: the q61 verified pair chain, planted
     // ids mapped to their origin (% 1e6), two source joins, unordered
     // least/greatest pairing, order-independent min/max of rounded sims

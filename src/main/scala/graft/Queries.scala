@@ -952,6 +952,53 @@ object Queries {
         lambda = 0.75, minLogProb = -10.0)
       .orderBy("doc_id")
 
+  /** Token/byte compression-ratio audit per source — the tokenizer-side
+    * corpus health metric (gibberish, base64 blobs and non-prose score
+    * high bytes-per-token; a drifting ratio on one source flags an
+    * extraction regression before training feels it). One bounded agg. */
+  def q115TokenByteRatio(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text")).cast("long")).as("total_bytes"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"))
+      .withColumn("bytes_per_token",
+        round(col("total_bytes").cast("double") /
+          col("total_tokens").cast("double"), 6))
+      .orderBy("source")
+
+  /** Largest exact-duplicate families: the duplication-mass report a
+    * curator reads before choosing dedup keys (is duplication a few
+    * mega-families — one boilerplate page crawled a million times — or a
+    * long tail?). Corpus gets planted copies (q13's shape plus a second
+    * generation) so families of size 2 AND 3 exist; md5 digests group
+    * identically in both engines, top-k ties break on digest. */
+  def q116TopDupFamilies(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
+    corpus.groupBy(md5(col("text")).as("digest"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("first_id"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("n_copies").desc, col("digest").asc)
+      .limit(20)
+  }
+
+  /** Near-dup cluster-size histogram over the verified portable pair
+    * chain (its 5th consumer) — duplication STRUCTURE, not just mass:
+    * how many pair-connected components of each size the corpus holds.
+    * CC labels replayed by the q65 recursive oracle, then two bounded
+    * aggregations. */
+  def q117ClusterSizeHist(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(portablePairs(s, dir), maxIter = 50)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   /** Cross-source near-dup overlap matrix (Dedup.sourceOverlapMatrix)
     * over the session's verified portable pair set (its 4th consumer):
     * planted ids map back to their origin doc (% 1e6) so every pair
@@ -1804,6 +1851,9 @@ object Queries {
     "q112_knn_ivf_reload" -> (q112KnnIvfReload _),
     "q113_bigram_lm" -> (q113BigramLm _),
     "q114_source_overlap" -> (q114SourceOverlap _),
+    "q115_token_byte_ratio" -> (q115TokenByteRatio _),
+    "q116_top_dup_families" -> (q116TopDupFamilies _),
+    "q117_cluster_size_hist" -> (q117ClusterSizeHist _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
