@@ -999,6 +999,16 @@ object Queries {
       .agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** BPE merge training (TextOps.trainBpe) over the corpus: the ordered
+    * subword merge table. Rows-only by design — the per-iteration argmax
+    * loop is not single-SQL-expressible; the operator is pinned instead
+    * by the hand-computed classic-example spec (TextOpsSpec) including
+    * determinism and exhaustion. */
+  def q118BpeMerges(s: SparkSession, dir: String): DataFrame =
+    TextOps.trainBpe(t(s, dir, "documents"), "text", numMerges = 30,
+        maxWords = 5000)
+      .orderBy("rank")
+
   /** Cross-source near-dup overlap matrix (Dedup.sourceOverlapMatrix)
     * over the session's verified portable pair set (its 4th consumer):
     * planted ids map back to their origin doc (% 1e6) so every pair
@@ -1854,6 +1864,7 @@ object Queries {
     "q115_token_byte_ratio" -> (q115TokenByteRatio _),
     "q116_top_dup_families" -> (q116TopDupFamilies _),
     "q117_cluster_size_hist" -> (q117ClusterSizeHist _),
+    "q118_bpe_merges" -> (q118BpeMerges _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -418,12 +418,20 @@ object Knn {
     * pipelines should periodically rewrite the lists to a table (and
     * refresh centroids via [[ivfIndexKMeans]] as the distribution drifts —
     * appended vectors do not move centroids here). */
+  /** @param dedupIds drop duplicate `neighbor_id`s after the union
+    *        (keep-any — assignments are deterministic, so duplicates are
+    *        byte-identical rows). Enables at-least-once callers
+    *        (streaming replay re-adds a batch; [[graft.streaming.Stream]]'s
+    *        IVF ingest) to stay exactly-once without tracking state. */
   def ivfAdd(index: IvfIndex, batch: DataFrame, idCol: String = "vec_id",
-             vecCol: String = "embedding"): IvfIndex = {
+             vecCol: String = "embedding",
+             dedupIds: Boolean = false): IvfIndex = {
     val newRows = assignToCentroids(
       batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
       index.centroids, "neighbor_id", "__cv", keep = 1)
-    val merged = index.lists.unionByName(newRows).persist()
+    val unioned = index.lists.unionByName(newRows)
+    val merged = (if (dedupIds) unioned.dropDuplicates("neighbor_id")
+                  else unioned).persist()
     merged.count() // materialize before releasing the old blocks
     index.unpersist()
     IvfIndex(index.centroids, merged)

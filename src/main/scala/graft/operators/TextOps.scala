@@ -259,6 +259,69 @@ object TextOps {
       .withColumn("keep", col("logprob_mean") >= minLogProb)
   }
 
+  /** Learn BPE merges from the corpus (Sennrich et al. 2016, the
+    * subword-nmt algorithm): start from character symbols per word (with
+    * an end-of-word marker), repeatedly merge the most frequent adjacent
+    * symbol pair. Completes the tokenizer family: [[buildVocab]] gives
+    * word-level ids, this learns the SUBWORD inventory real tokenizers
+    * ship.
+    *
+    * Scale shape: the corpus is touched ONCE — a word-frequency
+    * aggregate whose output is vocabulary-sized, capped at the
+    * `maxWords` most frequent (freq desc, word asc — deterministic; BPE
+    * trainers routinely prune rare words, which barely perturbs merges).
+    * The merge loop then runs DRIVER-SIDE over that bounded dict — the
+    * same "bounded metadata collected once" contract as the IVF
+    * centroids, and exactly how subword-nmt / HF trainers run it (the
+    * corpus-sized work is the counting, not the merging). Ties break
+    * (freq desc, left asc, right asc) so the merge table is a pure
+    * function of the corpus. Non-BMP characters split into surrogate
+    * halves (char-level seeding; the standard caveat — use byte-level
+    * seeding for emoji-heavy corpora).
+    * Output: (rank, left, right, freq) — the ordered merge table. */
+  def trainBpe(df: org.apache.spark.sql.DataFrame, textCol: String,
+               numMerges: Int, maxWords: Int = 50000,
+               minFreq: Long = 1L): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val wordRows = df.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .filter(col("f") >= minFreq)
+      .orderBy(col("f").desc, col("w").asc).limit(maxWords)
+      .collect()
+    var words: Array[(Array[String], Long)] = wordRows.map { r =>
+      (r.getString(0).map(_.toString).toArray :+ "</w>", r.getLong(1))
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((syms, f) <- words; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + f
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), f) =
+          counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((rank, l, r, f))
+        words = words.map { case (syms, wf) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2 // greedy left-to-right, as subword-nmt
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, wf)
+        }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "freq")
+  }
+
   /** Within-document shingle repetition — the C4/Gopher-family quality
     * signal: a document whose k-shingles repeat heavily is boilerplate or
     * a degenerate loop, not prose. dup_ratio = 1 - distinct/total shingles

@@ -338,6 +338,45 @@ object Stream {
           ingestStamp = batchId)
       }
 
+  /** Streaming IVF INGESTION over the persisted index
+    * ([[graft.operators.Knn.ivfSave]]/[[graft.operators.Knn.ivfLoad]]) —
+    * the ANN completion of the streaming ingest family (exact digests,
+    * near-dup buckets, span digests, now vectors): per micro-batch,
+    * assign the batch to the index's existing centroids ([[graft.operators.Knn.ivfAdd]])
+    * and durably upsert the new list rows into `indexPath/lists` keyed on
+    * the vector id.
+    *
+    * Exactly-once: the lists write is an idempotent keyed upsert
+    * (assignments are deterministic, so a replayed batch re-upserts
+    * byte-identical rows); centroids are immutable after the seed save.
+    * The in-memory index handle is reloaded lazily per restart, not per
+    * batch — batches between restarts pay only the batch-sized
+    * assignment + the upsert. Centroids do NOT drift with appended data;
+    * rebuild via [[graft.operators.Knn.ivfIndexKMeans]] + ivfSave on a
+    * maintenance cadence (docs/DEPLOY.md). Index must exist: seed with
+    * ivfSave (possibly over a small bootstrap corpus) first. */
+  def ivfIngestSink(vecs: DataFrame, indexPath: String, checkpoint: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataStreamWriter[Row] = {
+    // one handle per query run; restart reloads from the durable path
+    var index: graft.operators.Knn.IvfIndex = null
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (index == null) index = graft.operators.Knn.ivfLoad(spark, indexPath)
+        index = graft.operators.Knn.ivfAdd(index, batch, idCol, vecCol,
+          dedupIds = true)
+        // durable side: idempotent keyed upsert of ONLY this batch's rows
+        // (the in-memory handle already holds the merged lists)
+        Upsert.upsertParquet(s"$indexPath/lists",
+          index.lists.join(batch.select(col(idCol).as("__bid")),
+            col("neighbor_id") === col("__bid"), "left_semi"),
+          Seq("neighbor_id"), "neighbor_id")
+      }
+  }
+
   /** ST-8: stream -> staging via foreachBatch reusing the batch upsert
     * (exactly-once: checkpointed offsets + idempotent merge on event_id).
     * Synthesizes event_id when missing like StagingProgressWriter

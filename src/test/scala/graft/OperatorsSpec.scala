@@ -396,6 +396,28 @@ class UpsertSpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("trainBpe: the classic subword-nmt example, hand-computed merges") {
+    // word freqs: low x5, lower x2, newest x6, widest x3.
+    // pair counts: (e,s)=(s,t)=(t,</w>)=9 -> tie breaks left-asc: (e,s);
+    // then (es,t)=9, (est,</w>)=9; then (l,o)=(o,w)=7 -> (l,o); (lo,w)=7.
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val merges = TextOps.trainBpe(Seq(text).toDF("text"), "text", numMerges = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L), (5, "lo", "w", 7L)))
+    // determinism: a re-run over the same corpus yields the same table
+    val again = TextOps.trainBpe(Seq(text).toDF("text"), "text", numMerges = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(again.toSeq == merges.toSeq)
+    // merge exhaustion: asking for more merges than exist stops cleanly
+    val tiny = TextOps.trainBpe(Seq("ab ab").toDF("text"), "text", numMerges = 50)
+    assert(tiny.count() == 2) // (a,b) then (ab,</w>) — nothing left after
+  }
+
   test("token counts: whitespace and BPE-ish") {
     val df = Seq("Hello,  world! abc123 done").toDF("t")
     assert(df.select(TextOps.tokenCount(col("t"))).head().getInt(0) == 4)

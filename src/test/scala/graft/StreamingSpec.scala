@@ -443,6 +443,42 @@ class StreamingSpec extends SparkSpec {
       (20L, "gamma paragraph")))
   }
 
+  test("streaming IVF ingestion over the persisted index: full probe == brute force, across a restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfstream").toString
+    val rnd = new scala.util.Random(19)
+    val all = (0 until 120).map(i =>
+      (i.toLong, Array.fill(12)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val seed = all.filter(_._1 < 60).toDF("vec_id", "embedding")
+    graft.operators.Knn.ivfSave(
+      graft.operators.Knn.ivfIndex(seed, nlist = 6), s"$dir/idx")
+
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    def start() = Stream.ivfIngestSink(
+      input.toDF().toDF("vec_id", "embedding"), s"$dir/idx", s"$dir/ckpt").start()
+
+    val q1 = start()
+    try {
+      input.addData(all.filter(v => v._1 >= 60 && v._1 < 90): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint; the remaining batch arrives after
+    val input2 = input // same stream, offsets resume
+    input2.addData(all.filter(_._1 >= 90): _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val loaded = graft.operators.Knn.ivfLoad(spark, s"$dir/idx")
+    assert(loaded.lists.count() == 120)
+    val corpus = all.toDF("vec_id", "embedding")
+    val queries = all.take(5).toDF("vec_id", "embedding")
+    val got = graft.operators.Knn.ivfSearch(loaded, queries, k = 4, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = graft.operators.Knn.bruteForceTopK(corpus, queries, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want && got.nonEmpty)
+    loaded.unpersist()
+  }
+
   test("staging sink survives a checkpointed restart exactly-once (ST-8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-restart").toString
     val input = MemoryStream[(String, String, String, java.sql.Timestamp)](spark)
