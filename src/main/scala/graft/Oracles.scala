@@ -1002,6 +1002,27 @@ object Oracles {
          | logprob_mean >= -10.0 AS keep
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    // BPE application with the FIXED q119 merge table: the identical
+    // seed (chars + </w>, chr(1) on every symbol boundary) and the
+    // identical ordered literal replace chain — boundary separators make
+    // partial-symbol matches impossible in both engines
+    "q119_bpe_encode" -> {
+      val sep = "chr(1)"
+      def l(s: String) = "'" + s.replace("'", "''") + "'"
+      val seeded =
+        s"$sep || regexp_replace(w, '(.)', '\\1' || $sep, 'g') || '</w>' || $sep"
+      val chain = Queries.q119Merges.foldLeft(seeded) { case (acc, (a, b)) =>
+        s"replace($acc, $sep || ${l(a)} || $sep || ${l(b)} || $sep, $sep || ${l(a + b)} || $sep)"
+      }
+      s"""WITH seg AS (
+         | SELECT doc_id, flatten(list_transform(${toksSql("lower(text)")}, w ->
+         |   list_filter(string_split($chain, chr(1)), x -> x <> ''))) AS sw
+         | FROM documents WHERE doc_id < 20)
+         |SELECT doc_id, CAST(generate_subscripts(sw, 1) AS INT) AS pos,
+         | unnest(sw) AS subword
+         |FROM seg ORDER BY doc_id, pos""".stripMargin
+    },
+
     // token/byte compression ratio per source: exact integer totals, one
     // double division at the end
     "q115_token_byte_ratio" ->

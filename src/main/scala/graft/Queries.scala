@@ -1009,6 +1009,27 @@ object Queries {
         maxWords = 5000)
       .orderBy("rank")
 
+  /** The q119 merge table: FIXED and documented (the classic-example
+    * merges plus two common-word merges), so the DuckDB oracle can
+    * replay the identical literal replace chain — the LEARNED-table path
+    * is q118 + the hand-computed spec; this hash-verifies the APPLY
+    * machinery. Shared with Oracles so query and replay cannot drift. */
+  private[graft] val q119Merges: Seq[(String, String)] = Seq(
+    "e" -> "s", "es" -> "t", "est" -> "</w>",
+    "l" -> "o", "lo" -> "w", "t" -> "h", "th" -> "e")
+
+  /** BPE application (TextOps.bpeSegments): segment documents with the
+    * fixed q119 merge table, exploded to scalar (doc, pos, subword)
+    * cells — every boundary-separator replace replayed verbatim by the
+    * oracle. */
+  def q119BpeEncode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        posexplode(TextOps.bpeSegments(col("text"), q119Merges)))
+      .toDF("doc_id", "pos", "subword")
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("subword"))
+      .orderBy("doc_id", "pos")
+
   /** Cross-source near-dup overlap matrix (Dedup.sourceOverlapMatrix)
     * over the session's verified portable pair set (its 4th consumer):
     * planted ids map back to their origin doc (% 1e6) so every pair
@@ -1865,6 +1886,7 @@ object Queries {
     "q116_top_dup_families" -> (q116TopDupFamilies _),
     "q117_cluster_size_hist" -> (q117ClusterSizeHist _),
     "q118_bpe_merges" -> (q118BpeMerges _),
+    "q119_bpe_encode" -> (q119BpeEncode _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -322,6 +322,31 @@ object TextOps {
     merges.toSeq.toDF("rank", "left", "right", "freq")
   }
 
+  /** Apply an ORDERED BPE merge table to text — the encode side of
+    * [[trainBpe]]: each whitespace word is seeded as characters plus an
+    * end-of-word marker, then every merge is applied in rank order
+    * (all non-overlapping occurrences, left to right — subword-nmt's
+    * application semantics). Pure Column expression: symbols ride a
+    * U+0001-separated string with a separator on EVERY boundary, so one
+    * merge is one literal `replace(sep+l+sep+r+sep, sep+lr+sep)` — the
+    * boundary separators make partial-symbol matches impossible ("ab|c"
+    * can never match a (b,c) merge). numMerges chained codegen'd string
+    * ops, no UDF, replayable verbatim in DuckDB (q119).
+    * Output: array of subword tokens for the whole document. */
+  def bpeSegments(text: Column, merges: Seq[(String, String)]): Column = {
+    val SEP = "\u0001"
+    def segmentWord(w: Column): Column = {
+      val seeded = concat(lit(SEP), regexp_replace(w, "(.)", "$1" + SEP),
+        lit("</w>"), lit(SEP))
+      val merged = merges.foldLeft(seeded) { case (acc, (l, r)) =>
+        call_function("replace", acc,
+          lit(SEP + l + SEP + r + SEP), lit(SEP + l + r + SEP))
+      }
+      filter(split(merged, SEP), s => s =!= "")
+    }
+    flatten(transform(tokens(lower(text)), w => segmentWord(w)))
+  }
+
   /** Within-document shingle repetition — the C4/Gopher-family quality
     * signal: a document whose k-shingles repeat heavily is boilerplate or
     * a degenerate loop, not prose. dup_ratio = 1 - distinct/total shingles

@@ -418,6 +418,24 @@ class TextOpsSpec extends SparkSpec {
     assert(tiny.count() == 2) // (a,b) then (ab,</w>) — nothing left after
   }
 
+  test("bpeSegments: ordered merges apply with symbol-boundary safety") {
+    val merges = Seq("e" -> "s", "es" -> "t", "est" -> "</w>",
+      "l" -> "o", "lo" -> "w")
+    val got = Seq("lowest widest")
+      .toDF("text")
+      .select(TextOps.bpeSegments(col("text"), merges).as("sw"))
+      .head().getSeq[String](0)
+    // lowest: es -> est -> est</w> -> lo -> low => [low, est</w>]
+    // widest: w i d est</w> (no (l,o)/(lo,w) sites)
+    assert(got == Seq("low", "est</w>", "w", "i", "d", "est</w>"))
+    // boundary safety: a (b,c) merge must NOT fire inside symbol "ab"+"c"
+    val tricky = Seq("abc").toDF("text")
+      .select(TextOps.bpeSegments(col("text"), Seq("a" -> "b", "b" -> "c")).as("sw"))
+      .head().getSeq[String](0)
+    // (a,b) fires first -> symbols [ab, c, </w>]; (b,c) has no site left
+    assert(tricky == Seq("ab", "c", "</w>"))
+  }
+
   test("token counts: whitespace and BPE-ish") {
     val df = Seq("Hello,  world! abc123 done").toDF("t")
     assert(df.select(TextOps.tokenCount(col("t"))).head().getInt(0) == 4)
