@@ -1023,6 +1023,22 @@ object Oracles {
          |FROM seg ORDER BY doc_id, pos""".stripMargin
     },
 
+    // estimated vs exact Jaccard from ONE chain: the q61 sig CTE gives
+    // h0..h15 per doc; agreement fraction = sum(CASE a.hi = b.hi)/16.0,
+    // exact sim comes from the same verified pairs CTE
+    "q120_minhash_estimate" -> {
+      val agree = (0 until 16)
+        .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $q61Chain
+         |SELECT p.id_a, p.id_b, round(p.sim, 4) AS jaccard_sim,
+         | round(CAST($agree AS DOUBLE) / 16.0, 6) AS est_sim
+         |FROM pairs p
+         |JOIN sig a ON p.id_a = a.doc_id
+         |JOIN sig b ON p.id_b = b.doc_id
+         |ORDER BY p.id_a, p.id_b""".stripMargin
+    },
+
     // token/byte compression ratio per source: exact integer totals, one
     // double division at the end
     "q115_token_byte_ratio" ->

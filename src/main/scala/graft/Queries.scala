@@ -1009,6 +1009,21 @@ object Queries {
         maxWords = 5000)
       .orderBy("rank")
 
+  /** Estimated vs exact Jaccard side by side
+    * (Dedup.minhashJaccardEstimate over the verified portable pair set,
+    * its 6th consumer): the signature-agreement estimator the LSH
+    * banding thresholds rest on, hash-audited against the exact verify —
+    * the oracle replays signatures, agreement fractions AND the exact
+    * sims from one chain. */
+  def q120MinhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    val est = Dedup.minhashJaccardEstimate(portableCorpus(s, dir),
+      portablePairs(s, dir), "doc_id", "text",
+      shingleK = 3, numHashes = 16, portable = true)
+    portablePairs(s, dir).join(est, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard_sim"), col("est_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** The q119 merge table: FIXED and documented (the classic-example
     * merges plus two common-word merges), so the DuckDB oracle can
     * replay the identical literal replace chain — the LEARNED-table path
@@ -1887,6 +1902,7 @@ object Queries {
     "q117_cluster_size_hist" -> (q117ClusterSizeHist _),
     "q118_bpe_merges" -> (q118BpeMerges _),
     "q119_bpe_encode" -> (q119BpeEncode _),
+    "q120_minhash_estimate" -> (q120MinhashEstimate _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -288,25 +288,36 @@ object Dedup {
     * shingle array per hash function in interpreted mode — measured 100x
     * slower on 5k docs. The bucket key is a hash of the band's signature
     * slice, so downstream joins shuffle (int, long) keys only. */
-  private def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
-                             shingleK: Int, numHashes: Int, bands: Int,
-                             portable: Boolean = false): DataFrame = {
-    val rows = numHashes / bands
+  /** (__id, __h0..__h{n-1}) MinHash signature frame — the shared
+    * substrate of the banding buckets and the signature-agreement
+    * estimator. One explode + ONE codegen'd hash aggregation computes
+    * all `numHashes` minima per doc (map-side partial agg). */
+  private def minhashSigs(df: DataFrame, idCol: String, textCol: String,
+                          shingleK: Int, numHashes: Int,
+                          portable: Boolean): DataFrame = {
     // numHashes independent seeded hashes per shingle. A 2-pass derived
     // family (h1 + i*h2 / xor-rotate) was tried and REJECTED: ANSI mode
     // forbids wrapping arithmetic, and measured end-to-end time was
     // identical — hashing is not the bottleneck at this signature width,
     // and independent seeds have the textbook per-band independence.
     // portable = true swaps xxhash64 for [[portableHash64]] so the whole
-    // signature pipeline replays in DuckDB SQL (band buckets seeded 1000+b,
-    // disjoint from the shingle seeds 0..numHashes-1).
+    // signature pipeline replays in DuckDB SQL.
     def shingleHash(c: Column, i: Int): Column =
       if (portable) portableHash64(c, i) else xxhash64(c, lit(i))
     val exploded = df.select(col(idCol).as("__id"),
       explode(shingles(col(textCol), shingleK)).as("__sh"))
-    val sigs = exploded.groupBy(col("__id"))
+    exploded.groupBy(col("__id"))
       .agg(min(shingleHash(col("__sh"), 0)).as("__h0"),
         (1 until numHashes).map(i => min(shingleHash(col("__sh"), i)).as(s"__h$i")): _*)
+  }
+
+  private def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
+                             shingleK: Int, numHashes: Int, bands: Int,
+                             portable: Boolean = false): DataFrame = {
+    val rows = numHashes / bands
+    // band buckets seeded 1000+b, disjoint from the shingle seeds
+    // 0..numHashes-1
+    val sigs = minhashSigs(df, idCol, textCol, shingleK, numHashes, portable)
     sigs.select(col("__id"),
         posexplode(array((0 until bands).map { b =>
           val slice = (b * rows until (b + 1) * rows).map(i => col(s"__h$i"))
@@ -332,6 +343,40 @@ object Dedup {
           col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
+  }
+
+  /** Signature-agreement Jaccard ESTIMATE for the given pairs: the
+    * fraction of `numHashes` min-hash components on which the two
+    * documents agree. E[estimate] = true Jaccard — the unbiasedness the
+    * whole LSH banding construction rests on (Broder); exposing it makes
+    * the estimator auditable next to the exact verify (q120 reports both
+    * side by side, oracle-replayed). At scale this is the CHEAP
+    * similarity: signatures are already built for banding, and the
+    * estimate needs no shingle materialization for the candidate rows —
+    * use it when a ±1/sqrt(numHashes)-ish error is acceptable and exact
+    * Jaccard (the [[minhashNearDups]] verify stage) when it is not.
+    *
+    * Scale shape: signatures only for docs appearing in `pairs`
+    * (semi-join pushdown), then two id-keyed joins of numHashes-long
+    * integer rows. Output: (id_a, id_b, est_sim). */
+  def minhashJaccardEstimate(df: DataFrame, pairs: DataFrame, idCol: String,
+                             textCol: String, shingleK: Int = 3,
+                             numHashes: Int = 32,
+                             portable: Boolean = false): DataFrame = {
+    val ids = pairs.select(col("id_a").as("__vid"))
+      .unionByName(pairs.select(col("id_b").as("__vid"))).distinct()
+    val sigs = minhashSigs(
+      df.join(ids, col(idCol) === col("__vid"), "left_semi"),
+      idCol, textCol, shingleK, numHashes, portable)
+    def side(key: String) = sigs.select(col("__id").as(key) +:
+      (0 until numHashes).map(i => col(s"__h$i").as(s"__${key}_h$i")): _*)
+    pairs.select(col("id_a"), col("id_b"))
+      .join(side("id_a"), "id_a").join(side("id_b"), "id_b")
+      .withColumn("est_sim", round(
+        (0 until numHashes).map(i =>
+            when(col(s"__id_a_h$i") === col(s"__id_b_h$i"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / numHashes, 6))
+      .select(col("id_a"), col("id_b"), col("est_sim"))
   }
 
   /** Incremental NEAR-dedup: rows of `incoming` that are near-duplicates

@@ -251,6 +251,22 @@ class DedupSpec extends SparkSpec {
     assert(TextOps.bigramLogProb(single, "id", "text").count() == 0)
   }
 
+  test("minhashJaccardEstimate: identical docs estimate 1.0; estimates track exact Jaccard") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // == 1
+      (3L, "the quick brown fox jumps over the lazy cat tonight"), // near 1
+      (4L, "entirely different words in this document body here")) // far
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val est = Dedup.minhashJaccardEstimate(docs, pairs, "doc_id", "text",
+        numHashes = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((1L, 2L)) == 1.0)               // identical signatures
+    assert(est((1L, 4L)) <= 0.25)              // disjoint shingles, ~0
+    assert(est((1L, 3L)) > est((1L, 4L)))      // ordering preserved
+  }
+
   test("sourceOverlapMatrix: unordered pair counting, diagonal = within-source") {
     val pairs = Seq((1L, 2L, 0.9), (2L, 1L, 0.8), (1L, 3L, 0.7), (3L, 4L, 0.6))
       .toDF("id_a", "id_b", "jaccard_sim")
