@@ -1039,6 +1039,120 @@ object Oracles {
          |ORDER BY p.id_a, p.id_b""".stripMargin
     },
 
+    // threshold sweep: the q61 chain's verified pairs, each threshold's
+    // edges lifted to the disjoint id space id*4+i, then ONE recursive
+    // min-label CC pass over the union — the oracle mirrors the
+    // operator's composite-key single-pass trick exactly. Pair filters
+    // run on round(sim, 4), the value the operator filters (its input
+    // is the rounded jaccard_sim column).
+    "q121_threshold_sweep" -> {
+      val ths = Seq(0.5, 0.6, 0.7, 0.8)
+      val n = ths.size
+      val lifted = ths.zipWithIndex.map { case (th, i) =>
+        s"  SELECT id_a * $n + $i AS src, id_b * $n + $i AS dst FROM tp WHERE s4 >= $th"
+      }.mkString("\n  UNION ALL\n")
+      val perTh = ths.zipWithIndex.map { case (th, i) =>
+        s"  SELECT $i AS i, CAST($th AS DOUBLE) AS threshold, count(*) AS n_pairs FROM tp WHERE s4 >= $th"
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH RECURSIVE $q61Chain,
+         |tp AS (SELECT id_a, id_b, round(sim, 4) AS s4 FROM pairs),
+         |e0 AS (
+         |$lifted),
+         |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |cc AS (
+         |  SELECT id % $n AS i, count(*) AS docs,
+         |   count(DISTINCT cluster_id) AS clusters
+         |  FROM labels GROUP BY 1),
+         |pt AS (
+         |$perTh)
+         |SELECT threshold, n_pairs,
+         | CAST(coalesce(docs, 0) AS BIGINT) AS n_docs,
+         | CAST(coalesce(clusters, 0) AS BIGINT) AS n_clusters,
+         | CAST(coalesce(docs - clusters, 0) AS BIGINT) AS n_dropped
+         |FROM pt LEFT JOIN cc USING (i)
+         |ORDER BY threshold""".stripMargin
+    },
+
+    // per-source shingle novelty: k=3 shingles (the minhashCtes kernel),
+    // portable md5 digests, distinct (doc, source, digest), min-doc_id
+    // ownership — all exact integers, one double division at the end
+    "q122_shingle_novelty" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, source, ${toksSql("text")} AS tk FROM documents),
+         |shg AS (
+         | SELECT doc_id, source,
+         |  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |   ELSE list_transform(range(1, len(tk) - 1),
+         |          i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END AS sh
+         | FROM tok),
+         |ex AS (
+         | SELECT DISTINCT doc_id, source, ${ph("s", 0)} AS dg
+         | FROM (SELECT doc_id, source, unnest(sh) AS s FROM shg)),
+         |own AS (SELECT dg, min(doc_id) AS first_id FROM ex GROUP BY dg)
+         |SELECT source,
+         | count(*) AS total_shingles,
+         | CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS novel_shingles,
+         | round(CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / count(*), 6) AS novelty_rate
+         |FROM ex JOIN own USING (dg)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // HLL set algebra: the q77 register replay keyed by return-flag, pair
+    // union via bucket-wise max, inclusion-exclusion intersection — every
+    // register an exact cross-engine integer, the one estimator double
+    // interpolated from the same alphaM2 constant
+    "q123_hll_set_algebra" -> {
+      val m = 1 << 12
+      val w49 = 1L << 49
+      val alpha = graft.operators.Sketch.hllAlphaM2(12)
+      def est(src: String, keys: String, out: String) =
+        s"""SELECT $keys,
+           |  round(CASE WHEN raw <= ${2.5 * m} AND $m - occupied > 0
+           |    THEN $m.0 * ln($m.0 / ($m - occupied)) ELSE raw END, 6) AS $out
+           | FROM (
+           |  SELECT $keys, occupied,
+           |   $alpha / (CAST(s_total AS DOUBLE) / $w49.0) AS raw
+           |  FROM (
+           |   SELECT $keys, count(*) AS occupied,
+           |    coalesce(sum((CAST(1 AS BIGINT) << (49 - reg))), 0)
+           |     + ($m - count(*)) * CAST($w49 AS HUGEINT) AS s_total
+           |   FROM $src GROUP BY $keys))""".stripMargin
+      s"""WITH w AS (
+         | SELECT l_returnflag AS k, ${ph("l_orderkey", 7)} % $m AS bucket,
+         |  ${ph("l_orderkey", 8)} % ${1L << 48} AS wv
+         | FROM lineitem),
+         |r AS (
+         | SELECT k, bucket,
+         |  max(CASE WHEN wv = 0 THEN 49 ELSE 49 - length(bin(wv)) END) AS reg
+         | FROM w GROUP BY 1, 2),
+         |ks AS (SELECT DISTINCT k FROM r),
+         |pr AS (SELECT a.k AS key_a, b.k AS key_b
+         |       FROM ks a JOIN ks b ON a.k < b.k),
+         |mg AS (
+         | SELECT key_a, key_b, bucket, max(reg) AS reg
+         | FROM (
+         |  SELECT pr.key_a, pr.key_b, r.bucket, r.reg
+         |  FROM pr JOIN r ON r.k = pr.key_a
+         |  UNION ALL
+         |  SELECT pr.key_a, pr.key_b, r.bucket, r.reg
+         |  FROM pr JOIN r ON r.k = pr.key_b)
+         | GROUP BY 1, 2, 3),
+         |ea AS (${est("r", "k", "e")}),
+         |eu AS (${est("mg", "key_a, key_b", "est_union")})
+         |SELECT key_a, key_b, a.e AS est_a, b.e AS est_b, est_union,
+         | a.e + b.e - est_union AS est_intersect
+         |FROM eu
+         |JOIN ea a ON a.k = eu.key_a
+         |JOIN ea b ON b.k = eu.key_b
+         |ORDER BY key_a, key_b""".stripMargin
+    },
+
     // token/byte compression ratio per source: exact integer totals, one
     // double division at the end
     "q115_token_byte_ratio" ->

@@ -1059,6 +1059,38 @@ object Queries {
       .orderBy("source_a", "source_b")
   }
 
+  /** Threshold sweep over the session's verified portable pair set (its
+    * 7th consumer): cluster statistics at Jaccard 0.5/0.6/0.7/0.8 from
+    * ONE composite-key connected-components pass — the "pick your
+    * threshold" audit. The oracle replays the q61 chain, lifts each
+    * threshold's edges into a disjoint id space (id*4+i), and runs ONE
+    * recursive min-label pass, mirroring the operator's single-CC trick. */
+  def q121ThresholdSweep(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupThresholdSweep(portablePairs(s, dir),
+        Seq(0.5, 0.6, 0.7, 0.8))
+      .orderBy("threshold")
+
+  /** Per-source shingle novelty (Dedup.shingleNovelty): of each source's
+    * distinct (doc, shingle-digest) pairs, the fraction whose digest is
+    * FIRST seen (min doc_id corpus-wide) in that source's own documents —
+    * the data-mixing "how much new content does this source add" audit.
+    * Counts are exact integers over the portable md5-derived digests, so
+    * DuckDB replays the whole pipeline value-identically. */
+  def q122ShingleNovelty(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingleNovelty(t(s, dir, "documents"), "doc_id", "text",
+        "source", shingleK = 3)
+      .orderBy("source")
+
+  /** HLL set algebra (Sketch.hllSetAlgebra) over lineitem return-flags:
+    * per-flag distinct-order estimates, pairwise union via bucket-wise
+    * register max (the mergeability 1000 executors rely on), and
+    * inclusion-exclusion intersections. Registers are exact cross-engine
+    * integers (q77's discipline), so every estimate hash-matches. */
+  def q123HllSetAlgebra(s: SparkSession, dir: String): DataFrame =
+    Sketch.hllSetAlgebra(t(s, dir, "lineitem"), "l_returnflag",
+        "l_orderkey", p = 12, seed = 7, portable = true)
+      .orderBy("key_a", "key_b")
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -1903,6 +1935,9 @@ object Queries {
     "q118_bpe_merges" -> (q118BpeMerges _),
     "q119_bpe_encode" -> (q119BpeEncode _),
     "q120_minhash_estimate" -> (q120MinhashEstimate _),
+    "q121_threshold_sweep" -> (q121ThresholdSweep _),
+    "q122_shingle_novelty" -> (q122ShingleNovelty _),
+    "q123_hll_set_algebra" -> (q123HllSetAlgebra _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -808,6 +808,84 @@ object Dedup {
         max(col("jaccard_sim")).as("max_sim"))
   }
 
+  /** Near-dup THRESHOLD SWEEP: cluster statistics at several Jaccard
+    * thresholds from ONE verified pair set — the "pick your threshold"
+    * audit run before committing a dedup pass (how many documents does
+    * 0.7 vs 0.8 actually remove?). Clustering at every threshold runs as
+    * a SINGLE connected-components pass: edge ids are lifted to the
+    * composite key id * |thresholds| + thresholdIndex, so the per-threshold
+    * graphs are disjoint id spaces inside one frame and the iterative CC
+    * machinery (driver-round-bound, not data-bound) is paid once, not
+    * |thresholds| times.
+    *
+    * Scale shape: input is the LSH-VERIFIED pair set (tiny vs corpus);
+    * the sweep's cost is O(|pairs| * |thresholds|) id-keyed rows.
+    * `n_dropped` = docs-in-pairs minus clusters = rows a keep-min dedup
+    * at that threshold would remove.
+    * Output: (threshold, n_pairs, n_docs, n_clusters, n_dropped), one row
+    * per threshold. */
+  def nearDupThresholdSweep(pairs: DataFrame, thresholds: Seq[Double],
+                            simCol: String = "jaccard_sim",
+                            maxIter: Int = 10): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep: need at least one threshold")
+    val n = thresholds.size
+    val edges = thresholds.zipWithIndex.map { case (th, i) =>
+      pairs.filter(col(simCol) >= th)
+        .select((col("id_a") * n + i).as("id_a"), (col("id_b") * n + i).as("id_b"))
+    }.reduce(_ unionByName _)
+    val labels = connectedComponents(edges, maxIter)
+    val ccStats = labels
+      .groupBy(pmod(col("id"), lit(n)).as("__i"))
+      .agg(count(lit(1)).as("__docs"),
+        countDistinct(col("cluster_id")).as("__clusters"))
+    val perTh = thresholds.zipWithIndex.map { case (th, i) =>
+      pairs.filter(col(simCol) >= th)
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(lit(i).as("__i"), lit(th).as("threshold"), col("n_pairs"))
+    }.reduce(_ unionByName _)
+    perTh.join(ccStats, Seq("__i"), "left")
+      .select(col("threshold"), col("n_pairs"),
+        coalesce(col("__docs"), lit(0L)).as("n_docs"),
+        coalesce(col("__clusters"), lit(0L)).as("n_clusters"),
+        coalesce(col("__docs") - col("__clusters"), lit(0L)).as("n_dropped"))
+  }
+
+  /** Per-source shingle NOVELTY: of each source's distinct shingles, the
+    * fraction first seen (by minimum doc_id over the whole corpus) in one
+    * of that source's own documents — "how much genuinely new content does
+    * this source add, given everything that precedes it in id order".
+    * The data-mixing complement of [[sourceOverlapMatrix]]: overlap counts
+    * verified near-dup PAIRS; novelty charges every shared shingle to its
+    * first owner, so a source that re-crawls existing content scores low
+    * even when no single document crosses a near-dup threshold.
+    *
+    * Exact-integer discipline: counts are integers and the single ratio is
+    * one double division, so the whole audit replays value-identically in
+    * SQL. Shingles travel as 60-bit [[portableHash64]] digests — both
+    * engines group by the SAME digest, so even a hash collision (two
+    * shingles folding together) affects both sides identically.
+    *
+    * Scale shape: explode shingles once, distinct (doc, digest), then one
+    * digest-keyed min-agg (map-side combined) + one digest-keyed join —
+    * the [[dropDuplicates]] digest-shuffle shape; text never shuffles.
+    * Output: (srcCol, total_shingles, novel_shingles, novelty_rate). */
+  def shingleNovelty(df: DataFrame, idCol: String, textCol: String,
+                     srcCol: String, shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"), col(srcCol),
+        explode(shingles(col(textCol), shingleK)).as("__sh"))
+      .select(col("__id"), col(srcCol), portableHash64(col("__sh"), 0).as("__dg"))
+      .distinct()
+    val own = sh.groupBy(col("__dg")).agg(min(col("__id")).as("__first"))
+    sh.join(own, "__dg")
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("total_shingles"),
+        sum(when(col("__first") === col("__id"), 1L).otherwise(0L))
+          .as("novel_shingles"))
+      .withColumn("novelty_rate",
+        round(col("novel_shingles").cast("double") /
+          col("total_shingles").cast("double"), 6))
+  }
+
   /** 64-bit SimHash of the token stream: bit b of the result is 1 iff the
     * sum over tokens of sign(bit b of xxhash64(token)) is positive.
     * Computed per-row as a pure expression (64-way fold over the token

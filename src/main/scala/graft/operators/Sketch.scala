@@ -173,24 +173,83 @@ object Sketch {
                   seed: Int = 7, portable: Boolean = false): DataFrame =
     hllEstimate(hllRegisters(df, valueCol, p, seed, portable), p)
 
-  /** Per-group HLL distinct estimates — approx_count_distinct with a
-    * verifiable, mergeable sketch: group state is ≤ m registers per key
-    * (two partial-agg'd hash aggregations keyed (key, bucket) then key),
-    * so a per-key distinct over 100 TB shuffles O(keys * m) ints, never
-    * the values. Output: (keyCol, occupied, max_reg, est_distinct). */
-  def hllDistinctBy(df: DataFrame, keyCol: String, valueCol: String,
-                    p: Int = 12, seed: Int = 7,
-                    portable: Boolean = false): DataFrame =
+  /** Per-key HLL registers (keyCol, bucket, reg) — the grouped analogue
+    * of [[hllRegisters]]: one partial-agg'd hash aggregation keyed
+    * (key, bucket), so per-key register state over 100 TB shuffles
+    * O(keys * m) ints, never the values. The register frame is the
+    * MERGEABLE form: [[hllSetAlgebra]] unions/intersects keys from it
+    * without revisiting the data. */
+  def hllRegistersBy(df: DataFrame, keyCol: String, valueCol: String,
+                     p: Int = 12, seed: Int = 7,
+                     portable: Boolean = false): DataFrame = {
+    require(p >= 7 && p <= 18, "hll: p in [7, 18]")
     df.select(col(keyCol),
         hllBucket(col(valueCol), p, seed, portable).as("bucket"),
         hllRho(col(valueCol), seed, portable).as("rho"))
       .groupBy(col(keyCol), col("bucket"))
       .agg(max(col("rho")).as("reg"))
+  }
+
+  /** Per-group HLL distinct estimates — approx_count_distinct with a
+    * verifiable, mergeable sketch ([[hllRegistersBy]] + the shared
+    * estimator). Output: (keyCol, occupied, max_reg, est_distinct). */
+  def hllDistinctBy(df: DataFrame, keyCol: String, valueCol: String,
+                    p: Int = 12, seed: Int = 7,
+                    portable: Boolean = false): DataFrame =
+    hllRegistersBy(df, keyCol, valueCol, p, seed, portable)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("occupied"), max(col("reg")).as("max_reg"),
         sum(hllTerm).as("__s"))
       .select(col(keyCol), col("occupied"), col("max_reg"),
         hllEstimateCol(p, col("occupied"), col("__s")).as("est_distinct"))
+
+  /** HLL SET ALGEBRA over every unordered key pair: per-key distinct
+    * estimate, pairwise UNION estimate (bucket-wise max register merge —
+    * the mergeability that lets 1000 executors sketch shards
+    * independently), and the inclusion-exclusion INTERSECTION estimate
+    * |A∩B| ≈ |A| + |B| - |A∪B| (Flajolet; the standard HLL intersection,
+    * noisy for small overlaps — it may go slightly negative, which is
+    * reported as-is rather than clamped so the audit sees the raw
+    * estimator).
+    *
+    * Scale shape: ONE pass over the data builds the per-key registers
+    * (O(keys * m) ints); everything after runs on that bounded frame —
+    * keys x keys pair enumeration is over the DISTINCT key list (assumed
+    * small: sources, shards, days), and the merged frame is
+    * O(pairs * m). The register frame is checkpointed because three
+    * consumers (per-key estimates + both pair-join sides) would otherwise
+    * each re-scan the corpus.
+    *
+    * Output: (key_a, key_b, est_a, est_b, est_union, est_intersect),
+    * key_a < key_b. */
+  def hllSetAlgebra(df: DataFrame, keyCol: String, valueCol: String,
+                    p: Int = 12, seed: Int = 7,
+                    portable: Boolean = false): DataFrame = {
+    val regs = Checkpoints.ckpt(
+      hllRegistersBy(df, keyCol, valueCol, p, seed, portable))
+    def estimate(r: DataFrame, keys: Seq[String], outCol: String): DataFrame =
+      r.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__occ"), sum(hllTerm).as("__s"))
+        .select(keys.map(col) :+
+          hllEstimateCol(p, col("__occ"), col("__s")).as(outCol): _*)
+    val ests = estimate(regs, Seq(keyCol), "__est")
+    val keys = regs.select(col(keyCol)).distinct()
+    val pairs = keys.select(col(keyCol).as("key_a"))
+      .join(keys.select(col(keyCol).as("key_b")), col("key_a") < col("key_b"))
+    // union registers: each side's registers tagged with the pair, then
+    // bucket-wise max — the same fold hllMerge does for two frames
+    val merged = pairs.join(regs.withColumnRenamed(keyCol, "key_a"), "key_a")
+      .unionByName(pairs.join(regs.withColumnRenamed(keyCol, "key_b"), "key_b")
+        .select("key_a", "key_b", "bucket", "reg"))
+      .groupBy(col("key_a"), col("key_b"), col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+    estimate(merged, Seq("key_a", "key_b"), "est_union")
+      .join(ests.select(col(keyCol).as("key_a"), col("__est").as("est_a")), "key_a")
+      .join(ests.select(col(keyCol).as("key_b"), col("__est").as("est_b")), "key_b")
+      .select(col("key_a"), col("key_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"))
+  }
 
   /** Count-min sketch counters (Cormode/Muthukrishnan 2005) for a value
     * column: `depth` independent hash rows of `width` counters; cell

@@ -281,6 +281,41 @@ class DedupSpec extends SparkSpec {
       ("wiki", "wiki", 2L, 0.6, 0.7)))   // within-source duplication
   }
 
+  test("nearDupThresholdSweep: hand-computed stats per threshold, one CC pass") {
+    // 0.5: edges {1-2, 2-3, 4-5} -> 5 docs, 2 clusters, 3 dropped
+    // 0.7: edges {1-2, 2-3}      -> 3 docs, 1 cluster,  2 dropped
+    // 0.8: edge  {1-2}           -> 2 docs, 1 cluster,  1 dropped
+    // 0.95: no edges             -> all zero
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.7), (4L, 5L, 0.55))
+      .toDF("id_a", "id_b", "jaccard_sim")
+    val got = Dedup.nearDupThresholdSweep(pairs, Seq(0.5, 0.7, 0.8, 0.95))
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0.5, 3L, 5L, 2L, 3L),
+      (0.7, 2L, 3L, 1L, 2L),
+      (0.8, 1L, 2L, 1L, 1L),
+      (0.95, 0L, 0L, 0L, 0L)))
+  }
+
+  test("shingleNovelty: re-crawled content charges to its first owner") {
+    // doc 1 (wiki) owns every shingle of "a b c d e"; doc 2 (crawl) is a
+    // verbatim copy -> crawl novelty 0; doc 3 (crawl) is fresh -> novel.
+    val docs = Seq(
+      (1L, "wiki", "a b c d e"),
+      (2L, "crawl", "a b c d e"),
+      (3L, "crawl", "x y z w"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.shingleNovelty(docs, "doc_id", "text", "source")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // "a b c d e" -> 3 shingles; "x y z w" -> 2 shingles
+    assert(got.toSeq == Seq(
+      ("crawl", 5L, 2L, 0.4),   // 3 copied + 2 fresh
+      ("wiki", 3L, 3L, 1.0)))   // first owner keeps full credit
+  }
+
   test("dropDuplicateSpans: keep-first across docs, empty-doc row kept") {
     val docs = Seq(
       (1L, Seq("header", "body one")),

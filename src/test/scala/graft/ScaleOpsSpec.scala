@@ -385,6 +385,36 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hll set algebra: union/intersection track exact set sizes") {
+    // A = 1..4000, B = 3001..7000, C = 9001..9800 (disjoint from both):
+    // |A∩B| = 1000, |A∪B| = 7000, |A∩C| = 0.
+    val df = ((1 to 4000).map(i => ("A", s"id-$i")) ++
+        (3001 to 7000).map(i => ("B", s"id-$i")) ++
+        (9001 to 9800).map(i => ("C", s"id-$i"))).toDF("k", "v")
+    val got = Sketch.hllSetAlgebra(df, "k", "v", p = 12)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = got(("A", "B"))
+    // std err ~1.6% per estimate; intersection stacks three -> loose 10%
+    assert(math.abs(ab.getAs[Double]("est_union") - 7000) / 7000.0 < 0.05)
+    assert(math.abs(ab.getAs[Double]("est_intersect") - 1000) / 1000.0 < 0.30)
+    val ac = got(("A", "C"))
+    // disjoint: intersection estimate is near zero (may be negative —
+    // reported raw, unclamped)
+    assert(math.abs(ac.getAs[Double]("est_intersect")) < 4800 * 0.10)
+    // union of registers can never estimate below either side
+    assert(ac.getAs[Double]("est_union") >=
+      math.max(ac.getAs[Double]("est_a"), ac.getAs[Double]("est_b")) - 1e-6)
+  }
+
+  test("hll set algebra: pair union == registers built on the unioned data") {
+    val df = ((1 to 2000).map(i => ("A", s"id-$i")) ++
+        (1001 to 3000).map(i => ("B", s"id-$i"))).toDF("k", "v")
+    val pair = Sketch.hllSetAlgebra(df, "k", "v", p = 12).collect().head
+    val whole = Sketch.hllDistinct(df, "v", p = 12).collect().head
+    assert(pair.getAs[Double]("est_union") ==
+      whole.getAs[Double]("est_distinct"))
+  }
+
   test("hll on empty input estimates 0, not NaN") {
     val empty = Seq.empty[String].toDF("v")
     val r = Sketch.hllDistinct(empty, "v", p = 12).collect().head
