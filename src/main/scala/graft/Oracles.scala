@@ -144,6 +144,38 @@ object Oracles {
        |$bucketSelects)""".stripMargin
   }
 
+  /** The q124/q125 DSIR chain: hashed unigram+bigram features into 4096
+    * md5 buckets, add-one-smoothed en-target vs whole-corpus bucket
+    * distributions, per-doc mean log ratio — mirrors
+    * Split.dsirLogWeights(portable = true) term by term. */
+  private val dsirChain: String =
+    s"""tok AS (
+       | SELECT doc_id, lang, ${toksSql("lower(text)")} AS tk FROM documents),
+       |feat AS (
+       | SELECT doc_id, lang, unnest(list_concat(tk,
+       |   list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])))
+       |  AS f
+       | FROM tok),
+       |fb AS (SELECT doc_id, lang, ${ph("f", 5)} % 4096 AS b FROM feat),
+       |qc AS (SELECT b, count(*) AS cq FROM fb GROUP BY b),
+       |pc AS (SELECT b, count(*) AS cp FROM fb WHERE lang = 'en' GROUP BY b),
+       |qt AS (SELECT CAST(sum(cq) AS BIGINT) AS tq FROM qc),
+       |pt AS (SELECT CAST(sum(cp) AS BIGINT) AS tp FROM pc),
+       |lr AS (
+       | SELECT qc.b,
+       |  ln((coalesce(cp, 0) + 1.0) / (tp + 4096)) -
+       |  ln((cq + 1.0) / (tq + 4096)) AS lr
+       | FROM qc LEFT JOIN pc USING (b) CROSS JOIN qt CROSS JOIN pt),
+       |dc AS (SELECT doc_id, b, count(*) AS c FROM fb GROUP BY 1, 2),
+       |term AS (
+       | SELECT doc_id, c, CAST(round(c * lr, 6) AS DECIMAL(25,6)) AS t
+       | FROM dc JOIN lr USING (b)),
+       |wts AS (
+       | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features,
+       |  round(CAST(sum(t) AS DOUBLE)
+       |    / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE), 6) AS log_weight_mean
+       | FROM term GROUP BY doc_id)""".stripMargin
+
   /** Set-semantics Jaccard of two shingle lists (q17 precedent). */
   private def jaccardSql(a: String, b: String) =
     s"""CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0
@@ -1152,6 +1184,30 @@ object Oracles {
          |JOIN ea b ON b.k = eu.key_b
          |ORDER BY key_a, key_b""".stripMargin
     },
+
+    // DSIR weights: hashed unigram+bigram features (md5 buckets),
+    // add-one-smoothed target/raw distributions, ln ratios on identical
+    // doubles, per-bucket terms rounded to 6 and summed through
+    // DECIMAL(25,6) — the q99/q113 float ladder end to end
+    "q124_dsir_weights" ->
+      s"""WITH $dsirChain
+         |SELECT doc_id, n_features, log_weight_mean
+         |FROM wts ORDER BY doc_id""".stripMargin,
+
+    // Gumbel-top-k resampling: noise from the portable hash of the id
+    // ((h % 2^30 + 0.5) / 2^30 — power-of-two divisor, exact in double),
+    // keys rounded to 6, ties on doc_id — the selected set is a pure
+    // function both engines compute identically
+    "q125_dsir_resample" ->
+      s"""WITH $dsirChain,
+         |g AS (
+         | SELECT doc_id, n_features, log_weight_mean,
+         |  round(log_weight_mean - ln(-ln(
+         |    (${ph("doc_id", 11)} % 1073741824 + 0.5) / 1073741824.0)), 6)
+         |   AS gumbel_key
+         | FROM wts)
+         |SELECT doc_id, n_features, log_weight_mean, gumbel_key
+         |FROM g ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin,
 
     // token/byte compression ratio per source: exact integer totals, one
     // double division at the end

@@ -1091,6 +1091,30 @@ object Queries {
         "l_orderkey", p = 12, seed = 7, portable = true)
       .orderBy("key_a", "key_b")
 
+  /** DSIR importance weights (Split.dsirLogWeights): every document
+    * scored by how much its hashed unigram+bigram distribution looks
+    * like the ENGLISH subset rather than the whole corpus — the
+    * "make crawl look like the target" selection signal, replayed
+    * end-to-end (features, md5 buckets, smoothing, ln ratios, DECIMAL
+    * sums) by the DuckDB oracle. */
+  def q124DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Split.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", numBuckets = 4096, portable = true)
+      .orderBy("doc_id")
+  }
+
+  /** Gumbel-top-k resampling (Split.dsirResample) over the q124 weights
+    * with portable-hash noise — the paper's sampling step as a pure
+    * function of (ids, weights, seed), so the oracle reproduces the
+    * exact selected set. */
+  def q125DsirResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = Split.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+      "doc_id", "text", numBuckets = 4096, portable = true)
+    Split.dsirResample(w, "doc_id", k = 100, portable = true)
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -1938,6 +1962,8 @@ object Queries {
     "q121_threshold_sweep" -> (q121ThresholdSweep _),
     "q122_shingle_novelty" -> (q122ShingleNovelty _),
     "q123_hll_set_algebra" -> (q123HllSetAlgebra _),
+    "q124_dsir_weights" -> (q124DsirWeights _),
+    "q125_dsir_resample" -> (q125DsirResample _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -133,6 +133,96 @@ object Split {
 
   /** Stratified deterministic sampling: per-stratum percentage targets
     * (strata absent from the map keep `defaultPct`). */
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much its hashed-n-gram feature distribution looks
+    * like a TARGET corpus rather than the raw corpus —
+    * log w(d) = sum over d's features of [ln p_target(b) - ln q_raw(b)]
+    * with word unigram+bigram features hashed into `numBuckets` buckets
+    * and add-one smoothing on both bucket distributions. The standard
+    * "make 100 TB of crawl look like Wikipedia" selection signal.
+    *
+    * Scale shape: the corpus is touched ONCE (explode features -> one
+    * (doc, bucket) count agg); both bucket distributions are bounded at
+    * `numBuckets` rows, the log-ratio table is built from them and
+    * BROADCAST back onto the per-doc counts — no corpus-vs-corpus join,
+    * text never shuffles (only (doc, bucket, cnt) triples). The target
+    * side is typically small but only its BOUNDED distribution is used,
+    * so a large target costs one extra agg, nothing more.
+    *
+    * Float discipline (the q99/q113 ladder): smoothed probabilities are
+    * ratios of exact integers, ln operates on identical doubles in both
+    * engines, each per-bucket term rounds to 6 and sums through
+    * DECIMAL(25,6) (order-independent), ONE double division at the end.
+    * Docs with zero features (empty text) are absent from the output.
+    * Output: (idCol, n_features, log_weight_mean) — mean rather than sum
+    * so the score is length-comparable; resample on it with
+    * [[dsirResample]]. */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, numBuckets: Int = 4096, seed: Int = 5,
+                     portable: Boolean = false): DataFrame = {
+    def features(df: DataFrame, cols: Seq[Column]): DataFrame = {
+      val bi = when(size(col("__tk")) >= 2,
+        expr("transform(sequence(1, size(__tk) - 1), " +
+          "i -> concat(element_at(__tk, i), ' ', element_at(__tk, i + 1)))"))
+        .otherwise(array().cast("array<string>"))
+      df.withColumn("__tk", graft.operators.TextOps.tokens(lower(col(textCol))))
+        .select(cols :+ explode(concat(col("__tk"), bi)).as("__f"): _*)
+    }
+    def bucketed(df: DataFrame, cols: Seq[Column]): DataFrame =
+      features(df, cols).withColumn("__b",
+        if (portable) pmod(Dedup.portableHash64(col("__f"), seed), lit(numBuckets.toLong))
+        else pmod(xxhash64(col("__f"), lit(seed)), lit(numBuckets.toLong)))
+    // bounded distributions: <= numBuckets rows each
+    val qCnt = bucketed(raw, Seq.empty).groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cq"))
+    val pCnt = bucketed(target, Seq.empty).groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cp"))
+    val qTot = qCnt.agg(sum(col("__cq")).as("__tq"))
+    val pTot = pCnt.agg(sum(col("__cp")).as("__tp"))
+    // log-ratio per RAW-OBSERVED bucket (only those can be probed), with
+    // add-one smoothing so target-unseen buckets score finitely negative
+    val ratio = qCnt.join(pCnt, Seq("__b"), "left")
+      .crossJoin(broadcast(qTot)).crossJoin(broadcast(pTot))
+      .select(col("__b"),
+        (log((coalesce(col("__cp"), lit(0L)).cast("double") + 1.0) /
+             (col("__tp").cast("double") + numBuckets)) -
+         log((col("__cq").cast("double") + 1.0) /
+             (col("__tq").cast("double") + numBuckets))).as("__lr"))
+    bucketed(raw, Seq(col(idCol))).groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .join(broadcast(ratio), "__b")
+      .withColumn("__t",
+        round(col("__c") * col("__lr"), 6).cast("decimal(25,6)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_features"), sum(col("__t")).as("__s"))
+      .select(col(idCol), col("n_features"),
+        round(col("__s").cast("double") / col("n_features").cast("double"), 6)
+          .as("log_weight_mean"))
+  }
+
+  /** Gumbel-top-k resampling over [[dsirLogWeights]] output — the
+    * paper's sampling-without-replacement step, derandomized: noise is
+    * -ln(-ln(u)) with u derived from a portable hash of the id (q101's
+    * no-RNG-state discipline), so the selection is a pure function of
+    * (ids, weights, seed) that retries, re-runs, and a SQL oracle all
+    * reproduce. Keys round to 6 before ranking; ties break on id.
+    * Output: the k selected rows (idCol, log_weight_mean, gumbel_key),
+    * highest keys first. */
+  def dsirResample(weights: DataFrame, idCol: String, k: Int,
+                   seed: Int = 11, portable: Boolean = false): DataFrame = {
+    require(k >= 1, "dsirResample: k >= 1")
+    val h =
+      if (portable) Dedup.portableHash64(col(idCol).cast("string"), seed)
+      else xxhash64(col(idCol).cast("string"), lit(seed))
+    val u = (pmod(h, lit(1L << 30)).cast("double") + 0.5) / (1L << 30).toDouble
+    weights
+      .withColumn("gumbel_key",
+        round(col("log_weight_mean") - log(-log(u)), 6))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+  }
+
   def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
                        pcts: Map[String, Int], defaultPct: Int = 0): DataFrame = {
     val pctExpr = pcts.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>

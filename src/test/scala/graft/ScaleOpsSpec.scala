@@ -510,6 +510,50 @@ class RobustSpec extends SparkSpec {
   }
 }
 
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Split
+
+  // two disjoint vocabularies: docs 1-20 speak the target's language,
+  // docs 21-40 speak another; the target corpus is drawn from vocab A
+  private val vocabA = "alpha beta gamma delta epsilon"
+  private val vocabB = "zork quux blarg wibble frotz"
+  private val raw = ((1 to 20).map(i => (i.toLong, vocabA)) ++
+    (21 to 40).map(i => (i.toLong, vocabB))).toDF("id", "text")
+  private val target = (1 to 10).map(i => (100L + i, vocabA)).toDF("id", "text")
+
+  test("dsir: target-matching docs outweigh off-distribution docs") {
+    val w = Split.dsirLogWeights(raw, target, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.size == 40)
+    val aMin = (1 to 20).map(i => w(i.toLong)).min
+    val bMax = (21 to 40).map(i => w(i.toLong)).max
+    assert(aMin > bMax,
+      s"target-vocab min $aMin should beat off-vocab max $bMax")
+    // identical text -> identical weight (pure function of content)
+    assert(w(1L) == w(2L) && w(21L) == w(22L))
+  }
+
+  test("dsir: empty-text docs are absent, not scored") {
+    val withEmpty = raw.union(Seq((99L, "")).toDF("id", "text"))
+    val ids = Split.dsirLogWeights(withEmpty, target, "id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(99L) && ids.size == 40)
+  }
+
+  test("dsir resample: exactly k rows, deterministic, keeps the key order") {
+    val w = Split.dsirLogWeights(raw, target, "id", "text")
+    val s1 = Split.dsirResample(w, "id", k = 15).collect()
+    val s2 = Split.dsirResample(w, "id", k = 15).collect()
+    assert(s1.length == 15)
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq)
+    val keys = s1.map(_.getAs[Double]("gumbel_key")).toSeq
+    assert(keys == keys.sorted.reverse, "rows must come highest-key first")
+    // weights dominate noise here: the selected set leans target-vocab
+    assert(s1.count(_.getLong(0) <= 20) >= 10)
+  }
+}
+
 class MixtureSampleSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Split
