@@ -144,6 +144,25 @@ object Oracles {
        |$bucketSelects)""".stripMargin
   }
 
+  /** The q99/q127 unigram-LM chain: per-doc mean token log-probability
+    * under corpus frequencies, terms rounded to 6 and summed through
+    * DECIMAL(25,6) — ends at `d(doc_id, n_tokens, logprob_mean)`. */
+  private val q99Chain: String =
+    s"""tok AS (
+       | SELECT doc_id, unnest(${toksSql("lower(text)")}) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |freq AS (SELECT token, CAST(sum(tf) AS BIGINT) AS freq FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM freq),
+       |term AS (
+       | SELECT doc_id, tf,
+       |  CAST(round(tf * ln(CAST(freq AS DOUBLE) / n), 6) AS DECIMAL(25,6)) AS t
+       | FROM tf JOIN freq USING (token) CROSS JOIN n),
+       |d AS (
+       | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(t) AS DOUBLE)
+       |    / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE), 6) AS logprob_mean
+       | FROM term GROUP BY 1)""".stripMargin
+
   /** The q124/q125 DSIR chain: hashed unigram+bigram features into 4096
     * md5 buckets, add-one-smoothed en-target vs whole-corpus bucket
     * distributions, per-doc mean log ratio — mirrors
@@ -1209,6 +1228,68 @@ object Oracles {
          |SELECT doc_id, n_features, log_weight_mean, gumbel_key
          |FROM g ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin,
 
+    // Gopher rule battery: every measurement an exact-integer division
+    // (char counts, token counts, non-overlapping replace for symbol
+    // occurrences), rules threshold the unrounded doubles (q81
+    // convention), reported values round to 6
+    "q126_gopher_rules" -> {
+      val stops = graft.operators.TextOps.gopherStopwords
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH d AS (
+         | SELECT doc_id, coalesce(text, '') AS t FROM (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  ${Queries.gopherPlantedSql}
+         | )),
+         |m AS (
+         | SELECT doc_id, t, ${toksSql("t")} AS tk, ${toksSql("lower(t)")} AS tkl,
+         |  list_filter(string_split(t, chr(10)), l -> length(trim(l)) > 0) AS ls
+         | FROM d),
+         |c AS (
+         | SELECT doc_id, len(tk) AS nw,
+         |  CASE WHEN len(tk) = 0 THEN 0.0
+         |   ELSE CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+         |        / len(tk) END AS meanlen,
+         |  (length(t) - length(replace(t, '#', ''))) / 1.0
+         |   + (length(t) - length(replace(t, '…', ''))) / 1.0
+         |   + (length(replace(t, '…', ''))
+         |      - length(replace(replace(t, '…', ''), '...', ''))) / 3.0 AS sym,
+         |  len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS alphaw,
+         |  len(list_intersect(list_distinct(tkl), [$stops])) AS stophits,
+         |  len(ls) AS nl,
+         |  len(list_filter(ls, l -> starts_with(trim(l), '-')
+         |    OR starts_with(trim(l), '•') OR starts_with(trim(l), '*'))) AS bl,
+         |  len(list_filter(ls, l -> ends_with(trim(l), '...')
+         |    OR ends_with(trim(l), '…'))) AS el
+         | FROM m),
+         |r AS (
+         | SELECT doc_id, nw, meanlen,
+         |  CASE WHEN nw = 0 THEN 0.0 ELSE sym / nw END AS symr,
+         |  CASE WHEN nw = 0 THEN 0.0 ELSE CAST(alphaw AS DOUBLE) / nw END AS alphar,
+         |  stophits,
+         |  CASE WHEN nl = 0 THEN 0.0 ELSE CAST(bl AS DOUBLE) / nl END AS bulletr,
+         |  CASE WHEN nl = 0 THEN 0.0 ELSE CAST(el AS DOUBLE) / nl END AS ellipr
+         | FROM c)
+         |SELECT doc_id, CAST(nw AS INT) AS n_words,
+         | round(meanlen, 6) AS mean_word_len,
+         | round(symr, 6) AS symbol_word_ratio,
+         | round(alphar, 6) AS alpha_word_ratio,
+         | CAST(stophits AS INT) AS stopword_hits,
+         | round(bulletr, 6) AS bullet_line_ratio,
+         | round(ellipr, 6) AS ellipsis_line_ratio,
+         | nw >= 50 AND nw <= 100000 AS rule_word_count,
+         | meanlen >= 3.0 AND meanlen <= 10.0 AS rule_mean_len,
+         | symr <= 0.1 AS rule_symbol,
+         | alphar >= 0.8 AS rule_alpha,
+         | stophits >= 2 AS rule_stopwords,
+         | bulletr <= 0.9 AS rule_bullet,
+         | ellipr <= 0.3 AS rule_ellipsis,
+         | (nw >= 50 AND nw <= 100000) AND (meanlen >= 3.0 AND meanlen <= 10.0)
+         |  AND symr <= 0.1 AND alphar >= 0.8 AND stophits >= 2
+         |  AND bulletr <= 0.9 AND ellipr <= 0.3 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
     // token/byte compression ratio per source: exact integer totals, one
     // double division at the end
     "q115_token_byte_ratio" ->
@@ -1480,23 +1561,25 @@ object Oracles {
     // identical double freq/N, per-term round(.,6) summed through
     // DECIMAL(25,6) (order-independent), one double division at the end
     "q99_unigram_lm" ->
-      s"""WITH tok AS (
-         | SELECT doc_id, unnest(${toksSql("lower(text)")}) AS token FROM documents),
-         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |freq AS (SELECT token, CAST(sum(tf) AS BIGINT) AS freq FROM tf GROUP BY 1),
-         |n AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM freq),
-         |term AS (
-         | SELECT doc_id, tf,
-         |  CAST(round(tf * ln(CAST(freq AS DOUBLE) / n), 6) AS DECIMAL(25,6)) AS t
-         | FROM tf JOIN freq USING (token) CROSS JOIN n),
-         |d AS (
-         | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-         |  round(CAST(sum(t) AS DOUBLE)
-         |    / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE), 6) AS logprob_mean
-         | FROM term GROUP BY 1)
+      s"""WITH $q99Chain
          |SELECT doc_id, n_tokens, logprob_mean,
          | logprob_mean >= -9.0 AS keep
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    // CCNet perplexity thirds: quantile_cont cuts over the q99 scores
+    // (already rounded to 6 -> identical multisets rank identically in
+    // both engines), >= comparisons on the unbucketed cut doubles
+    "q127_ppl_buckets" ->
+      s"""WITH $q99Chain,
+         |cuts AS (
+         | SELECT quantile_cont(logprob_mean, ${2.0 / 3}) AS hi,
+         |  quantile_cont(logprob_mean, ${1.0 / 3}) AS lo
+         | FROM d)
+         |SELECT doc_id, n_tokens, logprob_mean,
+         | CASE WHEN logprob_mean >= hi THEN 'head'
+         |      WHEN logprob_mean >= lo THEN 'middle'
+         |      ELSE 'tail' END AS ppl_bucket
+         |FROM d CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
 
     // span dedup replay: same 16-token windows (the q42 chunk formula at
     // overlap 0), md5 span digests, first occurrence by (doc_id, pos)

@@ -1115,6 +1115,57 @@ object Queries {
     Split.dsirResample(w, "doc_id", k = 100, portable = true)
   }
 
+  /** Planted Gopher fixtures — one document per rule failure mode (the
+    * synthetic corpus is stopword-free token soup, so without these the
+    * stopword/bullet/symbol/ellipsis/mean-len booleans would be
+    * constant and the battery unexercised). Shared with the oracle via
+    * [[gopherPlantedSql]] so query and replay cannot drift. */
+  private val gopherFiller =
+    Seq.fill(3)("the results of the test have shown that we continue to " +
+      "work with the data and that the model will be ready").mkString(" ")
+  private[graft] val gopherPlanted: Seq[(Long, String)] = Seq(
+    9000001L -> gopherFiller,                                // passes all
+    9000002L -> gopherFiller.split(" ").grouped(7)           // bullet-fail
+      .map(ws => "- " + ws.mkString(" ")).mkString("\n"),
+    9000003L -> (gopherFiller + " " +                        // symbol-fail
+      (1 to 10).map(i => s"#tag$i").mkString(" ")),
+    9000004L -> gopherFiller.split(" ").grouped(13)          // ellipsis-fail
+      .map(_.mkString(" ") + "…").mkString("\n"),
+    9000005L -> ("the of " + (1 to 53).map(i => 1000 + i)    // alpha-fail
+      .mkString(" ")),
+    9000006L -> ("the of " + Seq.fill(53)("a").mkString(" "))) // mean-len-fail
+
+  /** The planted fixtures as DuckDB VALUES (newlines via chr(10)). */
+  private[graft] def gopherPlantedSql: String =
+    gopherPlanted.map { case (id, t) =>
+      val esc = t.replace("'", "''").replace("\n", "' || chr(10) || '")
+      s"SELECT CAST($id AS BIGINT) AS doc_id, '$esc' AS text"
+    }.mkString("\n  UNION ALL\n  ")
+
+  /** Gopher quality-rule battery (TextOps.gopherRules) over documents
+    * plus the planted fixtures: the Rae et al. 2021 doc-level filter
+    * set, every measurement and rule boolean replayed by the DuckDB
+    * oracle on exact-integer divisions. minWords = 50 splits this
+    * corpus (10-99-word docs), the stopword-free corpus fails the
+    * stopword rule wholesale, and each planted doc trips exactly one of
+    * the remaining rules — every boolean column carries live variation
+    * in both directions. */
+  def q126GopherRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(gopherPlanted.toDF("doc_id", "text"))
+    TextOps.gopherRules(docs, "doc_id", "text", minWords = 50)
+      .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity thirds (TextOps.perplexityBuckets): the
+    * corpus split head/middle/tail by self-trained unigram-LM score via
+    * exact percentile cuts (broadcast scalars, no global sort) — the
+    * q99 chain + quantile_cont replayed by the oracle. */
+  def q127PplBuckets(s: SparkSession, dir: String): DataFrame =
+    TextOps.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -1964,6 +2015,8 @@ object Queries {
     "q123_hll_set_algebra" -> (q123HllSetAlgebra _),
     "q124_dsir_weights" -> (q124DsirWeights _),
     "q125_dsir_resample" -> (q125DsirResample _),
+    "q126_gopher_rules" -> (q126GopherRules _),
+    "q127_ppl_buckets" -> (q127PplBuckets _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

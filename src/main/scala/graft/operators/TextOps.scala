@@ -86,6 +86,79 @@ object TextOps {
     lit(100) - penalties
   }
 
+  /** Gopher's canonical 8 stopwords (Rae et al. 2021 §A1.1: a document
+    * must contain >= 2 of these to pass the stopword rule). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-rule battery (Rae et al. 2021, "Scaling Language
+    * Models" §A1.1) — the doc-level filter set most large English corpora
+    * run before training: word-count window, mean-word-length window
+    * [3, 10], symbol-to-word ratio (#/ellipsis) <= 0.1, >= 80% of words
+    * containing an alphabetic character, >= 2 canonical stopwords, <= 90%
+    * of lines starting with a bullet, <= 30% ending with an ellipsis.
+    *
+    * Per-row codegen expressions only (token kernel + HOF filters/
+    * aggregate) — no shuffle, no UDF; the battery composes with any scan.
+    * Ratios are exact-integer divisions rounded AFTER the rule compares
+    * (q81 convention: threshold on the unrounded value, report rounded).
+    * Empty docs fail the word-count rule and report 0 ratios.
+    * Output: idCol + the 7 measurements + 7 rule booleans + keep. */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, minWords: Int = 50,
+                  maxWords: Int = 100000): org.apache.spark.sql.DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def occurrences(c: Column, lit0: String): Column =
+      (length(c) - length(replace(c, lit(lit0), lit("")))) /
+        lit(lit0.length).cast("double")
+    val tk = tokens(txt)
+    val tkl = tokens(lower(txt))
+    val nW = size(tk)
+    val sumLen = aggregate(tk, lit(0L), (acc, t) => acc + length(t))
+    val meanLen = when(nW === 0, 0.0)
+      .otherwise(sumLen.cast("double") / nW.cast("double"))
+    val symbols = occurrences(txt, "#") + occurrences(txt, "…") +
+      occurrences(regexp_replace(txt, lit("…"), lit("")), "...")
+    val symbolRatio = when(nW === 0, 0.0).otherwise(symbols / nW.cast("double"))
+    val alphaW = size(filter(tk, t => t.rlike("[A-Za-z]")))
+    val alphaRatio = when(nW === 0, 0.0)
+      .otherwise(alphaW.cast("double") / nW.cast("double"))
+    val stopHits = size(array_intersect(array_distinct(tkl),
+      array(gopherStopwords.map(lit): _*)))
+    val lines = filter(split(txt, "\n"), l => length(trim(l)) > 0)
+    val nL = size(lines)
+    val bulletL = size(filter(lines, l =>
+      trim(l).startsWith("-") || trim(l).startsWith("•") ||
+        trim(l).startsWith("*")))
+    val ellipsisL = size(filter(lines, l =>
+      trim(l).endsWith("...") || trim(l).endsWith("…")))
+    val bulletRatio = when(nL === 0, 0.0)
+      .otherwise(bulletL.cast("double") / nL.cast("double"))
+    val ellipsisRatio = when(nL === 0, 0.0)
+      .otherwise(ellipsisL.cast("double") / nL.cast("double"))
+    val rWords = nW >= minWords && nW <= maxWords
+    val rMean = meanLen >= 3.0 && meanLen <= 10.0
+    val rSymbol = symbolRatio <= 0.1
+    val rAlpha = alphaRatio >= 0.8
+    val rStop = stopHits >= 2
+    val rBullet = bulletRatio <= 0.9
+    val rEllipsis = ellipsisRatio <= 0.3
+    df.select(col(idCol),
+      nW.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_word_ratio"),
+      round(alphaRatio, 6).as("alpha_word_ratio"),
+      stopHits.as("stopword_hits"),
+      round(bulletRatio, 6).as("bullet_line_ratio"),
+      round(ellipsisRatio, 6).as("ellipsis_line_ratio"),
+      rWords.as("rule_word_count"), rMean.as("rule_mean_len"),
+      rSymbol.as("rule_symbol"), rAlpha.as("rule_alpha"),
+      rStop.as("rule_stopwords"), rBullet.as("rule_bullet"),
+      rEllipsis.as("rule_ellipsis"),
+      (rWords && rMean && rSymbol && rAlpha && rStop && rBullet && rEllipsis)
+        .as("keep"))
+  }
+
   /** Per-language marker words for the language-ID heuristic (tiny public
     * stopword samples — the classic n-gram/stopword profile approach). */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -257,6 +330,32 @@ object TextOps {
         round(col("__lsum").cast("double") / col("n_bigrams").cast("double"), 6)
           .as("logprob_mean"))
       .withColumn("keep", col("logprob_mean") >= minLogProb)
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    * corpus into head/middle/tail thirds by language-model score —
+    * the standard "keep the fluent third, inspect the middle, drop the
+    * tail" curation gate, here over the self-trained [[unigramLogProb]]
+    * score (drop-in for any per-doc LM column). Buckets come from exact
+    * percentile CUTS (two scalars, broadcast), not a global sort — no
+    * single-partition window at 100 TB; the q110/q44 parity makes the
+    * thresholds cross-engine exact (scores are already rounded to 6, so
+    * both engines rank identical multisets). Docs scoring exactly on a
+    * cut take the higher bucket (>=).
+    * Output: (idCol, n_tokens, logprob_mean, ppl_bucket). */
+  def perplexityBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    val scores = unigramLogProb(df, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("logprob_mean"))
+      .transform(Checkpoints.ckpt) // consumers: cuts + the labelling pass
+    val cuts = scores.agg(
+      expr(s"percentile(logprob_mean, ${2.0 / 3})").as("__hi"),
+      expr(s"percentile(logprob_mean, ${1.0 / 3})").as("__lo"))
+    scores.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("n_tokens"), col("logprob_mean"),
+        when(col("logprob_mean") >= col("__hi"), "head")
+          .when(col("logprob_mean") >= col("__lo"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
   }
 
   /** Learn BPE merges from the corpus (Sennrich et al. 2016, the

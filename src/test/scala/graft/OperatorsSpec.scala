@@ -487,6 +487,47 @@ class TextOpsSpec extends SparkSpec {
     assert(tricky == Seq("ab", "c", "</w>"))
   }
 
+  test("gopher rules: each planted fixture fails exactly its one rule") {
+    val docs = Queries.gopherPlanted.toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs, "doc_id", "text", minWords = 50)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ruleCols = Seq("rule_word_count", "rule_mean_len", "rule_symbol",
+      "rule_alpha", "rule_stopwords", "rule_bullet", "rule_ellipsis")
+    def failing(id: Long): Seq[String] =
+      ruleCols.filter(c => !got(id).getAs[Boolean](c))
+    assert(failing(9000001L).isEmpty && got(9000001L).getAs[Boolean]("keep"))
+    assert(failing(9000002L) == Seq("rule_bullet"))
+    assert(failing(9000003L) == Seq("rule_symbol"))
+    assert(failing(9000004L) == Seq("rule_ellipsis"))
+    assert(failing(9000005L) == Seq("rule_alpha"))
+    assert(failing(9000006L) == Seq("rule_mean_len"))
+    assert((2L to 6L).forall(i => !got(9000000L + i).getAs[Boolean]("keep")))
+  }
+
+  test("gopher rules: short and empty docs fail word count with zeroed ratios") {
+    val docs = Seq((1L, "tiny doc"), (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!got(1L).getAs[Boolean]("rule_word_count"))
+    assert(!got(2L).getAs[Boolean]("rule_word_count"))
+    assert(got(2L).getAs[Double]("mean_word_len") == 0.0)
+    assert(got(2L).getAs[Double]("alpha_word_ratio") == 0.0)
+    assert(!got(2L).getAs[Boolean]("keep"))
+  }
+
+  test("perplexity buckets: thirds by LM score, common-token docs in head") {
+    // docs of corpus-frequent tokens score high; rare-token docs low
+    val docs = ((1 to 6).map(i => (i.toLong, "the cat sat on the mat")) ++
+      (7 to 12).map(i => (i.toLong, "the cat sat on a rug quietly")) ++
+      (13 to 18).map(i => (i.toLong, s"xylophone$i quartz$i vortex$i")))
+      .toDF("doc_id", "text")
+    val got = TextOps.perplexityBuckets(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert((1 to 6).forall(i => got(i.toLong) == "head"))
+    assert((7 to 12).forall(i => got(i.toLong) == "middle"))
+    assert((13 to 18).forall(i => got(i.toLong) == "tail"))
+  }
+
   test("token counts: whitespace and BPE-ish") {
     val df = Seq("Hello,  world! abc123 done").toDF("t")
     assert(df.select(TextOps.tokenCount(col("t"))).head().getInt(0) == 4)
