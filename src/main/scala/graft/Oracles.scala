@@ -1581,6 +1581,43 @@ object Oracles {
          |      ELSE 'tail' END AS ppl_bucket
          |FROM d CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
 
+    // line-level corrections: every rule integer-exact (word counts,
+    // char-class counts, 60% via uppers*5 > letters*3 cross-multiply);
+    // the one double is the final drop ratio (round-6), and the document
+    // gate compares the ROUNDED value on both sides
+    "q128_line_corrections" ->
+      s"""WITH base AS (
+         | SELECT doc_id, coalesce(text, '') AS t FROM (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  ${Queries.linePlantedSql}
+         | )),
+         |l AS (
+         | SELECT doc_id, string_split(t, chr(10)) AS ls FROM base),
+         |k AS (
+         | SELECT doc_id, ls, list_filter(ls, l -> NOT (
+         |   len(${toksSql("l")}) <= 1
+         |   OR (regexp_full_match(l, '[0-9\\s[:punct:]]*')
+         |       AND regexp_matches(l, '[0-9]'))
+         |   OR (length(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0
+         |       AND length(regexp_replace(l, '[^A-Z]', '', 'g')) * 5
+         |           > length(regexp_replace(l, '[^A-Za-z]', '', 'g')) * 3)
+         |   OR regexp_full_match(lower(trim(l)),
+         |        '[0-9][0-9,.]* (likes?|views?|comments?|shares?|points?)')
+         |  )) AS kept
+         | FROM l),
+         |r AS (
+         | SELECT doc_id,
+         |  array_to_string(kept, chr(10)) AS text_clean,
+         |  CAST(len(ls) AS INT) AS n_lines,
+         |  CAST(len(ls) - len(kept) AS INT) AS n_dropped,
+         |  round(CAST(len(ls) - len(kept) AS DOUBLE)
+         |        / CAST(len(ls) AS DOUBLE), 6) AS drop_ratio
+         | FROM k)
+         |SELECT doc_id, text_clean, n_lines, n_dropped, drop_ratio,
+         | drop_ratio <= 0.2 AS keep_doc
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     // span dedup replay: same 16-token windows (the q42 chunk formula at
     // overlap 0), md5 span digests, first occurrence by (doc_id, pos)
     // window, ordered string_agg reassembly; planted header literal is

@@ -1166,6 +1166,47 @@ object Queries {
     TextOps.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Planted multi-line fixtures for the line-corrections battery — the
+    * synthetic corpus has no newlines (every doc is one kept line), so
+    * without these each line rule would never fire. One doc per rule,
+    * one clean doc, one boilerplate-heavy doc that fails the document
+    * gate. Shared with the oracle via [[linePlantedSql]]. */
+  private[graft] val linePlanted: Seq[(Long, String)] = Seq(
+    9100001L -> Seq("this line reads like normal prose text",
+      "and so does this second line of it").mkString("\n"),   // all kept
+    9100002L -> Seq("a fine first line of words", "loading…", // one-word
+      "another fine line of words").mkString("\n"),
+    9100003L -> Seq("a fine first line of words", "42 07.",   // numeric-only
+      "another fine line of words").mkString("\n"),
+    9100004L -> Seq("a fine first line of words",
+      "NAVIGATION MENU Home", "another fine line of words")   // upper-heavy
+      .mkString("\n"),
+    9100005L -> Seq("a fine first line of words", "12 likes", // counter
+      "another fine line of words").mkString("\n"),
+    9100006L -> Seq("SITE HEADER", "12,345 views", "Menu",    // doc dropped
+      "only one real line of text here", "© 2024").mkString("\n"))
+
+  /** The planted fixtures as DuckDB VALUES (newlines via chr(10)). */
+  private[graft] def linePlantedSql: String =
+    linePlanted.map { case (id, t) =>
+      val esc = t.replace("'", "''").replace("\n", "' || chr(10) || '")
+      s"SELECT CAST($id AS BIGINT) AS doc_id, '$esc' AS text"
+    }.mkString("\n  UNION ALL\n  ")
+
+  /** RefinedWeb-style line-level corrections (TextOps.lineCorrections)
+    * over documents plus the planted multi-line fixtures: per-line
+    * boilerplate rules (one-word / numeric-only / uppercase-heavy /
+    * social-counter), reassembly, and the document-level drop gate —
+    * every rule fired by a planted doc, the whole pass replayed by the
+    * DuckDB oracle on integer-exact rule arithmetic. */
+  def q128LineCorrections(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(linePlanted.toDF("doc_id", "text"))
+    TextOps.lineCorrections(docs, "doc_id", "text", maxDropRatio = 0.2)
+      .orderBy("doc_id")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2017,6 +2058,7 @@ object Queries {
     "q125_dsir_resample" -> (q125DsirResample _),
     "q126_gopher_rules" -> (q126GopherRules _),
     "q127_ppl_buckets" -> (q127PplBuckets _),
+    "q128_line_corrections" -> (q128LineCorrections _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

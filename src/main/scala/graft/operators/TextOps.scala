@@ -486,6 +486,47 @@ object TextOps {
     graft.expr.GraftFunctions.wordChunks(coalesce(text, lit("")), chunkSize, overlap)
   }
 
+  /** Line-level corrections — the RefinedWeb/MassiveText line-wise pass
+    * (Penedo et al. 2023 §3.2: strip navigation/boilerplate LINES, then
+    * drop the document if too much of it was boilerplate). A line is
+    * dropped when it is (a) one word or empty, (b) numeric-only
+    * (digits/punctuation/space with at least one digit — page numbers,
+    * timestamps), (c) uppercase-heavy (>60% of letters — headers, nav
+    * menus), or (d) a social counter ("12 likes"). The document is
+    * dropped when more than `maxDropRatio` of its lines were.
+    *
+    * Scale shape: pure per-row Column expressions over a split/filter/
+    * array_join chain — no shuffle, no UDF; linear in corpus size and
+    * identical in batch and streaming. The 60% rule is integer
+    * cross-multiplication (uppers*5 > letters*3), so the only double in
+    * the output is the final drop ratio (round-6, q89 discipline).
+    * Output: (idCol, text_clean, n_lines, n_dropped, drop_ratio, keep_doc). */
+  def lineCorrections(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String,
+                      maxDropRatio: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")), "\n", -1)
+    def words(l: Column): Column =
+      filter(split(l, "\\s+", -1), w => w =!= "")
+    def letters(l: Column): Column =
+      length(regexp_replace(l, "[^A-Za-z]", ""))
+    def uppers(l: Column): Column =
+      length(regexp_replace(l, "[^A-Z]", ""))
+    def dropLine(l: Column): Column =
+      (size(words(l)) <= 1) ||
+      (l.rlike("^[0-9\\s\\p{Punct}]*$") && l.rlike("[0-9]")) ||
+      (letters(l) > 0 && uppers(l) * 5 > letters(l) * 3) ||
+      lower(trim(l)).rlike("^[0-9][0-9,.]* (likes?|views?|comments?|shares?|points?)$")
+    df.select(col(idCol), lines.as("__ls"),
+        filter(lines, l => !dropLine(l)).as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("text_clean"),
+        size(col("__ls")).as("n_lines"),
+        (size(col("__ls")) - size(col("__kept"))).as("n_dropped"))
+      .withColumn("drop_ratio",
+        round(col("n_dropped").cast("double") / col("n_lines").cast("double"), 6))
+      .withColumn("keep_doc", col("drop_ratio") <= maxDropRatio)
+  }
+
   /** PII scrubbing: redact email addresses and 10-12 digit phone-like runs
     * (the same shapes the cleaning rules validate) with typed placeholders. */
   def redactPii(text: Column): Column =

@@ -515,6 +515,25 @@ class TextOpsSpec extends SparkSpec {
     assert(!got(2L).getAs[Boolean]("keep"))
   }
 
+  test("line corrections: each planted fixture drops exactly its one line") {
+    val docs = Queries.linePlanted.toDF("doc_id", "text")
+    val got = TextOps.lineCorrections(docs, "doc_id", "text", maxDropRatio = 0.2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(9100001L).getAs[Int]("n_dropped") == 0 &&
+      got(9100001L).getAs[Boolean]("keep_doc"))
+    for (id <- Seq(9100002L, 9100003L, 9100004L, 9100005L)) {
+      assert(got(id).getAs[Int]("n_dropped") == 1, s"doc $id")
+      assert(got(id).getAs[String]("text_clean") ==
+        "a fine first line of words\nanother fine line of words", s"doc $id")
+    }
+    // boilerplate-heavy doc: header/counter/menu lines dropped; "© 2024"
+    // survives (© is outside the ASCII punct class, so the numeric-only
+    // rule doesn't fire — the rules are deliberately ASCII-scoped); the
+    // document gate still fires at 3/5
+    assert(got(9100006L).getAs[Int]("n_dropped") == 3)
+    assert(!got(9100006L).getAs[Boolean]("keep_doc"))
+  }
+
   test("perplexity buckets: thirds by LM score, common-token docs in head") {
     // docs of corpus-frequent tokens score high; rare-token docs low
     val docs = ((1 to 6).map(i => (i.toLong, "the cat sat on the mat")) ++
