@@ -1618,6 +1618,37 @@ object Oracles {
          | drop_ratio <= 0.2 AS keep_doc
          |FROM r ORDER BY doc_id""".stripMargin,
 
+    // HTML strip replay: the same RE2-safe regex chain (inline (?is)
+    // flags, no backreferences), same entity order with &amp; decoded
+    // LAST, 'g' for global on every regexp_replace
+    "q129_strip_markup" ->
+      s"""WITH base AS (
+         | SELECT doc_id, coalesce(text, '') AS t FROM (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  ${Queries.htmlPlantedSql}
+         | )),
+         |c AS (
+         | SELECT doc_id, t,
+         |  trim(regexp_replace(
+         |   replace(
+         |    replace(replace(replace(replace(replace(
+         |     regexp_replace(
+         |      regexp_replace(
+         |       regexp_replace(
+         |        regexp_replace(t, '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g'),
+         |        '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g'),
+         |       '(?s)<!--.*?-->', ' ', 'g'),
+         |      '(?s)</?[A-Za-z!][^>]*>', ' ', 'g'),
+         |     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |     '&#39;', ''''), '&nbsp;', ' '),
+         |   '&amp;', '&'),
+         |  '\\s+', ' ', 'g')) AS text_clean
+         | FROM base)
+         |SELECT doc_id, text_clean,
+         | CAST(length(t) - length(text_clean) AS INT) AS removed_chars
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     // span dedup replay: same 16-token windows (the q42 chunk formula at
     // overlap 0), md5 span digests, first occurrence by (doc_id, pos)
     // window, ordered string_agg reassembly; planted header literal is

@@ -1207,6 +1207,42 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Planted markup fixtures for the HTML-strip kernel — the synthetic
+    * corpus is tag-free, so each parse case (script/style blocks,
+    * comments, attributed/uppercase/self-closing tags, entities, the
+    * pre-escaped `&amp;lt;` double-decode trap, an unmatched `<`) gets a
+    * planted doc. Shared with the oracle via [[htmlPlantedSql]]. */
+  private[graft] val htmlPlanted: Seq[(Long, String)] = Seq(
+    9200001L -> ("<html><head><title>Page Title</title>" +
+      "<style type=\"text/css\">body { color: red; }</style>" +
+      "<script>\nvar x = 1 < 2;\nalert(x);\n</script></head>" +
+      "<body><h1>Main   Heading</h1><p>First paragraph.</p></body></html>"),
+    9200002L -> ("Plain text with <!-- a\nmultiline comment --> inside " +
+      "and <B CLASS=\"x\">bold</B> plus a self-closing break<br/>here"),
+    9200003L -> ("Entities: fish &amp; chips, 1 &lt; 2, 3 &gt; 1, " +
+      "&quot;quoted&quot;, it&#39;s non&nbsp;breaking"),
+    9200004L -> "Pre-escaped: the entity &amp;lt; stays literal text",
+    9200005L -> "Math like 1 < 2 with no closing bracket stays untouched")
+
+  /** The planted markup fixtures as DuckDB VALUES. */
+  private[graft] def htmlPlantedSql: String =
+    htmlPlanted.map { case (id, t) =>
+      val esc = t.replace("'", "''").replace("\n", "' || chr(10) || '")
+      s"SELECT CAST($id AS BIGINT) AS doc_id, '$esc' AS text"
+    }.mkString("\n  UNION ALL\n  ")
+
+  /** HTML/markup stripping (TextOps.stripMarkup) over documents plus the
+    * planted markup fixtures: script/style/comment blocks dropped
+    * wholesale, tags dropped, entities decoded (&amp; last — pre-escaped
+    * text never double-decodes), whitespace collapsed. removed_chars is
+    * the per-doc "markup still present" audit signal. */
+  def q129StripMarkup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(htmlPlanted.toDF("doc_id", "text"))
+    TextOps.stripMarkupDocs(docs, "doc_id", "text").orderBy("doc_id")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2059,6 +2095,7 @@ object Queries {
     "q126_gopher_rules" -> (q126GopherRules _),
     "q127_ppl_buckets" -> (q127PplBuckets _),
     "q128_line_corrections" -> (q128LineCorrections _),
+    "q129_strip_markup" -> (q129StripMarkup _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -527,6 +527,46 @@ object TextOps {
       .withColumn("keep_doc", col("drop_ratio") <= maxDropRatio)
   }
 
+  /** HTML/markup stripping — the first pass of any web-crawl curation
+    * pipeline when upstream extraction left tags behind: drop
+    * script/style blocks wholesale (their CONTENT is code, not text),
+    * drop comments, drop remaining tags, decode the common entities,
+    * collapse whitespace. Regex-based by design: deterministic, codegen'd,
+    * engine-portable (no backreferences — RE2-safe), and honest about its
+    * scope — it is a TEXT-CLEANUP kernel, not an HTML parser (a stray
+    * unmatched `<` with no closing `>` passes through untouched; full DOM
+    * fidelity belongs at the extraction seam, like the multimodal codec).
+    * `&amp;` decodes LAST so pre-escaped entity text (`&amp;lt;`) yields
+    * the literal entity, never a second decode into a phantom tag.
+    *
+    * Scale shape: pure per-row codegen Column chain — no shuffle, no UDF,
+    * linear in corpus bytes, identical in batch and streaming. */
+  def stripMarkup(text: Column): Column = {
+    val src = coalesce(text, lit(""))
+    val noScript = regexp_replace(src,
+      "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)</?[A-Za-z!][^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    val amp = replace(decoded, lit("&amp;"), lit("&"))
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
+
+  /** [[stripMarkup]] over a frame: (idCol, text_clean, removed_chars) —
+    * removed_chars > 0 is the "this source still ships markup" audit
+    * signal a per-source report aggregates. */
+  def stripMarkupDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val clean = stripMarkup(col(textCol))
+    df.select(col(idCol), clean.as("text_clean"),
+      (length(coalesce(col(textCol), lit(""))) - length(clean))
+        .as("removed_chars"))
+  }
+
   /** PII scrubbing: redact email addresses and 10-12 digit phone-like runs
     * (the same shapes the cleaning rules validate) with typed placeholders. */
   def redactPii(text: Column): Column =

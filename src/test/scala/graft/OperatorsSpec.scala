@@ -534,6 +534,22 @@ class TextOpsSpec extends SparkSpec {
     assert(!got(9100006L).getAs[Boolean]("keep_doc"))
   }
 
+  test("strip markup: blocks/tags/entities per planted fixture") {
+    val docs = Queries.htmlPlanted.toDF("doc_id", "text")
+    val got = TextOps.stripMarkupDocs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(9200001L) == "Page Title Main Heading First paragraph.")
+    assert(got(9200002L) ==
+      "Plain text with inside and bold plus a self-closing break here")
+    assert(got(9200003L) ==
+      "Entities: fish & chips, 1 < 2, 3 > 1, \"quoted\", it's non breaking")
+    // &amp;lt; decodes ONCE (to the literal entity), never into a tag
+    assert(got(9200004L) == "Pre-escaped: the entity &lt; stays literal text")
+    // an unmatched < with no later > is untouched (not an HTML parser)
+    assert(got(9200005L) ==
+      "Math like 1 < 2 with no closing bracket stays untouched")
+  }
+
   test("perplexity buckets: thirds by LM score, common-token docs in head") {
     // docs of corpus-frequent tokens score high; rare-token docs low
     val docs = ((1 to 6).map(i => (i.toLong, "the cat sat on the mat")) ++
