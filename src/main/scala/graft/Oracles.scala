@@ -1649,6 +1649,50 @@ object Oracles {
          | CAST(length(t) - length(text_clean) AS INT) AS removed_chars
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // NB language classifier replay: same priors ln(ndl/nd), same
+    // add-one likelihoods ln((c+1)/(tot+V)) with c=0 for unseen
+    // (token,label) pairs, terms rounded to 6 and summed in DECIMAL
+    // (order-independent), argmax tie-broken on label asc — the q99 ln
+    // discipline end to end
+    "q130_nb_lang_classify" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, lang, unnest(${toksSql("lower(text)")}) AS token
+         | FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+         |v AS (SELECT count(DISTINCT token) AS v FROM cnt),
+         |ndl AS (SELECT lang, count(*) AS ndl FROM documents GROUP BY 1),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |lab AS (
+         | SELECT ndl.lang, coalesce(tot, 0) AS tot, v,
+         |  CAST(round(ln(CAST(ndl AS DOUBLE) / nd), 6) AS DECIMAL(25,6))
+         |   AS prior
+         | FROM ndl LEFT JOIN tot ON ndl.lang = tot.lang
+         | CROSS JOIN v CROSS JOIN n),
+         |term AS (
+         | SELECT tf.doc_id, lab.lang,
+         |  CAST(round(tf * ln(CAST(coalesce(c, 0) + 1 AS DOUBLE)
+         |    / (tot + v)), 6) AS DECIMAL(25,6)) AS t
+         | FROM tf CROSS JOIN lab
+         | LEFT JOIN cnt ON cnt.token = tf.token AND cnt.lang = lab.lang),
+         |ts AS (SELECT doc_id, lang, sum(t) AS s FROM term GROUP BY 1, 2),
+         |sc AS (
+         | SELECT d.doc_id, lab.lang,
+         |  lab.prior + coalesce(s, CAST(0 AS DECIMAL(25,6))) AS score
+         | FROM (SELECT doc_id FROM documents) d CROSS JOIN lab
+         | LEFT JOIN ts ON ts.doc_id = d.doc_id AND ts.lang = lab.lang),
+         |rk AS (
+         | SELECT doc_id, lang AS pred_label, score,
+         |  row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, lang ASC) AS r
+         | FROM sc)
+         |SELECT d.doc_id, rk.pred_label,
+         | round(CAST(rk.score AS DOUBLE), 6) AS score,
+         | d.lang, rk.pred_label = d.lang AS correct
+         |FROM rk JOIN documents d USING (doc_id)
+         |WHERE r = 1 ORDER BY d.doc_id""".stripMargin,
+
     // span dedup replay: same 16-token windows (the q42 chunk formula at
     // overlap 0), md5 span digests, first occurrence by (doc_id, pos)
     // window, ordered string_agg reassembly; planted header literal is

@@ -1243,6 +1243,16 @@ object Queries {
     TextOps.stripMarkupDocs(docs, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** Naive-Bayes language classifier (Classify.nbSelfClassify): train a
+    * multinomial NB on the corpus's own lang labels, classify every doc,
+    * compare to gold — the closed-form member of the fastText/CCNet
+    * linear-filter family, trained and scored in one Catalyst plan. The
+    * oracle replays priors, add-one likelihoods, DECIMAL term sums and
+    * the (score desc, label asc) argmax exactly. */
+  def q130NbLangClassify(s: SparkSession, dir: String): DataFrame =
+    Classify.nbSelfClassify(t(s, dir, "documents"), "doc_id", "text", "lang")
+      .orderBy("doc_id")
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2096,6 +2106,7 @@ object Queries {
     "q127_ppl_buckets" -> (q127PplBuckets _),
     "q128_line_corrections" -> (q128LineCorrections _),
     "q129_strip_markup" -> (q129StripMarkup _),
+    "q130_nb_lang_classify" -> (q130NbLangClassify _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

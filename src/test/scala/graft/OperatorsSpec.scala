@@ -550,6 +550,28 @@ class TextOpsSpec extends SparkSpec {
       "Math like 1 < 2 with no closing bracket stays untouched")
   }
 
+  test("NB classifier: recovers separable labels; empty doc falls to prior") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the dog ran to the park", "en"),
+      (3L, "el gato grande come pescado", "es"),
+      (4L, "el perro corre al parque", "es"),
+      (5L, "the quick cat and the dog", "en"),
+      (6L, "", "es")).toDF("doc_id", "text", "lang")
+    val got = Classify.nbSelfClassify(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- 1L to 5L)
+      assert(got(id).getAs[Boolean]("correct"), s"doc $id")
+    // the empty doc scores priors only: 3 en docs vs 3 es docs is a
+    // dead tie, so the deterministic label-asc tie-break picks "en"
+    assert(got(6L).getAs[String]("pred_label") == "en")
+    // two-frame form: score a fresh doc against the trained corpus
+    val fresh = Seq((10L, "the cat and the dog sat")).toDF("doc_id", "text")
+    val pred = Classify.nbClassify(docs, fresh, "doc_id", "text", "lang")
+      .collect().head
+    assert(pred.getString(1) == "en")
+  }
+
   test("perplexity buckets: thirds by LM score, common-token docs in head") {
     // docs of corpus-frequent tokens score high; rare-token docs low
     val docs = ((1 to 6).map(i => (i.toLong, "the cat sat on the mat")) ++
