@@ -1783,6 +1783,32 @@ object Oracles {
     // leakage-safe split: q61's verified pair chain + the q65 recursive
     // min-label CC + representative hashing — the split CASE replays the
     // portable hash mod 10000 against the 8000 bp cut
+    // family-capped sampling: same pair chain + recursive CC as q105,
+    // then a per-family rank by (portable id hash, id) — row_number cast
+    // to INT for the dtype-strict gate
+    "q131_family_cap" ->
+      s"""WITH RECURSIVE $q61Chain,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |fam AS (
+         | SELECT doc_id, coalesce(cluster_id, doc_id) AS family
+         | FROM corpus LEFT JOIN labels ON doc_id = labels.id),
+         |rk AS (
+         | SELECT doc_id, family,
+         |  CAST(row_number() OVER (PARTITION BY family
+         |    ORDER BY ${ph("CAST(doc_id AS VARCHAR)", 7)}, doc_id) AS INT)
+         |   AS family_rank
+         | FROM fam)
+         |SELECT doc_id, family, family_rank, family_rank <= 2 AS keep
+         |FROM rk ORDER BY doc_id""".stripMargin,
+
     "q105_group_split" ->
       s"""WITH RECURSIVE $q61Chain,
          |edges AS (

@@ -1253,6 +1253,18 @@ object Queries {
     Classify.nbSelfClassify(t(s, dir, "documents"), "doc_id", "text", "lang")
       .orderBy("doc_id")
 
+  /** Family-capped sampling (Split.capPerFamily) over the shared portable
+    * pair chain: at most 2 docs survive per near-dup family, chosen by
+    * portable id hash — the keep-some-duplication data-mixing op between
+    * keep-all and full dedup. The oracle replays the full pair chain, the
+    * recursive CC, and the per-family rank. */
+  def q131FamilyCap(s: SparkSession, dir: String): DataFrame = {
+    val corpus = portableCorpus(s, dir)
+    Split.capPerFamily(corpus, "doc_id", portablePairs(s, dir),
+        cap = 2, seed = 7)
+      .orderBy("doc_id")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2107,6 +2119,7 @@ object Queries {
     "q128_line_corrections" -> (q128LineCorrections _),
     "q129_strip_markup" -> (q129StripMarkup _),
     "q130_nb_lang_classify" -> (q130NbLangClassify _),
+    "q131_family_cap" -> (q131FamilyCap _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -131,6 +131,39 @@ object Split {
           .otherwise("eval").as("split"))
   }
 
+  /** Near-dup-family-capped sampling: keep at most `cap` documents per
+    * duplicate family (singletons are their own family) — the data-mixing
+    * middle ground between keep-all (duplication bias: a 10k-copy
+    * boilerplate family dominates training) and full dedup (losing the
+    * natural-frequency signal entirely); web-scale corpora (C4, RefinedWeb
+    * lineage) routinely cap rather than drop. Selection WITHIN a family is
+    * a pure function of the id (portable hash, then id as the
+    * tie-break) — re-derivable by any engine, stable under retries.
+    *
+    * Scale shape: families from [[Dedup.connectedComponents]] over the
+    * (already bucketed) near-dup pairs; the per-family window partitions
+    * on the family key — family sizes are dedup-cluster sizes, so the
+    * window never sees a partition larger than the biggest dup family
+    * (the q117 histogram measures exactly that distribution; a
+    * pathological mega-family is the signal to drop, not sample).
+    * Output: (idCol, family, family_rank, keep) — all rows flagged, so
+    * the same frame audits what was capped.
+    */
+  def capPerFamily(df: DataFrame, idCol: String, pairs: DataFrame,
+                   cap: Int, seed: Int = 7, maxIter: Int = 10): DataFrame = {
+    require(cap >= 1, "capPerFamily: cap >= 1")
+    val labels = Dedup.connectedComponents(pairs, maxIter)
+      .select(col("id").as("__cid"), col("cluster_id"))
+    df.join(labels, col(idCol) === col("__cid"), "left")
+      .withColumn("family", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("family_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("family"))
+          .orderBy(Dedup.portableHash64(col(idCol).cast("string"), seed),
+            col(idCol))))
+      .select(col(idCol), col("family"), col("family_rank"),
+        (col("family_rank") <= cap).as("keep"))
+  }
+
   /** Stratified deterministic sampling: per-stratum percentage targets
     * (strata absent from the map keep `defaultPct`). */
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for

@@ -607,6 +607,32 @@ class MixtureSampleSpec extends SparkSpec {
     }
   }
 
+  test("family cap: at most cap survivors per family, singletons kept") {
+    val docs = (1L to 20L).map(i => (i, s"doc $i")).toDF("id", "text")
+    // one 4-family {1,2,3,4} (chained), one pair {10,11}, rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Split.capPerFamily(docs, "id", pairs, cap = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    val byId = got.map(g => g._1 -> g).toMap
+    // family label = min id of the component
+    assert(Seq(1L, 2L, 3L, 4L).map(byId(_)._2).distinct == Seq(1L))
+    assert(Seq(10L, 11L).map(byId(_)._2).distinct == Seq(10L))
+    // exactly cap=2 of the 4-family kept; the pair family keeps both
+    assert(got.count(g => g._2 == 1L && g._4) == 2)
+    assert(Seq(10L, 11L).forall(byId(_)._4))
+    // singletons rank 1, kept
+    assert(byId(7L)._3 == 1 && byId(7L)._4 && byId(7L)._2 == 7L)
+    // ranks within a family are 1..n without gaps
+    assert(got.filter(_._2 == 1L).map(_._3).sorted.toSeq == Seq(1, 2, 3, 4))
+    // deterministic under re-run
+    val again = Split.capPerFamily(docs, "id", pairs, cap = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+
   test("group-aware split: clusters move atomically, singletons deterministic") {
     val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("id", "text")
     // two clusters: {1,2,3} (chained) and {50,51}; everything else singleton
