@@ -1649,6 +1649,44 @@ object Oracles {
          | CAST(length(t) - length(text_clean) AS INT) AS removed_chars
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // URL audit replay: same scheme-optional host regex (RE2-safe),
+    // lower + trailing-dot strip in the same order, registrable domain
+    // via explicit len-arithmetic list slicing, blocklist IN on domain
+    "q132_url_audit" -> {
+      val sufs = graft.operators.UrlOps.twoLevelSuffixes
+        .map(s => s"'$s'").mkString(", ")
+      val blk = Queries.urlBlocklist.map(s => s"'$s'").mkString(", ")
+      s"""WITH base AS (
+         | SELECT doc_id,
+         |  'https://www.' || source || '.example.com/doc/' ||
+         |   CAST(doc_id AS VARCHAR) AS url
+         | FROM documents
+         | UNION ALL
+         | ${Queries.urlPlantedSql}),
+         |h AS (
+         | SELECT doc_id, url,
+         |  regexp_replace(lower(regexp_extract(coalesce(url, ''),
+         |   '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#]*@)?([^/?#:]+)', 1)),
+         |   '\\.$$', '') AS host
+         | FROM base),
+         |p AS (
+         | SELECT doc_id, url, host, string_split(host, '.') AS ls,
+         |  len(string_split(host, '.')) AS n
+         | FROM h),
+         |d AS (
+         | SELECT doc_id, url, host,
+         |  CASE WHEN n > 2 AND array_to_string(
+         |    list_slice(ls, greatest(n - 1, 1), n), '.') IN ($sufs)
+         |   THEN array_to_string(list_slice(ls, greatest(n - 2, 1), n), '.')
+         |  WHEN n >= 2
+         |   THEN array_to_string(list_slice(ls, greatest(n - 1, 1), n), '.')
+         |  ELSE host END AS domain,
+         |  list_extract(ls, n) AS tld
+         | FROM p)
+         |SELECT doc_id, url, host, domain, tld, domain IN ($blk) AS blocked
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+
     // NB language classifier replay: same priors ln(ndl/nd), same
     // add-one likelihoods ln((c+1)/(tot+V)) with c=0 for unseen
     // (token,label) pairs, terms rounded to 6 and summed in DECIMAL

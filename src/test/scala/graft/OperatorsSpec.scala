@@ -572,6 +572,29 @@ class TextOpsSpec extends SparkSpec {
     assert(pred.getString(1) == "en")
   }
 
+  test("url audit: host/domain/tld per parse case, subdomain blocklisting") {
+    val got = UrlOps.urlAudit(Queries.urlPlanted.toDF("doc_id", "url"),
+        "doc_id", "url", Queries.urlBlocklist)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(2), r.getString(3), r.getString(4), r.getBoolean(5)))
+      .toMap
+    assert(got(9300001L) == ("www.example.com", "example.com", "com", false))
+    // two-level public suffix: registrable is shop.co.uk, not co.uk
+    assert(got(9300002L) == ("sub.shop.co.uk", "shop.co.uk", "uk", false))
+    assert(got(9300003L) == ("example.org", "example.org", "org", false))
+    // userinfo + port stripped; blocked through the subdomain
+    assert(got(9300004L) == ("secure.badsite.com", "badsite.com", "com", true))
+    // trailing root dot stripped
+    assert(got(9300005L) == ("files.example.net", "example.net", "net", false))
+    assert(got(9300006L) == ("tracker.net", "tracker.net", "net", true))
+    // bare IP: last-two-labels heuristic applies, documented behavior
+    assert(got(9300007L) == ("192.168.0.1", "0.1", "1", false))
+    // filter form drops exactly the blocked rows
+    assert(UrlOps.filterBlocked(Queries.urlPlanted.toDF("doc_id", "url"),
+      "url", Queries.urlBlocklist).count() == 5)
+  }
+
   test("perplexity buckets: thirds by LM score, common-token docs in head") {
     // docs of corpus-frequent tokens score high; rare-token docs low
     val docs = ((1 to 6).map(i => (i.toLong, "the cat sat on the mat")) ++
