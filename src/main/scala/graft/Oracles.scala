@@ -1074,6 +1074,36 @@ object Oracles {
          |FROM seg ORDER BY doc_id, pos""".stripMargin
     },
 
+    // fertility replay: the identical q119 replace chain per word, char
+    // totals via concatenated-token length, exact BIGINT sums per lang,
+    // two rounded double divisions
+    "q133_bpe_fertility" -> {
+      val sep = "chr(1)"
+      def l(s: String) = "'" + s.replace("'", "''") + "'"
+      val seeded =
+        s"$sep || regexp_replace(w, '(.)', '\\1' || $sep, 'g') || '</w>' || $sep"
+      val chain = Queries.q119Merges.foldLeft(seeded) { case (acc, (a, b)) =>
+        s"replace($acc, $sep || ${l(a)} || $sep || ${l(b)} || $sep, $sep || ${l(a + b)} || $sep)"
+      }
+      s"""WITH seg AS (
+         | SELECT lang, ${toksSql("lower(text)")} AS tk,
+         |  flatten(list_transform(${toksSql("lower(text)")}, w ->
+         |   list_filter(string_split($chain, chr(1)), x -> x <> ''))) AS sw
+         | FROM documents),
+         |g AS (
+         | SELECT lang, CAST(sum(len(tk)) AS BIGINT) AS n_words,
+         |  CAST(sum(len(sw)) AS BIGINT) AS n_subwords,
+         |  CAST(sum(length(array_to_string(tk, ''))) AS BIGINT) AS n_chars
+         | FROM seg GROUP BY lang)
+         |SELECT lang, n_words, n_subwords, n_chars,
+         | CASE WHEN n_words = 0 THEN 0.0 ELSE
+         |  round(CAST(n_subwords AS DOUBLE) / n_words, 6) END AS fertility,
+         | CASE WHEN n_subwords = 0 THEN 0.0 ELSE
+         |  round(CAST(n_chars AS DOUBLE) / n_subwords, 6) END
+         |  AS chars_per_subword
+         |FROM g ORDER BY lang""".stripMargin
+    },
+
     // estimated vs exact Jaccard from ONE chain: the q61 sig CTE gives
     // h0..h15 per doc; agreement fraction = sum(CASE a.hi = b.hi)/16.0,
     // exact sim comes from the same verified pairs CTE

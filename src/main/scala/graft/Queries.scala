@@ -1045,6 +1045,15 @@ object Queries {
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("subword"))
       .orderBy("doc_id", "pos")
 
+  /** Per-language tokenizer fertility (TextOps.bpeFertility) under the
+    * fixed q119 merge table: subwords per word and chars per subword by
+    * lang — the multilingual tokenizer-health audit (a language the
+    * merges underserve shatters into characters). The oracle replays the
+    * q119 replace chain and the grouped integer totals. */
+  def q133BpeFertility(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeFertility(t(s, dir, "documents"), "lang", "text", q119Merges)
+      .orderBy("lang")
+
   /** Cross-source near-dup overlap matrix (Dedup.sourceOverlapMatrix)
     * over the session's verified portable pair set (its 4th consumer):
     * planted ids map back to their origin doc (% 1e6) so every pair
@@ -2158,6 +2167,7 @@ object Queries {
     "q130_nb_lang_classify" -> (q130NbLangClassify _),
     "q131_family_cap" -> (q131FamilyCap _),
     "q132_url_audit" -> (q132UrlAudit _),
+    "q133_bpe_fertility" -> (q133BpeFertility _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

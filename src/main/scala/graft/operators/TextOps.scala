@@ -446,6 +446,39 @@ object TextOps {
     flatten(transform(tokens(lower(text)), w => segmentWord(w)))
   }
 
+  /** Tokenizer fertility per group (per language, per source): subwords
+    * emitted per whitespace word under a BPE merge table, plus chars per
+    * subword — THE tokenizer-health metric for a multilingual corpus (a
+    * language the vocab underserves shows high fertility: its words
+    * shatter into characters, inflating sequence lengths and training
+    * cost). Sennrich et al. 2016 for BPE; fertility as the standard
+    * cross-lingual tokenizer audit.
+    *
+    * Scale shape: [[bpeSegments]] is a per-row codegen chain, so the
+    * whole audit is one map + one bounded (per-group) aggregate — exact
+    * integer totals, two double divisions at the end.
+    * Output: (groupCol, n_words, n_subwords, n_chars, fertility,
+    * chars_per_subword). */
+  def bpeFertility(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                   textCol: String,
+                   merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val tks = tokens(lower(col(textCol)))
+    df.select(col(groupCol),
+        size(tks).as("__nw"),
+        size(bpeSegments(col(textCol), merges)).as("__ns"),
+        length(array_join(tks, "")).as("__nc"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__nw")).as("n_words"), sum(col("__ns")).as("n_subwords"),
+        sum(col("__nc")).as("n_chars"))
+      .select(col(groupCol), col("n_words"), col("n_subwords"), col("n_chars"),
+        when(col("n_words") === 0, 0.0)
+          .otherwise(round(col("n_subwords").cast("double") /
+            col("n_words").cast("double"), 6)).as("fertility"),
+        when(col("n_subwords") === 0, 0.0)
+          .otherwise(round(col("n_chars").cast("double") /
+            col("n_subwords").cast("double"), 6)).as("chars_per_subword"))
+  }
+
   /** Within-document shingle repetition — the C4/Gopher-family quality
     * signal: a document whose k-shingles repeat heavily is boilerplate or
     * a degenerate loop, not prose. dup_ratio = 1 - distinct/total shingles

@@ -595,6 +595,26 @@ class TextOpsSpec extends SparkSpec {
       "url", Queries.urlBlocklist).count() == 5)
   }
 
+  test("bpe fertility: merged-vocab group segments shorter than unmerged") {
+    // the q119 merges compress "lowest"-family English ("low" -> lo+w,
+    // "est</w>" fully merged); the xx group's words shatter to chars
+    val docs = Seq(
+      (1L, "lowest lowest low", "en"),
+      (2L, "zq zq zq", "xx")).toDF("doc_id", "text", "lang")
+    val got = TextOps.bpeFertility(docs, "lang", "text", Queries.q119Merges)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // "lowest" -> [low, est</w>] (2), "low" -> [low, </w>] (2)
+    assert(got("en").getAs[Long]("n_words") == 3)
+    assert(got("en").getAs[Long]("n_subwords") == 6)
+    assert(got("en").getAs[Double]("fertility") == 2.0)
+    // "zq" -> [z, q, </w>] (3 per word): no merge applies
+    assert(got("xx").getAs[Long]("n_subwords") == 9)
+    assert(got("xx").getAs[Long]("n_chars") == 6)
+    // chars/subword lower for the unserved group (words shatter)
+    assert(got("xx").getAs[Double]("chars_per_subword") <
+      got("en").getAs[Double]("chars_per_subword"))
+  }
+
   test("perplexity buckets: thirds by LM score, common-token docs in head") {
     // docs of corpus-frequent tokens score high; rare-token docs low
     val docs = ((1 to 6).map(i => (i.toLong, "the cat sat on the mat")) ++
