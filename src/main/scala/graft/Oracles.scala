@@ -1104,6 +1104,55 @@ object Oracles {
          |FROM g ORDER BY lang""".stripMargin
     },
 
+    // PQ ADC replay: same deterministic seeds (first 16 by vec_id), the
+    // same left-fold (x-y)^2 subvector distances, argmin codes tie-broken
+    // on cid, ADC terms rounded to 6 and summed in DECIMAL, rank
+    // tie-broken on neighbor_id — value-exact replay of an approximate
+    // search
+    "q134_pq_adc" -> {
+      def sq(a: String, b: String) = foldSumSql(
+        s"""list_transform(range(1, len($a) + 1),
+           | i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+           |    * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))""".stripMargin)
+      s"""WITH seeds AS (
+         | SELECT vec_id, embedding FROM embeddings
+         | WHERE len(embedding) = 64 ORDER BY vec_id LIMIT 16),
+         |cb AS (
+         | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, js.j,
+         |  list_slice(embedding, js.j * 16 + 1, js.j * 16 + 16) AS subvec
+         | FROM seeds CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+         |enc AS (
+         | SELECT vec_id, j, cid,
+         |  row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS r
+         | FROM (
+         |  SELECT e.vec_id, cb.j, cb.cid,
+         |   ${sq("list_slice(e.embedding, cb.j * 16 + 1, cb.j * 16 + 16)",
+                  "cb.subvec")} AS d
+         |  FROM embeddings e CROSS JOIN cb
+         |  WHERE len(e.embedding) = 64)),
+         |codes AS (SELECT vec_id, j, cid AS code FROM enc WHERE r = 1),
+         |qtab AS (
+         | SELECT q.vec_id AS query_id, cb.j, cb.cid,
+         |  CAST(round(${sq(
+                  "list_slice(q.embedding, cb.j * 16 + 1, cb.j * 16 + 16)",
+                  "cb.subvec")}, 6) AS DECIMAL(25,6)) AS d
+         | FROM embeddings q CROSS JOIN cb
+         | WHERE q.vec_id < 10 AND len(q.embedding) = 64),
+         |sc AS (
+         | SELECT qtab.query_id, c.vec_id AS neighbor_id, sum(qtab.d) AS adc
+         | FROM codes c JOIN qtab ON c.j = qtab.j AND c.code = qtab.cid
+         | WHERE qtab.query_id <> c.vec_id
+         | GROUP BY 1, 2),
+         |rk AS (
+         | SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc, neighbor_id) AS INT) AS "rank", adc
+         | FROM sc)
+         |SELECT query_id, neighbor_id, "rank",
+         | round(CAST(adc AS DOUBLE), 6) AS adc_dist
+         |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+    },
+
     // estimated vs exact Jaccard from ONE chain: the q61 sig CTE gives
     // h0..h15 per doc; agreement fraction = sum(CASE a.hi = b.hi)/16.0,
     // exact sim comes from the same verified pairs CTE

@@ -1311,6 +1311,23 @@ object Queries {
     UrlOps.urlAudit(docs, "doc_id", "url", urlBlocklist).orderBy("doc_id")
   }
 
+  /** Product-quantization ADC search (Pq.codebook/encode/adcSearch):
+    * m=4 subspaces, 16 deterministic seed codewords each, queries
+    * vec_id < 10 (the q21 set), top-5 by asymmetric distance. The oracle
+    * replays seeding, per-subspace argmin encoding, the ADC table and
+    * the DECIMAL term sums — the whole approximate pipeline is
+    * value-exact even though the SEARCH it implements is approximate
+    * (recall vs exact L2 is the PqSpec's business). */
+  def q134PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = Pq.codebook(emb, "vec_id", "embedding", dim = 64, m = 4,
+      nseeds = 16)
+    val codes = Pq.encode(emb, cb, "vec_id", "embedding", dim = 64, m = 4)
+    Pq.adcSearch(emb.filter(col("vec_id") < 10), codes, cb,
+        "vec_id", "vec_id", "embedding", dim = 64, m = 4, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2168,6 +2185,7 @@ object Queries {
     "q131_family_cap" -> (q131FamilyCap _),
     "q132_url_audit" -> (q132UrlAudit _),
     "q133_bpe_fertility" -> (q133BpeFertility _),
+    "q134_pq_adc" -> (q134PqAdc _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

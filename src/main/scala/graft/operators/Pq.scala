@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for embedding ANN (Jégou et al. 2011, "Product
+  * Quantization for Nearest Neighbor Search"): split each vector into `m`
+  * subvectors, quantize every subvector to its nearest codeword from a
+  * per-subspace codebook, and answer queries with asymmetric distance
+  * computation (ADC) — the query stays exact, the corpus is `m` small
+  * integer codes per vector (64-dim float32 → 4 bytes at m=4: 64x
+  * compression, the memory shape that lets a 100 TB vector corpus fit an
+  * ANN serving tier at all).
+  *
+  * Everything is relational — codebooks are FRAMES (bounded at
+  * m x nseeds rows), broadcast into every join; the corpus is touched
+  * once to encode and once per query batch to score. No driver-side
+  * collect anywhere (the complementary shape to [[Knn.IvfIndex]]'s
+  * bounded centroid metadata). Codebook training here is deterministic
+  * seeding (the first `nseeds` corpus vectors by id — [[Knn.ivfIndex]]'s
+  * convention); Lloyd refinement of codebooks composes exactly like
+  * [[Knn.ivfIndexKMeans]] and changes nothing downstream, since every
+  * consumer sees only the (cid, j, subvec) frame.
+  *
+  * Cross-engine float discipline: subvector distances are left-fold
+  * sums of (x-y)*(x-y) doubles (IEEE-order-identical in the oracle's
+  * list_reduce); ADC sums the m per-subspace terms through
+  * round-6 DECIMAL(25,6) — order-independent — and ranks tie-break on
+  * the neighbor id.
+  */
+object Pq {
+
+  /** Squared L2 distance between two equal-length vectors, as the
+    * deterministic left fold. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def subvec(vec: Column, j: Column, subDim: Int): Column =
+    slice(vec, j * subDim + 1, lit(subDim))
+
+  /** Per-subspace codebook from deterministic seeds: the first `nseeds`
+    * corpus vectors by id, split into `m` subvectors of `dim / m` dims.
+    * Output: (cid 0-based, j 0-based, subvec) — m x nseeds rows of
+    * bounded index metadata. */
+  def codebook(corpus: DataFrame, idCol: String, vecCol: String,
+               dim: Int, m: Int, nseeds: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"codebook: m must divide dim ($dim % $m)")
+    require(nseeds >= 1, "codebook: nseeds >= 1")
+    val subDim = dim / m
+    val seeds = corpus.where(size(col(vecCol)) === dim)
+      .orderBy(col(idCol)).limit(nseeds)
+      .withColumn("cid", row_number().over(Window.orderBy(col(idCol))) - 1)
+    seeds.select(col("cid"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"), col(vecCol).as("__v"))
+      .select(col("cid"), col("j"),
+        subvec(col("__v"), col("j"), subDim).as("subvec"))
+  }
+
+  /** Encode the corpus: nearest codeword per (vector, subspace), ties
+    * broken on the lower cid. Output: (idCol, j, code) — the exploded
+    * scalar shape (m rows per vector; pack with one id-keyed agg when a
+    * serving sink wants arrays, as [[TextOps.encodeTokensPacked]] does
+    * for tokens). The codebook joins broadcast; the corpus is scanned
+    * once. */
+  def encode(corpus: DataFrame, cb: DataFrame, idCol: String, vecCol: String,
+             dim: Int, m: Int): DataFrame = {
+    val subDim = dim / m
+    corpus.where(size(col(vecCol)) === dim)
+      .select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(broadcast(cb))
+      .withColumn("__d", sqDist(subvec(col("__v"), col("j"), subDim),
+        col("subvec")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(idCol), col("j"))
+          .orderBy(col("__d"), col("cid"))))
+      .where(col("__r") === 1)
+      .select(col(idCol), col("j"), col("cid").as("code"))
+  }
+
+  /** ADC top-k: exact query subvectors against the codebook build the
+    * per-query distance table (bounded m x nseeds rows per query,
+    * broadcast); the encoded corpus joins it on (j, code) and sums the m
+    * terms per (query, vector) through exact DECIMAL — one shuffle keyed
+    * on (query, vector), then per-query top-k.
+    * Output: (query_id, neighbor_id, rank, adc_dist). */
+  def adcSearch(queries: DataFrame, codes: DataFrame, cb: DataFrame,
+                queryIdCol: String, idCol: String, vecCol: String,
+                dim: Int, m: Int, k: Int): DataFrame = {
+    require(k >= 1, "adcSearch: k >= 1")
+    val subDim = dim / m
+    val qtab = queries.where(size(col(vecCol)) === dim)
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), col("j"), col("cid"),
+        round(sqDist(subvec(col("__qv"), col("j"), subDim), col("subvec")), 6)
+          .cast("decimal(25,6)").as("__d"))
+    codes.select(col(idCol).as("neighbor_id"), col("j"), col("code")).as("c")
+      .join(broadcast(qtab.as("q")),
+        col("c.code") === col("q.cid") && col("c.j") === col("q.j"))
+      .where(col("q.query_id") =!= col("c.neighbor_id"))
+      .groupBy(col("q.query_id").as("query_id"),
+        col("c.neighbor_id").as("neighbor_id"))
+      .agg(sum(col("__d")).as("__adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__adc"), col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__adc").cast("double"), 6).as("adc_dist"))
+  }
+}

@@ -140,6 +140,86 @@ class QuantizeSpec extends SparkSpec {
   }
 }
 
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Pq
+
+  // 4 planted clusters of 20: members share their center's coarse shape
+  // with small deterministic jitter, so subvector codes separate them
+  private val dim = 16
+  private val vecs = (0L until 80L).map { i =>
+    val c = (i % 4).toInt
+    (i, Array.tabulate(dim)(d =>
+      (math.sin(c * 100.0 + d) * 10 + math.sin(i * 53.0 + d) * 0.1).toFloat))
+  }.toDF("vec_id", "embedding")
+  private val cb = Pq.codebook(vecs, "vec_id", "embedding", dim, m = 4,
+    nseeds = 8)
+  private val codes = Pq.encode(vecs, cb, "vec_id", "embedding", dim, m = 4)
+
+  test("codebook/codes shapes: m x nseeds entries, one code per (vec, j)") {
+    assert(cb.count() == 4 * 8)
+    assert(cb.select(size(col("subvec"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(dim / 4))
+    assert(codes.count() == 80 * 4)
+    assert(codes.groupBy("vec_id", "j").count()
+      .filter(col("count") =!= 1).count() == 0)
+    val range = codes.agg(min(col("code")), max(col("code"))).collect().head
+    assert(range.getInt(0) >= 0 && range.getInt(1) <= 7)
+  }
+
+  test("ADC on a seed vector equals its exact squared distance") {
+    // a seed's codes reconstruct the seed itself (distance-0 argmin), so
+    // ADC(q, seed) is the exact subvector-sum distance up to round-6
+    val q = vecs.filter(col("vec_id") === 40L) // not a seed (seeds are 0-7)
+    val got = Pq.adcSearch(q, codes, cb, "vec_id", "vec_id", "embedding",
+        dim, m = 4, k = 80)
+      .filter(col("neighbor_id") < 8).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val exact = vecs.filter(col("vec_id") === 40L).as("a")
+      .crossJoin(vecs.filter(col("vec_id") < 8).as("b"))
+      .select(col("b.vec_id"),
+        round(Pq.sqDist(col("a.embedding"), col("b.embedding")), 4).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, d) <- exact)
+      assert(math.abs(got(id) - d) < 1e-3, s"seed $id: adc ${got(id)} vs $d")
+  }
+
+  test("coarse codebook: every ADC top-5 neighbor is from the query's cluster") {
+    // 8 seeds over 4 clusters: within-cluster jitter is below quantization
+    // resolution (members share codes — PQ's documented granularity
+    // limit), but BETWEEN-cluster distance dominates, so cluster
+    // membership of the top-k is exact
+    val queries = vecs.filter(col("vec_id") >= 40L && col("vec_id") < 45L)
+    val bad = Pq.adcSearch(queries, codes, cb, "vec_id", "vec_id",
+        "embedding", dim, m = 4, k = 5)
+      .filter(col("query_id") % 4 =!= col("neighbor_id") % 4).count()
+    assert(bad == 0)
+  }
+
+  test("full-resolution codebook degenerates ADC to exact L2 search") {
+    // nseeds = |corpus|: every vector encodes to itself (own-subvector
+    // distance 0), so ADC(q, v) is the exact distance up to round-6 —
+    // PQ's accuracy knob demonstrated at its endpoint
+    val cbFull = Pq.codebook(vecs, "vec_id", "embedding", dim, m = 4,
+      nseeds = 80)
+    val codesFull = Pq.encode(vecs, cbFull, "vec_id", "embedding", dim, m = 4)
+    val queries = vecs.filter(col("vec_id") >= 40L && col("vec_id") < 45L)
+    val exact = queries.as("a").crossJoin(vecs.as("b"))
+      .where(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q"), col("b.vec_id").as("n"),
+        Pq.sqDist(col("a.embedding"), col("b.embedding")).as("d"))
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("q")).orderBy(col("d"), col("n"))))
+      .where(col("r") <= 5).select("q", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Pq.adcSearch(queries, codesFull, cbFull, "vec_id", "vec_id",
+        "embedding", dim, m = 4, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx == exact, s"full-codebook ADC != exact: ${approx diff exact}")
+  }
+}
+
 class MatryoshkaSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.{Knn, Quantize}
