@@ -74,11 +74,13 @@ object Pq {
       .crossJoin(broadcast(cb))
       .withColumn("__d", sqDist(subvec(col("__v"), col("j"), subDim),
         col("subvec")))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col(idCol), col("j"))
-          .orderBy(col("__d"), col("cid"))))
-      .where(col("__r") === 1)
-      .select(col(idCol), col("j"), col("cid").as("code"))
+      // argmin as a lexicographic struct-min hash agg (dist, then cid as
+      // the tie-break): map-side combined, no sort — the shuffle carries
+      // one partial row per (vector, subspace), never the nseeds fan-out
+      // a window-rank formulation would sort
+      .groupBy(col(idCol), col("j"))
+      .agg(min(struct(col("__d"), col("cid"))).as("__m"))
+      .select(col(idCol), col("j"), col("__m.cid").as("code"))
   }
 
   /** ADC top-k: exact query subvectors against the codebook build the
