@@ -1153,6 +1153,79 @@ object Oracles {
          |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
     },
 
+    // IVFADC replay: coarse assign (argmin over the 8 id-order seeds),
+    // residual lists, shared residual codebook from the first 16
+    // residuals, per-subspace argmin codes, probed-list residual ADC
+    // with DECIMAL term sums — every stage the same fold arithmetic
+    "q135_ivfadc" -> {
+      def sq(a: String, b: String) = foldSumSql(
+        s"""list_transform(range(1, len($a) + 1),
+           | i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+           |    * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))""".stripMargin)
+      def res(v: String, c: String) =
+        s"""list_transform(range(1, 65),
+           | i -> CAST($v[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))""".stripMargin
+      s"""WITH base AS (
+         | SELECT vec_id, embedding AS v FROM embeddings
+         | WHERE len(embedding) = 64),
+         |coarse AS (
+         | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS lid, v AS cv
+         | FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 8)),
+         |asg AS (
+         | SELECT vec_id, v, lid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY d, lid) AS r
+         | FROM (
+         |  SELECT b.vec_id, b.v, c.lid, ${sq("b.v", "c.cv")} AS d
+         |  FROM base b CROSS JOIN coarse c)),
+         |resid AS (
+         | SELECT a.vec_id, a.lid, ${res("a.v", "c.cv")} AS rv
+         | FROM asg a JOIN coarse c ON a.lid = c.lid WHERE a.r = 1),
+         |rseeds AS (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT 16),
+         |rcb AS (
+         | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, js.j,
+         |  list_slice(rv, js.j * 16 + 1, js.j * 16 + 16) AS subvec
+         | FROM rseeds CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+         |enc AS (
+         | SELECT vec_id, lid, j, cid,
+         |  row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS r
+         | FROM (
+         |  SELECT t.vec_id, t.lid, rcb.j, rcb.cid,
+         |   ${sq("list_slice(t.rv, rcb.j * 16 + 1, rcb.j * 16 + 16)",
+                  "rcb.subvec")} AS d
+         |  FROM resid t CROSS JOIN rcb)),
+         |codes AS (
+         | SELECT vec_id, lid, j, cid AS code FROM enc WHERE r = 1),
+         |probe AS (
+         | SELECT query_id, lid, rq FROM (
+         |  SELECT q.vec_id AS query_id, c.lid,
+         |   ${res("q.embedding", "c.cv")} AS rq,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${sq("q.embedding", "c.cv")}, c.lid) AS pr
+         |  FROM embeddings q CROSS JOIN coarse c
+         |  WHERE q.vec_id < 10 AND len(q.embedding) = 64)
+         | WHERE pr <= 3),
+         |qtab AS (
+         | SELECT query_id, lid, rcb.j, rcb.cid,
+         |  CAST(round(${sq("list_slice(rq, rcb.j * 16 + 1, rcb.j * 16 + 16)",
+                  "rcb.subvec")}, 6) AS DECIMAL(25,6)) AS d
+         | FROM probe CROSS JOIN rcb),
+         |sc AS (
+         | SELECT qtab.query_id, codes.vec_id AS neighbor_id,
+         |  sum(qtab.d) AS adc
+         | FROM codes JOIN qtab ON codes.lid = qtab.lid
+         |   AND codes.j = qtab.j AND codes.code = qtab.cid
+         | WHERE qtab.query_id <> codes.vec_id
+         | GROUP BY 1, 2),
+         |rk AS (
+         | SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc, neighbor_id) AS INT) AS "rank", adc
+         | FROM sc)
+         |SELECT query_id, neighbor_id, "rank",
+         | round(CAST(adc AS DOUBLE), 6) AS adc_dist
+         |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+    },
+
     // estimated vs exact Jaccard from ONE chain: the q61 sig CTE gives
     // h0..h15 per doc; agreement fraction = sum(CASE a.hi = b.hi)/16.0,
     // exact sim comes from the same verified pairs CTE

@@ -1328,6 +1328,19 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVFADC search (Pq.ivfadcSearch): 8 coarse lists, shared
+    * residual codebook (m=4, 16 codewords), probe 3 lists, top-5 —
+    * the FAISS-style composition serving billion-vector corpora,
+    * replayed value-exact by the oracle (coarse assign, residuals,
+    * residual codes, probed-list ADC). */
+  def q135IvfAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Pq.ivfadcSearch(emb.filter(col("vec_id") < 10), emb, "vec_id",
+        "embedding", dim = 64, nlist = 8, m = 4, nseeds = 16, k = 5,
+        nprobe = 3)
+      .orderBy("query_id", "rank")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2186,6 +2199,7 @@ object Queries {
     "q132_url_audit" -> (q132UrlAudit _),
     "q133_bpe_fertility" -> (q133BpeFertility _),
     "q134_pq_adc" -> (q134PqAdc _),
+    "q135_ivfadc" -> (q135IvfAdc _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

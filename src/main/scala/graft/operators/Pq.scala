@@ -83,6 +83,80 @@ object Pq {
       .select(col(idCol), col("j"), col("__m.cid").as("code"))
   }
 
+  /** IVFADC (Jégou et al. 2011 §IV): coarse quantizer + PQ on RESIDUALS —
+    * the composition that actually serves billion-vector corpora. Each
+    * vector is assigned to its nearest of `nlist` coarse centroids
+    * (deterministic id-order seeds, [[Knn.ivfIndex]]'s convention), its
+    * residual (v - centroid) is PQ-encoded with ONE shared residual
+    * codebook, and a query probes the `nprobe` nearest coarse lists,
+    * scoring only their members by residual-ADC. Approximation is in
+    * list coverage AND quantization; the ARITHMETIC is value-exact and
+    * replayed end-to-end by the q135 oracle.
+    *
+    * Scale shape: coarse table (nlist rows) and residual codebook
+    * (m x nseeds rows) broadcast everywhere; the corpus is touched twice
+    * at index time (assign, encode — both map-side-combined struct-min
+    * aggs) and only the probed lists join the query table at search
+    * time (the (lid, j, code) equi-join keys make it a broadcast hash
+    * join, never a corpus scan per query).
+    * Output: (query_id, neighbor_id, rank, adc_dist). */
+  def ivfadcSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, dim: Int, nlist: Int, m: Int,
+                   nseeds: Int, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nlist >= 1, "ivfadcSearch: nprobe, nlist >= 1")
+    val base = corpus.where(size(col(vecCol)) === dim)
+      .select(col(idCol), col(vecCol).as("__v"))
+    // coarse centroids: first nlist vectors by id, lid 0-based
+    val coarse = base.orderBy(col(idCol)).limit(nlist)
+      .withColumn("lid", row_number().over(Window.orderBy(col(idCol))) - 1)
+      .select(col("lid"), col("__v").as("__cv"))
+    def residual(v: Column, c: Column): Column =
+      zip_with(v, c, (x, y) => x.cast("double") - y.cast("double"))
+    // assign: argmin over coarse as a struct-min hash agg, then one
+    // broadcast join back for the centroid to form the residual
+    val assigned = base.crossJoin(broadcast(coarse))
+      .withColumn("__d", sqDist(col("__v"), col("__cv")))
+      .groupBy(col(idCol), col("__v"))
+      .agg(min(struct(col("__d"), col("lid"))).as("__m"))
+      .select(col(idCol), col("__v"), col("__m.lid").as("lid"))
+      .join(broadcast(coarse), "lid")
+      .select(col(idCol), col("lid"), residual(col("__v"), col("__cv"))
+        .as("__r"))
+    // one SHARED residual codebook + codes (standard IVFADC)
+    val rcb = codebook(assigned, idCol, "__r", dim, m, nseeds)
+    val rcodes = encode(assigned, rcb, idCol, "__r", dim, m)
+      .join(assigned.select(col(idCol), col("lid")), idCol)
+    // probe: nprobe nearest coarse lists per query, residual query per list
+    val probes = queries.where(size(col(vecCol)) === dim)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("__cd", sqDist(col("__qv"), col("__cv")))
+      .withColumn("__pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("__cd"), col("lid"))))
+      .where(col("__pr") <= nprobe)
+      .select(col("query_id"), col("lid"),
+        residual(col("__qv"), col("__cv")).as("__rq"))
+    val qtab = probes.crossJoin(broadcast(rcb))
+      .select(col("query_id"), col("lid"), col("j"), col("cid"),
+        round(sqDist(subvec(col("__rq"), col("j"), dim / m), col("subvec")), 6)
+          .cast("decimal(25,6)").as("__d"))
+    rcodes.select(col(idCol).as("neighbor_id"), col("lid"), col("j"),
+        col("code")).as("c")
+      .join(broadcast(qtab.as("q")),
+        col("c.lid") === col("q.lid") && col("c.j") === col("q.j") &&
+          col("c.code") === col("q.cid"))
+      .where(col("q.query_id") =!= col("c.neighbor_id"))
+      .groupBy(col("q.query_id").as("query_id"),
+        col("c.neighbor_id").as("neighbor_id"))
+      .agg(sum(col("__d")).as("__adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__adc"), col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__adc").cast("double"), 6).as("adc_dist"))
+  }
+
   /** ADC top-k: exact query subvectors against the codebook build the
     * per-query distance table (bounded m x nseeds rows per query,
     * broadcast); the encoded corpus joins it on (j, code) and sums the m

@@ -196,6 +196,38 @@ class PqSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("IVFADC: full probe + full-resolution residual codebook is exact") {
+    // nprobe = nlist and nseeds = |corpus|: every residual encodes to
+    // itself and every list is probed, so the whole approximate pipeline
+    // collapses to exact L2 — the two accuracy knobs at their endpoints
+    val queries = vecs.filter(col("vec_id") >= 40L && col("vec_id") < 45L)
+    val exact = queries.as("a").crossJoin(vecs.as("b"))
+      .where(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q"), col("b.vec_id").as("n"),
+        Pq.sqDist(col("a.embedding"), col("b.embedding")).as("d"))
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("q")).orderBy(col("d"), col("n"))))
+      .where(col("r") <= 5).select("q", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Pq.ivfadcSearch(queries, vecs, "vec_id", "embedding",
+        dim, nlist = 4, m = 4, nseeds = 80, k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx == exact, s"exhaustive IVFADC != exact: ${approx diff exact}")
+  }
+
+  test("IVFADC: results come only from probed lists") {
+    val queries = vecs.filter(col("vec_id") === 40L)
+    val got = Pq.ivfadcSearch(queries, vecs, "vec_id", "embedding",
+        dim, nlist = 4, m = 4, nseeds = 8, k = 80, nprobe = 1)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    // nprobe=1 over 4 planted clusters: neighbors share one coarse list;
+    // with cluster-shaped data that list is (a subset of) one cluster
+    assert(got.nonEmpty && got.size < 80)
+    val clusters = got.map(_ % 4)
+    assert(clusters.size == 1, s"nprobe=1 crossed lists: $clusters")
+  }
+
   test("full-resolution codebook degenerates ADC to exact L2 search") {
     // nseeds = |corpus|: every vector encodes to itself (own-subvector
     // distance 0), so ADC(q, v) is the exact distance up to round-6 —
