@@ -1226,6 +1226,39 @@ object Oracles {
          |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
     },
 
+    // KL drift replay: same md5 bucket hash mod 512, full group x bucket
+    // grid via range unnest, identical add-one smoothed doubles, terms
+    // round(P*ln(P/Q), 6) summed in DECIMAL
+    "q136_kl_drift" ->
+      s"""WITH tok AS (
+         | SELECT source, unnest(${toksSql("lower(text)")}) AS token
+         | FROM documents),
+         |fb AS (
+         | SELECT source, ${ph("token", 11)} % 512 AS b FROM tok),
+         |sb AS (SELECT source, b, count(*) AS c FROM fb GROUP BY 1, 2),
+         |tots AS (
+         | SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM sb GROUP BY 1),
+         |corp AS (SELECT b, CAST(sum(c) AS BIGINT) AS cc FROM sb GROUP BY 1),
+         |ctot AS (SELECT CAST(sum(cc) AS BIGINT) AS ctot FROM corp),
+         |grid AS (
+         | SELECT t.source, t.tot, bs.b, sb.c, corp.cc, ctot.ctot
+         | FROM tots t
+         | CROSS JOIN (SELECT unnest(range(0, 512)) AS b) bs
+         | LEFT JOIN sb ON sb.source = t.source AND sb.b = bs.b
+         | LEFT JOIN corp ON corp.b = bs.b
+         | CROSS JOIN ctot),
+         |term AS (
+         | SELECT source, tot,
+         |  CAST(round(
+         |    (CAST(coalesce(c, 0) + 1 AS DOUBLE) / (tot + 512)) *
+         |    ln((CAST(coalesce(c, 0) + 1 AS DOUBLE) / (tot + 512)) /
+         |       (CAST(coalesce(cc, 0) + 1 AS DOUBLE) / (ctot + 512))),
+         |   6) AS DECIMAL(25,6)) AS t
+         | FROM grid)
+         |SELECT source, max(tot) AS n_tokens,
+         | CAST(sum(t) AS DOUBLE) AS kl_div
+         |FROM term GROUP BY source ORDER BY source""".stripMargin,
+
     // estimated vs exact Jaccard from ONE chain: the q61 sig CTE gives
     // h0..h15 per doc; agreement fraction = sum(CASE a.hi = b.hi)/16.0,
     // exact sim comes from the same verified pairs CTE

@@ -1341,6 +1341,16 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-source token-distribution KL drift (TextOps.klDrift) over 512
+    * hashed buckets: the source-health monitor — a source whose token
+    * distribution diverges from the corpus is a broken scraper or a spam
+    * flood. The oracle replays the md5 bucket hash, both smoothed
+    * distributions over the full grid, and the DECIMAL KL sums. */
+  def q136KlDrift(s: SparkSession, dir: String): DataFrame =
+    TextOps.klDrift(t(s, dir, "documents"), "source", "text",
+        numBuckets = 512, seed = 11)
+      .orderBy("source")
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2200,6 +2210,7 @@ object Queries {
     "q133_bpe_fertility" -> (q133BpeFertility _),
     "q134_pq_adc" -> (q134PqAdc _),
     "q135_ivfadc" -> (q135IvfAdc _),
+    "q136_kl_drift" -> (q136KlDrift _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -479,6 +479,54 @@ object TextOps {
             col("n_subwords").cast("double"), 6)).as("chars_per_subword"))
   }
 
+  /** Per-group token-distribution drift: KL(P_group || Q_corpus) over
+    * hashed token buckets with add-one smoothing — the monitoring signal
+    * that catches a source going bad (scraper broke, spam flood, encoding
+    * regression) BEFORE a model trains on it. Hashed buckets (the q124
+    * DSIR idiom) bound the distributions at `numBuckets` rows regardless
+    * of vocabulary size, which is what makes the audit a fixed-cost query
+    * at 100 TB: the corpus is exploded once into (group, bucket) counts;
+    * the full group x bucket grid, both smoothed distributions and the
+    * KL sum are all bounded metadata.
+    *
+    * Cross-engine float discipline: each KL term is
+    * round(P * ln(P/Q), 6) summed through DECIMAL(25,6) — the q99 ln
+    * pattern; the portable md5 bucket hash replays in SQL.
+    * Output: (groupCol, n_tokens, kl_div) — higher = further from the
+    * corpus-wide distribution. */
+  def klDrift(df: org.apache.spark.sql.DataFrame, groupCol: String,
+              textCol: String, numBuckets: Int = 4096,
+              seed: Int = 11): org.apache.spark.sql.DataFrame = {
+    require(numBuckets >= 2, "klDrift: numBuckets >= 2")
+    val b = numBuckets.toLong
+    val fb = df.select(col(groupCol),
+        explode(tokens(lower(col(textCol)))).as("__tok"))
+      .select(col(groupCol),
+        pmod(Dedup.portableHash64(col("__tok"), seed), lit(b)).as("__b"))
+    val sb = fb.groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .transform(Checkpoints.ckpt) // consumers: totals, corpus dist, grid
+    val tots = sb.groupBy(col(groupCol)).agg(sum(col("__c")).as("__tot"))
+    val corp = sb.groupBy(col("__b")).agg(sum(col("__c")).as("__cc"))
+    val ctot = corp.agg(sum(col("__cc")).as("__ctot"))
+    val grid = tots
+      .select(col(groupCol), col("__tot"),
+        explode(sequence(lit(0L), lit(b - 1))).as("__b"))
+      .join(sb, Seq(groupCol, "__b"), "left")
+      .join(broadcast(corp), Seq("__b"), "left")
+      .crossJoin(broadcast(ctot))
+    val p = (coalesce(col("__c"), lit(0L)) + lit(1)).cast("double") /
+      (col("__tot") + lit(b))
+    val q = (coalesce(col("__cc"), lit(0L)) + lit(1)).cast("double") /
+      (col("__ctot") + lit(b))
+    grid
+      .withColumn("__t", round(p * log(p / q), 6).cast("decimal(25,6)"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__tot")).as("n_tokens"), sum(col("__t")).as("__kl"))
+      .select(col(groupCol), col("n_tokens"),
+        col("__kl").cast("double").as("kl_div"))
+  }
+
   /** Within-document shingle repetition — the C4/Gopher-family quality
     * signal: a document whose k-shingles repeat heavily is boilerplate or
     * a degenerate loop, not prose. dup_ratio = 1 - distinct/total shingles

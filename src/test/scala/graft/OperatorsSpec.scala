@@ -615,6 +615,29 @@ class TextOpsSpec extends SparkSpec {
       got("en").getAs[Double]("chars_per_subword"))
   }
 
+  test("KL drift: a divergent source scores far above in-distribution ones") {
+    // a and b share the corpus-typical distribution; z is pure spam.
+    // Enough tokens per source that real counts dominate the +1-per-
+    // bucket smoothing mass (the add-one floor is the baseline everyone
+    // pays; drift must clear it)
+    val docs = (
+      (1 to 200).map(_ => ("the quick brown fox jumps over the dog", "a")) ++
+      (1 to 200).map(_ => ("the lazy dog sleeps under the quick fox", "b")) ++
+      (1 to 200).map(_ => ("buy buy buy cheap cheap pills now", "z")))
+      .toDF("text", "source")
+    val got = TextOps.klDrift(docs, "source", "text", numBuckets = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // a and b also diverge from the three-way MIXTURE (z's spam mass is
+    // in the corpus distribution), so the in-distribution baseline is
+    // nonzero; the spam source must still clear it by a wide margin
+    assert(got("z") > 1.5 * math.max(got("a"), got("b")),
+      s"spam source not flagged: $got")
+    // n_tokens is the per-source token total
+    val n = TextOps.klDrift(docs, "source", "text", numBuckets = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("a") == 1600 && n("z") == 1400)
+  }
+
   test("perplexity buckets: thirds by LM score, common-token docs in head") {
     // docs of corpus-frequent tokens score high; rare-token docs low
     val docs = ((1 to 6).map(i => (i.toLong, "the cat sat on the mat")) ++
