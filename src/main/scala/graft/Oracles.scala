@@ -1259,6 +1259,42 @@ object Oracles {
          | CAST(sum(t) AS DOUBLE) AS kl_div
          |FROM term GROUP BY source ORDER BY source""".stripMargin,
 
+    // token-budget mixture replay: same md5 hash ordering, ROWS-framed
+    // running sum of exact BIGINT token counts, same budget lookup
+    "q137_token_budget" ->
+      s"""WITH d AS (
+         | SELECT doc_id, source,
+         |  CAST(${tokenCountSql("text")} AS BIGINT) AS n_tokens,
+         |  ${ph("CAST(doc_id AS VARCHAR)", 33)} AS h
+         | FROM documents),
+         |c AS (
+         | SELECT doc_id, source, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS cum_tokens
+         | FROM d)
+         |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         | cum_tokens <= (CASE source WHEN 'src0' THEN 3000
+         |                            WHEN 'src1' THEN 500
+         |                            ELSE 1000 END) AS keep
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // curriculum shards replay: the q15 quality kernel, ntile over
+    // (quality desc, doc_id), exact integer per-shard aggregates
+    "q138_curriculum" ->
+      s"""WITH q AS (
+         | SELECT doc_id, CAST(${qualitySql("text")} AS INT) AS q,
+         |  CAST(${tokenCountSql("text")} AS BIGINT) AS nt
+         | FROM documents),
+         |s AS (
+         | SELECT doc_id, q, nt,
+         |  ntile(8) OVER (ORDER BY q DESC, doc_id ASC) AS shard
+         | FROM q)
+         |SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+         | min(q) AS min_quality, max(q) AS max_quality,
+         | CAST(sum(nt) AS BIGINT) AS total_tokens
+         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
     // estimated vs exact Jaccard from ONE chain: the q61 sig CTE gives
     // h0..h15 per doc; agreement fraction = sum(CASE a.hi = b.hi)/16.0,
     // exact sim comes from the same verified pairs CTE

@@ -1351,6 +1351,24 @@ object Queries {
         numBuckets = 512, seed = 11)
       .orderBy("source")
 
+  /** Token-budget mixture sampling (Split.tokenBudgetSample): per-source
+    * token ceilings (the form real mixtures are specified in), docs taken
+    * in portable-hash order until each budget fills. The oracle replays
+    * the hash ordering and the running window sum. */
+  def q137TokenBudget(s: SparkSession, dir: String): DataFrame =
+    Split.tokenBudgetSample(t(s, dir, "documents"), "source", "doc_id",
+        "text", budgets = Seq("src0" -> 3000L, "src1" -> 500L),
+        defaultBudget = 1000L)
+      .orderBy("doc_id")
+
+  /** Curriculum sharding (Pack.curriculumShards): 8 equal-count shards by
+    * quality rank with per-shard aggregates — the layout a curriculum
+    * schedule trains through. The oracle replays the quality kernel,
+    * the ntile and the integer aggregates. */
+  def q138Curriculum(s: SparkSession, dir: String): DataFrame =
+    Pack.curriculumShards(t(s, dir, "documents"), "doc_id", "text",
+      nShards = 8)
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2211,6 +2229,8 @@ object Queries {
     "q134_pq_adc" -> (q134PqAdc _),
     "q135_ivfadc" -> (q135IvfAdc _),
     "q136_kl_drift" -> (q136KlDrift _),
+    "q137_token_budget" -> (q137TokenBudget _),
+    "q138_curriculum" -> (q138Curriculum _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

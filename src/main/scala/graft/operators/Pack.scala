@@ -72,4 +72,33 @@ object Pack {
         expr(s"__r DIV $batchSize").cast("int").as("batch_id"),
         expr(s"__r % $batchSize").cast("int").as("pos_in_batch"))
   }
+
+  /** Curriculum sharding: partition the corpus into `nShards` equal-count
+    * shards by quality rank (shard 1 = highest [[TextOps.qualityScore]],
+    * ties broken on the id), with per-shard aggregates — the layout a
+    * curriculum schedule consumes (train easy/clean shards first, or
+    * anneal toward the high-quality tail; quality-ordered shards also
+    * serve plain quality ablations). ntile keeps shard sizes within one
+    * doc of each other regardless of the score distribution.
+    *
+    * Scale shape: the quality score is a per-row codegen kernel; ntile
+    * is one global sort — at 100 TB run it per hash-shard (the
+    * [[packSequences]] sharding argument) or replace the exact ntile
+    * with histogram-quantile cuts (q82's sketch) broadcast back; the
+    * exact global form below is the verification shape.
+    * Output: (shard, n_docs, min_quality, max_quality, total_tokens). */
+  def curriculumShards(docs: DataFrame, idCol: String, textCol: String,
+                       nShards: Int): DataFrame = {
+    require(nShards >= 1, "curriculumShards: nShards >= 1")
+    docs.select(col(idCol),
+        TextOps.qualityScore(col(textCol)).as("__q"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("__nt"))
+      .withColumn("shard", ntile(nShards).over(
+        Window.orderBy(col("__q").desc, col(idCol).asc)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("__q")).as("min_quality"), max(col("__q")).as("max_quality"),
+        sum(col("__nt")).as("total_tokens"))
+      .orderBy(col("shard"))
+  }
 }

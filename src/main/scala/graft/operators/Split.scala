@@ -164,6 +164,49 @@ object Split {
         (col("family_rank") <= cap).as("keep"))
   }
 
+  /** Token-budget mixture sampling: within each group, take documents in
+    * portable-hash order until the group's TOKEN budget is exhausted —
+    * the form real training mixtures are specified in (a mixture is "x B
+    * tokens of web, y B of code", never a document count: document
+    * lengths differ 100x across sources, so [[mixtureSample]]'s
+    * doc-count targets and a token-budget target select very different
+    * corpora). Selection order is a pure function of the id, so the
+    * sample is re-derivable and retry-stable; a doc is kept only if it
+    * FITS (cum <= budget — the doc that would cross the line is cut,
+    * making the budget a hard ceiling).
+    *
+    * Scale shape: one per-row token count (codegen kernel), then one
+    * running sum per group — a sort per group, which is the honest cost
+    * of an EXACT budget. At 100 TB, first shrink each group to ~budget
+    * expected mass with a hash-range filter at rate budget/total (the
+    * q87 selection shape, no sort), then run this exact trim on the
+    * survivors; the scaladoc'd two-phase compose keeps the sort bounded.
+    * Output: (idCol, groupCol, n_tokens, cum_tokens, keep). */
+  def tokenBudgetSample(df: DataFrame, groupCol: String, idCol: String,
+                        textCol: String, budgets: Seq[(String, Long)],
+                        defaultBudget: Long, seed: Int = 33): DataFrame = {
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      "tokenBudgetSample: duplicate group")
+    require(defaultBudget >= 0 && budgets.forall(_._2 >= 0),
+      "tokenBudgetSample: budgets >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = budgets.toDF("__grp", "__budget")
+    df.select(col(groupCol), col(idCol),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__h",
+        Dedup.portableHash64(col(idCol).cast("string"), seed))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol)).orderBy(col("__h").asc, col(idCol).asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .join(broadcast(b), col(groupCol) === col("__grp"), "left")
+      .withColumn("keep",
+        col("cum_tokens") <= coalesce(col("__budget"), lit(defaultBudget)))
+      .select(col(idCol), col(groupCol), col("n_tokens"), col("cum_tokens"),
+        col("keep"))
+  }
+
   /** Stratified deterministic sampling: per-stratum percentage targets
     * (strata absent from the map keep `defaultPct`). */
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for

@@ -745,6 +745,48 @@ class MixtureSampleSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
   }
 
+  test("token budget: hard ceiling per group, prefix-closed, deterministic") {
+    val docs = (1L to 30L).map(i =>
+      (i, if (i <= 15) "a" else "b", "ten tokens of text " + ("w " * 6).trim))
+      .toDF("id", "grp", "text") // every doc = 10 tokens
+    val got = Split.tokenBudgetSample(docs, "grp", "id", "text",
+        budgets = Seq("a" -> 45L), defaultBudget = 1000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // budget 45 over 10-token docs: exactly 4 kept (the 5th would cross)
+    val aKept = got.filter(g => g._2 == "a" && g._5)
+    assert(aKept.length == 4, s"kept ${aKept.length}")
+    assert(aKept.map(_._4).max == 40)
+    // kept set is prefix-closed in cum order: every kept cum < every
+    // dropped cum within the group
+    val aDropped = got.filter(g => g._2 == "a" && !g._5)
+    assert(aKept.map(_._4).max < aDropped.map(_._4).min)
+    // group b under the default budget keeps all 15 (150 <= 1000)
+    assert(got.count(g => g._2 == "b" && g._5) == 15)
+    // deterministic under re-run
+    val again = Split.tokenBudgetSample(docs, "grp", "id", "text",
+        budgets = Seq("a" -> 45L), defaultBudget = 1000L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(4))).sortBy(_._1)
+    assert(again.toSeq == got.map(g => (g._1, g._5)).sortBy(_._1).toSeq)
+  }
+
+  test("curriculum shards: equal sizes, monotone quality bands") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val got = graft.operators.Pack
+      .curriculumShards(docs, "doc_id", "text", nShards = 5)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(got.map(_._1).toSeq == (1 to 5))
+    // ntile: shard sizes within one of each other, all docs covered
+    assert(got.map(_._2).max - got.map(_._2).min <= 1)
+    assert(got.map(_._2).sum == docs.count())
+    // quality bands are monotone non-increasing across shards
+    val bands = got.sortBy(_._1).toSeq
+    for (Seq(a, b) <- bands.sliding(2))
+      assert(a._3 >= b._4, s"shard ${a._1} min ${a._3} < shard ${b._1} max ${b._4}")
+  }
+
   test("group-aware split: clusters move atomically, singletons deterministic") {
     val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("id", "text")
     // two clusters: {1,2,3} (chained) and {50,51}; everything else singleton
