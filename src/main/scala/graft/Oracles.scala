@@ -1851,7 +1851,7 @@ object Oracles {
          | )),
          |c AS (
          | SELECT doc_id, t,
-         |  trim(regexp_replace(
+         |  trim(regexp_replace(regexp_replace(
          |   replace(
          |    replace(replace(replace(replace(replace(
          |     regexp_replace(
@@ -1864,7 +1864,7 @@ object Oracles {
          |     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
          |     '&#39;', ''''), '&nbsp;', ' '),
          |   '&amp;', '&'),
-         |  '\\s+', ' ', 'g')) AS text_clean
+         |  '[ \\t\\r\\f]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g')) AS text_clean
          | FROM base)
          |SELECT doc_id, text_clean,
          | CAST(length(t) - length(text_clean) AS INT) AS removed_chars

@@ -634,7 +634,11 @@ object TextOps {
         "&#39;" -> "'", "&nbsp;" -> " ")
       .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
     val amp = replace(decoded, lit("&amp;"), lit("&"))
-    trim(regexp_replace(amp, "\\s+", " "))
+    // collapse HORIZONTAL whitespace only and trim around newlines: line
+    // structure survives, so [[lineCorrections]] composes downstream
+    // (RefinedWeb's order — extract, then line-wise rules — requires it)
+    trim(regexp_replace(regexp_replace(amp, "[ \\t\\r\\f]+", " "),
+      " ?\\n ?", "\n"))
   }
 
   /** [[stripMarkup]] over a frame: (idCol, text_clean, removed_chars) —

@@ -509,6 +509,56 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("markup strip + line corrections + url audit run stateless on streams") {
+    // the r7 cleanup kernels are pure per-row Column chains, so the same
+    // operator call works on a streaming frame with identical results —
+    // pinned here once for the three new ones (the q129/q128/q132 ops)
+    val docs = Seq(
+      (1L, "<p>First &amp; second</p>", "https://a.badsite.com/x"),
+      (2L, "good line of words here\n42 07.\nmore good words here",
+        "http://ok.example.org/y"))
+    val input = MemoryStream[(Long, String, String)](spark)
+    def textChain(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextOps.lineCorrections(
+        graft.operators.TextOps.stripMarkupDocs(df, "doc_id", "text")
+          .withColumnRenamed("text_clean", "text"),
+        "doc_id", "text")
+    def urlChain(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.UrlOps.urlAudit(df.select("doc_id", "url"),
+        "doc_id", "url", Seq("badsite.com"))
+    val src = input.toDF().toDF("doc_id", "text", "url")
+    val qt = textChain(src).writeStream.format("memory")
+      .queryName("cleanup_text").outputMode(OutputMode.Append).start()
+    val qu = urlChain(src).writeStream.format("memory")
+      .queryName("cleanup_url").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docs: _*)
+      qt.processAllAvailable(); qu.processAllAvailable()
+      val gotT = spark.table("cleanup_text")
+        .select("doc_id", "text_clean", "n_dropped")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        .sortBy(_._1)
+      val wantT = textChain(docs.toDF("doc_id", "text", "url"))
+        .select("doc_id", "text_clean", "n_dropped")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        .sortBy(_._1)
+      assert(gotT.toSeq == wantT.toSeq)
+      val gotU = spark.table("cleanup_url")
+        .select("doc_id", "domain", "blocked")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+        .sortBy(_._1)
+      val wantU = urlChain(docs.toDF("doc_id", "text", "url"))
+        .select("doc_id", "domain", "blocked")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+        .sortBy(_._1)
+      assert(gotU.toSeq == wantU.toSeq)
+      val u = gotU.map(g => g._1 -> (g._2, g._3)).toMap
+      assert(gotT.head._2 == "First & second")
+      assert(u(1L) == ("badsite.com", true))
+      assert(gotT(1)._3 == 1 && !u(2L)._2)
+    } finally { qt.stop(); qu.stop() }
+  }
+
   test("quality router: stream output == batch expression, rejects reasoned") {
     val docs = Seq(
       (1L, "the cat sat on the mat and the dog ran to the park today"),
