@@ -1295,6 +1295,23 @@ object Oracles {
          | CAST(sum(nt) AS BIGINT) AS total_tokens
          |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
 
+    // per-domain report: the oracle derives the registrable domain
+    // INDEPENDENTLY (source || '-site.com' — the construction's known
+    // answer) rather than replaying the regex chain, so a kernel
+    // regression in host/domain extraction hash-fails here even if the
+    // q132 replay drifted with it; quality/token kernels as q15/q89
+    "q139_domain_report" ->
+      s"""WITH d AS (
+         | SELECT doc_id, source || '-site.com' AS domain,
+         |  source = 'src3' AS blocked,
+         |  CAST(${tokenCountSql("text")} AS BIGINT) AS nt,
+         |  CAST(${qualitySql("text")} AS INT) AS q
+         | FROM documents)
+         |SELECT domain, blocked, count(*) AS n_docs,
+         | CAST(sum(nt) AS BIGINT) AS total_tokens,
+         | round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS avg_quality
+         |FROM d GROUP BY 1, 2 ORDER BY domain""".stripMargin,
+
     // estimated vs exact Jaccard from ONE chain: the q61 sig CTE gives
     // h0..h15 per doc; agreement fraction = sum(CASE a.hi = b.hi)/16.0,
     // exact sim comes from the same verified pairs CTE

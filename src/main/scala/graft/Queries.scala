@@ -1369,6 +1369,31 @@ object Queries {
     Pack.curriculumShards(t(s, dir, "documents"), "doc_id", "text",
       nShards = 8)
 
+  /** Per-DOMAIN report card — the q89 report re-keyed on provenance
+    * (UrlOps.host/registrableDomain over the derived per-source URLs plus
+    * the planted parse fixtures joined back to real text): doc counts,
+    * token totals, average quality and the blocklist verdict per
+    * registrable domain — the crawl-governance view (C4-style domain
+    * decisions are made from exactly this table). One URL kernel pass +
+    * one bounded per-domain agg. */
+  def q139DomainReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
+      concat(lit("https://www."), col("source"), lit("-site.com/doc/"),
+        col("doc_id").cast("string")).as("url"))
+    val audited = UrlOps.urlAudit(docs, "doc_id", "url",
+      urlBlocklist :+ "src3-site.com")
+    docs.join(audited.select(col("doc_id"), col("domain"), col("blocked")),
+        "doc_id")
+      .select(col("domain"), col("blocked"),
+        TextOps.tokenCount(col("text")).cast("long").as("__nt"),
+        TextOps.qualityScore(col("text")).as("__q"))
+      .groupBy(col("domain"), col("blocked"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("total_tokens"),
+        round(sum(col("__q")).cast("double") / count(lit(1)), 6)
+          .as("avg_quality"))
+      .orderBy("domain")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2231,6 +2256,7 @@ object Queries {
     "q136_kl_drift" -> (q136KlDrift _),
     "q137_token_budget" -> (q137TokenBudget _),
     "q138_curriculum" -> (q138Curriculum _),
+    "q139_domain_report" -> (q139DomainReport _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
