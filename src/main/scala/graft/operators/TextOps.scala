@@ -496,18 +496,39 @@ object TextOps {
     * corpus-wide distribution. */
   def klDrift(df: org.apache.spark.sql.DataFrame, groupCol: String,
               textCol: String, numBuckets: Int = 4096,
-              seed: Int = 11): org.apache.spark.sql.DataFrame = {
+              seed: Int = 11): org.apache.spark.sql.DataFrame =
+    klDriftAgainst(df, df, groupCol, textCol, numBuckets, seed)
+
+  /** [[klDrift]] with an EXPLICIT reference corpus for Q — the form a
+    * monitor runs in production: groups of incoming data (micro-batches,
+    * days, shards) scored against the frozen TRAINING corpus's
+    * distribution rather than their own mixture. With `reference` = `df`
+    * this is exactly [[klDrift]]. */
+  def klDriftAgainst(df: org.apache.spark.sql.DataFrame,
+                     reference: org.apache.spark.sql.DataFrame,
+                     groupCol: String, textCol: String,
+                     numBuckets: Int = 4096,
+                     seed: Int = 11): org.apache.spark.sql.DataFrame = {
     require(numBuckets >= 2, "klDrift: numBuckets >= 2")
     val b = numBuckets.toLong
+    def bucket(t: Column): Column =
+      pmod(Dedup.portableHash64(t, seed), lit(b))
     val fb = df.select(col(groupCol),
         explode(tokens(lower(col(textCol)))).as("__tok"))
-      .select(col(groupCol),
-        pmod(Dedup.portableHash64(col("__tok"), seed), lit(b)).as("__b"))
+      .select(col(groupCol), bucket(col("__tok")).as("__b"))
     val sb = fb.groupBy(col(groupCol), col("__b"))
       .agg(count(lit(1)).as("__c"))
-      .transform(Checkpoints.ckpt) // consumers: totals, corpus dist, grid
+      .transform(Checkpoints.ckpt) // consumers: totals, grid
     val tots = sb.groupBy(col(groupCol)).agg(sum(col("__c")).as("__tot"))
-    val corp = sb.groupBy(col("__b")).agg(sum(col("__c")).as("__cc"))
+    // self-reference reuses the checkpointed (group, bucket) counts —
+    // one corpus pass; an explicit reference pays its own (bounded) agg
+    val corp =
+      if (reference eq df)
+        sb.groupBy(col("__b")).agg(sum(col("__c")).as("__cc"))
+      else reference
+        .select(explode(tokens(lower(col(textCol)))).as("__tok"))
+        .select(bucket(col("__tok")).as("__b"))
+        .groupBy(col("__b")).agg(count(lit(1)).as("__cc"))
     val ctot = corp.agg(sum(col("__cc")).as("__ctot"))
     val grid = tots
       .select(col(groupCol), col("__tot"),

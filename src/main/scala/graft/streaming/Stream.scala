@@ -308,6 +308,33 @@ object Stream {
           ingestStamp = batchId)
       }
 
+  /** Per-micro-batch distribution-drift monitor
+    * ([[graft.operators.TextOps.klDriftAgainst]] with the FROZEN
+    * reference corpus): each batch's hashed-bucket token distribution is
+    * scored against the training corpus's, and (batch_id, n_tokens,
+    * kl_div) is upserted into a monitoring table — the alarm feed that
+    * catches a drifting source before the next training run consumes it.
+    * The reference distribution is re-read per batch from `referencePath`
+    * (bounded: one bucket agg of a static table; cache the parquet table
+    * small or precompute its (bucket, count) frame at a maintenance
+    * cadence if the reference is 100 TB). Exactly-once: the upsert is
+    * keyed on batch_id — a replayed batch overwrites itself with the
+    * identical deterministic score. */
+  def klDriftSink(docs: DataFrame, referencePath: String, outPath: String,
+                  checkpoint: String, textCol: String = "text",
+                  numBuckets: Int = 512, seed: Int = 11): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val scored = graft.operators.TextOps.klDriftAgainst(
+          batch.withColumn("batch_id", lit(batchId)),
+          spark.read.parquet(referencePath),
+          "batch_id", textCol, numBuckets, seed)
+        Upsert.upsertParquet(outPath, scored, Seq("batch_id"), "batch_id")
+      }
+
   /** Streaming SPAN (paragraph) dedup ingestion over the persisted span
     * digest table ([[graft.operators.Dedup.writeSpanDigestTable]]): per
     * micro-batch, spans the corpus has ever seen are dropped, the batch

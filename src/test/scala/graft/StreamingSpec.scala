@@ -559,6 +559,38 @@ class StreamingSpec extends SparkSpec {
     } finally { qt.stop(); qu.stop() }
   }
 
+  test("KL drift sink: per-batch scores == batch operator, spam batch flagged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val reference = (1 to 50)
+      .map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    reference.write.parquet(s"$dir/ref")
+    val clean = (1 to 10).map(i =>
+      (100L + i, "the quick brown fox jumps over the lazy dog"))
+    val spam = (1 to 10).map(i => (200L + i, "buy cheap pills now " * 2))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Stream.klDriftSink(input.toDF().toDF("doc_id", "text"),
+        s"$dir/ref", s"$dir/out", s"$dir/ckpt", numBuckets = 64)
+      .start()
+    try {
+      input.addData(clean: _*); q.processAllAvailable()
+      input.addData(spam: _*); q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(got.size == 2)
+      // the spam batch diverges hard from the reference; the clean batch
+      // IS the reference distribution (only smoothing noise)
+      assert(got(1L) > 5 * got(0L), s"drift not flagged: $got")
+      // stream score == the batch operator on the same slice + reference
+      val want = graft.operators.TextOps.klDriftAgainst(
+          spam.toDF("doc_id", "text").withColumn("batch_id", lit(1L)),
+          spark.read.parquet(s"$dir/ref"), "batch_id", "text",
+          numBuckets = 64)
+        .collect().head.getDouble(2)
+      assert(got(1L) == want)
+    } finally q.stop()
+  }
+
   test("quality router: stream output == batch expression, rejects reasoned") {
     val docs = Seq(
       (1L, "the cat sat on the mat and the dog ran to the park today"),
