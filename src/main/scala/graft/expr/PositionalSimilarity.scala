@@ -96,6 +96,9 @@ object GraftFunctions {
   def vectorNorm(a: Column): Column =
     shim.column(VectorNorm(shim.expression(a)))
 
+  def vectorSqDist(a: Column, b: Column): Column =
+    shim.column(VectorSqDist(shim.expression(a), shim.expression(b)))
+
   def wordChunks(text: Column, chunkSize: Int, overlap: Int): Column =
     shim.column(WordChunks(shim.expression(text), chunkSize, overlap))
 
@@ -152,13 +155,21 @@ object GraftFunctions {
       VectorNorm(children.head)
     })
 
+  val vectorSqDistDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vector_sqdist"),
+    new ExpressionInfo(classOf[VectorSqDist].getName, "vector_sqdist"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "vector_sqdist expects 2 arguments")
+      VectorSqDist(children.head, children(1))
+    })
+
   /** Every registered native function — ONE list consumed by both
     * registration paths, so a new descriptor cannot reach one and not
     * the other. */
   val allDescriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(positionalSimilarityDescriptor, textFingerprintDescriptor,
       wordShinglesDescriptor, textMetricsDescriptor, wordTokensDescriptor,
-      vectorDotDescriptor, vectorNormDescriptor)
+      vectorDotDescriptor, vectorNormDescriptor, vectorSqDistDescriptor)
 
   /** Imperative registration into an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -56,6 +56,23 @@ object VectorKernel {
     acc
   }
 
+  def sqDist(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"vector_sqdist: length mismatch ($n vs ${b.numElements()})")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      checkNotNull(a, i, "vector_sqdist"); checkNotNull(b, i, "vector_sqdist")
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   def norm(a: ArrayData, aFloat: Boolean): Double = {
     var acc = 0.0
     var i = 0
@@ -107,6 +124,36 @@ case class VectorDot(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd left-fold squared L2 distance of two vector columns
+  * (double) — the PQ/IVFADC hot path ([[graft.operators.Pq]]): encode
+  * scores corpus x codebook and assign scores corpus x centroids, both
+  * per-row over bounded broadcast sides, so the interpreter tax of the
+  * HOF fold multiplies with nseeds/nlist. Bit-identical to
+  * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0, _+_)`
+  * (VectorOpsParitySpec). */
+case class VectorSqDist(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorOps.elemCheck("vector_sqdist", Seq(left.dataType, right.dataType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_sqdist"
+
+  private def lf = VectorOps.isFloat(left.dataType)
+  private def rf = VectorOps.isFloat(right.dataType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lf, rf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expr.VectorKernel.sqDist($a, $b, $lf, $rf)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorSqDist =
     copy(left = newLeft, right = newRight)
 }
 

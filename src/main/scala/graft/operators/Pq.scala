@@ -31,9 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  /** Squared L2 distance between two equal-length vectors, as the
-    * deterministic left fold. */
+  /** Squared L2 distance between two equal-length vectors — the native
+    * codegen kernel ([[graft.expr.VectorSqDist]]; bit-identical to the
+    * HOF fold [[sqDistComposed]], which stays as the executable spec). */
   def sqDist(a: Column, b: Column): Column =
+    graft.expr.GraftFunctions.vectorSqDist(a, b)
+
+  /** The pure-Column composition of [[sqDist]] (the spec form). */
+  def sqDistComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>
         (x.cast("double") - y.cast("double")) *
           (x.cast("double") - y.cast("double"))),

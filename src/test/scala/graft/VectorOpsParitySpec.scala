@@ -38,6 +38,17 @@ class VectorOpsParitySpec extends SparkSpec {
     assert(z.select(Knn.norm(col("v"))).head().getDouble(0) == 0.0)
   }
 
+  test("kernel sqdist == HOF fold, bit for bit, over generated float vectors") {
+    val df = genVectors(300, 64, seed = 13)
+    val bad = df.select(graft.operators.Pq.sqDist(col("a"), col("b")).as("k"),
+        graft.operators.Pq.sqDistComposed(col("a"), col("b")).as("s"))
+      .filter(col("k") =!= col("s"))
+    assert(bad.count() == 0)
+    // identical vectors -> exactly 0
+    assert(df.select(graft.operators.Pq.sqDist(col("a"), col("a")))
+      .filter(col("vector_sqdist(a, a)") =!= 0.0).count() == 0)
+  }
+
   test("double-element arrays and empty arrays work; nulls propagate") {
     val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
     assert(df.select(Knn.dot(col("a"), col("b"))).head().getDouble(0) == 11.0)
