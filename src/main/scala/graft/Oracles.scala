@@ -1312,6 +1312,23 @@ object Oracles {
          | round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS avg_quality
          |FROM d GROUP BY 1, 2 ORDER BY domain""".stripMargin,
 
+    // repeat-mixture replay: same per-group (floor, frac-bp) constants,
+    // same md5 hash threshold, copies via range unnest (empty range
+    // drops the factor-0.25 losers)
+    "q140_repeat_mixture" ->
+      s"""WITH d AS (
+         | SELECT doc_id, source,
+         |  (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END)
+         |   + (CASE WHEN ${ph("CAST(doc_id AS VARCHAR)", 55)} % 10000 <
+         |        (CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2500
+         |         ELSE 0 END)
+         |      THEN 1 ELSE 0 END) AS n_copies
+         | FROM documents)
+         |SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+         | unnest(range(1, n_copies + 1)) AS copy
+         |FROM d WHERE n_copies >= 1
+         |ORDER BY doc_id, copy""".stripMargin,
+
     // estimated vs exact Jaccard from ONE chain: the q61 sig CTE gives
     // h0..h15 per doc; agreement fraction = sum(CASE a.hi = b.hi)/16.0,
     // exact sim comes from the same verified pairs CTE

@@ -1394,6 +1394,16 @@ object Queries {
       .orderBy("domain")
   }
 
+  /** Fractional repeat-mixture (Split.repeatMixture): src0 x2.5, src1
+    * x0.25, everything else x1 — the upsampling half of data mixing,
+    * fractional parts resolved per doc by portable hash. The oracle
+    * replays the factor lookup, the hash threshold and the copy
+    * explode. */
+  def q140RepeatMixture(s: SparkSession, dir: String): DataFrame =
+    Split.repeatMixture(t(s, dir, "documents"), "source", "doc_id",
+        factors = Seq("src0" -> 2.5, "src1" -> 0.25))
+      .orderBy("doc_id", "copy")
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2257,6 +2267,7 @@ object Queries {
     "q137_token_budget" -> (q137TokenBudget _),
     "q138_curriculum" -> (q138Curriculum _),
     "q139_domain_report" -> (q139DomainReport _),
+    "q140_repeat_mixture" -> (q140RepeatMixture _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

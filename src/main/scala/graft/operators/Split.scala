@@ -207,6 +207,50 @@ object Split {
         col("keep"))
   }
 
+  /** Fractional repeat-mixture (epoch factors): materialize each
+    * document `factor` times per epoch — the UPSAMPLING half of data
+    * mixing (training mixtures repeat high-quality sources: "Wikipedia
+    * x3.5, books x2, web x0.8"), with the fractional part resolved per
+    * document by portable id hash, so a 3.5 factor gives every doc 3
+    * copies and deterministically half of them a 4th. Factors below 1
+    * downsample through the same formula (0.8 -> 80% of docs keep their
+    * single copy) — one op covers both directions, and the realized copy
+    * count is a pure function of (id, factor): retry-stable,
+    * re-derivable, engine-replayable.
+    *
+    * Scale shape: one broadcast factor lookup + per-row explode — no
+    * shuffle; output size is input x mean factor by construction. The
+    * copy index rides along so a downstream loader can interleave epochs
+    * (copy 1 of everything, then copy 2...) without re-sampling.
+    * Output: (idCol, groupCol, n_copies, copy). */
+  def repeatMixture(df: DataFrame, groupCol: String, idCol: String,
+                    factors: Seq[(String, Double)], defaultFactor: Double = 1.0,
+                    seed: Int = 55): DataFrame = {
+    require(factors.map(_._1).distinct.size == factors.size,
+      "repeatMixture: duplicate group")
+    require((defaultFactor +: factors.map(_._2)).forall(f => f >= 0 && f <= 100),
+      "repeatMixture: factors in [0, 100]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def split(f: Double): (Long, Long) = {
+      val fl = math.floor(f).toLong
+      (fl, math.round((f - fl) * 10000))
+    }
+    val fdf = factors.map { case (g, f) =>
+      val (fl, bp) = split(f); (g, fl, bp)
+    }.toDF("__grp", "__floor", "__bp")
+    val (dfl, dbp) = split(defaultFactor)
+    df.select(col(idCol), col(groupCol))
+      .join(broadcast(fdf), col(groupCol) === col("__grp"), "left")
+      .withColumn("n_copies",
+        coalesce(col("__floor"), lit(dfl)) +
+          when(pmod(Dedup.portableHash64(col(idCol).cast("string"), seed),
+            lit(10000L)) < coalesce(col("__bp"), lit(dbp)), 1L).otherwise(0L))
+      .where(col("n_copies") >= 1)
+      .select(col(idCol), col(groupCol), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
+
   /** Stratified deterministic sampling: per-stratum percentage targets
     * (strata absent from the map keep `defaultPct`). */
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for

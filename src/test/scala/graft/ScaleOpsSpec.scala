@@ -787,6 +787,34 @@ class MixtureSampleSpec extends SparkSpec {
       assert(a._3 >= b._4, s"shard ${a._1} min ${a._3} < shard ${b._1} max ${b._4}")
   }
 
+  test("repeat mixture: integer factors exact, fractional near-target, both directions") {
+    val docs = (1L to 400L).map(i =>
+      (i, if (i <= 200) "up" else "down", "t")).toDF("id", "grp", "text")
+    val got = Split.repeatMixture(docs, "grp", "id",
+        factors = Seq("up" -> 2.5, "down" -> 0.3))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // every "up" doc appears 2 or 3 times, copies numbered 1..n
+    val byId = got.groupBy(_._1)
+    for ((id, rows) <- byId if rows.head._2 == "up") {
+      assert(rows.length == 2 || rows.length == 3, s"doc $id: ${rows.length}")
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length))
+    }
+    // fractional halves land near 50% of 200 (hash uniformity, wide band)
+    val upTotal = got.count(_._2 == "up")
+    assert(upTotal > 200 * 2.2 && upTotal < 200 * 2.8, s"up=$upTotal")
+    // down-sampling: ~30% of docs keep one copy, none get two
+    val downIds = byId.filter(_._2.head._2 == "down")
+    assert(downIds.values.forall(_.length == 1))
+    assert(downIds.size > 200 * 0.15 && downIds.size < 200 * 0.45,
+      s"down=${downIds.size}")
+    // deterministic under re-run
+    val again = Split.repeatMixture(docs, "grp", "id",
+        factors = Seq("up" -> 2.5, "down" -> 0.3))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(identity)
+    assert(again.toSeq == got.map(g => (g._1, g._4)).sortBy(identity).toSeq)
+  }
+
   test("group-aware split: clusters move atomically, singletons deterministic") {
     val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("id", "text")
     // two clusters: {1,2,3} (chained) and {50,51}; everything else singleton
