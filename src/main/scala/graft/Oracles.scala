@@ -1329,6 +1329,34 @@ object Oracles {
          |FROM d WHERE n_copies >= 1
          |ORDER BY doc_id, copy""".stripMargin,
 
+    // encoding scrub replay: the SAME shared mojibake table (escaped via
+    // chr() composition so the SQL text carries no raw control bytes),
+    // same ordered replaces, same C0/DEL/C1 strip class
+    "q141_fix_encoding" -> {
+      val fixedExpr = graft.operators.TextOps.mojibakeTable
+        .foldLeft("coalesce(text, '')") { case (acc, (bad, good)) =>
+          s"replace($acc, ${Queries.sqlStr(bad)}, ${Queries.sqlStr(good)})"
+        }
+      s"""WITH base AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | ${Queries.encodingPlanted.map { case (id, t) =>
+              s"SELECT CAST($id AS BIGINT) AS doc_id, ${Queries.sqlStr(t)} AS text"
+            }.mkString("\n  UNION ALL\n  ")}),
+         |f AS (SELECT doc_id, $fixedExpr AS fixed, coalesce(text, '') AS t
+         |      FROM base),
+         |c AS (
+         | SELECT doc_id, fixed, t,
+         |  regexp_replace(fixed,
+         |   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]', '', 'g')
+         |   AS text_clean
+         | FROM f)
+         |SELECT doc_id, text_clean,
+         | CAST(length(fixed) - length(text_clean) AS INT) AS n_ctrl_removed,
+         | fixed <> t AS mojibake_fixed
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
     // estimated vs exact Jaccard from ONE chain: the q61 sig CTE gives
     // h0..h15 per doc; agreement fraction = sum(CASE a.hi = b.hi)/16.0,
     // exact sim comes from the same verified pairs CTE

@@ -1404,6 +1404,40 @@ object Queries {
         factors = Seq("src0" -> 2.5, "src1" -> 0.25))
       .orderBy("doc_id", "copy")
 
+  /** Planted encoding fixtures (all via unicode escapes — the corpus is
+    * byte-clean, so each scrub path needs a planted doc): control-char
+    * noise, cp1252 mojibake punctuation/vowels, the U+009D / Â+NBSP
+    * artifacts with a stray C1 leftover. */
+  private[graft] val encodingPlanted: Seq[(Long, String)] = Seq(
+    9400001L -> "perfectly clean prose here",
+    9400002L -> "bell and noisehere",
+    9400003L -> "itâ€™s a test â€” with Ã©lan",
+    9400004L -> ("say â€quotedâ€ " +
+      "withÂ space and lone mark"))
+
+  /** SQL string literal with control/C1 chars composed via chr() — the
+    * fixture escaper the encoding oracle shares. */
+  private[graft] def sqlStr(s: String): String = {
+    val sb = new StringBuilder("'")
+    s.foreach { c =>
+      if (c == '\'') sb.append("''")
+      else if (c < 0x20 || (c >= 0x7F && c <= 0x9F))
+        sb.append("' || chr(" + c.toInt + ") || '")
+      else sb.append(c)
+    }
+    sb.append("'").toString
+  }
+
+  /** Encoding scrub (TextOps.fixEncoding) over documents plus the planted
+    * fixtures: mojibake repaired by the shared ordered table, C0/DEL/C1
+    * bytes stripped and counted. */
+  def q141FixEncoding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(encodingPlanted.toDF("doc_id", "text"))
+    TextOps.fixEncoding(docs, "doc_id", "text").orderBy("doc_id")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2268,6 +2302,7 @@ object Queries {
     "q138_curriculum" -> (q138Curriculum _),
     "q139_domain_report" -> (q139DomainReport _),
     "q140_repeat_mixture" -> (q140RepeatMixture _),
+    "q141_fix_encoding" -> (q141FixEncoding _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

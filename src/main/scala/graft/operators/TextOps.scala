@@ -673,6 +673,49 @@ object TextOps {
         .as("removed_chars"))
   }
 
+  /** The classic UTF-8-decoded-as-cp1252 mojibake sequences and their
+    * intended characters — curly quotes, dashes, ellipsis, the common
+    * accented Latin vowels, and the Â+NBSP artifact. 3-byte sequences
+    * first (they share no prefix with the 2-byte ones, but the fixed
+    * order is part of the replayable contract). Shared with the q141
+    * oracle so table and replay cannot drift. */
+  val mojibakeTable: Seq[(String, String)] = Seq(
+    "â€™" -> "'",       // ’ through cp1252
+    "â€œ" -> "\"",      // “
+    "â€" -> "\"",      // ”
+    "â€“" -> "–",  // –
+    "â€”" -> "—",  // —
+    "â€¦" -> "…",  // …
+    "Ã©" -> "é",        // é
+    "Ã¨" -> "è",        // è
+    "Ã¤" -> "ä",        // ä
+    "Ã¶" -> "ö",        // ö
+    "Ã¼" -> "ü",        // ü
+    "Ã±" -> "ñ",        // ñ
+    "Â " -> " ")             // Â + NBSP artifact
+
+  /** Encoding scrub — the byte-hygiene pass a crawl corpus needs before
+    * any text statistic is trustworthy: (1) repair the classic
+    * UTF-8-as-cp1252 mojibake sequences ([[mojibakeTable]], ordered
+    * literal replaces — deterministic, engine-portable), then (2) strip
+    * C0 control characters (except tab/newline), DEL and the C1 block
+    * (where unrepaired mojibake leftovers like U+009D live) — they break
+    * tokenizers and are a fingerprint of binary contamination. Pure
+    * per-row codegen chain — no shuffle, no UDF, batch == streaming.
+    * Output: (idCol, text_clean, n_ctrl_removed, mojibake_fixed). */
+  def fixEncoding(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val src = coalesce(col(textCol), lit(""))
+    val fixed = mojibakeTable.foldLeft(src) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+    val clean = regexp_replace(fixed,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]", "")
+    df.select(col(idCol), clean.as("text_clean"),
+      (length(fixed) - length(clean)).as("n_ctrl_removed"),
+      (fixed =!= src).as("mojibake_fixed"))
+  }
+
   /** PII scrubbing: redact email addresses and 10-12 digit phone-like runs
     * (the same shapes the cleaning rules validate) with typed placeholders. */
   def redactPii(text: Column): Column =

@@ -638,6 +638,20 @@ class TextOpsSpec extends SparkSpec {
     assert(n("a") == 1600 && n("z") == 1400)
   }
 
+  test("encoding scrub: mojibake repaired, control bytes counted out") {
+    val got = TextOps.fixEncoding(
+        Queries.encodingPlanted.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getBoolean(3)))
+      .toMap
+    assert(got(9400001L) == ("perfectly clean prose here", 0, false))
+    assert(got(9400002L) == ("bell and noisehere", 3, false))
+    assert(got(9400003L) ==
+      ("it's a test — with élan", 0, true))
+    assert(got(9400004L) ==
+      ("say \"quoted\" with space and lone mark", 1, true))
+  }
+
   test("perplexity buckets: thirds by LM score, common-token docs in head") {
     // docs of corpus-frequent tokens score high; rare-token docs low
     val docs = ((1 to 6).map(i => (i.toLong, "the cat sat on the mat")) ++
