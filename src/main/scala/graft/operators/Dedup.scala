@@ -543,6 +543,30 @@ object Dedup {
     (b, s)
   }
 
+  /** Retention pass for a maintained bucket table: drop every row whose
+    * id is NOT in `keepIds` — the GDPR-delete / corpus-retirement shape
+    * (a document removed from the corpus must stop vetoing new near-
+    * duplicates of itself, or deletions silently bias future ingestion
+    * toward keeping nothing that ever resembled deleted data). Rewrites
+    * both sides through the same staging swap as [[compactBucketTable]]
+    * (local-FS scope as documented there); ingest stamps of surviving
+    * rows are untouched, so streaming replay cuts stay exact.
+    * Returns (bucketRows, shingleRows) remaining. */
+  def expireBucketTable(spark: org.apache.spark.sql.SparkSession,
+                        path: String, keepIds: DataFrame, idCol: String,
+                        targetFiles: Int = 1): (Long, Long) = {
+    // no broadcast hint: the keep set is corpus-sized in the retention
+    // case (AQE still broadcasts a small GDPR-delete complement's keep
+    // side if it fits); semi-join keys are bare ids
+    val keep = keepIds.select(col(idCol).as("id")).distinct()
+    def retain(df: DataFrame): DataFrame =
+      df.join(keep, Seq("id"), "left_semi")
+    graft.etl.Sinks.compactWith(spark, s"$path/buckets", targetFiles, retain)
+    graft.etl.Sinks.compactWith(spark, s"$path/shingles", targetFiles, retain)
+    (spark.read.parquet(s"$path/buckets").count(),
+      spark.read.parquet(s"$path/shingles").count())
+  }
+
   /** [[minhashNearDupsAgainst]] with the existing side read from a
     * persisted bucket table: same output contract (incoming_id,
     * existing_id, jaccard_sim), but the corpus cost per batch is a parquet

@@ -26,6 +26,31 @@ class PersistedIndexSpec extends SparkSpec {
     (13L, "completely unrelated sentence about data pipelines and spark"),
     (14L, "sphinx of black quartz judge my vow they all said"))    // exact dup of 4
 
+  test("expired bucket table probes exactly like an index rebuilt from the survivors") {
+    val dir = tmp("graft-expire")
+    val existing = existingDocs.toDF("doc_id", "text")
+    Dedup.writeBucketTable(existing, s"$dir/idx", "doc_id", "text",
+      shingleK = 3, numHashes = 16, bands = 4)
+    // retire docs 1 and 4 (the exact-dup veto sources for 11 and 14)
+    val survivors = existing.filter(col("doc_id") === 2L || col("doc_id") === 3L)
+    Dedup.expireBucketTable(spark, s"$dir/idx", survivors, "doc_id")
+    val viaExpired = Dedup.minhashNearDupsAgainstTable(
+        incomingDocs.toDF("doc_id", "text"), s"$dir/idx", "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.writeBucketTable(survivors, s"$dir/rebuilt", "doc_id", "text",
+      shingleK = 3, numHashes = 16, bands = 4)
+    val viaRebuilt = Dedup.minhashNearDupsAgainstTable(
+        incomingDocs.toDF("doc_id", "text"), s"$dir/rebuilt", "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaExpired == viaRebuilt)
+    // the retired docs no longer veto their duplicates; doc 2's near-dup
+    // is still caught
+    assert(!viaExpired.exists(_._2 == 1L) && !viaExpired.exists(_._2 == 4L))
+    assert(viaExpired.contains((12L, 2L)))
+  }
+
   test("bucket-table near-dedup == corpus-frame near-dedup, and the corpus is scanned ZERO times") {
     val dir = tmp("graft-lsh")
     // the existing corpus lives in parquet so its scan would be visible in
