@@ -776,6 +776,26 @@ object Oracles {
         |FROM sessions GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
 
+    // event-sequence corpus: q18's session chain + an (ts, event_id)-
+    // ordered string_agg per session; duration via the same whole-second
+    // date_diff the gap rule uses
+    "q142_session_sequences" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+        |sessions AS (
+        | SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM flagged)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | count(*) AS n_events,
+        | string_agg(event_type, ' ' ORDER BY ts, event_id) AS event_seq,
+        | date_diff('second', min(ts), max(ts)) AS duration_sec
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
     "q19_tumbling" ->
       """SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
         | count(*) AS n_events,

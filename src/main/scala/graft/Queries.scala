@@ -1438,6 +1438,16 @@ object Queries {
     TextOps.fixEncoding(docs, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** Behavioral event-sequence corpus (Sessionize.sessionSequences):
+    * each gap-bounded session becomes one ordered event-type "sentence" —
+    * the sessionize→encode composition that builds pretraining data from
+    * an event log. The oracle replays the session chain (q18's CTE) and
+    * the (ts, event_id)-ordered string_agg. */
+  def q142SessionSequences(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionSequences(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id")
+      .orderBy("user_id", "session_seq")
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2303,6 +2313,7 @@ object Queries {
     "q139_domain_report" -> (q139DomainReport _),
     "q140_repeat_mixture" -> (q140RepeatMixture _),
     "q141_fix_encoding" -> (q141FixEncoding _),
+    "q142_session_sequences" -> (q142SessionSequences _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -40,6 +40,32 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value"))
 
+  /** Behavioral event-sequence corpus: per (user, session), the ordered
+    * event-type sequence as a training document — the sessionize→encode
+    * composition that turns an event log into pretraining data for
+    * behavioral/recommendation models (each session is one "sentence" of
+    * event tokens). Ordering inside a session is (ts, event id) — total
+    * and engine-portable, so the assembled sequence replays exactly;
+    * assembly is sort_array over per-session collect_list (sessions are
+    * gap-bounded, so the per-group array is session-sized, never
+    * user-history-sized... the gap parameter IS the memory bound).
+    * Output: (userCol, session_seq, n_events, event_seq, duration_sec). */
+  def sessionSequences(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, idCol: String,
+                       gapMinutes: Int = 30): DataFrame =
+    withSessions(events, userCol, tsCol, gapMinutes)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("__start"), max(col(tsCol)).as("__end"),
+        sort_array(collect_list(struct(col(tsCol).as("t"),
+          col(idCol).as("i"), col(typeCol).as("e")))).as("__evs"))
+      .select(col(userCol), col("session_seq").cast("long").as("session_seq"),
+        col("n_events"),
+        array_join(transform(col("__evs"), s => s.getField("e")), " ")
+          .as("event_seq"),
+        (unix_timestamp(col("__end")) - unix_timestamp(col("__start")))
+          .as("duration_sec"))
+
   /** Tumbling-window rollup (batch form of ST-5): events per window, with
     * distinct users and sum of value. `widthMinutes` must divide evenly into
     * the day for DuckDB time_bucket parity. */

@@ -652,6 +652,24 @@ class TextOpsSpec extends SparkSpec {
       ("say \"quoted\" with space and lone mark", 1, true))
   }
 
+  test("session sequences: ordered tokens per gap-bounded session") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      (1L, at(0), 7L, "view"), (2L, at(5), 7L, "click"),
+      (3L, at(10), 7L, "purchase"),
+      (4L, at(60), 7L, "view"),                  // new session (50-min gap)
+      (5L, at(0), 8L, "error")).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Sessionize.sessionSequences(events, "user_id", "ts",
+        "event_type", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    assert(got((7L, 1L)) == ((3L, "view click purchase", 600L)))
+    assert(got((7L, 2L)) == ((1L, "view", 0L)))
+    assert(got((8L, 1L)) == ((1L, "error", 0L)))
+  }
+
   test("perplexity buckets: thirds by LM score, common-token docs in head") {
     // docs of corpus-frequent tokens score high; rare-token docs low
     val docs = ((1 to 6).map(i => (i.toLong, "the cat sat on the mat")) ++
