@@ -527,7 +527,7 @@ object Oracles {
        |FROM feats""".stripMargin
   }
 
-  val all: Map[String, String] = EduOracles.all ++ Map(
+  private val base: Map[String, String] = EduOracles.all ++ Map(
 
     "q30_multimodal_features" -> q30Sql,
 
@@ -2752,6 +2752,13 @@ object Oracles {
          |SELECT doc_id, nbits = 4 AS maybe_present FROM hit ORDER BY doc_id""".stripMargin
     },
   )
+
+  /** Every oracle, plus aliases where one SQL statement proves two
+    * queries: a RELOADED PQ index must search exactly like the
+    * in-session one (q112's ivfLoad convention — the persistence layer
+    * may not change a single distance). */
+  val all: Map[String, String] =
+    base + ("q143_pq_reload" -> base("q134_pq_adc"))
 
   /** The q60/q67 oracle: recursive reachability over the shared edge set —
     * min reachable id == the min-label fixpoint both CC algorithms

@@ -1448,6 +1448,23 @@ object Queries {
         "event_type", "event_id")
       .orderBy("user_id", "session_seq")
 
+  /** PQ index save/load round trip (Pq.save/load): persist codebook +
+    * codes as a table, reload, search — must hash-match q134's oracle
+    * exactly (the persistence layer cannot change a single distance).
+    * The PQ analogue of q112's IVF reload proof. */
+  def q143PqReload(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val path = rtPath(dir, "pqidx")
+    val cb = Pq.codebook(emb, "vec_id", "embedding", dim = 64, m = 4,
+      nseeds = 16)
+    val codes = Pq.encode(emb, cb, "vec_id", "embedding", dim = 64, m = 4)
+    Pq.save(cb, codes, "vec_id", path, dim = 64, m = 4)
+    val (cb2, codes2, dim2, m2) = Pq.load(s, path)
+    Pq.adcSearch(emb.filter(col("vec_id") < 10), codes2, cb2,
+        "vec_id", "vec_id", "embedding", dim2, m2, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2314,6 +2331,7 @@ object Queries {
     "q140_repeat_mixture" -> (q140RepeatMixture _),
     "q141_fix_encoding" -> (q141FixEncoding _),
     "q142_session_sequences" -> (q142SessionSequences _),
+    "q143_pq_reload" -> (q143PqReload _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -162,6 +162,31 @@ object Pq {
         round(col("__adc").cast("double"), 6).as("adc_dist"))
   }
 
+  /** Persist a PQ index (codebook + codes) as a table under `path` —
+    * the serving shape: `codes/` is the corpus at m ints per vector,
+    * `codebook/` is m x nseeds bounded metadata, `meta/` pins (dim, m)
+    * so save and search can never disagree. The production analogue of
+    * the in-session frames, like [[Knn.ivfSave]] for IVF. */
+  def save(cb: DataFrame, codes: DataFrame, idCol: String, path: String,
+           dim: Int, m: Int): Unit = {
+    val spark = cb.sparkSession
+    import spark.implicits._
+    Seq((dim, m)).toDF("dim", "m").write.mode("overwrite")
+      .parquet(s"$path/meta")
+    cb.write.mode("overwrite").parquet(s"$path/codebook")
+    codes.select(col(idCol), col("j"), col("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Reload a saved PQ index: (codebook, codes, dim, m). */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): (DataFrame, DataFrame, Int, Int) = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    (spark.read.parquet(s"$path/codebook"),
+      spark.read.parquet(s"$path/codes"),
+      meta.getAs[Int]("dim"), meta.getAs[Int]("m"))
+  }
+
   /** ADC top-k: exact query subvectors against the codebook build the
     * per-query distance table (bounded m x nseeds rows per query,
     * broadcast); the encoded corpus joins it on (j, code) and sums the m
