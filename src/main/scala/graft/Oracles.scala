@@ -747,6 +747,33 @@ object Oracles {
          | lang
          |FROM h ORDER BY doc_id""".stripMargin,
 
+    // lang-ID confusion matrix: the q16 prediction CASE reused, cross-
+    // tabulated with per-gold-label totals; share = n/tot rounded
+    "q144_lang_confusion" ->
+      s"""WITH h AS (
+         | SELECT doc_id, lang,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['the','and','of','to','is'], x))) AS h_en,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['el','la','de','que','los'], x))) AS h_es,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['le','la','les','des','est'], x))) AS h_fr,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['der','die','und','das','ist'], x))) AS h_de,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['的','是','了','在','我'], x))) AS h_zh
+         | FROM documents),
+         |p AS (
+         | SELECT lang,
+         |  CASE WHEN h_en + h_es + h_fr + h_de + h_zh = 0 THEN 'und'
+         |       WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en >= h_zh THEN 'en'
+         |       WHEN h_es >= h_fr AND h_es >= h_de AND h_es >= h_zh THEN 'es'
+         |       WHEN h_fr >= h_de AND h_fr >= h_zh THEN 'fr'
+         |       WHEN h_de >= h_zh THEN 'de'
+         |       ELSE 'zh' END AS lang_pred
+         | FROM h),
+         |t AS (SELECT lang, count(*) AS tot FROM p GROUP BY 1)
+         |SELECT p.lang, lang_pred, count(*) AS n_docs,
+         | round(CAST(count(*) AS DOUBLE) / any_value(tot), 6) AS share
+         |FROM p JOIN t ON p.lang = t.lang
+         |GROUP BY p.lang, lang_pred
+         |ORDER BY p.lang, lang_pred""".stripMargin,
+
     "q17_jaccard" ->
       s"""WITH d AS (
          | SELECT doc_id, ${toksSql("text")} AS toks FROM documents WHERE doc_id < 60),

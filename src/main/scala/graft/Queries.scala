@@ -282,6 +282,23 @@ object Queries {
         col("lang"))
       .orderBy("doc_id")
 
+  /** Language-ID confusion matrix: the q16 heuristic's predictions
+    * cross-tabulated against gold labels with per-cell recall share —
+    * the audit you run before trusting a cheap classifier to route a
+    * corpus (which languages it confuses tells you where the marker
+    * lists need depth). One scan + one bounded (gold x pred) agg. */
+  def q144LangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val preds = t(s, dir, "documents").select(col("lang"),
+      TextOps.textMetrics(col("text")).getField("lang").as("lang_pred"))
+    val totals = preds.groupBy(col("lang")).agg(count(lit(1)).as("__tot"))
+    preds.groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(totals, "lang")
+      .select(col("lang"), col("lang_pred"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("__tot"), 6).as("share"))
+      .orderBy("lang", "lang_pred")
+  }
+
   /** N-gram (token-set) Jaccard similarity join over a bounded probe set:
     * all pairs with similarity >= 0.5. */
   def q17Jaccard(s: SparkSession, dir: String): DataFrame = {
@@ -2332,6 +2349,7 @@ object Queries {
     "q141_fix_encoding" -> (q141FixEncoding _),
     "q142_session_sequences" -> (q142SessionSequences _),
     "q143_pq_reload" -> (q143PqReload _),
+    "q144_lang_confusion" -> (q144LangConfusion _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
