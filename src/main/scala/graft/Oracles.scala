@@ -2404,6 +2404,27 @@ object Oracles {
         |FROM dev d JOIN mad m ON d.g = m.g
         |GROUP BY 1, m.med, m.mad ORDER BY 1""".stripMargin,
 
+    // per-source length fences: q110's MAD replay over token counts
+    "q145_length_outliers" ->
+      s"""WITH ev AS (
+         | SELECT source AS g, CAST(${tokenCountSql("text")} AS DOUBLE) AS v
+         | FROM documents),
+         |med AS (
+         | SELECT g, quantile_cont(v, 0.5) AS med FROM ev GROUP BY 1),
+         |dev AS (
+         | SELECT ev.g, v, med, abs(v - med) AS adev
+         | FROM ev JOIN med USING (g)),
+         |mad AS (
+         | SELECT g, med, quantile_cont(adev, 0.5) AS mad
+         | FROM dev GROUP BY 1, 2)
+         |SELECT d.g AS source, round(m.med, 6) AS med,
+         | round(m.mad, 6) AS mad,
+         | CAST(count(*) AS BIGINT) AS n,
+         | CAST(count(CASE WHEN adev > 3.0 * m.mad THEN 1 END) AS BIGINT)
+         |  AS n_outliers
+         |FROM dev d JOIN mad m ON d.g = m.g
+         |GROUP BY 1, m.med, m.mad ORDER BY 1""".stripMargin,
+
     // corpus snapshot diff: md5 digests on both sides, full-outer join,
     // status CASE — the same digest family as the dedup oracles
     "q92_corpus_diff" ->

@@ -1926,6 +1926,17 @@ object Queries {
         k = 3.0)
       .orderBy("event_type")
 
+  /** Per-source document-length outlier fences (Robust.madOutlierStats
+    * over token counts): the robust corpus-health audit — truncated or
+    * concatenated documents sit far outside their source's MAD fence
+    * even when a polluted mean/sigma would mask them. */
+  def q145LengthOutliers(s: SparkSession, dir: String): DataFrame =
+    Robust.madOutlierStats(
+        t(s, dir, "documents").select(col("source"),
+          TextOps.tokenCount(col("text")).as("n_tokens")),
+        "source", "n_tokens", k = 3.0)
+      .orderBy("source")
+
   /** Per-user 3-day rolling aggregates (Sessionize.rollingDaily): daily
     * partials first, then a RANGE window over day ordinals — window
     * state is 3 partial rows per user, never raw events; value sums
@@ -2350,6 +2361,7 @@ object Queries {
     "q142_session_sequences" -> (q142SessionSequences _),
     "q143_pq_reload" -> (q143PqReload _),
     "q144_lang_confusion" -> (q144LangConfusion _),
+    "q145_length_outliers" -> (q145LengthOutliers _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
