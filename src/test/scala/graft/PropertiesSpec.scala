@@ -169,6 +169,71 @@ class PropertiesSpec extends SparkSpec {
     assert(out.map(_._3).sum == distinctSpans.toLong)
   }
 
+  test("encoding scrub is idempotent and its outputs carry no control bytes") {
+    // random text with mojibake sequences and control bytes spliced in:
+    // fix(fix(x)) == fix(x) (repaired outputs can never re-form a bad
+    // sequence — no replacement emits â/Ã/Â), and the clean text is
+    // control-free by construction
+    val noise = Gen.oneOf(
+      graft.operators.TextOps.mojibakeTable.map(_._1) ++
+        Seq[String]("", "", "", "", " ", "word", "é…"))
+    val gen = Gen.listOfN(6, noise).map(_.mkString("x"))
+    val df = sample(gen, 150).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val once = graft.operators.TextOps.fixEncoding(df, "id", "text")
+    val twice = graft.operators.TextOps.fixEncoding(
+      once.withColumnRenamed("text_clean", "text"), "id", "text")
+    val joined = once.select(col("id"), col("text_clean").as("a"))
+      .join(twice.select(col("id"), col("text_clean").as("b"),
+        col("n_ctrl_removed"), col("mojibake_fixed")), "id")
+    assert(joined.filter(col("a") =!= col("b")).count() == 0)
+    assert(joined.filter(col("n_ctrl_removed") =!= 0).count() == 0)
+    assert(joined.filter(col("mojibake_fixed")).count() == 0)
+    assert(once.filter(col("text_clean")
+      .rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]"))
+      .count() == 0)
+  }
+
+  test("url host: lowercase, no separators, domain is a host suffix") {
+    val gen = for {
+      scheme <- Gen.oneOf("https://", "http://", "", "ftp://")
+      user <- Gen.oneOf("", "u:p@", "user@")
+      host <- Gen.oneOf("WWW.Ex.COM", "a.b.co.uk", "x.io", "one",
+        "deep.sub.domain.org", "files.net.")
+      port <- Gen.oneOf("", ":8080")
+      path <- Gen.oneOf("", "/p/q?r=1#frag", "/")
+    } yield scheme + user + host + port + path
+    val df = sample(gen, 200).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val audited = graft.operators.UrlOps.urlAudit(df, "id", "url", Seq())
+    assert(audited.filter(col("host").rlike("[/:@?#]") ||
+      col("host") =!= lower(col("host")) || col("host").rlike("\\.$"))
+      .count() == 0)
+    // the registrable domain is always a dot-suffix of (or equal to) host
+    assert(audited.filter(!col("host").endsWith(col("domain"))).count() == 0)
+    assert(audited.filter(!col("domain").endsWith(col("tld"))).count() == 0)
+  }
+
+  test("line corrections: count invariants and gate consistency hold") {
+    val line = Gen.oneOf("plain words in a line here", "42 07.", "loading…",
+      "NAVIGATION MENU HOME", "12 likes", "good line of text", "")
+    val gen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, line).map(_.mkString("\n")))
+    val df = sample(gen, 150).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = graft.operators.TextOps.lineCorrections(df, "id", "text")
+    assert(got.filter(col("n_dropped") > col("n_lines") ||
+      col("n_dropped") < 0).count() == 0)
+    assert(got.filter(col("keep_doc") =!= (col("drop_ratio") <= 0.2))
+      .count() == 0)
+    // reassembled text has exactly n_lines - n_dropped lines (when any)
+    val kept = got.withColumn("n_kept",
+      when(col("text_clean") === "", 0)
+        .otherwise(size(split(col("text_clean"), "\n", -1))))
+    assert(kept.filter(col("n_kept") =!=
+      (col("n_lines") - col("n_dropped"))).count() == 0)
+  }
+
   test("group-aware split: every pair co-located under generated pair sets") {
     val ids = (1L to 60L)
     val docs = ids.map(i => (i, s"d$i")).toDF("id", "text")
