@@ -132,6 +132,31 @@ object Stream {
         col("session_window.end").as("session_end"),
         col("student_id"), col("n_events"), col("avg_score"))
 
+  /** Streaming event-sequence corpus — the session-window twin of
+    * [[graft.operators.Sessionize.sessionSequences]]: each closed session
+    * emits one ordered event-token "sentence". State is the per-session
+    * event list, watermark-bounded (sessions older than the watermark are
+    * emitted and dropped); ordering is restored by sort_array over
+    * (ts, id) structs AFTER the merge, so fragment arrival order across
+    * micro-batches cannot change the assembled sequence. Append mode —
+    * a session's sentence is emitted exactly once, when the watermark
+    * passes its end. */
+  def sessionSequences(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, idCol: String,
+                       gap: String = "30 minutes",
+                       watermark: String = "10 minutes"): DataFrame =
+    events
+      .filter(col(userCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col(tsCol).as("t"),
+          col(idCol).as("i"), col(typeCol).as("e")))).as("__evs"))
+      .select(col("session_window.start").as("session_start"),
+        col(userCol), col("n_events"),
+        array_join(transform(col("__evs"), s => s.getField("e")), " ")
+          .as("event_seq"))
+
   /** Active-distinct per window via the engine's own linear-counting
     * sketch ([[graft.operators.Sketch.linearCountDistinct]]'s streaming
     * twin): stage 1 keeps one state row per OCCUPIED BUCKET per window

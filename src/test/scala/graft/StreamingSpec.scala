@@ -127,6 +127,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session sequences assemble in (ts, id) order across batches") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark)
+    val ts = (m: Int, s: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-02-01 10:$m%02d:$s%02d")
+    val q = Stream.sessionSequences(
+        input.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+        "user_id", "ts", "event_type", "event_id", gap = "2 minutes")
+      .writeStream.format("memory").queryName("seq_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // fragments arrive OUT of event-time order, across two micro-batches
+      input.addData((2L, ts(1, 0), 7L, "click"), (1L, ts(0, 0), 7L, "view"))
+      q.processAllAvailable()
+      input.addData((3L, ts(1, 30), 7L, "purchase"))
+      q.processAllAvailable()
+      input.addData((9L, ts(40, 0), 99L, "view")) // advance watermark
+      q.processAllAvailable()
+      val got = spark.sql("SELECT n_events, event_seq FROM seq_test " +
+        "WHERE user_id = 7").collect()
+      assert(got.length == 1)
+      assert(got.head.getLong(0) == 3)
+      assert(got.head.getString(1) == "view click purchase")
+    } finally q.stop()
+  }
+
   test("streaming linear-count sketch estimates distinct students per window") {
     val input = MemoryStream[(String, java.sql.Timestamp, String)](spark)
     val ts = (m: Int, s: Int) => java.sql.Timestamp.valueOf(f"2024-02-01 10:$m%02d:$s%02d")
