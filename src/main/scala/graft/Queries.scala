@@ -1482,6 +1482,21 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ ADC with Lloyd-refined codebooks (Pq.codebookKMeans, 2 rounds) —
+    * the FAISS-style trained variant. Rows-only by design (float k-means
+    * means are not portably SQL-expressible — the q55 convention); the
+    * ADC machinery it feeds is hash-verified by q134/q135/q143, and the
+    * PqSpec pins Lloyd's distortion guarantee. */
+  def q146PqKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = Pq.codebookKMeans(emb, "vec_id", "embedding", dim = 64, m = 4,
+      nseeds = 16, iters = 2)
+    val codes = Pq.encode(emb, cb, "vec_id", "embedding", dim = 64, m = 4)
+    Pq.adcSearch(emb.filter(col("vec_id") < 10), codes, cb,
+        "vec_id", "vec_id", "embedding", dim = 64, m = 4, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2362,6 +2377,7 @@ object Queries {
     "q143_pq_reload" -> (q143PqReload _),
     "q144_lang_confusion" -> (q144LangConfusion _),
     "q145_length_outliers" -> (q145LengthOutliers _),
+    "q146_pq_kmeans" -> (q146PqKmeans _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -65,6 +65,49 @@ object Pq {
         subvec(col("__v"), col("j"), subDim).as("subvec"))
   }
 
+  /** Lloyd-refined per-subspace codebooks: seed with [[codebook]], then
+    * `iters` rounds of encode → per-(subspace, code) mean — k-means run
+    * independently in each subspace, which is exactly how FAISS trains PQ
+    * codebooks. Refinement only touches the codebook FRAME, so every
+    * consumer ([[encode]], [[adcSearch]], [[save]]) is unchanged; empty
+    * codes keep their previous centroid (the [[Knn.ivfIndexKMeans]]
+    * convention). Training cost per round is one encode pass (corpus x
+    * m x nseeds, map-side-combined argmin) + one bounded mean agg;
+    * distortion is non-increasing per Lloyd's guarantee (PqSpec measures
+    * it). Means are float k-means — the refined variant is rows-only in
+    * the driver gate (the q55 convention); the ADC machinery it feeds is
+    * hash-verified via the seeded twin (q134/q135/q143). */
+  def codebookKMeans(corpus: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, m: Int, nseeds: Int, iters: Int): DataFrame = {
+    require(iters >= 0, "codebookKMeans: iters >= 0")
+    val subDim = dim / m
+    val base = corpus.where(size(col(vecCol)) === dim)
+      .select(col(idCol), col(vecCol).as("__v"))
+    var cb = codebook(corpus, idCol, vecCol, dim, m, nseeds)
+      .transform(Checkpoints.ckpt)
+    for (_ <- 0 until iters) {
+      val codes = encode(base, cb, idCol, "__v", dim, m)
+      // per-(j, code) mean of member subvectors, dim-exploded so the agg
+      // is (j, code, d) scalar cells — bounded at m x nseeds x subDim
+      val means = base.join(codes, idCol)
+        .select(col("j"), col("code"),
+          posexplode(subvec(col("__v"), col("j"), subDim)))
+        .toDF("j", "code", "d", "x")
+        .groupBy(col("j"), col("code"), col("d"))
+        .agg(avg(col("x").cast("double")).as("mx"))
+        .groupBy(col("j"), col("code"))
+        .agg(transform(sort_array(collect_list(struct(col("d"), col("mx")))),
+          s => s.getField("mx")).as("subvec"))
+      cb = cb.as("c")
+        .join(means.as("n"),
+          col("c.cid") === col("n.code") && col("c.j") === col("n.j"), "left")
+        .select(col("c.cid").as("cid"), col("c.j").as("j"),
+          coalesce(col("n.subvec"), col("c.subvec")).as("subvec"))
+        .transform(Checkpoints.ckpt)
+    }
+    cb
+  }
+
   /** Encode the corpus: nearest codeword per (vector, subspace), ties
     * broken on the lower cid. Output: (idCol, j, code) — the exploded
     * scalar shape (m rows per vector; pack with one id-keyed agg when a

@@ -228,6 +228,29 @@ class PqSpec extends SparkSpec {
     assert(clusters.size == 1, s"nprobe=1 crossed lists: $clusters")
   }
 
+  test("k-means codebooks: distortion non-increasing, beats raw seeds") {
+    def distortion(codebook: org.apache.spark.sql.DataFrame): Double = {
+      val codes = Pq.encode(vecs, codebook, "vec_id", "embedding", dim, m = 4)
+      vecs.select(col("vec_id"), col("embedding").as("__v"))
+        .join(codes, "vec_id").as("x")
+        .join(codebook.as("c"),
+          col("x.j") === col("c.j") && col("x.code") === col("c.cid"))
+        .select(Pq.sqDist(
+          slice(col("__v"), col("x.j") * 4 + 1, lit(4)), col("c.subvec"))
+          .as("d"))
+        .agg(sum(col("d"))).collect().head.getDouble(0)
+    }
+    val d0 = distortion(cb)
+    val d1 = distortion(Pq.codebookKMeans(vecs, "vec_id", "embedding",
+      dim, m = 4, nseeds = 8, iters = 1))
+    val d2 = distortion(Pq.codebookKMeans(vecs, "vec_id", "embedding",
+      dim, m = 4, nseeds = 8, iters = 3))
+    assert(d1 <= d0 + 1e-9, s"one Lloyd round worsened distortion: $d0 -> $d1")
+    assert(d2 <= d1 + 1e-9, s"more rounds worsened distortion: $d1 -> $d2")
+    // on the planted clusters refinement is a real win, not a wash
+    assert(d2 < d0 * 0.9, s"refinement too weak: $d0 -> $d2")
+  }
+
   test("full-resolution codebook degenerates ADC to exact L2 search") {
     // nseeds = |corpus|: every vector encodes to itself (own-subvector
     // distance 0), so ADC(q, v) is the exact distance up to round-6 —
