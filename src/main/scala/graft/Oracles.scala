@@ -2799,6 +2799,112 @@ object Oracles {
          | GROUP BY probe.doc_id)
          |SELECT doc_id, nbits = 4 AS maybe_present FROM hit ORDER BY doc_id""".stripMargin
     },
+
+    // edit-distance verify over the q61 pair chain: DuckDB's levenshtein
+    // is the same unit-cost edit distance as Spark's; the accept gate is
+    // pure integer arithmetic (lev*100 <= maxLen*20)
+    "q147_edit_distance" ->
+      s"""WITH $q61Chain
+         |SELECT id_a, id_b, round(sim, 4) AS jaccard_sim,
+         | CAST(levenshtein(a.text, b2.text) AS INT) AS lev,
+         | CAST(length(a.text) AS INT) AS len_a,
+         | CAST(length(b2.text) AS INT) AS len_b,
+         | levenshtein(a.text, b2.text) * 100 <=
+         |  greatest(length(a.text), length(b2.text)) * 20 AS edit_ok
+         |FROM pairs
+         |JOIN corpus a ON pairs.id_a = a.doc_id
+         |JOIN corpus b2 ON pairs.id_b = b2.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact repeated-8-gram trim: window digests, keeper = min (doc,
+    // start) via row_number, masked positions exploded and distinct'd,
+    // survivors reassembled with string_agg ORDER BY pos — mirrors
+    // Dedup.trimRepeatedNgrams over the derived planted corpus
+    "q148_ngram_trim" -> {
+      val derived = s"""text ||
+        |  CASE WHEN doc_id % 6 = 0 THEN '${Queries.q148Boiler}' ELSE '' END ||
+        |  CASE WHEN doc_id % 17 = 3
+        |   THEN '${Queries.q148Phrase}${Queries.q148Phrase}' ELSE '' END""".stripMargin
+      s"""WITH base AS (
+         | SELECT doc_id, ${toksSql(derived)} AS tk FROM documents),
+         |occ AS (
+         | SELECT doc_id, unnest(range(1, len(tk) - 6)) AS start, tk
+         | FROM base WHERE len(tk) >= 8),
+         |grams AS (
+         | SELECT doc_id, start,
+         |  md5(array_to_string(tk[start:start+7], ' ')) AS digest
+         | FROM occ),
+         |marked AS (
+         | SELECT doc_id, start, count(*) OVER (PARTITION BY digest) AS cnt,
+         |  row_number() OVER (PARTITION BY digest ORDER BY doc_id, start) AS rn
+         | FROM grams),
+         |maskedpos AS (
+         | SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_id, unnest(range(start, start + 8)) AS pos
+         |  FROM marked WHERE cnt > 1 AND rn > 1)),
+         |tokpos AS (
+         | SELECT doc_id, CAST(generate_subscripts(tk, 1) AS INT) AS pos,
+         |  unnest(tk) AS token
+         | FROM base),
+         |kept AS (
+         | SELECT t.doc_id, t.pos, t.token FROM tokpos t
+         | LEFT JOIN maskedpos m ON t.doc_id = m.doc_id AND t.pos = m.pos
+         | WHERE m.doc_id IS NULL),
+         |agg AS (
+         | SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS text_trimmed
+         | FROM kept GROUP BY 1),
+         |nm AS (SELECT doc_id, count(*) AS n_masked FROM maskedpos GROUP BY 1)
+         |SELECT b.doc_id, CAST(len(b.tk) AS INT) AS n_tokens,
+         | CAST(coalesce(nm.n_masked, 0) AS INT) AS n_masked,
+         | coalesce(agg.text_trimmed, '') AS text_trimmed
+         |FROM base b
+         |LEFT JOIN agg ON b.doc_id = agg.doc_id
+         |LEFT JOIN nm ON b.doc_id = nm.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+    },
+
+    // per-source vocabulary health: one (source, token) tf aggregate,
+    // then integer rollups + two single double divisions
+    "q149_vocab_health" ->
+      s"""WITH tok AS (
+         | SELECT source, unnest(${toksSql("lower(text)")}) AS token
+         | FROM documents),
+         |tf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+         | CAST(sum(tf) AS BIGINT) AS n_tokens,
+         | CAST(count(CASE WHEN tf = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+         | round(CAST(count(CASE WHEN tf = 1 THEN 1 END) AS DOUBLE)
+         |   / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio,
+         | round(CAST(count(*) AS DOUBLE)
+         |   / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE), 6) AS type_token_ratio
+         |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-source PII incidence over the derived planted contacts — the
+    // SAME regex constants as TextOps.redactPii/piiScan (single source of
+    // truth), counted via regexp_extract_all, redact via 'g'-flagged
+    // replaces (DuckDB replaces first-only by default)
+    "q150_pii_scan" -> {
+      val email = graft.operators.TextOps.emailRegex
+      val phone = graft.operators.TextOps.phoneRegex
+      s"""WITH p AS (
+         | SELECT source, text ||
+         |  CASE WHEN doc_id % 7 = 0
+         |    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |   WHEN doc_id % 7 = 3
+         |    THEN ' call 55501' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+         |   ELSE '' END AS text
+         | FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(len(regexp_extract_all(text, '$email'))) AS BIGINT)
+         |  AS n_emails,
+         | CAST(sum(len(regexp_extract_all(text, '$phone'))) AS BIGINT)
+         |  AS n_phones,
+         | CAST(count(CASE WHEN
+         |   regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+         |     '$phone', '<PHONE>', 'g') <> text THEN 1 END) AS BIGINT)
+         |  AS n_docs_with_pii
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+    },
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -1497,6 +1497,68 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Edit-distance verification over the portable near-dup pairs — the
+    * 8th consumer of the shared q61 pair chain: every Jaccard-verified
+    * candidate gets a Levenshtein second opinion (order-sensitive where
+    * shingles are bag-of-ngrams), integer-exact in both engines. The
+    * planted tails (original minus its first two tokens) are true
+    * near-copies, so they must pass the 20% edit gate. */
+  def q147EditDistance(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistanceVerify(portablePairs(s, dir), portableCorpus(s, dir),
+        "doc_id", "text", maxDistPct = 20)
+      .select("id_a", "id_b", "jaccard_sim", "lev", "len_a", "len_b", "edit_ok")
+      .orderBy("id_a", "id_b")
+
+  /** The q148 corpus: documents plus derived repeated spans — a 13-token
+    * boilerplate tail on every 6th doc (cross-document duplication: the
+    * keeper is the smallest doc_id, everyone else gets it trimmed) and a
+    * doubled 10-token phrase on doc_id % 17 == 3 (intra-document
+    * duplication: the second occurrence is trimmed). Derived by the same
+    * CASE in the oracle, so query and replay cannot drift. */
+  private def ngramPlantedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 6 === 0, lit(q148Boiler)).otherwise(lit("")),
+        when(col("doc_id") % 17 === 3, lit(q148Phrase + q148Phrase))
+          .otherwise(lit(""))).as("text"))
+
+  private[graft] val q148Boiler =
+    " subscribe to our newsletter for updates and follow us on social media today"
+  private[graft] val q148Phrase =
+    " red blue green yellow purple orange pink black white gray"
+
+  /** Exact repeated-8-gram trimming (Lee et al. substring dedup) over the
+    * planted corpus: duplicated token windows are removed from every
+    * occurrence except the first (keeper = min (doc, start)), survivors
+    * reassembled in order — duplication INSIDE otherwise-unique docs,
+    * which document/paragraph dedup cannot see. */
+  def q148NgramTrim(s: SparkSession, dir: String): DataFrame =
+    Dedup.trimRepeatedNgrams(ngramPlantedDocs(s, dir), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+
+  /** Per-source vocabulary health: type/token/hapax counts, hapax ratio,
+    * type-token ratio — the tokenizer-facing corpus diversity audit. */
+  def q149VocabHealth(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabHealth(t(s, dir, "documents"), "source", "text")
+      .orderBy("source")
+
+  /** Per-source PII incidence over planted contacts: every 7th doc gains
+    * a derived email, every 7th+3 a 10-digit phone run — the governance
+    * report proving exactly which sources the redactor would touch (and
+    * that its regexes agree with the counters, same constants). */
+  def q150PiiScan(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com")))
+        .when(col("doc_id") % 7 === 3,
+          concat(lit(" call 55501"),
+            lpad(pmod(col("doc_id"), lit(100000)).cast("string"), 5, "0")))
+        .otherwise(lit(""))).as("text"))
+    TextOps.piiScan(docs, "source", "text").orderBy("source")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2378,6 +2440,10 @@ object Queries {
     "q144_lang_confusion" -> (q144LangConfusion _),
     "q145_length_outliers" -> (q145LengthOutliers _),
     "q146_pq_kmeans" -> (q146PqKmeans _),
+    "q147_edit_distance" -> (q147EditDistance _),
+    "q148_ngram_trim" -> (q148NgramTrim _),
+    "q149_vocab_health" -> (q149VocabHealth _),
+    "q150_pii_scan" -> (q150PiiScan _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

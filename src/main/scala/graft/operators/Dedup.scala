@@ -986,4 +986,83 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Edit-distance verification over candidate near-dup pairs — the
+    * orthogonal second opinion on LSH/Jaccard candidates: Levenshtein is
+    * order-sensitive where shingle Jaccard is (mostly) bag-of-ngrams, so
+    * a pair that passes Jaccard but fails the edit-ratio gate is a
+    * reordering/template match, not a true near-copy. `edit_ok` accepts
+    * pairs whose distance is at most `maxDistPct`% of the longer text,
+    * decided in pure integer arithmetic (lev * 100 <= maxLen * pct — no
+    * float threshold to drift cross-engine).
+    *
+    * Scale shape: this is a VERIFY stage only — run it on banded LSH
+    * candidates (collision-bounded), never all pairs. Per-pair cost is
+    * O(len_a * len_b) dynamic programming, so the upstream candidate
+    * generator carries the asymptotics; texts join id-keyed (two hash
+    * joins against the corpus), and only candidate ids' texts move. */
+  def editDistanceVerify(pairs: DataFrame, corpus: DataFrame, idCol: String,
+                         textCol: String, maxDistPct: Int = 20): DataFrame = {
+    require(maxDistPct >= 0 && maxDistPct <= 100,
+      "editDistanceVerify: maxDistPct in [0, 100]")
+    val a = corpus.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val b = corpus.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("lev", levenshtein(col("__ta"), col("__tb")))
+      .withColumn("len_a", length(col("__ta")))
+      .withColumn("len_b", length(col("__tb")))
+      .withColumn("edit_ok",
+        col("lev") * lit(100) <= greatest(col("len_a"), col("len_b")) * lit(maxDistPct))
+      .drop("__ta", "__tb")
+  }
+
+  /** Exact repeated-ngram trimming — the token-window form of substring
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): any `n`-token window whose exact token sequence
+    * occurs elsewhere in the corpus (or earlier in the same document) is
+    * removed from every occurrence EXCEPT the first (keeper = min
+    * (id, start) per window digest), and the surviving tokens are
+    * reassembled in order. Catches the boilerplate/quotation duplication
+    * that document- and paragraph-level dedup ([[markExactDuplicates]],
+    * span dedup) cannot see, because it lives inside otherwise-unique
+    * documents.
+    *
+    * Scale shape: the window stream is one row per token position
+    * (ids + 16-byte md5 digests — text itself never enters the shuffle),
+    * the keeper agg is map-side combined, and masked-position rows are
+    * bounded by duplicated-occurrence mass x n, not corpus size. Trimming
+    * is per-row array arithmetic against the bounded per-doc mask list
+    * (id-keyed join, no token explode), so the reassembly costs no
+    * corpus-sized shuffle. Output: (idCol, n_tokens, n_masked,
+    * text_trimmed) for every input row (short docs pass through). */
+  def trimRepeatedNgrams(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 8): DataFrame = {
+    require(n >= 2, "trimRepeatedNgrams: n >= 2")
+    val base = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
+      .transform(Checkpoints.ckpt) // two consumers: window digests + trimming
+    // one digest per n-token window, start positions 1-based (DuckDB slice
+    // convention, so the oracle replays positions verbatim)
+    val occ = base.filter(size(col("__tk")) >= n)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("__tk")) - (n - 1)),
+        i => md5(concat_ws(" ", slice(col("__tk"), i, lit(n)))))))
+      .select(col(idCol).as("id"), (col("pos") + 1).as("start"), col("col").as("digest"))
+    val keeper = occ.groupBy(col("digest"))
+      .agg(min(struct(col("id"), col("start"))).as("__k"), count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select(col("digest"), col("__k"))
+    // every duplicated occurrence that is not the keeper masks its n positions
+    val masked = occ.join(keeper, "digest")
+      .filter(struct(col("id"), col("start")) =!= col("__k"))
+      .select(col("id"), explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+      .groupBy(col("id")).agg(collect_set(col("pos")).as("__mask"))
+      .withColumnRenamed("id", "__mid")
+    base.join(masked, base(idCol) === masked("__mid"), "left")
+      .select(col(idCol), size(col("__tk")).as("n_tokens"),
+        coalesce(size(col("__mask")), lit(0)).as("n_masked"),
+        concat_ws(" ", filter(col("__tk"),
+          (tok, i) => not(array_contains(coalesce(col("__mask"), array().cast("array<int>")), i + 1))))
+          .as("text_trimmed"))
+  }
 }

@@ -716,13 +716,62 @@ object TextOps {
       (fixed =!= src).as("mojibake_fixed"))
   }
 
+  /** PII shape regexes (RE2-safe — no backreferences/lookaround, so the
+    * DuckDB oracle replays them verbatim). Shared by [[redactPii]] and
+    * [[piiScan]] so the redactor and the auditor can never disagree. */
+  val emailRegex: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRegex: String = "\\b[0-9]{10,12}\\b"
+
   /** PII scrubbing: redact email addresses and 10-12 digit phone-like runs
     * (the same shapes the cleaning rules validate) with typed placeholders. */
   def redactPii(text: Column): Column =
     regexp_replace(
-      regexp_replace(coalesce(text, lit("")),
-        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-      "\\b[0-9]{10,12}\\b", "<PHONE>")
+      regexp_replace(coalesce(text, lit("")), emailRegex, "<EMAIL>"),
+      phoneRegex, "<PHONE>")
+
+  /** Per-group PII incidence report — the governance audit a corpus needs
+    * BEFORE release: how much redactable PII each source carries, and how
+    * many documents the redactor would touch. Counts use the exact same
+    * regexes as [[redactPii]], so "n_docs_with_pii = 0" is a proof the
+    * redactor is a no-op on that source, not a second opinion.
+    *
+    * One bounded aggregate (groups x 4 counters), regex matching inside
+    * whole-stage codegen — per-row work, no shuffle beyond the final
+    * group-sized exchange. Output: (groupCol, n_docs, n_emails, n_phones,
+    * n_docs_with_pii). */
+  def piiScan(df: org.apache.spark.sql.DataFrame, groupCol: String,
+              textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(regexp_count(t, lit(emailRegex))).as("n_emails"),
+      sum(regexp_count(t, lit(phoneRegex))).as("n_phones"),
+      count(when(redactPii(col(textCol)) =!= t, 1)).as("n_docs_with_pii"))
+  }
+
+  /** Per-group vocabulary-health metrics — the corpus-quality signals a
+    * tokenizer/LM team reads before training: type count, token count,
+    * hapax legomena (types seen once — high ratio = noisy/OCR-damaged or
+    * genuinely diverse text; near-zero = template spam), and type-token
+    * ratio. All integer counts from ONE (group, token) aggregate
+    * (map-side combined; shuffle key is the token, never the text),
+    * then a group-sized rollup; the two ratios are single double
+    * divisions of exact longs. Output: (groupCol, n_types, n_tokens,
+    * n_hapax, hapax_ratio, type_token_ratio). */
+  def vocabHealth(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = df.select(col(groupCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n_types"),
+        sum(col("tf")).as("n_tokens"),
+        count(when(col("tf") === 1, 1)).as("n_hapax"))
+      .select(col(groupCol), col("n_types"), col("n_tokens"), col("n_hapax"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
+          .as("hapax_ratio"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("type_token_ratio"))
+  }
 
   /** Deterministic small integer value for a token (engine-portable: ascii of
     * first char and length only — reproducible in any SQL engine). */

@@ -861,3 +861,87 @@ class EnrichmentSpec extends SparkSpec {
     assert(got.toSeq == Seq("Critical", "High", "Medium", "Low"))
   }
 }
+
+class EditDistanceVerifySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("edit gate rejects reordered text that token-multiset similarity accepts") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta thetb"), // one char edit
+      (3L, "theta eta zeta epsilon delta gamma beta alpha")) // reversed order
+      .toDF("id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.editDistanceVerify(pairs, corpus, "id", "text", maxDistPct = 20)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Int]("lev"), r.getAs[Boolean]("edit_ok")))).toMap
+    assert(got((1L, 2L)) == ((1, true)))
+    val (lev13, ok13) = got((1L, 3L))
+    // same token multiset, but order-sensitive distance is large
+    assert(lev13 > 8 && !ok13)
+  }
+}
+
+class NgramTrimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val boiler = "one two three four five six seven eight"
+
+  test("cross-doc repeated window trimmed everywhere but the first occurrence") {
+    val docs = Seq(
+      (1L, s"unique opening here $boiler"),
+      (2L, s"different start words $boiler"),
+      (3L, "totally unrelated text with no repeats at all today")).toDF("id", "text")
+    val got = Dedup.trimRepeatedNgrams(docs, "id", "text", n = 8)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_masked"),
+          r.getAs[String]("text_trimmed")))).toMap
+    assert(got(1L) == ((11, 0, s"unique opening here $boiler"))) // keeper intact
+    assert(got(2L) == ((11, 8, "different start words")))
+    assert(got(3L)._2 == 0)
+  }
+
+  test("intra-doc doubled phrase keeps only the first copy") {
+    val docs = Seq((7L, s"$boiler $boiler")).toDF("id", "text")
+    val got = Dedup.trimRepeatedNgrams(docs, "id", "text", n = 8).head()
+    assert(got.getAs[Int]("n_tokens") == 16)
+    assert(got.getAs[Int]("n_masked") == 8)
+    assert(got.getAs[String]("text_trimmed") == boiler)
+  }
+
+  test("docs shorter than the window pass through with normalized whitespace") {
+    val docs = Seq((1L, "just  a   few tokens")).toDF("id", "text")
+    val got = Dedup.trimRepeatedNgrams(docs, "id", "text", n = 8).head()
+    assert(got.getAs[Int]("n_masked") == 0)
+    assert(got.getAs[String]("text_trimmed") == "just a few tokens")
+  }
+}
+
+class PiiVocabHealthSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiScan counters agree with redactPii (same regex constants)") {
+    val df = Seq(
+      ("s1", "mail me at bob@example.com or alice@test.org"),
+      ("s1", "call 5551234567 today"),
+      ("s2", "clean text, no pii, short digits 1234")).toDF("source", "text")
+    val got = TextOps.piiScan(df, "source", "text")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_emails"),
+          r.getAs[Long]("n_phones"), r.getAs[Long]("n_docs_with_pii")))).toMap
+    assert(got("s1") == ((2L, 2L, 1L, 2L)))
+    assert(got("s2") == ((1L, 0L, 0L, 0L)))
+  }
+
+  test("vocabHealth hand-computed: types, hapax, ratios") {
+    val df = Seq(("a", "The cat sat"), ("a", "the dog")).toDF("source", "text")
+    val got = TextOps.vocabHealth(df, "source", "text").head()
+    // lowered tokens: the(2) cat(1) sat(1) dog(1)
+    assert(got.getAs[Long]("n_types") == 4L)
+    assert(got.getAs[Long]("n_tokens") == 5L)
+    assert(got.getAs[Long]("n_hapax") == 3L)
+    assert(got.getAs[Double]("hapax_ratio") == 0.75)
+    assert(got.getAs[Double]("type_token_ratio") == 0.8)
+  }
+}
