@@ -2905,6 +2905,173 @@ object Oracles {
          |  AS n_docs_with_pii
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // embedding covariance: per-row upper-triangle products round(.,6)
+    // summed through DECIMAL(25,6) (the q99 exact-accumulation
+    // convention) — Spark sequence(i, n-1) inclusive == DuckDB
+    // range(i, n) exclusive; Spark v[i] 0-based == DuckDB v[i+1] 1-based
+    "q151_embedding_cov" ->
+      """WITH e AS (
+        | SELECT embedding AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |p AS (
+        | SELECT unnest(flatten(list_transform(range(0, len(v)), i ->
+        |   list_transform(range(i, len(v)), j ->
+        |     {'i': i, 'j': j,
+        |      'xy': CAST(round(CAST(v[i+1] AS DOUBLE)*CAST(v[j+1] AS DOUBLE), 6)
+        |                 AS DECIMAL(25,6))})))) AS s
+        | FROM e),
+        |sp AS (SELECT s.i AS i, s.j AS j, sum(s.xy) AS sxy FROM p GROUP BY 1, 2),
+        |xs AS (
+        | SELECT unnest(list_transform(range(0, len(v)),
+        |   i -> {'i': i,
+        |         'x': CAST(round(CAST(v[i+1] AS DOUBLE), 6) AS DECIMAL(25,6))})) AS u
+        | FROM e),
+        |s2 AS (SELECT u.i AS i, sum(u.x) AS si, count(*) AS n FROM xs GROUP BY 1)
+        |SELECT CAST(sp.i AS INT) AS i, CAST(sp.j AS INT) AS j,
+        | round((CAST(sxy AS DOUBLE)
+        |         - CAST(a.si AS DOUBLE) * CAST(b.si AS DOUBLE) / CAST(a.n AS DOUBLE))
+        |       / (CAST(a.n AS DOUBLE) - 1.0), 6) AS cov
+        |FROM sp JOIN s2 a ON sp.i = a.i JOIN s2 b ON sp.j = b.i
+        |ORDER BY i, j""".stripMargin,
+
+    // semantic decontamination: q21's cosine fold chain; corpus = non-50s
+    // UNION exact benchmark copies re-keyed +100000; argmax via the q21
+    // window (sim DESC, bid ASC == Spark's struct-max on (sim, -bid));
+    // contamination gate compares the UNROUNDED sim (q81 convention)
+    "q153_semantic_decontam" ->
+      s"""WITH bench AS (
+         | SELECT vec_id AS bid, embedding AS bv FROM embeddings
+         | WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
+         |corpus AS (
+         | SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id % 50 <> 0
+         | UNION ALL
+         | SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (
+         | SELECT vec_id, bid,
+         |  ${dotSql("v", "bv")} AS dot_p,
+         |  ${normSql("v")} * ${normSql("bv")} AS norm_p
+         | FROM corpus, bench),
+         |sims AS (
+         | SELECT vec_id, bid,
+         |  CASE WHEN norm_p = 0 THEN 0.0 ELSE dot_p / norm_p END AS sim
+         | FROM scored),
+         |ranked AS (
+         | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bid ASC) AS rnk
+         | FROM sims)
+         |SELECT vec_id, bid AS best_bench_id, round(sim, 6) AS max_sim,
+         | sim >= 0.9 AS contaminated
+         |FROM ranked WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+
+    // Flesch readability: integer words / [.!?]+ runs (floor 1) /
+    // per-word [aeiouy]+ vowel groups (floor 1 per word); score rounded
+    // to 4 and the band CASEs on the ROUNDED value
+    "q154_readability" ->
+      s"""WITH d AS (
+         | SELECT doc_id, coalesce(text, '') AS t0,
+         |  lower(coalesce(text, '')) AS t FROM documents),
+         |c AS (
+         | SELECT doc_id,
+         |  CAST(len(${toksSql("t0")}) AS BIGINT) AS n_words,
+         |  CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS BIGINT)
+         |   AS n_sentences,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(${toksSql("t")},
+         |      w -> CAST(greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1) AS BIGINT))),
+         |    (a, b) -> a + b) AS BIGINT) AS n_syllables
+         | FROM d),
+         |f AS (
+         | SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  CASE WHEN n_words = 0 THEN NULL
+         |   ELSE round(206.835
+         |     - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |     - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4)
+         |  END AS flesch
+         | FROM c)
+         |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+         | CASE WHEN flesch IS NULL THEN 'empty'
+         |      WHEN flesch >= 90 THEN 'very_easy'
+         |      WHEN flesch >= 60 THEN 'standard'
+         |      WHEN flesch >= 30 THEN 'difficult'
+         |      ELSE 'very_difficult' END AS band
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // chunk occupancy: the q83 cumsum chain, then each doc unnests into
+    // its inclusive chunk range (Spark sequence == range(lo, hi+1));
+    // overlap arithmetic is pure BIGINT
+    "q155_chunk_occupancy" ->
+      s"""WITH d AS (
+         | SELECT source AS shard, doc_id,
+         |  CAST(len(${toksSql("text")}) AS BIGINT) AS n_tok FROM documents),
+         |c AS (
+         | SELECT shard, doc_id, n_tok,
+         |  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+         | FROM d WHERE n_tok > 0),
+         |e AS (SELECT shard, doc_id, n_tok, cum, cum - n_tok AS cum_before FROM c),
+         |x AS (
+         | SELECT shard, doc_id, cum, cum_before,
+         |  unnest(range(CAST(cum_before // 512 AS BIGINT),
+         |               CAST((cum - 1) // 512 + 1 AS BIGINT))) AS chunk_id
+         | FROM e),
+         |y AS (
+         | SELECT shard, chunk_id, doc_id,
+         |  least(cum, (chunk_id + 1) * 512) - greatest(cum_before, chunk_id * 512)
+         |   AS tok_in_chunk,
+         |  CASE WHEN cum_before < chunk_id * 512 THEN 1 ELSE 0 END AS straddle_in
+         | FROM x)
+         |SELECT shard, CAST(chunk_id AS BIGINT) AS chunk_id,
+         | count(*) AS n_docs,
+         | CAST(sum(tok_in_chunk) AS BIGINT) AS n_tokens,
+         | CAST(sum(straddle_in) AS BIGINT) AS n_straddle_in,
+         | CAST(max(tok_in_chunk) AS BIGINT) AS max_doc_tokens,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM y GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin,
+
+    // boilerplate 5-grams: per-doc DISTINCT lowercased shingles (q85's
+    // shingle CASE incl. the short-doc whole-text form), doc_freq >= 10,
+    // top 20 by (doc_freq DESC, ngram ASC)
+    "q156_boilerplate_ngrams" ->
+      s"""WITH p AS (
+         | SELECT doc_id, source, lower(text ||
+         |  CASE WHEN doc_id % 3 = 0
+         |   THEN ' subscribe to our newsletter for weekly updates'
+         |   ELSE '' END) AS text
+         | FROM documents),
+         |tok AS (SELECT doc_id, source, ${toksSql("text")} AS tk FROM p),
+         |shg AS (
+         | SELECT doc_id, source,
+         |  CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+         |   ELSE list_transform(range(1, len(tk) - 3),
+         |          i -> array_to_string(list_slice(tk, i, i + 4), ' ')) END AS sh
+         | FROM tok),
+         |g AS (
+         | SELECT doc_id, source, unnest(list_distinct(sh)) AS ngram FROM shg),
+         |f AS (
+         | SELECT ngram, count(*) AS doc_freq,
+         |  count(DISTINCT source) AS n_sources
+         | FROM g GROUP BY 1 HAVING count(*) >= 10),
+         |r AS (
+         | SELECT *, row_number() OVER (ORDER BY doc_freq DESC, ngram ASC) AS rnk
+         | FROM f)
+         |SELECT CAST(rnk AS INT) AS rnk, ngram,
+         | CAST(doc_freq AS BIGINT) AS doc_freq,
+         | CAST(n_sources AS BIGINT) AS n_sources
+         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    // shard audit: the portableHash64 md5 chain (ph) mod 8 — the hash is
+    // a non-negative 60-bit value so % == pmod
+    "q157_shard_audit" ->
+      s"""WITH d AS (
+         | SELECT doc_id, source,
+         |  ${ph("CAST(doc_id AS VARCHAR)", 7)} % 8 AS shard
+         | FROM documents),
+         |g AS (SELECT shard, source, count(*) AS n FROM d GROUP BY 1, 2)
+         |SELECT CAST(shard AS INT) AS shard,
+         | CAST(sum(n) AS BIGINT) AS n_docs,
+         | CAST(count(*) AS BIGINT) AS n_sources,
+         | CAST(max(n) AS BIGINT) AS max_source_docs,
+         | round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+         |  AS max_source_share
+         |FROM g GROUP BY 1 ORDER BY shard""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

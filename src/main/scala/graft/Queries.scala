@@ -1559,6 +1559,77 @@ object Queries {
     TextOps.piiScan(docs, "source", "text").orderBy("source")
   }
 
+  /** Upper-triangle covariance of the embedding matrix — the bounded
+    * d x d statistic feeding PCA/whitening. Exact DECIMAL accumulation
+    * over per-row products (q99 float discipline) makes the full 2,080
+    * cells hash-verifiable cross-engine. */
+  def q151EmbeddingCov(s: SparkSession, dir: String): DataFrame =
+    Embeddings.covariance(t(s, dir, "embeddings"), "embedding")
+      .orderBy("i", "j")
+
+  /** PCA projection to 4 components (power iteration over the q151
+    * covariance, driver-side bounded; sign-pinned loadings). Rows-only by
+    * the q55/q146 float-means convention — the value oracle for the
+    * family is q151 (hash-green) + PcaSpec's orthonormality/eigenpair/
+    * variance properties. */
+  def q152PcaProject(s: SparkSession, dir: String): DataFrame =
+    Embeddings.pcaReduce(t(s, dir, "embeddings"), "vec_id", "embedding", 4)
+      .orderBy("vec_id")
+
+  /** Semantic decontamination: benchmark = every 50th embedding; corpus =
+    * the rest UNION exact copies of the benchmark re-keyed +100000 (the
+    * planted contamination — a copy's cosine is 1.0 up to one ulp, safely
+    * above the 0.9 gate after round-6). Proves the flag fires exactly on
+    * the planted rows and the argmax picks the right benchmark id. */
+  def q153SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val bench = e.filter(col("vec_id") % 50 === 0)
+    val corpus = e.filter(col("vec_id") % 50 =!= 0)
+      .unionByName(bench.select((col("vec_id") + 100000L).as("vec_id"),
+        col("embedding"), col("label")))
+    Decontaminate.semanticOverlaps(corpus, bench, "vec_id", "embedding",
+        threshold = 0.9)
+      .orderBy("vec_id")
+  }
+
+  /** Flesch reading-ease per document — integer-exact inputs (words,
+    * [.!?]+ sentence runs, per-word vowel-group syllables), banded on the
+    * rounded score. */
+  def q154Readability(s: SparkSession, dir: String): DataFrame =
+    TextOps.readability(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Context-window occupancy: token-exact composition of every 512-token
+    * training window under the q83 packing order (per-source shards) —
+    * doc counts, straddle-ins, and per-window dominance, all integers. */
+  def q155ChunkOccupancy(s: SparkSession, dir: String): DataFrame =
+    Pack.chunkOccupancy(t(s, dir, "documents"), "doc_id", "text",
+        shardCol = "source", seqLen = 512)
+      .orderBy("shard", "chunk_id")
+
+  /** Boilerplate 5-gram discovery over a corpus with a planted footer on
+    * every 3rd doc (the organic text contributes whatever template
+    * 5-grams clear the df >= 10 bar too — deterministic either way);
+    * top 20 by document frequency. */
+  def q156BoilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" subscribe to our newsletter for weekly updates"))
+        .otherwise(lit(""))).as("text"))
+    TextOps.boilerplateNgrams(docs, "doc_id", "text", "source",
+        n = 5, minDf = 10L, topK = 20)
+      .orderBy("rnk")
+  }
+
+  /** Deterministic-shuffle shard audit: 8 portable-hash shards over the
+    * documents table — balance, source coverage, and max single-source
+    * share per shard (md5 hash chain, replayable in the oracle). */
+  def q157ShardAudit(s: SparkSession, dir: String): DataFrame =
+    Split.shardAudit(t(s, dir, "documents"), "doc_id", "source",
+        numShards = 8, seed = 7)
+      .orderBy("shard")
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2444,6 +2515,13 @@ object Queries {
     "q148_ngram_trim" -> (q148NgramTrim _),
     "q149_vocab_health" -> (q149VocabHealth _),
     "q150_pii_scan" -> (q150PiiScan _),
+    "q151_embedding_cov" -> (q151EmbeddingCov _),
+    "q152_pca_project" -> (q152PcaProject _),
+    "q153_semantic_decontam" -> (q153SemanticDecontam _),
+    "q154_readability" -> (q154Readability _),
+    "q155_chunk_occupancy" -> (q155ChunkOccupancy _),
+    "q156_boilerplate_ngrams" -> (q156BoilerplateNgrams _),
+    "q157_shard_audit" -> (q157ShardAudit _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

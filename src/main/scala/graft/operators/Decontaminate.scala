@@ -41,4 +41,55 @@ object Decontaminate {
     training.join(overlaps(training, benchmark, idCol, textCol, k)
         .select(col(idCol).as("__cid")),
       col(idCol) === col("__cid"), "left_anti")
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram rule: a paraphrased benchmark answer shares no 8-gram with
+    * the eval set but sits right next to it in embedding space. Flags
+    * every corpus row whose max cosine similarity against ANY benchmark
+    * embedding reaches `threshold` (the Phi/FineWeb-style "semantic
+    * overlap with eval" filter).
+    *
+    * Scale shape: the benchmark side is bounded (eval suites) — it
+    * broadcasts, the corpus streams through map-side, and the per-corpus-
+    * row argmax is ONE struct-max hash aggregation (the q134 convention —
+    * no window, no corpus shuffle of vectors: the agg keys on the corpus
+    * id, and partial aggregation collapses the |bench| candidates per row
+    * map-side). Cost is |corpus| x |bench| dot products of codegen'd
+    * kernels; for benchmark sets too big to broadcast, pre-bucket both
+    * sides with SRP-LSH ([[Knn.cosineNearDupsPortable]]'s machinery) and
+    * run this verify stage on candidates only.
+    *
+    * Ties on sim break toward the SMALLEST benchmark id (struct-max on
+    * (sim, -bench_id)). `contaminated` compares the UNROUNDED sim (q81's
+    * threshold convention); `max_sim` is reported rounded to 6.
+    * Output: (idCol, best_bench_id, max_sim, contaminated). */
+  def semanticOverlaps(corpus: DataFrame, benchmark: DataFrame,
+                       idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val bench = broadcast(benchmark
+      .select(col(idCol).as("__bid"), col(vecCol).as("__bv"))
+      .filter(col("__bv").isNotNull))
+    corpus.select(col(idCol), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .crossJoin(bench)
+      .select(col(idCol),
+        struct(Knn.cosine(col("__v"), col("__bv")).as("sim"),
+          (-col("__bid")).as("negb")).as("__s"))
+      .groupBy(col(idCol))
+      .agg(max(col("__s")).as("m"))
+      .select(col(idCol),
+        (-col("m.negb")).as("best_bench_id"),
+        round(col("m.sim"), 6).as("max_sim"),
+        (col("m.sim") >= threshold).as("contaminated"))
+  }
+
+  /** Corpus minus semantically-contaminated rows (anti-join on the
+    * flagged ids — the drop form of [[semanticOverlaps]]). */
+  def dropSemanticContaminated(corpus: DataFrame, benchmark: DataFrame,
+                               idCol: String, vecCol: String,
+                               threshold: Double): DataFrame =
+    corpus.join(
+      semanticOverlaps(corpus, benchmark, idCol, vecCol, threshold)
+        .filter(col("contaminated")).select(col(idCol).as("__cid")),
+      col(idCol) === col("__cid"), "left_anti")
 }

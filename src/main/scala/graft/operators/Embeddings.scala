@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-matrix statistics and linear maps: covariance and PCA — the
+  * preprocessing a training-data pipeline runs before whitening, energy
+  * audits, or dimensionality reduction of an embedding column.
+  * (Reference analytics surface: analytics/embeddings.py-style audits; the
+  * Spark-first shape here is original.)
+  *
+  * Scale shape: the covariance of an (N x d) embedding matrix is a d x d
+  * (bounded!) statistic — the only corpus-sized work is ONE pass emitting
+  * per-row upper-triangle products, and hash aggregation collapses those
+  * map-side, so the shuffle carries O(partitions x d^2) rows, never O(N).
+  * Eigendecomposition then runs on the DRIVER over the bounded d x d
+  * matrix (the Knn centroid-metadata convention: collect is legal when the
+  * result is index metadata, not data). Projection is a broadcast of k
+  * d-vectors folded per row — map-side only, no shuffle.
+  *
+  * Float discipline (the q99 convention): per-row products round to 6
+  * decimals and sum through DECIMAL(25,6) — exact, order-independent,
+  * replayable in DuckDB — so the covariance query is hash-verifiable
+  * cross-engine. The PCA components inherit the float-iteration-dependence
+  * of power iteration and follow the q55/q146 float-means convention:
+  * rows-only driver check + property specs (orthonormality, eigenpair
+  * residual, variance capture) instead of a value oracle. */
+object Embeddings {
+
+  /** Upper-triangle sample covariance of `vecCol` (i <= j), one row per
+    * (i, j): cov = (S_xy - S_i * S_j / n) / (n - 1) with all three sums
+    * accumulated exactly in DECIMAL(25,6) over per-row values rounded to
+    * 6 decimals. Null vectors are dropped (a null embedding has no
+    * moments); null ELEMENTS would raise in the kernels upstream. */
+  def covariance(df: DataFrame, vecCol: String): DataFrame = {
+    val v = df.select(col(vecCol).as("__v")).filter(col("__v").isNotNull)
+    // One explode per row of the d(d+1)/2 upper-triangle products; the
+    // groupBy's partial aggregation collapses them map-side.
+    val pairs = v.select(explode(expr(
+        """flatten(transform(sequence(0, size(__v)-1), i ->
+          |  transform(sequence(i, size(__v)-1), j ->
+          |    named_struct('i', i, 'j', j,
+          |      'xy', CAST(round(CAST(__v[i] AS DOUBLE) * CAST(__v[j] AS DOUBLE), 6)
+          |                 AS DECIMAL(25,6))))))""".stripMargin)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xy").as("xy"))
+      .groupBy(col("i"), col("j")).agg(sum(col("xy")).as("sxy"))
+    // Per-index sums + the vector count: d rows, broadcast back twice.
+    val sums = v.select(posexplode(col("__v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(
+        sum(round(col("x").cast("double"), 6).cast("decimal(25,6)")).as("s"),
+        count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(sums.select(col("i"), col("s").as("si"), col("n"))), Seq("i"))
+      .join(broadcast(sums.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        round((col("sxy").cast("double")
+            - col("si").cast("double") * col("sj").cast("double") / col("n").cast("double"))
+          / (col("n").cast("double") - lit(1.0)), 6).as("cov"))
+  }
+
+  /** Per-index means (d rows, for centering before projection) — same
+    * DECIMAL accumulation as [[covariance]]. */
+  def means(df: DataFrame, vecCol: String): DataFrame =
+    df.select(col(vecCol).as("__v")).filter(col("__v").isNotNull)
+      .select(posexplode(col("__v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(
+        (sum(round(col("x").cast("double"), 6).cast("decimal(25,6)")).cast("double")
+          / count(lit(1)).cast("double")).as("mean"))
+
+  /** Top-k principal components via power iteration with Hotelling
+    * deflation over the driver-side d x d covariance matrix (bounded
+    * metadata — d(d+1)/2 cells collected, never corpus rows). Start
+    * vector is the deterministic uniform 1/sqrt(d) (perturbed by index to
+    * break symmetry) so the iteration — and everything downstream — is
+    * reproducible run-over-run. Returns (components, eigenvalues) with
+    * components(c)(i) = loading of input dim i on component c, rows
+    * ordered by descending eigenvalue. */
+  def pcaComponents(df: DataFrame, vecCol: String, k: Int,
+                    iters: Int = 100): (Array[Array[Double]], Array[Double]) = {
+    val cells = covariance(df, vecCol).collect()
+    require(cells.nonEmpty, "pcaComponents: empty input")
+    val d = cells.iterator.map(_.getInt(1)).max + 1
+    require(k >= 1 && k <= d, s"pcaComponents: k must be in [1, $d]")
+    val m = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val c = r.getDouble(2)
+      m(i)(j) = c; m(j)(i) = c
+    }
+    val comps = Array.ofDim[Double](k, d)
+    val eigs = Array.ofDim[Double](k)
+    for (c <- 0 until k) {
+      var vvec = Array.tabulate(d)(i => 1.0 + 1e-3 * ((i + c) % 7))
+      def normalize(a: Array[Double]): Array[Double] = {
+        val n = math.sqrt(a.map(x => x * x).sum)
+        if (n == 0) a else a.map(_ / n)
+      }
+      vvec = normalize(vvec)
+      var it = 0
+      while (it < iters) {
+        val av = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * vvec(j)).sum)
+        vvec = normalize(av)
+        it += 1
+      }
+      val av = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * vvec(j)).sum)
+      val lambda = (0 until d).map(i => vvec(i) * av(i)).sum
+      // Sign convention: largest-|loading| coordinate is positive, so the
+      // component is unique (eigenvectors are defined up to sign).
+      val pivot = (0 until d).maxBy(i => math.abs(vvec(i)))
+      if (vvec(pivot) < 0) vvec = vvec.map(-_)
+      comps(c) = vvec
+      eigs(c) = lambda
+      // Hotelling deflation: m -= lambda * v v^T
+      for (i <- 0 until d; j <- 0 until d) m(i)(j) -= lambda * vvec(i) * vvec(j)
+    }
+    (comps, eigs)
+  }
+
+  /** Project embeddings onto precomputed components: out(c) =
+    * dot(x - mean, comp_c). Components and means travel as broadcast
+    * literals (k x d and d doubles) — the projection is a per-row fold,
+    * map-side only. Output: (idCol, proj array<double> of length k). */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+                 components: Array[Array[Double]],
+                 meansVec: Array[Double]): DataFrame = {
+    // Center once, then one dot per component. Components are tiny —
+    // inline as array literals rather than a join.
+    val centered = expr("transform(__v, (x, i) -> CAST(x AS DOUBLE) - element_at(__means, i + 1))")
+    val meansLit = array(meansVec.map(lit(_)): _*)
+    val projCols = components.map { c =>
+      val compLit = array(c.map(lit(_)): _*)
+      aggregate(zip_with(col("__c"), compLit, (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__means", meansLit)
+      .withColumn("__c", centered)
+      .select(col(idCol), array(projCols: _*).as("proj"))
+  }
+
+  /** Convenience: fit + project + per-component rounded output, one row
+    * per input embedding: (idCol, pc1..pck rounded to 4). Rounded for
+    * stable display; the value oracle for this family is the covariance
+    * query (hash-green) + the PcaSpec properties, per the q55/q146
+    * float-means convention. */
+  def pcaReduce(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val (comps, _) = pcaComponents(df, vecCol, k)
+    val mv = means(df, vecCol).collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val projected = pcaProject(df, idCol, vecCol, comps, mv)
+    val cols = (0 until k).map(c => round(col("proj")(c), 4).as(s"pc${c + 1}"))
+    projected.select(col(idCol) +: cols: _*)
+  }
+
+  /** Explained-variance audit: eigenvalue share of total variance per
+    * component (bounded: k rows). total variance = trace of covariance. */
+  def explainedVariance(df: DataFrame, vecCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val (_, eigs) = pcaComponents(df, vecCol, k)
+    val trace = covariance(df, vecCol).filter(col("i") === col("j"))
+      .agg(sum(col("cov"))).head.getDouble(0)
+    import spark.implicits._
+    eigs.zipWithIndex.map { case (e, i) =>
+      (i + 1, math.rint(e * 1e6) / 1e6, math.rint(e / trace * 1e6) / 1e6)
+    }.toSeq.toDF("component", "eigenvalue", "variance_share")
+  }
+}

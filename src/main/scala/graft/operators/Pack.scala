@@ -101,4 +101,49 @@ object Pack {
         sum(col("__nt")).as("total_tokens"))
       .orderBy(col("shard"))
   }
+
+  /** Context-window occupancy audit — the token-accurate complement of
+    * [[packSequences]]: packSequences assigns each DOC to the chunk where
+    * it starts; this reports each CHUNK's composition, with straddling
+    * documents split token-exactly across the chunks they span. The
+    * numbers a trainer cares about before switching on cross-document
+    * attention masking: how many documents share a context window, how
+    * many windows start mid-document (`n_straddle_in`), and how dominated
+    * each window is by its largest contributor (`max_doc_tokens` vs
+    * `seqLen`).
+    *
+    * Same cumulative-sum machinery as packSequences (per-shard window
+    * over exact longs), then each doc explodes into the [first_chunk ..
+    * last_chunk] range it covers — bounded by ceil(n_tok/seqLen)+1 rows
+    * per doc, NOT corpus x chunk. tok_in_chunk = min(cum, (c+1)L) -
+    * max(cum_before, cL): pure integer arithmetic, replayable
+    * cross-engine. Zero-token docs occupy nothing and are excluded.
+    * Output: (shard, chunk_id, n_docs, n_tokens, n_straddle_in,
+    * max_doc_tokens, first_doc, last_doc). */
+  def chunkOccupancy(docs: DataFrame, idCol: String, textCol: String,
+                     shardCol: String, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "chunkOccupancy: seqLen > 0")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs.select(col(shardCol).as("shard"), col(idCol).as("doc_id"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("cum_before", col("cum") - col("n_tok"))
+      .withColumn("chunk_id",
+        explode(sequence(expr(s"cum_before DIV $seqLen"),
+          expr(s"(cum - 1) DIV $seqLen"))))
+      .withColumn("tok_in_chunk",
+        least(col("cum"), (col("chunk_id") + 1) * seqLen)
+          - greatest(col("cum_before"), col("chunk_id") * lit(seqLen.toLong)))
+      .withColumn("straddle_in",
+        when(col("cum_before") < col("chunk_id") * lit(seqLen.toLong), 1L)
+          .otherwise(0L))
+      .groupBy(col("shard"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_in_chunk")).as("n_tokens"),
+        sum(col("straddle_in")).as("n_straddle_in"),
+        max(col("tok_in_chunk")).as("max_doc_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
 }

@@ -350,4 +350,56 @@ object Split {
     }
     df.filter(bucket(col(keyCol), 100) < pctExpr)
   }
+
+  /** Deterministic global shuffle into training shards — the "shuffle the
+    * corpus before training" step, without RNG state: shard and
+    * within-shard position both derive from [[Dedup.portableHash64]] of
+    * the document id, so the layout is reproducible run-over-run, stable
+    * under retries, and replayable in any engine (the md5 convention).
+    * Adjacent source documents land in unrelated (shard, pos) slots —
+    * exactly what epoch shuffling buys, as a pure function.
+    *
+    * Scale shape: one codegen'd hash per row, then a per-shard
+    * row_number window — shards are the parallel unit (numShards
+    * partitions of a balanced hash split), nothing global. Writing
+    * `partitionBy(shard)` + sorting within files by pos gives a trainer
+    * sequential reads of a shuffled corpus.
+    * Output: input columns + (shard, pos_in_shard). */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+                    seed: Int = 0): DataFrame = {
+    require(numShards >= 1, "shuffleShards: numShards >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", Dedup.portableHash64(col(idCol).cast("string"), seed))
+      .withColumn("shard", pmod(col("__h"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long") - 1)
+      .drop("__h")
+  }
+
+  /** Shard id alone (no positions — lets aggregating consumers skip the
+    * per-shard window [[shuffleShards]] pays for pos_in_shard). */
+  def shardOf(id: Column, numShards: Int, seed: Int = 0): Column =
+    pmod(Dedup.portableHash64(id.cast("string"), seed),
+      lit(numShards.toLong)).cast("int")
+
+  /** Mixing audit over [[shuffleShards]]: per shard, how balanced the
+    * split is and how well sources interleave — n_docs within one hash
+    * bucket of |corpus|/numShards, every source present, and no source
+    * dominating (max_source_share ~ its corpus share). All integer
+    * counts but the one reported share ratio.
+    * Output: (shard, n_docs, n_sources, max_source_docs,
+    * max_source_share). */
+  def shardAudit(df: DataFrame, idCol: String, srcCol: String,
+                 numShards: Int, seed: Int = 0): DataFrame =
+    df.withColumn("shard", shardOf(col(idCol), numShards, seed))
+      .groupBy(col("shard"), col(srcCol))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("shard"))
+      .agg(sum(col("__n")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        max(col("__n")).as("max_source_docs"))
+      .select(col("shard"), col("n_docs"), col("n_sources"),
+        col("max_source_docs"),
+        round(col("max_source_docs").cast("double")
+          / col("n_docs").cast("double"), 6).as("max_source_share"))
 }

@@ -792,4 +792,73 @@ object TextOps {
       transform(tokens(text), tokenValue(_)),
       lit(0L),
       (h, v) => (h * 131L + v) % 1000000007L)
+
+  /** Flesch reading-ease readability per document — the classic
+    * curriculum/quality signal (textbook prose scores 60-90, legalese and
+    * token soup score low or negative). All three inputs are INTEGER
+    * counts so the score is cross-engine exact: words = whitespace
+    * tokens, sentences = non-overlapping [.!?]+ runs (floored at 1),
+    * syllables = per-word [aeiouy]+ vowel-group runs floored at 1 per
+    * word (the standard heuristic — "rhythm" still gets one syllable).
+    * flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words),
+    * rounded to 4; the band CASEs on the ROUNDED value so the boundary is
+    * deterministic. Zero-word docs get a null score and band 'empty'.
+    *
+    * Scale shape: per-row codegen'd regex counts + one bounded HOF fold —
+    * no shuffle, no UDF; identical in batch and streaming. */
+  def readability(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = lower(coalesce(col(textCol), lit("")))
+    df.select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_words"),
+        greatest(regexp_count(t, lit("[.!?]+")), lit(1)).cast("long")
+          .as("n_sentences"),
+        aggregate(
+          transform(tokens(t), w => greatest(regexp_count(w, lit("[aeiouy]+")), lit(1))),
+          lit(0L), (acc, x) => acc + x).as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            lit(206.835)
+              - lit(1.015) * col("n_words").cast("double") / col("n_sentences").cast("double")
+              - lit(84.6) * col("n_syllables").cast("double") / col("n_words").cast("double"),
+            4)))
+      .withColumn("band",
+        when(col("flesch").isNull, "empty")
+          .when(col("flesch") >= 90, "very_easy")
+          .when(col("flesch") >= 60, "standard")
+          .when(col("flesch") >= 30, "difficult")
+          .otherwise("very_difficult"))
+  }
+
+  /** Corpus-level boilerplate n-gram report: word n-grams (lowercased)
+    * appearing in at least `minDf` DISTINCT documents, top `topK` by
+    * document frequency — the discovery pass that FEEDS span/boilerplate
+    * removal (q100's dropDuplicateSpans kills what this finds). Counting
+    * is per-document-distinct (a doc repeating its own footer 50x counts
+    * once), so doc_freq is a true document frequency.
+    *
+    * Scale shape: explode per-doc DISTINCT shingles (native kernel +
+    * array_distinct), ONE hash aggregation keyed on the n-gram —
+    * partial-agg collapses map-side. At 100 TB shingles travel as
+    * xxhash64 digests and the literal text of only the top-k survivors is
+    * recovered by a second semi-join pass (the q85 hashing note); the
+    * string form here is the oracle-verifiable twin. The final top-k is a
+    * WindowGroupLimit-pruned global window over the (small) >= minDf
+    * survivor set. */
+  def boilerplateNgrams(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, srcCol: String, n: Int,
+                        minDf: Long, topK: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_freq").desc, col("ngram").asc)
+    df.select(col(idCol), col(srcCol),
+        explode(array_distinct(Dedup.shingles(lower(col(textCol)), n))).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("doc_freq"),
+        countDistinct(col(srcCol)).as("n_sources"))
+      .filter(col("doc_freq") >= minDf)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("rnk"), col("ngram"), col("doc_freq"), col("n_sources"))
+  }
 }
