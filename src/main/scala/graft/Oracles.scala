@@ -3072,6 +3072,46 @@ object Oracles {
          | round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
          |  AS max_source_share
          |FROM g GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // normalized exact dedup: group by the canonical form directly (the
+    // Spark side groups by md5 OF the same form — identical partition)
+    "q159_normalized_dedup" ->
+      """WITH c AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 300000, '  ' || upper(text) || ' !!! '
+        | FROM documents WHERE doc_id % 5 = 0),
+        |n AS (
+        | SELECT doc_id,
+        |  trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g'))
+        |   AS nt
+        | FROM c)
+        |SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_variants
+        |FROM n GROUP BY nt ORDER BY doc_id""".stripMargin,
+
+    // prefix-join oracle = BRUTE FORCE all-pairs exact Jaccard: a hash
+    // match proves the AllPairs prefix filter lost no pair; integer
+    // cross-multiplied accept gate (i*5 >= u*3 == J >= 3/5), one double
+    "q160_prefix_join" ->
+      s"""WITH sub AS (
+         | SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+         | UNION ALL
+         | ${plantedSql("documents", "doc_id % 7 = 0", 1, 700000L)}),
+         |tok AS (SELECT doc_id, ${toksSql("lower(text)")} AS tk0 FROM sub),
+         |shg AS (
+         | SELECT doc_id, CASE WHEN len(tk0) < 3 THEN [array_to_string(tk0, ' ')]
+         |  ELSE list_transform(range(1, len(tk0) - 1),
+         |         i -> array_to_string(list_slice(tk0, i, i + 2), ' ')) END AS sh
+         | FROM tok),
+         |d AS (SELECT doc_id, list_distinct(sh) AS tk FROM shg),
+         |d2 AS (SELECT * FROM d WHERE len(tk) > 0),
+         |p AS (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS i_,
+         |  CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS BIGINT) AS u_
+         | FROM d2 a, d2 b WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(CAST(i_ AS DOUBLE) / u_, 6) AS jaccard
+         |FROM p WHERE i_ * 5 >= u_ * 3 ORDER BY id_a, id_b""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two
@@ -3079,7 +3119,9 @@ object Oracles {
     * in-session one (q112's ivfLoad convention — the persistence layer
     * may not change a single distance). */
   val all: Map[String, String] =
-    base + ("q143_pq_reload" -> base("q134_pq_adc"))
+    base + ("q143_pq_reload" -> base("q134_pq_adc"),
+      // merged-halves covariance must equal the one-shot form verbatim
+      "q158_cov_merge" -> base("q151_embedding_cov"))
 
   /** The q60/q67 oracle: recursive reachability over the shared edge set —
     * min reachable id == the min-label fixpoint both CC algorithms

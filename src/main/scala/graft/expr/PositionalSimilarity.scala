@@ -99,6 +99,9 @@ object GraftFunctions {
   def vectorSqDist(a: Column, b: Column): Column =
     shim.column(VectorSqDist(shim.expression(a), shim.expression(b)))
 
+  def vectorOuterMicros(a: Column): Column =
+    shim.column(VectorOuterMicros(shim.expression(a)))
+
   def wordChunks(text: Column, chunkSize: Int, overlap: Int): Column =
     shim.column(WordChunks(shim.expression(text), chunkSize, overlap))
 

@@ -85,6 +85,35 @@ object VectorKernel {
     }
     math.sqrt(acc)
   }
+
+  /** round(x_i * x_j, 6) * 1e6 as exact longs, upper triangle flattened
+    * row-major (i <= j). BigDecimal.valueOf + setScale(6, HALF_UP) is
+    * Round's own DoubleType path — value parity with round(col, 6). */
+  def outerMicros(a: ArrayData, aFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      checkNotNull(a, i, "vector_outer_micros")
+      xs(i) = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Long](n * (n + 1) / 2)
+    var t = 0
+    i = 0
+    while (i < n) {
+      var j = i
+      while (j < n) {
+        out(t) = java.math.BigDecimal.valueOf(xs(i) * xs(j))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+        t += 1
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
 }
 
 private object VectorOps {
@@ -174,5 +203,40 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.expr.VectorKernel.norm($a, $cf)")
 
   override protected def withNewChildInternal(newChild: Expression): VectorNorm =
+    copy(child = newChild)
+}
+
+/** Codegen'd upper-triangle outer products as EXACT micro-units: a flat
+  * array of d(d+1)/2 longs, element t = round(x_i * x_j, 6) * 10^6 for
+  * the t-th (i, j) pair in row-major upper-triangle order (i <= j) — the
+  * covariance hot path ([[graft.operators.Embeddings]]).
+  *
+  * Why micros: the covariance oracle sums per-row products rounded to 6
+  * decimals through DECIMAL (order-independent, cross-engine exact). The
+  * nested-HOF form that built 2,080 DECIMAL structs per row ran
+  * INTERPRETED — this kernel emits the same rationals as scaled longs in
+  * one codegen'd loop, and sum(micros)/10^6 is the identical rational.
+  * Rounding matches Spark's `round(double, 6)` exactly: both go through
+  * BigDecimal.valueOf(x).setScale(6, HALF_UP) (Round's DoubleType path),
+  * so values are bit-identical to the HOF/DECIMAL form it replaced
+  * (VectorOpsParitySpec pins this).
+  *
+  * Contract: dense vectors (null elements raise, as the other kernels). */
+case class VectorOuterMicros(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorOps.elemCheck("vector_outer_micros", Seq(child.dataType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vector_outer_micros"
+
+  private def cf = VectorOps.isFloat(child.dataType)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernel.outerMicros(a.asInstanceOf[ArrayData], cf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.VectorKernel.outerMicros($a, $cf)")
+
+  override protected def withNewChildInternal(newChild: Expression): VectorOuterMicros =
     copy(child = newChild)
 }

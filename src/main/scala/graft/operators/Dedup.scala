@@ -89,6 +89,24 @@ object Dedup {
     incoming.join(seen, md5(incoming(textCol)) === seen("__digest"), "left_anti")
   }
 
+  /** NORMALIZED exact dedup: keep-first over the
+    * [[TextOps.normalizeForDedup]] canonical form — one group per
+    * equivalence class of recased / punctuation-noised / reflowed
+    * variants, represented by its min-id member. The middle rung of the
+    * dedup ladder (byte-exact < normalized < near-dup): catches what
+    * md5-of-raw-text misses at a fraction of MinHash's cost.
+    *
+    * Scale shape: identical to the q13 agg twin — the shuffle carries the
+    * 16-byte digest OF THE NORMALIZED text (never the text itself), the
+    * min-id agg collapses hot classes map-side, and AQE can split the
+    * skewed class if one ever dominates. Output: one row per class
+    * (doc_id = min id, n_variants), the frame a keep-join consumes.  */
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(TextOps.normalizeForDedup(col(textCol))).as("__nd"))
+      .groupBy(col("__nd"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_variants"))
+      .drop("__nd")
+
   /** Corpus-level SPAN deduplication — paragraph/line dedup (the
     * RefinedWeb / Dolma pass below document granularity: boilerplate
     * headers, navigation lines and repeated paragraphs recur across

@@ -35,16 +35,14 @@ object Embeddings {
     * moments); null ELEMENTS would raise in the kernels upstream. */
   def covariance(df: DataFrame, vecCol: String): DataFrame = {
     val v = df.select(col(vecCol).as("__v")).filter(col("__v").isNotNull)
-    // One explode per row of the d(d+1)/2 upper-triangle products; the
-    // groupBy's partial aggregation collapses them map-side.
-    val pairs = v.select(explode(expr(
-        """flatten(transform(sequence(0, size(__v)-1), i ->
-          |  transform(sequence(i, size(__v)-1), j ->
-          |    named_struct('i', i, 'j', j,
-          |      'xy', CAST(round(CAST(__v[i] AS DOUBLE) * CAST(__v[j] AS DOUBLE), 6)
-          |                 AS DECIMAL(25,6))))))""".stripMargin)).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xy").as("xy"))
-      .groupBy(col("i"), col("j")).agg(sum(col("xy")).as("sxy"))
+    // Per-row flat upper-triangle micro-products via the codegen'd
+    // kernel (graft.expr.VectorOuterMicros — the nested-HOF struct form
+    // ran interpreted, 2,080 lambda frames per row), then ONE hash agg
+    // keyed on the triangle position; partial aggregation collapses
+    // map-side. sum(micros)/10^6 is the exact DECIMAL rational the q99
+    // discipline requires. (i, j) come back from a bounded broadcast
+    // position map — all vectors in a column share one dim.
+    val pairs = upperSums(v)
     // Per-index sums + the vector count: d rows, broadcast back twice.
     val sums = v.select(posexplode(col("__v")).as(Seq("i", "x")))
       .groupBy(col("i")).agg(
@@ -57,6 +55,25 @@ object Embeddings {
         round((col("sxy").cast("double")
             - col("si").cast("double") * col("sj").cast("double") / col("n").cast("double"))
           / (col("n").cast("double") - lit(1.0)), 6).as("cov"))
+  }
+
+  /** (i, j, sxy DECIMAL) upper-triangle product sums of a pre-projected
+    * `__v` frame — the shared kernel + position-map chain. */
+  private def upperSums(v: DataFrame): DataFrame = {
+    val spark = v.sparkSession
+    val d = v.select(size(col("__v")).as("__d")).head(1).headOption
+      .map(_.getInt(0)).getOrElse(1)
+    import spark.implicits._
+    val idx = (for { i <- 0 until d; j <- i until d } yield (i, j))
+      .zipWithIndex.map { case ((i, j), pos) => (pos, i, j) }
+      .toDF("pos", "i", "j")
+    v.select(posexplode(graft.expr.GraftFunctions.vectorOuterMicros(col("__v")))
+        .as(Seq("pos", "xy")))
+      .groupBy(col("pos"))
+      .agg(sum(col("xy").cast("decimal(25,0)")).as("__u"))
+      .join(broadcast(idx), "pos")
+      .select(col("i"), col("j"),
+        (col("__u") / lit(1000000)).cast("decimal(35,6)").as("sxy"))
   }
 
   /** Per-index means (d rows, for centering before projection) — same
@@ -150,6 +167,60 @@ object Embeddings {
     val projected = pcaProject(df, idCol, vecCol, comps, mv)
     val cols = (0 until k).map(c => round(col("proj")(c), 4).as(s"pc${c + 1}"))
     projected.select(col(idCol) +: cols: _*)
+  }
+
+  /** MERGEABLE covariance sufficient statistics — the incremental form of
+    * [[covariance]]: a bounded (d(d+1)/2 + d + 1)-row frame of exact
+    * DECIMAL sums that can be persisted per batch/partition/day and
+    * merged by pure addition, so the corpus-wide covariance never
+    * recomputes history (the incremental-index shape the LSH bucket
+    * table and IVF lists already follow). Rows: kind='xy' carries
+    * sum(x_i * x_j) for i <= j; kind='x' carries sum(x_i) (j = -1);
+    * kind='n' carries the vector count (i = j = -1). All values in
+    * DECIMAL(35,6) — addition is exact and order-independent, so
+    * merge(statsOf(A), statsOf(B)) == statsOf(A union B) EXACTLY. */
+  def momentStats(df: DataFrame, vecCol: String): DataFrame = {
+    val v = df.select(col(vecCol).as("__v")).filter(col("__v").isNotNull)
+    val xy = upperSums(v)
+      .select(lit("xy").as("kind"), col("i"), col("j"),
+        col("sxy").cast("decimal(35,6)").as("v"))
+    val x = v.select(posexplode(col("__v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(round(col("x").cast("double"), 6).cast("decimal(25,6)"))
+        .cast("decimal(35,6)").as("v"))
+      .select(lit("x").as("kind"), col("i"), lit(-1).as("j"), col("v"))
+    val n = v.agg(count(lit(1)).cast("decimal(35,6)").as("v"))
+      .select(lit("n").as("kind"), lit(-1).as("i"), lit(-1).as("j"), col("v"))
+    xy.unionByName(x).unionByName(n)
+  }
+
+  /** Merge moment-stat frames by addition (exact DECIMAL — associative,
+    * commutative, order-independent). */
+  def mergeStats(stats: Seq[DataFrame]): DataFrame = {
+    require(stats.nonEmpty, "mergeStats: at least one stats frame")
+    stats.reduce(_.unionByName(_))
+      .groupBy(col("kind"), col("i"), col("j"))
+      .agg(sum(col("v")).cast("decimal(35,6)").as("v"))
+  }
+
+  /** Finalize a (possibly merged) moment-stats frame into the same
+    * (i, j, cov) output as [[covariance]] — by construction,
+    * covarianceFromStats(momentStats(df)) == covariance(df) cell for
+    * cell, and merging halves first changes nothing (q158's proof). */
+  def covarianceFromStats(stats: DataFrame): DataFrame = {
+    val xy = stats.filter(col("kind") === "xy")
+      .select(col("i"), col("j"), col("v").as("sxy"))
+    val sx = stats.filter(col("kind") === "x")
+      .select(col("i").as("ii"), col("v").as("s"))
+    val n = stats.filter(col("kind") === "n")
+      .select(col("v").cast("double").as("n"))
+    xy.join(broadcast(sx.select(col("ii").as("i"), col("s").as("si"))), Seq("i"))
+      .join(broadcast(sx.select(col("ii").as("j"), col("s").as("sj"))), Seq("j"))
+      .crossJoin(broadcast(n))
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        round((col("sxy").cast("double")
+            - col("si").cast("double") * col("sj").cast("double") / col("n"))
+          / (col("n") - lit(1.0)), 6).as("cov"))
   }
 
   /** Explained-variance audit: eigenvalue share of total variance per

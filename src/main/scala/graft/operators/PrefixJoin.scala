@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity self-join via prefix filtering (AllPairs /
+  * PPJoin, Bayardo et al. WWW'07 / Xiao et al. WWW'08) — the
+  * deterministic complement of MinHash: every pair with Jaccard >= tau,
+  * no false negatives, no probability knob.
+  *
+  * The theorem: order every document's DISTINCT tokens by one GLOBAL
+  * order (rarest-first: ascending document frequency, ties on the token),
+  * and take the first p = n - ceil(tau*n) + 1 tokens as the doc's
+  * "prefix". If J(x, y) >= tau, the globally-smallest token of the
+  * intersection must sit inside BOTH prefixes — if it missed x's prefix,
+  * the whole intersection would fit in x's suffix of ceil(tau*n)-1
+  * tokens, contradicting |I| >= tau*|U| >= tau*n. So joining prefixes on
+  * token equality generates a candidate superset, and the exact Jaccard
+  * verify loses nothing. Rarest-first ordering makes prefixes carry the
+  * LOW-df tokens, so the candidate join fans out least.
+  *
+  * Scale shape: (doc, token) explode -> df counts (vocab-sized,
+  * map-side combined) -> per-doc sort of its own token list (bounded by
+  * doc length, sort_array not a window) -> prefix explode bounded by
+  * (1-tau)*n+1 per doc -> token-keyed candidate self-join (AQE-splittable
+  * on hot tokens; rarest-first keeps them cold) -> verify join carrying
+  * the token arrays for exactly the candidate pairs. The threshold is a
+  * RATIONAL tauNum/tauDen and every gate is integer cross-multiplied
+  * (prefix length, jaccard accept) — exact in both engines, no float
+  * boundary anywhere (q160's hash proof: this plan == brute force).
+  *
+  * Output: (id_a, id_b, jaccard) for id_a < id_b, jaccard rounded to 6.
+  */
+object PrefixJoin {
+
+  /** The set elements the join compares: word tokens (shingleK = 0) or
+    * word k-gram shingles (shingleK >= 1). Shingles are the right choice
+    * for near-dup text: a k-gram space is combinatorially larger than the
+    * vocabulary, so unrelated documents share almost nothing and the
+    * prefix filter actually bites — measured on the sf0.1 corpus, unigram
+    * sets leave 1.02M of 1.02M candidate pairs (tiny synthetic vocab,
+    * every doc collides with every doc) while 3-gram shingle sets leave
+    * 8.9k (99.1% pruned). */
+  private def elements(textCol: String, shingleK: Int) =
+    if (shingleK <= 0) TextOps.tokens(lower(col(textCol)))
+    else Dedup.shingles(lower(col(textCol)), shingleK)
+
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                  tauNum: Int, tauDen: Int, shingleK: Int = 0): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, "jaccardJoin: 0 < tau <= 1")
+    val toks = df.select(col(idCol).as("__id"),
+        array_distinct(elements(textCol, shingleK)).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .transform(Checkpoints.ckpt) // three consumers: df counts, prefixes, verify
+    val dt = toks.select(col("__id"), explode(col("__tk")).as("__t"))
+    val dfreq = dt.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    // per-doc global-order sort: (df asc, token asc) — sort_array over the
+    // doc's own (bounded) token list, never a corpus window
+    val sorted = dt.join(dfreq, "__t")
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(struct(col("__df"), col("__t")))).as("__st"))
+      .select(col("__id"), expr("transform(__st, s -> s.__t)").as("__ord"),
+        size(col("__st")).as("__n"))
+    // p = n - ceil(tau*n) + 1, integer-exact: ceil(a*n/b) = (a*n+b-1) DIV b
+    val prefixes = sorted.select(col("__id"),
+      explode(slice(col("__ord"), lit(1),
+        expr(s"__n - ((__n * $tauNum + $tauDen - 1) DIV $tauDen) + 1")))
+        .as("__t"))
+    val cands = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    cands
+      .join(toks.select(col("__id").as("id_a"), col("__tk").as("__tka")), "id_a")
+      .join(toks.select(col("__id").as("id_b"), col("__tk").as("__tkb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__tka"), col("__tkb"))).cast("long").as("__i"),
+        size(array_union(col("__tka"), col("__tkb"))).cast("long").as("__u"))
+      .filter(col("__i") * tauDen >= col("__u") * tauNum)
+      .select(col("id_a"), col("id_b"),
+        round(col("__i").cast("double") / col("__u").cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /** Brute-force twin (the executable spec): every pair, no prefix
+    * filter — q160's oracle shape, and the losslessness check the spec
+    * asserts against [[jaccardJoin]] on planted + random corpora. */
+  def jaccardJoinBrute(df: DataFrame, idCol: String, textCol: String,
+                       tauNum: Int, tauDen: Int, shingleK: Int = 0): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+        array_distinct(elements(textCol, shingleK)).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+    toks.as("a").join(toks.as("b"), col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        size(array_intersect(col("a.__tk"), col("b.__tk"))).cast("long").as("__i"),
+        size(array_union(col("a.__tk"), col("b.__tk"))).cast("long").as("__u"))
+      .filter(col("__i") * tauDen >= col("__u") * tauNum)
+      .select(col("id_a"), col("id_b"),
+        round(col("__i").cast("double") / col("__u").cast("double"), 6)
+          .as("jaccard"))
+  }
+}

@@ -793,6 +793,16 @@ object TextOps {
       lit(0L),
       (h, v) => (h * 131L + v) % 1000000007L)
 
+  /** Canonical text form for NORMALIZED exact dedup: lowercase, every
+    * non-[a-z0-9] run (punctuation, unicode, newlines) to a single
+    * space, trimmed. Catches the trivial variants byte-exact dedup
+    * misses — recased copies, punctuation-noise mirrors, reflowed
+    * whitespace — while staying a pure codegen'd per-row kernel.
+    * Idempotent by construction (the output alphabet is a fixpoint of
+    * every rule). */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(lower(coalesce(text, lit(""))), "[^a-z0-9]+", " "))
+
   /** Flesch reading-ease readability per document — the classic
     * curriculum/quality signal (textbook prose scores 60-90, legalese and
     * token soup score low or negative). All three inputs are INTEGER

@@ -49,6 +49,25 @@ class VectorOpsParitySpec extends SparkSpec {
       .filter(col("vector_sqdist(a, a)") =!= 0.0).count() == 0)
   }
 
+  test("kernel outerMicros == HOF round(x_i*x_j, 6)*1e6, element for element") {
+    val df = genVectors(200, 16, seed = 21)
+    // HOF spec form: flat upper-triangle of round(products, 6) micros
+    val hof = expr(
+      """flatten(transform(sequence(0, size(a)-1), i ->
+        |  transform(sequence(i, size(a)-1), j ->
+        |    CAST(round(round(CAST(a[i] AS DOUBLE) * CAST(a[j] AS DOUBLE), 6) * 1000000.0)
+        |         AS BIGINT))))""".stripMargin)
+    val bad = df.select(
+        graft.expr.GraftFunctions.vectorOuterMicros(col("a")).as("k"),
+        hof.as("h"))
+      .filter(not(col("k") === col("h")))
+    assert(bad.count() == 0)
+    // length = d(d+1)/2
+    val len = df.select(size(graft.expr.GraftFunctions.vectorOuterMicros(col("a"))))
+      .head.getInt(0)
+    assert(len == 16 * 17 / 2)
+  }
+
   test("double-element arrays and empty arrays work; nulls propagate") {
     val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
     assert(df.select(Knn.dot(col("a"), col("b"))).head().getDouble(0) == 11.0)
