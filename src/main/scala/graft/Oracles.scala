@@ -3112,6 +3112,148 @@ object Oracles {
          | FROM d2 a, d2 b WHERE a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(CAST(i_ AS DOUBLE) / u_, 6) AS jaccard
          |FROM p WHERE i_ * 5 >= u_ * 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // winnowing (k=8, w=4, seed 17): per-doc fingerprints = distinct
+    // window minima of md5-chain hashes over 8-char grams of the
+    // canonical token stream; stop-fingerprints (doc_freq > 50) cut
+    // before the pair join; pairs sharing >= 3 fingerprints
+    "q161_winnowing" ->
+      s"""WITH sub AS (
+         | SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
+         | UNION ALL
+         | ${plantedSql("documents", "doc_id % 11 = 0", 1, 1100000L)}),
+         |d AS (
+         | SELECT doc_id,
+         |  array_to_string(${toksSql("lower(text)")}, ' ') AS s
+         | FROM sub),
+         |d2 AS (
+         | SELECT doc_id, s, greatest(len(s) - 7, 1) AS n
+         | FROM d WHERE len(s) > 0),
+         |f0 AS (
+         | SELECT doc_id,
+         |  list_distinct(list_transform(range(1, greatest(n - 3, 1) + 1),
+         |   j -> list_min(list_transform(range(j, least(j + 3, n) + 1),
+         |     i -> ${ph("substr(s, CAST(i AS INT), 8)", 17)})))) AS fps
+         | FROM d2),
+         |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f0),
+         |sz AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1),
+         |hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 50),
+         |u AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot)),
+         |p AS (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS shared
+         | FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT id_a, id_b, shared,
+         | CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         | round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
+         |FROM p JOIN sz sa ON p.id_a = sa.doc_id
+         |       JOIN sz sb ON p.id_b = sb.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Zipf OLS: each ln frozen to round(ln, 6)*1e6 micro-BIGINTs, all
+    // five regression sums exact integers, closed form in one double
+    // expression per statistic — byte-identical arithmetic to Spark
+    "q162_zipf_fit" ->
+      s"""WITH tok AS (
+         | SELECT unnest(${toksSql("lower(text)")}) AS token FROM documents),
+         |tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1),
+         |top AS (SELECT token, tf FROM tf ORDER BY tf DESC, token ASC LIMIT 256),
+         |r AS (
+         | SELECT tf, row_number() OVER (ORDER BY tf DESC, token ASC) AS rnk
+         | FROM top),
+         |m AS (
+         | SELECT CAST(round(round(ln(rnk), 6) * 1e6) AS BIGINT) AS x,
+         |        CAST(round(round(ln(tf), 6) * 1e6) AS BIGINT) AS y
+         | FROM r),
+         |s AS (
+         | SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+         | FROM m),
+         |c AS (
+         | SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         |  CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+         |  CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+         | FROM s),
+         |e AS (
+         | SELECT n, nd, sxd, syd,
+         |  nd * sxyd - sxd * syd AS num, nd * sxxd - sxd * sxd AS den,
+         |  nd * syyd - syd * syd AS deny
+         | FROM c)
+         |SELECT CAST(n AS INT) AS n_ranks,
+         | round(CASE WHEN den = 0 THEN 0.0 ELSE num / den END, 6) AS slope,
+         | round((syd - (CASE WHEN den = 0 THEN 0.0 ELSE num / den END) * sxd)
+         |   / nd / 1e6, 6) AS intercept,
+         | CASE WHEN den * deny = 0 THEN 1.0
+         |  ELSE round(num * num / (den * deny), 6) END AS r2
+         |FROM e ORDER BY n_ranks""".stripMargin,
+
+    // temperature mixture (alpha = 1/2): weight = floor(sqrt(n)*1e6)
+    // (IEEE sqrt is correctly rounded -> identical doubles), integer
+    // largest-remainder allocation of 1000, ph-seed-78 selection
+    "q163_temperature_mix" ->
+      s"""WITH c AS (
+         | SELECT source AS src, CAST(count(*) AS BIGINT) AS n
+         | FROM documents GROUP BY 1),
+         |w AS (
+         | SELECT src, n,
+         |  CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS wt
+         | FROM c),
+         |t AS (SELECT *, CAST(sum(wt) OVER () AS BIGINT) AS wsum FROM w),
+         |a AS (
+         | SELECT src, n, wt,
+         |  CAST(wt * 1000 // wsum AS BIGINT) AS fl,
+         |  CAST(wt * 1000 % wsum AS BIGINT) AS rem
+         | FROM t),
+         |l AS (
+         | SELECT *, 1000 - CAST(sum(fl) OVER () AS BIGINT) AS leftover,
+         |  row_number() OVER (ORDER BY rem DESC, src ASC) AS rr
+         | FROM a),
+         |al AS (
+         | SELECT src, n, wt,
+         |  fl + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS target_n
+         | FROM l),
+         |r AS (
+         | SELECT source AS src, doc_id,
+         |  CAST(len(${toksSql("text")}) AS BIGINT) AS tok,
+         |  row_number() OVER (PARTITION BY source
+         |   ORDER BY ${ph("CAST(doc_id AS VARCHAR)", 78)} ASC, doc_id ASC) AS rnk
+         | FROM documents),
+         |p AS (
+         | SELECT r.src, CAST(count(*) AS BIGINT) AS n_sampled,
+         |  CAST(sum(tok) AS BIGINT) AS sampled_tokens
+         | FROM r JOIN al ON r.src = al.src WHERE rnk <= target_n GROUP BY 1)
+         |SELECT al.src AS source, al.n AS n_docs, al.wt AS weight,
+         | CAST(target_n AS BIGINT) AS target_n,
+         | coalesce(n_sampled, 0) AS n_sampled,
+         | coalesce(sampled_tokens, 0) AS sampled_tokens
+         |FROM al LEFT JOIN p ON al.src = p.src ORDER BY source""".stripMargin,
+
+    // percentile calibration: rank() gives ties one rank (pure function
+    // of the score multiset), decile boundary integer-exact, per-row
+    // norms frozen to DECIMAL(10,6) before the order-independent sum
+    "q164_score_calibration" ->
+      s"""WITH d AS (
+         | SELECT source AS src, CAST(len(${toksSql("text")}) AS BIGINT) AS v
+         | FROM documents),
+         |r AS (
+         | SELECT src, v, rank() OVER (PARTITION BY src ORDER BY v ASC) AS rnk,
+         |  count(*) OVER (PARTITION BY src) AS n
+         | FROM d),
+         |x AS (
+         | SELECT src, v,
+         |  CASE WHEN n = 1 THEN 0.0
+         |   ELSE CAST(rnk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS norm,
+         |  CASE WHEN n = 1 THEN 0
+         |   ELSE least(CAST((rnk - 1) * 10 // (n - 1) AS INT), 9) END AS decile
+         | FROM r)
+         |SELECT src AS source, CAST(decile AS INT) AS decile,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | min(v) AS min_score, max(v) AS max_score,
+         | round(CAST(sum(CAST(round(norm, 6) AS DECIMAL(10,6))) AS DOUBLE)
+         |   / count(*), 6) AS mean_norm
+         |FROM x GROUP BY 1, 2 ORDER BY source, decile""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

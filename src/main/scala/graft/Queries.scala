@@ -1693,6 +1693,45 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Winnowing (MOSS) fingerprint overlap over every 11th doc + planted
+    * drop-2-token tails: each planted tail shares nearly all of its
+    * original's fingerprints, so every (orig, planted) pair must surface
+    * with overlap ≈ 1; the stop-fingerprint cut (doc_freq > 50) removes
+    * corpus boilerplate before the candidate join. */
+  def q161Winnowing(s: SparkSession, dir: String): DataFrame = {
+    val sub = t(s, dir, "documents").filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), col("text"))
+    val corpus = sub.unionByName(plantedTailDocs(sub, 1, 1100000L))
+    Winnow.overlapReport(corpus, "doc_id", "text", k = 8, w = 4, seed = 17,
+        minShared = 3, maxDocFreq = 50L)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** OLS Zipf fit over the corpus token-frequency curve (top 256 ranks):
+    * slope ≈ -1 on healthy natural text; the oracle replays the exact
+    * micro-integer regression. */
+  def q162ZipfFit(s: SparkSession, dir: String): DataFrame =
+    TextOps.zipfFit(t(s, dir, "documents"), "text", topRanks = 256)
+      .orderBy("n_ranks")
+
+  /** Temperature-scaled (alpha = 1/2) source mixture card: sqrt-of-count
+    * weights, integer largest-remainder allocation of 1000 docs,
+    * portable-hash selection — the multilingual rebalancing step. */
+  def q163TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    Split.temperatureMixture(t(s, dir, "documents"), "source", "doc_id",
+        "text", total = 1000L, seed = 78)
+      .orderBy("source")
+
+  /** Per-source percentile-rank calibration of a token-count quality
+    * score, rolled up to (source, decile) — the cross-source
+    * normalization that makes one global quality threshold meaningful. */
+  def q164ScoreCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(col("source"),
+      TextOps.tokenCount(col("text")).cast("long").as("score"))
+    Robust.percentileCalibration(scored, "source", "score")
+      .orderBy("source", "decile")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2588,6 +2627,10 @@ object Queries {
     "q158_cov_merge" -> (q158CovMerge _),
     "q159_normalized_dedup" -> (q159NormalizedDedup _),
     "q160_prefix_join" -> (q160PrefixJoin _),
+    "q161_winnowing" -> (q161Winnowing _),
+    "q162_zipf_fit" -> (q162ZipfFit _),
+    "q163_temperature_mix" -> (q163TemperatureMix _),
+    "q164_score_calibration" -> (q164ScoreCalibration _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -49,4 +49,52 @@ object Robust {
         round(col("__mad"), 6).as("mad"),
         col("n"), col("n_outliers"))
   }
+
+  /** Per-group percentile-rank score calibration — the step before a
+    * GLOBAL quality threshold can be applied to a heterogeneous corpus.
+    * Raw quality scores are not comparable across sources (a "good"
+    * length/punctuation profile for forum posts is a terrible one for
+    * reference text), so thresholding raw scores keeps whole sources and
+    * drops whole sources. Rank-normalizing within each source first
+    * (norm = (rank - 1) / (n - 1) ∈ [0, 1]) makes "top 30% of each
+    * source" a single global predicate — the CCNet-style per-bucket
+    * selection generalized to any score.
+    *
+    * Determinism: `rank()` over (score asc) gives ties an identical
+    * rank, so norm is a pure function of the score multiset — no
+    * tie-break arbitrariness crosses engines; the decile boundary is
+    * integer-exact ((rank-1)*10 DIV (n-1), capped at 9) so no float
+    * boundary decides bucket membership. Per-row norms are frozen to
+    * DECIMAL(10,6) before the sum so the group mean is
+    * order-independent.
+    *
+    * Scale shape: one rank window per source (shuffle keyed on the
+    * group; a skewed giant source is ONE sort — for that shape switch
+    * the score to its [[Sketch.histogramQuantiles]] bucket first), then
+    * a bounded (group × decile) aggregate.
+    * Output: (groupCol, decile, n_docs, min_score, max_score, mean_norm). */
+  def percentileCalibration(df: DataFrame, groupCol: String,
+                            scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v").asc)
+    val ranked = df
+      .select(col(groupCol).as("__g"), col(scoreCol).cast("long").as("__v"))
+      .withColumn("__rank", rank().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))))
+      .withColumn("__norm",
+        when(col("__n") === 1, lit(0.0)).otherwise(
+          (col("__rank") - 1).cast("double") / (col("__n") - 1).cast("double")))
+      .withColumn("decile",
+        when(col("__n") === 1, lit(0)).otherwise(
+          least(expr("CAST((__rank - 1) * 10 DIV (__n - 1) AS INT)"), lit(9))))
+    ranked.groupBy(col("__g"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("__v")).as("min_score"), max(col("__v")).as("max_score"),
+        sum(round(col("__norm"), 6).cast("decimal(10,6)")).as("__snorm"))
+      .select(col("__g").as(groupCol), col("decile"), col("n_docs"),
+        col("min_score"), col("max_score"),
+        round(col("__snorm").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_norm"))
+  }
 }

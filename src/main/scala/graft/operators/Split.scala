@@ -98,6 +98,71 @@ object Split {
       .select(col("__src").as(sourceCol), col("__id").as(idCol))
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual/multi-source
+    * rebalancing step (Conneau et al., "Unsupervised Cross-lingual
+    * Representation Learning at Scale", ACL 2020 §3.1): sample source s
+    * with probability proportional to p_s^alpha where p_s is the
+    * source's natural share. alpha < 1 flattens the mixture — head
+    * sources are downsampled, tail sources upsampled relative to their
+    * natural share — which is how a 100-source corpus avoids being 90%
+    * its two biggest crawls. Unlike [[mixtureSample]] the weights are
+    * DERIVED FROM THE DATA, not caller-supplied.
+    *
+    * alpha is fixed at 1/2 so the weight is sqrt(n_s) — IEEE-754
+    * requires sqrt to be correctly rounded, so both engines compute the
+    * IDENTICAL double, and `floor(sqrt(n_s) * 1e6)` freezes it into a
+    * portable integer weight. From there the allocation is
+    * [[mixtureSample]]'s integer largest-remainder method and selection
+    * is the same (portable id-hash, id) rank — zero floating-point
+    * boundaries anywhere in the allocation. A general-alpha pow() has no
+    * such cross-engine guarantee; alpha = 1/2 is also XLM-R's
+    * highest-flattening published setting.
+    *
+    * Scale shape: the weight/allocation table is #sources rows derived
+    * from one map-side-combined count agg; selection is one per-source
+    * hash-order window (WindowGroupLimit-bounded by `total` exactly as
+    * mixtureSample). Output: one row per source —
+    * (sourceCol, n_docs, weight, target_n, n_sampled, sampled_tokens) —
+    * the mixture card a pipeline logs; n_sampled < target_n exposes a
+    * source too small for its allocation. */
+  def temperatureMixture(df: DataFrame, sourceCol: String, idCol: String,
+                         textCol: String, total: Long,
+                         seed: Int = 78): DataFrame = {
+    require(total > 0, "temperatureMixture: total > 0")
+    val counts = df.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double")) * 1e6))
+    val wsum = counts.agg(sum(col("__w")).as("__wsum"))
+    val alloc = counts.crossJoin(broadcast(wsum))
+      .withColumn("__floor", expr(s"__w * $total DIV __wsum"))
+      .withColumn("__rem", expr(s"__w * $total % __wsum"))
+      .withColumn("__left",
+        lit(total) - sum(col("__floor")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("__rrank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__rem").desc, col("__src").asc)))
+      .withColumn("target_n",
+        col("__floor") + when(col("__rrank") <= col("__left"), 1L).otherwise(0L))
+      .select(col("__src"), col("__n"), col("__w"), col("target_n"))
+    val ranked = df.select(col(sourceCol).as("__src"), col(idCol).as("__id"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("__tok"))
+      .withColumn("__h", Dedup.portableHash64(col("__id").cast("string"), seed))
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__src"))
+          .orderBy(col("__h").asc, col("__id").asc)))
+      .filter(col("__rank") <= lit(total)) // literal bound -> WindowGroupLimit
+    val picked = ranked.join(broadcast(alloc.select("__src", "target_n")), "__src")
+      .filter(col("__rank") <= col("target_n"))
+      .groupBy(col("__src"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("__tok")).as("sampled_tokens"))
+    alloc.join(picked, Seq("__src"), "left")
+      .select(col("__src").as(sourceCol), col("__n").as("n_docs"),
+        col("__w").as("weight"), col("target_n"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+  }
+
   /** Leakage-safe (group-aware) split: every member of a near-duplicate
     * cluster lands in the SAME split. A row-wise split re-creates the
     * contamination problem dedup exists to prevent — a near-dup pair

@@ -773,6 +773,65 @@ object TextOps {
           .as("type_token_ratio"))
   }
 
+  /** Zipf-law fit over the corpus token-frequency distribution — the
+    * one-number sanity check of a text corpus's statistical health
+    * (Zipf 1949; Piantadosi 2014 review): natural language has
+    * log(freq) ~ intercept + slope * log(rank) with slope near -1.
+    * A slope far above -1 (flat) flags template/spam floods repeating a
+    * tiny vocabulary uniformly; far below (steep) flags boilerplate
+    * domination by a few tokens; r2 << 1 flags a mixture of corpora
+    * with very different vocabularies stitched together.
+    *
+    * Fit = ordinary least squares of y = ln(freq) on x = ln(rank) over
+    * the top `topRanks` tokens (freq desc, token asc — a total order).
+    * Scale shape: ONE (token, tf) aggregate (map-side combined, shuffle
+    * key is the token), a distributed top-k (TakeOrderedAndProject —
+    * never a global window over the vocabulary), then the regression
+    * runs over topRanks rows of metadata.
+    *
+    * Cross-engine float discipline (the q99 ln pattern, extended to a
+    * regression): each ln is rounded to 6 decimals and frozen to an
+    * exact micro-scaled BIGINT; all five regression sums are exact
+    * integer aggregates (order-independent); the closed-form slope /
+    * intercept / r2 are computed from those exact sums with identical
+    * double expressions in both engines, rounded to 6. The micro scale
+    * cancels inside the slope ratio so no rescaling boundary exists.
+    * Output: one row (n_ranks, slope, intercept, r2). */
+  def zipfFit(df: org.apache.spark.sql.DataFrame, textCol: String,
+              topRanks: Int = 256): org.apache.spark.sql.DataFrame = {
+    require(topRanks >= 8, "zipfFit: topRanks >= 8")
+    val tf = df.select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val top = tf.orderBy(col("tf").desc, col("token").asc).limit(topRanks)
+    val ranked = top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("tf").desc, col("token").asc))) // bounded: topRanks rows
+    def micros(c: Column): Column =
+      round(round(log(c), 6) * 1e6).cast("long")
+    val terms = ranked.select(
+      micros(col("rank").cast("double")).as("x"),
+      micros(col("tf").cast("double")).as("y"))
+    val sums = terms.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val nd = col("n").cast("double")
+    def d(name: String): Column = col(name).cast("double")
+    val num = nd * d("sxy") - d("sx") * d("sy")
+    val den = nd * d("sxx") - d("sx") * d("sx")
+    // den = 0 only for n <= 1 (ranks are distinct); deny = 0 for a
+    // constant-frequency curve — both degenerate fits have zero residual,
+    // reported as slope 0 / r2 1 rather than an ANSI divide-by-zero
+    val slope = when(den === 0, lit(0.0)).otherwise(num / den)
+    val deny = nd * d("syy") - d("sy") * d("sy")
+    sums.select(col("n").cast("int").as("n_ranks"),
+      round(slope, 6).as("slope"),
+      round((d("sy") - slope * d("sx")) / nd / 1e6, 6).as("intercept"),
+      when(den * deny === 0, lit(1.0))
+        .otherwise(round(num * num / (den * deny), 6)).as("r2"))
+  }
+
   /** Deterministic small integer value for a token (engine-portable: ascii of
     * first char and length only — reproducible in any SQL engine). */
   def tokenValue(t: Column): Column = ascii(t) * 31 + length(t)

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+  * "Winnowing: Local Algorithms for Document Fingerprinting",
+  * SIGMOD 2003; the MOSS algorithm). The guarantee the scheme buys over
+  * plain k-gram sampling: any shared substring of length >= k + w - 1
+  * chars between two documents is CAUGHT by at least one shared
+  * fingerprint (every window of w consecutive k-gram hashes contributes
+  * its minimum, so a long-enough match contains a full shared window and
+  * therefore a shared minimum). Expected density is 2/(w+1) of all
+  * k-grams — a position-independent sample with a locality guarantee
+  * that uniform (mod-p) hash sampling lacks.
+  *
+  * Where this sits in the dedup ladder: exact digest < normalized digest
+  * < span (paragraph) digest < WINNOWING (substring-level, guaranteed
+  * local) < MinHash/SimHash (whole-doc set similarity, probabilistic).
+  * It is the right tool for "document B embeds two paragraphs of
+  * document A verbatim inside otherwise-new text": whole-doc MinHash
+  * dilutes the match below tau, span dedup needs identical paragraph
+  * boundaries, winnowing catches any >= k+w-1 char run at any
+  * alignment. Reference scope: Mat-hack/edu-data-pipeline fingerprints
+  * duplicates only at whole-row granularity (src/quality/dedup.py); this
+  * is the substring-granular generalization from the published
+  * literature.
+  *
+  * Physical shape (the 100 TB path): fingerprints are computed entirely
+  * PER ROW with nested higher-order functions — no char-level explode,
+  * no per-character shuffle, no window function. Each doc emits only its
+  * ~2n/(w+1) DISTINCT fingerprints; the only shuffles in the overlap
+  * report are the fingerprint-keyed candidate self-join (64-bit keys,
+  * AQE-splittable) and the bounded per-pair count agg. The HOF form
+  * recomputes each k-gram hash up to w times (sliding minima overlap);
+  * that is map-side CPU traded for ZERO extra shuffle rows — the right
+  * trade when the shuffle, not the CPU, is the scale bottleneck.
+  *
+  * Normalization: k-grams are taken over the canonical token stream
+  * (lowercased words joined by single spaces), so whitespace runs and
+  * case never break a match — the same canonical form the normalized
+  * dedup rung uses. The hash is the portable md5 chain
+  * ([[Dedup.portableHash64]]) so the DuckDB oracle replays it exactly.
+  */
+object Winnow {
+
+  /** DISTINCT winnowing fingerprints per document: (idCol, `fp`).
+    *
+    * `k` = char-gram length, `w` = window size (match guarantee
+    * threshold t = k + w - 1 chars). A doc shorter than k chars
+    * contributes its whole canonical text as one gram; one with fewer
+    * than w grams contributes the single minimum over all of them. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8, w: Int = 4, seed: Int = 17): DataFrame = {
+    require(k >= 2 && w >= 1, "winnow: k >= 2, w >= 1")
+    val s = concat_ws(" ", TextOps.tokens(lower(col(textCol))))
+    df.select(col(idCol), s.as("__s"))
+      .filter(length(col("__s")) > 0)
+      .select(col(idCol), explode(fpArray(col("__s"), k, w, seed)).as("fp"))
+  }
+
+  /** The per-row fingerprint set as an array column — the whole
+    * winnowing pass as one codegen-friendly expression tree. */
+  private def fpArray(s: Column, k: Int, w: Int, seed: Int): Column = {
+    // n k-gram start positions; substr truncates at the end so a short
+    // doc yields exactly one whole-text gram
+    val n = greatest(length(s) - lit(k - 1), lit(1))
+    val gramHash: Column => Column =
+      i => Dedup.portableHash64(s.substr(i, lit(k)), seed)
+    val nWin = greatest(n - lit(w - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), nWin),
+      j => array_min(transform(sequence(j, least(j + lit(w - 1), n)),
+        gramHash))))
+  }
+
+  /** Pairwise substring-overlap report over a corpus: doc pairs sharing
+    * at least `minShared` winnowing fingerprints, with the containment
+    * ratio shared / min(|A|, |B|) (1.0 = the smaller doc's sampled
+    * content appears wholly in the larger).
+    *
+    * Output: (id_a, id_b, shared, n_a, n_b, overlap) with id_a < id_b.
+    * At corpus scale the candidate join must be preceded by dropping
+    * stop-fingerprints (fingerprints appearing in > F docs are
+    * boilerplate, q156's finding, and only fan out the join); the
+    * `maxDocFreq` knob does exactly that. */
+  def overlapReport(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, w: Int = 4, seed: Int = 17,
+                    minShared: Int = 3,
+                    maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val fps = fingerprints(df, idCol, textCol, k, w, seed)
+      .transform(Checkpoints.ckpt) // consumers: per-doc sizes, join (x2)
+    val sizes = fps.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val usable =
+      if (maxDocFreq == Long.MaxValue) fps
+      else {
+        val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDocFreq).select("fp")
+        fps.join(hot, Seq("fp"), "left_anti")
+      }
+    val pairs = usable.as("a")
+      .join(usable.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared"),
+        col("n_a"), col("n_b"),
+        round(col("shared").cast("double") / least(col("n_a"), col("n_b")), 6)
+          .as("overlap"))
+  }
+}
