@@ -115,6 +115,27 @@ object Oracles {
        |  FROM (SELECT doc_id, ${toksSql("text")} AS tk
        |        FROM $table WHERE ($pred) AND doc_id % $modulus = 0)""".stripMargin
 
+  /** CTE chain computing winnowing fingerprints (Winnow.fingerprints
+    * with k=8, w=4, seed 17) for a corpus CTE: `{pfx}fp` is
+    * (doc_id, fp) — distinct sliding-window minima of md5-chain hashes
+    * over 8-char grams of the canonical token stream. One generator for
+    * every winnowing oracle (q161/q166). */
+  private def winnowFpCtes(corpusCte: String, pfx: String): String =
+    s"""${pfx}d AS (
+       | SELECT doc_id,
+       |  array_to_string(${toksSql("lower(text)")}, ' ') AS s
+       | FROM $corpusCte),
+       |${pfx}d2 AS (
+       | SELECT doc_id, s, greatest(len(s) - 7, 1) AS n
+       | FROM ${pfx}d WHERE len(s) > 0),
+       |${pfx}f0 AS (
+       | SELECT doc_id,
+       |  list_distinct(list_transform(range(1, greatest(n - 3, 1) + 1),
+       |   j -> list_min(list_transform(range(j, least(j + 3, n) + 1),
+       |     i -> ${ph("substr(s, CAST(i AS INT), 8)", 17)})))) AS fps
+       | FROM ${pfx}d2),
+       |${pfx}fp AS (SELECT doc_id, unnest(fps) AS fp FROM ${pfx}f0)""".stripMargin
+
   /** CTE chain computing k=3 shingles (`{pfx}shg`) and portable LSH rows
     * (`{pfx}bk`: doc_id, band, bucket) for a corpus CTE — mirrors
     * Dedup.minhashBuckets(portable = true): `numHashes` md5-derived
@@ -3122,20 +3143,7 @@ object Oracles {
          | SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
          | UNION ALL
          | ${plantedSql("documents", "doc_id % 11 = 0", 1, 1100000L)}),
-         |d AS (
-         | SELECT doc_id,
-         |  array_to_string(${toksSql("lower(text)")}, ' ') AS s
-         | FROM sub),
-         |d2 AS (
-         | SELECT doc_id, s, greatest(len(s) - 7, 1) AS n
-         | FROM d WHERE len(s) > 0),
-         |f0 AS (
-         | SELECT doc_id,
-         |  list_distinct(list_transform(range(1, greatest(n - 3, 1) + 1),
-         |   j -> list_min(list_transform(range(j, least(j + 3, n) + 1),
-         |     i -> ${ph("substr(s, CAST(i AS INT), 8)", 17)})))) AS fps
-         | FROM d2),
-         |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f0),
+         |${winnowFpCtes("sub", "")},
          |sz AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1),
          |hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 50),
          |u AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot)),
@@ -3254,6 +3262,73 @@ object Oracles {
          | round(CAST(sum(CAST(round(norm, 6) AS DECIMAL(10,6))) AS DOUBLE)
          |   / count(*), 6) AS mean_norm
          |FROM x GROUP BY 1, 2 ORDER BY source, decile""".stripMargin,
+
+    // block jackknife (B=32, seed 5): exact integer (group, bucket)
+    // sums; leave-one-out means frozen to DECIMAL(20,6); squared
+    // deviations to DECIMAL(30,12); the ph hash is non-negative so
+    // % == pmod
+    "q165_jackknife_ci" ->
+      s"""WITH d AS (
+         | SELECT source AS g, doc_id,
+         |  CAST(len(${toksSql("text")}) AS BIGINT) AS v
+         | FROM documents),
+         |grid AS (
+         | SELECT g, ${ph("CAST(doc_id AS VARCHAR)", 5)} % 32 AS b,
+         |  CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+         | FROM d GROUP BY 1, 2),
+         |tot AS (
+         | SELECT g, CAST(sum(s) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS nt,
+         |  CAST(count(*) AS BIGINT) AS bt
+         | FROM grid GROUP BY 1),
+         |th AS (
+         | SELECT grid.g,
+         |  CAST(round(CASE WHEN nt = n THEN CAST(st AS DOUBLE) / nt
+         |   ELSE CAST(st - s AS DOUBLE) / (nt - n) END, 6)
+         |   AS DECIMAL(20,6)) AS t6, st, nt, bt
+         | FROM grid JOIN tot ON grid.g = tot.g),
+         |bar AS (
+         | SELECT g, st, nt, bt, CAST(sum(t6) AS DOUBLE) / bt AS tbar
+         | FROM th GROUP BY 1, 2, 3, 4),
+         |vs AS (
+         | SELECT th.g,
+         |  sum(CAST(round((CAST(t6 AS DOUBLE) - tbar) *
+         |   (CAST(t6 AS DOUBLE) - tbar), 12) AS DECIMAL(30,12))) AS ss
+         | FROM th JOIN bar ON th.g = bar.g GROUP BY 1),
+         |f AS (
+         | SELECT bar.g, nt, CAST(st AS DOUBLE) / nt AS mean,
+         |  sqrt(CAST(bt - 1 AS DOUBLE) / bt * CAST(ss AS DOUBLE)) AS se
+         | FROM bar JOIN vs ON bar.g = vs.g)
+         |SELECT g AS source, nt AS n, round(mean, 6) AS mean,
+         | round(se, 6) AS se_jack,
+         | round(mean - 1.96 * se, 6) AS ci_lo,
+         | round(mean + 1.96 * se, 6) AS ci_hi
+         |FROM f ORDER BY source""".stripMargin,
+
+    // incremental winnowing vs the persisted fingerprint table: the
+    // oracle recomputes BOTH sides from text — a hash match proves the
+    // table round trip is value-preserving (q111's proof shape)
+    "q166_winnow_incr" ->
+      s"""WITH ex0 AS (
+         | SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0),
+         |inc0 AS (
+         | SELECT doc_id, text FROM documents WHERE doc_id % 9 = 3
+         | UNION ALL
+         | ${plantedSql("documents", "doc_id % 9 = 0", 45, 4000000L)}),
+         |${winnowFpCtes("ex0", "e")},
+         |${winnowFpCtes("inc0", "i")},
+         |ne AS (SELECT doc_id, count(*) AS n FROM efp GROUP BY 1),
+         |ni AS (SELECT doc_id, count(*) AS n FROM ifp GROUP BY 1),
+         |p AS (
+         | SELECT i.doc_id AS incoming_id, e.doc_id AS existing_id,
+         |  CAST(count(*) AS BIGINT) AS shared
+         | FROM ifp i JOIN efp e ON i.fp = e.fp
+         | GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT incoming_id, existing_id, shared,
+         | CAST(ni.n AS BIGINT) AS n_in, CAST(ne.n AS BIGINT) AS n_ex,
+         | round(CAST(shared AS DOUBLE) / least(ni.n, ne.n), 6) AS overlap
+         |FROM p JOIN ni ON p.incoming_id = ni.doc_id
+         |       JOIN ne ON p.existing_id = ne.doc_id
+         |ORDER BY incoming_id, existing_id""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

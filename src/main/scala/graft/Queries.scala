@@ -1732,6 +1732,44 @@ object Queries {
       .orderBy("source", "decile")
   }
 
+  /** Delete-one-bucket jackknife CI for each source's mean token count
+    * (B = 32 hash buckets, seed 5) — the deterministic error bar on a
+    * corpus metric; the oracle replays the full grid arithmetic. */
+  def q165JackknifeCI(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(col("source"), col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("score"))
+    Robust.jackknifeCI(scored, "source", "doc_id", "score",
+        numBuckets = 32, seed = 5)
+      .orderBy("source")
+  }
+
+  /** Incremental winnowing overlap against the PERSISTED fingerprint
+    * table (Winnow.writeFingerprintTable + overlapAgainstTable): the
+    * existing side (every 9th doc) is fingerprinted ONCE per
+    * (session, sf) and read back as parquet; the oracle recomputes both
+    * sides from text, so a green hash proves batch-vs-TABLE ==
+    * batch-vs-corpus — q111's maintained-index shape on the winnowing
+    * rung. Incoming = every 9th-offset-3 docs + planted tails of the
+    * existing side (must all surface with overlap ≈ 1). */
+  private val winnowTableBuilt = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Boolean]()
+
+  def q166WinnowIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") % 9 === 0)
+    val incoming = docs.filter(col("doc_id") % 9 === 3)
+      .unionByName(plantedTailDocs(existing, modulus = 45, idOffset = 4000000L))
+    val path = rtPath(dir, "winnowidx")
+    winnowTableBuilt.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    winnowTableBuilt.computeIfAbsent((s, dir), _ => {
+      Winnow.writeFingerprintTable(existing, path, "doc_id", "text",
+        k = 8, w = 4, seed = 17)
+      java.lang.Boolean.TRUE
+    })
+    Winnow.overlapAgainstTable(incoming, path, "doc_id", "text", minShared = 3)
+      .orderBy("incoming_id", "existing_id")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2631,6 +2669,8 @@ object Queries {
     "q162_zipf_fit" -> (q162ZipfFit _),
     "q163_temperature_mix" -> (q163TemperatureMix _),
     "q164_score_calibration" -> (q164ScoreCalibration _),
+    "q165_jackknife_ci" -> (q165JackknifeCI _),
+    "q166_winnow_incr" -> (q166WinnowIncr _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

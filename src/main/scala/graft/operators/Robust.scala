@@ -50,6 +50,68 @@ object Robust {
         col("n"), col("n_outliers"))
   }
 
+  /** Delete-one-bucket (block) jackknife confidence interval for a
+    * per-group mean — the DETERMINISTIC distributed answer to "is this
+    * corpus metric's difference real or noise?" (Efron & Stein 1981;
+    * the block form is the standard scale-out estimator family of
+    * Kleiner et al.'s "bag of little bootstraps", JRSS-B 2014, with the
+    * randomness replaced by hash buckets). Every doc lands in one of
+    * `numBuckets` buckets by portable id-hash; the leave-one-bucket-out
+    * means θ_(b) = (S - s_b)/(N - n_b) give
+    * var_J = (B-1)/B * Σ_b (θ_(b) - θ̄)², and the reported interval is
+    * mean ± 1.96·√var_J. Pure functions of the corpus — re-runs,
+    * retries and other engines reproduce the interval bit-for-bit,
+    * which resampling bootstraps cannot.
+    *
+    * Scale shape: ONE (group, bucket) integer aggregate over the data
+    * (map-side combined), then all statistics live on the bounded
+    * group × B grid. Cross-engine float discipline: bucket sums are
+    * exact integers; θ_(b) is frozen to round-6 DECIMAL before the
+    * order-independent mean; each squared deviation is frozen to
+    * round-12 DECIMAL(30,12) before the variance sum.
+    * Output: (groupCol, n, mean, se_jack, ci_lo, ci_hi). */
+  def jackknifeCI(df: DataFrame, groupCol: String, idCol: String,
+                  valueCol: String, numBuckets: Int = 32,
+                  seed: Int = 5): DataFrame = {
+    require(numBuckets >= 2, "jackknifeCI: numBuckets >= 2")
+    val grid = df.select(col(groupCol).as("__g"),
+        pmod(Dedup.portableHash64(col(idCol).cast("string"), seed),
+          lit(numBuckets.toLong)).as("__b"),
+        col(valueCol).cast("long").as("__v"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+    val tots = grid.groupBy(col("__g"))
+      .agg(sum(col("__s")).as("__ts"), sum(col("__n")).as("__tn"),
+        count(lit(1)).as("__nb")) // buckets PRESENT (empty ones drop out)
+    val theta = grid.join(broadcast(tots), "__g")
+      .withColumn("__t6",
+        // N == n_b (single-occupied-bucket group): leave-one-out is
+        // undefined; pin θ_(b) to the mean so its deviation is 0
+        when(col("__tn") === col("__n"),
+          round(col("__ts").cast("double") / col("__tn"), 6))
+          .otherwise(round((col("__ts") - col("__s")).cast("double") /
+            (col("__tn") - col("__n")), 6))
+          .cast("decimal(20,6)"))
+    val bars = theta.groupBy(col("__g"), col("__ts"), col("__tn"), col("__nb"))
+      .agg(sum(col("__t6")).as("__tsum"))
+      .withColumn("__tbar", col("__tsum").cast("double") / col("__nb"))
+    val varsum = theta.select(col("__g"), col("__t6"))
+      .join(broadcast(bars.select(col("__g"), col("__tbar"))), "__g")
+      .withColumn("__d", col("__t6").cast("double") - col("__tbar"))
+      .groupBy(col("__g"))
+      .agg(sum(round(col("__d") * col("__d"), 12).cast("decimal(30,12)"))
+        .as("__ss"))
+    bars.join(varsum, "__g")
+      .withColumn("__mean", col("__ts").cast("double") / col("__tn"))
+      .withColumn("__se", sqrt((col("__nb") - 1).cast("double") / col("__nb") *
+        col("__ss").cast("double")))
+      .select(col("__g").as(groupCol), col("__tn").as("n"),
+        round(col("__mean"), 6).as("mean"),
+        round(col("__se"), 6).as("se_jack"),
+        round(col("__mean") - lit(1.96) * col("__se"), 6).as("ci_lo"),
+        round(col("__mean") + lit(1.96) * col("__se"), 6).as("ci_hi"))
+  }
+
   /** Per-group percentile-rank score calibration — the step before a
     * GLOBAL quality threshold can be applied to a heterogeneous corpus.
     * Raw quality scores are not comparable across sources (a "good"

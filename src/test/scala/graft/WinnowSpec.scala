@@ -113,6 +113,71 @@ class WinnowSpec extends SparkSpec {
     assert(s2.map(_.getAs[Long]("n_docs")).sum == 30L)
   }
 
+  test("jackknife CI: exact mean, se = 0 on a constant group, interval brackets") {
+    val docs = (1 to 400).map(i => ("varied", i.toLong, (i % 37).toLong)) ++
+      (1 to 100).map(i => ("const", 10000L + i, 42L))
+    val out = Robust.jackknifeCI(docs.toDF("source", "doc_id", "score"),
+      "source", "doc_id", "score").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val c = out("const")
+    assert(c.getAs[Double]("mean") == 42.0)
+    assert(c.getAs[Double]("se_jack") == 0.0)
+    assert(c.getAs[Double]("ci_lo") == 42.0 && c.getAs[Double]("ci_hi") == 42.0)
+    val v = out("varied")
+    val exact = (1 to 400).map(_ % 37).sum.toDouble / 400
+    assert(math.abs(v.getAs[Double]("mean") - exact) < 1e-6)
+    assert(v.getAs[Double]("se_jack") > 0)
+    assert(v.getAs[Double]("ci_lo") < exact && exact < v.getAs[Double]("ci_hi"))
+    assert(v.getAs[Long]("n") == 400L)
+  }
+
+  test("winnow table probe == in-session fingerprints (params from meta)") {
+    val dir = java.nio.file.Files.createTempDirectory("winnowtab").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val existing = docs.filter(col("doc_id") % 4 === 0)
+    val incoming = docs.filter(col("doc_id") % 4 === 2)
+    // NON-default params: the probe must pick them up from meta
+    Winnow.writeFingerprintTable(existing, dir, "doc_id", "text",
+      k = 6, w = 5, seed = 23)
+    val viaTable = Winnow.overlapAgainstTable(incoming, dir, "doc_id", "text",
+      minShared = 2).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2))).toSet
+    // direct recomputation with the BUILD params
+    val exFps = Winnow.fingerprints(existing, "doc_id", "text", 6, 5, 23)
+      .select(col("doc_id").as("existing_id"), col("fp"))
+    val inFps = Winnow.fingerprints(incoming, "doc_id", "text", 6, 5, 23)
+      .select(col("doc_id").as("incoming_id"), col("fp"))
+    val direct = inFps.join(exFps, "fp")
+      .groupBy("incoming_id", "existing_id").count()
+      .filter(col("count") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaTable == direct)
+    assert(viaTable.nonEmpty || direct.isEmpty)
+  }
+
+  test("winnow table append + beforeIngest: replayed batch excludes itself") {
+    val dir = java.nio.file.Files.createTempDirectory("winnowing").toString
+    val seedDocs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    Winnow.writeFingerprintTable(seedDocs, dir, "doc_id", "text")
+    val batch = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    Winnow.appendToFingerprintTable(batch, dir, "doc_id", "text",
+      ingestStamp = 7L)
+    // replay at cut 7: the batch's own rows (ingest 7) are invisible —
+    // it matches only the seed corpus, exactly-once semantics hold
+    val replay = Winnow.overlapAgainstTable(batch, dir, "doc_id", "text",
+      minShared = 1, beforeIngest = Some(7L))
+      .select("existing_id").as[Long].collect().toSet
+    assert(replay == Set(1L))
+    // an unbounded probe sees the appended copy too (self-match id 10)
+    val openProbe = Winnow.overlapAgainstTable(batch, dir, "doc_id", "text",
+      minShared = 1).select("existing_id").as[Long].collect().toSet
+    assert(openProbe == Set(1L, 10L))
+  }
+
   test("percentile calibration: an all-ties group lands wholly in decile 0") {
     val df = (1 to 20).map(i => ("t", 5L)).toDF("source", "score")
     val out = Robust.percentileCalibration(df, "source", "score").collect()
