@@ -3329,6 +3329,76 @@ object Oracles {
          |FROM p JOIN ni ON p.incoming_id = ni.doc_id
          |       JOIN ne ON p.existing_id = ne.doc_id
          |ORDER BY incoming_id, existing_id""".stripMargin,
+
+    // integer fixed-point PageRank, 10 unrolled iterations over the
+    // q60 edge CTEs — replays Graph.pageRank's arithmetic verbatim
+    "q167_pagerank" -> pageRankSql(10),
+
+    // PMI collocations: q113's bigram chain, exact counts, one ln per
+    // surviving pair rounded to 6; ordering (pmi desc, w1, w2) total
+    "q168_pmi_collocations" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, CAST(generate_subscripts(tk, 1) AS BIGINT) AS pos,
+         |  unnest(tk) AS w
+         | FROM (SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM documents)),
+         |big AS (
+         | SELECT doc_id, w AS w1,
+         |  lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         | FROM tok),
+         |c2 AS (
+         | SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big
+         | WHERE w2 IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 20),
+         |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+         |mm AS (
+         | SELECT CAST(sum(greatest(c - 1, 0)) AS BIGINT) AS m
+         | FROM (SELECT doc_id, count(*) AS c FROM tok GROUP BY 1)),
+         |sc AS (
+         | SELECT c2.w1, c2.w2, c12,
+         |  round(ln((CAST(c12 AS DOUBLE) / m) /
+         |   ((CAST(a.c1 AS DOUBLE) / n) * (CAST(b.c1 AS DOUBLE) / n))), 6)
+         |   AS pmi
+         | FROM c2 JOIN c1 a ON c2.w1 = a.w JOIN c1 b ON c2.w2 = b.w, nn, mm),
+         |r AS (
+         | SELECT *, row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC)
+         |  AS rnk
+         | FROM sc)
+         |SELECT CAST(rnk AS INT) AS rnk, w1, w2, c12, pmi
+         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    // moment battery: exact DECIMAL(38,0) power sums, central moments
+    // via raw-moment expansion in IDENTICAL double expressions
+    "q169_moment_stats" ->
+      s"""WITH d AS (
+         | SELECT source AS g, CAST(len(${toksSql("text")}) AS BIGINT) AS v
+         | FROM documents),
+         |s AS (
+         | SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |  sum(CAST(v AS DECIMAL(38,0))) AS s1,
+         |  sum(CAST(v * v AS DECIMAL(38,0))) AS s2,
+         |  sum(CAST(v * v * v AS DECIMAL(38,0))) AS s3,
+         |  sum(CAST(v * v * v * v AS DECIMAL(38,0))) AS s4
+         | FROM d GROUP BY 1),
+         |c AS (
+         | SELECT g, n, CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+         |  CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+         |  CAST(s4 AS DOUBLE) AS s4d
+         | FROM s),
+         |e AS (
+         | SELECT g, n, s1d / nd AS m, s2d / nd AS r2, s3d / nd AS r3,
+         |  s4d / nd AS r4
+         | FROM c),
+         |f AS (
+         | SELECT g, n, m, r2 - m * m AS m2,
+         |  r3 - 3.0 * m * r2 + 2.0 * m * m * m AS m3,
+         |  r4 - 4.0 * m * r3 + 6.0 * m * m * r2 - 3.0 * m * m * m * m AS m4
+         | FROM e)
+         |SELECT g AS source, n, round(m, 6) AS mean, round(sqrt(m2), 6) AS std,
+         | CASE WHEN m2 = 0 THEN 0.0
+         |  ELSE round(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+         | CASE WHEN m2 = 0 THEN 0.0
+         |  ELSE round(m4 / (m2 * m2) - 3.0, 6) END AS kurtosis_excess
+         |FROM f ORDER BY source""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two
@@ -3340,11 +3410,10 @@ object Oracles {
       // merged-halves covariance must equal the one-shot form verbatim
       "q158_cov_merge" -> base("q151_embedding_cov"))
 
-  /** The q60/q67 oracle: recursive reachability over the shared edge set —
-    * min reachable id == the min-label fixpoint both CC algorithms
-    * (plain propagation and pointer-jumping) must produce. */
-  private def ccSql: String =
-    """WITH RECURSIVE contacts AS (
+  /** The q60/q67/q167 shared edge CTEs: the deterministic fuzzy-dup
+    * graph (contacts -> keyed pairs -> symmetrized edges). */
+  private def ccEdgesCtes: String =
+    """contacts AS (
       | SELECT c_custkey,
       |  'u' || CAST(c_custkey % 100 AS VARCHAR) || '@x.com' AS email,
       |  'n' || CAST(c_custkey % 20 AS VARCHAR) AS name,
@@ -3361,11 +3430,42 @@ object Oracles {
       |edges AS (
       | SELECT id_a AS src, id_b AS dst FROM pairs
       | UNION
-      | SELECT id_b, id_a FROM pairs),
-      |reach(id, lbl) AS (
-      | SELECT src, src FROM edges
-      | UNION
-      | SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
-      |SELECT id, min(lbl) AS cluster_id FROM reach
-      |GROUP BY id ORDER BY id""".stripMargin
+      | SELECT id_b, id_a FROM pairs)""".stripMargin
+
+  /** The q60/q67 oracle: recursive reachability over the shared edge set —
+    * min reachable id == the min-label fixpoint both CC algorithms
+    * (plain propagation and pointer-jumping) must produce. */
+  private def ccSql: String =
+    s"""WITH RECURSIVE $ccEdgesCtes,
+       |reach(id, lbl) AS (
+       | SELECT src, src FROM edges
+       | UNION
+       | SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
+       |SELECT id, min(lbl) AS cluster_id FROM reach
+       |GROUP BY id ORDER BY id""".stripMargin
+
+  /** The q167 oracle: PageRank with `maxIter` iterations UNROLLED as
+    * chained CTEs (aggregates are illegal in a recursive member, and
+    * unrolling replays Graph.pageRank's integer fixed-point arithmetic
+    * verbatim: rank DIV outdeg inflow, 150000 + (85·inflow) DIV 100). */
+  private def pageRankSql(maxIter: Int): String = {
+    val iters = (1 to maxIter).map { i =>
+      s"""pr$i AS (
+         | SELECT n.id, CAST(150000 + (85 * coalesce(f.s, 0)) // 100 AS BIGINT)
+         |  AS rank
+         | FROM nodes n LEFT JOIN (
+         |  SELECT e.dst, CAST(sum(p.rank // o.od) AS BIGINT) AS s
+         |  FROM pr${i - 1} p
+         |  JOIN outdeg o ON p.id = o.src
+         |  JOIN edges e ON e.src = p.id
+         |  GROUP BY 1) f ON n.id = f.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ccEdgesCtes,
+       |outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+       |           FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+       |$iters
+       |SELECT id, rank FROM pr$maxIter ORDER BY id""".stripMargin
+  }
 }

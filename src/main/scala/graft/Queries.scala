@@ -1770,6 +1770,30 @@ object Queries {
       .orderBy("incoming_id", "existing_id")
   }
 
+  /** Integer fixed-point PageRank over the q60 fuzzy-dup graph —
+    * centrality-based canonical selection for dedup families (the hub a
+    * family's copies derive from outranks its leaves). Every rank is an
+    * exact micro-unit BIGINT the oracle's unrolled iterations replay
+    * bit-for-bit. */
+  def q167PageRank(s: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(ccEdgeSet(s, dir), maxIter = 10).orderBy("id")
+
+  /** Top-20 PMI collocations (adjacent-pair mutual information,
+    * min count 20) — multi-word-unit mining over the corpus. */
+  def q168PmiCollocations(s: SparkSession, dir: String): DataFrame =
+    TextOps.pmiCollocations(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 20, topK = 20)
+      .orderBy("rnk")
+
+  /** Per-source moment battery (mean/std/skew/kurtosis of token counts)
+    * from one pass of exact power sums — the shape monitor over
+    * document-length distributions. */
+  def q169MomentStats(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(col("source"),
+      TextOps.tokenCount(col("text")).cast("long").as("score"))
+    Robust.momentStats(scored, "source", "score").orderBy("source")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2671,6 +2695,9 @@ object Queries {
     "q164_score_calibration" -> (q164ScoreCalibration _),
     "q165_jackknife_ci" -> (q165JackknifeCI _),
     "q166_winnow_incr" -> (q166WinnowIncr _),
+    "q167_pagerank" -> (q167PageRank _),
+    "q168_pmi_collocations" -> (q168PmiCollocations _),
+    "q169_moment_stats" -> (q169MomentStats _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

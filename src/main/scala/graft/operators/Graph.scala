@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over duplicate/similarity graphs. Connected
+  * components ([[Dedup.connectedComponents]]) answer "which docs belong
+  * together"; PageRank (Page, Brin, Motwani, Winograd 1999) answers
+  * "which member REPRESENTS the family" — keep-min-id keeps an
+  * arbitrary doc, centrality keeps the one most linked within its
+  * cluster (the hub every near-copy derives from), which is the
+  * defensible canonical-selection rule when dedup families mix
+  * upstream/downstream copies.
+  *
+  * Determinism (the portability contract every iterative operator here
+  * honors): ranks are INTEGER micro-units (1.0 = 1,000,000), each
+  * iteration is floor divisions and integer sums only — no float
+  * accumulates across rounds, so retries, re-runs and the DuckDB oracle
+  * reproduce every rank bit-for-bit. The usual double-precision
+  * PageRank drifts by summation order; this one cannot.
+  *
+  * Scale shape: identical to the CC machinery — (src)-keyed joins with
+  * the bounded (src, outdeg) frame, (dst)-keyed inflow aggregation
+  * (map-side combined), one localCheckpoint per round through
+  * [[Checkpoints.ckpt]] (reliable-checkpoint flag honored) so the plan
+  * never grows with iterations. maxIter is fixed, not convergence-
+  * tested: no driver round trips beyond the checkpoint actions.
+  */
+object Graph {
+
+  /** Integer fixed-point PageRank over an undirected pair set
+    * (id_a, id_b): ranks in micro-units with damping 0.85 as the exact
+    * rational 85/100 — rank' = 150000 + (85 * inflow) DIV 100 where
+    * inflow = Σ_{u→v} rank_u DIV outdeg_u. Every node of the
+    * symmetrized edge set has outdeg >= 1, so there are no dangling
+    * nodes. Output: (id, rank) with Σ rank <= n · 1e6 (floor divisions
+    * shed sub-micro mass — deterministically, both engines). */
+  def pageRank(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    require(maxIter >= 1, "pageRank: maxIter >= 1")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .transform(Checkpoints.ckpt) // consumed every round + outdeg + nodes
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__od"))
+      .transform(Checkpoints.ckpt)
+    val nodes = edges.select(col("src").as("id")).distinct()
+      .transform(Checkpoints.ckpt)
+    var rank = nodes.withColumn("rank", lit(1000000L))
+    for (_ <- 1 to maxIter) {
+      val contrib = rank.join(outdeg, rank("id") === outdeg("src"))
+        .select(rank("id").as("__u"), expr("rank DIV __od").as("__c"))
+      val inflow = edges.join(contrib, col("src") === col("__u"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("__c")).as("__in"))
+      rank = nodes.join(inflow, Seq("id"), "left")
+        .select(col("id"), (lit(150000L) +
+          expr("(85 * coalesce(__in, 0)) DIV 100")).as("rank"))
+        .transform(Checkpoints.ckpt) // cut the growing plan each round
+    }
+    rank
+  }
+}

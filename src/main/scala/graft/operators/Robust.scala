@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Robust statistics for data-quality gating: median / MAD outlier
@@ -110,6 +110,49 @@ object Robust {
         round(col("__se"), 6).as("se_jack"),
         round(col("__mean") - lit(1.96) * col("__se"), 6).as("ci_lo"),
         round(col("__mean") + lit(1.96) * col("__se"), 6).as("ci_hi"))
+  }
+
+  /** Per-group standardized moments — mean, population std, skewness,
+    * excess kurtosis — from ONE pass of exact integer power sums
+    * (S1..S4 through DECIMAL(38,0), order-independent and mergeable:
+    * the q158 sufficient-statistics idea for the four scalar moments).
+    * Skew/kurtosis are the distribution-SHAPE monitors the mean/std
+    * pair misses: a length distribution whose kurtosis jumps grew a
+    * heavy tail (template spam, concatenation bugs) even when mean and
+    * std look stable.
+    *
+    * Cross-engine: power sums are exact; every derived statistic is the
+    * IDENTICAL closed-form double expression in both engines
+    * (central moments via raw-moment expansion; x^1.5 as x·√x — no
+    * pow()); zero-variance groups report skew/kurt 0 rather than an
+    * ANSI divide error. Output: (groupCol, n, mean, std, skewness,
+    * kurtosis_excess). */
+  def momentStats(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val v = col("__v")
+    val sums = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(v.cast("decimal(38,0)")).as("__s1"),
+        sum((v * v).cast("decimal(38,0)")).as("__s2"),
+        sum((v * v * v).cast("decimal(38,0)")).as("__s3"),
+        sum((v * v * v * v).cast("decimal(38,0)")).as("__s4"))
+    val nd = col("__n").cast("double")
+    def d(name: String): Column = col(name).cast("double")
+    val m = d("__s1") / nd
+    val m2 = d("__s2") / nd - m * m
+    val m3 = d("__s3") / nd - lit(3.0) * m * (d("__s2") / nd) +
+      lit(2.0) * m * m * m
+    val m4 = d("__s4") / nd - lit(4.0) * m * (d("__s3") / nd) +
+      lit(6.0) * m * m * (d("__s2") / nd) - lit(3.0) * m * m * m * m
+    sums.select(col("__g").as(groupCol), col("__n").as("n"),
+      round(m, 6).as("mean"),
+      round(sqrt(m2), 6).as("std"),
+      when(m2 === 0, lit(0.0))
+        .otherwise(round(m3 / (m2 * sqrt(m2)), 6)).as("skewness"),
+      when(m2 === 0, lit(0.0))
+        .otherwise(round(m4 / (m2 * m2) - lit(3.0), 6)).as("kurtosis_excess"))
   }
 
   /** Per-group percentile-rank score calibration — the step before a

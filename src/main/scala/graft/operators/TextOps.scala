@@ -832,6 +832,53 @@ object TextOps {
         .otherwise(round(num * num / (den * deny), 6)).as("r2"))
   }
 
+  /** Top-k collocations by pointwise mutual information (Church & Hanks
+    * 1990): PMI(w1, w2) = ln( (c12/M) / ((c1/N)·(c2/N)) ) over adjacent
+    * token pairs — the corpus-analysis pass that surfaces multi-word
+    * units ("new york", "machine learning") and, inverted, the glue
+    * boilerplate n-gram mining misses. `minCount` kills the
+    * low-frequency PMI explosion (a hapax pair maxes the score by
+    * definition — the classic PMI pathology).
+    *
+    * Scale shape: the q113 bigram chain — one posexplode + per-doc lead
+    * window, then ONE (w1, w2) count agg (map-side combined) and a
+    * bounded unigram frame; top-k via orderBy/limit
+    * (TakeOrderedAndProject), never a vocabulary² window. Ordering is
+    * (rounded PMI desc, w1, w2) — total, portable. Output:
+    * (rnk, w1, w2, c12, pmi). */
+  def pmiCollocations(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, minCount: Long = 20,
+                      topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val tok = df.select(col(idCol), posexplode(tokens(lower(col(textCol)))))
+      .toDF(idCol, "__pos", "__w")
+      .transform(Checkpoints.ckpt) // consumers: bigrams + unigrams + N
+    val c2 = tok.withColumn("__w2", lead(col("__w"), 1).over(w))
+      .filter(col("__w2").isNotNull)
+      .groupBy(col("__w").as("w1"), col("__w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val c1 = tok.groupBy(col("__w")).agg(count(lit(1)).as("__c1"))
+    val n = tok.agg(count(lit(1)).as("__n"))
+    val m = tok.groupBy(col(idCol)).agg(count(lit(1)).as("__cnt"))
+      .agg(sum(greatest(col("__cnt") - 1, lit(0L))).as("__m"))
+    val scored = c2
+      .join(broadcast(c1.select(col("__w").as("w1"), col("__c1").as("__ca"))), "w1")
+      .join(broadcast(c1.select(col("__w").as("w2"), col("__c1").as("__cb"))), "w2")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(m))
+      .withColumn("pmi", round(log(
+        (col("c12").cast("double") / col("__m").cast("double")) /
+          ((col("__ca").cast("double") / col("__n").cast("double")) *
+            (col("__cb").cast("double") / col("__n").cast("double")))), 6))
+    val top = scored.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+    top.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc))) // topK rows
+      .select(col("rnk"), col("w1"), col("w2"), col("c12"), col("pmi"))
+  }
+
   /** Deterministic small integer value for a token (engine-portable: ascii of
     * first char and length only — reproducible in any SQL engine). */
   def tokenValue(t: Column): Column = ascii(t) * 31 + length(t)

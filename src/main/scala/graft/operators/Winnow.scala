@@ -140,6 +140,22 @@ object Winnow {
           .as("overlap"))
   }
 
+  /** Drop incoming docs whose substring overlap with the persisted
+    * corpus crosses (`minShared`, `minOverlap`) — the filter form of
+    * [[overlapAgainstTable]] for ingestion: survivors are the docs NOT
+    * substantially contained in (or containing) anything already
+    * ingested. */
+  def dropAgainstTable(incoming: DataFrame, path: String,
+                       idCol: String, textCol: String,
+                       minShared: Int = 3, minOverlap: Double = 0.5,
+                       beforeIngest: Option[Long] = None): DataFrame = {
+    val hits = overlapAgainstTable(incoming, path, idCol, textCol,
+        minShared, beforeIngest)
+      .filter(col("overlap") >= minOverlap)
+      .select(col("incoming_id").as(idCol)).distinct()
+    incoming.join(hits, Seq(idCol), "left_anti")
+  }
+
   private case class Meta(k: Int, w: Int, seed: Int)
   // meta is immutable for a table's lifetime (writeFingerprintTable
   // invalidates) — probes skip the one-row parquet read after first touch

@@ -390,6 +390,44 @@ object Stream {
           ingestStamp = batchId)
       }
 
+  /** Streaming WINNOWING ingestion over the persisted fingerprint table
+    * ([[graft.operators.Winnow.writeFingerprintTable]]) — the
+    * substring-granular member of the streaming ingest family: per
+    * micro-batch, docs substantially overlapping the ingested corpus
+    * (>= `minShared` shared fingerprints at >= `minOverlap` containment)
+    * are dropped, survivors are upserted, and their fingerprints are
+    * appended stamped with the batch id. Exactly-once by the
+    * [[nearDupIngestSink]] argument: `ingest < batchId` makes a replayed
+    * batch see exactly the table state the original attempt saw (its own
+    * partial appends invisible — it cannot drop itself), the corpus
+    * upsert is idempotent, and fingerprint appends are at-least-once
+    * into reads that tolerate duplicates (overlapAgainstTable
+    * DISTINCTs). The fingerprint table must exist (seed it, possibly
+    * empty, with writeFingerprintTable); its frozen (k, w, seed) meta
+    * governs both the drop probes and the appends. */
+  def winnowIngestSink(docs: DataFrame, corpusPath: String, tablePath: String,
+                       checkpoint: String, idCol: String = "doc_id",
+                       textCol: String = "text", minShared: Int = 3,
+                       minOverlap: Double = 0.5): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{Checkpoints, Winnow}
+        // within-batch self-overlap first (keep-min-id), then the table
+        val selfHits = Winnow.overlapReport(batch, idCol, textCol,
+            minShared = minShared)
+          .filter(col("overlap") >= minOverlap)
+          .select(col("id_b").as(idCol)).distinct()
+        val within = batch.join(selfHits, Seq(idCol), "left_anti")
+        val fresh = Winnow.dropAgainstTable(within, tablePath, idCol, textCol,
+            minShared, minOverlap, beforeIngest = Some(batchId))
+          .transform(Checkpoints.ckpt) // consumers: upsert + fp append
+        Upsert.upsertParquet(corpusPath, fresh, Seq(idCol), idCol)
+        Winnow.appendToFingerprintTable(fresh, tablePath, idCol, textCol,
+          ingestStamp = batchId)
+      }
+
   /** Streaming IVF INGESTION over the persisted index
     * ([[graft.operators.Knn.ivfSave]]/[[graft.operators.Knn.ivfLoad]]) —
     * the ANN completion of the streaming ingest family (exact digests,

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Robust, TextOps}
+
+/** Specs for PageRank (integer fixed-point), PMI collocations, and the
+  * moment battery. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerank: star center outranks leaves; symmetric nodes tie exactly") {
+    // star: 0 — {1,2,3,4}
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("id_a", "id_b")
+    val r = Graph.pageRank(star, maxIter = 10).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) > r(1L))
+    // integer arithmetic: the four leaves are EXACTLY equal, not close
+    assert(Set(r(1L), r(2L), r(3L), r(4L)).size == 1)
+    // total mass bounded by n (floor divisions only shed mass)
+    assert(r.values.sum <= 5L * 1000000L)
+  }
+
+  test("pagerank is deterministic and never exceeds the mass bound") {
+    val pairs = (1 to 200).map(i => (i.toLong, (i % 50 + 300).toLong))
+      .toDF("id_a", "id_b")
+    val a = Graph.pageRank(pairs, maxIter = 8).orderBy("id").collect().toSeq
+    val b = Graph.pageRank(pairs, maxIter = 8).orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("pmi: an always-adjacent pair scores far above an independent pair") {
+    // "alpha beta" always adjacent; "gamma"/"delta" co-occur independently
+    val docs = (1 to 60).map { i =>
+      (i.toLong, s"alpha beta gamma x$i delta filler${i % 7} gamma delta end")
+    }.toDF("doc_id", "text")
+    val out = TextOps.pmiCollocations(docs, "doc_id", "text",
+      minCount = 20, topK = 10).collect()
+    val pmiOf = out.map(r => (r.getString(1), r.getString(2)) ->
+      r.getAs[Double]("pmi")).toMap
+    assert(pmiOf.contains(("alpha", "beta")))
+    // perfect collocation: every alpha is followed by beta
+    val perfect = pmiOf(("alpha", "beta"))
+    assert(pmiOf.filterNot(_._1 == ("alpha", "beta")).values
+      .forall(_ < perfect))
+    // ranks are 1..k in pmi order
+    assert(out.map(_.getAs[Int]("rnk")).toSeq == (1 to out.length))
+  }
+
+  test("moment battery: uniform 0..9 has skew 0 and kurtosis -1.2242...") {
+    val rows = (0 until 1000).map(i => ("u", i.toLong, (i % 10).toLong))
+    val r = Robust.momentStats(rows.toDF("source", "doc_id", "score")
+      .select("source", "score"), "source", "score").collect()(0)
+    assert(r.getAs[Double]("mean") == 4.5)
+    assert(math.abs(r.getAs[Double]("std") - math.sqrt(8.25)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("skewness")) < 1e-9)
+    // excess kurtosis of discrete uniform over 10 points: 120.8625/68.0625 - 3
+    assert(math.abs(r.getAs[Double]("kurtosis_excess") -
+      (120.8625 / 68.0625 - 3.0)) < 1e-6)
+  }
+
+  test("moment battery: constant group reports zero spread and shape") {
+    val r = Robust.momentStats(
+      (1 to 50).map(_ => ("c", 7L)).toDF("source", "score"),
+      "source", "score").collect()(0)
+    assert(r.getAs[Double]("std") == 0.0)
+    assert(r.getAs[Double]("skewness") == 0.0)
+    assert(r.getAs[Double]("kurtosis_excess") == 0.0)
+    assert(r.getAs[Long]("n") == 50L)
+  }
+}

@@ -382,6 +382,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming WINNOWING ingestion over the persisted fingerprint table == the batch operators, across a restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-winstream").toString
+    val seed = Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    graft.operators.Winnow.writeFingerprintTable(seed, s"$dir/idx",
+      "doc_id", "text")
+
+    val input = MemoryStream[(Long, String)](spark)
+    def start() = Stream.winnowIngestSink(
+      input.toDF().toDF("doc_id", "text"), s"$dir/corpus", s"$dir/idx",
+      s"$dir/ckpt", minShared = 1, minOverlap = 0.5).start()
+
+    val batch1 = Seq(
+      // embeds the seed's text inside new words -> substring overlap hit
+      (10L, "prefix words the quick brown fox jumps over the lazy dog tonight suffix"),
+      (11L, "pack my box with five dozen liquor jugs right now"), // fresh
+      (12L, "pack my box with five dozen liquor jugs right now")) // within-batch dup of 11
+    val batch2 = Seq(
+      (20L, "pack my box with five dozen liquor jugs right now"), // dup of 11
+      (21L, "sphinx of black quartz judge my vow they all said")) // fresh
+
+    val q1 = start()
+    try {
+      input.addData(batch1: _*); q1.processAllAvailable()
+      input.addData(batch2: _*); q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the same checkpoint: batch 3 dedups against seed +
+    // batch-1 + batch-2 survivors
+    input.addData(
+      (30L, "sphinx of black quartz judge my vow they all said"), // dup of 21
+      (31L, "completely new sentence about spark structured streaming"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == Set(11L, 21L, 31L))
+  }
+
   test("streaming NEAR-dup ingestion over the persisted bucket table == the batch operators, across a restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft-neardup").toString
     val seed = Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
