@@ -3399,6 +3399,94 @@ object Oracles {
          | CASE WHEN m2 = 0 THEN 0.0
          |  ELSE round(m4 / (m2 * m2) - 3.0, 6) END AS kurtosis_excess
          |FROM f ORDER BY source""".stripMargin,
+
+    // word2vec subsampling: keep iff ph(doc:pos) % 1e6 < floor(sqrt(
+    // t·N/c)·1e6); pos is 0-based (generate_subscripts - 1 == Spark's
+    // posexplode)
+    "q170_token_subsample" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, CAST(generate_subscripts(tk, 1) - 1 AS BIGINT) AS pos,
+         |  unnest(tk) AS w
+         | FROM (SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM documents)),
+         |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+         |kp AS (
+         | SELECT w, least(CAST(floor(sqrt(CAST(n AS DOUBLE) * 1 /
+         |  (CAST(c AS DOUBLE) * 10000)) * 1e6) AS BIGINT), 1000000)
+         |  AS keep_ppm
+         | FROM c1, nn),
+         |k AS (
+         | SELECT tok.w, keep_ppm,
+         |  CASE WHEN ${ph("CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)", 29)}
+         |   % 1000000 < keep_ppm THEN 1 ELSE 0 END AS kept
+         | FROM tok JOIN kp ON tok.w = kp.w),
+         |g AS (
+         | SELECT w AS token, keep_ppm, CAST(count(*) AS BIGINT) AS n_before,
+         |  CAST(sum(kept) AS BIGINT) AS n_after
+         | FROM k GROUP BY 1, 2),
+         |r AS (
+         | SELECT *, row_number() OVER (ORDER BY n_before DESC, token ASC)
+         |  AS rnk
+         | FROM g)
+         |SELECT CAST(rnk AS INT) AS rnk, token, n_before, n_after, keep_ppm
+         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    // token entropy: per-term round(p·ln p, 6) through DECIMAL(25,6),
+    // per-doc H to DECIMAL(20,6) before the group mean (q99 ladder)
+    "q171_token_entropy" ->
+      s"""WITH tf AS (
+         | SELECT g, doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         | FROM (SELECT source AS g, doc_id,
+         |        unnest(${toksSql("lower(text)")}) AS w FROM documents)
+         | GROUP BY 1, 2, 3),
+         |pd AS (
+         | SELECT g, doc_id,
+         |  CAST(-sum(CAST(round((CAST(tf AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |   ln(CAST(tf AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         |   AS DECIMAL(25,6))) AS DOUBLE) AS h
+         | FROM (SELECT g, doc_id, tf,
+         |        sum(tf) OVER (PARTITION BY g, doc_id) AS n FROM tf)
+         | GROUP BY 1, 2)
+         |SELECT g AS source, CAST(count(*) AS BIGINT) AS n_docs,
+         | round(CAST(sum(CAST(round(h, 6) AS DECIMAL(20,6))) AS DOUBLE)
+         |  / CAST(count(*) AS DOUBLE), 6) AS mean_entropy,
+         | round(min(h), 6) AS min_entropy, round(max(h), 6) AS max_entropy,
+         | CAST(count(*) FILTER (WHERE h < 1.5) AS BIGINT) AS n_low
+         |FROM pd GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // embedding centroid outliers: exact DECIMAL centroid means,
+    // round-12 DECIMAL squared deviations, quantile_cont med/MAD
+    // (q44 percentile parity), fences on UNROUNDED values
+    "q172_embedding_outliers" ->
+      s"""WITH ev AS (
+         | SELECT label AS g, vec_id AS id,
+         |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+         |  unnest(embedding) AS x
+         | FROM embeddings WHERE embedding IS NOT NULL),
+         |cent AS (
+         | SELECT g, i,
+         |  CAST(sum(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(25,6)))
+         |   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c
+         | FROM ev GROUP BY 1, 2),
+         |dist AS (
+         | SELECT ev.g, ev.id,
+         |  sqrt(CAST(sum(CAST(round((CAST(x AS DOUBLE) - c) *
+         |   (CAST(x AS DOUBLE) - c), 12) AS DECIMAL(30,12))) AS DOUBLE))
+         |   AS dist
+         | FROM ev JOIN cent ON ev.g = cent.g AND ev.i = cent.i
+         | GROUP BY 1, 2),
+         |medt AS (SELECT g, quantile_cont(dist, 0.5) AS med FROM dist GROUP BY 1),
+         |dev AS (
+         | SELECT dist.g, dist, abs(dist - med) AS adev, med
+         | FROM dist JOIN medt ON dist.g = medt.g),
+         |madt AS (SELECT g, med, quantile_cont(adev, 0.5) AS mad
+         |         FROM dev GROUP BY 1, 2)
+         |SELECT dev.g AS label, round(madt.med, 6) AS med,
+         | round(madt.mad, 6) AS mad, CAST(count(*) AS BIGINT) AS n,
+         | CAST(count(*) FILTER (WHERE adev > 3.0 * madt.mad) AS BIGINT)
+         |  AS n_outliers
+         |FROM dev JOIN madt ON dev.g = madt.g
+         |GROUP BY 1, madt.med, madt.mad ORDER BY label""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

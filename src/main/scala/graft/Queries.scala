@@ -1794,6 +1794,28 @@ object Queries {
     Robust.momentStats(scored, "source", "score").orderBy("source")
   }
 
+  /** word2vec frequent-token subsampling card (t = 1e-4, hash-Bernoulli
+    * per occurrence): top-20 tokens with before/after counts and the
+    * integer keep threshold — all replayed by the oracle. */
+  def q170TokenSubsample(s: SparkSession, dir: String): DataFrame =
+    TextOps.subsampleFrequent(t(s, dir, "documents"), "doc_id", "text",
+        tNum = 1, tDen = 10000, topK = 20, seed = 29)
+      .orderBy("rnk")
+
+  /** Per-source token-entropy battery — the scale-free repetitiveness
+    * monitor (template spam scores low regardless of doc length). */
+  def q171TokenEntropy(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenEntropyStats(t(s, dir, "documents"), "source", "doc_id",
+        "text", lowH = 1.5)
+      .orderBy("source")
+
+  /** Embedding-space outlier fences per label: distance to the label
+    * centroid gated by median/MAD — the semantic misroute screen. */
+  def q172EmbeddingOutliers(s: SparkSession, dir: String): DataFrame =
+    Embeddings.centroidOutlierStats(t(s, dir, "embeddings"), "label",
+        "vec_id", "embedding", k = 3.0)
+      .orderBy("label")
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2698,6 +2720,9 @@ object Queries {
     "q167_pagerank" -> (q167PageRank _),
     "q168_pmi_collocations" -> (q168PmiCollocations _),
     "q169_moment_stats" -> (q169MomentStats _),
+    "q170_token_subsample" -> (q170TokenSubsample _),
+    "q171_token_entropy" -> (q171TokenEntropy _),
+    "q172_embedding_outliers" -> (q172EmbeddingOutliers _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -85,6 +85,43 @@ object Embeddings {
         (sum(round(col("x").cast("double"), 6).cast("decimal(25,6)")).cast("double")
           / count(lit(1)).cast("double")).as("mean"))
 
+  /** Per-group embedding-space outlier fences: each vector's euclidean
+    * distance to its GROUP CENTROID, gated by the group's median/MAD
+    * (the [[Robust.madOutlierStats]] rule in embedding space) — the
+    * semantic-drift screen that catches mislabeled/misrouted vectors
+    * (a batch of code embeddings landing in a prose source) that
+    * token-level audits cannot see.
+    *
+    * Cross-engine float discipline: centroids are exact DECIMAL(25,6)
+    * per-dim means; each squared per-dim deviation is frozen to
+    * round-12 DECIMAL(30,12) before the order-independent per-vector
+    * sum, so the distance — and the percentile fences over it — replay
+    * exactly (q44 percentile parity).
+    *
+    * Scale shape: two bounded (group, dim) aggregates plus a per-row
+    * distance; the posexplode form shuffles |corpus|·d rows — at real
+    * scale route the distance through the [[Knn]] codegen kernels with
+    * broadcast centroid arrays (same output contract); the relational
+    * form is the oracle-verifiable spec. Output: (groupCol, med, mad,
+    * n, n_outliers) per [[Robust.madOutlierStats]]. */
+  def centroidOutlierStats(df: DataFrame, groupCol: String, idCol: String,
+                           vecCol: String, k: Double = 3.0): DataFrame = {
+    val ev = df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .transform(Checkpoints.ckpt) // consumers: centroids + distances
+    val cent = ev.groupBy(col("__g"), col("__i"))
+      .agg((sum(round(col("__x").cast("double"), 6).cast("decimal(25,6)"))
+        .cast("double") / count(lit(1)).cast("double")).as("__c"))
+    val dist = ev.join(broadcast(cent), Seq("__g", "__i"))
+      .withColumn("__d", col("__x").cast("double") - col("__c"))
+      .groupBy(col("__g"), col("__id"))
+      .agg(sum(round(col("__d") * col("__d"), 12).cast("decimal(30,12)"))
+        .as("__ss"))
+      .select(col("__g").as(groupCol), sqrt(col("__ss").cast("double")).as("dist"))
+    Robust.madOutlierStats(dist, groupCol, "dist", k)
+  }
+
   /** Top-k principal components via power iteration with Hotelling
     * deflation over the driver-side d x d covariance matrix (bounded
     * metadata — d(d+1)/2 cells collected, never corpus rows). Start

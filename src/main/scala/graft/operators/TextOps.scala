@@ -879,6 +879,100 @@ object TextOps {
       .select(col("rnk"), col("w1"), col("w2"), col("c12"), col("pmi"))
   }
 
+  /** Frequent-token subsampling (Mikolov et al., "Distributed
+    * Representations of Words and Phrases", NeurIPS 2013 §2.3): token
+    * occurrences survive with probability min(1, sqrt(t / f_w)) where
+    * f_w is the token's relative frequency — the embedding-training
+    * preprocessing step that strips most "the"/"of" occurrences while
+    * keeping rare tokens intact, accelerating training and improving
+    * rare-word vectors.
+    *
+    * Determinism: the Bernoulli draw is a PORTABLE HASH THRESHOLD, not
+    * rand() — occurrence (doc, pos) survives iff
+    * ph(doc:pos) mod 1e6 < floor(sqrt(t·N / c_w)·1e6) (sqrt is IEEE
+    * correctly rounded, floor freezes it) — so the subsample is a pure
+    * function of the corpus and replays in any engine, the [[Split]]
+    * sampling contract applied per-occurrence. t = tNum/tDen rational.
+    *
+    * Scale shape: one posexplode + broadcast (token, count) join +
+    * per-row hash — no shuffle beyond the count agg; the report is a
+    * bounded top-k. Output: (rnk, token, n_before, n_after, keep_ppm)
+    * for the top `topK` tokens by frequency — the tokens the step
+    * exists to thin. */
+  def subsampleFrequent(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, tNum: Int = 1, tDen: Int = 10000,
+                        topK: Int = 20,
+                        seed: Int = 29): org.apache.spark.sql.DataFrame = {
+    require(tNum > 0 && tDen > 0, "subsampleFrequent: t > 0")
+    val tok = df.select(col(idCol), posexplode(tokens(lower(col(textCol)))))
+      .toDF(idCol, "__pos", "__w")
+      .transform(Checkpoints.ckpt) // consumers: counts + N + keep pass
+    val c1 = tok.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val n = tok.agg(count(lit(1)).as("__n"))
+    val kept = tok
+      .join(broadcast(c1), "__w").crossJoin(broadcast(n))
+      .withColumn("keep_ppm", least(
+        floor(sqrt(col("__n").cast("double") * tNum /
+          (col("__c").cast("double") * tDen)) * 1e6).cast("long"),
+        lit(1000000L)))
+      .withColumn("__keep",
+        pmod(Dedup.portableHash64(
+          concat(col(idCol).cast("string"), lit(":"),
+            col("__pos").cast("string")), seed), lit(1000000L))
+          < col("keep_ppm"))
+      .groupBy(col("__w").as("token"), col("keep_ppm"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_after"))
+    val top = kept.orderBy(col("n_before").desc, col("token").asc).limit(topK)
+    top.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_before").desc, col("token").asc))) // topK rows
+      .select(col("rnk"), col("token"), col("n_before"), col("n_after"),
+        col("keep_ppm"))
+  }
+
+  /** Per-group token-distribution entropy statistics: each doc's
+    * vocabulary entropy H = -Σ_w p_w ln p_w (p_w = within-doc relative
+    * frequency) is the scale-free repetitiveness signal — template spam
+    * and keyword-stuffed pages sit far below prose of the same length,
+    * which raw type-token ratios conflate with document size. Per-term
+    * ln values are frozen to round-6 DECIMAL(25,6) before the per-doc
+    * sum and per-doc entropies to DECIMAL(20,6) before the group mean
+    * (the q99 ladder), so every statistic replays exactly.
+    *
+    * Scale shape: ONE (group, doc, token) count agg (map-side
+    * combined), a per-doc rollup, then a bounded per-group agg.
+    * Output: (groupCol, n_docs, mean_entropy, min_entropy,
+    * max_entropy, n_low) where n_low counts docs with H < `lowH` —
+    * the repetitive-doc gauge. */
+  def tokenEntropyStats(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                        idCol: String, textCol: String,
+                        lowH: Double = 1.5): org.apache.spark.sql.DataFrame = {
+    val tf = df.select(col(groupCol), col(idCol),
+        explode(tokens(lower(col(textCol)))).as("__w"))
+      .groupBy(col(groupCol), col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+    val perDoc = tf
+      .withColumn("__n", sum(col("__tf")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol), col(idCol))))
+      .withColumn("__p", col("__tf").cast("double") / col("__n").cast("double"))
+      .withColumn("__t", round(col("__p") * log(col("__p")), 6)
+        .cast("decimal(25,6)"))
+      .groupBy(col(groupCol), col(idCol))
+      .agg((-sum(col("__t"))).cast("double").as("__h"))
+    perDoc.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(round(col("__h"), 6).cast("decimal(20,6)")).as("__hsum"),
+        round(min(col("__h")), 6).as("min_entropy"),
+        round(max(col("__h")), 6).as("max_entropy"),
+        count(when(col("__h") < lowH, 1)).as("n_low"))
+      .select(col(groupCol), col("n_docs"),
+        round(col("__hsum").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_entropy"),
+        col("min_entropy"), col("max_entropy"), col("n_low"))
+  }
+
   /** Deterministic small integer value for a token (engine-portable: ascii of
     * first char and length only — reproducible in any SQL engine). */
   def tokenValue(t: Column): Column = ascii(t) * 31 + length(t)

@@ -58,6 +58,64 @@ class GraphSpec extends SparkSpec {
       (120.8625 / 68.0625 - 3.0)) < 1e-6)
   }
 
+  test("subsampling thins frequent tokens, keeps rare ones whole, is deterministic") {
+    // "the" floods the corpus; "zephyr" (every 4th doc only) stays
+    // under the t threshold: f = 50/N < t = 1/100
+    val docs = (1 to 200).map(i =>
+      (i.toLong, ("the " * 50) +
+        (if (i % 4 == 0) "zephyr " else "") + s"word$i end"))
+      .toDF("doc_id", "text")
+    val run = () => graft.operators.TextOps.subsampleFrequent(
+      docs, "doc_id", "text", tNum = 1, tDen = 100, topK = 5)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val out = run()
+    val (before, after, ppm) = out("the")
+    assert(ppm < 1000000L)      // frequent token gets a real threshold
+    assert(after < before)      // and is actually thinned
+    assert(after > 0)           // but not annihilated
+    // rare tokens (f < t) keep everything: threshold saturates at 1e6
+    out.get("zephyr").foreach { case (b, a, p) =>
+      assert(p == 1000000L && a == b)
+    }
+    assert(run() == out)        // hash-Bernoulli: no run-to-run drift
+  }
+
+  test("token entropy: repeated-token doc scores 0, uniform doc scores ln(k)") {
+    val docs = Seq(
+      ("s", 1L, "spam spam spam spam spam spam spam spam"),   // H = 0
+      ("s", 2L, "a b c d e f g h"),                           // H = ln 8
+      ("t", 3L, "x y x y x y x y")).toDF("source", "doc_id", "text")
+    val out = graft.operators.TextOps.tokenEntropyStats(
+      docs, "source", "doc_id", "text", lowH = 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = out("s")
+    assert(s.getAs[Double]("min_entropy") == 0.0)
+    assert(math.abs(s.getAs[Double]("max_entropy") - math.log(8.0)) < 1e-4)
+    assert(s.getAs[Long]("n_low") == 1L) // only the spam doc
+    assert(math.abs(out("t")(0 max out("t").fieldIndex("max_entropy"))
+      .asInstanceOf[Double] - math.log(2.0)) < 1e-4)
+  }
+
+  test("embedding outliers: a planted far vector is fenced, tight cluster is not") {
+    val rnd = new scala.util.Random(7)
+    def near(c: Float): Array[Float] =
+      Array.fill(8)(c + rnd.nextFloat() * 0.01f)
+    val rows = (1 to 40).map(i => (0, i.toLong, near(0.5f))) :+
+      ((0, 99L, Array.fill(8)(25.0f))) // the misroute
+    val df = rows.toDF("label", "vec_id", "embedding")
+    val out = graft.operators.Embeddings.centroidOutlierStats(
+      df, "label", "vec_id", "embedding").collect()(0)
+    assert(out.getAs[Long]("n") == 41L)
+    // the misroute sits ~40 median-distances out (it drags the centroid
+    // ~0.6/dim, so the CLUSTER's median distance is ~1.7 and its tiny
+    // MAD lets a few edge members trip the fence too — the planted
+    // vector is always caught, and the fence never inverts)
+    val outliers = out.getAs[Long]("n_outliers")
+    assert(outliers >= 1L && outliers < 41L / 2)
+    assert(out.getAs[Double]("med") < 5.0)
+  }
+
   test("moment battery: constant group reports zero spread and shape") {
     val r = Robust.momentStats(
       (1 to 50).map(_ => ("c", 7L)).toDF("source", "score"),
