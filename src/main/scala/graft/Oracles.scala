@@ -3487,6 +3487,238 @@ object Oracles {
          |  AS n_outliers
          |FROM dev JOIN madt ON dev.g = madt.g
          |GROUP BY 1, madt.med, madt.mad ORDER BY label""".stripMargin,
+
+    "q173_hits" -> hitsSql(8),
+
+    // Kneser-Ney bigram LM: q113's bigram chain with continuation-count
+    // backoff — every count integer, d = 3/4 dyadic, identical
+    // expression tree, ln terms rounded to 6 and DECIMAL-summed
+    "q174_kneser_ney" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, CAST(generate_subscripts(tk, 1) AS BIGINT) AS pos,
+         |  unnest(tk) AS w
+         | FROM (SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM documents)),
+         |big AS (
+         | SELECT doc_id, w AS w1,
+         |  lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         | FROM tok),
+         |tf2 AS (
+         | SELECT doc_id, w1, w2, count(*) AS tf2 FROM big
+         | WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+         |c2 AS (SELECT w1, w2, CAST(sum(tf2) AS BIGINT) AS c2 FROM tf2 GROUP BY 1, 2),
+         |c1f AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         |        CAST(count(*) AS BIGINT) AS n1f FROM c2 GROUP BY 1),
+         |n1b AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c2 GROUP BY 1),
+         |nbi AS (SELECT CAST(count(*) AS BIGINT) AS nbi FROM c2),
+         |term AS (
+         | SELECT doc_id, tf2,
+         |  CAST(round(tf2 * ln(
+         |    greatest(CAST(c2 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+         |    + (0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE))
+         |      * (CAST(n1b AS DOUBLE) / CAST(nbi AS DOUBLE))), 6)
+         |   AS DECIMAL(25,6)) AS t
+         | FROM tf2
+         | JOIN c2 USING (w1, w2)
+         | JOIN c1f USING (w1)
+         | JOIN n1b USING (w2)
+         | CROSS JOIN nbi),
+         |d AS (
+         | SELECT doc_id, CAST(sum(tf2) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(t) AS DOUBLE)
+         |    / CAST(CAST(sum(tf2) AS BIGINT) AS DOUBLE), 6) AS kn_logprob_mean
+         | FROM term GROUP BY 1)
+         |SELECT doc_id, n_bigrams, kn_logprob_mean,
+         | kn_logprob_mean >= -10.0 AS keep
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Heaps fit: global position = doc cumulative offset + 1-based
+    // in-doc position (Spark's 0-based posexplode + 1); V = rank of
+    // first occurrence; then q162's micro-integer OLS verbatim
+    "q175_heaps_fit" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, CAST(generate_subscripts(tk, 1) AS BIGINT) AS pos,
+         |  unnest(tk) AS w
+         | FROM (SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM documents)),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM tok GROUP BY 1),
+         |off AS (
+         | SELECT doc_id, CAST(coalesce(sum(cnt) OVER (ORDER BY doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |  AS noff
+         | FROM cnt),
+         |fp AS (
+         | SELECT w, min(noff + pos) AS fp
+         | FROM tok JOIN off USING (doc_id) GROUP BY w),
+         |pts AS (SELECT fp, row_number() OVER (ORDER BY fp) AS v FROM fp),
+         |m AS (
+         | SELECT CAST(round(round(ln(fp), 6) * 1e6) AS BIGINT) AS x,
+         |        CAST(round(round(ln(v), 6) * 1e6) AS BIGINT) AS y
+         | FROM pts),
+         |s AS (
+         | SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+         | FROM m),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok),
+         |c AS (
+         | SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         |  CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+         |  CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+         | FROM s),
+         |e AS (
+         | SELECT n, nd, sxd, syd,
+         |  nd * sxyd - sxd * syd AS num, nd * sxxd - sxd * sxd AS den,
+         |  nd * syyd - syd * syd AS deny
+         | FROM c)
+         |SELECT n_tokens, CAST(n AS BIGINT) AS vocab,
+         | round(CASE WHEN den = 0 THEN 0.0 ELSE num / den END, 6) AS beta,
+         | round((syd - (CASE WHEN den = 0 THEN 0.0 ELSE num / den END) * sxd)
+         |   / nd / 1e6, 6) AS intercept,
+         | CASE WHEN den * deny = 0 THEN 1.0
+         |  ELSE round(num * num / (den * deny), 6) END AS r2
+         |FROM e, nt ORDER BY n_tokens""".stripMargin,
+
+    // dedup ladder: the q61 pair chain corpus + planted exact (+50M) and
+    // recased (+60M) copies; rung 1/2 = keep-min per (md5, normalized
+    // md5), rung 3 = recursive min-label CC over pairs restricted to
+    // surviving endpoints, then three 1-row counts stacked
+    "q176_dedup_ladder" ->
+      s"""WITH RECURSIVE $q61Chain,
+         |lc AS (
+         | SELECT doc_id, text FROM corpus
+         | UNION ALL
+         | SELECT doc_id + 50000000, text FROM corpus WHERE doc_id % 12 = 0
+         | UNION ALL
+         | SELECT doc_id + 60000000, '  ' || upper(text) || ' ??'
+         | FROM corpus WHERE doc_id % 14 = 0),
+         |r1 AS (
+         | SELECT doc_id, text FROM (
+         |  SELECT doc_id, text,
+         |   min(doc_id) OVER (PARTITION BY md5(text)) AS m
+         |  FROM lc) WHERE doc_id = m),
+         |r2 AS (
+         | SELECT doc_id, text FROM (
+         |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(
+         |   trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g'))))
+         |   AS m
+         |  FROM r1) WHERE doc_id = m),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | WHERE id_a IN (SELECT doc_id FROM r2)
+         |  AND id_b IN (SELECT doc_id FROM r2)
+         | UNION
+         | SELECT id_b, id_a FROM pairs
+         | WHERE id_a IN (SELECT doc_id FROM r2)
+         |  AND id_b IN (SELECT doc_id FROM r2)),
+         |reach(id, lbl) AS (
+         | SELECT src, src FROM edges
+         | UNION
+         | SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |r3 AS (
+         | SELECT doc_id FROM r2 LEFT JOIN labels ON doc_id = labels.id
+         | WHERE coalesce(cluster_id, doc_id) = doc_id),
+         |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM lc),
+         |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM r1),
+         |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM r2),
+         |n3 AS (SELECT CAST(count(*) AS BIGINT) AS n3 FROM r3)
+         |SELECT rung, docs_in, docs_in - survivors AS removed, survivors
+         |FROM (
+         | SELECT '1_exact' AS rung, n0 AS docs_in, n1 AS survivors FROM n0, n1
+         | UNION ALL
+         | SELECT '2_normalized', n1, n2 FROM n1, n2
+         | UNION ALL
+         | SELECT '3_near', n2, n3 FROM n2, n3)
+         |ORDER BY rung""".stripMargin,
+
+    // best-quality representative: pair chain + recursive CC + the
+    // integer quality heuristic; the rep is first_value over
+    // (quality desc, id asc) == the Spark struct-max argmax
+    "q177_best_rep" ->
+      s"""WITH RECURSIVE $q61Chain,
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION
+         | SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         | SELECT src, src FROM edges
+         | UNION
+         | SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |q AS (
+         | SELECT doc_id, CAST(${qualitySql("text")} AS INT) AS quality
+         | FROM corpus),
+         |fam AS (
+         | SELECT doc_id, coalesce(cluster_id, doc_id) AS family, quality
+         | FROM q LEFT JOIN labels ON doc_id = labels.id),
+         |rk AS (
+         | SELECT doc_id, family, quality,
+         |  first_value(doc_id) OVER (PARTITION BY family
+         |    ORDER BY quality DESC, doc_id ASC) AS rep
+         | FROM fam)
+         |SELECT doc_id, family, quality, doc_id = rep AS is_rep
+         |FROM rk ORDER BY doc_id""".stripMargin,
+
+    // truncation loss: exact integer kept-token sums over the 4-row
+    // context grid; one double division at the end
+    "q178_truncation_loss" ->
+      s"""WITH d AS (
+         | SELECT CAST(${tokenCountSql("text")} AS BIGINT) AS n FROM documents),
+         |g AS (SELECT unnest([16, 32, 64, 128]) AS ctx_len),
+         |a AS (
+         | SELECT ctx_len, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS docs_truncated,
+         |  CAST(sum(n) AS BIGINT) AS total_tokens,
+         |  CAST(sum(least(n, CAST(ctx_len AS BIGINT))) AS BIGINT) AS kept_tokens
+         | FROM d, g GROUP BY 1)
+         |SELECT ctx_len, n_docs, docs_truncated, total_tokens, kept_tokens,
+         | round(CAST(total_tokens - kept_tokens AS DOUBLE) * 100.0
+         |   / CAST(total_tokens AS DOUBLE), 6) AS waste_pct
+         |FROM a ORDER BY ctx_len""".stripMargin,
+
+    // SFT assembly: q142's session CTEs, turn strings from engine-stable
+    // values only (type label + BIGINT id), char-offset cumsum, md5 of
+    // the ordered concatenation per session
+    "q179_sft_assembly" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+        |sessions AS (
+        | SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM flagged),
+        |roled AS (
+        | SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, ts,
+        |  event_id,
+        |  CASE WHEN event_type IN ('view', 'click', 'signup') THEN 'user'
+        |       ELSE 'assistant' END AS role, event_type
+        | FROM sessions),
+        |turns AS (
+        | SELECT user_id, session_seq, ts, event_id, role,
+        |  '<|' || role || '|>' || event_type || '#'
+        |   || CAST(event_id AS VARCHAR) || '<|end|>' AS turn
+        | FROM roled),
+        |sp AS (
+        | SELECT user_id, session_seq, role,
+        |  CAST(row_number() OVER (PARTITION BY user_id, session_seq
+        |    ORDER BY ts, event_id) AS INT) AS turn_idx,
+        |  CAST(coalesce(sum(length(turn)) OVER (
+        |    PARTITION BY user_id, session_seq ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS t_start,
+        |  CAST(length(turn) AS BIGINT) AS tl
+        | FROM turns),
+        |dg AS (
+        | SELECT user_id, session_seq,
+        |  md5(string_agg(turn, '' ORDER BY ts, event_id)) AS assembled_digest
+        | FROM turns GROUP BY 1, 2)
+        |SELECT user_id, session_seq, turn_idx, role, t_start,
+        | t_start + tl AS t_end, role = 'assistant' AS loss, assembled_digest
+        |FROM sp JOIN dg USING (user_id, session_seq)
+        |ORDER BY user_id, session_seq, turn_idx""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two
@@ -3555,5 +3787,43 @@ object Oracles {
        |pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
        |$iters
        |SELECT id, rank FROM pr$maxIter ORDER BY id""".stripMargin
+  }
+
+  /** The q173 oracle: HITS with `maxIter` rounds unrolled — Graph.hits'
+    * integer fixed-point arithmetic verbatim over the DIRECTED pair set
+    * (auth inflow of hubs, hub inflow of auths, each half-step rescaled
+    * to max = 1e6 by integer division). */
+  private def hitsSql(maxIter: Int): String = {
+    val iters = (1 to maxIter).map { i =>
+      s"""ar$i AS (
+         | SELECT n.id, CAST(coalesce(f.s, 0) AS BIGINT) AS s
+         | FROM hnodes n LEFT JOIN (
+         |  SELECT e.dst AS id, CAST(sum(h.hub) AS BIGINT) AS s
+         |  FROM hb${i - 1} h JOIN dedges e ON e.src = h.id
+         |  GROUP BY 1) f ON n.id = f.id),
+         |au$i AS (
+         | SELECT id, CAST((s * 1000000) // (max(s) OVER ()) AS BIGINT) AS auth
+         | FROM ar$i),
+         |hr$i AS (
+         | SELECT n.id, CAST(coalesce(f.s, 0) AS BIGINT) AS s
+         | FROM hnodes n LEFT JOIN (
+         |  SELECT e.src AS id, CAST(sum(a.auth) AS BIGINT) AS s
+         |  FROM au$i a JOIN dedges e ON e.dst = a.id
+         |  GROUP BY 1) f ON n.id = f.id),
+         |hb$i AS (
+         | SELECT id, CAST((s * 1000000) // (max(s) OVER ()) AS BIGINT) AS hub
+         | FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ccEdgesCtes,
+       |dedges AS (SELECT DISTINCT id_a AS src, id_b AS dst FROM pairs),
+       |hnodes AS (
+       | SELECT src AS id FROM dedges UNION SELECT dst FROM dedges),
+       |hb0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub FROM hnodes),
+       |$iters
+       |SELECT n.id AS id, h.hub, a.auth
+       |FROM hnodes n
+       |JOIN hb$maxIter h ON n.id = h.id
+       |JOIN au$maxIter a ON n.id = a.id
+       |ORDER BY n.id""".stripMargin
   }
 }

@@ -1816,6 +1816,77 @@ object Queries {
         "vec_id", "embedding", k = 3.0)
       .orderBy("label")
 
+  /** HITS hubs/authorities (integer fixed-point, 8 rounds) over the
+    * DIRECTED min-id -> max-id fuzzy-dup edge set — the directional
+    * complement to q167's PageRank: hubs are the "source" members
+    * copies derive from, authorities the derived ones. Every score is a
+    * micro-unit BIGINT the oracle's unrolled rounds replay exactly. */
+  def q173Hits(s: SparkSession, dir: String): DataFrame =
+    Graph.hits(ccEdgeSet(s, dir), maxIter = 8).orderBy("id")
+
+  /** Kneser-Ney discounted bigram LM score (d = 3/4, continuation-count
+    * backoff) — the smoothing real perplexity filters ship, one rung
+    * above q113's linear interpolation. Same ln/DECIMAL discipline. */
+  def q174KneserNey(s: SparkSession, dir: String): DataFrame =
+    TextOps.kneserNeyLogProb(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Heaps'-law fit over the vocabulary-growth curve (V ≈ K·n^beta,
+    * sampled exactly at every first occurrence) — the dual of q162's
+    * Zipf fit; beta near 1 flags ID-soup sources. */
+  def q175HeapsFit(s: SparkSession, dir: String): DataFrame =
+    TextOps.heapsFit(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("n_tokens")
+
+  /** Dedup-ladder attribution (exact -> normalized -> near) over the
+    * shared portable corpus + pair chain, with planted duplicates for
+    * the first two rungs (exact copies at +50M, recased/punctuated
+    * copies at +60M) so every rung demonstrably fires; the near rung
+    * consumes the session-cached q61 pairs restricted to survivors. */
+  def q176DedupLadder(s: SparkSession, dir: String): DataFrame = {
+    val corpus = portableCorpus(s, dir)
+    val exact = corpus.filter(col("doc_id") % 12 === 0)
+      .select((col("doc_id") + lit(50000000L)).as("doc_id"), col("text"))
+    val recased = corpus.filter(col("doc_id") % 14 === 0)
+      .select((col("doc_id") + lit(60000000L)).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" ??")).as("text"))
+    Dedup.dedupLadder(corpus.unionByName(exact).unionByName(recased),
+        "doc_id", "text", portablePairs(s, dir))
+      .orderBy("rung")
+  }
+
+  /** Quality-aware canonical selection (Split.keepBestPerFamily) over
+    * the shared portable pair chain: the family representative is the
+    * (quality desc, id asc) argmax instead of keep-min-id — planted
+    * tail-truncated copies lose to their longer originals on the
+    * token-count heuristic. 8th consumer of the cached pair set. */
+  def q177BestRep(s: SparkSession, dir: String): DataFrame = {
+    val corpus = portableCorpus(s, dir)
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .drop("text")
+    Split.keepBestPerFamily(corpus, "doc_id", "quality",
+        portablePairs(s, dir))
+      .orderBy("doc_id")
+  }
+
+  /** Context-length truncation-loss audit at L in {16, 32, 64, 128}:
+    * tokens lost per candidate context length if documents were
+    * truncated instead of straddle-packed (q83) — integer-exact. */
+  def q178TruncationLoss(s: SparkSession, dir: String): DataFrame =
+    Pack.truncationLoss(t(s, dir, "documents"), "text",
+        Seq(16, 32, 64, 128))
+      .orderBy("ctx_len")
+
+  /** SFT chat-template assembly with loss-mask spans: event sessions
+    * become conversations (view/click/signup turns are "user",
+    * purchase/error "assistant"), each turn carrying its exact char
+    * span within the assembled text plus the assistant-only loss flag;
+    * the per-session md5 digest pins the assembly itself. */
+  def q179SftAssembly(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sftAssemble(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id", Seq("view", "click", "signup"))
+      .orderBy("user_id", "session_seq", "turn_idx")
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2723,6 +2794,13 @@ object Queries {
     "q170_token_subsample" -> (q170TokenSubsample _),
     "q171_token_entropy" -> (q171TokenEntropy _),
     "q172_embedding_outliers" -> (q172EmbeddingOutliers _),
+    "q173_hits" -> (q173Hits _),
+    "q174_kneser_ney" -> (q174KneserNey _),
+    "q175_heaps_fit" -> (q175HeapsFit _),
+    "q176_dedup_ladder" -> (q176DedupLadder _),
+    "q177_best_rep" -> (q177BestRep _),
+    "q178_truncation_loss" -> (q178TruncationLoss _),
+    "q179_sft_assembly" -> (q179SftAssembly _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

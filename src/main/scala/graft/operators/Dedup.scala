@@ -1083,4 +1083,61 @@ object Dedup {
           (tok, i) => not(array_contains(coalesce(col("__mask"), array().cast("array<int>")), i + 1))))
           .as("text_trimmed"))
   }
+
+  /** Dedup-ladder attribution: apply the rungs IN SEQUENCE — exact
+    * (md5 keep-first), normalized ([[TextOps.normalizeForDedup]]
+    * keep-first), then near-dup (CC keep-min over `pairs` restricted to
+    * surviving endpoints) — and report how many documents each rung
+    * removed from the previous rung's survivors. The report a curator
+    * reads before ordering the production ladder: if the near rung
+    * removes almost nothing after normalization, the expensive LSH pass
+    * can run on a schedule instead of per batch.
+    *
+    * `pairs` is the verified near-dup pair set of the SAME corpus
+    * (e.g. [[minhashNearDups]] output — typically already computed and
+    * shared); restricting its edges to rung-2 survivors is exactly
+    * "near-dedup among the remaining docs", because an exact/normalized
+    * duplicate can never be the family representative the earlier rungs
+    * kept (its min-id original survives and carries the family's
+    * pairs).
+    *
+    * Scale shape: two digest-keyed window-min passes (16-byte keys, the
+    * exact-dedup shuffle shape), two id-keyed semi-joins to restrict
+    * the edge set, the CC rounds, then three 1-row aggregates — the
+    * summary never materializes a cross product. Output: one row per
+    * rung (rung, docs_in, removed, survivors). */
+  def dedupLadder(df: DataFrame, idCol: String, textCol: String,
+                  pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val r1 = base.withColumn("__keep",
+        col("__id") === min(col("__id")).over(
+          Window.partitionBy(md5(col("__t")))))
+      .filter(col("__keep")).drop("__keep")
+    val r2 = r1.withColumn("__keep",
+        col("__id") === min(col("__id")).over(
+          Window.partitionBy(md5(TextOps.normalizeForDedup(col("__t"))))))
+      .filter(col("__keep")).drop("__keep")
+      .transform(Checkpoints.ckpt) // consumers: edge restriction + counts + CC join
+    val surv = r2.select(col("__id"))
+    val e = pairs
+      .join(surv.select(col("__id").as("id_a")), "id_a", "left_semi")
+      .join(surv.select(col("__id").as("id_b")), "id_b", "left_semi")
+    val labels = connectedComponents(e, maxIter)
+      .select(col("id"), col("cluster_id"))
+    val r3 = r2.join(labels, col("__id") === col("id"), "left")
+      .filter(coalesce(col("cluster_id"), col("__id")) === col("__id"))
+    val n0 = base.agg(count(lit(1)).as("__n0"))
+    val n1 = r1.agg(count(lit(1)).as("__n1"))
+    val n2 = r2.agg(count(lit(1)).as("__n2"))
+    val n3 = r3.agg(count(lit(1)).as("__n3"))
+    n0.crossJoin(n1).crossJoin(n2).crossJoin(n3)
+      .selectExpr(
+        """stack(3,
+          | '1_exact', __n0, __n1,
+          | '2_normalized', __n1, __n2,
+          | '3_near', __n2, __n3) AS (rung, docs_in, survivors)""".stripMargin)
+      .select(col("rung"), col("docs_in"),
+        (col("docs_in") - col("survivors")).as("removed"), col("survivors"))
+  }
 }

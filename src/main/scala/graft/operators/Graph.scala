@@ -59,4 +59,58 @@ object Graph {
     }
     rank
   }
+
+  /** Integer fixed-point HITS (Kleinberg 1999) over a DIRECTED pair set
+    * (id_a -> id_b): hubs point at authorities; on a dedup graph
+    * oriented min-id -> max-id this separates "source" members (high
+    * hub) from "derived" members (high authority), the directional
+    * complement to [[pageRank]]'s undirected centrality.
+    *
+    * Same determinism contract as pageRank: scores are micro-unit
+    * BIGINTs, and the per-half-step normalization is an integer rescale
+    * to max = 1e6 (`s * 1e6 DIV max(s)`) instead of the usual float
+    * L2 norm — without normalization iterates grow like (max degree)^2
+    * per round and overflow; with the integer max-rescale every
+    * iterate is exactly replayable (the DuckDB oracle unrolls the
+    * rounds verbatim). Fixed `maxIter`, no convergence action.
+    *
+    * Scale shape: two keyed joins + two aggregations per round (the CC
+    * machinery's shape), a 1-row broadcast max per half-step, one
+    * [[Checkpoints.ckpt]] per round so the plan never grows. Output:
+    * (id, hub, auth) over all nodes of the edge set. */
+  def hits(pairs: DataFrame, maxIter: Int = 8): DataFrame = {
+    require(maxIter >= 1, "hits: maxIter >= 1")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .distinct()
+      .transform(Checkpoints.ckpt) // consumed twice per round
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct()
+      .transform(Checkpoints.ckpt)
+    def rescale(scored: DataFrame, out: String): DataFrame = {
+      // integer normalization: the max inflow of a non-empty edge set is
+      // >= 1 (some node receives at least one positive contribution), so
+      // the DIV is never by zero
+      val m = scored.agg(max(col("__s")).as("__m"))
+      scored.crossJoin(broadcast(m))
+        .select(col("id"), expr("(__s * 1000000) DIV __m").as(out))
+    }
+    var hub = nodes.withColumn("hub", lit(1000000L))
+    var auth = nodes.withColumn("auth", lit(0L))
+    for (_ <- 1 to maxIter) {
+      val rawAuth = edges.join(hub, edges("src") === hub("id"))
+        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("__in"))
+      auth = rescale(
+        nodes.join(rawAuth, Seq("id"), "left")
+          .select(col("id"), coalesce(col("__in"), lit(0L)).as("__s")),
+        "auth").transform(Checkpoints.ckpt)
+      val rawHub = edges.join(auth, edges("dst") === auth("id"))
+        .groupBy(col("src").as("id")).agg(sum(col("auth")).as("__in"))
+      hub = rescale(
+        nodes.join(rawHub, Seq("id"), "left")
+          .select(col("id"), coalesce(col("__in"), lit(0L)).as("__s")),
+        "hub").transform(Checkpoints.ckpt)
+    }
+    hub.join(auth, Seq("id"))
+  }
 }

@@ -146,4 +146,33 @@ object Pack {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
   }
+
+  /** Context-length truncation-loss audit: for each candidate context
+    * length L, how many tokens would per-document truncation at L throw
+    * away? The number a pipeline reads before choosing between
+    * truncation and [[packSequences]]-style straddle packing (which
+    * loses nothing), and the cheap screen for "are our documents longer
+    * than the context we train at". All cells exact integers —
+    * kept = Σ min(n, L) — except the final waste percentage.
+    *
+    * Scale shape: one codegen token count per doc, a broadcast of the
+    * |lengths|-row grid (each doc emits one partial per L), ONE bounded
+    * aggregation keyed by L. Output per L: (ctx_len, n_docs,
+    * docs_truncated, total_tokens, kept_tokens, waste_pct). */
+  def truncationLoss(df: DataFrame, textCol: String,
+                     lengths: Seq[Int]): DataFrame = {
+    require(lengths.nonEmpty, "truncationLoss: lengths non-empty")
+    val grid = df.sparkSession.range(1)
+      .select(explode(array(lengths.map(l => lit(l)): _*)).as("ctx_len"))
+    df.select(TextOps.tokenCount(col(textCol)).cast("long").as("__n"))
+      .crossJoin(broadcast(grid))
+      .groupBy(col("ctx_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("__n") > col("ctx_len")).cast("long")).as("docs_truncated"),
+        sum(col("__n")).as("total_tokens"),
+        sum(least(col("__n"), col("ctx_len").cast("long"))).as("kept_tokens"))
+      .withColumn("waste_pct", round(
+        (col("total_tokens") - col("kept_tokens")).cast("double") * 100.0 /
+          col("total_tokens").cast("double"), 6))
+  }
 }

@@ -127,4 +127,56 @@ object Sessionize {
       .select(col(keyCol), col("day"), col(s"n_events_${days}d"),
         col(s"value_${days}d"))
   }
+
+  /** SFT chat-template assembly with loss-mask offsets: turn each
+    * gap-based session into a training conversation — every event
+    * becomes a turn `<|role|>text<|end|>`, roles split by whether the
+    * event type is in `userTypes`, and each turn carries its exact
+    * [t_start, t_end) CHARACTER span within the assembled session text
+    * plus `loss = (role == assistant)` — the span list a supervised
+    * fine-tuning pipeline feeds the collator so the loss lands only on
+    * assistant tokens. The offsets are what make this an operator
+    * rather than a concat: they must agree exactly with the assembled
+    * string under any engine, so turn text is built only from values
+    * with engine-stable string forms (the type label and the BIGINT
+    * event id — never floats, whose formatting differs per engine).
+    *
+    * Exactness: turn order inside a session is (ts, event id) — total;
+    * t_start = running sum of prior turn lengths (exact integers);
+    * `assembled_digest` = md5 of the ordered concatenation, repeated on
+    * every turn row, pins the assembly itself, not just the spans.
+    *
+    * Scale shape: sessionization's (user, ts) window, then ONE
+    * (user, session) window for offsets — same partitioning, one
+    * shuffle; the digest agg joins back on the (user, session) key.
+    * Output: (userCol, session_seq, turn_idx, role, t_start, t_end,
+    * loss, assembled_digest). */
+  def sftAssemble(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, idCol: String, userTypes: Seq[String],
+                  gapMinutes: Int = 30): DataFrame = {
+    require(userTypes.nonEmpty, "sftAssemble: userTypes non-empty")
+    val turns = withSessions(events, userCol, tsCol, gapMinutes)
+      .withColumn("role",
+        when(col(typeCol).isin(userTypes: _*), "user").otherwise("assistant"))
+      .withColumn("__turn", concat(lit("<|"), col("role"), lit("|>"),
+        col(typeCol), lit("#"), col(idCol).cast("string"), lit("<|end|>")))
+    val w = Window.partitionBy(col(userCol), col("session_seq"))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val spanned = turns
+      .withColumn("turn_idx", row_number().over(w))
+      .withColumn("t_start", coalesce(
+        sum(length(col("__turn")).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("t_end", col("t_start") + length(col("__turn")).cast("long"))
+    val digests = spanned
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(md5(array_join(transform(
+        sort_array(collect_list(struct(col(tsCol).as("t"),
+          col(idCol).as("i"), col("__turn").as("s")))),
+        s => s.getField("s")), "")).as("assembled_digest"))
+    spanned.join(digests, Seq(userCol, "session_seq"))
+      .select(col(userCol), col("session_seq").cast("long").as("session_seq"),
+        col("turn_idx"), col("role"), col("t_start"), col("t_end"),
+        (col("role") === "assistant").as("loss"), col("assembled_digest"))
+  }
 }

@@ -467,4 +467,33 @@ object Split {
         col("max_source_docs"),
         round(col("max_source_docs").cast("double")
           / col("n_docs").cast("double"), 6).as("max_source_share"))
+
+  /** Quality-aware canonical selection: keep the BEST-quality member of
+    * each near-dup family instead of [[Dedup.dropNearDuplicates]]'s
+    * min-id member — near-dup families routinely mix a clean original
+    * with truncated/boilerplate-wrapped copies, and keep-min-id keeps
+    * whichever crawled first. The representative is the
+    * (quality desc, id asc) argmax via the struct-max convention — one
+    * agg, no per-family sort — so selection is total and replayable.
+    * `qualityCol` must be an engine-portable score (integer heuristics,
+    * rounded calibrated scores).
+    *
+    * Scale shape: CC over the verified pairs (id-keyed rounds), one
+    * family-keyed struct-max agg (map-side combined), one join back.
+    * Output: (idCol, family, qualityCol, is_rep). */
+  def keepBestPerFamily(df: DataFrame, idCol: String, qualityCol: String,
+                        pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val labels = Dedup.connectedComponents(pairs, maxIter)
+      .select(col("id").as("__cid"), col("cluster_id"))
+    val fam = df.join(labels, col(idCol) === col("__cid"), "left")
+      .withColumn("family", coalesce(col("cluster_id"), col(idCol)))
+      .select(col(idCol), col("family"), col(qualityCol))
+    val best = fam.groupBy(col("family"))
+      .agg(max(struct(col(qualityCol).as("q"), (-col(idCol)).as("__nid")))
+        .as("__best"))
+    fam.join(best, "family")
+      .select(col(idCol), col("family"), col(qualityCol),
+        (col(qualityCol) === col("__best.q") &&
+          col(idCol) === -col("__best.__nid")).as("is_rep"))
+  }
 }

@@ -332,6 +332,127 @@ object TextOps {
       .withColumn("keep", col("logprob_mean") >= minLogProb)
   }
 
+  /** Kneser-Ney discounted bigram LM score (Kneser & Ney 1995; Chen &
+    * Goodman 1999 interpolated form) — the rung above [[bigramLogProb]]'s
+    * linear interpolation: the backoff distribution is the CONTINUATION
+    * probability (in how many distinct contexts does w2 appear?), not the
+    * raw unigram, so frequent-but-context-bound tokens ("francisco")
+    * stop inflating fluency scores. The standard n-gram smoothing real
+    * perplexity filters (KenLM/CCNet) ship.
+    *
+    *   P(w2|w1) = max(c12 - d, 0)/c1 + (d · N1+(w1,·)/c1) · N1+(·,w2)/N1+(·,·)
+    *
+    * with c1 = Σ_w2 c12 (continuation-consistent: the bigram-first
+    * count, so every surviving bigram's denominator is positive) and
+    * d = 0.75 — a DYADIC discount, so c12 - d is exact in double.
+    * Every other quantity is an exact integer count; each bigram pays
+    * one correctly-rounded ln, rounded to 6 and summed as DECIMAL(25,6)
+    * (the q99/q113 ln discipline — the oracle replays the identical
+    * expression tree).
+    *
+    * Scale shape = [[bigramLogProb]]: one posexplode + per-doc lead
+    * window, ONE (w1,w2) count agg; c1/N1+ frames are vocabulary-sized
+    * and broadcast. Output: (idCol, n_bigrams, kn_logprob_mean, keep). */
+  def kneserNeyLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, discount: Double = 0.75,
+                       minLogProb: Double = -10.0): org.apache.spark.sql.DataFrame = {
+    require(discount > 0 && discount < 1, "kneserNeyLogProb: 0 < discount < 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val tok = df.select(col(idCol), posexplode(tokens(lower(col(textCol)))))
+      .toDF(idCol, "__pos", "__w")
+    val big = tok.withColumn("__w2", lead(col("__w"), 1).over(w))
+      .filter(col("__w2").isNotNull)
+      .groupBy(col(idCol), col("__w").as("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__tf2"))
+      .transform(Checkpoints.ckpt) // consumers: c2/c1/N1+ frames + per-doc agg
+    val c2 = big.groupBy(col("__w1"), col("__w2"))
+      .agg(sum(col("__tf2")).as("__c2"))
+      .transform(Checkpoints.ckpt) // consumers: c1fw, n1fw, n1bw, nbi, join
+    val c1fw = c2.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"),
+      count(lit(1)).as("__n1f")) // N1+(w1,·): distinct continuations
+    val n1bw = c2.groupBy(col("__w2")).agg(count(lit(1)).as("__n1b"))
+    val nbi = c2.agg(count(lit(1)).as("__nbi")) // N1+(·,·)
+    big
+      .join(broadcast(c2), Seq("__w1", "__w2"))
+      .join(broadcast(c1fw), "__w1")
+      .join(broadcast(n1bw), "__w2")
+      .crossJoin(broadcast(nbi))
+      .withColumn("__p",
+        greatest(col("__c2").cast("double") - lit(discount), lit(0.0)) /
+          col("__c1").cast("double") +
+          (lit(discount) * col("__n1f").cast("double") /
+            col("__c1").cast("double")) *
+            (col("__n1b").cast("double") / col("__nbi").cast("double")))
+      .withColumn("__t", round(col("__tf2") * log(col("__p")), 6).cast("decimal(25,6)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf2")).as("n_bigrams"), sum(col("__t")).as("__lsum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__lsum").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("kn_logprob_mean"))
+      .withColumn("keep", col("kn_logprob_mean") >= minLogProb)
+  }
+
+  /** Heaps'-law fit (Heaps 1978): OLS of ln(V) on ln(n) over the
+    * vocabulary-growth curve V(n) = distinct tokens after n running
+    * tokens, sampled exactly at each first occurrence — V ≈ K·n^beta
+    * with beta < 1 on natural text (typically 0.4–0.6); beta near 1
+    * flags gibberish/ID-soup sources whose "vocabulary" never saturates.
+    * Complements [[zipfFit]] (the two laws are duals).
+    *
+    * Exactness: a token's global position = its doc's cumulative token
+    * offset + in-doc position (both exact integers); first occurrence =
+    * min global position per token; V at that point = rank of the first
+    * occurrence (positions are distinct, so the rank is total). The
+    * regression is [[zipfFit]]'s micro-integer OLS verbatim.
+    *
+    * Scale shape: corpus-sized work is one posexplode + ONE min-agg per
+    * token; the cumulative-offset window runs over the DOC-COUNT table
+    * (one row per doc), and the rank window over the VOCAB-sized
+    * first-occurrence set — both orders of magnitude below token count.
+    * At 100 TB the two ordered windows would be range-partitioned
+    * (df.repartitionByRange) rather than single-partition; the fit
+    * itself is one bounded sum-agg. Output: one row
+    * (n_tokens, vocab, beta, intercept, r2). */
+  def heapsFit(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol), posexplode(tokens(lower(col(textCol)))))
+      .toDF(idCol, "__pos", "__w")
+      .transform(Checkpoints.ckpt) // consumers: offsets + first occurrences
+    val counts = tok.groupBy(col(idCol)).agg(count(lit(1)).as("__cnt"))
+    val offs = counts.withColumn("__off",
+      coalesce(sum(col("__cnt")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col(idCol))
+        .rowsBetween(Long.MinValue, -1)), lit(0L)))
+    val firstPos = tok
+      .join(broadcast(offs.select(col(idCol), col("__off"))), idCol)
+      .select(col("__w"), (col("__off") + col("__pos") + lit(1L)).as("__gp"))
+      .groupBy(col("__w")).agg(min(col("__gp")).as("__fp"))
+    val pts = firstPos.withColumn("__v", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("__fp"))))
+    def micros(c: Column): Column = round(round(log(c), 6) * 1e6).cast("long")
+    val terms = pts.select(micros(col("__fp").cast("double")).as("x"),
+      micros(col("__v").cast("double")).as("y"))
+    val sums = terms.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+      .crossJoin(broadcast(tok.agg(count(lit(1)).as("__nt"))))
+    val nd = col("n").cast("double")
+    def d(name: String): Column = col(name).cast("double")
+    val num = nd * d("sxy") - d("sx") * d("sy")
+    val den = nd * d("sxx") - d("sx") * d("sx")
+    val slope = when(den === 0, lit(0.0)).otherwise(num / den)
+    val deny = nd * d("syy") - d("sy") * d("sy")
+    sums.select(col("__nt").as("n_tokens"),
+      col("n").cast("long").as("vocab"),
+      round(slope, 6).as("beta"),
+      round((d("sy") - slope * d("sx")) / nd / 1e6, 6).as("intercept"),
+      when(den * deny === 0, lit(1.0))
+        .otherwise(round(num * num / (den * deny), 6)).as("r2"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
     * corpus into head/middle/tail thirds by language-model score —
     * the standard "keep the fluent third, inspect the middle, drop the

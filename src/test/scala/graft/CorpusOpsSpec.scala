@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Graph, Pack, Sessionize, Split, TextOps}
+
+/** Specs for the round-7 session-7 operators: HITS, Kneser-Ney bigram
+  * LM, Heaps'-law fit, the dedup ladder, best-quality representative
+  * selection, truncation loss, and SFT chat-template assembly. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- HITS
+
+  test("hits: directed star — center is the hub, leaves the authorities") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val r = Graph.hits(star, maxIter = 4).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // center: max hub, zero authority (nothing points at it)
+    assert(r(0L)._1 == 1000000L && r(0L)._2 == 0L)
+    // leaves: zero hub, exactly-equal max authority (integer arithmetic)
+    assert(Seq(1L, 2L, 3L).map(r(_)) == Seq.fill(3)((0L, 1000000L)))
+  }
+
+  test("hits: normalization keeps every score in [0, 1e6]; deterministic") {
+    val pairs = (1 to 150).map(i => (i.toLong, (i % 40 + 200).toLong))
+      .toDF("id_a", "id_b")
+    val a = Graph.hits(pairs, maxIter = 6).orderBy("id").collect().toSeq
+    val b = Graph.hits(pairs, maxIter = 6).orderBy("id").collect().toSeq
+    assert(a == b)
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 1000000L &&
+      r.getLong(2) >= 0 && r.getLong(2) <= 1000000L))
+    assert(a.exists(_.getLong(1) == 1000000L)) // some max hub exists
+    assert(a.exists(_.getLong(2) == 1000000L))
+  }
+
+  // ----------------------------------------------------- Kneser-Ney LM
+
+  test("kneser-ney: hand-computed continuation-count backoff") {
+    // corpus: doc 1 "a b a b" (bigrams ab, ba, ab), doc 2 "a c"
+    // c2: (a,b)=2 (b,a)=1 (a,c)=1; c1(a)=3 n1f(a)=2; c1(b)=1 n1f(b)=1
+    // n1b: b=1 a=1 c=1; nbi=3
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.kneserNeyLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val pAB = math.max(2.0 - 0.75, 0.0) / 3.0 + (0.75 * 2.0 / 3.0) * (1.0 / 3.0)
+    val pBA = math.max(1.0 - 0.75, 0.0) / 1.0 + (0.75 * 1.0 / 1.0) * (1.0 / 3.0)
+    val pAC = math.max(1.0 - 0.75, 0.0) / 3.0 + (0.75 * 2.0 / 3.0) * (1.0 / 3.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // term discipline: round(tf * ln p, 6) per DISTINCT (doc, w1, w2)
+    val t1 = r6(2 * math.log(pAB)) + r6(1 * math.log(pBA))
+    val exp1 = r6(t1 / 3.0)
+    val exp2 = r6(r6(1 * math.log(pAC)) / 1.0)
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(math.abs(out(0).getAs[Double]("kn_logprob_mean") - exp1) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("kn_logprob_mean") - exp2) < 1e-9)
+    assert(out.forall(_.getAs[Boolean]("keep")))
+  }
+
+  test("kneser-ney: context-bound token scores below a free token") {
+    // "york" only ever follows "new" (context-bound); "said" follows many
+    // words with the same total count — KN's continuation backoff must
+    // give the unseen-context bigram with "said" a higher probability
+    // than with "york". Build docs then compare P via the score of two
+    // single-bigram probe docs appended to the same corpus.
+    val base = (1 to 30).map(i => (i.toLong,
+      s"new york w$i said v$i said u$i said new york"))
+    val probes = Seq((1001L, "w1 said"), (1002L, "w1 york"))
+    val docs = (base ++ probes).toDF("doc_id", "text")
+    val out = TextOps.kneserNeyLogProb(docs, "doc_id", "text")
+      .filter(col("doc_id") >= 1000L).orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("kn_logprob_mean") >
+      out(1).getAs[Double]("kn_logprob_mean"))
+  }
+
+  // ------------------------------------------------------- Heaps' law
+
+  test("heaps: all-new-token corpus fits beta = 1 exactly") {
+    val docs = (1 to 20).map(i =>
+      (i.toLong, (1 to 5).map(j => s"tok_${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextOps.heapsFit(docs, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 100L)
+    assert(r.getAs[Long]("vocab") == 100L)
+    assert(math.abs(r.getAs[Double]("beta") - 1.0) < 1e-4)
+    assert(r.getAs[Double]("r2") > 0.9999)
+  }
+
+  test("heaps: single-token corpus takes the degenerate-fit guard") {
+    val docs = Seq((1L, "a a a a a")).toDF("doc_id", "text")
+    val r = TextOps.heapsFit(docs, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("vocab") == 1L)
+    assert(r.getAs[Double]("beta") == 0.0 && r.getAs[Double]("r2") == 1.0)
+  }
+
+  test("heaps: natural-ish text fits beta strictly below 1") {
+    val docs = (1 to 50).map { i =>
+      (i.toLong, s"the of and a to in doc$i word${i % 13} word${i % 7} the of")
+    }.toDF("doc_id", "text")
+    val r = TextOps.heapsFit(docs, "doc_id", "text").collect()(0)
+    assert(r.getAs[Double]("beta") > 0.0 && r.getAs[Double]("beta") < 0.9)
+  }
+
+  // ------------------------------------------------------ dedup ladder
+
+  test("dedup ladder: each rung removes exactly its planted duplicates") {
+    val docs = Seq(
+      (1L, "x y z"), (2L, "x y z"),      // exact dup of 1
+      (3L, "X, y z!"),                   // normalized dup of 1
+      (4L, "x y z w"))                   // near dup of 1 (via pairs)
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupLadder(docs, "doc_id", "text", pairs)
+      .orderBy("rung").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("1_exact", 4L, 1L, 3L),
+      ("2_normalized", 3L, 1L, 2L),
+      ("3_near", 2L, 1L, 1L)))
+  }
+
+  test("dedup ladder: a pair whose endpoint died earlier removes nothing") {
+    val docs = Seq((1L, "x y z"), (2L, "x y z"), (4L, "x y z w"))
+      .toDF("doc_id", "text")
+    // 2 is removed at the exact rung, so the (2,4) edge must not fire
+    val pairs = Seq((2L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupLadder(docs, "doc_id", "text", pairs)
+      .orderBy("rung").collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(out.toSeq == Seq(("1_exact", 1L), ("2_normalized", 0L),
+      ("3_near", 0L)))
+  }
+
+  // ----------------------------------------- best-quality representative
+
+  test("keepBestPerFamily: argmax on (quality desc, id asc); singletons rep themselves") {
+    val docs = Seq((1L, 50), (2L, 75), (3L, 75), (9L, 10))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Split.keepBestPerFamily(docs, "doc_id", "quality", pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    // family 1 = {1,2,3}: quality tie 75 between 2 and 3 -> min id 2 wins
+    assert(out.toSeq == Seq((1L, 1L, false), (2L, 1L, true),
+      (3L, 1L, false), (9L, 9L, true)))
+  }
+
+  // -------------------------------------------------- truncation loss
+
+  test("truncationLoss: exact kept-token arithmetic") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val out = Pack.truncationLoss(docs, "text", Seq(4)).collect()(0)
+    assert(out.getAs[Long]("n_docs") == 2L)
+    assert(out.getAs[Long]("docs_truncated") == 1L)
+    assert(out.getAs[Long]("total_tokens") == 8L)
+    assert(out.getAs[Long]("kept_tokens") == 7L)
+    assert(out.getAs[Double]("waste_pct") == 12.5)
+  }
+
+  // ------------------------------------------------------ SFT assembly
+
+  test("sftAssemble: hand-computed spans, loss mask, and digest") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:10")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 13:00:00") // new session
+    val ev = Seq((7L, t0, "view", 1L), (7L, t1, "purchase", 2L),
+      (7L, t2, "error", 3L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = Sessionize.sftAssemble(ev, "user_id", "ts", "event_type",
+        "event_id", Seq("view", "click", "signup"))
+      .orderBy("session_seq", "turn_idx").collect()
+    val turn1 = "<|user|>view#1<|end|>"
+    val turn2 = "<|assistant|>purchase#2<|end|>"
+    val turn3 = "<|assistant|>error#3<|end|>"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out.length == 3)
+    // session 1: two turns with contiguous spans
+    assert(out(0).getAs[Long]("t_start") == 0L &&
+      out(0).getAs[Long]("t_end") == turn1.length.toLong)
+    assert(out(1).getAs[Long]("t_start") == turn1.length.toLong &&
+      out(1).getAs[Long]("t_end") == (turn1 + turn2).length.toLong)
+    assert(!out(0).getAs[Boolean]("loss") && out(1).getAs[Boolean]("loss"))
+    assert(out(0).getAs[String]("assembled_digest") == md5hex(turn1 + turn2))
+    // session 2 restarts offsets
+    assert(out(2).getAs[Long]("session_seq") == 2L &&
+      out(2).getAs[Long]("t_start") == 0L)
+    assert(out(2).getAs[String]("assembled_digest") == md5hex(turn3))
+  }
+}
