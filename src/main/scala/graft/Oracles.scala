@@ -3719,6 +3719,123 @@ object Oracles {
         | t_start + tl AS t_end, role = 'assistant' AS loss, assembled_digest
         |FROM sp JOIN dg USING (user_id, session_seq)
         |ORDER BY user_id, session_seq, turn_idx""".stripMargin,
+
+    // selection curve: integer quality/token cells over the broadcast
+    // threshold grid; two double divisions at the end
+    "q180_selection_curve" ->
+      s"""WITH d AS (
+         | SELECT CAST(${qualitySql("text")} AS INT) AS q,
+         |  CAST(${tokenCountSql("text")} AS BIGINT) AS n
+         | FROM documents),
+         |g AS (SELECT unnest([0, 25, 50, 75, 100]) AS threshold),
+         |a AS (
+         | SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS docs_kept,
+         |  CAST(sum(n) AS BIGINT) AS tot,
+         |  CAST(sum(CASE WHEN q >= threshold THEN n ELSE 0 END) AS BIGINT)
+         |   AS tokens_kept,
+         |  CAST(sum(CASE WHEN q >= threshold THEN q ELSE 0 END) AS BIGINT)
+         |   AS qsum
+         | FROM d, g GROUP BY 1)
+         |SELECT threshold, n_docs, docs_kept, tokens_kept,
+         | round(CAST(tokens_kept AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+         |  AS token_share,
+         | CASE WHEN docs_kept = 0 THEN 0.0
+         |  ELSE round(CAST(qsum AS DOUBLE) / CAST(docs_kept AS DOUBLE), 6)
+         |  END AS mean_quality_kept
+         |FROM a ORDER BY threshold""".stripMargin,
+
+    // vocab drift: exact tf counts per side, add-one smoothing over the
+    // union vocabulary, one ln per surviving token (identical AST)
+    "q181_vocab_drift" -> {
+      val tokCte = (pred: String) =>
+        s"SELECT unnest(${toksSql("lower(text)")}) AS token FROM documents WHERE $pred"
+      s"""WITH a AS (${tokCte("doc_id % 2 = 0")}),
+         |nb0 AS (
+         | SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         | UNION ALL
+         | ${Queries.driftPlantedSql}),
+         |b AS (SELECT unnest(${toksSql("lower(text)")}) AS token FROM nb0),
+         |ca AS (SELECT token, CAST(count(*) AS BIGINT) AS c_a FROM a GROUP BY 1),
+         |cbt AS (SELECT token, CAST(count(*) AS BIGINT) AS c_b FROM b GROUP BY 1),
+         |j AS (
+         | SELECT coalesce(ca.token, cbt.token) AS token,
+         |  coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+         | FROM ca FULL JOIN cbt ON ca.token = cbt.token),
+         |tot AS (
+         | SELECT CAST(sum(c_a) AS BIGINT) AS na, CAST(sum(c_b) AS BIGINT) AS nb,
+         |  CAST(count(*) AS BIGINT) AS v
+         | FROM j),
+         |sc AS (
+         | SELECT token, c_a, c_b,
+         |  round(ln(((CAST(c_b AS DOUBLE) + 1.0)
+         |     / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE)))
+         |    / ((CAST(c_a AS DOUBLE) + 1.0)
+         |     / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE)))), 6) AS logratio
+         | FROM j, tot WHERE c_b >= 5),
+         |r AS (
+         | SELECT *, row_number() OVER (ORDER BY logratio DESC, token ASC)
+         |  AS rnk
+         | FROM sc)
+         |SELECT CAST(rnk AS INT) AS rnk, token, c_a, c_b, logratio
+         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+    },
+
+    // split leakage: q105's split CASE over the quote-extended corpus,
+    // distinct 8-gram shingles per doc, presence flags per shingle,
+    // then the four bounded counts
+    "q182_split_leakage" ->
+      s"""WITH RECURSIVE $q61Chain,
+         |qd AS (
+         | SELECT doc_id + 70000000 AS doc_id,
+         |  array_to_string(list_slice(tk, 4, 15), ' ') || ' qz1 qz2' AS text
+         | FROM (SELECT doc_id, ${toksSql("text")} AS tk FROM corpus
+         |       WHERE doc_id % 18 = 0)),
+         |fullc AS (
+         | SELECT doc_id, text FROM corpus
+         | UNION ALL
+         | SELECT doc_id, text FROM qd),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |sp AS (
+         | SELECT doc_id, text,
+         |  CASE WHEN ${ph("CAST(coalesce(cluster_id, doc_id) AS VARCHAR)", 99)}
+         |    % 10000 < 8000 THEN 'train' ELSE 'eval' END AS sp
+         | FROM fullc LEFT JOIN labels ON doc_id = labels.id),
+         |tokd AS (SELECT doc_id, sp, ${toksSql("text")} AS tk FROM sp),
+         |lkg AS (
+         | SELECT doc_id, sp, unnest(list_distinct(
+         |   CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+         |        ELSE list_transform(range(1, len(tk) - 6),
+         |               i -> array_to_string(list_slice(tk, i, i + 7), ' '))
+         |   END)) AS ng
+         | FROM tokd),
+         |pres AS (
+         | SELECT ng, max(CASE WHEN sp = 'train' THEN 1 ELSE 0 END) AS tr,
+         |        max(CASE WHEN sp = 'eval' THEN 1 ELSE 0 END) AS ev
+         | FROM lkg GROUP BY 1),
+         |shared AS (SELECT ng FROM pres WHERE tr = 1 AND ev = 1),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_shared_ngrams FROM shared),
+         |nl AS (
+         | SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_leaking_eval_docs
+         | FROM lkg WHERE sp = 'eval' AND ng IN (SELECT ng FROM shared)),
+         |nb AS (
+         | SELECT
+         |  CAST(sum(CASE WHEN sp = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_train_docs,
+         |  CAST(sum(CASE WHEN sp = 'eval' THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_eval_docs
+         | FROM sp)
+         |SELECT n_train_docs, n_eval_docs, n_shared_ngrams, n_leaking_eval_docs
+         |FROM nb, ns, nl""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

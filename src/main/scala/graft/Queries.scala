@@ -1887,6 +1887,58 @@ object Queries {
         "event_type", "event_id", Seq("view", "click", "signup"))
       .orderBy("user_id", "session_seq", "turn_idx")
 
+  /** Quality-threshold selection curve at tau in {0, 25, 50, 75, 100}:
+    * docs/tokens surviving each threshold and the mean quality of the
+    * kept set — the filtering-strength ablation table in one pass. */
+  def q180SelectionCurve(s: SparkSession, dir: String): DataFrame =
+    TextOps.selectionCurve(t(s, dir, "documents"), "text",
+        Seq(0, 25, 50, 75, 100))
+      .orderBy("threshold")
+
+  /** Planted drift docs for q181 — one template repeated so its tokens'
+    * rates jump unmistakably in the "new" snapshot. Shared with the
+    * oracle via [[driftPlantedSql]]. */
+  private[graft] val driftPlanted: Seq[(Long, String)] =
+    (1 to 10).map(i => (80000000L + i,
+      "driftaa driftbb driftcc driftaa driftbb driftcc"))
+
+  private[graft] def driftPlantedSql: String =
+    driftPlanted.map { case (id, tx) =>
+      s"SELECT CAST($id AS BIGINT) AS doc_id, '$tx' AS text"
+    }.mkString("\n  UNION ALL\n  ")
+
+  /** Token-frequency drift between snapshots: even-id docs as the old
+    * corpus, odd-id docs plus a planted template source as the new one —
+    * the planted tokens must top the smoothed log-ratio ranking. */
+  def q181VocabDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(driftPlanted.toDF("doc_id", "text"))
+    TextOps.vocabDrift(a, b, "text", minCount = 5, topK = 20)
+      .orderBy("rnk")
+  }
+
+  /** Split-leakage audit over the q105 family-safe split: planted quote
+    * docs (a 12-token slice of every 18th corpus doc + fresh tokens,
+    * id +70M) are NOT in the pair graph, so some land opposite their
+    * source — exactly the quote-level leakage family safety cannot see;
+    * the 8-gram audit must count it. One summary row. */
+  def q182SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val corpus = portableCorpus(s, dir)
+    val quotes = corpus.filter(col("doc_id") % 18 === 0)
+      .select((col("doc_id") + lit(70000000L)).as("doc_id"),
+        concat(concat_ws(" ", slice(TextOps.tokens(col("text")), 4, 12)),
+          lit(" qz1 qz2")).as("text"))
+    val full = corpus.unionByName(quotes)
+    val split = Split.groupAwareSplit(full, "doc_id", portablePairs(s, dir),
+      trainBp = 8000, seed = 99)
+    Decontaminate.splitLeakage(full, "doc_id", "text",
+      split.select(col("doc_id"), col("split")), "split", k = 8)
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2801,6 +2853,9 @@ object Queries {
     "q177_best_rep" -> (q177BestRep _),
     "q178_truncation_loss" -> (q178TruncationLoss _),
     "q179_sft_assembly" -> (q179SftAssembly _),
+    "q180_selection_curve" -> (q180SelectionCurve _),
+    "q181_vocab_drift" -> (q181VocabDrift _),
+    "q182_split_leakage" -> (q182SplitLeakage _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

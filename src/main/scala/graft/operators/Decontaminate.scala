@@ -92,4 +92,45 @@ object Decontaminate {
       semanticOverlaps(corpus, benchmark, idCol, vecCol, threshold)
         .filter(col("contaminated")).select(col(idCol).as("__cid")),
       col(idCol) === col("__cid"), "left_anti")
+
+  /** Train/eval split-leakage audit: after any split (including the
+    * family-safe [[Split.groupAwareSplit]]), count the k-token shingles
+    * that occur on BOTH sides and the eval docs touched by one — the
+    * n-gram-level check that catches what family-level safety cannot
+    * (quotes, shared boilerplate, copied passages BELOW the near-dup
+    * similarity threshold). A nonzero count is the signal to extend the
+    * pair graph (containment pairs, winnowing) before trusting eval
+    * numbers. `assignments` carries (idCol, splitCol ∈ {train, eval}).
+    *
+    * Scale shape: per-doc DISTINCT shingles explode once; ONE
+    * shingle-keyed presence agg (two max flags, map-side combined — hot
+    * boilerplate shingles collapse early); leaking docs via a semi-join
+    * of the same exploded frame against the shared-shingle set. At
+    * 100 TB shingles travel as xxhash64 digests (q85 note). Output: one
+    * row (n_train_docs, n_eval_docs, n_shared_ngrams,
+    * n_leaking_eval_docs). */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+                   assignments: DataFrame, splitCol: String,
+                   k: Int = 8): DataFrame = {
+    val sh = docs.select(col(idCol),
+        explode(array_distinct(
+          graft.expr.GraftFunctions.wordShingles(col(textCol), k))).as("__ng"))
+      .join(assignments.select(col(idCol), col(splitCol).as("__sp")), idCol)
+      .transform(Checkpoints.ckpt) // consumers: presence agg + leak semi-join
+    val shared = sh.groupBy(col("__ng"))
+      .agg(max(when(col("__sp") === "train", 1).otherwise(0)).as("__tr"),
+        max(when(col("__sp") === "eval", 1).otherwise(0)).as("__ev"))
+      .filter(col("__tr") === 1 && col("__ev") === 1)
+      .select(col("__ng"))
+      .transform(Checkpoints.ckpt) // consumers: count + semi-join
+    val nShared = shared.agg(count(lit(1)).as("n_shared_ngrams"))
+    val nLeaking = sh.filter(col("__sp") === "eval")
+      .join(shared, "__ng", "left_semi")
+      .select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_leaking_eval_docs"))
+    val nBySplit = assignments.agg(
+      sum(when(col(splitCol) === "train", 1L).otherwise(0L)).as("n_train_docs"),
+      sum(when(col(splitCol) === "eval", 1L).otherwise(0L)).as("n_eval_docs"))
+    nBySplit.crossJoin(nShared).crossJoin(nLeaking)
+  }
 }

@@ -100,6 +100,10 @@ object Graph {
     for (_ <- 1 to maxIter) {
       val rawAuth = edges.join(hub, edges("src") === hub("id"))
         .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("__in"))
+      // both half-steps checkpoint: auth is consumed twice (its own max
+      // broadcast + the hub step) — leaving it lazy recomputes the
+      // join/agg per consumer and measures SLOWER than the extra
+      // checkpoint action (3.7 s vs 2.8 s at sf0.1/local[8])
       auth = rescale(
         nodes.join(rawAuth, Seq("id"), "left")
           .select(col("id"), coalesce(col("__in"), lit(0L)).as("__s")),

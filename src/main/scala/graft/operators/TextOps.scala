@@ -453,6 +453,83 @@ object TextOps {
         .otherwise(round(num * num / (den * deny), 6)).as("r2"))
   }
 
+  /** Quality-threshold selection curve: for each candidate threshold
+    * tau, how many documents and tokens survive `quality >= tau`, and
+    * at what mean quality — the quality-vs-quantity tradeoff table a
+    * curator reads before fixing the filtering strength (the FineWeb-
+    * style ablation axis, computed in one pass instead of one job per
+    * tau). All cells exact integers except the two final divisions.
+    *
+    * Scale shape: one per-row quality + token count (codegen kernels),
+    * broadcast of the |thresholds|-row grid, ONE bounded agg keyed by
+    * tau. Output per tau: (threshold, n_docs, docs_kept, tokens_kept,
+    * token_share, mean_quality_kept). */
+  def selectionCurve(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     thresholds: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(thresholds.nonEmpty, "selectionCurve: thresholds non-empty")
+    val grid = df.sparkSession.range(1)
+      .select(explode(array(thresholds.map(t => lit(t)): _*)).as("threshold"))
+    df.select(qualityScore(col(textCol)).as("__q"),
+        tokenCount(col(textCol)).cast("long").as("__n"))
+      .crossJoin(broadcast(grid))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__q") >= col("threshold"), 1L).otherwise(0L))
+          .as("docs_kept"),
+        sum(col("__n")).as("__tot"),
+        sum(when(col("__q") >= col("threshold"), col("__n")).otherwise(0L))
+          .as("tokens_kept"),
+        sum(when(col("__q") >= col("threshold"), col("__q").cast("long"))
+          .otherwise(0L)).as("__qsum"))
+      .select(col("threshold"), col("n_docs"), col("docs_kept"),
+        col("tokens_kept"),
+        round(col("tokens_kept").cast("double") / col("__tot").cast("double"),
+          6).as("token_share"),
+        when(col("docs_kept") === 0, lit(0.0))
+          .otherwise(round(col("__qsum").cast("double") /
+            col("docs_kept").cast("double"), 6)).as("mean_quality_kept"))
+  }
+
+  /** Token-frequency drift between two corpus snapshots: add-one-
+    * smoothed log-ratio ln(p_B / p_A) per token, top-k by drift INTO
+    * the new snapshot — the tokenizer/extraction regression monitor (a
+    * new template, encoding bug or spam source surfaces as tokens whose
+    * rate jumped). Smoothing over the UNION vocabulary keeps every
+    * ratio finite; counts and totals are exact integers, so the single
+    * ln per surviving token is the only float (rounded to 6, the q99
+    * discipline — the oracle replays the identical expression).
+    *
+    * Scale shape: one tf agg per side (map-side combined), a full-outer
+    * token join, a 1-row broadcast of the totals, distributed top-k
+    * (TakeOrderedAndProject). `minCount` (on the NEW side) kills the
+    * hapax tail. Output: (rnk, token, c_a, c_b, logratio). */
+  def vocabDrift(dfA: org.apache.spark.sql.DataFrame,
+                 dfB: org.apache.spark.sql.DataFrame, textCol: String,
+                 minCount: Long = 5, topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    def tf(df: org.apache.spark.sql.DataFrame, out: String) =
+      df.select(explode(tokens(lower(col(textCol)))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(out))
+    val j = tf(dfA, "c_a").join(tf(dfB, "c_b"), Seq("token"), "full_outer")
+      .na.fill(0L, Seq("c_a", "c_b"))
+      .transform(Checkpoints.ckpt) // consumers: totals + scoring
+    val tot = j.agg(sum(col("c_a")).as("__na"), sum(col("c_b")).as("__nb"),
+      count(lit(1)).as("__v"))
+    val scored = j.crossJoin(broadcast(tot))
+      .filter(col("c_b") >= minCount)
+      .withColumn("logratio", round(log(
+        ((col("c_b").cast("double") + lit(1.0)) /
+          (col("__nb").cast("double") + col("__v").cast("double"))) /
+          ((col("c_a").cast("double") + lit(1.0)) /
+            (col("__na").cast("double") + col("__v").cast("double")))), 6))
+    val top = scored.orderBy(col("logratio").desc, col("token").asc)
+      .limit(topK)
+    top.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("logratio").desc, col("token").asc))) // topK rows
+      .select(col("rnk"), col("token"), col("c_a"), col("c_b"),
+        col("logratio"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
     * corpus into head/middle/tail thirds by language-model score —
     * the standard "keep the fluent third, inspect the middle, drop the

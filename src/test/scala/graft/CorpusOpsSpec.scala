@@ -156,6 +156,55 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.getAs[Double]("waste_pct") == 12.5)
   }
 
+  // -------------------------------------------------- selection curve
+
+  test("selectionCurve: tau = 0 keeps everything; kept counts are monotone in tau") {
+    val docs = Seq((1L, "the of and a to in is it that for good words here"),
+      (2L, "x"), (3L, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.selectionCurve(docs, "text",
+        Seq(0, 50, 100)).orderBy("threshold").collect()
+    assert(out(0).getAs[Long]("docs_kept") == 3L) // tau 0 keeps all
+    val kept = out.map(_.getAs[Long]("docs_kept"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a >= b })
+    val toks = out.map(_.getAs[Long]("tokens_kept"))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+  }
+
+  // ------------------------------------------------------ vocab drift
+
+  test("vocabDrift: a new-snapshot-only token tops the ranking; stable tokens sit near zero") {
+    val a = Seq((1L, "alpha beta gamma alpha beta")).toDF("doc_id", "text")
+    val b = Seq((2L, "alpha beta gamma alpha beta spam spam spam"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.vocabDrift(a, b, "text",
+        minCount = 1, topK = 10).collect()
+    assert(out(0).getAs[String]("token") == "spam")
+    assert(out(0).getAs[Long]("c_a") == 0L && out(0).getAs[Long]("c_b") == 3L)
+    val stable = out.find(_.getAs[String]("token") == "alpha").get
+    assert(math.abs(stable.getAs[Double]("logratio")) < 0.5)
+    assert(out(0).getAs[Double]("logratio") >
+      stable.getAs[Double]("logratio"))
+  }
+
+  // ---------------------------------------------------- split leakage
+
+  test("splitLeakage: a quoted 8-gram across the split is counted; disjoint docs are not") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 tail1 tail2"), // train
+      (2L, "quote w1 w2 w3 w4 w5 w6 w7 w8 end"),   // eval, quotes doc 1
+      (3L, "clean doc nothing shared here at all x"))  // eval, disjoint
+      .toDF("doc_id", "text")
+    val asg = Seq((1L, "train"), (2L, "eval"), (3L, "eval"))
+      .toDF("doc_id", "split")
+    val out = graft.operators.Decontaminate.splitLeakage(docs, "doc_id",
+      "text", asg, "split", k = 8).collect()(0)
+    assert(out.getAs[Long]("n_train_docs") == 1L)
+    assert(out.getAs[Long]("n_eval_docs") == 2L)
+    assert(out.getAs[Long]("n_shared_ngrams") == 1L) // exactly w1..w8
+    assert(out.getAs[Long]("n_leaking_eval_docs") == 1L) // doc 2 only
+  }
+
   // ------------------------------------------------------ SFT assembly
 
   test("sftAssemble: hand-computed spans, loss mask, and digest") {
