@@ -3836,6 +3836,113 @@ object Oracles {
          | FROM sp)
          |SELECT n_train_docs, n_eval_docs, n_shared_ngrams, n_leaking_eval_docs
          |FROM nb, ns, nl""".stripMargin,
+
+    // OOV coverage: q93's top-40 vocab, left-join flag per token,
+    // per-doc then bounded per-source aggregation
+    "q183_oov_coverage" ->
+      s"""WITH vocab AS (
+         | SELECT token FROM (
+         |  SELECT token, count(*) AS freq
+         |  FROM (SELECT unnest(${toksSql("lower(text)")}) AS token FROM documents)
+         |  GROUP BY token ORDER BY freq DESC, token ASC LIMIT 16)),
+         |tok AS (
+         | SELECT doc_id, source, unnest(${toksSql("lower(text)")}) AS token
+         | FROM documents),
+         |fl AS (
+         | SELECT doc_id, source,
+         |  CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END AS oov
+         | FROM tok LEFT JOIN vocab ON tok.token = vocab.token),
+         |pd AS (
+         | SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(oov) AS BIGINT) AS o
+         | FROM fl GROUP BY 1, 2),
+         |a AS (
+         | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS total_tokens,
+         |  CAST(sum(o) AS BIGINT) AS oov_tokens,
+         |  CAST(sum(CASE WHEN o = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_lossless_docs
+         | FROM pd GROUP BY 1)
+         |SELECT source, n_docs, total_tokens, oov_tokens,
+         | round(CAST(oov_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         |  AS oov_rate,
+         | n_lossless_docs
+         |FROM a ORDER BY source""".stripMargin,
+
+    // frequent-line scrub: planted footers via the SHARED literals,
+    // doc-frequency per distinct (doc, line), ordered reassembly;
+    // string_agg skips the NULL (dropped) lines like collect_list
+    "q184_line_scrub" -> {
+      val f0 = Queries.footerLines(0)
+      val f1 = Queries.footerLines(1)
+      s"""WITH d AS (
+         | SELECT doc_id,
+         |  CASE WHEN doc_id % 6 = 0
+         |        THEN text || chr(10) || '$f0' || chr(10) || '$f1'
+         |       WHEN doc_id % 15 = 0 THEN text || chr(10) || '$f0'
+         |       ELSE text END AS text
+         | FROM documents),
+         |l AS (
+         | SELECT doc_id, CAST(generate_subscripts(ls, 1) AS INT) AS pos,
+         |  unnest(ls) AS line
+         | FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d)),
+         |fq AS (
+         | SELECT line, CAST(count(*) AS BIGINT) AS dfq
+         | FROM (SELECT DISTINCT doc_id, line FROM l) GROUP BY 1),
+         |fl AS (SELECT doc_id, pos, l.line AS line, dfq
+         |       FROM l JOIN fq ON l.line = fq.line)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         | CAST(sum(CASE WHEN dfq > 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_dropped,
+         | coalesce(string_agg(CASE WHEN dfq <= 5 THEN line END, chr(10)
+         |   ORDER BY pos), '') AS text_clean
+         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // datasheet: one pass of exact cells + a language argmax replayed
+    // as first_value over (count desc, lang desc) — the struct-max order
+    "q185_datasheet" ->
+      s"""WITH c AS (
+         | SELECT doc_id, text, lang, source FROM documents
+         | UNION ALL
+         | SELECT doc_id + 1000000, text, lang, source FROM documents
+         | WHERE doc_id % 10 = 0),
+         |b AS (
+         | SELECT source, md5(text) AS dg,
+         |  CAST(${tokenCountSql("text")} AS BIGINT) AS n,
+         |  CAST(strlen(text) AS BIGINT) AS bb,
+         |  CAST(${qualitySql("text")} AS BIGINT) AS q
+         | FROM c),
+         |m AS (
+         | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS total_tokens,
+         |  CAST(sum(bb) AS BIGINT) AS total_bytes,
+         |  CAST(sum(q) AS BIGINT) AS qsum,
+         |  CAST(count(DISTINCT dg) AS BIGINT) AS ndist
+         | FROM b GROUP BY 1),
+         |lc AS (
+         | SELECT source, lang, CAST(count(*) AS BIGINT) AS lcnt
+         | FROM c GROUP BY 1, 2),
+         |la AS (
+         | SELECT source,
+         |  first_value(lang) OVER (PARTITION BY source
+         |    ORDER BY lcnt DESC, lang DESC) AS top_lang,
+         |  first_value(lcnt) OVER (PARTITION BY source
+         |    ORDER BY lcnt DESC, lang DESC) AS top_cnt,
+         |  sum(lcnt) OVER (PARTITION BY source) AS ltot
+         | FROM lc),
+         |ld AS (SELECT DISTINCT source, top_lang, top_cnt, ltot FROM la)
+         |SELECT m.source AS source, n_docs, total_tokens, total_bytes,
+         | round(CAST(total_bytes AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         |  AS bytes_per_token,
+         | round(CAST(qsum AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |  AS mean_quality,
+         | n_docs - ndist AS n_exact_dup_docs,
+         | top_lang,
+         | round(CAST(top_cnt AS DOUBLE) / CAST(ltot AS DOUBLE), 6)
+         |  AS top_lang_share
+         |FROM m JOIN ld ON m.source = ld.source
+         |ORDER BY m.source""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -1939,6 +1939,50 @@ object Queries {
       split.select(col("doc_id"), col("split")), "split", k = 8)
   }
 
+  /** Tokenizer OOV-coverage audit per source against a top-16 frozen
+    * vocabulary (the synthetic corpus's full vocab is ~31, so 16 makes
+    * real OOV mass): token loss a frozen word-level vocab would cause,
+    * the encode-side complement of q149's corpus-intrinsic health. */
+  def q183OovCoverage(s: SparkSession, dir: String): DataFrame =
+    TextOps.oovCoverage(t(s, dir, "documents"), "doc_id", "source", "text",
+        vocabSize = 16)
+      .orderBy("source")
+
+  /** The planted boilerplate footer lines for q184 — appended to enough
+    * docs that their document frequency crosses the threshold while
+    * every natural line stays unique. */
+  private[graft] val footerLines = Seq(
+    "subscribe to our newsletter now",
+    "all rights reserved footer line")
+
+  /** CCNet-style frequent-line scrub (df > 5): every 6th doc wears both
+    * planted footer lines, every 15th the first one — the footers'
+    * document frequency crosses the threshold and every copy is
+    * dropped, while each doc's own (unique) line survives. */
+  def q184LineScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 6 === 0,
+          concat(col("text"), lit("\n" + footerLines(0) + "\n" + footerLines(1))))
+        .when(col("doc_id") % 15 === 0,
+          concat(col("text"), lit("\n" + footerLines(0))))
+        .otherwise(col("text")).as("text"))
+    Dedup.dropFrequentLines(docs, "doc_id", "text", maxDf = 5)
+      .orderBy("doc_id")
+  }
+
+  /** Per-source corpus datasheet over the corpus plus planted exact
+    * copies (q116's first generation) so the duplication column is
+    * non-zero — the one-table dataset card. */
+  def q185Datasheet(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"),
+        col("lang"), col("source")))
+    TextOps.corpusDatasheet(corpus, "source", "text", "lang")
+      .orderBy("source")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2856,6 +2900,9 @@ object Queries {
     "q180_selection_curve" -> (q180SelectionCurve _),
     "q181_vocab_drift" -> (q181VocabDrift _),
     "q182_split_leakage" -> (q182SplitLeakage _),
+    "q183_oov_coverage" -> (q183OovCoverage _),
+    "q184_line_scrub" -> (q184LineScrub _),
+    "q185_datasheet" -> (q185Datasheet _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -1106,6 +1106,45 @@ object Dedup {
     * the edge set, the CC rounds, then three 1-row aggregates — the
     * summary never materializes a cross product. Output: one row per
     * rung (rung, docs_in, removed, survivors). */
+  /** CCNet-style frequent-line removal (Wenzek et al. 2020 §3.1): drop
+    * every line whose DOCUMENT frequency exceeds `maxDf` — boilerplate
+    * (navigation, footers, cookie banners) repeats across thousands of
+    * pages while real prose lines are near-unique, so a df threshold
+    * separates them with no model. The FREQUENCY-keyed complement of
+    * [[dropDuplicateSpans]] (which keeps first occurrences): here even
+    * the first copy of a boilerplate line is dropped, because df makes
+    * it boilerplate, not its position.
+    *
+    * Determinism: lines split on '\n' verbatim (no normalization — the
+    * caller composes [[TextOps.normalizeForDedup]] upstream if wanted);
+    * df counts DISTINCT documents per line; reassembly joins surviving
+    * lines in original position order.
+    *
+    * Scale shape: one line explode, the (line, doc) distinct + (line)
+    * count agg (map-side combined — hot boilerplate lines collapse
+    * early), one line-keyed join back, one (doc) reassembly agg. At
+    * 100 TB lines travel as md5 digests with text reattached only for
+    * reassembly (the q85/span convention). Output:
+    * (idCol, n_lines, n_dropped, text_clean). */
+  def dropFrequentLines(df: DataFrame, idCol: String, textCol: String,
+                        maxDf: Long): DataFrame = {
+    require(maxDf >= 1, "dropFrequentLines: maxDf >= 1")
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")))
+      .toDF(idCol, "__pos", "__line")
+      .transform(Checkpoints.ckpt) // consumers: df agg + keep join
+    val lineDf = lines.select(col(idCol), col("__line")).distinct()
+      .groupBy(col("__line")).agg(count(lit(1)).as("__df"))
+    val flagged = lines.join(lineDf, "__line")
+    flagged.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__df") > maxDf, 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws("\n", transform(sort_array(collect_list(
+          when(col("__df") <= maxDf,
+            struct(col("__pos").as("p"), col("__line").as("l"))))),
+          s => s.getField("l"))).as("text_clean"))
+  }
+
   def dedupLadder(df: DataFrame, idCol: String, textCol: String,
                   pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

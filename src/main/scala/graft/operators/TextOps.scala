@@ -530,6 +530,89 @@ object TextOps {
         col("logratio"))
   }
 
+  /** Tokenizer OOV-coverage audit: encode-side health of a FIXED
+    * vocabulary against each corpus slice — the complement of
+    * [[vocabHealth]] (corpus-intrinsic) and [[bpeFertility]]
+    * (subword-level): what fraction of tokens would map to the OOV id,
+    * and how many documents survive encoding without loss. Read before
+    * freezing a word-level vocab or sizing a subword one; a source
+    * whose OOV rate is an outlier gets a dedicated vocab pass or a BPE
+    * fallback.
+    *
+    * Scale shape: one vocab build ([[buildVocab]] — tf agg + top-k),
+    * vocab broadcast into the token stream, one (doc) agg then one
+    * bounded (group) agg — both map-side combined. Docs with zero
+    * tokens have no token rows and are not counted. Output per group:
+    * (groupCol, n_docs, total_tokens, oov_tokens, oov_rate,
+    * n_lossless_docs). */
+  def oovCoverage(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  groupCol: String, textCol: String,
+                  vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    val vocab = buildVocab(df, textCol, vocabSize)
+      .select(col("token"), lit(1).as("__in"))
+    val tok = df.select(col(idCol), col(groupCol),
+      explode(tokens(lower(col(textCol)))).as("token"))
+    val perDoc = tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol), col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("__oov"))
+    perDoc.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("total_tokens"),
+        sum(col("__oov")).as("oov_tokens"),
+        sum(when(col("__oov") === 0, 1L).otherwise(0L)).as("n_lossless_docs"))
+      .withColumn("oov_rate", round(
+        col("oov_tokens").cast("double") / col("total_tokens").cast("double"),
+        6))
+      .select(col(groupCol), col("n_docs"), col("total_tokens"),
+        col("oov_tokens"), col("oov_rate"), col("n_lossless_docs"))
+  }
+
+  /** Per-source corpus datasheet — the one-table dataset card a corpus
+    * release ships (Gebru et al. 2021 "Datasheets for Datasets",
+    * collapsed to the per-source quantitative row): volume, token/byte
+    * shape, quality, exact-duplication mass, and language concentration
+    * in one pass plus one bounded language argmax. Every cell is an
+    * exact integer or a rounded ratio of exact integers.
+    *
+    * Scale shape: one corpus pass feeds a (source) agg (md5 digests for
+    * the distinct-text count — the only non-trivial state); the
+    * language argmax is a bounded (source, lang) count + struct-max.
+    * Output: (sourceCol, n_docs, total_tokens, total_bytes,
+    * bytes_per_token, mean_quality, n_exact_dup_docs, top_lang,
+    * top_lang_share). */
+  def corpusDatasheet(df: org.apache.spark.sql.DataFrame, sourceCol: String,
+                      textCol: String, langCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(sourceCol),
+      md5(col(textCol)).as("__dg"),
+      tokenCount(col(textCol)).cast("long").as("__n"),
+      octet_length(col(textCol)).cast("long").as("__b"),
+      qualityScore(col(textCol)).cast("long").as("__q"))
+    val main = base.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("total_tokens"),
+        sum(col("__b")).as("total_bytes"),
+        sum(col("__q")).as("__qsum"),
+        countDistinct(col("__dg")).as("__ndist"))
+    val langTop = df.groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("__lc"))
+      .groupBy(col(sourceCol))
+      .agg(max(struct(col("__lc"), col(langCol).as("__lg"))).as("__m"),
+        sum(col("__lc")).as("__lt"))
+      .select(col(sourceCol), col("__m.__lg").as("top_lang"),
+        round(col("__m.__lc").cast("double") / col("__lt").cast("double"), 6)
+          .as("top_lang_share"))
+    main.join(langTop, sourceCol)
+      .select(col(sourceCol), col("n_docs"), col("total_tokens"),
+        col("total_bytes"),
+        round(col("total_bytes").cast("double") /
+          col("total_tokens").cast("double"), 6).as("bytes_per_token"),
+        round(col("__qsum").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_quality"),
+        (col("n_docs") - col("__ndist")).as("n_exact_dup_docs"),
+        col("top_lang"), col("top_lang_share"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
     * corpus into head/middle/tail thirds by language-model score —
     * the standard "keep the fluent third, inspect the middle, drop the

@@ -205,6 +205,72 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.getAs[Long]("n_leaking_eval_docs") == 1L) // doc 2 only
   }
 
+  // ------------------------------------------------------ OOV coverage
+
+  test("oovCoverage: out-of-vocab mass counted exactly; full-vocab docs lossless") {
+    // vocab size 2 -> top tokens by freq are "aa" (5) and "bb" (4)
+    val docs = Seq(
+      (1L, "g1", "aa bb aa bb"),      // lossless
+      (2L, "g1", "aa bb cc"),         // 1 OOV
+      (3L, "g2", "aa aa bb cc dd"))   // 2 OOV
+      .toDF("doc_id", "grp", "text")
+    val out = graft.operators.TextOps.oovCoverage(docs, "doc_id", "grp",
+        "text", vocabSize = 2).orderBy("grp").collect()
+    assert(out(0).getAs[Long]("total_tokens") == 7L)
+    assert(out(0).getAs[Long]("oov_tokens") == 1L)
+    assert(out(0).getAs[Long]("n_lossless_docs") == 1L)
+    assert(out(1).getAs[Long]("oov_tokens") == 2L)
+    assert(out(1).getAs[Long]("n_lossless_docs") == 0L)
+  }
+
+  // -------------------------------------------------- frequent lines
+
+  test("dropFrequentLines: boilerplate df > maxDf dropped everywhere, unique lines kept in order") {
+    val footer = "all rights reserved"
+    val docs = Seq(
+      (1L, s"alpha one\n$footer\nbeta one"),
+      (2L, s"alpha two\n$footer"),
+      (3L, s"$footer\ngamma three"),
+      (4L, "delta four"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dropFrequentLines(docs, "doc_id",
+        "text", maxDf = 2).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_lines") == 3L &&
+      out(0).getAs[Long]("n_dropped") == 1L &&
+      out(0).getAs[String]("text_clean") == "alpha one\nbeta one")
+    assert(out(1).getAs[String]("text_clean") == "alpha two")
+    assert(out(2).getAs[String]("text_clean") == "gamma three")
+    assert(out(3).getAs[Long]("n_dropped") == 0L &&
+      out(3).getAs[String]("text_clean") == "delta four")
+  }
+
+  test("dropFrequentLines: repeats WITHIN one doc count as df 1") {
+    val docs = Seq((1L, "same\nsame\nsame"), (2L, "other")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dropFrequentLines(docs, "doc_id",
+        "text", maxDf = 1).orderBy("doc_id").collect()
+    // "same" appears in ONE document -> df 1 <= maxDf -> all copies kept
+    assert(out(0).getAs[Long]("n_dropped") == 0L &&
+      out(0).getAs[String]("text_clean") == "same\nsame\nsame")
+  }
+
+  // -------------------------------------------------------- datasheet
+
+  test("corpusDatasheet: exact duplication mass and language argmax") {
+    val docs = Seq(
+      (1L, "alpha text here", "en", "s1"),
+      (2L, "alpha text here", "en", "s1"), // exact dup
+      (3L, "beta text here", "de", "s1"),
+      (4L, "gamma text here", "fr", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.operators.TextOps.corpusDatasheet(docs, "source",
+        "text", "lang").orderBy("source").collect()
+    assert(out(0).getAs[Long]("n_exact_dup_docs") == 1L)
+    assert(out(0).getAs[String]("top_lang") == "en")
+    assert(math.abs(out(0).getAs[Double]("top_lang_share") - 2.0 / 3) < 1e-6)
+    assert(out(1).getAs[Long]("n_exact_dup_docs") == 0L &&
+      out(1).getAs[String]("top_lang") == "fr")
+  }
+
   // ------------------------------------------------------ SFT assembly
 
   test("sftAssemble: hand-computed spans, loss mask, and digest") {
