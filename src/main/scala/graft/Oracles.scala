@@ -3943,6 +3943,115 @@ object Oracles {
          |  AS top_lang_share
          |FROM m JOIN ld ON m.source = ld.source
          |ORDER BY m.source""".stripMargin,
+
+    // IVF recall curve: seeded centroids are corpus ROWS (first 16 by
+    // id), so the whole approximate search replays — corpus/query
+    // centroid assignment (cosine argmax, tie min id), probe ranks,
+    // per-nprobe probed-list top-5, brute-force hit counts
+    "q186_recall_curve" ->
+      s"""WITH q AS (
+         | SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         | WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |cents AS (
+         | SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+         | WHERE embedding IS NOT NULL AND len(embedding) > 0
+         | ORDER BY vec_id LIMIT 16),
+         |cc AS (
+         | SELECT neighbor_id, cent_id,
+         |  CASE WHEN np = 0 THEN 0.0 ELSE dp / np END AS csim
+         | FROM (
+         |  SELECT neighbor_id, cent_id, ${dotSql("cv", "ce")} AS dp,
+         |   ${normSql("cv")} * ${normSql("ce")} AS np
+         |  FROM c, cents)),
+         |casg AS (
+         | SELECT neighbor_id, cent_id FROM (
+         |  SELECT neighbor_id, cent_id, row_number() OVER (
+         |    PARTITION BY neighbor_id ORDER BY csim DESC, cent_id ASC) AS rn
+         |  FROM cc) WHERE rn = 1),
+         |qc AS (
+         | SELECT query_id, cent_id, row_number() OVER (
+         |   PARTITION BY query_id ORDER BY csim DESC, cent_id ASC) AS qrn
+         | FROM (
+         |  SELECT query_id, cent_id,
+         |   CASE WHEN np = 0 THEN 0.0 ELSE dp / np END AS csim
+         |  FROM (
+         |   SELECT query_id, cent_id, ${dotSql("qv", "ce")} AS dp,
+         |    ${normSql("qv")} * ${normSql("ce")} AS np
+         |   FROM q, cents))),
+         |vis AS (
+         | SELECT s.query_id, s.neighbor_id, qc.qrn AS need,
+         |  CASE WHEN norm_p = 0 THEN 0.0 ELSE dot_p / norm_p END AS sim
+         | FROM (
+         |  SELECT q.query_id, c.neighbor_id,
+         |   ${dotSql("qv", "cv")} AS dot_p,
+         |   ${normSql("qv")} * ${normSql("cv")} AS norm_p
+         |  FROM q, c WHERE c.neighbor_id <> q.query_id) s
+         | JOIN casg ON casg.neighbor_id = s.neighbor_id
+         | JOIN qc ON qc.query_id = s.query_id AND qc.cent_id = casg.cent_id),
+         |pr AS (SELECT unnest([1, 2, 4, 16]) AS nprobe),
+         |rk AS (
+         | SELECT nprobe, query_id, neighbor_id, row_number() OVER (
+         |   PARTITION BY nprobe, query_id ORDER BY sim DESC, neighbor_id ASC)
+         |  AS rnk
+         | FROM vis, pr WHERE need <= nprobe),
+         |topv AS (SELECT nprobe, query_id, neighbor_id FROM rk WHERE rnk <= 5),
+         |bsc AS (
+         | SELECT query_id, neighbor_id,
+         |  CASE WHEN norm_p = 0 THEN 0.0 ELSE dot_p / norm_p END AS sim
+         | FROM (
+         |  SELECT query_id, neighbor_id, ${dotSql("qv", "cv")} AS dot_p,
+         |   ${normSql("qv")} * ${normSql("cv")} AS norm_p
+         |  FROM q, c WHERE neighbor_id <> query_id)),
+         |brute AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+         |  FROM bsc) WHERE rnk <= 5),
+         |hits AS (
+         | SELECT nprobe, query_id, CAST(count(*) AS BIGINT) AS n_hits
+         | FROM topv JOIN brute USING (query_id, neighbor_id) GROUP BY 1, 2),
+         |grid AS (SELECT nprobe, query_id FROM pr, q)
+         |SELECT grid.nprobe AS nprobe, grid.query_id AS query_id,
+         | CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         | round(CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0, 6) AS recall
+         |FROM grid LEFT JOIN hits
+         | ON grid.nprobe = hits.nprobe AND grid.query_id = hits.query_id
+         |ORDER BY grid.nprobe, grid.query_id""".stripMargin,
+
+    // persisted line-df table: the oracle recomputes the corpus-side
+    // df counts and the batch scrub from text — a green hash proves
+    // batch-vs-table == batch-vs-corpus on the line rung
+    "q187_line_table" -> {
+      val f0 = Queries.footerLines(0)
+      val f1 = Queries.footerLines(1)
+      s"""WITH ex AS (
+         | SELECT doc_id, text || chr(10) || '$f0' || chr(10) || '$f1' AS text
+         | FROM documents WHERE doc_id % 6 = 0),
+         |exl AS (
+         | SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS line
+         | FROM ex),
+         |tdf AS (SELECT line, CAST(count(*) AS BIGINT) AS line_df
+         |        FROM exl GROUP BY 1),
+         |inc AS (
+         | SELECT doc_id,
+         |  CASE WHEN doc_id % 12 = 3 THEN text || chr(10) || '$f0'
+         |       ELSE text END AS text
+         | FROM documents WHERE doc_id % 6 = 3),
+         |l AS (
+         | SELECT doc_id, CAST(generate_subscripts(ls, 1) AS INT) AS pos,
+         |  unnest(ls) AS line
+         | FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM inc)),
+         |fl AS (
+         | SELECT doc_id, pos, l.line AS line, coalesce(line_df, 0) AS dfq
+         | FROM l LEFT JOIN tdf ON l.line = tdf.line)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         | CAST(sum(CASE WHEN dfq > 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_dropped,
+         | coalesce(string_agg(CASE WHEN dfq <= 5 THEN line END, chr(10)
+         |   ORDER BY pos), '') AS text_clean
+         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -1983,6 +1983,70 @@ object Queries {
       .orderBy("source")
   }
 
+  /** IVF nprobe-recall curve against exact brute force — the ANN tuning
+    * table (how much recall does each probe budget buy?) over the
+    * seeded session index. Seeded centroids are corpus rows selected by
+    * id, so the ENTIRE approximate search replays in SQL: the oracle
+    * recomputes centroid assignment, per-query probe ranks, the
+    * probed-list top-5 for every nprobe, and the brute-force hit
+    * counts — hash-verifying the partial-probe path q36/q55 leave
+    * rows-only. Recall must be 1 at nprobe = nlist (q59's guarantee,
+    * now visible as the curve's endpoint). */
+  def q186RecallCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val idx = ivfSeeded(s, dir)
+    val brute = Knn.bruteForceTopK(emb, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val per = Seq(1, 2, 4, 16).map { p =>
+      Knn.ivfSearch(idx, queries, k = 5, nprobe = p)
+        .select(lit(p).as("nprobe"), col("query_id"), col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+    val hits = per.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    val grid = Seq(1, 2, 4, 16).toDF("nprobe")
+      .crossJoin(queries.select(col("vec_id").as("query_id")))
+    grid.join(hits, Seq("nprobe", "query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("recall", round(col("n_hits").cast("double") / lit(5.0), 6))
+      .orderBy("nprobe", "query_id")
+  }
+
+  /** Incremental line scrub against the PERSISTED line-df table
+    * (Dedup.writeLineDfTable): the corpus side — every 6th doc wearing
+    * both planted footers — is df-counted once per (session, sf) and
+    * read back as parquet; the incoming batch (every 6th-offset-3 doc,
+    * half wearing footer 0) scrubs in O(batch). The oracle recomputes
+    * both sides from text, so a green hash proves batch-vs-TABLE ==
+    * batch-vs-corpus — q111's maintained-index shape on the CCNet line
+    * rung. */
+  private val lineTableBuilt = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Boolean]()
+
+  def q187LineTable(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") % 6 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit("\n" + footerLines(0) + "\n" + footerLines(1)))
+          .as("text"))
+    val incoming = docs.filter(col("doc_id") % 6 === 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 12 === 3,
+            concat(col("text"), lit("\n" + footerLines(0))))
+          .otherwise(col("text")).as("text"))
+    val path = rtPath(dir, "linedf")
+    lineTableBuilt.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    lineTableBuilt.computeIfAbsent((s, dir), _ => {
+      Dedup.writeLineDfTable(existing, path, "doc_id", "text")
+      java.lang.Boolean.TRUE
+    })
+    Dedup.dropFrequentLinesAgainstTable(incoming, path, "doc_id", "text",
+        maxDf = 5)
+      .orderBy("doc_id")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2903,6 +2967,8 @@ object Queries {
     "q183_oov_coverage" -> (q183OovCoverage _),
     "q184_line_scrub" -> (q184LineScrub _),
     "q185_datasheet" -> (q185Datasheet _),
+    "q186_recall_curve" -> (q186RecallCurve _),
+    "q187_line_table" -> (q187LineTable _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

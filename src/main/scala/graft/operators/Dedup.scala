@@ -1145,6 +1145,45 @@ object Dedup {
           s => s.getField("l"))).as("text_clean"))
   }
 
+  /** Persist the line document-frequency table behind
+    * [[dropFrequentLines]] — the maintained-index shape (q111 bucket
+    * table / q166 winnow table convention) for the CCNet line scrub:
+    * the big-corpus df counts are computed ONCE and incoming batches
+    * scrub against the parquet, never rescanning the corpus. Schema:
+    * (line, line_df). */
+  def writeLineDfTable(df: DataFrame, path: String, idCol: String,
+                       textCol: String): Unit =
+    df.select(col(idCol), explode(split(col(textCol), "\n")).as("__line"))
+      .distinct()
+      .groupBy(col("__line").as("line")).agg(count(lit(1)).as("line_df"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Scrub an incoming batch against the persisted line-df table: a
+    * line is boilerplate iff the TABLE's df exceeds `maxDf` (absent
+    * lines have df 0 — new prose is never dropped by a stale table,
+    * the conservative direction). O(batch) work: the batch's lines
+    * join the table; the corpus behind the table is not touched
+    * (spec-asserted). Same output contract as [[dropFrequentLines]]. */
+  def dropFrequentLinesAgainstTable(incoming: DataFrame, path: String,
+                                    idCol: String, textCol: String,
+                                    maxDf: Long): DataFrame = {
+    require(maxDf >= 1, "dropFrequentLinesAgainstTable: maxDf >= 1")
+    val table = incoming.sparkSession.read.parquet(path)
+      .select(col("line").as("__line"), col("line_df").as("__df"))
+    val lines = incoming.select(col(idCol),
+        posexplode(split(col(textCol), "\n")))
+      .toDF(idCol, "__pos", "__line")
+    lines.join(table, Seq("__line"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(0L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__df") > maxDf, 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws("\n", transform(sort_array(collect_list(
+          when(col("__df") <= maxDf,
+            struct(col("__pos").as("p"), col("__line").as("l"))))),
+          s => s.getField("l"))).as("text_clean"))
+  }
+
   def dedupLadder(df: DataFrame, idCol: String, textCol: String,
                   pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

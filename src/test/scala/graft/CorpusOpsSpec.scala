@@ -271,6 +271,29 @@ class CorpusOpsSpec extends SparkSpec {
       out(1).getAs[String]("top_lang") == "fr")
   }
 
+  // ------------------------------------------------------ recall curve
+
+  test("ivf recall: full probe hits brute force exactly; recall never decreases with nprobe") {
+    // 24 deterministic 4-d vectors, queries = first 3
+    val vecs = (0 until 24).map { i =>
+      (i.toLong, Array(((i * 37) % 97).toFloat, ((i * 53) % 89).toFloat,
+        ((i * 71) % 83).toFloat, ((i * 13) % 79).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val idx = graft.operators.Knn.ivfIndex(vecs, nlist = 6)
+    val brute = graft.operators.Knn.bruteForceTopK(vecs, queries, k = 4)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = Seq(1, 3, 6).map { p =>
+      val got = graft.operators.Knn.ivfSearch(idx, queries, k = 4, nprobe = p)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & brute).size
+    }
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+    assert(recalls.last == brute.size) // full probe == brute force
+  }
+
   // ------------------------------------------------------ SFT assembly
 
   test("sftAssemble: hand-computed spans, loss mask, and digest") {

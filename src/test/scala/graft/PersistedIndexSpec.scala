@@ -81,6 +81,30 @@ class PersistedIndexSpec extends SparkSpec {
       "incremental pass must not scan the source corpus")
   }
 
+  test("line-df table scrub == batch scrub semantics, corpus scanned ZERO times") {
+    val dir = tmp("graft-linedf")
+    val corpusPath = s"$dir/corpus"
+    val footer = "all rights reserved"
+    Seq((1L, s"alpha one\n$footer"), (2L, s"beta two\n$footer"),
+      (3L, s"gamma three\n$footer"))
+      .toDF("doc_id", "text").write.parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    Dedup.writeLineDfTable(corpus, s"$dir/idx", "doc_id", "text")
+    val incoming = Seq((11L, s"fresh prose line\n$footer"),
+      (12L, "only fresh lines here")).toDF("doc_id", "text")
+    val out = Dedup.dropFrequentLinesAgainstTable(incoming, s"$dir/idx",
+      "doc_id", "text", maxDf = 2).orderBy("doc_id").collect()
+    // footer has table df 3 > 2 -> dropped from doc 11; fresh lines (df 0) kept
+    assert(out(0).getAs[Long]("n_dropped") == 1L &&
+      out(0).getAs[String]("text_clean") == "fresh prose line")
+    assert(out(1).getAs[Long]("n_dropped") == 0L &&
+      out(1).getAs[String]("text_clean") == "only fresh lines here")
+    val plan = Dedup.dropFrequentLinesAgainstTable(incoming, s"$dir/idx",
+      "doc_id", "text", maxDf = 2).queryExecution.executedPlan.toString
+    assert(plan.contains(s"$dir/idx") && !plan.contains(corpusPath),
+      "incremental line scrub must read the table, never the corpus")
+  }
+
   test("dropAgainstBucketTable keeps exactly the non-duplicates") {
     val dir = tmp("graft-lsh-drop")
     Dedup.writeBucketTable(existingDocs.toDF("doc_id", "text"), s"$dir/idx",
