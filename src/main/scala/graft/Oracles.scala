@@ -4052,6 +4052,79 @@ object Oracles {
          |   ORDER BY pos), '') AS text_clean
          |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // leakage-safe k-fold: the q105 chain with fold = ph(rep) % 5
+    "q188_fold_split" ->
+      s"""WITH RECURSIVE $q61Chain,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |rep AS (
+         | SELECT doc_id, coalesce(cluster_id, doc_id) AS rep
+         | FROM corpus LEFT JOIN labels ON doc_id = labels.id)
+         |SELECT doc_id, rep,
+         | CAST(${ph("CAST(rep AS VARCHAR)", 41)} % 5 AS INT) AS fold
+         |FROM rep ORDER BY doc_id""".stripMargin,
+
+    // contamination sweep: q85's chains at k in {4, 8, 13}, one summary
+    // row per k
+    "q189_contamination_sweep" -> {
+      def shgK(tokCte: String, pfx: String, k: Int) =
+        s"""${pfx}shg$k AS (
+           | SELECT doc_id, CASE WHEN len(tk) < $k THEN [array_to_string(tk, ' ')]
+           |   ELSE list_transform(range(1, len(tk) - ${k - 2}),
+           |          i -> array_to_string(list_slice(tk, i, i + ${k - 1}), ' ')) END AS sh
+           | FROM $tokCte)""".stripMargin
+      val ks = Seq(4, 8, 13)
+      val chains = ks.map { k =>
+        s"""${shgK("btok", "b", k)},
+           |${shgK("ttok", "t", k)},
+           |bset$k AS (SELECT DISTINCT unnest(sh) AS sh FROM bshg$k),
+           |texp$k AS (SELECT doc_id, unnest(list_distinct(sh)) AS sh FROM tshg$k),
+           |agg$k AS (
+           | SELECT CAST(count(*) AS BIGINT) AS n_contaminated_docs,
+           |  CAST(sum(n) AS BIGINT) AS total_hits
+           | FROM (SELECT doc_id, count(*) AS n FROM texp$k
+           |       JOIN bset$k USING (sh) GROUP BY doc_id))""".stripMargin
+      }.mkString(",\n")
+      val sel = ks.map(k =>
+        s"SELECT $k AS k, n_contaminated_docs, total_hits FROM agg$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH bench AS (
+         | SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+         |train AS (
+         | SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+         | UNION ALL
+         | ${plantedSql("documents", "true", 50, 500000L)}),
+         |btok AS (SELECT doc_id, ${toksSql("text")} AS tk FROM bench),
+         |ttok AS (SELECT doc_id, ${toksSql("text")} AS tk FROM train),
+         |$chains
+         |$sel
+         |ORDER BY k""".stripMargin
+    },
+
+    // LSH S-curve planner: the closed-form candidate probability on the
+    // same double grid — round(.,6) masks any last-ulp pow divergence
+    "q190_lsh_planner" ->
+      """WITH cfg AS (
+        | SELECT * FROM (VALUES (32, 8), (32, 4), (16, 4))
+        |  AS t(num_hashes, bands)),
+        |c2 AS (
+        | SELECT num_hashes, bands,
+        |  CAST(num_hashes // bands AS BIGINT) AS rows_per_band
+        | FROM cfg),
+        |g AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+        |      AS sim)
+        |SELECT num_hashes, bands, rows_per_band, sim,
+        | round(1.0 - power(1.0 - power(sim, CAST(rows_per_band AS DOUBLE)),
+        |   CAST(bands AS DOUBLE)), 6) AS p_candidate
+        |FROM c2, g ORDER BY num_hashes, bands, sim""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -2047,6 +2047,42 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe 5-fold assignment over the shared portable pair
+    * chain (Split.groupAwareFolds): families move atomically between
+    * folds — q105's guarantee extended to cross-validation. 9th
+    * consumer of the cached pair set. */
+  def q188FoldSplit(s: SparkSession, dir: String): DataFrame =
+    Split.groupAwareFolds(portableCorpus(s, dir), "doc_id",
+        portablePairs(s, dir), k = 5, seed = 41)
+      .orderBy("doc_id")
+
+  /** Benchmark-contamination sweep across shingle sizes k in {4, 8, 13}
+    * (GPT-3 used 8-grams, PaLM 13-grams): contaminated-doc and hit
+    * totals per k — the sensitivity table behind the decontamination
+    * rule choice (small k over-flags common phrases; large k misses
+    * reworded leaks). Same train/bench split as q85. */
+  def q189ContaminationSweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+      .unionByName(plantedTailDocs(docs, 50, 500000L))
+    Seq(4, 8, 13).map { k =>
+      Decontaminate.overlaps(train, bench, "doc_id", "text", k)
+        .agg(count(lit(1)).as("n_contaminated_docs"),
+          sum(col("n_hits")).as("total_hits"))
+        .select(lit(k).as("k"), col("n_contaminated_docs"),
+          col("total_hits"))
+    }.reduce(_.unionByName(_)).orderBy("k")
+  }
+
+  /** Analytic LSH S-curves for three hash families — the tuning table
+    * behind every MinHash threshold choice in the engine (q22/q61's
+    * 16x4 family included). Pure bounded math, oracle-replayed. */
+  def q190LshPlanner(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshPlanner(s, Seq((32, 8), (32, 4), (16, 4)),
+        (1 to 9).map(_ / 10.0))
+      .orderBy("num_hashes", "bands", "sim")
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -2969,6 +3005,9 @@ object Queries {
     "q185_datasheet" -> (q185Datasheet _),
     "q186_recall_curve" -> (q186RecallCurve _),
     "q187_line_table" -> (q187LineTable _),
+    "q188_fold_split" -> (q188FoldSplit _),
+    "q189_contamination_sweep" -> (q189ContaminationSweep _),
+    "q190_lsh_planner" -> (q190LshPlanner _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -1145,6 +1145,31 @@ object Dedup {
           s => s.getField("l"))).as("text_clean"))
   }
 
+  /** Analytic MinHash-LSH S-curve planner (Leskovec/Rajaraman/Ullman
+    * ch. 3): for each (numHashes, bands) configuration and each true
+    * Jaccard similarity s on the grid, the probability a pair becomes
+    * an LSH candidate — P = 1 - (1 - s^r)^b with r = numHashes/bands
+    * rows per band. The knob-tuning table read before choosing a
+    * family: where the S-curve's inflection sits IS the effective
+    * dedup threshold, and the false-negative mass below the target
+    * threshold is the recall bill. Pure math over a bounded grid — no
+    * corpus touched; the engine work is the broadcast grid cross. */
+  def lshPlanner(spark: org.apache.spark.sql.SparkSession,
+                 configs: Seq[(Int, Int)],
+                 simGrid: Seq[Double]): DataFrame = {
+    import spark.implicits._
+    require(configs.forall { case (h, b) => b >= 1 && h % b == 0 },
+      "lshPlanner: bands must divide numHashes")
+    val cfg = configs.toDF("num_hashes", "bands")
+      .withColumn("rows_per_band", expr("num_hashes DIV bands"))
+    val grid = simGrid.toDF("sim")
+    cfg.crossJoin(grid)
+      .withColumn("p_candidate", round(
+        lit(1.0) - pow(lit(1.0) - pow(col("sim"),
+          col("rows_per_band").cast("double")), col("bands").cast("double")),
+        6))
+  }
+
   /** Persist the line document-frequency table behind
     * [[dropFrequentLines]] — the maintained-index shape (q111 bucket
     * table / q166 winnow table convention) for the CCNet line scrub:

@@ -196,6 +196,25 @@ object Split {
           .otherwise("eval").as("split"))
   }
 
+  /** Leakage-safe k-fold assignment: [[groupAwareSplit]]'s family
+    * atomicity applied to cross-validation — every member of a near-dup
+    * family takes the SAME fold (fold = portable hash of the family
+    * representative mod k), so no fold's eval half ever contains a
+    * near-copy of another fold's train half. Fold sizes are hash-
+    * uniform, not exact; exact stratification would break atomicity.
+    * Output: (idCol, rep, fold). */
+  def groupAwareFolds(df: DataFrame, idCol: String, pairs: DataFrame,
+                      k: Int, seed: Int = 99, maxIter: Int = 10): DataFrame = {
+    require(k >= 2, "groupAwareFolds: k >= 2")
+    val labels = Dedup.connectedComponents(pairs, maxIter)
+      .select(col("id").as("__cid"), col("cluster_id"))
+    df.join(labels, col(idCol) === col("__cid"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col(idCol)))
+      .select(col(idCol), col("rep"),
+        pmod(Dedup.portableHash64(col("rep").cast("string"), seed),
+          lit(k.toLong)).cast("int").as("fold"))
+  }
+
   /** Near-dup-family-capped sampling: keep at most `cap` documents per
     * duplicate family (singletons are their own family) — the data-mixing
     * middle ground between keep-all (duplication bias: a 10k-copy

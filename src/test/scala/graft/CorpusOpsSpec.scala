@@ -294,6 +294,49 @@ class CorpusOpsSpec extends SparkSpec {
     assert(recalls.last == brute.size) // full probe == brute force
   }
 
+  // ---------------------------------------------------------- k-folds
+
+  test("groupAwareFolds: near-dup families stay atomic; folds cover [0, k)") {
+    val docs = (1L to 40L).map(i => Tuple1(i)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Split.groupAwareFolds(docs, "doc_id", pairs, k = 4, seed = 7)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out(1L) == out(2L) && out(2L) == out(3L)) // family atomic
+    assert(out(10L) == out(11L))
+    assert(out.values.forall(f => f >= 0 && f < 4))
+    assert(out.values.toSet.size > 1) // not all in one fold
+  }
+
+  // ------------------------------------------- contamination k-sweep
+
+  test("contamination k-sensitivity: an 8-token quote flags at k <= 8, not at k = 13") {
+    val bench = Seq((100L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 b13 b14"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x1 x2 b1 b2 b3 b4 b5 b6 b7 b8 y1 y2"), // 8 shared tokens
+      (2L, "clean doc with nothing shared at all"))
+      .toDF("doc_id", "text")
+    def flagged(k: Int): Set[Long] =
+      graft.operators.Decontaminate.overlaps(train, bench, "doc_id", "text", k)
+        .collect().map(_.getLong(0)).toSet
+    assert(flagged(4) == Set(1L))
+    assert(flagged(8) == Set(1L))
+    assert(flagged(13) == Set.empty[Long])
+  }
+
+  // ------------------------------------------------------ LSH planner
+
+  test("lshPlanner: hand value at (16, 4, s=0.5); monotone in sim") {
+    val out = graft.operators.Dedup.lshPlanner(spark,
+        Seq((16, 4)), Seq(0.3, 0.5, 0.7))
+      .orderBy("sim").collect()
+    val exp = BigDecimal(1.0 - math.pow(1.0 - math.pow(0.5, 4.0), 4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1).getAs[Double]("p_candidate") == exp)
+    val ps = out.map(_.getAs[Double]("p_candidate"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a < b })
+  }
+
   // ------------------------------------------------------ SFT assembly
 
   test("sftAssemble: hand-computed spans, loss mask, and digest") {
