@@ -4125,6 +4125,96 @@ object Oracles {
         | round(1.0 - power(1.0 - power(sim, CAST(rows_per_band AS DOUBLE)),
         |   CAST(bands AS DOUBLE)), 6) AS p_candidate
         |FROM c2, g ORDER BY num_hashes, bands, sim""".stripMargin,
+
+    // token ledger: the q176 corpus + rungs with token sums and the
+    // quality gate first — stage rows stacked from 1-row counts
+    "q191_token_ledger" ->
+      s"""WITH RECURSIVE $q61Chain,
+         |lc AS (
+         | SELECT doc_id, text FROM corpus
+         | UNION ALL
+         | SELECT doc_id + 50000000, text FROM corpus WHERE doc_id % 12 = 0
+         | UNION ALL
+         | SELECT doc_id + 60000000, '  ' || upper(text) || ' ??'
+         | FROM corpus WHERE doc_id % 14 = 0),
+         |lt AS (
+         | SELECT doc_id, text, CAST(${tokenCountSql("text")} AS BIGINT) AS n
+         | FROM lc),
+         |r1 AS (SELECT * FROM lt WHERE ${qualitySql("text")} >= 50),
+         |r2 AS (
+         | SELECT doc_id, text, n FROM (
+         |  SELECT doc_id, text, n,
+         |   min(doc_id) OVER (PARTITION BY md5(text)) AS m
+         |  FROM r1) WHERE doc_id = m),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | WHERE id_a IN (SELECT doc_id FROM r2)
+         |  AND id_b IN (SELECT doc_id FROM r2)
+         | UNION
+         | SELECT id_b, id_a FROM pairs
+         | WHERE id_a IN (SELECT doc_id FROM r2)
+         |  AND id_b IN (SELECT doc_id FROM r2)),
+         |reach(id, lbl) AS (
+         | SELECT src, src FROM edges
+         | UNION
+         | SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |r3 AS (
+         | SELECT r2.doc_id, n FROM r2 LEFT JOIN labels ON doc_id = labels.id
+         | WHERE coalesce(cluster_id, doc_id) = doc_id),
+         |c0 AS (SELECT CAST(count(*) AS BIGINT) AS d,
+         |       CAST(coalesce(sum(n), 0) AS BIGINT) AS t FROM lt),
+         |c1 AS (SELECT CAST(count(*) AS BIGINT) AS d,
+         |       CAST(coalesce(sum(n), 0) AS BIGINT) AS t FROM r1),
+         |c2c AS (SELECT CAST(count(*) AS BIGINT) AS d,
+         |       CAST(coalesce(sum(n), 0) AS BIGINT) AS t FROM r2),
+         |c3 AS (SELECT CAST(count(*) AS BIGINT) AS d,
+         |       CAST(coalesce(sum(n), 0) AS BIGINT) AS t FROM r3)
+         |SELECT stage, n_docs, n_tokens FROM (
+         | SELECT '0_raw' AS stage, d AS n_docs, t AS n_tokens FROM c0
+         | UNION ALL SELECT '1_quality', d, t FROM c1
+         | UNION ALL SELECT '2_exact', d, t FROM c2c
+         | UNION ALL SELECT '3_near', d, t FROM c3)
+         |ORDER BY stage""".stripMargin,
+
+    // embedding coverage: two anti-join counts + two totals, one row
+    "q192_embedding_coverage" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |v AS (
+        | SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 0
+        | UNION ALL
+        | SELECT vec_id + 900000 FROM embeddings WHERE vec_id % 11 = 0),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM v),
+        |mi AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_without_vec
+        |       FROM d WHERE doc_id NOT IN (SELECT vec_id FROM v)),
+        |orp AS (SELECT CAST(count(*) AS BIGINT) AS n_orphan_vectors
+        |        FROM v WHERE vec_id NOT IN (SELECT doc_id FROM d))
+        |SELECT n_docs, n_vectors, n_docs_without_vec, n_orphan_vectors
+        |FROM nd, nv, mi, orp""".stripMargin,
+
+    // hash uniformity: full 256-bucket grid (empty buckets contribute
+    // exp), per-bucket chi terms rounded to 6 and DECIMAL-summed
+    "q193_hash_uniformity" ->
+      s"""WITH occ AS (
+         | SELECT ${ph("CAST(c_name AS VARCHAR)", 12)} % 256 AS b,
+         |  CAST(count(*) AS BIGINT) AS cc
+         | FROM customer GROUP BY 1),
+         |grid AS (SELECT unnest(range(0, 256)) AS b),
+         |cnts AS (
+         | SELECT grid.b AS b, CAST(coalesce(cc, 0) AS BIGINT) AS c
+         | FROM grid LEFT JOIN occ ON grid.b = occ.b),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnts),
+         |terms AS (
+         | SELECT c, n,
+         |  CAST(round((CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 256.0)
+         |    * (CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 256.0)
+         |    / (CAST(n AS DOUBLE) / 256.0), 6) AS DECIMAL(25,6)) AS term
+         | FROM cnts, tot)
+         |SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS n_buckets,
+         | min(c) AS min_count, max(c) AS max_count,
+         | round(CAST(sum(term) AS DOUBLE), 6) AS chi2
+         |FROM terms ORDER BY n""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -2083,6 +2083,54 @@ object Queries {
         (1 to 9).map(_ / 10.0))
       .orderBy("num_hashes", "bands", "sim")
 
+  /** Token-retention ledger over the shared portable corpus + pair
+    * chain (with q176's planted exact/recased copies so every rung
+    * costs something): TOKENS surviving raw -> quality(>=50) -> exact
+    * -> near — the budget sheet a filtering-strength argument quotes.
+    * 10th consumer of the cached pair set. */
+  def q191TokenLedger(s: SparkSession, dir: String): DataFrame = {
+    val corpus = portableCorpus(s, dir)
+    val exact = corpus.filter(col("doc_id") % 12 === 0)
+      .select((col("doc_id") + lit(50000000L)).as("doc_id"), col("text"))
+    val recased = corpus.filter(col("doc_id") % 14 === 0)
+      .select((col("doc_id") + lit(60000000L)).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" ??")).as("text"))
+    Dedup.tokenLedger(corpus.unionByName(exact).unionByName(recased),
+        "doc_id", "text", portablePairs(s, dir), minQuality = 50)
+      .orderBy("stage")
+  }
+
+  /** Embedding-coverage integrity audit: documents without a vector and
+    * vectors without a document — the referential-integrity check
+    * between the text and embedding pipelines. The synthetic tables
+    * align 1:1, so the fixture simulates the production gap: every 7th
+    * vector is lagging (not yet embedded) and every 11th also exists
+    * as a stale +900000 re-embed — both classes must be counted. One
+    * summary row, two anti-join counts. */
+  def q192EmbeddingCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val base = t(s, dir, "embeddings").select(col("vec_id"))
+    val vecs = base.filter(col("vec_id") % 7 =!= 0)
+      .unionByName(base.filter(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + lit(900000L)).as("vec_id")))
+    val nD = docs.agg(count(lit(1)).as("n_docs"))
+    val nV = vecs.agg(count(lit(1)).as("n_vectors"))
+    val miss = docs.join(vecs, col("doc_id") === col("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_docs_without_vec"))
+    val orph = vecs.join(docs, col("vec_id") === col("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_vectors"))
+    nD.crossJoin(nV).crossJoin(miss).crossJoin(orph)
+  }
+
+  /** Portable-hash uniformity chi-square over 256 buckets of the
+    * customer name column — the trust audit behind every hash-keyed
+    * decision in the engine (bands, splits, sampling, salting); chi2
+    * must sit near m - 1 = 255 for a healthy family. */
+  def q193HashUniformity(s: SparkSession, dir: String): DataFrame =
+    Sketch.hashUniformity(t(s, dir, "customer"), "c_name", m = 256,
+        seed = 12)
+      .orderBy("n")
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -3008,6 +3056,9 @@ object Queries {
     "q188_fold_split" -> (q188FoldSplit _),
     "q189_contamination_sweep" -> (q189ContaminationSweep _),
     "q190_lsh_planner" -> (q190LshPlanner _),
+    "q191_token_ledger" -> (q191TokenLedger _),
+    "q192_embedding_coverage" -> (q192EmbeddingCoverage _),
+    "q193_hash_uniformity" -> (q193HashUniformity _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -1145,6 +1145,49 @@ object Dedup {
           s => s.getField("l"))).as("text_clean"))
   }
 
+  /** Token-retention ledger: the number a lab actually reports — how
+    * many TOKENS (not documents) survive each curation stage, in
+    * production order: raw -> quality gate -> exact dedup -> near
+    * dedup. [[dedupLadder]] answers "which rung removes how many
+    * docs"; this answers "how many billions of tokens is each rule
+    * costing us" — the budget sheet behind every filtering-strength
+    * argument. Stage semantics match the ladder (keep-first per md5;
+    * CC keep-min over `pairs` restricted to surviving endpoints);
+    * the quality gate is [[TextOps.qualityScore]] >= minQuality.
+    *
+    * Scale shape: one token-count kernel pass, the ladder's
+    * digest-window and CC machinery, four 1-row aggregates. Output:
+    * (stage, n_docs, n_tokens) — 4 rows. */
+  def tokenLedger(df: DataFrame, idCol: String, textCol: String,
+                  pairs: DataFrame, minQuality: Int,
+                  maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("__n"))
+    val r1 = base.filter(TextOps.qualityScore(col("__t")) >= minQuality)
+    val r2 = r1.withColumn("__keep",
+        col("__id") === min(col("__id")).over(
+          Window.partitionBy(md5(col("__t")))))
+      .filter(col("__keep")).drop("__keep")
+      .transform(Checkpoints.ckpt) // consumers: edges + counts + CC join
+    val surv = r2.select(col("__id"))
+    val e = pairs
+      .join(surv.select(col("__id").as("id_a")), "id_a", "left_semi")
+      .join(surv.select(col("__id").as("id_b")), "id_b", "left_semi")
+    val labels = connectedComponents(e, maxIter)
+      .select(col("id"), col("cluster_id"))
+    val r3 = r2.join(labels, col("__id") === col("id"), "left")
+      .filter(coalesce(col("cluster_id"), col("__id")) === col("__id"))
+    def cnt(d: DataFrame, stage: String): DataFrame =
+      d.agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    cnt(base, "0_raw")
+      .unionByName(cnt(r1, "1_quality"))
+      .unionByName(cnt(r2, "2_exact"))
+      .unionByName(cnt(r3, "3_near"))
+  }
+
   /** Analytic MinHash-LSH S-curve planner (Leskovec/Rajaraman/Ullman
     * ch. 3): for each (numHashes, bands) configuration and each true
     * Jaccard similarity s on the grid, the probability a pair becomes

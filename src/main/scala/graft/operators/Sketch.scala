@@ -395,4 +395,42 @@ object Sketch {
       // a false NEGATIVE, the one error class a bloom filter must not make
       .agg((min(coalesce(col("__set"), lit(0))) === 1).as("maybe_present"))
   }
+
+  /** Hash-uniformity audit: chi-square statistic of the portable hash
+    * family over `m` buckets — the trust check behind everything this
+    * engine keys on that hash (LSH bands, sampling, splits, salting).
+    * A healthy hash gives chi2 ~ m - 1 (expected value of the chi2
+    * distribution with m-1 dof); gross non-uniformity (a broken seed,
+    * a degenerate key column) shows up as chi2 orders of magnitude
+    * above. Exact-integer bucket counts; each bucket's (obs - exp)²/exp
+    * term is rounded to 6 and DECIMAL-summed (the q99 discipline), so
+    * the statistic is cross-engine exact. Output: one row
+    * (n, n_buckets, min_count, max_count, chi2). */
+  def hashUniformity(df: DataFrame, valueCol: String, m: Int = 256,
+                     seed: Int = 12): DataFrame = {
+    require(m >= 2, "hashUniformity: m >= 2")
+    val occupied = df.select(pmod(Dedup.portableHash64(
+        col(valueCol).cast("string"), seed), lit(m.toLong)).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__cc"))
+    // empty buckets contribute exp to the statistic — the bucket grid
+    // is materialized in full, not just the occupied set
+    val counts = df.sparkSession.range(m).select(col("id").as("__b"))
+      .join(occupied, Seq("__b"), "left")
+      .withColumn("__c", coalesce(col("__cc"), lit(0L)))
+    val n = counts.agg(sum(col("__c")).as("__n"))
+    counts.crossJoin(broadcast(n))
+      .withColumn("__exp", col("__n").cast("double") / lit(m.toDouble))
+      .withColumn("__term", round(
+        (col("__c").cast("double") - col("__exp")) *
+          (col("__c").cast("double") - col("__exp")) / col("__exp"), 6)
+        .cast("decimal(25,6)"))
+      .agg(max(col("__n")).as("n"),
+        count(lit(1)).as("n_buckets"),
+        min(col("__c")).as("min_count"),
+        max(col("__c")).as("max_count"),
+        sum(col("__term")).as("__chi"))
+      .select(col("n"), col("n_buckets"), col("min_count"),
+        col("max_count"),
+        round(col("__chi").cast("double"), 6).as("chi2"))
+  }
 }

@@ -337,6 +337,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ps.zip(ps.tail).forall { case (a, b) => a < b })
   }
 
+  // ------------------------------------------------------ token ledger
+
+  test("tokenLedger: token sums per stage, quality gate first") {
+    val docs = Seq(
+      (1L, "the of and a to in it is that for good prose here now"), // passes
+      (2L, "x"),                                                     // quality-fail
+      (3L, "the of and a to in it is that for good prose here now"), // exact dup of 1
+      (4L, "the of and a to in it is that for good prose here too")) // near dup of 1
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.tokenLedger(docs, "doc_id", "text", pairs, minQuality = 50)
+      .orderBy("stage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out(0) == ("0_raw", 4L, 43L))       // 14+1+14+14
+    assert(out(1) == ("1_quality", 3L, 42L))   // doc 2 gated
+    assert(out(2) == ("2_exact", 2L, 28L))     // doc 3 deduped
+    assert(out(3) == ("3_near", 1L, 14L))      // doc 4 folded into 1
+  }
+
+  // --------------------------------------------------- hash uniformity
+
+  test("hashUniformity: grid complete, mass conserved, healthy chi2; degenerate input explodes") {
+    val ids = (1L to 2000L).map(Tuple1(_)).toDF("k")
+    val r = graft.operators.Sketch.hashUniformity(ids, "k", m = 64, seed = 3)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 2000L && r.getAs[Long]("n_buckets") == 64L)
+    // healthy: chi2 within a loose band of m - 1 = 63
+    assert(r.getAs[Double]("chi2") > 20 && r.getAs[Double]("chi2") < 150)
+    val const = (1L to 2000L).map(_ => Tuple1("same")).toDF("k")
+    val bad = graft.operators.Sketch.hashUniformity(const, "k", m = 64, seed = 3)
+      .collect()(0)
+    assert(bad.getAs[Double]("chi2") > 50000) // everything in one bucket
+  }
+
   // ------------------------------------------------------ SFT assembly
 
   test("sftAssemble: hand-computed spans, loss mask, and digest") {
