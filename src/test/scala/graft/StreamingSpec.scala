@@ -382,6 +382,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LINE scrub over the persisted line-df table == the batch operator") {
+    // the q187 table is frozen corpus state, so the scrub is a pure
+    // per-batch function — stream output must equal the batch operator
+    // on the union of all micro-batches, whatever the batch boundaries
+    val dir = java.nio.file.Files.createTempDirectory("graft-linestream").toString
+    val footer = "all rights reserved"
+    val corpus = Seq((1L, s"a one\n$footer"), (2L, s"b two\n$footer"),
+      (3L, s"c three\n$footer")).toDF("doc_id", "text")
+    graft.operators.Dedup.writeLineDfTable(corpus, s"$dir/idx", "doc_id", "text")
+
+    val rows = Seq((11L, s"fresh alpha\n$footer"), (12L, "only new lines"),
+      (13L, s"$footer\nfresh beta"))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Dedup.dropFrequentLinesAgainstTable(batch,
+            s"$dir/idx", "doc_id", "text", maxDf = 2)
+          .write.mode("append").parquet(s"$dir/out")
+        ()
+      }
+      .start()
+    try {
+      input.addData(rows(0), rows(1))
+      q.processAllAvailable()
+      input.addData(rows(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_dropped"), r.getAs[String]("text_clean"))).toSet
+    val batch = graft.operators.Dedup.dropFrequentLinesAgainstTable(
+        rows.toDF("doc_id", "text"), s"$dir/idx", "doc_id", "text", maxDf = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_dropped"), r.getAs[String]("text_clean"))).toSet
+    assert(stream == batch)
+    assert(stream.contains((11L, 1L, "fresh alpha")))
+    assert(stream.contains((13L, 1L, "fresh beta")))
+  }
+
   test("streaming WINNOWING ingestion over the persisted fingerprint table == the batch operators, across a restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft-winstream").toString
     val seed = Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
