@@ -4215,6 +4215,95 @@ object Oracles {
          | min(c) AS min_count, max(c) AS max_count,
          | round(CAST(sum(term) AS DOUBLE), 6) AS chi2
          |FROM terms ORDER BY n""".stripMargin,
+
+    // quality ablation: the four heuristic booleans replayed per doc,
+    // one bounded agg, four stacked rows
+    "q194_quality_ablation" ->
+      s"""WITH d AS (
+         | SELECT
+         |  CASE WHEN ${tokenCountSql("text")} < 10 THEN 1 ELSE 0 END AS f1,
+         |  CASE WHEN ${punctRatioSql("text")} > 0.10 THEN 1 ELSE 0 END AS f2,
+         |  CASE WHEN ${stopwordRatioSql("text")} < 0.02
+         |        OR ${stopwordRatioSql("text")} > 0.60 THEN 1 ELSE 0 END AS f3,
+         |  CASE WHEN ${meanTokenLenSql("text")} < 2.0
+         |        OR ${meanTokenLenSql("text")} > 12.0 THEN 1 ELSE 0 END AS f4,
+         |  CAST(${tokenCountSql("text")} AS BIGINT) AS n
+         | FROM (SELECT text FROM documents
+         |       UNION ALL
+         |       SELECT text FROM (${Queries.ablationPlantedSql}))),
+         |d2 AS (SELECT *, f1 + f2 + f3 + f4 AS tot FROM d),
+         |a AS (
+         | SELECT
+         |  CAST(sum(f1) AS BIGINT) AS s1, CAST(sum(f2) AS BIGINT) AS s2,
+         |  CAST(sum(f3) AS BIGINT) AS s3, CAST(sum(f4) AS BIGINT) AS s4,
+         |  CAST(sum(CASE WHEN f1 = 1 AND tot = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+         |  CAST(sum(CASE WHEN f2 = 1 AND tot = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o2,
+         |  CAST(sum(CASE WHEN f3 = 1 AND tot = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o3,
+         |  CAST(sum(CASE WHEN f4 = 1 AND tot = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o4,
+         |  CAST(sum(CASE WHEN f1 = 1 THEN n ELSE 0 END) AS BIGINT) AS t1,
+         |  CAST(sum(CASE WHEN f2 = 1 THEN n ELSE 0 END) AS BIGINT) AS t2,
+         |  CAST(sum(CASE WHEN f3 = 1 THEN n ELSE 0 END) AS BIGINT) AS t3,
+         |  CAST(sum(CASE WHEN f4 = 1 THEN n ELSE 0 END) AS BIGINT) AS t4
+         | FROM d2)
+         |SELECT rule, n_fail, n_fail_only, tokens_in_failed FROM (
+         | SELECT '1_short_doc' AS rule, s1 AS n_fail, o1 AS n_fail_only,
+         |  t1 AS tokens_in_failed FROM a
+         | UNION ALL SELECT '2_high_punct', s2, o2, t2 FROM a
+         | UNION ALL SELECT '3_stopword_band', s3, o3, t3 FROM a
+         | UNION ALL SELECT '4_token_len_band', s4, o4, t4 FROM a)
+         |ORDER BY rule""".stripMargin,
+
+    // Theil-Sen: daily counts, all pairwise slopes, exact medians
+    // (quantile_cont == Spark percentile, the q110 convention)
+    "q195_robust_trend" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS y
+        | FROM events GROUP BY 1, 2),
+        |pts AS (
+        | SELECT event_type,
+        |  CAST(date_diff('day', DATE '2024-01-01', day) AS DOUBLE) AS x,
+        |  CAST(y AS DOUBLE) AS y
+        | FROM daily),
+        |slopes AS (
+        | SELECT l.event_type AS event_type,
+        |  (r.y - l.y) / (r.x - l.x) AS s
+        | FROM pts l JOIN pts r
+        |  ON l.event_type = r.event_type AND l.x < r.x),
+        |sl AS (SELECT event_type, quantile_cont(s, 0.5) AS slope
+        |       FROM slopes GROUP BY 1),
+        |md AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+        |  quantile_cont(x, 0.5) AS mx, quantile_cont(y, 0.5) AS my
+        | FROM pts GROUP BY 1)
+        |SELECT md.event_type AS event_type, n_points,
+        | round(slope, 6) AS slope,
+        | round(my - slope * mx, 6) AS intercept
+        |FROM md JOIN sl ON md.event_type = sl.event_type
+        |ORDER BY md.event_type""".stripMargin,
+
+    // trimmed/winsorized means: exact percentile cuts, clamped/inside
+    // summands rounded to 6 and DECIMAL-summed
+    "q196_trimmed_stats" ->
+      s"""WITH ev AS (
+         | SELECT source AS g, CAST(${tokenCountSql("text")} AS DOUBLE) AS v
+         | FROM documents),
+         |cuts AS (
+         | SELECT g, quantile_cont(v, 0.1) AS lo, quantile_cont(v, 0.9) AS hi
+         | FROM ev GROUP BY 1),
+         |j AS (
+         | SELECT ev.g AS g, v, lo, hi,
+         |  CAST(round(greatest(least(v, hi), lo), 6) AS DECIMAL(25,6)) AS w,
+         |  CASE WHEN v >= lo AND v <= hi
+         |   THEN CAST(round(v, 6) AS DECIMAL(25,6)) END AS t
+         | FROM ev JOIN cuts ON ev.g = cuts.g)
+         |SELECT g AS source, CAST(count(*) AS BIGINT) AS n,
+         | round(lo, 6) AS lo_cut, round(hi, 6) AS hi_cut,
+         | round(CAST(sum(t) AS DOUBLE) / CAST(count(t) AS DOUBLE), 6)
+         |  AS trimmed_mean,
+         | round(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |  AS winsorized_mean
+         |FROM j GROUP BY g, lo, hi ORDER BY source""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -2131,6 +2131,55 @@ object Queries {
         seed = 12)
       .orderBy("n")
 
+  /** Planted quality-rule victims — the corpus only trips the stopword
+    * band naturally, so each remaining heuristic gets a fixture (the
+    * q183/q192 can't-fail lesson). Shared with the oracle via
+    * [[ablationPlantedSql]]. */
+  private[graft] val ablationPlanted: Seq[(Long, String)] = Seq(
+    9400001L -> "tiny doc here",                             // short_doc
+    9400002L -> ("the cat!!! sat... on, the mat; and it was " +
+      "good??? yes!!! the end."),                            // high_punct
+    9400003L -> ("internationalization antidisestablishmentarianism " +
+      "incomprehensibilities the characteristically multidimensional " +
+      "representations of interdisciplinarity " +
+      "electroencephalographically the counterrevolutionaries"))
+      // token_len_band: 12 tokens, mean length 16.2 > 12, stopword
+      // ratio 0.25 inside the band — a SOLE len-band victim
+
+  private[graft] def ablationPlantedSql: String =
+    ablationPlanted.map { case (id, tx) =>
+      s"SELECT CAST($id AS BIGINT) AS doc_id, '${tx.replace("'", "''")}' AS text"
+    }.mkString("\n  UNION ALL\n  ")
+
+  /** Quality-rule ablation over the corpus plus one planted victim per
+    * otherwise-silent heuristic: which rule does the filtering work,
+    * and which rule's sole victims would relaxing it rescue. */
+  def q194QualityAblation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(ablationPlanted.toDF("doc_id", "text"))
+    TextOps.qualityAblation(docs, "text").orderBy("rule")
+  }
+
+  /** Theil-Sen robust trend of daily event volume per event type — the
+    * monitoring trend line one outage day cannot swing. Series =
+    * per-day counts (bounded), x = days since epoch date. */
+  def q195RobustTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", datediff(col("__day"), to_date(lit("2024-01-01"))))
+    Robust.theilSen(daily, "event_type", "x", "y").orderBy("event_type")
+  }
+
+  /** Trimmed + winsorized mean battery over per-source token counts —
+    * the robust-location complement to q110's MAD scale fences. */
+  def q196TrimmedStats(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(col("source"),
+      TextOps.tokenCount(col("text")).cast("long").as("score"))
+    Robust.trimmedStats(scored, "source", "score").orderBy("source")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -3059,6 +3108,9 @@ object Queries {
     "q191_token_ledger" -> (q191TokenLedger _),
     "q192_embedding_coverage" -> (q192EmbeddingCoverage _),
     "q193_hash_uniformity" -> (q193HashUniformity _),
+    "q194_quality_ablation" -> (q194QualityAblation _),
+    "q195_robust_trend" -> (q195RobustTrend _),
+    "q196_trimmed_stats" -> (q196TrimmedStats _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

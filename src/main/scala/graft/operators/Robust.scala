@@ -202,4 +202,76 @@ object Robust {
         round(col("__snorm").cast("double") / col("n_docs").cast("double"), 6)
           .as("mean_norm"))
   }
+
+  /** Theil-Sen robust trend (Theil 1950; Sen 1968): per-group slope =
+    * median of all pairwise slopes, intercept = median(y) − slope ·
+    * median(x) (the Siegel form) — the 29%-breakdown replacement for
+    * OLS trend lines on monitoring series, where one bad day (an
+    * outage, a crawler burst) swings a least-squares slope arbitrarily
+    * but moves a median-of-slopes not at all.
+    *
+    * Intended input is an ALREADY-AGGREGATED bounded series per group
+    * (daily counts, per-snapshot metrics): the pair join is O(points²)
+    * per group, the honest price of the exact estimator — fine for
+    * monitoring series (30-365 points), wrong for raw rows (aggregate
+    * first). Exactness: pairwise slopes are single divisions of exact
+    * inputs; the median is the q110 exact-percentile convention.
+    * Output: (groupCol, n_points, slope, intercept). */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val p = df.select(col(groupCol).as("__g"),
+      col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+    val pairs = p.as("l").join(p.as("r"),
+        col("l.__g") === col("r.__g") && col("l.__x") < col("r.__x"))
+      .select(col("l.__g").as("__g"),
+        ((col("r.__y") - col("l.__y")) / (col("r.__x") - col("l.__x")))
+          .as("__s"))
+    val slope = pairs.groupBy(col("__g"))
+      .agg(expr("percentile(__s, 0.5)").as("__slope"))
+    val meds = p.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_points"),
+        expr("percentile(__x, 0.5)").as("__mx"),
+        expr("percentile(__y, 0.5)").as("__my"))
+    meds.join(slope, "__g")
+      .select(col("__g").as(groupCol), col("n_points"),
+        round(col("__slope"), 6).as("slope"),
+        round(col("__my") - col("__slope") * col("__mx"), 6).as("intercept"))
+  }
+
+  /** Trimmed + winsorized means (the robust-location battery next to
+    * [[madOutlierStats]]'s scale fences): exact percentile cuts at
+    * [trimLo, trimHi], then mean of the inside values (trimmed) and
+    * mean with outside values CLAMPED to the cuts (winsorized) — the
+    * two standard outlier-resistant alternatives to a raw mean on
+    * heavy-tailed monitoring metrics. Summands are rounded to 6 and
+    * DECIMAL-summed (the q99 discipline) so both means are
+    * cross-engine exact. Output: (groupCol, n, lo_cut, hi_cut,
+    * trimmed_mean, winsorized_mean). */
+  def trimmedStats(df: DataFrame, groupCol: String, valueCol: String,
+                   trimLo: Double = 0.1, trimHi: Double = 0.9): DataFrame = {
+    require(trimLo >= 0 && trimHi <= 1 && trimLo < trimHi,
+      "trimmedStats: 0 <= trimLo < trimHi <= 1")
+    val ev = df.select(col(groupCol).as("__g"),
+      col(valueCol).cast("double").as("__v"))
+    val cuts = ev.groupBy(col("__g"))
+      .agg(expr(s"percentile(__v, $trimLo)").as("__lo"),
+        expr(s"percentile(__v, $trimHi)").as("__hi"))
+    ev.join(broadcast(cuts), "__g")
+      .withColumn("__w", round(greatest(least(col("__v"), col("__hi")),
+        col("__lo")), 6).cast("decimal(25,6)"))
+      .withColumn("__t", when(col("__v") >= col("__lo") &&
+        col("__v") <= col("__hi"), round(col("__v"), 6).cast("decimal(25,6)")))
+      .groupBy(col("__g"), col("__lo"), col("__hi"))
+      .agg(count(lit(1)).as("n"),
+        count(col("__t")).as("__nt"),
+        sum(col("__t")).as("__st"),
+        sum(col("__w")).as("__sw"))
+      .select(col("__g").as(groupCol), col("n"),
+        round(col("__lo"), 6).as("lo_cut"),
+        round(col("__hi"), 6).as("hi_cut"),
+        round(col("__st").cast("double") / col("__nt").cast("double"), 6)
+          .as("trimmed_mean"),
+        round(col("__sw").cast("double") / col("n").cast("double"), 6)
+          .as("winsorized_mean"))
+  }
 }

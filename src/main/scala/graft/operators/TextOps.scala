@@ -613,6 +613,41 @@ object TextOps {
         col("top_lang"), col("top_lang_share"))
   }
 
+  /** Quality-rule ablation: per heuristic of [[qualityScore]], how many
+    * documents fail it, how many fail ONLY it, and how many tokens sit
+    * in its failing docs — the rule-attribution table behind tuning a
+    * composite filter ("which rule is doing the work, and which rule's
+    * sole victims would relaxing it rescue?"). The per-rule complement
+    * of q180's whole-score selection curve.
+    *
+    * Scale shape: one pass of per-row boolean kernels, ONE bounded agg,
+    * a 4-row stack. Output: (rule, n_fail, n_fail_only, tokens_in_failed). */
+  def qualityAblation(df: org.apache.spark.sql.DataFrame,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val d = df.select(
+      (tokenCount(t) < 10).cast("int").as("f1"),
+      (punctRatio(t) > 0.10).cast("int").as("f2"),
+      (stopwordRatio(t) < 0.02 || stopwordRatio(t) > 0.60).cast("int").as("f3"),
+      (meanTokenLength(t) < 2.0 || meanTokenLength(t) > 12.0).cast("int").as("f4"),
+      tokenCount(t).cast("long").as("__n"))
+      .withColumn("__tot", col("f1") + col("f2") + col("f3") + col("f4"))
+    def cell(i: Int) = Seq(
+      sum(col(s"f$i").cast("long")).as(s"s$i"),
+      sum(when(col(s"f$i") === 1 && col("__tot") === 1, 1L).otherwise(0L))
+        .as(s"o$i"),
+      sum(when(col(s"f$i") === 1, col("__n")).otherwise(0L)).as(s"t$i"))
+    val aggs = (1 to 4).flatMap(cell)
+    d.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        """stack(4,
+          | '1_short_doc', s1, o1, t1,
+          | '2_high_punct', s2, o2, t2,
+          | '3_stopword_band', s3, o3, t3,
+          | '4_token_len_band', s4, o4, t4)
+          | AS (rule, n_fail, n_fail_only, tokens_in_failed)""".stripMargin)
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
     * corpus into head/middle/tail thirds by language-model score —
     * the standard "keep the fluent third, inspect the middle, drop the

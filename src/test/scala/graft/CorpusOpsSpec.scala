@@ -371,6 +371,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bad.getAs[Double]("chi2") > 50000) // everything in one bucket
   }
 
+  // -------------------------------------------------- quality ablation
+
+  test("qualityAblation: each planted victim lands on its rule; sole-failure attribution") {
+    val docs = Seq(
+      (1L, "the of and a to in it is that for good words here now"), // clean
+      (2L, "tiny one"),                                              // short (+bands)
+      (3L, "the cat!!! sat... on, the mat; and it was good??? yes!!! the end."))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.qualityAblation(docs, "text")
+      .orderBy("rule").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out(0)._1 == "1_short_doc" && out(0)._2 == 1L)
+    assert(out(1)._1 == "2_high_punct" && out(1)._2 == 1L && out(1)._3 == 1L)
+  }
+
+  // ------------------------------------------------------- Theil-Sen
+
+  test("theilSen: one wild outlier cannot move the median slope") {
+    val pts = ((0 to 8).map(x => ("a", x, 2 * x)) :+ (("a", 9, 1000)))
+      .toDF("g", "x", "y")
+    val r = graft.operators.Robust.theilSen(pts, "g", "x", "y").collect()(0)
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 0.0) // my(9) - 2*mx(4.5)
+    assert(r.getAs[Long]("n_points") == 10L)
+  }
+
+  // ---------------------------------------------------- trimmed means
+
+  test("trimmedStats: outlier excluded from the trimmed mean, clamped in the winsorized") {
+    val vals = ((1 to 10).map(v => ("g", v)) :+ (("g", 1000)))
+      .toDF("g", "v")
+    val r = graft.operators.Robust.trimmedStats(vals, "g", "v").collect()(0)
+    // raw mean would be ~95.9; both robust forms stay near the bulk
+    assert(r.getAs[Double]("trimmed_mean") < 10.0)
+    assert(r.getAs[Double]("winsorized_mean") < 12.0)
+    assert(r.getAs[Long]("n") == 11L)
+  }
+
   // ------------------------------------------------------ SFT assembly
 
   test("sftAssemble: hand-computed spans, loss mask, and digest") {
