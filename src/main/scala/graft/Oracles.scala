@@ -4304,6 +4304,33 @@ object Oracles {
          | round(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
          |  AS winsorized_mean
          |FROM j GROUP BY g, lo, hi ORDER BY source""".stripMargin,
+
+    // provenance union: pair chain + recursive CC, then a per-family
+    // sorted distinct-source record (the attribution dedup keeps)
+    "q197_provenance_union" ->
+      s"""WITH RECURSIVE $q61Chain,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |prov AS (
+         | SELECT doc_id, source FROM documents WHERE doc_id % 4 = 0
+         | UNION ALL
+         | SELECT doc_id + 1000000, 'recrawl' FROM documents
+         | WHERE doc_id % 20 = 0),
+         |fam AS (
+         | SELECT doc_id, source, coalesce(cluster_id, doc_id) AS rep_id
+         | FROM prov LEFT JOIN labels ON doc_id = labels.id)
+         |SELECT rep_id, CAST(count(*) AS BIGINT) AS n_members,
+         | CAST(len(list_distinct(list(source))) AS INT) AS n_sources,
+         | array_to_string(list_sort(list_distinct(list(source))), ',')
+         |  AS sources
+         |FROM fam GROUP BY rep_id ORDER BY rep_id""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -2180,6 +2180,22 @@ object Queries {
     Robust.trimmedStats(scored, "source", "score").orderBy("source")
   }
 
+  /** Provenance union through near-dedup over the shared pair chain:
+    * the planted tails carry source "recrawl", so every family that
+    * folded a recrawl copy into its original must list BOTH sources —
+    * the license/attribution record dedup must not destroy. 11th
+    * consumer of the cached pair set. */
+  def q197ProvenanceUnion(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("source"))
+    val tails = t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        lit("recrawl").as("source"))
+    Dedup.provenanceUnion(base.unionByName(tails), "doc_id", "source",
+        portablePairs(s, dir))
+      .orderBy("rep_id")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -3111,6 +3127,7 @@ object Queries {
     "q194_quality_ablation" -> (q194QualityAblation _),
     "q195_robust_trend" -> (q195RobustTrend _),
     "q196_trimmed_stats" -> (q196TrimmedStats _),
+    "q197_provenance_union" -> (q197ProvenanceUnion _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -1145,6 +1145,31 @@ object Dedup {
           s => s.getField("l"))).as("text_clean"))
   }
 
+  /** Provenance union through dedup: when near-dedup keeps one member
+    * per family, the DROPPED members' provenance (source, license,
+    * crawl) must not vanish — attribution and license obligations
+    * attach to the text, which survives. This emits the per-family
+    * provenance record the kept representative carries forward: family
+    * id (= the keep-min representative, CC's min label), member count,
+    * and the sorted distinct source set.
+    *
+    * Scale shape: CC over the verified pairs, one family-keyed agg
+    * (collect_set bounded by the SOURCE cardinality, not the family
+    * size — map-side combined). Output: (rep_id, n_members, n_sources,
+    * sources). */
+  def provenanceUnion(df: DataFrame, idCol: String, sourceCol: String,
+                      pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val labels = connectedComponents(pairs, maxIter)
+      .select(col("id").as("__cid"), col("cluster_id"))
+    df.join(labels, col(idCol) === col("__cid"), "left")
+      .withColumn("rep_id", coalesce(col("cluster_id"), col(idCol)))
+      .groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("n_members"),
+        size(collect_set(col(sourceCol))).as("n_sources"),
+        array_join(sort_array(collect_set(col(sourceCol))), ",")
+          .as("sources"))
+  }
+
   /** Token-retention ledger: the number a lab actually reports — how
     * many TOKENS (not documents) survive each curation stage, in
     * production order: raw -> quality gate -> exact dedup -> near

@@ -409,6 +409,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == 11L)
   }
 
+  // -------------------------------------------------- provenance union
+
+  test("provenanceUnion: dropped members' sources fold into the representative's record") {
+    val docs = Seq((1L, "web"), (2L, "books"), (3L, "web"), (9L, "code"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = graft.operators.Dedup.provenanceUnion(docs, "doc_id",
+        "source", pairs).orderBy("rep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 3L, 2, "books,web"), (9L, 1L, 1, "code")))
+  }
+
   // ------------------------------------------------------ SFT assembly
 
   test("sftAssemble: hand-computed spans, loss mask, and digest") {
