@@ -4331,6 +4331,75 @@ object Oracles {
          | array_to_string(list_sort(list_distinct(list(source))), ',')
          |  AS sources
          |FROM fam GROUP BY rep_id ORDER BY rep_id""".stripMargin,
+
+    // dedup savings: q116's corpus with bytes-weighted ranking
+    "q198_dedup_savings" ->
+      """WITH c AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        | UNION ALL
+        | SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 50 = 0),
+        |f AS (
+        | SELECT md5(text) AS digest, CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(min(strlen(text)) AS BIGINT) AS doc_bytes,
+        |  CAST(min(doc_id) AS BIGINT) AS first_id
+        | FROM c GROUP BY 1)
+        |SELECT digest, n_copies, doc_bytes,
+        | (n_copies - 1) * doc_bytes AS wasted_bytes, first_id
+        |FROM f WHERE n_copies > 1
+        |ORDER BY wasted_bytes DESC, digest ASC LIMIT 20""".stripMargin,
+
+    // audit card: five one-pass audits as (metric, value) rows — the
+    // vocab/OOV and chi2 snippets replay their q183/q193 chains
+    "q199_audit_card" ->
+      s"""WITH b AS (
+         | SELECT CAST(count(*) AS BIGINT) AS nd,
+         |  CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS nt,
+         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS dist
+         | FROM documents),
+         |vocab AS (
+         | SELECT token FROM (
+         |  SELECT token, count(*) AS freq
+         |  FROM (SELECT unnest(${toksSql("lower(text)")}) AS token FROM documents)
+         |  GROUP BY token ORDER BY freq DESC, token ASC LIMIT 16)),
+         |tok AS (
+         | SELECT doc_id, unnest(${toksSql("lower(text)")}) AS token
+         | FROM documents),
+         |fl AS (
+         | SELECT doc_id, CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END AS oov
+         | FROM tok LEFT JOIN vocab ON tok.token = vocab.token),
+         |pd AS (
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(oov) AS BIGINT) AS o
+         | FROM fl GROUP BY 1),
+         |ov AS (
+         | SELECT round(CAST(sum(o) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+         |  AS oov_rate
+         | FROM pd),
+         |occ AS (
+         | SELECT ${ph("CAST(doc_id AS VARCHAR)", 12)} % 256 AS bk,
+         |  CAST(count(*) AS BIGINT) AS cc
+         | FROM documents GROUP BY 1),
+         |grid AS (SELECT unnest(range(0, 256)) AS bk),
+         |cnts AS (
+         | SELECT grid.bk AS bk, CAST(coalesce(cc, 0) AS BIGINT) AS c
+         | FROM grid LEFT JOIN occ ON grid.bk = occ.bk),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnts),
+         |terms AS (
+         | SELECT CAST(round((CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 256.0)
+         |    * (CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 256.0)
+         |    / (CAST(n AS DOUBLE) / 256.0), 6) AS DECIMAL(25,6)) AS term
+         | FROM cnts, tot),
+         |chi AS (SELECT round(CAST(sum(term) AS DOUBLE), 6) AS chi2 FROM terms)
+         |SELECT metric, value FROM (
+         | SELECT 'n_docs' AS metric, CAST(nd AS DOUBLE) AS value FROM b
+         | UNION ALL SELECT 'n_tokens', CAST(nt AS DOUBLE) FROM b
+         | UNION ALL SELECT 'exact_dup_rate',
+         |  round(CAST(nd - dist AS DOUBLE) / CAST(nd AS DOUBLE), 6) FROM b
+         | UNION ALL SELECT 'oov_rate_v16', oov_rate FROM ov
+         | UNION ALL SELECT 'hash_chi2_256', chi2 FROM chi)
+         |ORDER BY metric""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

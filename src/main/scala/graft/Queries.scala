@@ -2196,6 +2196,58 @@ object Queries {
       .orderBy("rep_id")
   }
 
+  /** Dedup savings forecast: top families by WASTED BYTES (copies
+    * beyond the first × bytes per copy) over q116's planted-copy
+    * corpus — the capacity-planning view of duplication (q116 ranks by
+    * copy count; storage money follows bytes). */
+  def q198DedupSavings(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
+    corpus.groupBy(md5(col("text")).as("digest"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(octet_length(col("text")).cast("long")).as("doc_bytes"),
+        min(col("doc_id")).as("first_id"))
+      .filter(col("n_copies") > 1)
+      .withColumn("wasted_bytes", (col("n_copies") - 1) * col("doc_bytes"))
+      .orderBy(col("wasted_bytes").desc, col("digest").asc)
+      .limit(20)
+      .select(col("digest"), col("n_copies"), col("doc_bytes"),
+        col("wasted_bytes"), col("first_id"))
+  }
+
+  /** One-table corpus audit card: the five cheap go/no-go numbers a
+    * release review reads first — volume, token mass, exact-dup rate,
+    * OOV rate under the frozen 16-token vocab, and the portable-hash
+    * health chi-square — each a one-pass audit composed into a single
+    * (metric, value) sheet. */
+  def q199AuditCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.agg(count(lit(1)).as("__nd"),
+      sum(TextOps.tokenCount(col("text")).cast("long")).as("__nt"),
+      countDistinct(md5(col("text"))).as("__dist"))
+    def row(metric: String, v: Column): DataFrame =
+      base.select(lit(metric).as("metric"), v.cast("double").as("value"))
+    val oov = TextOps.oovCoverage(docs.withColumn("__g", lit("all")),
+        "doc_id", "__g", "text", vocabSize = 16)
+      .select(lit("oov_rate_v16").as("metric"),
+        col("oov_rate").cast("double").as("value"))
+    val chi = Sketch.hashUniformity(docs, "doc_id", m = 256, seed = 12)
+      .select(lit("hash_chi2_256").as("metric"),
+        col("chi2").cast("double").as("value"))
+    row("n_docs", col("__nd"))
+      .unionByName(row("n_tokens", col("__nt")))
+      .unionByName(row("exact_dup_rate", round(
+        (col("__nd") - col("__dist")).cast("double") /
+          col("__nd").cast("double"), 6)))
+      .unionByName(oov)
+      .unionByName(chi)
+      .orderBy("metric")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -3128,6 +3180,8 @@ object Queries {
     "q195_robust_trend" -> (q195RobustTrend _),
     "q196_trimmed_stats" -> (q196TrimmedStats _),
     "q197_provenance_union" -> (q197ProvenanceUnion _),
+    "q198_dedup_savings" -> (q198DedupSavings _),
+    "q199_audit_card" -> (q199AuditCard _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -421,6 +421,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L, 2, "books,web"), (9L, 1L, 1, "code")))
   }
 
+  // --------------------------------------------------- dedup savings
+
+  test("dedup savings: bytes-weighted ranking beats copy-count ranking") {
+    // family A: 3 copies of a short text; family B: 2 copies of a long
+    // one — B wastes more bytes despite fewer copies
+    val short_ = "tiny"
+    val long_ = "a very much longer document body with many bytes in it"
+    val docs = Seq((1L, short_), (2L, short_), (3L, short_),
+      (4L, long_), (5L, long_), (9L, "unique"))
+      .toDF("doc_id", "text")
+    val fams = docs.groupBy(md5(col("text")).as("digest"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(octet_length(col("text")).cast("long")).as("doc_bytes"),
+        min(col("doc_id")).as("first_id"))
+      .filter(col("n_copies") > 1)
+      .withColumn("wasted_bytes", (col("n_copies") - 1) * col("doc_bytes"))
+      .orderBy(col("wasted_bytes").desc)
+      .collect()
+    assert(fams.length == 2)
+    assert(fams(0).getAs[Long]("first_id") == 4L)  // long family first
+    assert(fams(0).getAs[Long]("wasted_bytes") == long_.length.toLong)
+    assert(fams(1).getAs[Long]("wasted_bytes") == 2L * short_.length)
+  }
+
   // ------------------------------------------------------ SFT assembly
 
   test("sftAssemble: hand-computed spans, loss mask, and digest") {
