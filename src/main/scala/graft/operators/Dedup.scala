@@ -1118,7 +1118,9 @@ object Dedup {
     * Determinism: lines split on '\n' verbatim (no normalization — the
     * caller composes [[TextOps.normalizeForDedup]] upstream if wanted);
     * df counts DISTINCT documents per line; reassembly joins surviving
-    * lines in original position order.
+    * lines in original position order. A NULL text yields no line rows,
+    * so the document is absent from the output — filter or coalesce
+    * nulls upstream if every input id must appear.
     *
     * Scale shape: one line explode, the (line, doc) distinct + (line)
     * count agg (map-side combined — hot boilerplate lines collapse

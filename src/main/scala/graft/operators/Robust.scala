@@ -216,6 +216,9 @@ object Robust {
     * monitoring series (30-365 points), wrong for raw rows (aggregate
     * first). Exactness: pairwise slopes are single divisions of exact
     * inputs; the median is the q110 exact-percentile convention.
+    * Groups with fewer than two DISTINCT x values have no pairwise
+    * slope and are absent from the output (the inner join) — a
+    * single-point series has no trend to report.
     * Output: (groupCol, n_points, slope, intercept). */
   def theilSen(df: DataFrame, groupCol: String, xCol: String,
                yCol: String): DataFrame = {
