@@ -247,4 +247,70 @@ class PropertiesSpec extends SparkSpec {
     for ((a, b) <- pairs)
       assert(got(a) == got(b), s"pair ($a,$b) straddles splits")
   }
+
+  test("sft assembly: turn spans PARTITION the assembled text exactly") {
+    // random sessions: spans must be contiguous, non-overlapping, start
+    // at 0, and their total length must equal the assembled string's
+    val evGen = for {
+      u <- Gen.choose(1L, 5L)
+      m <- Gen.choose(0, 20 * 60) // minutes offset keeps sessions mixed
+      t <- Gen.oneOf("view", "click", "signup", "purchase", "error")
+    } yield (u, new java.sql.Timestamp(1700000000000L + m * 60000L), t)
+    val rows = sample(evGen, 120).zipWithIndex
+      .map { case ((u, ts, t), i) => (u, ts, t, i.toLong) }
+    val out = graft.operators.Sessionize.sftAssemble(
+        rows.toDF("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", "event_type", "event_id",
+        Seq("view", "click", "signup"))
+      .orderBy("user_id", "session_seq", "turn_idx").collect()
+    out.groupBy(r => (r.getLong(0), r.getLong(1))).foreach { case (_, turns) =>
+      val sorted = turns.sortBy(_.getInt(2))
+      assert(sorted.head.getAs[Long]("t_start") == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("t_end") == b.getAs[Long]("t_start"))
+        case _ => ()
+      }
+      // one digest per session
+      assert(turns.map(_.getAs[String]("assembled_digest")).toSet.size == 1)
+    }
+  }
+
+  test("dedup ladder + token ledger: counts reconcile stage over stage") {
+    val textGen = Gen.oneOf(
+      Gen.const("the of and a to in it is that for shared body text here"),
+      Gen.const("THE of and a to in it is that for shared body text here!"),
+      Gen.listOfN(12, Gen.oneOf("the", "of", "and", "data", "word", "body"))
+        .map(_.mkString(" ")))
+    val docs = sample(textGen, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val pairs = Seq((0L, 7L), (3L, 9L)).toDF("id_a", "id_b")
+    val lad = graft.operators.Dedup.dedupLadder(docs, "doc_id", "text", pairs)
+      .orderBy("rung").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // chain: survivors of rung i == docs_in of rung i+1; removed+surv==in
+    lad.foreach { case (in, rem, sur) => assert(in == rem + sur) }
+    assert(lad(0)._3 == lad(1)._1 && lad(1)._3 == lad(2)._1)
+    val led = graft.operators.Dedup.tokenLedger(docs, "doc_id", "text",
+        pairs, minQuality = 0).orderBy("stage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // tokens monotone non-increasing down the ladder
+    led.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 >= b._3 && a._2 >= b._2)
+      case _ => ()
+    }
+  }
+
+  test("trimmed stats: both robust means stay inside the cut interval") {
+    val vGen = Gen.oneOf(Gen.choose(1, 100), Gen.const(100000)) // heavy tail
+    val vals = sample(vGen, 150).zipWithIndex
+      .map { case (v, i) => (s"g${i % 3}", v) }.toDF("g", "v")
+    graft.operators.Robust.trimmedStats(vals, "g", "v").collect().foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("lo_cut"), r.getAs[Double]("hi_cut"))
+      assert(r.getAs[Double]("trimmed_mean") >= lo &&
+        r.getAs[Double]("trimmed_mean") <= hi)
+      assert(r.getAs[Double]("winsorized_mean") >= lo &&
+        r.getAs[Double]("winsorized_mean") <= hi)
+    }
+  }
 }
