@@ -4400,6 +4400,138 @@ object Oracles {
          | UNION ALL SELECT 'oov_rate_v16', oov_rate FROM ov
          | UNION ALL SELECT 'hash_chi2_256', chi2 FROM chi)
          |ORDER BY metric""".stripMargin,
+
+    // code-switching: the q16 marker-hit CASE applied to the full doc
+    // and to each token half (ceil split), switch = determined halves
+    // disagreeing
+    "q200_code_switch" -> {
+      def hits(listExpr: String, sfx: String) = Seq(
+        "en" -> "['the','and','of','to','is']",
+        "es" -> "['el','la','de','que','los']",
+        "fr" -> "['le','la','les','des','est']",
+        "de" -> "['der','die','und','das','ist']",
+        "zh" -> "['的','是','了','在','我']").map { case (l, m) =>
+        s"len(list_filter($listExpr, x -> list_contains($m, x))) AS h_${l}_$sfx"
+      }.mkString(",\n  ")
+      def langCase(sfx: String) =
+        s"""CASE WHEN h_en_$sfx + h_es_$sfx + h_fr_$sfx + h_de_$sfx + h_zh_$sfx = 0 THEN 'und'
+           |      WHEN h_en_$sfx >= h_es_$sfx AND h_en_$sfx >= h_fr_$sfx AND h_en_$sfx >= h_de_$sfx AND h_en_$sfx >= h_zh_$sfx THEN 'en'
+           |      WHEN h_es_$sfx >= h_fr_$sfx AND h_es_$sfx >= h_de_$sfx AND h_es_$sfx >= h_zh_$sfx THEN 'es'
+           |      WHEN h_fr_$sfx >= h_de_$sfx AND h_fr_$sfx >= h_zh_$sfx THEN 'fr'
+           |      WHEN h_de_$sfx >= h_zh_$sfx THEN 'de'
+           |      ELSE 'zh' END""".stripMargin
+      s"""WITH c AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 95000000,
+         |  'the and of to is the and of to is el la de que los el la de que los el la de que los'
+         | FROM documents WHERE doc_id % 16 = 0),
+         |tk AS (
+         | SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM c),
+         |sl AS (
+         | SELECT doc_id, tk,
+         |  list_slice(tk, 1, CAST(ceil(len(tk) / 2.0) AS INT)) AS hd,
+         |  list_slice(tk, CAST(ceil(len(tk) / 2.0) AS INT) + 1, len(tk)) AS tl
+         | FROM tk),
+         |h AS (
+         | SELECT doc_id,
+         |  ${hits("tk", "f")},
+         |  ${hits("hd", "h")},
+         |  ${hits("tl", "t")}
+         | FROM sl),
+         |lg AS (
+         | SELECT doc_id,
+         |  ${langCase("f")} AS lang_full,
+         |  ${langCase("h")} AS lang_head,
+         |  ${langCase("t")} AS lang_tail
+         | FROM h)
+         |SELECT doc_id, lang_full, lang_head, lang_tail,
+         | lang_head <> 'und' AND lang_tail <> 'und'
+         |  AND lang_head <> lang_tail AS is_switch
+         |FROM lg ORDER BY doc_id""".stripMargin
+    },
+
+    // MAP@5 curve: the q186 replay scored as average precision against
+    // the brute top-5; precision@k terms DECIMAL-summed
+    "q201_map_curve" ->
+      s"""WITH q AS (
+         | SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         | WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |cents AS (
+         | SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+         | WHERE embedding IS NOT NULL AND len(embedding) > 0
+         | ORDER BY vec_id LIMIT 16),
+         |cc AS (
+         | SELECT neighbor_id, cent_id,
+         |  CASE WHEN np = 0 THEN 0.0 ELSE dp / np END AS csim
+         | FROM (
+         |  SELECT neighbor_id, cent_id, ${dotSql("cv", "ce")} AS dp,
+         |   ${normSql("cv")} * ${normSql("ce")} AS np
+         |  FROM c, cents)),
+         |casg AS (
+         | SELECT neighbor_id, cent_id FROM (
+         |  SELECT neighbor_id, cent_id, row_number() OVER (
+         |    PARTITION BY neighbor_id ORDER BY csim DESC, cent_id ASC) AS rn
+         |  FROM cc) WHERE rn = 1),
+         |qc AS (
+         | SELECT query_id, cent_id, row_number() OVER (
+         |   PARTITION BY query_id ORDER BY csim DESC, cent_id ASC) AS qrn
+         | FROM (
+         |  SELECT query_id, cent_id,
+         |   CASE WHEN np = 0 THEN 0.0 ELSE dp / np END AS csim
+         |  FROM (
+         |   SELECT query_id, cent_id, ${dotSql("qv", "ce")} AS dp,
+         |    ${normSql("qv")} * ${normSql("ce")} AS np
+         |   FROM q, cents))),
+         |vis AS (
+         | SELECT s.query_id, s.neighbor_id, qc.qrn AS need,
+         |  CASE WHEN norm_p = 0 THEN 0.0 ELSE dot_p / norm_p END AS sim
+         | FROM (
+         |  SELECT q.query_id, c.neighbor_id,
+         |   ${dotSql("qv", "cv")} AS dot_p,
+         |   ${normSql("qv")} * ${normSql("cv")} AS norm_p
+         |  FROM q, c WHERE c.neighbor_id <> q.query_id) s
+         | JOIN casg ON casg.neighbor_id = s.neighbor_id
+         | JOIN qc ON qc.query_id = s.query_id AND qc.cent_id = casg.cent_id),
+         |pr AS (SELECT unnest([1, 2, 4, 16]) AS nprobe),
+         |rk AS (
+         | SELECT nprobe, query_id, neighbor_id, row_number() OVER (
+         |   PARTITION BY nprobe, query_id ORDER BY sim DESC, neighbor_id ASC)
+         |  AS rnk
+         | FROM vis, pr WHERE need <= nprobe),
+         |topv AS (SELECT nprobe, query_id, neighbor_id, rnk
+         |         FROM rk WHERE rnk <= 5),
+         |bsc AS (
+         | SELECT query_id, neighbor_id,
+         |  CASE WHEN norm_p = 0 THEN 0.0 ELSE dot_p / norm_p END AS sim
+         | FROM (
+         |  SELECT query_id, neighbor_id, ${dotSql("qv", "cv")} AS dot_p,
+         |   ${normSql("qv")} * ${normSql("cv")} AS norm_p
+         |  FROM q, c WHERE neighbor_id <> query_id)),
+         |brute5 AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+         |  FROM bsc) WHERE rnk <= 5),
+         |hits AS (
+         | SELECT nprobe, topv.query_id AS query_id, rnk,
+         |  row_number() OVER (PARTITION BY nprobe, topv.query_id
+         |    ORDER BY rnk) AS i
+         | FROM topv JOIN brute5 USING (query_id, neighbor_id)),
+         |terms AS (
+         | SELECT nprobe, query_id,
+         |  CAST(round(CAST(i AS DOUBLE) / CAST(rnk AS DOUBLE), 6)
+         |   AS DECIMAL(10,6)) AS t
+         | FROM hits),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS nqv FROM q)
+         |SELECT nprobe,
+         | nqv AS n_queries,
+         | CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries_hit,
+         | CAST(count(*) AS BIGINT) AS n_hits,
+         | round(CAST(sum(t) AS DOUBLE) / (5.0 * CAST(nqv AS DOUBLE)), 6)
+         |  AS map5
+         |FROM terms, nq GROUP BY nprobe, nqv ORDER BY nprobe""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -2248,6 +2248,60 @@ object Queries {
       .orderBy("metric")
   }
 
+  /** Split-half code-switching audit over the corpus plus planted
+    * mixed-language docs (an English-soup head with a Spanish-marker
+    * tail, id +95M for every 16th doc) — the planted docs must flag
+    * is_switch, the monolingual rest must not. */
+  def q200CodeSwitch(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val mixed = docs.filter(col("doc_id") % 16 === 0)
+      .select((col("doc_id") + lit(95000000L)).as("doc_id"),
+        concat(lit("the and of to is the and of to is "),
+          lit("el la de que los el la de que los el la de que los"))
+          .as("text"))
+    TextOps.codeSwitchAudit(docs.unionByName(mixed), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Mean average precision at 5 of the IVF search against the exact
+    * brute-force top-5 per probe budget — the ranking-quality number
+    * retrieval evals quote, and unlike top-1 reciprocal rank (which
+    * saturates at 1.0 here: the nearest neighbor is centroid-local) it
+    * separates probe budgets exactly where q186's recall does. AP
+    * terms are precision@k at each hit rank — small-integer ratios,
+    * rounded and DECIMAL-summed, so the mean is order-independent; the
+    * whole approximate path replays in the oracle (seeded centroids
+    * are corpus rows). */
+  def q201MapCurve(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val idx = ivfSeeded(s, dir)
+    val brute5 = Knn.bruteForceTopK(emb, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val per = Seq(1, 2, 4, 16).map { p =>
+      Knn.ivfSearch(idx, queries, k = 5, nprobe = p)
+        .select(lit(p).as("nprobe"), col("query_id"), col("neighbor_id"),
+          col("rank"))
+    }.reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nprobe"), col("query_id")).orderBy(col("rank"))
+    val terms = per.join(brute5, Seq("query_id", "neighbor_id"))
+      .withColumn("__i", row_number().over(w)) // hits so far at this rank
+      .select(col("nprobe"), col("query_id"),
+        round(col("__i").cast("double") / col("rank").cast("double"), 6)
+          .cast("decimal(10,6)").as("__t"))
+    val nq = queries.agg(count(lit(1)).as("__nq"))
+    terms.groupBy(col("nprobe"))
+      .agg(countDistinct(col("query_id")).as("n_queries_hit"),
+        count(lit(1)).as("n_hits"), sum(col("__t")).as("__s"))
+      .crossJoin(broadcast(nq))
+      .select(col("nprobe"), col("__nq").as("n_queries"),
+        col("n_queries_hit"), col("n_hits"),
+        round(col("__s").cast("double") /
+          (lit(5.0) * col("__nq").cast("double")), 6).as("map5"))
+      .orderBy("nprobe")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -3182,6 +3236,8 @@ object Queries {
     "q197_provenance_union" -> (q197ProvenanceUnion _),
     "q198_dedup_savings" -> (q198DedupSavings _),
     "q199_audit_card" -> (q199AuditCard _),
+    "q200_code_switch" -> (q200CodeSwitch _),
+    "q201_map_curve" -> (q201MapCurve _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

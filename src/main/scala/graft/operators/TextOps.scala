@@ -190,6 +190,31 @@ object TextOps {
     when(total === 0, "und").otherwise(chain)
   }
 
+  /** Split-half code-switching audit: language-ID the first and second
+    * halves of each document separately and flag documents whose halves
+    * disagree (both halves determined) — the cheap screen for
+    * mixed-language documents, which poison both per-language mixtures
+    * and lang-ID training labels (a "en" doc that is half Spanish is
+    * wrong in every bucket). Halves split at ceil(n/2) tokens; the
+    * whole-doc [[langId]] rides along for context.
+    *
+    * Scale shape: pure per-row kernels (token slice + two marker-count
+    * folds), no shuffle. Output: (idCol, lang_full, lang_head,
+    * lang_tail, is_switch). */
+  def codeSwitchAudit(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val half = ceil(size(toks).cast("double") / 2.0).cast("int")
+    // slice clamps past the end, so length = full size is safe for the tail
+    val head = concat_ws(" ", slice(toks, lit(1), half))
+    val tail = concat_ws(" ", slice(toks, half + lit(1), size(toks)))
+    df.select(col(idCol), langId(col(textCol)).as("lang_full"),
+        langId(head).as("lang_head"), langId(tail).as("lang_tail"))
+      .withColumn("is_switch",
+        col("lang_head") =!= "und" && col("lang_tail") =!= "und" &&
+          col("lang_head") =!= col("lang_tail"))
+  }
+
   /** Frequency-ranked vocabulary over a corpus: the `size` most frequent
     * tokens, ids 1..size by (freq desc, token asc); id 0 is reserved for
     * out-of-vocabulary. One corpus-sized (token) aggregate; the ranked

@@ -445,6 +445,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(fams(1).getAs[Long]("wasted_bytes") == 2L * short_.length)
   }
 
+  // ---------------------------------------------------- code switching
+
+  test("codeSwitchAudit: mixed halves flag; monolingual and und-tail docs do not") {
+    val docs = Seq(
+      (1L, "the and of to is the and of to is el la de que los el la de que los"),
+      (2L, "the and of to is the and of to is the and of to is"),
+      (3L, "the and of to is zz qq ww ee rr")) // tail und -> not a switch
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.codeSwitchAudit(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("is_switch"))
+    assert(out(0).getAs[String]("lang_head") == "en" &&
+      out(0).getAs[String]("lang_tail") == "es")
+    assert(!out(1).getAs[Boolean]("is_switch"))
+    assert(!out(2).getAs[Boolean]("is_switch") &&
+      out(2).getAs[String]("lang_tail") == "und")
+  }
+
   // ------------------------------------------------------ SFT assembly
 
   test("sftAssemble: hand-computed spans, loss mask, and digest") {
