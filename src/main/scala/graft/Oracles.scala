@@ -4532,6 +4532,64 @@ object Oracles {
          | round(CAST(sum(t) AS DOUBLE) / (5.0 * CAST(nqv AS DOUBLE)), 6)
          |  AS map5
          |FROM terms, nq GROUP BY nprobe, nqv ORDER BY nprobe""".stripMargin,
+
+    // lexicon screen: exact lowercased-token hits + per-1k density
+    "q202_lexicon_screen" ->
+      s"""WITH c AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 96000000,
+         |  text || ' badword1 badword2 badword1 slurx badword2'
+         | FROM documents WHERE doc_id % 23 = 0),
+         |t AS (SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM c),
+         |h AS (
+         | SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(tk, x ->
+         |    list_contains(['badword1', 'badword2', 'slurx'], x))) AS BIGINT)
+         |   AS n_hits
+         | FROM t),
+         |d AS (
+         | SELECT doc_id, n_tokens, n_hits,
+         |  CASE WHEN n_tokens = 0 THEN 0.0
+         |   ELSE round(CAST(n_hits AS DOUBLE) * 1000.0
+         |     / CAST(n_tokens AS DOUBLE), 6) END AS hits_per_1k
+         | FROM h)
+         |SELECT doc_id, n_tokens, n_hits, hits_per_1k,
+         | hits_per_1k > 20.0 AS flagged
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // normalization-insensitive decontamination: q159's canonical form
+    // on both sides, then the q85 8-gram chain — the re-cased planted
+    // copies must all flag
+    "q203_norm_decontam" -> {
+      def shg8(tokCte: String, pfx: String) =
+        s"""${pfx}shg AS (
+           | SELECT doc_id, CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+           |   ELSE list_transform(range(1, len(tk) - 6),
+           |          i -> array_to_string(list_slice(tk, i, i + 7), ' ')) END AS sh
+           | FROM $tokCte)""".stripMargin
+      val norm = (c: String) =>
+        s"trim(regexp_replace(lower(coalesce($c, '')), '[^a-z0-9]+', ' ', 'g'))"
+      s"""WITH bench AS (
+         | SELECT doc_id, ${norm("text")} AS text
+         | FROM documents WHERE doc_id % 50 = 0),
+         |train AS (
+         | SELECT doc_id, ${norm("text")} AS text
+         | FROM documents WHERE doc_id % 50 <> 0
+         | UNION ALL
+         | SELECT doc_id + 97000000,
+         |  ${norm("regexp_replace(upper(text), ' ', ', ', 'g')")}
+         | FROM documents WHERE doc_id % 50 = 0),
+         |btok AS (SELECT doc_id, ${toksSql("text")} AS tk FROM bench),
+         |ttok AS (SELECT doc_id, ${toksSql("text")} AS tk FROM train),
+         |${shg8("btok", "b")},
+         |${shg8("ttok", "t")},
+         |bset AS (SELECT DISTINCT unnest(sh) AS sh FROM bshg),
+         |texp AS (SELECT doc_id, unnest(list_distinct(sh)) AS sh FROM tshg)
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM texp JOIN bset USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

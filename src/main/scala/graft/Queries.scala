@@ -2302,6 +2302,39 @@ object Queries {
       .orderBy("nprobe")
   }
 
+  /** The q202 lexicon — a stand-in unsafe-word list (the operator is
+    * list-agnostic; real deployments load their policy lexicon). The
+    * corpus is lexicon-free, so every 23rd doc gains a planted tail of
+    * hits dense enough to cross 20 per 1k. */
+  private[graft] val screenLexicon = Seq("badword1", "badword2", "slurx")
+
+  def q202LexiconScreen(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 23 === 0)
+      .select((col("doc_id") + lit(96000000L)).as("doc_id"),
+        concat(col("text"),
+          lit(" badword1 badword2 badword1 slurx badword2")).as("text"))
+    TextOps.lexiconScreen(docs.unionByName(planted), "doc_id", "text",
+        screenLexicon, maxPer1k = 20.0)
+      .orderBy("doc_id")
+  }
+
+  /** Normalization-insensitive decontamination: q85's split, but the
+    * planted contaminated copies are RE-CASED and re-punctuated
+    * (upper + injected commas) — exact 8-gram overlap misses them by
+    * construction; the normalized check must flag every one. */
+  def q203NormalizedDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val reformatted = bench
+      .select((col("doc_id") + lit(97000000L)).as("doc_id"),
+        regexp_replace(upper(col("text")), " ", ", ").as("text"))
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+      .unionByName(reformatted)
+    Decontaminate.overlapsNormalized(train, bench, "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+  }
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -3238,6 +3271,8 @@ object Queries {
     "q199_audit_card" -> (q199AuditCard _),
     "q200_code_switch" -> (q200CodeSwitch _),
     "q201_map_curve" -> (q201MapCurve _),
+    "q202_lexicon_screen" -> (q202LexiconScreen _),
+    "q203_norm_decontam" -> (q203NormalizedDecontam _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

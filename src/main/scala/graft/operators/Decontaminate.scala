@@ -93,6 +93,21 @@ object Decontaminate {
         .filter(col("contaminated")).select(col(idCol).as("__cid")),
       col(idCol) === col("__cid"), "left_anti")
 
+  /** Normalization-insensitive contamination check: [[overlaps]] after
+    * canonicalizing BOTH sides with [[TextOps.normalizeForDedup]]
+    * (lowercase, punctuation runs to spaces) — catches the leaks exact
+    * shingling misses when the benchmark text was re-cased, re-punctuated
+    * or re-flowed on its way into the crawl (the common real-world leak
+    * shape: a quiz site reformatting benchmark questions). Same
+    * broadcast-benchmark scale shape as [[overlaps]]. */
+  def overlapsNormalized(training: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 8): DataFrame = {
+    def norm(df: DataFrame) = df.select(col(idCol),
+      TextOps.normalizeForDedup(col(textCol)).as(textCol))
+    overlaps(norm(training), norm(benchmark), idCol, textCol, k)
+  }
+
   /** Train/eval split-leakage audit: after any split (including the
     * family-safe [[Split.groupAwareSplit]]), count the k-token shingles
     * that occur on BOTH sides and the eval docs touched by one — the

@@ -215,6 +215,32 @@ object TextOps {
           col("lang_head") =!= col("lang_tail"))
   }
 
+  /** Lexicon screen: per-document hit counts against a word list (the
+    * blocklist/toxicity-lexicon pre-filter every pipeline runs BEFORE
+    * spending model inference — cheap, transparent, and auditable; the
+    * model-based classifier then sees only the survivors). Matching is
+    * on lowercased whitespace tokens — exact word hits, not substrings
+    * (no "scunthorpe" false positives). Emits both the hit count and
+    * the density per 1000 tokens so long documents are not penalized
+    * for length; the verdict threshold is on DENSITY.
+    *
+    * Scale shape: the lexicon folds per row (array_intersect against a
+    * literal — codegen, no join for realistic lexicon sizes); no
+    * shuffle. Output: (idCol, n_tokens, n_hits, hits_per_1k, flagged). */
+  def lexiconScreen(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, lexicon: Seq[String],
+                    maxPer1k: Double): org.apache.spark.sql.DataFrame = {
+    require(lexicon.nonEmpty, "lexiconScreen: lexicon non-empty")
+    val toks = tokens(lower(col(textCol)))
+    val hits = size(filter(toks, t => t.isin(lexicon.map(_.toLowerCase): _*)))
+    df.select(col(idCol), size(toks).cast("long").as("n_tokens"),
+        hits.cast("long").as("n_hits"))
+      .withColumn("hits_per_1k", when(col("n_tokens") === 0, 0.0)
+        .otherwise(round(col("n_hits").cast("double") * 1000.0 /
+          col("n_tokens").cast("double"), 6)))
+      .withColumn("flagged", col("hits_per_1k") > maxPer1k)
+  }
+
   /** Frequency-ranked vocabulary over a corpus: the `size` most frequent
     * tokens, ids 1..size by (freq desc, token asc); id 0 is reserved for
     * out-of-vocabulary. One corpus-sized (token) aggregate; the ranked

@@ -463,6 +463,39 @@ class CorpusOpsSpec extends SparkSpec {
       out(2).getAs[String]("lang_tail") == "und")
   }
 
+  // --------------------------------------------------- lexicon screen
+
+  test("lexiconScreen: density flags dense hits, not long docs with one hit") {
+    val lex = Seq("bad", "worse")
+    val dense = "bad worse bad worse bad stuff here"          // 5/7 ~714 per 1k
+    val sparse = ("ok " * 200) + "bad"                        // 1/201 ~5 per 1k
+    val docs = Seq((1L, dense), (2L, sparse), (3L, "clean doc entirely"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.lexiconScreen(docs, "doc_id", "text",
+        lex, maxPer1k = 20.0).orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("flagged"))
+    assert(!out(1).getAs[Boolean]("flagged") &&
+      out(1).getAs[Long]("n_hits") == 1L)
+    assert(!out(2).getAs[Boolean]("flagged") &&
+      out(2).getAs[Long]("n_hits") == 0L)
+  }
+
+  // ------------------------------------- normalized decontamination
+
+  test("overlapsNormalized catches a re-cased/re-punctuated leak that exact 8-grams miss") {
+    val benchText = "which planet is closest to the sun in our solar system today"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val leaked = benchText.toUpperCase.replace(" ", ", ")
+    val train = Seq((1L, leaked), (2L, "totally unrelated training text here"))
+      .toDF("doc_id", "text")
+    val exact = graft.operators.Decontaminate.overlaps(train, bench,
+      "doc_id", "text", k = 8).collect()
+    assert(exact.isEmpty) // the exact check is blind to the reformatting
+    val norm = graft.operators.Decontaminate.overlapsNormalized(train, bench,
+      "doc_id", "text", k = 8).collect()
+    assert(norm.map(_.getLong(0)).toSet == Set(1L))
+  }
+
   // ------------------------------------------------------ SFT assembly
 
   test("sftAssemble: hand-computed spans, loss mask, and digest") {
