@@ -4590,6 +4590,92 @@ object Oracles {
          |FROM texp JOIN bset USING (sh)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // IVF list purity: the q186 seeded assignment (keep = 1) joined to
+    // labels, majority label via first_value over (count desc, label
+    // desc) == the Spark struct-max
+    "q204_list_purity" ->
+      s"""WITH c AS (
+         | SELECT vec_id AS neighbor_id, embedding AS cv, label
+         | FROM embeddings
+         | WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         |cents AS (
+         | SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+         | WHERE embedding IS NOT NULL AND len(embedding) > 0
+         | ORDER BY vec_id LIMIT 16),
+         |cc AS (
+         | SELECT neighbor_id, cent_id,
+         |  CASE WHEN np = 0 THEN 0.0 ELSE dp / np END AS csim
+         | FROM (
+         |  SELECT neighbor_id, cent_id, ${dotSql("cv", "ce")} AS dp,
+         |   ${normSql("cv")} * ${normSql("ce")} AS np
+         |  FROM c, cents)),
+         |casg AS (
+         | SELECT neighbor_id, cent_id FROM (
+         |  SELECT neighbor_id, cent_id, row_number() OVER (
+         |    PARTITION BY neighbor_id ORDER BY csim DESC, cent_id ASC) AS rn
+         |  FROM cc) WHERE rn = 1),
+         |lc AS (
+         | SELECT casg.cent_id AS cent_id, c.label AS label,
+         |  CAST(count(*) AS BIGINT) AS lcnt
+         | FROM casg JOIN c ON casg.neighbor_id = c.neighbor_id
+         | GROUP BY 1, 2),
+         |la AS (
+         | SELECT cent_id,
+         |  first_value(label) OVER (PARTITION BY cent_id
+         |    ORDER BY lcnt DESC, label DESC) AS top_label,
+         |  first_value(lcnt) OVER (PARTITION BY cent_id
+         |    ORDER BY lcnt DESC, label DESC) AS top_cnt,
+         |  sum(lcnt) OVER (PARTITION BY cent_id) AS n_vectors
+         | FROM lc),
+         |ld AS (SELECT DISTINCT cent_id, top_label, top_cnt, n_vectors FROM la)
+         |SELECT cent_id, CAST(n_vectors AS BIGINT) AS n_vectors, top_label,
+         | round(CAST(top_cnt AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6)
+         |  AS top_share
+         |FROM ld ORDER BY cent_id""".stripMargin,
+
+    // SFT stats: q179's turn CTEs aggregated per session — spans
+    // partition the text, so sums of turn lengths are the span sums
+    "q205_sft_stats" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+        |sessions AS (
+        | SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM flagged),
+        |roled AS (
+        | SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  event_id,
+        |  CASE WHEN event_type IN ('view', 'click', 'signup') THEN 'user'
+        |       ELSE 'assistant' END AS role, event_type
+        | FROM sessions),
+        |turns AS (
+        | SELECT user_id, session_seq, role,
+        |  '<|' || role || '|>' || event_type || '#'
+        |   || CAST(event_id AS VARCHAR) || '<|end|>' AS turn
+        | FROM roled),
+        |a AS (
+        | SELECT user_id, session_seq,
+        |  CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(sum(length(turn)) AS BIGINT) AS assembled_len,
+        |  CAST(sum(CASE WHEN role = 'assistant' THEN length(turn)
+        |           ELSE 0 END) AS BIGINT) AS loss_chars
+        | FROM turns GROUP BY 1, 2)
+        |SELECT user_id, session_seq, n_turns, assembled_len, loss_chars,
+        | round(CAST(loss_chars AS DOUBLE) / CAST(assembled_len AS DOUBLE), 6)
+        |  AS loss_share
+        |FROM a ORDER BY user_id, session_seq""".stripMargin,
+
+    // k-anonymity over the (nation, segment) quasi-identifier
+    "q206_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        | CAST(count(*) AS BIGINT) AS group_size,
+        | count(*) >= 10 AS meets_k
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -2335,6 +2335,60 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** IVF list-purity diagnostic: per inverted list, the member count
+    * and majority-label share — the index-quality signal behind nprobe
+    * choices (pure lists mean neighbors cluster with their labels and
+    * small probes suffice; mixed lists explain a flat recall curve).
+    * The seeded assignment replays in SQL (q186's machinery), so the
+    * whole diagnostic is hash-verified. */
+  def q204ListPurity(s: SparkSession, dir: String): DataFrame = {
+    val lists = ivfSeeded(s, dir).lists
+      .select(col("__cent_id").as("cent_id"), col("neighbor_id"))
+    val labeled = lists.join(
+      t(s, dir, "embeddings").select(col("vec_id"), col("label")),
+      col("neighbor_id") === col("vec_id"))
+    val counts = labeled.groupBy(col("cent_id"), col("label"))
+      .agg(count(lit(1)).as("__lc"))
+    counts.groupBy(col("cent_id"))
+      .agg(sum(col("__lc")).as("n_vectors"),
+        max(struct(col("__lc"), col("label").as("__lb"))).as("__m"))
+      .select(col("cent_id"), col("n_vectors"),
+        col("__m.__lb").as("top_label"),
+        round(col("__m.__lc").cast("double") /
+          col("n_vectors").cast("double"), 6).as("top_share"))
+      .orderBy("cent_id")
+  }
+
+  /** SFT corpus statistics per session: turns, assembled length, and
+    * the assistant-char share (the fraction of the sequence the loss
+    * actually trains on — the number that decides whether an SFT mix
+    * is worth its tokens). Derived entirely from q179's span
+    * arithmetic. */
+  def q205SftStats(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sftAssemble(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id", Seq("view", "click", "signup"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_turns"),
+        max(col("t_end")).as("assembled_len"),
+        sum(when(col("loss"), col("t_end") - col("t_start"))
+          .otherwise(0L)).as("loss_chars"))
+      .withColumn("loss_share", round(
+        col("loss_chars").cast("double") / col("assembled_len").cast("double"),
+        6))
+      .orderBy("user_id", "session_seq")
+
+  /** k-anonymity audit over the customer quasi-identifier
+    * (nation, market segment): group sizes and the k = 10 verdict —
+    * the release-side privacy check that pairs with q150's PII scan
+    * (PII is direct identification; small quasi-identifier groups are
+    * re-identification). */
+  def q206KAnonymity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("meets_k", col("group_size") >= 10)
+      .orderBy("c_nationkey", "c_mktsegment")
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -3273,6 +3327,9 @@ object Queries {
     "q201_map_curve" -> (q201MapCurve _),
     "q202_lexicon_screen" -> (q202LexiconScreen _),
     "q203_norm_decontam" -> (q203NormalizedDecontam _),
+    "q204_list_purity" -> (q204ListPurity _),
+    "q205_sft_stats" -> (q205SftStats _),
+    "q206_k_anonymity" -> (q206KAnonymity _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -496,6 +496,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(norm.map(_.getLong(0)).toSet == Set(1L))
   }
 
+  // ------------------------------------------------------ list purity
+
+  test("ivf list purity: label-aligned clusters score share 1.0 per list") {
+    // two tight clusters far apart, labels follow clusters; seeds = the
+    // first 2 vectors by id (ids 0 and 1, one per cluster) -> pure lists
+    val vecs = (0 until 16).map { i =>
+      val inA = i % 2 == 0 // interleave so both clusters seed
+      val v = if (inA) Array(100f + i, 1f, 0f, 0f)
+              else Array(0f, 1f, 100f + i, 0f)
+      (i.toLong, v, if (inA) 1 else 2)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val idx = graft.operators.Knn.ivfIndex(df, nlist = 2)
+    val lists = idx.lists.select(col("__cent_id"), col("neighbor_id"))
+      .join(df.select(col("vec_id"), col("label")),
+        col("neighbor_id") === col("vec_id"))
+    val purity = lists.groupBy(col("__cent_id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("__cent_id"))
+      .agg(max(col("c")).as("top"), sum(col("c")).as("n"))
+      .collect()
+    assert(purity.length == 2)
+    purity.foreach(r => assert(r.getLong(1) == r.getLong(2))) // pure lists
+  }
+
   // ------------------------------------------------------ SFT assembly
 
   test("sftAssemble: hand-computed spans, loss mask, and digest") {
