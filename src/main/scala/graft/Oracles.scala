@@ -4669,6 +4669,17 @@ object Oracles {
         |  AS loss_share
         |FROM a ORDER BY user_id, session_seq""".stripMargin,
 
+    // pair-similarity histogram: the q61 chain's verified pairs binned
+    // on the 4-rounded similarity (the operator's output precision)
+    "q207_sim_histogram" ->
+      s"""WITH $q61Chain,
+         |r AS (SELECT round(sim, 4) AS sim FROM pairs),
+         |b AS (SELECT CAST(floor(sim * 20) AS INT) AS bin, sim FROM r)
+         |SELECT bin, round(CAST(bin AS DOUBLE) / 20.0, 6) AS bin_lo,
+         | CAST(count(*) AS BIGINT) AS n_pairs,
+         | round(min(sim), 6) AS min_sim, round(max(sim), 6) AS max_sim
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
     // k-anonymity over the (nation, segment) quasi-identifier
     "q206_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,

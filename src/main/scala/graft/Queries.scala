@@ -2389,6 +2389,24 @@ object Queries {
       .withColumn("meets_k", col("group_size") >= 10)
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** Verified-pair similarity histogram (0.05-wide bins over the shared
+    * portable pair chain, its 12th consumer): the threshold-choice
+    * evidence — where the pair mass sits relative to the 0.5 cut tells
+    * a curator whether nudging the threshold would change anything.
+    * Bin = floor(sim · 20) on identical doubles in both engines. */
+  def q207SimHistogram(s: SparkSession, dir: String): DataFrame =
+    portablePairs(s, dir)
+      .select(floor(col("jaccard_sim") * 20).cast("int").as("bin"),
+        col("jaccard_sim").as("sim"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("sim")), 6).as("min_sim"),
+        round(max(col("sim")), 6).as("max_sim"))
+      .withColumn("bin_lo", round(col("bin").cast("double") / 20.0, 6))
+      .select(col("bin"), col("bin_lo"), col("n_pairs"), col("min_sim"),
+        col("max_sim"))
+      .orderBy("bin")
+
   /** The q60/q67 edge set: a deterministic q31-style fuzzy-dup graph with
     * moduli smaller than q31's so it is non-empty from sf0.001's 150
     * custkeys up; capped at 1500 so the edge count (and the oracle's
@@ -3330,6 +3348,7 @@ object Queries {
     "q204_list_purity" -> (q204ListPurity _),
     "q205_sft_stats" -> (q205SftStats _),
     "q206_k_anonymity" -> (q206KAnonymity _),
+    "q207_sim_histogram" -> (q207SimHistogram _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

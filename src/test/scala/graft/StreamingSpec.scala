@@ -422,6 +422,35 @@ class StreamingSpec extends SparkSpec {
     assert(stream.contains((13L, 1L, "fresh beta")))
   }
 
+  test("code-switch and lexicon-screen kernels are stateless: stream == batch per row") {
+    val rows = Seq(
+      (1L, "the and of to is the and of to is el la de que los el la de que los"),
+      (2L, "bad worse bad worse bad stuff here"),
+      (3L, "a perfectly ordinary clean document text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-kernelstream").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cs = graft.operators.TextOps.codeSwitchAudit(batch, "doc_id", "text")
+        val lx = graft.operators.TextOps.lexiconScreen(batch, "doc_id", "text",
+          Seq("bad", "worse"), maxPer1k = 20.0)
+        cs.join(lx.select(col("doc_id"), col("flagged")), "doc_id")
+          .write.mode("append").parquet(s"$dir/out")
+        ()
+      }
+      .start()
+    try {
+      input.addData(rows(0), rows(1)); q.processAllAvailable()
+      input.addData(rows(2)); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_switch"),
+        r.getAs[Boolean]("flagged"))).toSet
+    assert(stream == Set((1L, true, false), (2L, false, true),
+      (3L, false, false)))
+  }
+
   test("streaming WINNOWING ingestion over the persisted fingerprint table == the batch operators, across a restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft-winstream").toString
     val seed = Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
