@@ -180,8 +180,8 @@ object Oracles {
        | FROM tf JOIN freq USING (token) CROSS JOIN n),
        |d AS (
        | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-       |  round(CAST(sum(t) AS DOUBLE)
-       |    / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE), 6) AS logprob_mean
+       |  CAST(sum(t) AS DOUBLE)
+       |    / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS logprob_mean
        | FROM term GROUP BY 1)""".stripMargin
 
   /** The q124/q125 DSIR chain: hashed unigram+bigram features into 4096
@@ -445,7 +445,7 @@ object Oracles {
       |j AS (
       | SELECT c_custkey,
       |  CAST(date_diff('day', last_d, DATE '1999-01-01') AS INT) AS inactive_days,
-      |  round(least(greatest(c_acctbal / 100.0, 0.0), 100.0), 2) AS completion_rate,
+      |  least(greatest(round(c_acctbal), 0.0), 10000.0) / 100.0 AS completion_rate,
       |  CASE WHEN open_n > 0 THEN 'Pending' WHEN open_n = 0 THEN 'Completed' END AS payment_status
       | FROM customer LEFT JOIN lastord ON c_custkey = o_custkey),
       |scored AS (
@@ -1114,8 +1114,8 @@ object Oracles {
          | CROSS JOIN n),
          |d AS (
          | SELECT doc_id, CAST(sum(tf2) AS BIGINT) AS n_bigrams,
-         |  round(CAST(sum(t) AS DOUBLE)
-         |    / CAST(CAST(sum(tf2) AS BIGINT) AS DOUBLE), 6) AS logprob_mean
+         |  CAST(sum(t) AS DOUBLE)
+         |    / CAST(CAST(sum(tf2) AS BIGINT) AS DOUBLE) AS logprob_mean
          | FROM term GROUP BY 1)
          |SELECT doc_id, n_bigrams, logprob_mean,
          | logprob_mean >= -10.0 AS keep
@@ -1910,7 +1910,9 @@ object Oracles {
 
     // self-trained unigram LM score: exact tf/freq/N integers, ln on the
     // identical double freq/N, per-term round(.,6) summed through
-    // DECIMAL(25,6) (order-independent), one double division at the end
+    // DECIMAL(25,6) (order-independent); the final mean is the RAW double
+    // division (identical operands -> identical doubles; a trailing round
+    // diverges at shortest-repr ties — the q174 sf0.1 lesson)
     "q99_unigram_lm" ->
       s"""WITH $q99Chain
          |SELECT doc_id, n_tokens, logprob_mean,
@@ -3524,8 +3526,8 @@ object Oracles {
          | CROSS JOIN nbi),
          |d AS (
          | SELECT doc_id, CAST(sum(tf2) AS BIGINT) AS n_bigrams,
-         |  round(CAST(sum(t) AS DOUBLE)
-         |    / CAST(CAST(sum(tf2) AS BIGINT) AS DOUBLE), 6) AS kn_logprob_mean
+         |  CAST(sum(t) AS DOUBLE)
+         |    / CAST(CAST(sum(tf2) AS BIGINT) AS DOUBLE) AS kn_logprob_mean
          | FROM term GROUP BY 1)
          |SELECT doc_id, n_bigrams, kn_logprob_mean,
          | kn_logprob_mean >= -10.0 AS keep

@@ -3359,8 +3359,15 @@ object Queries {
     val joined = t(s, dir, "customer")
       .join(lastOrder, col("c_custkey") === col("o_custkey"), "left")
       .withColumn("inactive_days", datediff(asOfDate, col("__last")))
+      // completion_rate = round(acctbal/100, 2) computed as integer-unit
+      // arithmetic: round FIRST (money at .5 is an exact double -> both
+      // engines round away from zero identically), divide LAST (identical
+      // integer-valued doubles). The previous round-after-divide form
+      // diverged at shortest-repr ties (8 customers at sf0.1): Spark's
+      // round goes through the double's shortest decimal repr, DuckDB's
+      // through binary arithmetic.
       .withColumn("completion_rate",
-        round(least(greatest(col("c_acctbal") / 100.0, lit(0.0)), lit(100.0)), 2))
+        least(greatest(round(col("c_acctbal"), 0), lit(0.0)), lit(10000.0)) / 100.0)
       .withColumn("payment_status",
         when(col("__open") > 0, "Pending")
           .when(col("__open") === 0, "Completed"))

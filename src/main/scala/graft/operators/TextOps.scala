@@ -325,7 +325,7 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"), sum(col("__t")).as("__lsum"))
       .select(col(idCol), col("n_tokens"),
-        round(col("__lsum").cast("double") / col("n_tokens").cast("double"), 6)
+        (col("__lsum").cast("double") / col("n_tokens").cast("double"))
           .as("logprob_mean"))
       .withColumn("keep", col("logprob_mean") >= minLogProb)
   }
@@ -378,7 +378,7 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(sum(col("__tf2")).as("n_bigrams"), sum(col("__t")).as("__lsum"))
       .select(col(idCol), col("n_bigrams"),
-        round(col("__lsum").cast("double") / col("n_bigrams").cast("double"), 6)
+        (col("__lsum").cast("double") / col("n_bigrams").cast("double"))
           .as("logprob_mean"))
       .withColumn("keep", col("logprob_mean") >= minLogProb)
   }
@@ -439,7 +439,7 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(sum(col("__tf2")).as("n_bigrams"), sum(col("__t")).as("__lsum"))
       .select(col(idCol), col("n_bigrams"),
-        round(col("__lsum").cast("double") / col("n_bigrams").cast("double"), 6)
+        (col("__lsum").cast("double") / col("n_bigrams").cast("double"))
           .as("kn_logprob_mean"))
       .withColumn("keep", col("kn_logprob_mean") >= minLogProb)
   }

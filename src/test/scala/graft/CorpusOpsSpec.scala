@@ -46,10 +46,12 @@ class CorpusOpsSpec extends SparkSpec {
     val pBA = math.max(1.0 - 0.75, 0.0) / 1.0 + (0.75 * 1.0 / 1.0) * (1.0 / 3.0)
     val pAC = math.max(1.0 - 0.75, 0.0) / 3.0 + (0.75 * 2.0 / 3.0) * (1.0 / 3.0)
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // term discipline: round(tf * ln p, 6) per DISTINCT (doc, w1, w2)
+    // term discipline: round(tf * ln p, 6) per DISTINCT (doc, w1, w2);
+    // the MEAN is the raw double division (no trailing round — it
+    // diverges cross-engine at shortest-repr ties)
     val t1 = r6(2 * math.log(pAB)) + r6(1 * math.log(pBA))
-    val exp1 = r6(t1 / 3.0)
-    val exp2 = r6(r6(1 * math.log(pAC)) / 1.0)
+    val exp1 = t1 / 3.0
+    val exp2 = r6(1 * math.log(pAC)) / 1.0
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
     assert(math.abs(out(0).getAs[Double]("kn_logprob_mean") - exp1) < 1e-9)
     assert(math.abs(out(1).getAs[Double]("kn_logprob_mean") - exp2) < 1e-9)
