@@ -218,9 +218,8 @@ class DedupSpec extends SparkSpec {
     def term(tf: Long, freq: Long) =
       BigDecimal(tf * math.log(freq / 6.0)).setScale(6,
         BigDecimal.RoundingMode.HALF_UP)
-    def mean(ts: Seq[BigDecimal], n: Long) =
-      BigDecimal(ts.sum.toDouble / n).setScale(6,
-        BigDecimal.RoundingMode.HALF_UP).toDouble
+    // raw double division — the mean is not rounded (see bigram test)
+    def mean(ts: Seq[BigDecimal], n: Long) = ts.sum.toDouble / n
     val d1 = mean(Seq(term(2, 3), term(1, 2)), 3)   // a a b
     val d2 = mean(Seq(term(1, 2), term(1, 1), term(1, 3)), 3) // b c a
     assert(got.toSeq == Seq((1L, 3L, d1, d1 >= -1.0), (2L, 3L, d2, d2 >= -1.0)))
@@ -240,9 +239,9 @@ class DedupSpec extends SparkSpec {
       0.75 * (c2.toDouble / c1) + 0.25 * (cw2.toDouble / 6.0)
     def term(tf: Long, prob: Double) =
       BigDecimal(tf * math.log(prob)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    def mean(ts: Seq[BigDecimal], n: Long) =
-      BigDecimal(ts.sum.toDouble / n).setScale(6,
-        BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the mean is the RAW double division of the DECIMAL term sum — no
+    // trailing round (it diverges cross-engine at shortest-repr ties)
+    def mean(ts: Seq[BigDecimal], n: Long) = ts.sum.toDouble / n
     val d1 = mean(Seq(term(2, p(2, 4, 2)), term(1, p(1, 2, 4))), 3)
     val d2 = mean(Seq(term(1, p(1, 4, 4))), 1)
     assert(got.toSeq == Seq((1L, 3L, d1, d1 >= -1.0), (2L, 1L, d2, d2 >= -1.0)))
