@@ -31,19 +31,26 @@ object Bench {
     // one light session-level warm-up action so the very first warm rep
     // does not absorb classloading + codegen-compiler startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // a failed rep records the exception (class + first message line) so
+    // an order-dependent failure is diagnosable from the COMMITTED
+    // BENCH_RAW.json without a re-run (the r07 q112 lesson: stderr-only
+    // messages are gone by adjudication time)
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
-                 name: String): Double = {
+                 name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, None) }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
+        val first = Option(e.getMessage).map(_.linesIterator.next()).getOrElse("")
+        val what = s"${e.getClass.getName}: $first"
+        System.err.println(s"[bench] $name FAILED: $what"); (-1.0, Some(what)) }
     }
     // sorted so runs are comparable round over round; with the per-query
     // warm rep the ordering no longer shifts costs between queries
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val warm = timeOnce(fn, name)
-      val times = (1 to reps).map(_ => timeOnce(fn, name))
-      (name, warm, times)
+      val (warm, warmErr) = timeOnce(fn, name)
+      val timed = (1 to reps).map(_ => timeOnce(fn, name))
+      val err = (warmErr +: timed.map(_._2)).flatten.headOption
+      (name, warm, timed.map(_._1), err)
     }
     // a failed query must be distinguishable from a fast one: any failed rep
     // marks the query failed, its reported timing is -1
@@ -55,7 +62,7 @@ object Bench {
     def r3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def short(name: String): String = name.takeWhile(_ != '_')
-    val meds = results.map { case (name, warm, ts) =>
+    val meds = results.map { case (name, warm, ts, _) =>
       (name, if (ts.contains(-1.0) || warm == -1.0) -1.0 else median(ts))
     }
     // duplicate short keys would silently overwrite each other in the JSON
@@ -68,9 +75,17 @@ object Bench {
       .mkString("[", ",", "]")
     val total = meds.collect { case (_, v) if v >= 0 => v }.sum
     // full-name warm + raw reps → BENCH_RAW.json (committed evidence) + stderr
-    val raw = results.map { case (k, warm, ts) =>
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
+    val raw = results.map { case (k, warm, ts, err) =>
       "\"" + k + "\":{\"warm\":" + r3(warm) + ",\"reps\":" +
-        ts.map(r3).mkString("[", ",", "]") + "}"
+        ts.map(r3).mkString("[", ",", "]") +
+        err.map(e => ",\"error\":" + jstr(e)).getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val rawLine = s"""{"bench_detail":$raw,"sf":"$sfDir","cpus":$cpus,"reps":$reps,"protocol":"1 warm + $reps timed per query, medians over timed only"}"""
     try java.nio.file.Files.writeString(

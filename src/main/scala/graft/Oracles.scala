@@ -212,8 +212,8 @@ object Oracles {
        | FROM dc JOIN lr USING (b)),
        |wts AS (
        | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features,
-       |  round(CAST(sum(t) AS DOUBLE)
-       |    / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE), 6) AS log_weight_mean
+       |  CAST(sum(t) AS DOUBLE)
+       |    / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS log_weight_mean
        | FROM term GROUP BY doc_id)""".stripMargin
 
   /** Set-semantics Jaccard of two shingle lists (q17 precedent). */
@@ -247,7 +247,7 @@ object Oracles {
     * 16-hash/4-band family the query passes. */
   private val q61Sql: String =
     s"""WITH $q61Chain
-       |SELECT id_a, id_b, round(sim, 4) AS jaccard_sim
+       |SELECT id_a, id_b, floor(sim * 1e4 + 0.5) / 1e4 AS jaccard_sim
        |FROM pairs ORDER BY id_a, id_b""".stripMargin
 
   /** q93 AND q98: vocab + token-id encoding to exploded scalar cells.
@@ -315,7 +315,7 @@ object Oracles {
        |  FROM cand
        |  JOIN i_shg a ON cand.incoming_id = a.doc_id
        |  JOIN e_shg b2 ON cand.existing_id = b2.doc_id)
-       |SELECT incoming_id, existing_id, round(sim, 4) AS jaccard_sim
+       |SELECT incoming_id, existing_id, floor(sim * 1e4 + 0.5) / 1e4 AS jaccard_sim
        |FROM ver WHERE sim >= 0.5
        |ORDER BY incoming_id, existing_id""".stripMargin
 
@@ -586,8 +586,8 @@ object Oracles {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
-        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
-        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -612,7 +612,7 @@ object Oracles {
         | count(*) AS n_lines,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
         | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
-        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
         |FROM part JOIN lineitem ON p_partkey = l_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
@@ -790,7 +790,7 @@ object Oracles {
          | FROM h),
          |t AS (SELECT lang, count(*) AS tot FROM p GROUP BY 1)
          |SELECT p.lang, lang_pred, count(*) AS n_docs,
-         | round(CAST(count(*) AS DOUBLE) / any_value(tot), 6) AS share
+         | CAST(count(*) AS DOUBLE) / any_value(tot) AS share
          |FROM p JOIN t ON p.lang = t.lang
          |GROUP BY p.lang, lang_pred
          |ORDER BY p.lang, lang_pred""".stripMargin,
@@ -804,7 +804,7 @@ object Oracles {
          |       ELSE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
          |            / len(list_distinct(list_concat(l.toks, r.toks))) END AS sim
          | FROM d l, d r WHERE l.doc_id < r.doc_id)
-         |SELECT id_a, id_b, round(sim, 6) AS jaccard_sim
+         |SELECT id_a, id_b, sim AS jaccard_sim
          |FROM pairs WHERE sim >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     "q18_sessionize" ->
@@ -1165,9 +1165,9 @@ object Oracles {
          | FROM seg GROUP BY lang)
          |SELECT lang, n_words, n_subwords, n_chars,
          | CASE WHEN n_words = 0 THEN 0.0 ELSE
-         |  round(CAST(n_subwords AS DOUBLE) / n_words, 6) END AS fertility,
+         |  CAST(n_subwords AS DOUBLE) / n_words END AS fertility,
          | CASE WHEN n_subwords = 0 THEN 0.0 ELSE
-         |  round(CAST(n_chars AS DOUBLE) / n_subwords, 6) END
+         |  CAST(n_chars AS DOUBLE) / n_subwords END
          |  AS chars_per_subword
          |FROM g ORDER BY lang""".stripMargin
     },
@@ -1377,7 +1377,7 @@ object Oracles {
          | FROM documents)
          |SELECT domain, blocked, count(*) AS n_docs,
          | CAST(sum(nt) AS BIGINT) AS total_tokens,
-         | round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS avg_quality
+         | CAST(sum(q) AS DOUBLE) / count(*) AS avg_quality
          |FROM d GROUP BY 1, 2 ORDER BY domain""".stripMargin,
 
     // repeat-mixture replay: same per-group (floor, frac-bp) constants,
@@ -1433,7 +1433,7 @@ object Oracles {
         .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH $q61Chain
-         |SELECT p.id_a, p.id_b, round(p.sim, 4) AS jaccard_sim,
+         |SELECT p.id_a, p.id_b, floor(p.sim * 1e4 + 0.5) / 1e4 AS jaccard_sim,
          | round(CAST($agree AS DOUBLE) / 16.0, 6) AS est_sim
          |FROM pairs p
          |JOIN sig a ON p.id_a = a.doc_id
@@ -1457,7 +1457,7 @@ object Oracles {
         s"  SELECT $i AS i, CAST($th AS DOUBLE) AS threshold, count(*) AS n_pairs FROM tp WHERE s4 >= $th"
       }.mkString("\n  UNION ALL\n")
       s"""WITH RECURSIVE $q61Chain,
-         |tp AS (SELECT id_a, id_b, round(sim, 4) AS s4 FROM pairs),
+         |tp AS (SELECT id_a, id_b, floor(sim * 1e4 + 0.5) / 1e4 AS s4 FROM pairs),
          |e0 AS (
          |$lifted),
          |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
@@ -1500,8 +1500,8 @@ object Oracles {
          | count(*) AS total_shingles,
          | CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
          |  AS novel_shingles,
-         | round(CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
-         |  / count(*), 6) AS novelty_rate
+         | CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / count(*) AS novelty_rate
          |FROM ex JOIN own USING (dg)
          |GROUP BY source ORDER BY source""".stripMargin,
 
@@ -1650,7 +1650,7 @@ object Oracles {
          |  CAST(sum(len(${toksSql("text")})) AS BIGINT) AS total_tokens
          | FROM documents GROUP BY source)
          |SELECT source, n_docs, total_bytes, total_tokens,
-         | round(CAST(total_bytes AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         | CAST(total_bytes AS DOUBLE) / CAST(total_tokens AS DOUBLE)
          |  AS bytes_per_token
          |FROM a ORDER BY source""".stripMargin,
 
@@ -1698,7 +1698,7 @@ object Oracles {
       s"""WITH $q61Chain,
          |m AS (
          | SELECT id_a % 1000000 AS ia, id_b % 1000000 AS ib,
-         |  round(sim, 4) AS js
+         |  floor(sim * 1e4 + 0.5) / 1e4 AS js
          | FROM pairs),
          |j AS (
          | SELECT least(da.source, db.source) AS source_a,
@@ -1880,10 +1880,10 @@ object Oracles {
         |SELECT (SELECT count(*) FROM s1) AS n_signup,
         | (SELECT count(*) FROM s2) AS n_click,
         | (SELECT count(*) FROM s3) AS n_purchase,
-        | round(CAST((SELECT count(*) FROM s2) AS DOUBLE)
-        |   / (SELECT count(*) FROM s1), 6) AS click_rate,
-        | round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
-        |   / (SELECT count(*) FROM s2), 6) AS purchase_rate""".stripMargin,
+        | CAST((SELECT count(*) FROM s2) AS DOUBLE)
+        |   / (SELECT count(*) FROM s1) AS click_rate,
+        | CAST((SELECT count(*) FROM s3) AS DOUBLE)
+        |   / (SELECT count(*) FROM s2) AS purchase_rate""".stripMargin,
 
     // cohort retention matrix: integer week ordinals, distinct activity
     "q96_cohort_retention" ->
@@ -1964,8 +1964,8 @@ object Oracles {
          |  array_to_string(kept, chr(10)) AS text_clean,
          |  CAST(len(ls) AS INT) AS n_lines,
          |  CAST(len(ls) - len(kept) AS INT) AS n_dropped,
-         |  round(CAST(len(ls) - len(kept) AS DOUBLE)
-         |        / CAST(len(ls) AS DOUBLE), 6) AS drop_ratio
+         |  CAST(len(ls) - len(kept) AS DOUBLE)
+         |        / CAST(len(ls) AS DOUBLE) AS drop_ratio
          | FROM k)
          |SELECT doc_id, text_clean, n_lines, n_dropped, drop_ratio,
          | drop_ratio <= 0.2 AS keep_doc
@@ -2240,7 +2240,7 @@ object Oracles {
          |  CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
          |   / CAST(len(l.sh) AS DOUBLE) AS c
          | FROM d l, d r WHERE l.doc_id <> r.doc_id)
-         |SELECT id_a, id_b, round(c, 6) AS containment
+         |SELECT id_a, id_b, c AS containment
          |FROM pairs WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
     // vocabulary coverage curve: ranked cumulative token mass, integer
@@ -2419,8 +2419,8 @@ object Oracles {
         |mad AS (
         | SELECT g, med, quantile_cont(adev, 0.5) AS mad
         | FROM dev GROUP BY 1, 2)
-        |SELECT d.g AS event_type, round(m.med, 6) AS med,
-        | round(m.mad, 6) AS mad,
+        |SELECT d.g AS event_type, m.med AS med,
+        | m.mad AS mad,
         | CAST(count(*) AS BIGINT) AS n,
         | CAST(count(CASE WHEN adev > 3.0 * m.mad THEN 1 END) AS BIGINT)
         |  AS n_outliers
@@ -2440,8 +2440,8 @@ object Oracles {
          |mad AS (
          | SELECT g, med, quantile_cont(adev, 0.5) AS mad
          | FROM dev GROUP BY 1, 2)
-         |SELECT d.g AS source, round(m.med, 6) AS med,
-         | round(m.mad, 6) AS mad,
+         |SELECT d.g AS source, m.med AS med,
+         | m.mad AS mad,
          | CAST(count(*) AS BIGINT) AS n,
          | CAST(count(CASE WHEN adev > 3.0 * m.mad THEN 1 END) AS BIGINT)
          |  AS n_outliers
@@ -2481,16 +2481,16 @@ object Oracles {
          | SELECT source, lang,
          |  CAST(${tokenCountSql("text")} AS BIGINT) AS n_tok,
          |  CAST(${qualitySql("text")} AS INT) AS q,
-         |  round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
-         |    / CAST(len(sh) AS DOUBLE), 6) AS dup
+         |  floor((1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+         |    / CAST(len(sh) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS dup
          | FROM shg)
          |SELECT source, count(*) AS n_docs,
          | CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-         | round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS avg_quality,
-         | round(CAST(sum(CAST(dup AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6)
+         | CAST(sum(q) AS DOUBLE) / count(*) AS avg_quality,
+         | CAST(sum(CAST(dup AS DECIMAL(25,6))) AS DOUBLE) / count(*)
          |  AS avg_dup_ratio,
-         | round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
-         |  / count(*), 6) AS pct_en
+         | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / count(*) AS pct_en
          |FROM b GROUP BY source ORDER BY source""".stripMargin,
 
     // grouped top-k: per-lang bigram heavy hitters, rank window with
@@ -2583,7 +2583,7 @@ object Oracles {
          | FROM shg),
          |r AS (
          | SELECT doc_id, n_shingles, n_distinct,
-         |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+         |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_shingles AS DOUBLE)
          |   AS dup_ratio
          | FROM m)
          |SELECT doc_id, n_shingles, n_distinct, dup_ratio,
@@ -2677,7 +2677,7 @@ object Oracles {
         |       ELSE CAST(len(list_intersect(l.g, r.g)) AS DOUBLE)
         |            / len(list_distinct(list_concat(l.g, r.g))) END AS sim
         | FROM d l, d r WHERE l.doc_id < r.doc_id)
-        |SELECT id_a, id_b, round(sim, 6) AS trigram_sim
+        |SELECT id_a, id_b, sim AS trigram_sim
         |FROM pairs WHERE sim >= 0.62 ORDER BY id_a, id_b""".stripMargin,
 
     // partitioned-layout round trip: the oracle aggregates the ORIGINAL
@@ -2828,7 +2828,7 @@ object Oracles {
     // pure integer arithmetic (lev*100 <= maxLen*20)
     "q147_edit_distance" ->
       s"""WITH $q61Chain
-         |SELECT id_a, id_b, round(sim, 4) AS jaccard_sim,
+         |SELECT id_a, id_b, floor(sim * 1e4 + 0.5) / 1e4 AS jaccard_sim,
          | CAST(levenshtein(a.text, b2.text) AS INT) AS lev,
          | CAST(length(a.text) AS INT) AS len_a,
          | CAST(length(b2.text) AS INT) AS len_b,
@@ -2896,10 +2896,10 @@ object Oracles {
          |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
          | CAST(sum(tf) AS BIGINT) AS n_tokens,
          | CAST(count(CASE WHEN tf = 1 THEN 1 END) AS BIGINT) AS n_hapax,
-         | round(CAST(count(CASE WHEN tf = 1 THEN 1 END) AS DOUBLE)
-         |   / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio,
-         | round(CAST(count(*) AS DOUBLE)
-         |   / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE), 6) AS type_token_ratio
+         | CAST(count(CASE WHEN tf = 1 THEN 1 END) AS DOUBLE)
+         |   / CAST(count(*) AS DOUBLE) AS hapax_ratio,
+         | CAST(count(*) AS DOUBLE)
+         |   / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS type_token_ratio
          |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // per-source PII incidence over the derived planted contacts — the
@@ -2951,9 +2951,12 @@ object Oracles {
         | FROM e),
         |s2 AS (SELECT u.i AS i, sum(u.x) AS si, count(*) AS n FROM xs GROUP BY 1)
         |SELECT CAST(sp.i AS INT) AS i, CAST(sp.j AS INT) AS j,
-        | round((CAST(sxy AS DOUBLE)
-        |         - CAST(a.si AS DOUBLE) * CAST(b.si AS DOUBLE) / CAST(a.n AS DOUBLE))
-        |       / (CAST(a.n AS DOUBLE) - 1.0), 6) AS cov
+        | CAST(CAST(round(
+        |        CAST(CAST(a.n AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(20,6))
+        |             AS DECIMAL(37,12))
+        |        - CAST(a.si AS DECIMAL(16,6)) * CAST(b.si AS DECIMAL(16,6)),
+        |      6) AS DECIMAL(20,6)) AS DOUBLE)
+        |   / CAST(a.n * (a.n - 1) AS DOUBLE) AS cov
         |FROM sp JOIN s2 a ON sp.i = a.i JOIN s2 b ON sp.j = b.i
         |ORDER BY i, j""".stripMargin,
 
@@ -3005,9 +3008,9 @@ object Oracles {
          |f AS (
          | SELECT doc_id, n_words, n_sentences, n_syllables,
          |  CASE WHEN n_words = 0 THEN NULL
-         |   ELSE round(206.835
+         |   ELSE 206.835
          |     - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
-         |     - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4)
+         |     - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
          |  END AS flesch
          | FROM c)
          |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
@@ -3092,7 +3095,7 @@ object Oracles {
          | CAST(sum(n) AS BIGINT) AS n_docs,
          | CAST(count(*) AS BIGINT) AS n_sources,
          | CAST(max(n) AS BIGINT) AS max_source_docs,
-         | round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+         | CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
          |  AS max_source_share
          |FROM g GROUP BY 1 ORDER BY shard""".stripMargin,
 
@@ -3133,7 +3136,7 @@ object Oracles {
          |  CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS i_,
          |  CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS BIGINT) AS u_
          | FROM d2 a, d2 b WHERE a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, round(CAST(i_ AS DOUBLE) / u_, 6) AS jaccard
+         |SELECT id_a, id_b, CAST(i_ AS DOUBLE) / u_ AS jaccard
          |FROM p WHERE i_ * 5 >= u_ * 3 ORDER BY id_a, id_b""".stripMargin,
 
     // winnowing (k=8, w=4, seed 17): per-doc fingerprints = distinct
@@ -3156,7 +3159,7 @@ object Oracles {
          | GROUP BY 1, 2 HAVING count(*) >= 3)
          |SELECT id_a, id_b, shared,
          | CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
-         | round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
+         | CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS overlap
          |FROM p JOIN sz sa ON p.id_a = sa.doc_id
          |       JOIN sz sb ON p.id_b = sb.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
@@ -3192,11 +3195,11 @@ object Oracles {
          |  nd * syyd - syd * syd AS deny
          | FROM c)
          |SELECT CAST(n AS INT) AS n_ranks,
-         | round(CASE WHEN den = 0 THEN 0.0 ELSE num / den END, 6) AS slope,
-         | round((syd - (CASE WHEN den = 0 THEN 0.0 ELSE num / den END) * sxd)
-         |   / nd / 1e6, 6) AS intercept,
+         | CASE WHEN den = 0 THEN 0.0 ELSE num / den END AS slope,
+         | (syd - (CASE WHEN den = 0 THEN 0.0 ELSE num / den END) * sxd)
+         |   / nd / 1e6 AS intercept,
          | CASE WHEN den * deny = 0 THEN 1.0
-         |  ELSE round(num * num / (den * deny), 6) END AS r2
+         |  ELSE num * num / (den * deny) END AS r2
          |FROM e ORDER BY n_ranks""".stripMargin,
 
     // temperature mixture (alpha = 1/2): weight = floor(sqrt(n)*1e6)
@@ -3261,8 +3264,8 @@ object Oracles {
          |SELECT src AS source, CAST(decile AS INT) AS decile,
          | CAST(count(*) AS BIGINT) AS n_docs,
          | min(v) AS min_score, max(v) AS max_score,
-         | round(CAST(sum(CAST(round(norm, 6) AS DECIMAL(10,6))) AS DOUBLE)
-         |   / count(*), 6) AS mean_norm
+         | CAST(sum(CAST(floor(norm * 1e6 + 0.5) / 1e6 AS DECIMAL(10,6))) AS DOUBLE)
+         |   / count(*) AS mean_norm
          |FROM x GROUP BY 1, 2 ORDER BY source, decile""".stripMargin,
 
     // block jackknife (B=32, seed 5): exact integer (group, bucket)
@@ -3284,8 +3287,8 @@ object Oracles {
          | FROM grid GROUP BY 1),
          |th AS (
          | SELECT grid.g,
-         |  CAST(round(CASE WHEN nt = n THEN CAST(st AS DOUBLE) / nt
-         |   ELSE CAST(st - s AS DOUBLE) / (nt - n) END, 6)
+         |  CAST(floor((CASE WHEN nt = n THEN CAST(st AS DOUBLE) / nt
+         |   ELSE CAST(st - s AS DOUBLE) / (nt - n) END) * 1e6 + 0.5) / 1e6
          |   AS DECIMAL(20,6)) AS t6, st, nt, bt
          | FROM grid JOIN tot ON grid.g = tot.g),
          |bar AS (
@@ -3293,17 +3296,18 @@ object Oracles {
          | FROM th GROUP BY 1, 2, 3, 4),
          |vs AS (
          | SELECT th.g,
-         |  sum(CAST(round((CAST(t6 AS DOUBLE) - tbar) *
-         |   (CAST(t6 AS DOUBLE) - tbar), 12) AS DECIMAL(30,12))) AS ss
+         |  sum(CAST(floor((CAST(t6 AS DOUBLE) - tbar) *
+         |   (CAST(t6 AS DOUBLE) - tbar) * 1e12 + 0.5) / 1e12
+         |   AS DECIMAL(30,12))) AS ss
          | FROM th JOIN bar ON th.g = bar.g GROUP BY 1),
          |f AS (
          | SELECT bar.g, nt, CAST(st AS DOUBLE) / nt AS mean,
          |  sqrt(CAST(bt - 1 AS DOUBLE) / bt * CAST(ss AS DOUBLE)) AS se
          | FROM bar JOIN vs ON bar.g = vs.g)
-         |SELECT g AS source, nt AS n, round(mean, 6) AS mean,
-         | round(se, 6) AS se_jack,
-         | round(mean - 1.96 * se, 6) AS ci_lo,
-         | round(mean + 1.96 * se, 6) AS ci_hi
+         |SELECT g AS source, nt AS n, mean,
+         | se AS se_jack,
+         | mean - 1.96 * se AS ci_lo,
+         | mean + 1.96 * se AS ci_hi
          |FROM f ORDER BY source""".stripMargin,
 
     // incremental winnowing vs the persisted fingerprint table: the
@@ -3327,7 +3331,7 @@ object Oracles {
          | GROUP BY 1, 2 HAVING count(*) >= 3)
          |SELECT incoming_id, existing_id, shared,
          | CAST(ni.n AS BIGINT) AS n_in, CAST(ne.n AS BIGINT) AS n_ex,
-         | round(CAST(shared AS DOUBLE) / least(ni.n, ne.n), 6) AS overlap
+         | CAST(shared AS DOUBLE) / least(ni.n, ne.n) AS overlap
          |FROM p JOIN ni ON p.incoming_id = ni.doc_id
          |       JOIN ne ON p.existing_id = ne.doc_id
          |ORDER BY incoming_id, existing_id""".stripMargin,
@@ -3395,11 +3399,11 @@ object Oracles {
          |  r3 - 3.0 * m * r2 + 2.0 * m * m * m AS m3,
          |  r4 - 4.0 * m * r3 + 6.0 * m * m * r2 - 3.0 * m * m * m * m AS m4
          | FROM e)
-         |SELECT g AS source, n, round(m, 6) AS mean, round(sqrt(m2), 6) AS std,
+         |SELECT g AS source, n, m AS mean, sqrt(m2) AS std,
          | CASE WHEN m2 = 0 THEN 0.0
-         |  ELSE round(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+         |  ELSE m3 / (m2 * sqrt(m2)) END AS skewness,
          | CASE WHEN m2 = 0 THEN 0.0
-         |  ELSE round(m4 / (m2 * m2) - 3.0, 6) END AS kurtosis_excess
+         |  ELSE m4 / (m2 * m2) - 3.0 END AS kurtosis_excess
          |FROM f ORDER BY source""".stripMargin,
 
     // word2vec subsampling: keep iff ph(doc:pos) % 1e6 < floor(sqrt(
@@ -3450,8 +3454,8 @@ object Oracles {
          |        sum(tf) OVER (PARTITION BY g, doc_id) AS n FROM tf)
          | GROUP BY 1, 2)
          |SELECT g AS source, CAST(count(*) AS BIGINT) AS n_docs,
-         | round(CAST(sum(CAST(round(h, 6) AS DECIMAL(20,6))) AS DOUBLE)
-         |  / CAST(count(*) AS DOUBLE), 6) AS mean_entropy,
+         | CAST(sum(CAST(round(h, 6) AS DECIMAL(20,6))) AS DOUBLE)
+         |  / CAST(count(*) AS DOUBLE) AS mean_entropy,
          | round(min(h), 6) AS min_entropy, round(max(h), 6) AS max_entropy,
          | CAST(count(*) FILTER (WHERE h < 1.5) AS BIGINT) AS n_low
          |FROM pd GROUP BY 1 ORDER BY source""".stripMargin,
@@ -3472,8 +3476,9 @@ object Oracles {
          | FROM ev GROUP BY 1, 2),
          |dist AS (
          | SELECT ev.g, ev.id,
-         |  sqrt(CAST(sum(CAST(round((CAST(x AS DOUBLE) - c) *
-         |   (CAST(x AS DOUBLE) - c), 12) AS DECIMAL(30,12))) AS DOUBLE))
+         |  sqrt(CAST(sum(CAST(floor((CAST(x AS DOUBLE) - c) *
+         |   (CAST(x AS DOUBLE) - c) * 1e12 + 0.5) / 1e12
+         |   AS DECIMAL(30,12))) AS DOUBLE))
          |   AS dist
          | FROM ev JOIN cent ON ev.g = cent.g AND ev.i = cent.i
          | GROUP BY 1, 2),
@@ -3483,8 +3488,8 @@ object Oracles {
          | FROM dist JOIN medt ON dist.g = medt.g),
          |madt AS (SELECT g, med, quantile_cont(adev, 0.5) AS mad
          |         FROM dev GROUP BY 1, 2)
-         |SELECT dev.g AS label, round(madt.med, 6) AS med,
-         | round(madt.mad, 6) AS mad, CAST(count(*) AS BIGINT) AS n,
+         |SELECT dev.g AS label, madt.med AS med,
+         | madt.mad AS mad, CAST(count(*) AS BIGINT) AS n,
          | CAST(count(*) FILTER (WHERE adev > 3.0 * madt.mad) AS BIGINT)
          |  AS n_outliers
          |FROM dev JOIN madt ON dev.g = madt.g
@@ -3573,11 +3578,11 @@ object Oracles {
          |  nd * syyd - syd * syd AS deny
          | FROM c)
          |SELECT n_tokens, CAST(n AS BIGINT) AS vocab,
-         | round(CASE WHEN den = 0 THEN 0.0 ELSE num / den END, 6) AS beta,
-         | round((syd - (CASE WHEN den = 0 THEN 0.0 ELSE num / den END) * sxd)
-         |   / nd / 1e6, 6) AS intercept,
+         | CASE WHEN den = 0 THEN 0.0 ELSE num / den END AS beta,
+         | (syd - (CASE WHEN den = 0 THEN 0.0 ELSE num / den END) * sxd)
+         |   / nd / 1e6 AS intercept,
          | CASE WHEN den * deny = 0 THEN 1.0
-         |  ELSE round(num * num / (den * deny), 6) END AS r2
+         |  ELSE num * num / (den * deny) END AS r2
          |FROM e, nt ORDER BY n_tokens""".stripMargin,
 
     // dedup ladder: the q61 pair chain corpus + planted exact (+50M) and
@@ -3675,8 +3680,8 @@ object Oracles {
          |  CAST(sum(least(n, CAST(ctx_len AS BIGINT))) AS BIGINT) AS kept_tokens
          | FROM d, g GROUP BY 1)
          |SELECT ctx_len, n_docs, docs_truncated, total_tokens, kept_tokens,
-         | round(CAST(total_tokens - kept_tokens AS DOUBLE) * 100.0
-         |   / CAST(total_tokens AS DOUBLE), 6) AS waste_pct
+         | CAST(total_tokens - kept_tokens AS DOUBLE) * 100.0
+         |   / CAST(total_tokens AS DOUBLE) AS waste_pct
          |FROM a ORDER BY ctx_len""".stripMargin,
 
     // SFT assembly: q142's session CTEs, turn strings from engine-stable
@@ -3741,10 +3746,10 @@ object Oracles {
          |   AS qsum
          | FROM d, g GROUP BY 1)
          |SELECT threshold, n_docs, docs_kept, tokens_kept,
-         | round(CAST(tokens_kept AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+         | CAST(tokens_kept AS DOUBLE) / CAST(tot AS DOUBLE)
          |  AS token_share,
          | CASE WHEN docs_kept = 0 THEN 0.0
-         |  ELSE round(CAST(qsum AS DOUBLE) / CAST(docs_kept AS DOUBLE), 6)
+         |  ELSE CAST(qsum AS DOUBLE) / CAST(docs_kept AS DOUBLE)
          |  END AS mean_quality_kept
          |FROM a ORDER BY threshold""".stripMargin,
 
@@ -3866,7 +3871,7 @@ object Oracles {
          |   AS n_lossless_docs
          | FROM pd GROUP BY 1)
          |SELECT source, n_docs, total_tokens, oov_tokens,
-         | round(CAST(oov_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         | CAST(oov_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
          |  AS oov_rate,
          | n_lossless_docs
          |FROM a ORDER BY source""".stripMargin,
@@ -3935,13 +3940,13 @@ object Oracles {
          | FROM lc),
          |ld AS (SELECT DISTINCT source, top_lang, top_cnt, ltot FROM la)
          |SELECT m.source AS source, n_docs, total_tokens, total_bytes,
-         | round(CAST(total_bytes AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         | CAST(total_bytes AS DOUBLE) / CAST(total_tokens AS DOUBLE)
          |  AS bytes_per_token,
-         | round(CAST(qsum AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         | CAST(qsum AS DOUBLE) / CAST(n_docs AS DOUBLE)
          |  AS mean_quality,
          | n_docs - ndist AS n_exact_dup_docs,
          | top_lang,
-         | round(CAST(top_cnt AS DOUBLE) / CAST(ltot AS DOUBLE), 6)
+         | CAST(top_cnt AS DOUBLE) / CAST(ltot AS DOUBLE)
          |  AS top_lang_share
          |FROM m JOIN ld ON m.source = ld.source
          |ORDER BY m.source""".stripMargin,
@@ -3954,7 +3959,9 @@ object Oracles {
       s"""WITH q AS (
          | SELECT vec_id AS query_id, embedding AS qv FROM embeddings
          | WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |c AS (
+         | SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+         | WHERE embedding IS NOT NULL AND len(embedding) > 0),
          |cents AS (
          | SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
          | WHERE embedding IS NOT NULL AND len(embedding) > 0
@@ -4209,9 +4216,10 @@ object Oracles {
          |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnts),
          |terms AS (
          | SELECT c, n,
-         |  CAST(round((CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 256.0)
+         |  CAST(floor((CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 256.0)
          |    * (CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 256.0)
-         |    / (CAST(n AS DOUBLE) / 256.0), 6) AS DECIMAL(25,6)) AS term
+         |    / (CAST(n AS DOUBLE) / 256.0) * 1e6 + 0.5) / 1e6
+         |   AS DECIMAL(25,6)) AS term
          | FROM cnts, tot)
          |SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS n_buckets,
          | min(c) AS min_count, max(c) AS max_count,
@@ -4279,8 +4287,8 @@ object Oracles {
         |  quantile_cont(x, 0.5) AS mx, quantile_cont(y, 0.5) AS my
         | FROM pts GROUP BY 1)
         |SELECT md.event_type AS event_type, n_points,
-        | round(slope, 6) AS slope,
-        | round(my - slope * mx, 6) AS intercept
+        | slope,
+        | my - slope * mx AS intercept
         |FROM md JOIN sl ON md.event_type = sl.event_type
         |ORDER BY md.event_type""".stripMargin,
 
@@ -4300,10 +4308,10 @@ object Oracles {
          |   THEN CAST(round(v, 6) AS DECIMAL(25,6)) END AS t
          | FROM ev JOIN cuts ON ev.g = cuts.g)
          |SELECT g AS source, CAST(count(*) AS BIGINT) AS n,
-         | round(lo, 6) AS lo_cut, round(hi, 6) AS hi_cut,
-         | round(CAST(sum(t) AS DOUBLE) / CAST(count(t) AS DOUBLE), 6)
+         | lo AS lo_cut, hi AS hi_cut,
+         | CAST(sum(t) AS DOUBLE) / CAST(count(t) AS DOUBLE)
          |  AS trimmed_mean,
-         | round(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         | CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |  AS winsorized_mean
          |FROM j GROUP BY g, lo, hi ORDER BY source""".stripMargin,
 
@@ -4376,7 +4384,7 @@ object Oracles {
          |  CAST(sum(oov) AS BIGINT) AS o
          | FROM fl GROUP BY 1),
          |ov AS (
-         | SELECT round(CAST(sum(o) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+         | SELECT CAST(sum(o) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
          |  AS oov_rate
          | FROM pd),
          |occ AS (
@@ -4389,16 +4397,17 @@ object Oracles {
          | FROM grid LEFT JOIN occ ON grid.bk = occ.bk),
          |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnts),
          |terms AS (
-         | SELECT CAST(round((CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 256.0)
+         | SELECT CAST(floor((CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 256.0)
          |    * (CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 256.0)
-         |    / (CAST(n AS DOUBLE) / 256.0), 6) AS DECIMAL(25,6)) AS term
+         |    / (CAST(n AS DOUBLE) / 256.0) * 1e6 + 0.5) / 1e6
+         |   AS DECIMAL(25,6)) AS term
          | FROM cnts, tot),
          |chi AS (SELECT round(CAST(sum(term) AS DOUBLE), 6) AS chi2 FROM terms)
          |SELECT metric, value FROM (
          | SELECT 'n_docs' AS metric, CAST(nd AS DOUBLE) AS value FROM b
          | UNION ALL SELECT 'n_tokens', CAST(nt AS DOUBLE) FROM b
          | UNION ALL SELECT 'exact_dup_rate',
-         |  round(CAST(nd - dist AS DOUBLE) / CAST(nd AS DOUBLE), 6) FROM b
+         |  CAST(nd - dist AS DOUBLE) / CAST(nd AS DOUBLE) FROM b
          | UNION ALL SELECT 'oov_rate_v16', oov_rate FROM ov
          | UNION ALL SELECT 'hash_chi2_256', chi2 FROM chi)
          |ORDER BY metric""".stripMargin,
@@ -4459,7 +4468,9 @@ object Oracles {
       s"""WITH q AS (
          | SELECT vec_id AS query_id, embedding AS qv FROM embeddings
          | WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |c AS (
+         | SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+         | WHERE embedding IS NOT NULL AND len(embedding) > 0),
          |cents AS (
          | SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
          | WHERE embedding IS NOT NULL AND len(embedding) > 0
@@ -4531,7 +4542,7 @@ object Oracles {
          | nqv AS n_queries,
          | CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries_hit,
          | CAST(count(*) AS BIGINT) AS n_hits,
-         | round(CAST(sum(t) AS DOUBLE) / (5.0 * CAST(nqv AS DOUBLE)), 6)
+         | CAST(sum(t) AS DOUBLE) / (5.0 * CAST(nqv AS DOUBLE))
          |  AS map5
          |FROM terms, nq GROUP BY nprobe, nqv ORDER BY nprobe""".stripMargin,
 
@@ -4553,8 +4564,8 @@ object Oracles {
          |d AS (
          | SELECT doc_id, n_tokens, n_hits,
          |  CASE WHEN n_tokens = 0 THEN 0.0
-         |   ELSE round(CAST(n_hits AS DOUBLE) * 1000.0
-         |     / CAST(n_tokens AS DOUBLE), 6) END AS hits_per_1k
+         |   ELSE CAST(n_hits AS DOUBLE) * 1000.0
+         |     / CAST(n_tokens AS DOUBLE) END AS hits_per_1k
          | FROM h)
          |SELECT doc_id, n_tokens, n_hits, hits_per_1k,
          | hits_per_1k > 20.0 AS flagged
@@ -4632,7 +4643,7 @@ object Oracles {
          | FROM lc),
          |ld AS (SELECT DISTINCT cent_id, top_label, top_cnt, n_vectors FROM la)
          |SELECT cent_id, CAST(n_vectors AS BIGINT) AS n_vectors, top_label,
-         | round(CAST(top_cnt AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6)
+         | CAST(top_cnt AS DOUBLE) / CAST(n_vectors AS DOUBLE)
          |  AS top_share
          |FROM ld ORDER BY cent_id""".stripMargin,
 
@@ -4667,7 +4678,7 @@ object Oracles {
         |           ELSE 0 END) AS BIGINT) AS loss_chars
         | FROM turns GROUP BY 1, 2)
         |SELECT user_id, session_seq, n_turns, assembled_len, loss_chars,
-        | round(CAST(loss_chars AS DOUBLE) / CAST(assembled_len AS DOUBLE), 6)
+        | CAST(loss_chars AS DOUBLE) / CAST(assembled_len AS DOUBLE)
         |  AS loss_share
         |FROM a ORDER BY user_id, session_seq""".stripMargin,
 
@@ -4675,11 +4686,11 @@ object Oracles {
     // on the 4-rounded similarity (the operator's output precision)
     "q207_sim_histogram" ->
       s"""WITH $q61Chain,
-         |r AS (SELECT round(sim, 4) AS sim FROM pairs),
+         |r AS (SELECT floor(sim * 1e4 + 0.5) / 1e4 AS sim FROM pairs),
          |b AS (SELECT CAST(floor(sim * 20) AS INT) AS bin, sim FROM r)
          |SELECT bin, round(CAST(bin AS DOUBLE) / 20.0, 6) AS bin_lo,
          | CAST(count(*) AS BIGINT) AS n_pairs,
-         | round(min(sim), 6) AS min_sim, round(max(sim), 6) AS max_sim
+         | min(sim) AS min_sim, max(sim) AS max_sim
          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     // k-anonymity over the (nation, segment) quasi-identifier
@@ -4772,7 +4783,7 @@ object Oracles {
          |  FROM hb${i - 1} h JOIN dedges e ON e.src = h.id
          |  GROUP BY 1) f ON n.id = f.id),
          |au$i AS (
-         | SELECT id, CAST((s * 1000000) // (max(s) OVER ()) AS BIGINT) AS auth
+         | SELECT id, CAST((CAST(s AS HUGEINT) * 1000000) // (max(s) OVER ()) AS BIGINT) AS auth
          | FROM ar$i),
          |hr$i AS (
          | SELECT n.id, CAST(coalesce(f.s, 0) AS BIGINT) AS s
@@ -4781,7 +4792,7 @@ object Oracles {
          |  FROM au$i a JOIN dedges e ON e.dst = a.id
          |  GROUP BY 1) f ON n.id = f.id),
          |hb$i AS (
-         | SELECT id, CAST((s * 1000000) // (max(s) OVER ()) AS BIGINT) AS hub
+         | SELECT id, CAST((CAST(s AS HUGEINT) * 1000000) // (max(s) OVER ()) AS BIGINT) AS hub
          | FROM hr$i)""".stripMargin
     }.mkString(",\n")
     s"""WITH $ccEdgesCtes,

@@ -43,8 +43,12 @@ object Queries {
         sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
           .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
-      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
-      .withColumn("avg_price", round(col("sum_base_price") / col("count_order"), 6))
+      // avg columns: ONE double division of engine-identical operands
+      // (exact DECIMAL sum cast double / count), NO trailing round — a
+      // rounded decimal-sum/count quotient can land on a 6-decimal
+      // shortest-repr tie (the q151 class; docs/NOTES.md round() table)
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
       .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
         "sum_disc_price", "avg_qty", "avg_price", "count_order")
       .orderBy("l_returnflag", "l_linestatus")
@@ -82,7 +86,7 @@ object Queries {
         sum(dec2(col("l_quantity"))).cast("double").as("total_qty"),
         sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
           .cast("double").as("revenue"))
-      .withColumn("avg_qty", round(col("total_qty") / col("n_lines"), 6))
+      .withColumn("avg_qty", col("total_qty") / col("n_lines"))
       .orderBy("p_brand")
 
   /** J-4/A-8 / Q-daily-dashboard analogue: daily event rollup joined to
@@ -295,7 +299,7 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"))
       .join(totals, "lang")
       .select(col("lang"), col("lang_pred"), col("n_docs"),
-        round(col("n_docs").cast("double") / col("__tot"), 6).as("share"))
+        (col("n_docs").cast("double") / col("__tot")).as("share"))
       .orderBy("lang", "lang_pred")
   }
 
@@ -308,7 +312,7 @@ object Queries {
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
         Dedup.jaccard(col("l.__toks"), col("r.__toks")).as("jaccard_sim"))
       .filter(col("jaccard_sim") >= 0.5)
-      .select(col("id_a"), col("id_b"), round(col("jaccard_sim"), 6).as("jaccard_sim"))
+      .select(col("id_a"), col("id_b"), col("jaccard_sim"))
       .orderBy("id_a", "id_b")
   }
 
@@ -323,7 +327,7 @@ object Queries {
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
         Dedup.jaccard(col("l.__g"), col("r.__g")).as("sim"))
       .filter(col("sim") >= 0.62)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("trigram_sim"))
+      .select(col("id_a"), col("id_b"), col("sim").as("trigram_sim"))
       .orderBy("id_a", "id_b")
   }
 
@@ -931,7 +935,7 @@ object Queries {
     val existing = docs.filter(col("doc_id") % 8 === 0)
     val incoming = docs.filter(col("doc_id") % 8 === 4)
       .unionByName(plantedTailDocs(existing, modulus = 40, idOffset = 3000000L))
-    val path = rtPath(dir, "lshidx")
+    val path = rtPath(s, dir, "lshidx")
     bucketTableBuilt.keySet.removeIf(k => k._1.sparkContext.isStopped)
     bucketTableBuilt.computeIfAbsent((s, dir), _ => {
       Dedup.writeBucketTable(existing, path, "doc_id", "text",
@@ -950,9 +954,16 @@ object Queries {
     * persisted index is complete and value-preserving across the
     * save/load boundary. */
   def q112KnnIvfReload(s: SparkSession, dir: String): DataFrame = {
-    val path = rtPath(dir, "ivfidx")
+    val path = rtPath(s, dir, "ivfidx")
+    // Resolve the seeded index BEFORE entering the "reload" cache closure:
+    // ivfSeeded runs computeIfAbsent on the SAME ConcurrentHashMap, and a
+    // nested/recursive update is forbidden (IllegalStateException or
+    // livelock when the keys share a bin) — it bit exactly when q112 was
+    // the first IVF query in a session (the bench's sorted order,
+    // BENCH_r07 "failed":["q112"]). Ivf112FirstSpec pins the order.
+    val seeded = ivfSeeded(s, dir)
     val index = ivfIndexFor(s, dir, "reload") {
-      Knn.ivfSave(ivfSeeded(s, dir), path)
+      Knn.ivfSave(seeded, path)
       Knn.ivfLoad(s, path)
     }
     Knn.ivfSearch(index,
@@ -980,8 +991,8 @@ object Queries {
         sum(octet_length(col("text")).cast("long")).as("total_bytes"),
         sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"))
       .withColumn("bytes_per_token",
-        round(col("total_bytes").cast("double") /
-          col("total_tokens").cast("double"), 6))
+        col("total_bytes").cast("double") /
+          col("total_tokens").cast("double"))
       .orderBy("source")
 
   /** Largest exact-duplicate families: the duplication-mass report a
@@ -1406,7 +1417,7 @@ object Queries {
         TextOps.qualityScore(col("text")).as("__q"))
       .groupBy(col("domain"), col("blocked"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("total_tokens"),
-        round(sum(col("__q")).cast("double") / count(lit(1)), 6)
+        (sum(col("__q")).cast("double") / count(lit(1)))
           .as("avg_quality"))
       .orderBy("domain")
   }
@@ -1471,7 +1482,7 @@ object Queries {
     * The PQ analogue of q112's IVF reload proof. */
   def q143PqReload(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val path = rtPath(dir, "pqidx")
+    val path = rtPath(s, dir, "pqidx")
     val cb = Pq.codebook(emb, "vec_id", "embedding", dim = 64, m = 4,
       nseeds = 16)
     val codes = Pq.encode(emb, cb, "vec_id", "embedding", dim = 64, m = 4)
@@ -1759,7 +1770,7 @@ object Queries {
     val existing = docs.filter(col("doc_id") % 9 === 0)
     val incoming = docs.filter(col("doc_id") % 9 === 3)
       .unionByName(plantedTailDocs(existing, modulus = 45, idOffset = 4000000L))
-    val path = rtPath(dir, "winnowidx")
+    val path = rtPath(s, dir, "winnowidx")
     winnowTableBuilt.keySet.removeIf(k => k._1.sparkContext.isStopped)
     winnowTableBuilt.computeIfAbsent((s, dir), _ => {
       Winnow.writeFingerprintTable(existing, path, "doc_id", "text",
@@ -1999,10 +2010,10 @@ object Queries {
     val idx = ivfSeeded(s, dir)
     val brute = Knn.bruteForceTopK(emb, queries, k = 5)
       .select(col("query_id"), col("neighbor_id"))
-    val per = Seq(1, 2, 4, 16).map { p =>
-      Knn.ivfSearch(idx, queries, k = 5, nprobe = p)
-        .select(lit(p).as("nprobe"), col("query_id"), col("neighbor_id"))
-    }.reduce(_.unionByName(_))
+      .localCheckpoint()
+    val per = Knn.ivfSearchBudgets(idx, queries, k = 5,
+        budgets = Seq(1, 2, 4, 16))
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"))
     val hits = per.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("nprobe"), col("query_id"))
       .agg(count(lit(1)).as("n_hits"))
@@ -2036,7 +2047,7 @@ object Queries {
         when(col("doc_id") % 12 === 3,
             concat(col("text"), lit("\n" + footerLines(0))))
           .otherwise(col("text")).as("text"))
-    val path = rtPath(dir, "linedf")
+    val path = rtPath(s, dir, "linedf")
     lineTableBuilt.keySet.removeIf(k => k._1.sparkContext.isStopped)
     lineTableBuilt.computeIfAbsent((s, dir), _ => {
       Dedup.writeLineDfTable(existing, path, "doc_id", "text")
@@ -2240,9 +2251,9 @@ object Queries {
         col("chi2").cast("double").as("value"))
     row("n_docs", col("__nd"))
       .unionByName(row("n_tokens", col("__nt")))
-      .unionByName(row("exact_dup_rate", round(
+      .unionByName(row("exact_dup_rate",
         (col("__nd") - col("__dist")).cast("double") /
-          col("__nd").cast("double"), 6)))
+          col("__nd").cast("double")))
       .unionByName(oov)
       .unionByName(chi)
       .orderBy("metric")
@@ -2276,13 +2287,17 @@ object Queries {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
     val idx = ivfSeeded(s, dir)
+    // localCheckpoint: the exact top-5 is 50 rows of ground truth reused
+    // against every probe budget — materialize it once instead of
+    // re-deriving the brute-force scan inside the joined plan (the r07
+    // 12.7 s / 4.6x-variance fix, with the probe sweep collapsed to one
+    // scored pass by ivfSearchBudgets).
     val brute5 = Knn.bruteForceTopK(emb, queries, k = 5)
       .select(col("query_id"), col("neighbor_id"))
-    val per = Seq(1, 2, 4, 16).map { p =>
-      Knn.ivfSearch(idx, queries, k = 5, nprobe = p)
-        .select(lit(p).as("nprobe"), col("query_id"), col("neighbor_id"),
-          col("rank"))
-    }.reduce(_.unionByName(_))
+      .localCheckpoint()
+    val per = Knn.ivfSearchBudgets(idx, queries, k = 5,
+        budgets = Seq(1, 2, 4, 16))
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"), col("rank"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("nprobe"), col("query_id")).orderBy(col("rank"))
     val terms = per.join(brute5, Seq("query_id", "neighbor_id"))
@@ -2297,8 +2312,8 @@ object Queries {
       .crossJoin(broadcast(nq))
       .select(col("nprobe"), col("__nq").as("n_queries"),
         col("n_queries_hit"), col("n_hits"),
-        round(col("__s").cast("double") /
-          (lit(5.0) * col("__nq").cast("double")), 6).as("map5"))
+        (col("__s").cast("double") /
+          (lit(5.0) * col("__nq").cast("double"))).as("map5"))
       .orderBy("nprobe")
   }
 
@@ -2354,8 +2369,8 @@ object Queries {
         max(struct(col("__lc"), col("label").as("__lb"))).as("__m"))
       .select(col("cent_id"), col("n_vectors"),
         col("__m.__lb").as("top_label"),
-        round(col("__m.__lc").cast("double") /
-          col("n_vectors").cast("double"), 6).as("top_share"))
+        (col("__m.__lc").cast("double") /
+          col("n_vectors").cast("double")).as("top_share"))
       .orderBy("cent_id")
   }
 
@@ -2372,9 +2387,8 @@ object Queries {
         max(col("t_end")).as("assembled_len"),
         sum(when(col("loss"), col("t_end") - col("t_start"))
           .otherwise(0L)).as("loss_chars"))
-      .withColumn("loss_share", round(
-        col("loss_chars").cast("double") / col("assembled_len").cast("double"),
-        6))
+      .withColumn("loss_share",
+        col("loss_chars").cast("double") / col("assembled_len").cast("double"))
       .orderBy("user_id", "session_seq")
 
   /** k-anonymity audit over the customer quasi-identifier
@@ -2400,8 +2414,8 @@ object Queries {
         col("jaccard_sim").as("sim"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_pairs"),
-        round(min(col("sim")), 6).as("min_sim"),
-        round(max(col("sim")), 6).as("max_sim"))
+        min(col("sim")).as("min_sim"),
+        max(col("sim")).as("max_sim"))
       .withColumn("bin_lo", round(col("bin").cast("double") / 20.0, 6))
       .select(col("bin"), col("bin_lo"), col("n_pairs"), col("min_sim"),
         col("max_sim"))
@@ -2462,10 +2476,16 @@ object Queries {
 
   /** Scratch dir for source/sink round-trip queries — under target/ so it
     * is build-local and gitignored; keyed by sf dir so runs against
-    * different scale factors never collide. */
-  private def rtPath(dir: String, kind: String): String =
+    * different scale factors never collide, AND by the session identity so
+    * two concurrent sessions in one JVM (test suites, notebook kernels)
+    * never overwrite each other's in-flight tables (VERDICT r7 low item:
+    * the fixed path raced when a second session rebuilt an index another
+    * session was still lazily reading). One session = one path, so the
+    * per-session index/table caches keep their reuse. */
+  private def rtPath(s: SparkSession, dir: String, kind: String): String =
     new java.io.File("target/rt/" + kind + "_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")).getAbsolutePath
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+      Integer.toHexString(System.identityHashCode(s))).getAbsolutePath
 
   /** ORC sink + source round trip: write documents as ORC, read it back,
     * aggregate — the oracle computes the same aggregate from the original
@@ -2474,7 +2494,7 @@ object Queries {
     * not in this environment, so ORC/JSON/CSV/parquet is the format
     * surface.) */
   def q70OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val path = rtPath(dir, "orc")
+    val path = rtPath(s, dir, "orc")
     t(s, dir, "documents").select("doc_id", "text", "lang", "source")
       .coalesce(4).write.mode("overwrite").orc(path)
     s.read.orc(path)
@@ -2491,7 +2511,7 @@ object Queries {
     * explicit yyyy-MM-dd string — schema inference on read must still
     * reproduce every value exactly for the oracle hash to match. */
   def q71JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val path = rtPath(dir, "jsonl")
+    val path = rtPath(s, dir, "jsonl")
     t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
         col("o_orderpriority"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
@@ -2515,7 +2535,7 @@ object Queries {
     * the 100 TB point, a lang-filtered query over a lang-partitioned
     * corpus never opens the other partitions' files. */
   def q78PartitionPruning(s: SparkSession, dir: String): DataFrame = {
-    val path = rtPath(dir, "partdocs")
+    val path = rtPath(s, dir, "partdocs")
     t(s, dir, "documents").select("doc_id", "text", "source", "lang")
       .repartition(col("lang"))        // one file per partition dir, not
       .write.mode("overwrite")         // one per (task x lang)
@@ -2826,7 +2846,7 @@ object Queries {
     * working directory would race on the generation dirs; key the path on
     * the session (as the streaming tests do) if that ever changes. */
   def q109SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val path = rtPath(dir, "schemaevo")
+    val path = rtPath(s, dir, "schemaevo")
     val orders = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     orders.filter(col("o_orderkey") % 2 === 0)
@@ -2891,9 +2911,8 @@ object Queries {
       s2.agg(count(lit(1)).as("n_click"))).crossJoin(
       s3.agg(count(lit(1)).as("n_purchase")))
     counts.select(col("n_signup"), col("n_click"), col("n_purchase"),
-      round(col("n_click").cast("double") / col("n_signup"), 6)
-        .as("click_rate"),
-      round(col("n_purchase").cast("double") / col("n_click"), 6)
+      (col("n_click").cast("double") / col("n_signup")).as("click_rate"),
+      (col("n_purchase").cast("double") / col("n_click"))
         .as("purchase_rate"))
   }
 
@@ -2952,8 +2971,15 @@ object Queries {
   def q89CorpusReport(s: SparkSession, dir: String): DataFrame = {
     val m = TextOps.textMetrics(col("text"))
     val sh = Dedup.shingles(col("text"), 3)
-    val dup = round(lit(1.0) -
-      size(array_distinct(sh)).cast("double") / size(sh).cast("double"), 6)
+    // value-based portable round (floor(x*1e6 + 0.5)/1e6) instead of
+    // round(): the operand is a COUNT ratio (distinct/total shingles),
+    // which can land exactly on a 6-decimal shortest-repr tie where
+    // Spark's repr-based round and DuckDB's value-based round disagree
+    // (the q151 class); the floor form is pure double arithmetic, so
+    // both engines compute the identical frozen summand on every input.
+    val dup = floor((lit(1.0) -
+      size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+      * lit(1e6) + lit(0.5)) / lit(1e6)
     t(s, dir, "documents")
       .select(col("source"), col("lang"),
         m.getField("n_tokens").as("n_tok"),
@@ -2961,12 +2987,12 @@ object Queries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok").cast("long")).as("total_tokens"),
-        round(sum(col("q")).cast("double") / count(lit(1)), 6)
+        (sum(col("q")).cast("double") / count(lit(1)))
           .as("avg_quality"),
-        round(sum(dec6(col("dup"))).cast("double") / count(lit(1)), 6)
+        (sum(dec6(col("dup"))).cast("double") / count(lit(1)))
           .as("avg_dup_ratio"),
-        round(sum(when(col("lang") === "en", 1L).otherwise(0L))
-          .cast("double") / count(lit(1)), 6).as("pct_en"))
+        (sum(when(col("lang") === "en", 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("pct_en"))
       .orderBy("source")
   }
 

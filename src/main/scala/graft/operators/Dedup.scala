@@ -263,7 +263,7 @@ object Dedup {
         (size(array_intersect(col("l.__sh"), col("r.__sh"))).cast("double") /
           size(col("l.__sh")).cast("double")).as("__c"))
       .filter(col("__c") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("__c"), 6).as("containment"))
+      .select(col("id_a"), col("id_b"), col("__c").as("containment"))
   }
 
   // (char n-grams live at TextOps.charNgrams — the ONE definition; its
@@ -457,7 +457,8 @@ object Dedup {
         jaccard(col("__sh_incoming_id"), col("__sh_existing_id")))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("incoming_id"), col("existing_id"),
-        round(col("jaccard_sim"), 4).as("jaccard_sim"))
+        (floor(col("jaccard_sim") * lit(1e4) + lit(0.5)) / lit(1e4))
+          .as("jaccard_sim"))
 
   // ---- persisted LSH bucket table: the maintained-index production shape.
   // minhashNearDupsAgainst recomputes the EXISTING corpus's signatures on
@@ -668,7 +669,9 @@ object Dedup {
       .join(sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
       .withColumn("jaccard_sim", jaccard(col("__sha"), col("__shb")))
       .filter(col("jaccard_sim") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard_sim"), 4).as("jaccard_sim"))
+      .select(col("id_a"), col("id_b"),
+        (floor(col("jaccard_sim") * lit(1e4) + lit(0.5)) / lit(1e4))
+          .as("jaccard_sim"))
   }
 
   /** D-3 (assignment Rule 10, spec-only in the reference): fuzzy duplicate
@@ -924,8 +927,8 @@ object Dedup {
         sum(when(col("__first") === col("__id"), 1L).otherwise(0L))
           .as("novel_shingles"))
       .withColumn("novelty_rate",
-        round(col("novel_shingles").cast("double") /
-          col("total_shingles").cast("double"), 6))
+        col("novel_shingles").cast("double") /
+          col("total_shingles").cast("double"))
   }
 
   /** 64-bit SimHash of the token stream: bit b of the result is 1 iff the
@@ -1084,28 +1087,6 @@ object Dedup {
           .as("text_trimmed"))
   }
 
-  /** Dedup-ladder attribution: apply the rungs IN SEQUENCE — exact
-    * (md5 keep-first), normalized ([[TextOps.normalizeForDedup]]
-    * keep-first), then near-dup (CC keep-min over `pairs` restricted to
-    * surviving endpoints) — and report how many documents each rung
-    * removed from the previous rung's survivors. The report a curator
-    * reads before ordering the production ladder: if the near rung
-    * removes almost nothing after normalization, the expensive LSH pass
-    * can run on a schedule instead of per batch.
-    *
-    * `pairs` is the verified near-dup pair set of the SAME corpus
-    * (e.g. [[minhashNearDups]] output — typically already computed and
-    * shared); restricting its edges to rung-2 survivors is exactly
-    * "near-dedup among the remaining docs", because an exact/normalized
-    * duplicate can never be the family representative the earlier rungs
-    * kept (its min-id original survives and carries the family's
-    * pairs).
-    *
-    * Scale shape: two digest-keyed window-min passes (16-byte keys, the
-    * exact-dedup shuffle shape), two id-keyed semi-joins to restrict
-    * the edge set, the CC rounds, then three 1-row aggregates — the
-    * summary never materializes a cross product. Output: one row per
-    * rung (rung, docs_in, removed, survivors). */
   /** CCNet-style frequent-line removal (Wenzek et al. 2020 §3.1): drop
     * every line whose DOCUMENT frequency exceeds `maxDf` — boilerplate
     * (navigation, footers, cookie banners) repeats across thousands of
@@ -1279,6 +1260,28 @@ object Dedup {
           s => s.getField("l"))).as("text_clean"))
   }
 
+  /** Dedup-ladder attribution: apply the rungs IN SEQUENCE — exact
+    * (md5 keep-first), normalized ([[TextOps.normalizeForDedup]]
+    * keep-first), then near-dup (CC keep-min over `pairs` restricted to
+    * surviving endpoints) — and report how many documents each rung
+    * removed from the previous rung's survivors. The report a curator
+    * reads before ordering the production ladder: if the near rung
+    * removes almost nothing after normalization, the expensive LSH pass
+    * can run on a schedule instead of per batch.
+    *
+    * `pairs` is the verified near-dup pair set of the SAME corpus
+    * (e.g. [[minhashNearDups]] output — typically already computed and
+    * shared); restricting its edges to rung-2 survivors is exactly
+    * "near-dedup among the remaining docs", because an exact/normalized
+    * duplicate can never be the family representative the earlier rungs
+    * kept (its min-id original survives and carries the family's
+    * pairs).
+    *
+    * Scale shape: two digest-keyed window-min passes (16-byte keys, the
+    * exact-dedup shuffle shape), two id-keyed semi-joins to restrict
+    * the edge set, the CC rounds, then three 1-row aggregates — the
+    * summary never materializes a cross product. Output: one row per
+    * rung (rung, docs_in, removed, survivors). */
   def dedupLadder(df: DataFrame, idCol: String, textCol: String,
                   pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -29,10 +29,26 @@ import org.apache.spark.sql.functions._
 object Embeddings {
 
   /** Upper-triangle sample covariance of `vecCol` (i <= j), one row per
-    * (i, j): cov = (S_xy - S_i * S_j / n) / (n - 1) with all three sums
+    * (i, j): cov = (n*S_xy - S_i*S_j) / (n*(n-1)) with all three sums
     * accumulated exactly in DECIMAL(25,6) over per-row values rounded to
     * 6 decimals. Null vectors are dropped (a null embedding has no
-    * moments); null ELEMENTS would raise in the kernels upstream. */
+    * moments); null ELEMENTS would raise in the kernels upstream.
+    *
+    * Finalization discipline (the round()-tie rule, PLANS_r07 part 14,
+    * applied here after the q151/q158 r07 reds): the NUMERATOR
+    * n*S_xy - S_i*S_j is computed entirely in DECIMAL — every product
+    * exact, the subtraction exact, then one exact-domain HALF_UP
+    * reduction to scale 6 (Spark: the decimal(20,6) cast; DuckDB:
+    * round(x, 6) on the DECIMAL — its decimal CAST TRUNCATES, round()
+    * is the half-away-from-zero twin of Spark's cast) — so both engines
+    * hold the bit-identical rational; `cov` is
+    * then ONE double division of that numerator by the exact integer
+    * n*(n-1), with NO trailing round (rounding the double quotient at a
+    * shortest-repr tie is exactly what diverged cross-engine). The
+    * scale-6 numerator keeps its unscaled value below 2^52 for
+    * |numerator| <= ~4.5e9 (n ~ 2e5 at unit-scale embeddings), where
+    * both engines' DECIMAL->DOUBLE casts are the same single division of
+    * exact operands. */
   def covariance(df: DataFrame, vecCol: String): DataFrame = {
     val v = df.select(col(vecCol).as("__v")).filter(col("__v").isNotNull)
     // Per-row flat upper-triangle micro-products via the codegen'd
@@ -52,9 +68,20 @@ object Embeddings {
       .join(broadcast(sums.select(col("i"), col("s").as("si"), col("n"))), Seq("i"))
       .join(broadcast(sums.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
       .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
-        round((col("sxy").cast("double")
-            - col("si").cast("double") * col("sj").cast("double") / col("n").cast("double"))
-          / (col("n").cast("double") - lit(1.0)), 6).as("cov"))
+        covFinalize(col("sxy"), col("si"), col("sj"), col("n")).as("cov"))
+  }
+
+  /** The shared q151/q158 finalizer: exact-DECIMAL numerator
+    * n*sxy - si*sj (every step exact, one half-up cast to scale 6),
+    * ONE double division by the exact integer n*(n-1), no trailing
+    * round. `n` must be an integral-valued column (the vector count). */
+  private def covFinalize(sxy: Column, si: Column, sj: Column, n: Column): Column = {
+    val nL = n.cast("long")
+    val num = ((nL.cast("decimal(12,0)") * sxy.cast("decimal(20,6)"))
+        .cast("decimal(37,12)")
+      - si.cast("decimal(16,6)") * sj.cast("decimal(16,6)"))
+      .cast("decimal(20,6)")
+    num.cast("double") / (nL * (nL - lit(1L))).cast("double")
   }
 
   /** (i, j, sxy DECIMAL) upper-triangle product sums of a pre-projected
@@ -116,7 +143,8 @@ object Embeddings {
     val dist = ev.join(broadcast(cent), Seq("__g", "__i"))
       .withColumn("__d", col("__x").cast("double") - col("__c"))
       .groupBy(col("__g"), col("__id"))
-      .agg(sum(round(col("__d") * col("__d"), 12).cast("decimal(30,12)"))
+      .agg(sum((floor(col("__d") * col("__d") * lit(1e12) + lit(0.5))
+          / lit(1e12)).cast("decimal(30,12)"))
         .as("__ss"))
       .select(col("__g").as(groupCol), sqrt(col("__ss").cast("double")).as("dist"))
     Robust.madOutlierStats(dist, groupCol, "dist", k)
@@ -250,14 +278,12 @@ object Embeddings {
     val sx = stats.filter(col("kind") === "x")
       .select(col("i").as("ii"), col("v").as("s"))
     val n = stats.filter(col("kind") === "n")
-      .select(col("v").cast("double").as("n"))
+      .select(col("v").as("n")) // integral-valued DECIMAL count
     xy.join(broadcast(sx.select(col("ii").as("i"), col("s").as("si"))), Seq("i"))
       .join(broadcast(sx.select(col("ii").as("j"), col("s").as("sj"))), Seq("j"))
       .crossJoin(broadcast(n))
       .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
-        round((col("sxy").cast("double")
-            - col("si").cast("double") * col("sj").cast("double") / col("n"))
-          / (col("n") - lit(1.0)), 6).as("cov"))
+        covFinalize(col("sxy"), col("si"), col("sj"), col("n")).as("cov"))
   }
 
   /** Explained-variance audit: eigenvalue share of total variance per

@@ -92,8 +92,13 @@ object Graph {
       // >= 1 (some node receives at least one positive contribution), so
       // the DIV is never by zero
       val m = scored.agg(max(col("__s")).as("__m"))
+      // the product runs in DECIMAL: __s reaches in-degree x 1e6, so the
+      // BIGINT multiply overflowed Long past in-degree ~9.2e6 — plausible
+      // on a 100 TB dedup graph (r07 ADVICE). DIV (IntegralDivide)
+      // returns BIGINT and the rescaled value is <= 1e6 by construction.
       scored.crossJoin(broadcast(m))
-        .select(col("id"), expr("(__s * 1000000) DIV __m").as(out))
+        .select(col("id"),
+          expr("CAST(__s AS DECIMAL(25,0)) * 1000000 DIV __m").as(out))
     }
     var hub = nodes.withColumn("hub", lit(1000000L))
     var auth = nodes.withColumn("auth", lit(0L))

@@ -376,9 +376,16 @@ object Knn {
     * dim=64, nlist=16. Keep per-expression trees small and let the agg do
     * the fan-out.)
     */
+  /** @param rankCol when non-empty, also emit the 1-based probe rank of
+    *        each kept centroid (1 = nearest) under that name — the prefix
+    *        property ([[ivfSearchBudgets]]) rides on this ordering. Empty
+    *        (the default) keeps the original schema, which [[buildLists]]
+    *        PERSISTS and [[ivfSave]] writes to parquet — so the rank stays
+    *        out of the index layout. */
   private def assignToCentroids(df: DataFrame,
                                 cents: Array[(Long, Array[Double], Double)],
-                                id: String, vec: String, keep: Int): DataFrame = {
+                                id: String, vec: String, keep: Int,
+                                rankCol: String = ""): DataFrame = {
     require(cents.nonEmpty, "assignToCentroids: empty centroid set")
     val exploded = df.select(col(id).as("__aid"), posexplode(col(vec)))
       .toDF("__aid", "__d", "__x")
@@ -400,9 +407,14 @@ object Knn {
     val picked =
       if (keep == 1) array(array_max(arr))
       else slice(sort_array(arr, asc = false), 1, keep)
-    val assigned = dots.select(col("__aid"), explode(picked).as("__pick"))
-      .select(col("__aid"), (-col("__pick.__negid")).as("__cent_id"))
-    df.join(assigned, col(id) === col("__aid")).drop("__aid")
+    val assigned = dots
+      .select(col("__aid"), posexplode(picked).as(Seq("__p", "__pick")))
+      .select(col("__aid") +: (col("__p") + 1).as("__rank") +:
+        (-col("__pick.__negid")).as("__cent_id") +: Nil: _*)
+    val shaped =
+      if (rankCol.isEmpty) assigned.drop("__rank")
+      else assigned.withColumnRenamed("__rank", rankCol)
+    df.join(shaped, col(id) === col("__aid")).drop("__aid")
   }
 
   /** Incremental IVF ingestion: assign a new vector batch to the EXISTING
@@ -494,6 +506,50 @@ object Knn {
       .withColumn("cosine_sim",
         cosineFrom(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
     topK(scored, k)
+  }
+
+  /** Multi-budget IVF search: one centroid assignment at the LARGEST
+    * probe budget, one scored pass over the probed lists, and every
+    * requested budget derived by `probe_rank <= p` — because the probes
+    * at budget p are exactly the rank-prefix of budget max(budgets)'s
+    * picks (assignment orders centroids by (sim desc, id asc)), this
+    * equals running [[ivfSearch]] once per budget, row for row
+    * (IvfBudgetsSpec pins the equivalence). Output adds `nprobe` in
+    * front of ivfSearch's columns, one block per budget.
+    *
+    * This is the probe-sweep shape (recall/MAP-vs-nprobe curves —
+    * q186/q201): the naive per-budget loop rescans the lists and redoes
+    * the assignment |budgets| times and unions four window plans; here
+    * the lists are scanned once and the explode multiplies only the
+    * scored rows a budget actually keeps (sum of prefix sizes, <=
+    * |budgets| x the largest single search — and exactly what the
+    * per-budget windows had to shuffle anyway). */
+  def ivfSearchBudgets(index: IvfIndex, queries: DataFrame, k: Int,
+                       budgets: Seq[Int], idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 1),
+      "ivfSearchBudgets: budgets must be >= 1")
+    val dim = index.dim
+    val probes = assignToCentroids(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+      index.centroids, "query_id", "__qv", keep = budgets.max,
+      rankCol = "__probe_rank")
+      .withColumn("__qn", normN(col("__qv"), dim))
+    val budgetArr = array(budgets.distinct.sorted.map(lit(_)): _*)
+    val scored = index.lists
+      .withColumn("__cn", normN(col("__cv"), dim))
+      .join(broadcast(probes), Seq("__cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        cosineFrom(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
+      .withColumn("nprobe",
+        explode(filter(budgetArr, b => b >= col("__probe_rank"))))
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine_sim"), 6).as("cosine_sim"))
   }
 
   /** Convenience: build + search in one call (index amortization lost —

@@ -171,8 +171,8 @@ object Pack {
         sum((col("__n") > col("ctx_len")).cast("long")).as("docs_truncated"),
         sum(col("__n")).as("total_tokens"),
         sum(least(col("__n"), col("ctx_len").cast("long"))).as("kept_tokens"))
-      .withColumn("waste_pct", round(
+      .withColumn("waste_pct",
         (col("total_tokens") - col("kept_tokens")).cast("double") * 100.0 /
-          col("total_tokens").cast("double"), 6))
+          col("total_tokens").cast("double"))
   }
 }

@@ -79,7 +79,7 @@ object PrefixJoin {
         size(array_union(col("__tka"), col("__tkb"))).cast("long").as("__u"))
       .filter(col("__i") * tauDen >= col("__u") * tauNum)
       .select(col("id_a"), col("id_b"),
-        round(col("__i").cast("double") / col("__u").cast("double"), 6)
+        (col("__i").cast("double") / col("__u").cast("double"))
           .as("jaccard"))
   }
 
@@ -97,7 +97,7 @@ object PrefixJoin {
         size(array_union(col("a.__tk"), col("b.__tk"))).cast("long").as("__u"))
       .filter(col("__i") * tauDen >= col("__u") * tauNum)
       .select(col("id_a"), col("id_b"),
-        round(col("__i").cast("double") / col("__u").cast("double"), 6)
+        (col("__i").cast("double") / col("__u").cast("double"))
           .as("jaccard"))
   }
 }

@@ -26,8 +26,9 @@ object Robust {
 
   /** Per-group median, MAD, and the count of rows outside
     * `|x - median| > k * MAD` — (groupCol, med, mad, n, n_outliers).
-    * Published med/mad are rounded to 6 decimals; the fence predicate
-    * uses the UNROUNDED values (the q81 threshold convention). */
+    * med/mad publish UNROUNDED (r8 tie audit, docs/NOTES.md): Spark
+    * percentile and DuckDB quantile_cont return the identical double
+    * (q44 parity), so no trailing round is needed or safe. */
   def madOutlierStats(df: DataFrame, groupCol: String, valueCol: String,
                       k: Double = 3.0): DataFrame = {
     require(k > 0, "madOutlierStats: k > 0")
@@ -45,8 +46,8 @@ object Robust {
         count(when(col("__adev") > lit(k) * col("__mad"), 1))
           .as("n_outliers"))
       .select(col("__g").as(groupCol),
-        round(col("__med"), 6).as("med"),
-        round(col("__mad"), 6).as("mad"),
+        col("__med").as("med"),
+        col("__mad").as("mad"),
         col("n"), col("n_outliers"))
   }
 
@@ -66,9 +67,11 @@ object Robust {
     * Scale shape: ONE (group, bucket) integer aggregate over the data
     * (map-side combined), then all statistics live on the bounded
     * group × B grid. Cross-engine float discipline: bucket sums are
-    * exact integers; θ_(b) is frozen to round-6 DECIMAL before the
-    * order-independent mean; each squared deviation is frozen to
-    * round-12 DECIMAL(30,12) before the variance sum.
+    * exact integers; θ_(b) is frozen to scale-6 DECIMAL via the PORTABLE
+    * floor-form round (floor(x·1e6 + 0.5)/1e6 — value arithmetic both
+    * engines; θ_(b) is an int/int ratio, the repr-rounding hazard class,
+    * r8 tie audit) before the order-independent mean; each squared
+    * deviation is frozen to scale-12 DECIMAL(30,12) the same way.
     * Output: (groupCol, n, mean, se_jack, ci_lo, ci_hi). */
   def jackknifeCI(df: DataFrame, groupCol: String, idCol: String,
                   valueCol: String, numBuckets: Int = 32,
@@ -87,11 +90,12 @@ object Robust {
       .withColumn("__t6",
         // N == n_b (single-occupied-bucket group): leave-one-out is
         // undefined; pin θ_(b) to the mean so its deviation is 0
-        when(col("__tn") === col("__n"),
-          round(col("__ts").cast("double") / col("__tn"), 6))
-          .otherwise(round((col("__ts") - col("__s")).cast("double") /
-            (col("__tn") - col("__n")), 6))
-          .cast("decimal(20,6)"))
+        floor(when(col("__tn") === col("__n"),
+          col("__ts").cast("double") / col("__tn"))
+          .otherwise((col("__ts") - col("__s")).cast("double") /
+            (col("__tn") - col("__n")))
+          * lit(1e6) + lit(0.5)) / lit(1e6))
+      .withColumn("__t6", col("__t6").cast("decimal(20,6)"))
     val bars = theta.groupBy(col("__g"), col("__ts"), col("__tn"), col("__nb"))
       .agg(sum(col("__t6")).as("__tsum"))
       .withColumn("__tbar", col("__tsum").cast("double") / col("__nb"))
@@ -99,17 +103,18 @@ object Robust {
       .join(broadcast(bars.select(col("__g"), col("__tbar"))), "__g")
       .withColumn("__d", col("__t6").cast("double") - col("__tbar"))
       .groupBy(col("__g"))
-      .agg(sum(round(col("__d") * col("__d"), 12).cast("decimal(30,12)"))
+      .agg(sum((floor(col("__d") * col("__d") * lit(1e12) + lit(0.5))
+          / lit(1e12)).cast("decimal(30,12)"))
         .as("__ss"))
     bars.join(varsum, "__g")
       .withColumn("__mean", col("__ts").cast("double") / col("__tn"))
       .withColumn("__se", sqrt((col("__nb") - 1).cast("double") / col("__nb") *
         col("__ss").cast("double")))
       .select(col("__g").as(groupCol), col("__tn").as("n"),
-        round(col("__mean"), 6).as("mean"),
-        round(col("__se"), 6).as("se_jack"),
-        round(col("__mean") - lit(1.96) * col("__se"), 6).as("ci_lo"),
-        round(col("__mean") + lit(1.96) * col("__se"), 6).as("ci_hi"))
+        col("__mean").as("mean"),
+        col("__se").as("se_jack"),
+        (col("__mean") - lit(1.96) * col("__se")).as("ci_lo"),
+        (col("__mean") + lit(1.96) * col("__se")).as("ci_hi"))
   }
 
   /** Per-group standardized moments — mean, population std, skewness,
@@ -147,12 +152,12 @@ object Robust {
     val m4 = d("__s4") / nd - lit(4.0) * m * (d("__s3") / nd) +
       lit(6.0) * m * m * (d("__s2") / nd) - lit(3.0) * m * m * m * m
     sums.select(col("__g").as(groupCol), col("__n").as("n"),
-      round(m, 6).as("mean"),
-      round(sqrt(m2), 6).as("std"),
+      m.as("mean"),
+      sqrt(m2).as("std"),
       when(m2 === 0, lit(0.0))
-        .otherwise(round(m3 / (m2 * sqrt(m2)), 6)).as("skewness"),
+        .otherwise(m3 / (m2 * sqrt(m2))).as("skewness"),
       when(m2 === 0, lit(0.0))
-        .otherwise(round(m4 / (m2 * m2) - lit(3.0), 6)).as("kurtosis_excess"))
+        .otherwise(m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess"))
   }
 
   /** Per-group percentile-rank score calibration — the step before a
@@ -196,10 +201,11 @@ object Robust {
     ranked.groupBy(col("__g"), col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("__v")).as("min_score"), max(col("__v")).as("max_score"),
-        sum(round(col("__norm"), 6).cast("decimal(10,6)")).as("__snorm"))
+        sum((floor(col("__norm") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .cast("decimal(10,6)")).as("__snorm"))
       .select(col("__g").as(groupCol), col("decile"), col("n_docs"),
         col("min_score"), col("max_score"),
-        round(col("__snorm").cast("double") / col("n_docs").cast("double"), 6)
+        (col("__snorm").cast("double") / col("n_docs").cast("double"))
           .as("mean_norm"))
   }
 
@@ -237,8 +243,8 @@ object Robust {
         expr("percentile(__y, 0.5)").as("__my"))
     meds.join(slope, "__g")
       .select(col("__g").as(groupCol), col("n_points"),
-        round(col("__slope"), 6).as("slope"),
-        round(col("__my") - col("__slope") * col("__mx"), 6).as("intercept"))
+        col("__slope").as("slope"),
+        (col("__my") - col("__slope") * col("__mx")).as("intercept"))
   }
 
   /** Trimmed + winsorized means (the robust-location battery next to
@@ -270,11 +276,11 @@ object Robust {
         sum(col("__t")).as("__st"),
         sum(col("__w")).as("__sw"))
       .select(col("__g").as(groupCol), col("n"),
-        round(col("__lo"), 6).as("lo_cut"),
-        round(col("__hi"), 6).as("hi_cut"),
-        round(col("__st").cast("double") / col("__nt").cast("double"), 6)
+        col("__lo").as("lo_cut"),
+        col("__hi").as("hi_cut"),
+        (col("__st").cast("double") / col("__nt").cast("double"))
           .as("trimmed_mean"),
-        round(col("__sw").cast("double") / col("n").cast("double"), 6)
+        (col("__sw").cast("double") / col("n").cast("double"))
           .as("winsorized_mean"))
   }
 }

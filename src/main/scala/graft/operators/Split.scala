@@ -401,7 +401,7 @@ object Split {
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("n_features"), sum(col("__t")).as("__s"))
       .select(col(idCol), col("n_features"),
-        round(col("__s").cast("double") / col("n_features").cast("double"), 6)
+        (col("__s").cast("double") / col("n_features").cast("double"))
           .as("log_weight_mean"))
   }
 
@@ -484,18 +484,21 @@ object Split {
         max(col("__n")).as("max_source_docs"))
       .select(col("shard"), col("n_docs"), col("n_sources"),
         col("max_source_docs"),
-        round(col("max_source_docs").cast("double")
-          / col("n_docs").cast("double"), 6).as("max_source_share"))
+        (col("max_source_docs").cast("double")
+          / col("n_docs").cast("double")).as("max_source_share"))
 
   /** Quality-aware canonical selection: keep the BEST-quality member of
     * each near-dup family instead of [[Dedup.dropNearDuplicates]]'s
     * min-id member — near-dup families routinely mix a clean original
     * with truncated/boilerplate-wrapped copies, and keep-min-id keeps
     * whichever crawled first. The representative is the
-    * (quality desc, id asc) argmax via the struct-max convention — one
-    * agg, no per-family sort — so selection is total and replayable.
-    * `qualityCol` must be an engine-portable score (integer heuristics,
-    * rounded calibrated scores).
+    * (quality desc, id asc) argmax via a struct-MIN on (-quality, id) —
+    * one agg, no per-family sort — so selection is total and replayable.
+    * `qualityCol` must be an engine-portable NUMERIC score (integer
+    * heuristics, rounded calibrated scores) — it carries the negation;
+    * the id rides the struct un-negated, so string/any-ordered ids
+    * work (negating the ID silently cast strings to double -> NULL,
+    * the r07 ADVICE find).
     *
     * Scale shape: CC over the verified pairs (id-keyed rounds), one
     * family-keyed struct-max agg (map-side combined), one join back.
@@ -508,11 +511,10 @@ object Split {
       .withColumn("family", coalesce(col("cluster_id"), col(idCol)))
       .select(col(idCol), col("family"), col(qualityCol))
     val best = fam.groupBy(col("family"))
-      .agg(max(struct(col(qualityCol).as("q"), (-col(idCol)).as("__nid")))
+      .agg(min(struct((-col(qualityCol)).as("__nq"), col(idCol).as("__bid")))
         .as("__best"))
     fam.join(best, "family")
       .select(col(idCol), col("family"), col(qualityCol),
-        (col(qualityCol) === col("__best.q") &&
-          col(idCol) === -col("__best.__nid")).as("is_rep"))
+        (col(idCol) === col("__best.__bid")).as("is_rep"))
   }
 }

@@ -236,8 +236,8 @@ object TextOps {
     df.select(col(idCol), size(toks).cast("long").as("n_tokens"),
         hits.cast("long").as("n_hits"))
       .withColumn("hits_per_1k", when(col("n_tokens") === 0, 0.0)
-        .otherwise(round(col("n_hits").cast("double") * 1000.0 /
-          col("n_tokens").cast("double"), 6)))
+        .otherwise(col("n_hits").cast("double") * 1000.0 /
+          col("n_tokens").cast("double")))
       .withColumn("flagged", col("hits_per_1k") > maxPer1k)
   }
 
@@ -498,10 +498,10 @@ object TextOps {
     val deny = nd * d("syy") - d("sy") * d("sy")
     sums.select(col("__nt").as("n_tokens"),
       col("n").cast("long").as("vocab"),
-      round(slope, 6).as("beta"),
-      round((d("sy") - slope * d("sx")) / nd / 1e6, 6).as("intercept"),
+      slope.as("beta"),
+      ((d("sy") - slope * d("sx")) / nd / lit(1e6)).as("intercept"),
       when(den * deny === 0, lit(1.0))
-        .otherwise(round(num * num / (den * deny), 6)).as("r2"))
+        .otherwise(num * num / (den * deny)).as("r2"))
   }
 
   /** Quality-threshold selection curve: for each candidate threshold
@@ -534,11 +534,11 @@ object TextOps {
           .otherwise(0L)).as("__qsum"))
       .select(col("threshold"), col("n_docs"), col("docs_kept"),
         col("tokens_kept"),
-        round(col("tokens_kept").cast("double") / col("__tot").cast("double"),
-          6).as("token_share"),
+        (col("tokens_kept").cast("double") / col("__tot").cast("double"))
+          .as("token_share"),
         when(col("docs_kept") === 0, lit(0.0))
-          .otherwise(round(col("__qsum").cast("double") /
-            col("docs_kept").cast("double"), 6)).as("mean_quality_kept"))
+          .otherwise(col("__qsum").cast("double") /
+            col("docs_kept").cast("double")).as("mean_quality_kept"))
   }
 
   /** Token-frequency drift between two corpus snapshots: add-one-
@@ -612,9 +612,8 @@ object TextOps {
         sum(col("__n")).as("total_tokens"),
         sum(col("__oov")).as("oov_tokens"),
         sum(when(col("__oov") === 0, 1L).otherwise(0L)).as("n_lossless_docs"))
-      .withColumn("oov_rate", round(
-        col("oov_tokens").cast("double") / col("total_tokens").cast("double"),
-        6))
+      .withColumn("oov_rate",
+        col("oov_tokens").cast("double") / col("total_tokens").cast("double"))
       .select(col(groupCol), col("n_docs"), col("total_tokens"),
         col("oov_tokens"), col("oov_rate"), col("n_lossless_docs"))
   }
@@ -651,14 +650,14 @@ object TextOps {
       .agg(max(struct(col("__lc"), col(langCol).as("__lg"))).as("__m"),
         sum(col("__lc")).as("__lt"))
       .select(col(sourceCol), col("__m.__lg").as("top_lang"),
-        round(col("__m.__lc").cast("double") / col("__lt").cast("double"), 6)
+        (col("__m.__lc").cast("double") / col("__lt").cast("double"))
           .as("top_lang_share"))
     main.join(langTop, sourceCol)
       .select(col(sourceCol), col("n_docs"), col("total_tokens"),
         col("total_bytes"),
-        round(col("total_bytes").cast("double") /
-          col("total_tokens").cast("double"), 6).as("bytes_per_token"),
-        round(col("__qsum").cast("double") / col("n_docs").cast("double"), 6)
+        (col("total_bytes").cast("double") /
+          col("total_tokens").cast("double")).as("bytes_per_token"),
+        (col("__qsum").cast("double") / col("n_docs").cast("double"))
           .as("mean_quality"),
         (col("n_docs") - col("__ndist")).as("n_exact_dup_docs"),
         col("top_lang"), col("top_lang_share"))
@@ -839,11 +838,11 @@ object TextOps {
         sum(col("__nc")).as("n_chars"))
       .select(col(groupCol), col("n_words"), col("n_subwords"), col("n_chars"),
         when(col("n_words") === 0, 0.0)
-          .otherwise(round(col("n_subwords").cast("double") /
-            col("n_words").cast("double"), 6)).as("fertility"),
+          .otherwise(col("n_subwords").cast("double") /
+            col("n_words").cast("double")).as("fertility"),
         when(col("n_subwords") === 0, 0.0)
-          .otherwise(round(col("n_chars").cast("double") /
-            col("n_subwords").cast("double"), 6)).as("chars_per_subword"))
+          .otherwise(col("n_chars").cast("double") /
+            col("n_subwords").cast("double")).as("chars_per_subword"))
   }
 
   /** Per-group token-distribution drift: KL(P_group || Q_corpus) over
@@ -930,8 +929,8 @@ object TextOps {
         size(sh).as("n_shingles"),
         size(array_distinct(sh)).as("n_distinct"))
       .withColumn("dup_ratio",
-        round(lit(1.0) - col("n_distinct").cast("double") /
-          col("n_shingles").cast("double"), 6))
+        lit(1.0) - col("n_distinct").cast("double") /
+          col("n_shingles").cast("double"))
       .withColumn("keep", col("dup_ratio") <= maxDupRatio)
   }
 
@@ -992,7 +991,7 @@ object TextOps {
         size(col("__ls")).as("n_lines"),
         (size(col("__ls")) - size(col("__kept"))).as("n_dropped"))
       .withColumn("drop_ratio",
-        round(col("n_dropped").cast("double") / col("n_lines").cast("double"), 6))
+        col("n_dropped").cast("double") / col("n_lines").cast("double"))
       .withColumn("keep_doc", col("drop_ratio") <= maxDropRatio)
   }
 
@@ -1134,9 +1133,9 @@ object TextOps {
         sum(col("tf")).as("n_tokens"),
         count(when(col("tf") === 1, 1)).as("n_hapax"))
       .select(col(groupCol), col("n_types"), col("n_tokens"), col("n_hapax"),
-        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
           .as("hapax_ratio"),
-        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
           .as("type_token_ratio"))
   }
 
@@ -1193,10 +1192,10 @@ object TextOps {
     val slope = when(den === 0, lit(0.0)).otherwise(num / den)
     val deny = nd * d("syy") - d("sy") * d("sy")
     sums.select(col("n").cast("int").as("n_ranks"),
-      round(slope, 6).as("slope"),
-      round((d("sy") - slope * d("sx")) / nd / 1e6, 6).as("intercept"),
+      slope.as("slope"),
+      ((d("sy") - slope * d("sx")) / nd / lit(1e6)).as("intercept"),
       when(den * deny === 0, lit(1.0))
-        .otherwise(round(num * num / (den * deny), 6)).as("r2"))
+        .otherwise(num * num / (den * deny)).as("r2"))
   }
 
   /** Top-k collocations by pointwise mutual information (Church & Hanks
@@ -1335,7 +1334,7 @@ object TextOps {
         round(max(col("__h")), 6).as("max_entropy"),
         count(when(col("__h") < lowH, 1)).as("n_low"))
       .select(col(groupCol), col("n_docs"),
-        round(col("__hsum").cast("double") / col("n_docs").cast("double"), 6)
+        (col("__hsum").cast("double") / col("n_docs").cast("double"))
           .as("mean_entropy"),
         col("min_entropy"), col("max_entropy"), col("n_low"))
   }
@@ -1395,11 +1394,14 @@ object TextOps {
           lit(0L), (acc, x) => acc + x).as("n_syllables"))
       .withColumn("flesch",
         when(col("n_words") === 0, lit(null).cast("double"))
-          .otherwise(round(
+          // parenthesized ratio FIRST, coefficient multiply SECOND — the
+          // exact association the oracle uses; with the trailing round
+          // gone (r8 tie audit) the two engines must share every
+          // intermediate rounding, not just the 4dp value
+          .otherwise(
             lit(206.835)
-              - lit(1.015) * col("n_words").cast("double") / col("n_sentences").cast("double")
-              - lit(84.6) * col("n_syllables").cast("double") / col("n_words").cast("double"),
-            4)))
+              - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+              - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double"))))
       .withColumn("band",
         when(col("flesch").isNull, "empty")
           .when(col("flesch") >= 90, "very_easy")

@@ -136,7 +136,7 @@ object Winnow {
       .join(nEx, "existing_id")
       .select(col("incoming_id"), col("existing_id"), col("shared"),
         col("n_in"), col("n_ex"),
-        round(col("shared").cast("double") / least(col("n_in"), col("n_ex")), 6)
+        (col("shared").cast("double") / least(col("n_in"), col("n_ex")))
           .as("overlap"))
   }
 
@@ -204,7 +204,7 @@ object Winnow {
       .join(sizes.select(col(idCol).as("id_b"), col("__n").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("shared"),
         col("n_a"), col("n_b"),
-        round(col("shared").cast("double") / least(col("n_a"), col("n_b")), 6)
+        (col("shared").cast("double") / least(col("n_a"), col("n_b")))
           .as("overlap"))
   }
 }

@@ -49,7 +49,9 @@ class DecontaminateSpec extends SparkSpec {
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3),
         r.getBoolean(4)))
-    assert(out(0) == ((1L, 3, 1, 0.666667, false)))
+    // dup_ratio is the UNROUNDED count ratio since the r8 round()-tie
+    // audit (docs/NOTES.md): 1 - 1/3 as plain double arithmetic
+    assert(out(0) == ((1L, 3, 1, 1.0 - 1.0 / 3.0, false)))
     assert(out(1) == ((2L, 4, 4, 0.0, true)))
     assert(out(2)._4 == 0.0 && out(2)._5)
     assert(out(3)._4 == 0.0 && out(3)._5)

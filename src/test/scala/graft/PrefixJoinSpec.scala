@@ -43,7 +43,8 @@ class PrefixJoinSpec extends SparkSpec {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
     val atTau = PrefixJoin.jaccardJoin(docs, "doc_id", "text", 5, 7).collect()
     assert(atTau.length == 1 && atTau(0).getLong(0) == 1L)
-    assert(math.abs(atTau(0).getDouble(2) - math.rint(5.0 / 7.0 * 1e6) / 1e6) < 1e-12)
+    // jaccard is the UNROUNDED 5/7 since the r8 round()-tie audit
+    assert(atTau(0).getDouble(2) == 5.0 / 7.0)
     val above = PrefixJoin.jaccardJoin(docs, "doc_id", "text", 3, 4) // 3/4 > 5/7
     assert(above.count() == 0)
   }
