@@ -4709,7 +4709,10 @@ object Oracles {
   val all: Map[String, String] =
     base + ("q143_pq_reload" -> base("q134_pq_adc"),
       // merged-halves covariance must equal the one-shot form verbatim
-      "q158_cov_merge" -> base("q151_embedding_cov"))
+      "q158_cov_merge" -> base("q151_embedding_cov"),
+      // the persisted moments TABLE (append + replayed append + read-side
+      // dedup + merge) must also equal the one-shot form verbatim
+      "q208_cov_table" -> base("q151_embedding_cov"))
 
   /** The q60/q67/q167 shared edge CTEs: the deterministic fuzzy-dup
     * graph (contacts -> keyed pairs -> symmetrized edges). */

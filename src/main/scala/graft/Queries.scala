@@ -1676,6 +1676,35 @@ object Queries {
       .orderBy("i", "j")
   }
 
+  /** PERSISTED moments table round trip (Embeddings.appendMoments /
+    * covarianceFromTable): append the even-id batch, the odd-id batch,
+    * then DELIBERATELY REPLAY the odd batch — the read-side
+    * (batch_id, kind, i, j) dedup must absorb the duplicate, and the
+    * finalized covariance must equal the one-shot q151 bit for bit
+    * (oracle = q151's SQL verbatim). This is the q111/q166/q187 proof
+    * shape for the covariance family: corpus-wide second moments
+    * maintained as an O(batch)-append parquet table, at-least-once
+    * safe, history never rescanned. */
+  def q208CovTable(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val path = rtPath(s, dir, "moments")
+    momentsTableBuilt.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    momentsTableBuilt.computeIfAbsent((s, dir), _ => {
+      Embeddings.appendMoments(e.filter(col("vec_id") % 2 === 0),
+        "embedding", path, batchId = "even")
+      Embeddings.appendMoments(e.filter(col("vec_id") % 2 === 1),
+        "embedding", path, batchId = "odd")
+      // at-least-once replay: the same batch appended twice
+      Embeddings.appendMoments(e.filter(col("vec_id") % 2 === 1),
+        "embedding", path, batchId = "odd")
+      java.lang.Boolean.TRUE
+    })
+    Embeddings.covarianceFromTable(s, path).orderBy("i", "j")
+  }
+  private val momentsTableBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Boolean]()
+
   /** Normalized exact dedup over planted trivial variants (every 5th doc
     * re-keyed +300000, uppercased, punctuation-noised, whitespace-
     * padded): each planted copy must collapse into its original's class
@@ -2977,9 +3006,8 @@ object Queries {
     // Spark's repr-based round and DuckDB's value-based round disagree
     // (the q151 class); the floor form is pure double arithmetic, so
     // both engines compute the identical frozen summand on every input.
-    val dup = floor((lit(1.0) -
-      size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
-      * lit(1e6) + lit(0.5)) / lit(1e6)
+    val dup = graft.expr.GraftFunctions.portableRound(lit(1.0) -
+      size(array_distinct(sh)).cast("double") / size(sh).cast("double"), 6)
     t(s, dir, "documents")
       .select(col("source"), col("lang"),
         m.getField("n_tokens").as("n_tok"),
@@ -3375,6 +3403,7 @@ object Queries {
     "q205_sft_stats" -> (q205SftStats _),
     "q206_k_anonymity" -> (q206KAnonymity _),
     "q207_sim_histogram" -> (q207SimHistogram _),
+    "q208_cov_table" -> (q208CovTable _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

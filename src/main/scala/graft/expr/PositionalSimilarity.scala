@@ -70,6 +70,21 @@ case class PositionalSimilarity(left: Expression, right: Expression)
   * spark.sql.extensions=graft.expr.GraftExtensions). */
 object GraftFunctions {
 
+  /** Portable value-based round: floor(x·10^s + 0.5)/10^s — pure IEEE
+    * double arithmetic, so Spark and a DuckDB oracle computing the same
+    * operand get the identical frozen value on EVERY input, including
+    * exact ties (which go half-toward-+inf). This is the r8 tie-audit
+    * form (docs/NOTES.md) for semantic rounds whose operand is a ratio
+    * of exact integers/decimals with a corpus-dependent denominator —
+    * where engine `round()` diverges (Spark rounds the shortest decimal
+    * REPR, DuckDB the VALUE). Use engine round() only with a
+    * fixed-denominator / dyadic / transcendental proof attached. */
+  def portableRound(c: Column, scale: Int): Column = {
+    val f = org.apache.spark.sql.functions.lit(math.pow(10, scale.toDouble))
+    org.apache.spark.sql.functions.floor(
+      c * f + org.apache.spark.sql.functions.lit(0.5)) / f
+  }
+
   def positionalSimilarity(a: Column, b: Column): Column =
     shim.column(PositionalSimilarity(shim.expression(a), shim.expression(b)))
 

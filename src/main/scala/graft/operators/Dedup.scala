@@ -457,7 +457,7 @@ object Dedup {
         jaccard(col("__sh_incoming_id"), col("__sh_existing_id")))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("incoming_id"), col("existing_id"),
-        (floor(col("jaccard_sim") * lit(1e4) + lit(0.5)) / lit(1e4))
+        graft.expr.GraftFunctions.portableRound(col("jaccard_sim"), 4)
           .as("jaccard_sim"))
 
   // ---- persisted LSH bucket table: the maintained-index production shape.
@@ -670,7 +670,7 @@ object Dedup {
       .withColumn("jaccard_sim", jaccard(col("__sha"), col("__shb")))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("id_a"), col("id_b"),
-        (floor(col("jaccard_sim") * lit(1e4) + lit(0.5)) / lit(1e4))
+        graft.expr.GraftFunctions.portableRound(col("jaccard_sim"), 4)
           .as("jaccard_sim"))
   }
 

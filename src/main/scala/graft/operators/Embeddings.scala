@@ -143,8 +143,8 @@ object Embeddings {
     val dist = ev.join(broadcast(cent), Seq("__g", "__i"))
       .withColumn("__d", col("__x").cast("double") - col("__c"))
       .groupBy(col("__g"), col("__id"))
-      .agg(sum((floor(col("__d") * col("__d") * lit(1e12) + lit(0.5))
-          / lit(1e12)).cast("decimal(30,12)"))
+      .agg(sum(graft.expr.GraftFunctions
+          .portableRound(col("__d") * col("__d"), 12).cast("decimal(30,12)"))
         .as("__ss"))
       .select(col("__g").as(groupCol), sqrt(col("__ss").cast("double")).as("dist"))
     Robust.madOutlierStats(dist, groupCol, "dist", k)
@@ -267,6 +267,42 @@ object Embeddings {
       .groupBy(col("kind"), col("i"), col("j"))
       .agg(sum(col("v")).cast("decimal(35,6)").as("v"))
   }
+
+  /** Append a batch's moment stats to the PERSISTED moments table at
+    * `path` — the maintained-index form of [[momentStats]], completing
+    * the incremental family next to the LSH bucket / line-df / winnow /
+    * IVF tables: corpus-wide covariance without ever rescanning
+    * history. Each appended row carries `batch_id`; because stats rows
+    * are a PURE function of (batch, vecCol), a replayed append writes
+    * byte-identical rows, and [[covarianceFromTable]] drops duplicate
+    * (batch_id, kind, i, j) rows keep-any before summing — so
+    * at-least-once callers (streaming foreachBatch restart, retried
+    * jobs) stay exactly-once without tracking state (the
+    * [[Knn.ivfAdd]] dedupIds rationale).
+    *
+    * Scale shape: one O(batch) stats pass + a bounded
+    * (d(d+1)/2 + d + 1)-row append; reads are bounded by
+    * batches x d² rows and collapse map-side in the group-sum.
+    * Periodically rewrite the table through [[graft.etl.Sinks]]
+    * compaction with a (kind, i, j) group-sum under a single
+    * batch_id to bound the row count. */
+  def appendMoments(df: DataFrame, vecCol: String, path: String,
+                    batchId: String): Unit =
+    momentStats(df, vecCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(path)
+
+  /** Finalize the persisted moments table: replay-dedup on
+    * (batch_id, kind, i, j), group-sum the exact DECIMAL stats, then
+    * [[covarianceFromStats]] — equals the one-shot [[covariance]] of
+    * everything ever appended (q208's proof, anchored on q151's
+    * oracle). */
+  def covarianceFromTable(spark: org.apache.spark.sql.SparkSession,
+                          path: String): DataFrame =
+    covarianceFromStats(mergeStats(Seq(
+      spark.read.parquet(path)
+        .dropDuplicates("batch_id", "kind", "i", "j")
+        .drop("batch_id"))))
 
   /** Finalize a (possibly merged) moment-stats frame into the same
     * (i, j, cov) output as [[covariance]] — by construction,

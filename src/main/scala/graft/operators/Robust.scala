@@ -90,12 +90,12 @@ object Robust {
       .withColumn("__t6",
         // N == n_b (single-occupied-bucket group): leave-one-out is
         // undefined; pin θ_(b) to the mean so its deviation is 0
-        floor(when(col("__tn") === col("__n"),
-          col("__ts").cast("double") / col("__tn"))
+        graft.expr.GraftFunctions.portableRound(
+          when(col("__tn") === col("__n"),
+            col("__ts").cast("double") / col("__tn"))
           .otherwise((col("__ts") - col("__s")).cast("double") /
-            (col("__tn") - col("__n")))
-          * lit(1e6) + lit(0.5)) / lit(1e6))
-      .withColumn("__t6", col("__t6").cast("decimal(20,6)"))
+            (col("__tn") - col("__n"))), 6)
+          .cast("decimal(20,6)"))
     val bars = theta.groupBy(col("__g"), col("__ts"), col("__tn"), col("__nb"))
       .agg(sum(col("__t6")).as("__tsum"))
       .withColumn("__tbar", col("__tsum").cast("double") / col("__nb"))
@@ -103,8 +103,8 @@ object Robust {
       .join(broadcast(bars.select(col("__g"), col("__tbar"))), "__g")
       .withColumn("__d", col("__t6").cast("double") - col("__tbar"))
       .groupBy(col("__g"))
-      .agg(sum((floor(col("__d") * col("__d") * lit(1e12) + lit(0.5))
-          / lit(1e12)).cast("decimal(30,12)"))
+      .agg(sum(graft.expr.GraftFunctions
+          .portableRound(col("__d") * col("__d"), 12).cast("decimal(30,12)"))
         .as("__ss"))
     bars.join(varsum, "__g")
       .withColumn("__mean", col("__ts").cast("double") / col("__tn"))
@@ -201,7 +201,7 @@ object Robust {
     ranked.groupBy(col("__g"), col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("__v")).as("min_score"), max(col("__v")).as("max_score"),
-        sum((floor(col("__norm") * lit(1e6) + lit(0.5)) / lit(1e6))
+        sum(graft.expr.GraftFunctions.portableRound(col("__norm"), 6)
           .cast("decimal(10,6)")).as("__snorm"))
       .select(col("__g").as(groupCol), col("decile"), col("n_docs"),
         col("min_score"), col("max_score"),

@@ -421,9 +421,9 @@ object Sketch {
     counts.crossJoin(broadcast(n))
       .withColumn("__exp", col("__n").cast("double") / lit(m.toDouble))
       .withColumn("__term",
-        (floor((col("__c").cast("double") - col("__exp")) *
-          (col("__c").cast("double") - col("__exp")) / col("__exp")
-          * lit(1e6) + lit(0.5)) / lit(1e6))
+        graft.expr.GraftFunctions.portableRound(
+          (col("__c").cast("double") - col("__exp")) *
+          (col("__c").cast("double") - col("__exp")) / col("__exp"), 6)
         .cast("decimal(25,6)"))
       .agg(max(col("__n")).as("n"),
         count(lit(1)).as("n_buckets"),

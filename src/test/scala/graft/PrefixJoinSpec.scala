@@ -76,6 +76,24 @@ class PrefixJoinSpec extends SparkSpec {
     assert(once.head.getString(0) == "a b c d")
   }
 
+  test("persisted moments table: replayed appends dedup away; equals one-shot") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_moments").resolve("t").toString
+    Embeddings.appendMoments(e.filter(col("vec_id") % 2 === 0),
+      "embedding", path, batchId = "even")
+    Embeddings.appendMoments(e.filter(col("vec_id") % 2 === 1),
+      "embedding", path, batchId = "odd")
+    // at-least-once: the odd batch lands twice — read-side dedup absorbs it
+    Embeddings.appendMoments(e.filter(col("vec_id") % 2 === 1),
+      "embedding", path, batchId = "odd")
+    val fromTable = Embeddings.covarianceFromTable(spark, path)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val oneShot = Embeddings.covariance(e, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(fromTable == oneShot) // exact — DECIMAL stats, duplicate batch dropped
+  }
+
   test("momentStats merge over any split equals the one-shot covariance") {
     val rnd = new scala.util.Random(5)
     val e = (0 until 150).map(i =>
