@@ -292,6 +292,23 @@ object Embeddings {
       .withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(path)
 
+  /** Rewrite the moments table into `targetFiles` files with the
+    * per-batch rows FOLDED into one group-summed frame (exact DECIMAL
+    * addition — value-preserving by the [[mergeStats]] argument) under a
+    * single synthetic batch id. Run at maintenance cadence once appends
+    * accrete (one bounded frame per micro-batch); [[graft.etl.Sinks]]
+    * staging-swap scope applies (local FS, single writer). Only compact
+    * with the writing stream STOPPED on a committed checkpoint: folding
+    * erases the per-batch ids, so a replayed in-flight micro-batch after
+    * compaction would double-count instead of deduping. */
+  def compactMoments(spark: org.apache.spark.sql.SparkSession, path: String,
+                     targetFiles: Int = 1): (Int, Int) =
+    graft.etl.Sinks.compactWith(spark, path, targetFiles, df =>
+      df.dropDuplicates("batch_id", "kind", "i", "j")
+        .groupBy(col("kind"), col("i"), col("j"))
+        .agg(sum(col("v")).cast("decimal(35,6)").as("v"))
+        .withColumn("batch_id", lit("__compacted")))
+
   /** Finalize the persisted moments table: replay-dedup on
     * (batch_id, kind, i, j), group-sum the exact DECIMAL stats, then
     * [[covarianceFromStats]] — equals the one-shot [[covariance]] of

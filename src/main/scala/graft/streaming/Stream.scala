@@ -467,6 +467,29 @@ object Stream {
       }
   }
 
+  /** Streaming covariance-moments ingestion over the PERSISTED moments
+    * table ([[graft.operators.Embeddings.appendMoments]]): each
+    * micro-batch appends its bounded (d(d+1)/2 + d + 1)-row exact-DECIMAL
+    * stats frame stamped with the micro-batch id —
+    * [[graft.operators.Embeddings.covarianceFromTable]] then finalizes
+    * the corpus-wide covariance at read time without ever rescanning
+    * history. Exactly-once by construction: Structured Streaming replays
+    * a failed micro-batch under the SAME batchId, the batch's stats rows
+    * are a pure function of its data, and the read side drops duplicate
+    * (batch_id, kind, i, j) rows — so a replayed append is byte-identical
+    * and absorbed (the q208 proof, streamed). Null vectors are dropped by
+    * the stats pass itself. */
+  def momentsIngestSink(vecs: DataFrame, tablePath: String,
+                        checkpoint: String,
+                        vecCol: String = "embedding"): DataStreamWriter[Row] =
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Embeddings.appendMoments(batch, vecCol, tablePath,
+          batchId = s"stream-$batchId")
+      }
+
   /** ST-8: stream -> staging via foreachBatch reusing the batch upsert
     * (exactly-once: checkpointed offsets + idempotent merge on event_id).
     * Synthesizes event_id when missing like StagingProgressWriter

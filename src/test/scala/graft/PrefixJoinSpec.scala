@@ -92,6 +92,14 @@ class PrefixJoinSpec extends SparkSpec {
     val oneShot = Embeddings.covariance(e, "embedding")
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(fromTable == oneShot) // exact — DECIMAL stats, duplicate batch dropped
+
+    // maintenance rung: folding the appends into one group-summed frame
+    // is value-preserving (exact DECIMAL addition) and shrinks the table
+    val (before, after) = Embeddings.compactMoments(spark, path)
+    assert(after <= before && after >= 1)
+    val compacted = Embeddings.covarianceFromTable(spark, path)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(compacted == oneShot)
   }
 
   test("momentStats merge over any split equals the one-shot covariance") {

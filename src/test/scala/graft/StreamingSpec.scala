@@ -613,6 +613,37 @@ class StreamingSpec extends SparkSpec {
     loaded.unpersist()
   }
 
+  test("streaming moments ingestion: covariance from the table == one-shot batch, across a restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-momstream").toString
+    val rnd = new scala.util.Random(23)
+    val all = (0 until 90).map(i =>
+      (i.toLong, Array.fill(5)((rnd.nextDouble() * 2 - 1).toFloat)))
+
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    def start() = Stream.momentsIngestSink(
+      input.toDF().toDF("vec_id", "embedding"),
+      s"$dir/moments", s"$dir/ckpt").start()
+
+    val q1 = start()
+    try {
+      input.addData(all.filter(_._1 < 40): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // data arriving while down, then a checkpointed restart — any replayed
+    // micro-batch re-appends under the SAME batch id and dedups on read
+    input.addData(all.filter(_._1 >= 40): _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val fromTable = graft.operators.Embeddings
+      .covarianceFromTable(spark, s"$dir/moments")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val oneShot = graft.operators.Embeddings
+      .covariance(all.toDF("vec_id", "embedding"), "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(fromTable == oneShot && fromTable.size == 15) // d(d+1)/2, d = 5
+  }
+
   test("staging sink survives a checkpointed restart exactly-once (ST-8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-restart").toString
     val input = MemoryStream[(String, String, String, java.sql.Timestamp)](spark)
