@@ -2043,7 +2043,7 @@ object Queries {
     val per = Knn.ivfSearchBudgets(idx, queries, k = 5,
         budgets = Seq(1, 2, 4, 16))
       .select(col("nprobe"), col("query_id"), col("neighbor_id"))
-    val hits = per.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+    val hits = per.join(broadcast(brute), Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("nprobe"), col("query_id"))
       .agg(count(lit(1)).as("n_hits"))
     val grid = Seq(1, 2, 4, 16).toDF("nprobe")
@@ -2329,7 +2329,7 @@ object Queries {
       .select(col("nprobe"), col("query_id"), col("neighbor_id"), col("rank"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("nprobe"), col("query_id")).orderBy(col("rank"))
-    val terms = per.join(brute5, Seq("query_id", "neighbor_id"))
+    val terms = per.join(broadcast(brute5), Seq("query_id", "neighbor_id"))
       .withColumn("__i", row_number().over(w)) // hits so far at this rank
       .select(col("nprobe"), col("query_id"),
         round(col("__i").cast("double") / col("rank").cast("double"), 6)

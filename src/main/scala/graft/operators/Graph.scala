@@ -87,7 +87,13 @@ object Graph {
       .unionByName(edges.select(col("dst").as("id")))
       .distinct()
       .transform(Checkpoints.ckpt)
-    def rescale(scored: DataFrame, out: String): DataFrame = {
+    def rescale(scored0: DataFrame, out: String): DataFrame = {
+      // materialize the inflow ONCE: both consumers — the max broadcast
+      // and the rescaled projection — read the checkpoint. Broadcasting
+      // the max over the UN-cached inflow plan ran the edges join + agg
+      // twice per half-step (r8 perf fix); the outer per-half-step ckpt
+      // moved here, so the action count per round is unchanged.
+      val scored = Checkpoints.ckpt(scored0)
       // integer normalization: the max inflow of a non-empty edge set is
       // >= 1 (some node receives at least one positive contribution), so
       // the DIV is never by zero
@@ -105,20 +111,18 @@ object Graph {
     for (_ <- 1 to maxIter) {
       val rawAuth = edges.join(hub, edges("src") === hub("id"))
         .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("__in"))
-      // both half-steps checkpoint: auth is consumed twice (its own max
-      // broadcast + the hub step) — leaving it lazy recomputes the
-      // join/agg per consumer and measures SLOWER than the extra
-      // checkpoint action (3.7 s vs 2.8 s at sf0.1/local[8])
+      // the ckpt lives INSIDE rescale (on the raw inflow); downstream
+      // consumers re-derive only the cheap projection + broadcast max
       auth = rescale(
         nodes.join(rawAuth, Seq("id"), "left")
           .select(col("id"), coalesce(col("__in"), lit(0L)).as("__s")),
-        "auth").transform(Checkpoints.ckpt)
+        "auth")
       val rawHub = edges.join(auth, edges("dst") === auth("id"))
         .groupBy(col("src").as("id")).agg(sum(col("auth")).as("__in"))
       hub = rescale(
         nodes.join(rawHub, Seq("id"), "left")
           .select(col("id"), coalesce(col("__in"), lit(0L)).as("__s")),
-        "hub").transform(Checkpoints.ckpt)
+        "hub")
     }
     hub.join(auth, Seq("id"))
   }
