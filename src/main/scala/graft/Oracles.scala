@@ -894,7 +894,7 @@ object Oracles {
     "q34_dedup_report" ->
       s"""SELECT CAST(sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS BIGINT) AS duplicates,
          | count(*) AS total,
-         | round(CAST(sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS duplicate_rate
+         | CAST(sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS duplicate_rate
          |FROM ($q13Sql)""".stripMargin,
 
     "q35_salted_agg" ->

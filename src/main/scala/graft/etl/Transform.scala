@@ -119,5 +119,7 @@ object Transform {
     marked.agg(
       sum(when(col(flag), 1).otherwise(0)).as("duplicates"),
       count(lit(1)).as("total"),
-      round(sum(when(col(flag), 1).otherwise(0)) / count(lit(1)), 6).as("duplicate_rate"))
+      // unrounded count ratio (r8 tie audit, docs/NOTES.md): one double
+      // division of engine-identical integer operands
+      (sum(when(col(flag), 1).otherwise(0)) / count(lit(1))).as("duplicate_rate"))
 }
