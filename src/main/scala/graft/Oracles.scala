@@ -4712,7 +4712,11 @@ object Oracles {
       "q158_cov_merge" -> base("q151_embedding_cov"),
       // the persisted moments TABLE (append + replayed append + read-side
       // dedup + merge) must also equal the one-shot form verbatim
-      "q208_cov_table" -> base("q151_embedding_cov"))
+      "q208_cov_table" -> base("q151_embedding_cov"),
+      // the persisted histogram table (append + replayed append +
+      // read-side dedup + bin-wise merge) must equal the one-shot
+      // histogram quantiles verbatim
+      "q209_hist_table" -> base("q82_hist_quantiles"))
 
   /** The q60/q67/q167 shared edge CTEs: the deterministic fuzzy-dup
     * graph (contacts -> keyed pairs -> symmetrized edges). */

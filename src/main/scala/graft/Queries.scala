@@ -2640,6 +2640,36 @@ object Queries {
       dec2(col("o_totalprice")) * 100, binWidthCents = 100000L,
       quantilesBp = Seq(5000, 9000, 9900))
 
+  /** PERSISTED histogram-quantile table round trip
+    * (Sketch.appendHistogram / histogramQuantilesFromTable): q82's
+    * corpus split into even/odd order batches, appended bin-histograms
+    * plus a DELIBERATELY REPLAYED batch — read-side (batch_id, bin)
+    * dedup absorbs it, bin-wise integer merge reconstructs the corpus
+    * histogram, and the quantiles must equal the one-shot q82 bit for
+    * bit (oracle = q82's SQL verbatim). The q208 maintained-index proof
+    * shape, for order statistics. */
+  def q209HistTable(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val cents = dec2(col("o_totalprice")) * 100
+    val path = rtPath(s, dir, "histq")
+    histTableBuilt.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    histTableBuilt.computeIfAbsent((s, dir), _ => {
+      Sketch.appendHistogram(o.filter(col("o_orderkey") % 2 === 0), cents,
+        binWidthCents = 100000L, path, batchId = "even")
+      Sketch.appendHistogram(o.filter(col("o_orderkey") % 2 === 1), cents,
+        binWidthCents = 100000L, path, batchId = "odd")
+      // at-least-once replay: the same batch appended twice
+      Sketch.appendHistogram(o.filter(col("o_orderkey") % 2 === 1), cents,
+        binWidthCents = 100000L, path, batchId = "odd")
+      java.lang.Boolean.TRUE
+    })
+    Sketch.histogramQuantilesFromTable(s, path, binWidthCents = 100000L,
+      quantilesBp = Seq(5000, 9000, 9900))
+  }
+  private val histTableBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Boolean]()
+
   /** Contiguous sequence packing (Pack.packSequences): documents packed
     * into 512-token training sequences per source shard — the per-shard
     * cumulative-sum window parallelizes across shards, no global order. */
@@ -3404,6 +3434,7 @@ object Queries {
     "q206_k_anonymity" -> (q206KAnonymity _),
     "q207_sim_histogram" -> (q207SimHistogram _),
     "q208_cov_table" -> (q208CovTable _),
+    "q209_hist_table" -> (q209HistTable _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -329,12 +329,67 @@ object Sketch {
     // lower-edge + positive-offset interpolation below would be wrong
     // (and diverge from DuckDB's floor //). Enforced per-row rather than
     // silently mis-binned.
-    val hist = df.select(centsCol.cast("long").as("__cents"))
+    quantilesFromHistogram(binnedHistogram(df, centsCol, binWidthCents),
+      binWidthCents, quantilesBp)
+  }
+
+  /** The (bin, cnt) fixed-width histogram of [[histogramQuantiles]] — the
+    * bounded mergeable state (histograms union by bin-wise count sum). */
+  private def binnedHistogram(df: DataFrame, centsCol: Column,
+                              binWidthCents: Long): DataFrame =
+    df.select(centsCol.cast("long").as("__cents"))
       .select(when(col("__cents") < 0, raise_error(lit(
           "histogramQuantiles: negative cents unsupported (DIV truncation)")))
         .otherwise(col("__cents")).as("__cents"))
       .select(expr(s"__cents DIV $binWidthCents").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+
+  /** Append a batch's bounded (bin, cnt) histogram to the PERSISTED
+    * histogram table at `path`, stamped with `batch_id` — the
+    * maintained-index form of [[histogramQuantiles]] (the
+    * [[graft.operators.Embeddings.appendMoments]] shape for order
+    * statistics): corpus-wide quantiles forever after come from the
+    * table, never a rescan. Batch histograms are pure functions of the
+    * batch, so a replayed append writes byte-identical rows and
+    * [[histogramQuantilesFromTable]]'s (batch_id, bin) dedup absorbs it
+    * — at-least-once callers stay exactly-once. */
+  def appendHistogram(df: DataFrame, centsCol: Column, binWidthCents: Long,
+                      path: String, batchId: String): Unit =
+    binnedHistogram(df, centsCol, binWidthCents)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(path)
+
+  /** Quantiles from the persisted histogram table: replay-dedup on
+    * (batch_id, bin), bin-wise count sum (exact integer merge), then the
+    * identical rank/interpolation chain — equals the one-shot
+    * [[histogramQuantiles]] of everything ever appended (q209's proof,
+    * anchored on q82's oracle). */
+  def histogramQuantilesFromTable(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, binWidthCents: Long,
+                                  quantilesBp: Seq[Int]): DataFrame =
+    quantilesFromHistogram(
+      spark.read.parquet(path)
+        .dropDuplicates("batch_id", "bin")
+        .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt")),
+      binWidthCents, quantilesBp)
+
+  /** Fold the histogram table's per-batch rows into one bin-wise-summed
+    * frame under a single synthetic batch id (exact integer addition —
+    * value-preserving) via [[graft.etl.Sinks.compactWith]]; same
+    * stopped-stream/committed-checkpoint precondition as
+    * [[graft.operators.Embeddings.compactMoments]] (folding erases the
+    * replay-dedup keys). */
+  def compactHistogram(spark: org.apache.spark.sql.SparkSession,
+                       path: String, targetFiles: Int = 1): (Int, Int) =
+    graft.etl.Sinks.compactWith(spark, path, targetFiles, df =>
+      df.dropDuplicates("batch_id", "bin")
+        .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+        .withColumn("batch_id", lit("__compacted")))
+
+  /** The rank/interpolation chain over a bounded (bin, cnt) histogram —
+    * all-integer arithmetic, shared by the one-shot and table forms. */
+  private def quantilesFromHistogram(hist: DataFrame, binWidthCents: Long,
+                                     quantilesBp: Seq[Int]): DataFrame = {
     val cum = hist.withColumn("cum",
         sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("bin"))))

@@ -490,6 +490,26 @@ object Stream {
           batchId = s"stream-$batchId")
       }
 
+  /** Streaming histogram-quantile ingestion over the PERSISTED histogram
+    * table ([[graft.operators.Sketch.appendHistogram]]): each micro-batch
+    * appends its bounded (bin, cnt) frame stamped with the micro-batch
+    * id; [[graft.operators.Sketch.histogramQuantilesFromTable]] then
+    * serves corpus-wide quantiles at read time. Exactly-once by the
+    * [[momentsIngestSink]] argument: replayed micro-batches re-append
+    * byte-identical rows under the same id and the read side dedups
+    * (batch_id, bin). `centsCol` is the integer cents expression over
+    * the batch's columns (the batch operator's contract). */
+  def histogramIngestSink(rows: DataFrame, centsCol: Column,
+                          binWidthCents: Long, tablePath: String,
+                          checkpoint: String): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketch.appendHistogram(batch, centsCol,
+          binWidthCents, tablePath, batchId = s"stream-$batchId")
+      }
+
   /** ST-8: stream -> staging via foreachBatch reusing the batch upsert
     * (exactly-once: checkpointed offsets + idempotent merge on event_id).
     * Synthesizes event_id when missing like StagingProgressWriter

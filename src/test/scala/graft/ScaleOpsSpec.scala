@@ -570,6 +570,32 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("persisted histogram table: replayed appends dedup away; equals one-shot; compacts") {
+    val cents = (1 to 10000 by 100).flatMap(c => Seq.fill(3)(c.toLong))
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("id", "c")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_histq").resolve("t").toString
+    Sketch.appendHistogram(cents.filter(col("id") % 2 === 0), col("c"),
+      binWidthCents = 100L, path, batchId = "even")
+    Sketch.appendHistogram(cents.filter(col("id") % 2 === 1), col("c"),
+      binWidthCents = 100L, path, batchId = "odd")
+    // at-least-once: the odd batch lands twice — read-side dedup absorbs it
+    Sketch.appendHistogram(cents.filter(col("id") % 2 === 1), col("c"),
+      binWidthCents = 100L, path, batchId = "odd")
+    val qsBp = Seq(5000, 9000, 9900)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val oneShot = m(Sketch.histogramQuantiles(cents, col("c"),
+      binWidthCents = 100L, quantilesBp = qsBp))
+    assert(m(Sketch.histogramQuantilesFromTable(spark, path, 100L, qsBp))
+      == oneShot)
+    // value-preserving fold
+    val (before, after) = Sketch.compactHistogram(spark, path)
+    assert(after <= before && after >= 1)
+    assert(m(Sketch.histogramQuantilesFromTable(spark, path, 100L, qsBp))
+      == oneShot)
+  }
+
   test("histogram quantiles reject negative cents (DIV truncation domain)") {
     val cents = Seq(-100L, 100L, 200L).toDF("c")
     val e = intercept[Exception] {

@@ -644,6 +644,34 @@ class StreamingSpec extends SparkSpec {
     assert(fromTable == oneShot && fromTable.size == 15) // d(d+1)/2, d = 5
   }
 
+  test("streaming histogram ingestion: quantiles from the table == one-shot batch, across a restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-histstream").toString
+    val all = (1 to 10000 by 100).flatMap(c => Seq.fill(3)(c.toLong))
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+
+    val input = MemoryStream[(Long, Long)](spark)
+    def start() = Stream.histogramIngestSink(
+      input.toDF().toDF("id", "c"), col("c"), binWidthCents = 100L,
+      s"$dir/hist", s"$dir/ckpt").start()
+
+    val q1 = start()
+    try {
+      input.addData(all.filter(_._1 < 150): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    input.addData(all.filter(_._1 >= 150): _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val qsBp = Seq(5000, 9000, 9900)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(m(graft.operators.Sketch.histogramQuantilesFromTable(
+        spark, s"$dir/hist", 100L, qsBp)) ==
+      m(graft.operators.Sketch.histogramQuantiles(
+        all.toDF("id", "c"), col("c"), 100L, qsBp)))
+  }
+
   test("staging sink survives a checkpointed restart exactly-once (ST-8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-restart").toString
     val input = MemoryStream[(String, String, String, java.sql.Timestamp)](spark)
