@@ -40,7 +40,8 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, None) }
       catch { case e: Throwable =>
-        val first = Option(e.getMessage).map(_.linesIterator.next()).getOrElse("")
+        val first = Option(e.getMessage)
+          .flatMap(_.linesIterator.nextOption()).getOrElse("")
         val what = s"${e.getClass.getName}: $first"
         System.err.println(s"[bench] $name FAILED: $what"); (-1.0, Some(what)) }
     }

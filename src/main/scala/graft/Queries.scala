@@ -936,12 +936,10 @@ object Queries {
     val incoming = docs.filter(col("doc_id") % 8 === 4)
       .unionByName(plantedTailDocs(existing, modulus = 40, idOffset = 3000000L))
     val path = rtPath(s, dir, "lshidx")
-    bucketTableBuilt.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    bucketTableBuilt.computeIfAbsent((s, dir), _ => {
+    oncePerSession(bucketTableBuilt, s, dir) {
       Dedup.writeBucketTable(existing, path, "doc_id", "text",
         shingleK = 3, numHashes = 16, bands = 4, portable = true)
-      java.lang.Boolean.TRUE
-    })
+    }
     Dedup.minhashNearDupsAgainstTable(incoming, path, "doc_id", "text",
         threshold = 0.5)
       .orderBy("incoming_id", "existing_id")
@@ -1688,8 +1686,7 @@ object Queries {
   def q208CovTable(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val path = rtPath(s, dir, "moments")
-    momentsTableBuilt.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    momentsTableBuilt.computeIfAbsent((s, dir), _ => {
+    oncePerSession(momentsTableBuilt, s, dir) {
       Embeddings.appendMoments(e.filter(col("vec_id") % 2 === 0),
         "embedding", path, batchId = "even")
       Embeddings.appendMoments(e.filter(col("vec_id") % 2 === 1),
@@ -1697,8 +1694,7 @@ object Queries {
       // at-least-once replay: the same batch appended twice
       Embeddings.appendMoments(e.filter(col("vec_id") % 2 === 1),
         "embedding", path, batchId = "odd")
-      java.lang.Boolean.TRUE
-    })
+    }
     Embeddings.covarianceFromTable(s, path).orderBy("i", "j")
   }
   private val momentsTableBuilt =
@@ -1800,12 +1796,10 @@ object Queries {
     val incoming = docs.filter(col("doc_id") % 9 === 3)
       .unionByName(plantedTailDocs(existing, modulus = 45, idOffset = 4000000L))
     val path = rtPath(s, dir, "winnowidx")
-    winnowTableBuilt.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    winnowTableBuilt.computeIfAbsent((s, dir), _ => {
+    oncePerSession(winnowTableBuilt, s, dir) {
       Winnow.writeFingerprintTable(existing, path, "doc_id", "text",
         k = 8, w = 4, seed = 17)
-      java.lang.Boolean.TRUE
-    })
+    }
     Winnow.overlapAgainstTable(incoming, path, "doc_id", "text", minShared = 3)
       .orderBy("incoming_id", "existing_id")
   }
@@ -2077,11 +2071,9 @@ object Queries {
             concat(col("text"), lit("\n" + footerLines(0))))
           .otherwise(col("text")).as("text"))
     val path = rtPath(s, dir, "linedf")
-    lineTableBuilt.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    lineTableBuilt.computeIfAbsent((s, dir), _ => {
+    oncePerSession(lineTableBuilt, s, dir) {
       Dedup.writeLineDfTable(existing, path, "doc_id", "text")
-      java.lang.Boolean.TRUE
-    })
+    }
     Dedup.dropFrequentLinesAgainstTable(incoming, path, "doc_id", "text",
         maxDf = 5)
       .orderBy("doc_id")
@@ -2504,17 +2496,37 @@ object Queries {
   }
 
   /** Scratch dir for source/sink round-trip queries — under target/ so it
-    * is build-local and gitignored; keyed by sf dir so runs against
-    * different scale factors never collide, AND by the session identity so
+    * is build-local and gitignored (cleaned by `sbt clean`; dirs accrete
+    * one suffix per session until then); keyed by sf dir so runs against
+    * different scale factors never collide, AND by a per-session id so
     * two concurrent sessions in one JVM (test suites, notebook kernels)
-    * never overwrite each other's in-flight tables (VERDICT r7 low item:
-    * the fixed path raced when a second session rebuilt an index another
-    * session was still lazily reading). One session = one path, so the
-    * per-session index/table caches keep their reuse. */
-  private def rtPath(s: SparkSession, dir: String, kind: String): String =
+    * never overwrite each other's in-flight tables (VERDICT r7 low item).
+    * The id is a monotonic counter from a weak map — collision-free,
+    * unlike identityHashCode (r8 review fix) — so one session = exactly
+    * one path and the per-session index/table caches keep their reuse. */
+  private val rtSessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Integer]())
+  private val rtSessionCounter = new java.util.concurrent.atomic.AtomicInteger()
+  private def rtPath(s: SparkSession, dir: String, kind: String): String = {
+    val sid = rtSessionIds.computeIfAbsent(s,
+      _ => Integer.valueOf(rtSessionCounter.incrementAndGet()))
     new java.io.File("target/rt/" + kind + "_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
-      Integer.toHexString(System.identityHashCode(s))).getAbsolutePath
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_s" + sid).getAbsolutePath
+  }
+
+  /** Build-once-per-(session, sf dir) latch for the persisted-table
+    * queries: purge stopped sessions, then run `build` under
+    * computeIfAbsent. CONTRACT (the q112 lesson): `build` must NOT
+    * resolve anything through another computeIfAbsent on the SAME map —
+    * and none of these builders touch ivfCache — because nested updates
+    * of a ConcurrentHashMap deadlock or throw when keys share a bin. */
+  private def oncePerSession(map: java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), java.lang.Boolean],
+      s: SparkSession, dir: String)(build: => Unit): Unit = {
+    map.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    map.computeIfAbsent((s, dir), _ => { build; java.lang.Boolean.TRUE })
+    ()
+  }
 
   /** ORC sink + source round trip: write documents as ORC, read it back,
     * aggregate — the oracle computes the same aggregate from the original
@@ -2652,8 +2664,7 @@ object Queries {
     val o = t(s, dir, "orders")
     val cents = dec2(col("o_totalprice")) * 100
     val path = rtPath(s, dir, "histq")
-    histTableBuilt.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    histTableBuilt.computeIfAbsent((s, dir), _ => {
+    oncePerSession(histTableBuilt, s, dir) {
       Sketch.appendHistogram(o.filter(col("o_orderkey") % 2 === 0), cents,
         binWidthCents = 100000L, path, batchId = "even")
       Sketch.appendHistogram(o.filter(col("o_orderkey") % 2 === 1), cents,
@@ -2661,8 +2672,7 @@ object Queries {
       // at-least-once replay: the same batch appended twice
       Sketch.appendHistogram(o.filter(col("o_orderkey") % 2 === 1), cents,
         binWidthCents = 100000L, path, batchId = "odd")
-      java.lang.Boolean.TRUE
-    })
+    }
     Sketch.histogramQuantilesFromTable(s, path, binWidthCents = 100000L,
       quantilesBp = Seq(5000, 9000, 9900))
   }

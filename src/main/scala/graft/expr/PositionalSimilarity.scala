@@ -80,9 +80,16 @@ object GraftFunctions {
     * REPR, DuckDB the VALUE). Use engine round() only with a
     * fixed-denominator / dyadic / transcendental proof attached. */
   def portableRound(c: Column, scale: Int): Column = {
-    val f = org.apache.spark.sql.functions.lit(math.pow(10, scale.toDouble))
-    org.apache.spark.sql.functions.floor(
-      c * f + org.apache.spark.sql.functions.lit(0.5)) / f
+    import org.apache.spark.sql.functions.{abs, floor, isnan, lit, when}
+    val f = lit(math.pow(10, scale.toDouble))
+    val y = c * f + lit(0.5)
+    // Stay in the DOUBLE domain end to end: Spark's floor(double) returns
+    // LONG (wrapping past +-2^63 and mapping NaN to 0) while DuckDB's
+    // floor stays DOUBLE. Past 2^53 a double is already integral, so
+    // floor is the identity there — pass y through (DuckDB's floor(y)
+    // == y at those magnitudes too), and propagate NaN explicitly.
+    when(isnan(y) || abs(y) >= lit(9007199254740992.0), y)
+      .otherwise(floor(y).cast("double")) / f
   }
 
   def positionalSimilarity(a: Column, b: Column): Column =

@@ -77,11 +77,27 @@ object Embeddings {
     * round. `n` must be an integral-valued column (the vector count). */
   private def covFinalize(sxy: Column, si: Column, sj: Column, n: Column): Column = {
     val nL = n.cast("long")
-    val num = ((nL.cast("decimal(12,0)") * sxy.cast("decimal(20,6)"))
+    // Domain guards on the BOUNDED stats frames (d + d^2 rows — the
+    // checks cost nothing): the DECIMAL ladder is exact only while the
+    // operands fit its ceilings; outside them fail with a named error
+    // instead of ANSI's anonymous overflow (r8 review). The bounds
+    // admit |component| ~ 1 embeddings up to n ~ 1e8 vectors; rescale
+    // the embedding column (or widen the ladder) past that.
+    def guarded(c: Column, bound: Double, what: String): Column =
+      when(abs(c.cast("double")) >= lit(bound), raise_error(lit(
+        s"covariance: $what exceeds the exact-DECIMAL ladder (see scaladoc)")))
+        .otherwise(c) // the exact DECIMAL original flows through unchanged
+    val num = ((nL.cast("decimal(12,0)") *
+        guarded(sxy, 1e13, "sum(x_i*x_j)").cast("decimal(20,6)"))
         .cast("decimal(37,12)")
-      - si.cast("decimal(16,6)") * sj.cast("decimal(16,6)"))
-      .cast("decimal(20,6)")
-    num.cast("double") / (nL * (nL - lit(1L))).cast("double")
+      - guarded(si, 1e9, "sum(x_i)").cast("decimal(16,6)") *
+        guarded(sj, 1e9, "sum(x_j)").cast("decimal(16,6)"))
+      .cast("decimal(26,6)") // wide: the NUMERATOR guard below is the bound
+    // 4.5e9 at scale 6 keeps the unscaled value under 2^52 — the bound
+    // where both engines' DECIMAL->DOUBLE casts are provably identical
+    // (scaladoc); past it, fail named rather than drift silently
+    guarded(num, 4.5e9, "numerator n*sxy - si*sj").cast("double") /
+      (nL * (nL - lit(1L))).cast("double")
   }
 
   /** (i, j, sxy DECIMAL) upper-triangle product sums of a pre-projected
@@ -303,11 +319,17 @@ object Embeddings {
     * compaction would double-count instead of deduping. */
   def compactMoments(spark: org.apache.spark.sql.SparkSession, path: String,
                      targetFiles: Int = 1): (Int, Int) =
-    graft.etl.Sinks.compactWith(spark, path, targetFiles, df =>
-      df.dropDuplicates("batch_id", "kind", "i", "j")
-        .groupBy(col("kind"), col("i"), col("j"))
-        .agg(sum(col("v")).cast("decimal(35,6)").as("v"))
-        .withColumn("batch_id", lit("__compacted")))
+    graft.etl.Sinks.compactWith(spark, path, targetFiles,
+      foldMoments(_).withColumn("batch_id", lit("__compacted")))
+
+  /** ONE fold shared by the read path and compaction: replay-dedup on
+    * (batch_id, kind, i, j), then the exact-DECIMAL group-sum. A future
+    * change to the dedup key or merge rule lands in both places by
+    * construction (r8 review). */
+  private def foldMoments(df: DataFrame): DataFrame =
+    df.dropDuplicates("batch_id", "kind", "i", "j")
+      .groupBy(col("kind"), col("i"), col("j"))
+      .agg(sum(col("v")).cast("decimal(35,6)").as("v"))
 
   /** Finalize the persisted moments table: replay-dedup on
     * (batch_id, kind, i, j), group-sum the exact DECIMAL stats, then
@@ -316,10 +338,7 @@ object Embeddings {
     * oracle). */
   def covarianceFromTable(spark: org.apache.spark.sql.SparkSession,
                           path: String): DataFrame =
-    covarianceFromStats(mergeStats(Seq(
-      spark.read.parquet(path)
-        .dropDuplicates("batch_id", "kind", "i", "j")
-        .drop("batch_id"))))
+    covarianceFromStats(foldMoments(spark.read.parquet(path)))
 
   /** Finalize a (possibly merged) moment-stats frame into the same
     * (i, j, cov) output as [[covariance]] — by construction,

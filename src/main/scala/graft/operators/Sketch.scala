@@ -367,10 +367,7 @@ object Sketch {
   def histogramQuantilesFromTable(spark: org.apache.spark.sql.SparkSession,
                                   path: String, binWidthCents: Long,
                                   quantilesBp: Seq[Int]): DataFrame =
-    quantilesFromHistogram(
-      spark.read.parquet(path)
-        .dropDuplicates("batch_id", "bin")
-        .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt")),
+    quantilesFromHistogram(foldHistogram(spark.read.parquet(path)),
       binWidthCents, quantilesBp)
 
   /** Fold the histogram table's per-batch rows into one bin-wise-summed
@@ -381,10 +378,14 @@ object Sketch {
     * replay-dedup keys). */
   def compactHistogram(spark: org.apache.spark.sql.SparkSession,
                        path: String, targetFiles: Int = 1): (Int, Int) =
-    graft.etl.Sinks.compactWith(spark, path, targetFiles, df =>
-      df.dropDuplicates("batch_id", "bin")
-        .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
-        .withColumn("batch_id", lit("__compacted")))
+    graft.etl.Sinks.compactWith(spark, path, targetFiles,
+      foldHistogram(_).withColumn("batch_id", lit("__compacted")))
+
+  /** ONE fold shared by the read path and compaction: replay-dedup on
+    * (batch_id, bin), then the exact integer bin-merge. */
+  private def foldHistogram(df: DataFrame): DataFrame =
+    df.dropDuplicates("batch_id", "bin")
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
 
   /** The rank/interpolation chain over a bounded (bin, cnt) histogram —
     * all-integer arithmetic, shared by the one-shot and table forms. */

@@ -510,8 +510,13 @@ object Split {
     val fam = df.join(labels, col(idCol) === col("__cid"), "left")
       .withColumn("family", coalesce(col("cluster_id"), col(idCol)))
       .select(col(idCol), col("family"), col(qualityCol))
+    // null-quality members must LOSE the argmin, but struct comparison
+    // sorts a null field FIRST ascending — lead with an is-null flag
+    // (false < true) so any scored member beats every unscored one, and
+    // an all-null family still resolves to its min id (r8 review fix).
     val best = fam.groupBy(col("family"))
-      .agg(min(struct((-col(qualityCol)).as("__nq"), col(idCol).as("__bid")))
+      .agg(min(struct(col(qualityCol).isNull.as("__qnull"),
+          (-col(qualityCol)).as("__nq"), col(idCol).as("__bid")))
         .as("__best"))
     fam.join(best, "family")
       .select(col(idCol), col("family"), col(qualityCol),

@@ -146,6 +146,25 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, 1L, false), (9L, 9L, true)))
   }
 
+  test("keepBestPerFamily: null-quality members never beat a scored one; string ids survive") {
+    // r8 review regression: min(struct(-q, id)) sorted a NULL -q FIRST,
+    // silently electing the unscored member; the is-null flag fixes it.
+    val docs = Seq((1L, Some(50)), (2L, None), (3L, Some(40)))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Split.keepBestPerFamily(docs, "doc_id", "quality", pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3)))
+    assert(out.toSeq == Seq((1L, true), (2L, false), (3L, false)))
+    // an all-null family still resolves deterministically to its min id
+    val allNull = Seq((7L, None: Option[Int]), (8L, None))
+      .toDF("doc_id", "quality")
+    val out2 = Split.keepBestPerFamily(allNull, "doc_id", "quality",
+        Seq((7L, 8L)).toDF("id_a", "id_b"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getBoolean(3)))
+    assert(out2.toSeq == Seq((7L, true), (8L, false)))
+  }
+
   // -------------------------------------------------- truncation loss
 
   test("truncationLoss: exact kept-token arithmetic") {
