@@ -4716,7 +4716,12 @@ object Oracles {
       // the persisted histogram table (append + replayed append +
       // read-side dedup + bin-wise merge) must equal the one-shot
       // histogram quantiles verbatim
-      "q209_hist_table" -> base("q82_hist_quantiles"))
+      "q209_hist_table" -> base("q82_hist_quantiles"),
+      // persisted CMS counters / HLL registers (append + replayed append
+      // + read-side dedup + cell-sum / bucket-max merge) must equal the
+      // one-shot sketches verbatim
+      "q210_cms_table" -> base("q69_cms_heavy_hitters"),
+      "q211_hll_table" -> base("q77_hll_distinct"))
 
   /** The q60/q67/q167 shared edge CTEs: the deterministic fuzzy-dup
     * graph (contacts -> keyed pairs -> symmetrized edges). */

@@ -2495,6 +2495,65 @@ object Queries {
       .withColumnRenamed("value", "token")
   }
 
+  /** PERSISTED CMS counter table round trip (Sketch.appendCmsCounters /
+    * cmsHeavyHittersFromTable): the q69 token stream split into
+    * even/odd doc-id batches, counters appended per batch plus a
+    * DELIBERATELY REPLAYED batch (read-side (batch_id, depth, bucket)
+    * dedup absorbs it; cells merge by exact integer sum), then the
+    * heavy-hitter probe runs against the TABLE with the corpus's
+    * distinct tokens as candidates — and must equal the one-shot q69
+    * bit for bit (oracle = q69's SQL verbatim). The probe-without-
+    * rescanning shape is the point: at 100 TB the counters are already
+    * built and a frequency query is O(depth) lookups per candidate. */
+  def q210CmsTable(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def occ(m: Int) = docs.filter(col("doc_id") % 2 === m)
+      .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+    val path = rtPath(s, dir, "cmsidx")
+    oncePerSession(cmsTableBuilt, s, dir) {
+      Sketch.appendCmsCounters(occ(0), "token", path, batchId = "even",
+        depth = 4, width = 1024, portable = true)
+      Sketch.appendCmsCounters(occ(1), "token", path, batchId = "odd",
+        depth = 4, width = 1024, portable = true)
+      // at-least-once replay: the same batch appended twice
+      Sketch.appendCmsCounters(occ(1), "token", path, batchId = "odd",
+        depth = 4, width = 1024, portable = true)
+    }
+    val candidates = docs
+      .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+      .distinct()
+    Sketch.cmsHeavyHittersFromTable(s, path, candidates, "token", k = 30,
+        depth = 4, width = 1024, portable = true)
+      .withColumnRenamed("value", "token")
+  }
+  private val cmsTableBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Boolean]()
+
+  /** PERSISTED HLL register table round trip (Sketch.appendHllRegisters /
+    * hllDistinctFromTable): q77's order keys in even/odd batches plus a
+    * replayed batch; registers merge by bucket-wise MAX — idempotent, so
+    * this rung proves the maintained-index shape under the OTHER merge
+    * rule (sum tables: q208/q209/q210) — and the estimate must equal the
+    * one-shot q77 bit for bit (oracle = q77's SQL verbatim). */
+  def q211HllTable(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val path = rtPath(s, dir, "hllidx")
+    oncePerSession(hllTableBuilt, s, dir) {
+      Sketch.appendHllRegisters(o.filter(col("o_orderkey") % 2 === 0),
+        "o_orderkey", path, batchId = "even", p = 12, portable = true)
+      Sketch.appendHllRegisters(o.filter(col("o_orderkey") % 2 === 1),
+        "o_orderkey", path, batchId = "odd", p = 12, portable = true)
+      // at-least-once replay: the same batch appended twice
+      Sketch.appendHllRegisters(o.filter(col("o_orderkey") % 2 === 1),
+        "o_orderkey", path, batchId = "odd", p = 12, portable = true)
+    }
+    Sketch.hllDistinctFromTable(s, path, p = 12)
+  }
+  private val hllTableBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Boolean]()
+
   /** Scratch dir for source/sink round-trip queries — under target/ so it
     * is build-local and gitignored (cleaned by `sbt clean`; dirs accrete
     * one suffix per session until then); keyed by sf dir so runs against
@@ -3445,6 +3504,8 @@ object Queries {
     "q207_sim_histogram" -> (q207SimHistogram _),
     "q208_cov_table" -> (q208CovTable _),
     "q209_hist_table" -> (q209HistTable _),
+    "q210_cms_table" -> (q210CmsTable _),
+    "q211_hll_table" -> (q211HllTable _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -173,6 +173,43 @@ object Sketch {
                   seed: Int = 7, portable: Boolean = false): DataFrame =
     hllEstimate(hllRegisters(df, valueCol, p, seed, portable), p)
 
+  /** Append a batch's HLL registers to the PERSISTED register table at
+    * `path`, stamped with `batch_id` — the maintained-index form of
+    * [[hllDistinct]] (the q208/q209 shape with a MAX merge instead of a
+    * sum): corpus-wide distinct estimates forever after come from the
+    * bounded table. Replay-safe by the same argument as the moments
+    * table — register rows are a pure function of the batch, and
+    * [[hllDistinctFromTable]] dedups (batch_id, bucket) before the
+    * bucket-wise max (which is additionally IDEMPOTENT, so even an
+    * un-deduped duplicate could not change the fold — belt and braces). */
+  def appendHllRegisters(df: DataFrame, valueCol: String, path: String,
+                         batchId: String, p: Int = 12, seed: Int = 7,
+                         portable: Boolean = false): Unit =
+    hllRegisters(df, valueCol, p, seed, portable)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(path)
+
+  /** Distinct estimate from the persisted register table: replay-dedup,
+    * bucket-wise MAX merge (HLL's union), then the exact-DECIMAL
+    * estimator — equals the one-shot [[hllDistinct]] of everything ever
+    * appended (q211's proof, anchored on q77's oracle). */
+  def hllDistinctFromTable(spark: org.apache.spark.sql.SparkSession,
+                           path: String, p: Int = 12): DataFrame =
+    hllEstimate(foldHll(spark.read.parquet(path)), p)
+
+  /** Fold the register table value-preservingly (max is idempotent and
+    * associative); [[graft.etl.Sinks]] staging-swap scope applies. */
+  def compactHll(spark: org.apache.spark.sql.SparkSession, path: String,
+                 targetFiles: Int = 1): (Int, Int) =
+    graft.etl.Sinks.compactWith(spark, path, targetFiles,
+      foldHll(_).withColumn("batch_id", lit("__compacted")))
+
+  /** ONE fold shared by the read path and compaction: replay-dedup on
+    * (batch_id, bucket), then HLL's bucket-wise max union. */
+  private def foldHll(df: DataFrame): DataFrame =
+    df.dropDuplicates("batch_id", "bucket")
+      .groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+
   /** Per-key HLL registers (keyCol, bucket, reg) — the grouped analogue
     * of [[hllRegisters]]: one partial-agg'd hash aggregation keyed
     * (key, bucket), so per-key register state over 100 TB shuffles
@@ -282,9 +319,56 @@ object Sketch {
   def cmsHeavyHitters(occurrences: DataFrame, valueCol: String, k: Int = 30,
                       depth: Int = 4, width: Int = 1024,
                       portable: Boolean = false,
-                      candidates: Option[DataFrame] = None): DataFrame = {
-    val counters = cmsCounters(occurrences, valueCol, depth, width, portable)
-    val cand = candidates.getOrElse(occurrences.select(col(valueCol)).distinct())
+                      candidates: Option[DataFrame] = None): DataFrame =
+    cmsProbe(cmsCounters(occurrences, valueCol, depth, width, portable),
+      candidates.getOrElse(occurrences.select(col(valueCol)).distinct()),
+      valueCol, k, depth, width, portable)
+
+  /** Append a batch's CMS counters to the PERSISTED counter table at
+    * `path`, stamped with `batch_id` (the q208/q209 shape; cells merge
+    * by cell-wise SUM). Replay-safe: batch counters are pure functions
+    * of the batch, and [[cmsHeavyHittersFromTable]] dedups
+    * (batch_id, depth, bucket) before the sum. */
+  def appendCmsCounters(occurrences: DataFrame, valueCol: String,
+                        path: String, batchId: String, depth: Int = 4,
+                        width: Int = 1024,
+                        portable: Boolean = false): Unit =
+    cmsCounters(occurrences, valueCol, depth, width, portable)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(path)
+
+  /** Heavy hitters from the persisted counter table. `candidates` is
+    * REQUIRED here (the corpus is not on hand — which is the point: at
+    * 100 TB the counters are already built and each probe is O(depth)
+    * lookups, so frequency queries never rescan the corpus). Equals the
+    * one-shot [[cmsHeavyHitters]] over everything ever appended when
+    * probed with the same candidate set (q210's proof, anchored on
+    * q69's oracle). */
+  def cmsHeavyHittersFromTable(spark: org.apache.spark.sql.SparkSession,
+                               path: String, candidates: DataFrame,
+                               valueCol: String, k: Int = 30,
+                               depth: Int = 4, width: Int = 1024,
+                               portable: Boolean = false): DataFrame =
+    cmsProbe(foldCms(spark.read.parquet(path)), candidates, valueCol, k,
+      depth, width, portable)
+
+  /** Fold the counter table value-preservingly (exact integer cell sums). */
+  def compactCms(spark: org.apache.spark.sql.SparkSession, path: String,
+                 targetFiles: Int = 1): (Int, Int) =
+    graft.etl.Sinks.compactWith(spark, path, targetFiles,
+      foldCms(_).withColumn("batch_id", lit("__compacted")))
+
+  /** ONE fold shared by the read path and compaction: replay-dedup on
+    * (batch_id, depth, bucket), then the cell-wise count sum. */
+  private def foldCms(df: DataFrame): DataFrame =
+    df.dropDuplicates("batch_id", "depth", "bucket")
+      .groupBy(col("depth"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** The candidate-probe chain over a built counter frame — min over the
+    * depth rows per candidate, shared by the one-shot and table forms. */
+  private def cmsProbe(counters: DataFrame, cand: DataFrame,
+                       valueCol: String, k: Int, depth: Int, width: Int,
+                       portable: Boolean): DataFrame = {
     cand
       .select(col(valueCol).as("value"),
         posexplode(array((0 until depth).map(d =>

@@ -510,6 +510,41 @@ object Stream {
           binWidthCents, tablePath, batchId = s"stream-$batchId")
       }
 
+  /** Streaming CMS ingestion over the PERSISTED counter table
+    * ([[graft.operators.Sketch.appendCmsCounters]]): per micro-batch one
+    * bounded (depth, bucket, cnt) append; heavy-hitter probes run
+    * against the table without rescanning the stream's history.
+    * Exactly-once by the [[momentsIngestSink]] argument (micro-batch id
+    * = replay-dedup key). `valueCol` is the occurrence column of the
+    * batch (one row per occurrence, the batch operator's contract). */
+  def cmsIngestSink(occurrences: DataFrame, valueCol: String,
+                    tablePath: String, checkpoint: String, depth: Int = 4,
+                    width: Int = 1024,
+                    portable: Boolean = false): DataStreamWriter[Row] =
+    occurrences.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketch.appendCmsCounters(batch, valueCol, tablePath,
+          batchId = s"stream-$batchId", depth, width, portable)
+      }
+
+  /** Streaming HLL ingestion over the PERSISTED register table
+    * ([[graft.operators.Sketch.appendHllRegisters]]): per micro-batch one
+    * bounded register append; the corpus-wide distinct estimate reads
+    * from the table (bucket-wise max — idempotent, so replays are doubly
+    * harmless). */
+  def hllIngestSink(rows: DataFrame, valueCol: String, tablePath: String,
+                    checkpoint: String, p: Int = 12, seed: Int = 7,
+                    portable: Boolean = false): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketch.appendHllRegisters(batch, valueCol, tablePath,
+          batchId = s"stream-$batchId", p, seed, portable)
+      }
+
   /** ST-8: stream -> staging via foreachBatch reusing the batch upsert
     * (exactly-once: checkpointed offsets + idempotent merge on event_id).
     * Synthesizes event_id when missing like StagingProgressWriter

@@ -596,6 +596,50 @@ class SketchSpec extends SparkSpec {
       == oneShot)
   }
 
+  test("persisted CMS counter table: replayed appends dedup; probe == one-shot; compacts") {
+    val occ = (1 to 300).map(i => s"tok${i % 17}").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "v")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cms").resolve("t").toString
+    Sketch.appendCmsCounters(occ.filter(col("id") % 2 === 0), "v", path,
+      batchId = "even", depth = 3, width = 64)
+    Sketch.appendCmsCounters(occ.filter(col("id") % 2 === 1), "v", path,
+      batchId = "odd", depth = 3, width = 64)
+    Sketch.appendCmsCounters(occ.filter(col("id") % 2 === 1), "v", path,
+      batchId = "odd", depth = 3, width = 64) // at-least-once replay
+    val cand = occ.select(col("v")).distinct()
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val oneShot = m(Sketch.cmsHeavyHitters(occ, "v", k = 17, depth = 3,
+      width = 64))
+    assert(m(Sketch.cmsHeavyHittersFromTable(spark, path, cand, "v",
+      k = 17, depth = 3, width = 64)) == oneShot)
+    val (b, a) = Sketch.compactCms(spark, path)
+    assert(a <= b && a >= 1)
+    assert(m(Sketch.cmsHeavyHittersFromTable(spark, path, cand, "v",
+      k = 17, depth = 3, width = 64)) == oneShot)
+  }
+
+  test("persisted HLL register table: max-merge absorbs replays; estimate == one-shot") {
+    val rows = (1 to 500).map(i => (i.toLong, s"user${i % 311}"))
+      .toDF("id", "v")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_hll").resolve("t").toString
+    Sketch.appendHllRegisters(rows.filter(col("id") % 2 === 0), "v", path,
+      batchId = "even", p = 8)
+    Sketch.appendHllRegisters(rows.filter(col("id") % 2 === 1), "v", path,
+      batchId = "odd", p = 8)
+    Sketch.appendHllRegisters(rows.filter(col("id") % 2 === 1), "v", path,
+      batchId = "odd", p = 8) // replay — max is idempotent AND deduped
+    def one(df: org.apache.spark.sql.DataFrame) = df.collect().head
+    val fromTable = one(Sketch.hllDistinctFromTable(spark, path, p = 8))
+    val oneShot = one(Sketch.hllDistinct(rows, "v", p = 8))
+    assert(fromTable == oneShot)
+    val (b, a) = Sketch.compactHll(spark, path)
+    assert(a <= b && a >= 1)
+    assert(one(Sketch.hllDistinctFromTable(spark, path, p = 8)) == oneShot)
+  }
+
   test("histogram quantiles reject negative cents (DIV truncation domain)") {
     val cents = Seq(-100L, 100L, 200L).toDF("c")
     val e = intercept[Exception] {

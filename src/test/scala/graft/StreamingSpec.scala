@@ -672,6 +672,42 @@ class StreamingSpec extends SparkSpec {
         all.toDF("id", "c"), col("c"), 100L, qsBp)))
   }
 
+  test("streaming CMS + HLL ingestion: table sketches == one-shot batch, across restarts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketchstream").toString
+    val all = (1 to 400).map(i => (i.toLong, s"tok${i % 23}"))
+
+    val input = MemoryStream[(Long, String)](spark)
+    def startCms() = Stream.cmsIngestSink(input.toDF().toDF("id", "v"), "v",
+      s"$dir/cms", s"$dir/ckpt-cms", depth = 3, width = 64).start()
+    val q1 = startCms()
+    try { input.addData(all.filter(_._1 < 200): _*); q1.processAllAvailable() }
+    finally q1.stop()
+    input.addData(all.filter(_._1 >= 200): _*)
+    val q2 = startCms()
+    try q2.processAllAvailable() finally q2.stop()
+    val occ = all.toDF("id", "v")
+    val cand = occ.select(col("v")).distinct()
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(m(graft.operators.Sketch.cmsHeavyHittersFromTable(spark,
+        s"$dir/cms", cand, "v", k = 23, depth = 3, width = 64)) ==
+      m(graft.operators.Sketch.cmsHeavyHitters(occ, "v", k = 23,
+        depth = 3, width = 64)))
+
+    val input2 = MemoryStream[(Long, String)](spark)
+    def startHll() = Stream.hllIngestSink(input2.toDF().toDF("id", "v"), "v",
+      s"$dir/hll", s"$dir/ckpt-hll", p = 8).start()
+    val h1 = startHll()
+    try { input2.addData(all.filter(_._1 < 200): _*); h1.processAllAvailable() }
+    finally h1.stop()
+    input2.addData(all.filter(_._1 >= 200): _*)
+    val h2 = startHll()
+    try h2.processAllAvailable() finally h2.stop()
+    assert(graft.operators.Sketch.hllDistinctFromTable(spark, s"$dir/hll",
+        p = 8).collect().head ==
+      graft.operators.Sketch.hllDistinct(occ, "v", p = 8).collect().head)
+  }
+
   test("staging sink survives a checkpointed restart exactly-once (ST-8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-restart").toString
     val input = MemoryStream[(String, String, String, java.sql.Timestamp)](spark)
