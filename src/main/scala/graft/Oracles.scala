@@ -4721,7 +4721,11 @@ object Oracles {
       // + read-side dedup + cell-sum / bucket-max merge) must equal the
       // one-shot sketches verbatim
       "q210_cms_table" -> base("q69_cms_heavy_hitters"),
-      "q211_hll_table" -> base("q77_hll_distinct"))
+      "q211_hll_table" -> base("q77_hll_distinct"),
+      // the persisted Bloom bit table (append + replayed append +
+      // read-side dedup + OR merge) must flag exactly the one-shot
+      // probe's rows — false positives and all
+      "q212_bloom_table" -> base("q72_bloom_prefilter"))
 
   /** The q60/q67/q167 shared edge CTEs: the deterministic fuzzy-dup
     * graph (contacts -> keyed pairs -> symmetrized edges). */

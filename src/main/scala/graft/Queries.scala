@@ -2554,6 +2554,45 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       java.lang.Boolean]()
 
+  /** PERSISTED Bloom bit table round trip (Sketch.appendBloomBits /
+    * bloomProbeFromTable): q72's existing-corpus digests split into
+    * doc_id%4 batches appended per batch plus a DELIBERATELY REPLAYED
+    * batch, then q72's incoming rows probe the TABLE — and must equal
+    * the one-shot q72 bit for bit (oracle = q72's SQL verbatim). This
+    * is the maintained-index shape under the THIRD merge rule: sum
+    * (q208-q210), max (q211), and here bitwise OR — idempotent and
+    * commutative, so the replay is absorbed twice over (read-side
+    * dedup AND the merge itself). At 100 TB the pre-filter for the
+    * whole corpus is a bounded bit set that new batches extend in
+    * O(batch); the digest anti-join only ever sees the maybe-dup
+    * sliver, and history is never rescanned. */
+  def q212BloomTable(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    def existing(m: Int) = docs.filter(col("doc_id") % 4 === m)
+      .select(md5(col("text")).as("__dg"))
+    val path = rtPath(s, dir, "bloomidx")
+    oncePerSession(bloomTableBuilt, s, dir) {
+      Sketch.appendBloomBits(existing(0), "__dg", path, batchId = "a",
+        mBits = 1 << 16, numHashes = 4, portable = true)
+      Sketch.appendBloomBits(existing(2), "__dg", path, batchId = "b",
+        mBits = 1 << 16, numHashes = 4, portable = true)
+      // at-least-once replay: the same batch appended twice
+      Sketch.appendBloomBits(existing(2), "__dg", path, batchId = "b",
+        mBits = 1 << 16, numHashes = 4, portable = true)
+    }
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
+      .select(col("doc_id"), md5(col("text")).as("__dg"))
+    Sketch.bloomProbeFromTable(s, path, incoming, "__dg",
+        mBits = 1 << 16, numHashes = 4, portable = true)
+      .select(col("doc_id"), col("maybe_present"))
+      .orderBy("doc_id")
+  }
+  private val bloomTableBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Boolean]()
+
   /** Scratch dir for source/sink round-trip queries — under target/ so it
     * is build-local and gitignored (cleaned by `sbt clean`; dirs accrete
     * one suffix per session until then); keyed by sf dir so runs against
@@ -3506,6 +3545,7 @@ object Queries {
     "q209_hist_table" -> (q209HistTable _),
     "q210_cms_table" -> (q210CmsTable _),
     "q211_hll_table" -> (q211HllTable _),
+    "q212_bloom_table" -> (q212BloomTable _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -536,6 +536,51 @@ object Sketch {
       .agg((min(coalesce(col("__set"), lit(0))) === 1).as("maybe_present"))
   }
 
+  /** Append a batch's Bloom set-bit positions to the PERSISTED bit table
+    * at `path`, stamped with `batch_id` — the maintained-index form of
+    * [[bloomBits]], and the THIRD merge rule of the persisted-sketch
+    * family: moments/histogram/CMS tables merge by exact SUM
+    * (q208/q209/q210), HLL registers by bucket-wise MAX (q211), Bloom
+    * bit sets by bitwise OR — which relationally is just DISTINCT over
+    * set-bit positions, idempotent AND commutative, so a replayed
+    * append is harmless even before the read-side (batch_id, bit)
+    * dedup. The 100 TB role: the membership filter for the WHOLE
+    * corpus stays bounded by its bit width (at most mBits rows) no
+    * matter how many batches ever appended, so incremental-dedup
+    * pre-filtering ([[bloomProbe]]'s join-pruning contract) never
+    * rescans history — new batches fold in at O(batch). */
+  def appendBloomBits(df: DataFrame, valueCol: String, path: String,
+                      batchId: String, mBits: Int = 1 << 16,
+                      numHashes: Int = 4, portable: Boolean = false): Unit =
+    bloomBits(df, valueCol, mBits, numHashes, portable)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(path)
+
+  /** Membership probe against the persisted bit table: fold (replay-
+    * dedup, then OR = DISTINCT bit), then the [[bloomProbe]] chain —
+    * equals the one-shot probe against [[bloomBits]] of everything ever
+    * appended (q212's proof, anchored on q72's oracle). No false
+    * negatives can survive the fold: a bit set by ANY batch stays set. */
+  def bloomProbeFromTable(spark: org.apache.spark.sql.SparkSession,
+                          path: String, probe: DataFrame,
+                          valueCol: String, mBits: Int = 1 << 16,
+                          numHashes: Int = 4,
+                          portable: Boolean = false): DataFrame =
+    bloomProbe(probe, valueCol, foldBloom(spark.read.parquet(path)),
+      mBits, numHashes, portable)
+
+  /** Fold the bit table value-preservingly (OR is idempotent and
+    * associative); [[graft.etl.Sinks]] staging-swap scope applies. */
+  def compactBloom(spark: org.apache.spark.sql.SparkSession, path: String,
+                   targetFiles: Int = 1): (Int, Int) =
+    graft.etl.Sinks.compactWith(spark, path, targetFiles,
+      foldBloom(_).withColumn("batch_id", lit("__compacted")))
+
+  /** ONE fold shared by the read path and compaction: replay-dedup on
+    * (batch_id, bit), then the bitwise-OR union (DISTINCT bit). */
+  private def foldBloom(df: DataFrame): DataFrame =
+    df.dropDuplicates("batch_id", "bit").select(col("bit")).distinct()
+
   /** Hash-uniformity audit: chi-square statistic of the portable hash
     * family over `m` buckets — the trust check behind everything this
     * engine keys on that hash (LSH bands, sampling, splits, salting).

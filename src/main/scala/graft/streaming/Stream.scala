@@ -545,6 +545,26 @@ object Stream {
           batchId = s"stream-$batchId", p, seed, portable)
       }
 
+  /** Streaming Bloom ingestion over the PERSISTED bit table
+    * ([[graft.operators.Sketch.appendBloomBits]]): per micro-batch one
+    * bounded set-bit append; membership probes (incremental-dedup
+    * pre-filtering) run against the table without rescanning the
+    * stream's history. Exactly-once by the [[momentsIngestSink]]
+    * argument (micro-batch id = replay-dedup key), and OR-merge is
+    * idempotent besides — a replayed append could not flip a bit
+    * back even un-deduped. */
+  def bloomIngestSink(rows: DataFrame, valueCol: String, tablePath: String,
+                      checkpoint: String, mBits: Int = 1 << 16,
+                      numHashes: Int = 4,
+                      portable: Boolean = false): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketch.appendBloomBits(batch, valueCol, tablePath,
+          batchId = s"stream-$batchId", mBits, numHashes, portable)
+      }
+
   /** ST-8: stream -> staging via foreachBatch reusing the batch upsert
     * (exactly-once: checkpointed offsets + idempotent merge on event_id).
     * Synthesizes event_id when missing like StagingProgressWriter

@@ -640,6 +640,36 @@ class SketchSpec extends SparkSpec {
     assert(one(Sketch.hllDistinctFromTable(spark, path, p = 8)) == oneShot)
   }
 
+  test("persisted Bloom bit table: OR-merge absorbs replays; probe == one-shot; no false negatives") {
+    val rows = (1 to 400).map(i => (i.toLong, s"val${i % 211}"))
+      .toDF("id", "v")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bloom").resolve("t").toString
+    Sketch.appendBloomBits(rows.filter(col("id") % 2 === 0), "v", path,
+      batchId = "even", mBits = 1 << 12, numHashes = 3)
+    Sketch.appendBloomBits(rows.filter(col("id") % 2 === 1), "v", path,
+      batchId = "odd", mBits = 1 << 12, numHashes = 3)
+    Sketch.appendBloomBits(rows.filter(col("id") % 2 === 1), "v", path,
+      batchId = "odd", mBits = 1 << 12, numHashes = 3) // replay — OR is idempotent
+    val probe = (0 until 300).map(i => (i.toLong, s"val$i"))
+      .toDF("pid", "v") // vals 0..210 present, 211..299 unseen
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val oneShot = m(Sketch.bloomProbe(probe, "v",
+      Sketch.bloomBits(rows, "v", mBits = 1 << 12, numHashes = 3),
+      mBits = 1 << 12, numHashes = 3))
+    val fromTable = m(Sketch.bloomProbeFromTable(spark, path, probe, "v",
+      mBits = 1 << 12, numHashes = 3))
+    assert(fromTable == oneShot)
+    // the bloom contract itself: every truly-present value flags true
+    assert((0 until 211).forall(i => fromTable(i.toLong)))
+    // value-preserving fold
+    val (b, a) = Sketch.compactBloom(spark, path)
+    assert(a <= b && a >= 1)
+    assert(m(Sketch.bloomProbeFromTable(spark, path, probe, "v",
+      mBits = 1 << 12, numHashes = 3)) == oneShot)
+  }
+
   test("histogram quantiles reject negative cents (DIV truncation domain)") {
     val cents = Seq(-100L, 100L, 200L).toDF("c")
     val e = intercept[Exception] {

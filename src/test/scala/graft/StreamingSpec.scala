@@ -708,6 +708,33 @@ class StreamingSpec extends SparkSpec {
       graft.operators.Sketch.hllDistinct(occ, "v", p = 8).collect().head)
   }
 
+  test("streaming Bloom ingestion: table probe == one-shot batch, across restarts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomstream").toString
+    val all = (1 to 400).map(i => (i.toLong, s"val${i % 211}"))
+
+    val input = MemoryStream[(Long, String)](spark)
+    def start() = Stream.bloomIngestSink(input.toDF().toDF("id", "v"), "v",
+      s"$dir/bloom", s"$dir/ckpt-bloom", mBits = 1 << 12, numHashes = 3).start()
+    val q1 = start()
+    try { input.addData(all.filter(_._1 < 200): _*); q1.processAllAvailable() }
+    finally q1.stop()
+    // data arriving while the query is down, then a checkpointed restart
+    input.addData(all.filter(_._1 >= 200): _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val rows = all.toDF("id", "v")
+    val probe = (0 until 300).map(i => (i.toLong, s"val$i")).toDF("pid", "v")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val fromTable = m(graft.operators.Sketch.bloomProbeFromTable(spark,
+      s"$dir/bloom", probe, "v", mBits = 1 << 12, numHashes = 3))
+    assert(fromTable == m(graft.operators.Sketch.bloomProbe(probe, "v",
+      graft.operators.Sketch.bloomBits(rows, "v", mBits = 1 << 12,
+        numHashes = 3), mBits = 1 << 12, numHashes = 3)))
+    assert((0 until 211).forall(i => fromTable(i.toLong)))
+  }
+
   test("staging sink survives a checkpointed restart exactly-once (ST-8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-restart").toString
     val input = MemoryStream[(String, String, String, java.sql.Timestamp)](spark)
