@@ -2754,6 +2754,55 @@ object Oracles {
          |FROM e ORDER BY c_mktsegment""".stripMargin
     },
 
+    // column profiler: the q91 HLL machinery keyed on the unpivoted
+    // column name; base counts are exact integers, the estimator chain
+    // replays like q91's. All five documents columns are BIGINT/VARCHAR,
+    // so the string-cast unpivot is engine-exact.
+    "q213_column_profile" -> {
+      val m = 1 << 12
+      val w49 = 1L << 49
+      s"""WITH u AS (
+         | SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS value FROM documents
+         | UNION ALL SELECT 'text', text FROM documents
+         | UNION ALL SELECT 'lang', lang FROM documents
+         | UNION ALL SELECT 'source', source FROM documents
+         | UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+         |b AS (
+         | SELECT col_name, count(*) AS n_rows,
+         |  count(CASE WHEN value IS NULL THEN 1 END) AS n_null
+         | FROM u GROUP BY 1),
+         |w AS (
+         | SELECT col_name, ${ph("value", 7)} % $m AS bucket,
+         |  ${ph("value", 8)} % ${1L << 48} AS wv
+         | FROM u WHERE value IS NOT NULL),
+         |r AS (
+         | SELECT col_name, bucket,
+         |  max(CASE WHEN wv = 0 THEN 49 ELSE 49 - length(bin(wv)) END) AS reg
+         | FROM w GROUP BY 1, 2),
+         |a AS (
+         | SELECT col_name, count(*) AS occupied, max(reg) AS max_reg,
+         |  coalesce(sum((CAST(1 AS BIGINT) << (49 - reg))), 0)
+         |   + ($m - count(*)) * CAST($w49 AS HUGEINT) AS s_total
+         | FROM r GROUP BY 1),
+         |e AS (
+         | SELECT col_name, occupied, max_reg,
+         |  ${graft.operators.Sketch.hllAlphaM2(12)}
+         |   / (CAST(s_total AS DOUBLE) / $w49.0) AS raw
+         | FROM a),
+         |est AS (
+         | SELECT col_name, occupied, max_reg,
+         |  round(CASE WHEN raw <= ${2.5 * m} AND $m - occupied > 0
+         |    THEN $m.0 * ln($m.0 / ($m - occupied)) ELSE raw END, 6)
+         |   AS est_distinct
+         | FROM e)
+         |SELECT b.col_name, n_rows, n_null,
+         | coalesce(occupied, 0) AS occupied,
+         | coalesce(max_reg, 0) AS max_reg,
+         | coalesce(est_distinct, 0.0) AS est_distinct
+         |FROM b LEFT JOIN est ON b.col_name = est.col_name
+         |ORDER BY b.col_name""".stripMargin
+    },
+
     // count-min sketch: counters and min-over-depths estimates are exact
     // integers, so the whole sketch replays value-identically
     "q69_cms_heavy_hitters" -> {

@@ -2593,6 +2593,21 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       java.lang.Boolean]()
 
+  /** ANALYZE-style column profile of the documents table
+    * (Sketch.columnProfile): per column, row/null counts and the
+    * portable-HLL distinct estimate — the stats a cost-based optimizer
+    * needs for join reorder and broadcast decisions, and the first
+    * data-quality gate a new corpus drop gets (a dead column shows as
+    * all-null, an exploded-cardinality id column shows in
+    * est_distinct). One unpivot projection, two map-side-collapsed
+    * aggregations; all five columns are BIGINT/VARCHAR so the
+    * string-cast replays exactly in the oracle. */
+  def q213ColumnProfile(s: SparkSession, dir: String): DataFrame =
+    Sketch.columnProfile(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"), p = 12,
+        portable = true)
+      .orderBy("col_name")
+
   /** Scratch dir for source/sink round-trip queries — under target/ so it
     * is build-local and gitignored (cleaned by `sbt clean`; dirs accrete
     * one suffix per session until then); keyed by sf dir so runs against
@@ -3546,6 +3561,7 @@ object Queries {
     "q210_cms_table" -> (q210CmsTable _),
     "q211_hll_table" -> (q211HllTable _),
     "q212_bloom_table" -> (q212BloomTable _),
+    "q213_column_profile" -> (q213ColumnProfile _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -240,6 +240,42 @@ object Sketch {
       .select(col(keyCol), col("occupied"), col("max_reg"),
         hllEstimateCol(p, col("occupied"), col("__s")).as("est_distinct"))
 
+  /** ANALYZE-style column profiler — the stats-collection surface a
+    * cost-based optimizer (join reorder, broadcast decisions) and a
+    * data-quality gate both need: per column, row count, null count,
+    * and an HLL distinct estimate. Columns are string-cast and
+    * unpivoted to (col_name, value) pairs in ONE projection, so the
+    * whole profile is two aggregations over one corpus scan's worth of
+    * exploded pairs — the per-(column, bucket) register agg collapses
+    * map-side to at most cols x 2^p rows per partition and the base
+    * counts to cols rows, so profiling 100 TB shuffles kilobytes.
+    * Restrict `cols` to exactly-rendered types (integers, strings,
+    * dates) when cross-engine replay matters: double-to-string
+    * formatting is engine-specific.
+    *
+    * All-null columns profile as (n_rows, n_null, 0, 0, 0.0) rather
+    * than dropping out — absence from a profile is how a dead column
+    * hides. Output: (col_name, n_rows, n_null, occupied, max_reg,
+    * est_distinct), the q91 estimator columns plus the base counts. */
+  def columnProfile(df: DataFrame, cols: Seq[String], p: Int = 12,
+                    seed: Int = 7, portable: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "columnProfile: at least one column")
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*))
+        .as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.value").as("value"))
+    val base = pairs.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("value").isNull, 1)).as("n_null"))
+    val est = hllDistinctBy(pairs.filter(col("value").isNotNull),
+      "col_name", "value", p, seed, portable)
+    base.join(est, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        coalesce(col("occupied"), lit(0L)).as("occupied"),
+        coalesce(col("max_reg"), lit(0)).as("max_reg"),
+        coalesce(col("est_distinct"), lit(0.0)).as("est_distinct"))
+  }
+
   /** HLL SET ALGEBRA over every unordered key pair: per-key distinct
     * estimate, pairwise UNION estimate (bucket-wise max register merge —
     * the mergeability that lets 1000 executors sketch shards

@@ -640,6 +640,25 @@ class SketchSpec extends SparkSpec {
     assert(one(Sketch.hllDistinctFromTable(spark, path, p = 8)) == oneShot)
   }
 
+  test("columnProfile: exact base counts, HLL estimate near truth, all-null column kept") {
+    val df = (1 to 500).map(i =>
+        (i.toLong, s"cat${i % 7}", if (i % 5 == 0) null else s"v$i",
+          null: String))
+      .toDF("id", "cat", "sparse", "dead")
+    val prof = Sketch.columnProfile(df, Seq("id", "cat", "sparse", "dead"),
+        p = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    assert(prof.keySet == Set("id", "cat", "sparse", "dead"))
+    // exact counts: every column sees all 500 rows; nulls counted per column
+    assert(prof("id")._1 == 500 && prof("id")._2 == 0)
+    assert(prof("sparse")._2 == 100)
+    assert(prof("dead") == ((500L, 500L, 0.0))) // all-null column kept, est 0
+    // estimates: low-cardinality exact-ish, high-cardinality within 10%
+    assert(math.abs(prof("cat")._3 - 7.0) < 1.0)
+    assert(math.abs(prof("id")._3 - 500.0) / 500.0 < 0.10)
+  }
+
   test("persisted Bloom bit table: OR-merge absorbs replays; probe == one-shot; no false negatives") {
     val rows = (1 to 400).map(i => (i.toLong, s"val${i % 211}"))
       .toDF("id", "v")
