@@ -4774,7 +4774,10 @@ object Oracles {
       // the persisted Bloom bit table (append + replayed append +
       // read-side dedup + OR merge) must flag exactly the one-shot
       // probe's rows — false positives and all
-      "q212_bloom_table" -> base("q72_bloom_prefilter"))
+      "q212_bloom_table" -> base("q72_bloom_prefilter"),
+      // the persisted profile table (mixed SUM-counts/MAX-registers fold
+      // behind the shared replay dedup) must equal the one-shot profile
+      "q214_profile_table" -> base("q213_column_profile"))
 
   /** The q60/q67/q167 shared edge CTEs: the deterministic fuzzy-dup
     * graph (contacts -> keyed pairs -> symmetrized edges). */

@@ -2608,6 +2608,36 @@ object Queries {
         portable = true)
       .orderBy("col_name")
 
+  /** PERSISTED column-profile table round trip
+    * (Sketch.appendColumnProfile / columnProfileFromTable): the q213
+    * profile maintained incrementally — documents appended in even/odd
+    * doc_id batches plus a DELIBERATELY REPLAYED batch, then the
+    * profile read from the table must equal the one-shot q213 bit for
+    * bit (oracle = q213's SQL verbatim). First table in the family
+    * mixing merge rules in ONE fold: exact-SUM base counts + MAX HLL
+    * registers behind the shared (batch_id, kind, col_name, bucket)
+    * replay dedup. The 100 TB point: every corpus drop appends its
+    * O(cols x 2^p) profile rows and the running ANALYZE stats are a
+    * bounded read — stats collection never rescans history. */
+  def q214ProfileTable(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val path = rtPath(s, dir, "profidx")
+    oncePerSession(profileTableBuilt, s, dir) {
+      Sketch.appendColumnProfile(docs.filter(col("doc_id") % 2 === 0),
+        cols, path, batchId = "even", p = 12, portable = true)
+      Sketch.appendColumnProfile(docs.filter(col("doc_id") % 2 === 1),
+        cols, path, batchId = "odd", p = 12, portable = true)
+      // at-least-once replay: the same batch appended twice
+      Sketch.appendColumnProfile(docs.filter(col("doc_id") % 2 === 1),
+        cols, path, batchId = "odd", p = 12, portable = true)
+    }
+    Sketch.columnProfileFromTable(s, path, p = 12).orderBy("col_name")
+  }
+  private val profileTableBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Boolean]()
+
   /** Scratch dir for source/sink round-trip queries — under target/ so it
     * is build-local and gitignored (cleaned by `sbt clean`; dirs accrete
     * one suffix per session until then); keyed by sf dir so runs against
@@ -3562,6 +3592,7 @@ object Queries {
     "q211_hll_table" -> (q211HllTable _),
     "q212_bloom_table" -> (q212BloomTable _),
     "q213_column_profile" -> (q213ColumnProfile _),
+    "q214_profile_table" -> (q214ProfileTable _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

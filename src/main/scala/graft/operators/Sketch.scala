@@ -233,8 +233,15 @@ object Sketch {
   def hllDistinctBy(df: DataFrame, keyCol: String, valueCol: String,
                     p: Int = 12, seed: Int = 7,
                     portable: Boolean = false): DataFrame =
-    hllRegistersBy(df, keyCol, valueCol, p, seed, portable)
-      .groupBy(col(keyCol))
+    hllEstimateBy(hllRegistersBy(df, keyCol, valueCol, p, seed, portable),
+      keyCol, p)
+
+  /** Estimate chain over a per-key register frame (keyCol, bucket, reg)
+    * — the second half of [[hllDistinctBy]], exposed so the persisted
+    * profile table's fold-then-estimate read can never diverge from the
+    * one-shot form. */
+  def hllEstimateBy(regs: DataFrame, keyCol: String, p: Int): DataFrame =
+    regs.groupBy(col(keyCol))
       .agg(count(lit(1)).as("occupied"), max(col("reg")).as("max_reg"),
         sum(hllTerm).as("__s"))
       .select(col(keyCol), col("occupied"), col("max_reg"),
@@ -259,21 +266,105 @@ object Sketch {
     * est_distinct), the q91 estimator columns plus the base counts. */
   def columnProfile(df: DataFrame, cols: Seq[String], p: Int = 12,
                     seed: Int = 7, portable: Boolean = false): DataFrame = {
+    val pairs = unpivotToPairs(df, cols)
+    assembleProfile(profileBase(pairs),
+      hllDistinctBy(pairs.filter(col("value").isNotNull),
+        "col_name", "value", p, seed, portable))
+  }
+
+  /** The profiler's unpivot: (col_name, value-as-string) pairs in ONE
+    * projection — shared by the one-shot and persisted-table forms. */
+  private def unpivotToPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile: at least one column")
-    val pairs = df.select(explode(array(cols.map(c =>
+    df.select(explode(array(cols.map(c =>
         struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*))
         .as("kv"))
       .select(col("kv.col_name").as("col_name"), col("kv.value").as("value"))
-    val base = pairs.groupBy(col("col_name"))
+  }
+
+  /** The profiler's exact base counts per column. */
+  private def profileBase(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("col_name"))
       .agg(count(lit(1)).as("n_rows"),
         count(when(col("value").isNull, 1)).as("n_null"))
-    val est = hllDistinctBy(pairs.filter(col("value").isNotNull),
-      "col_name", "value", p, seed, portable)
+
+  /** The profiler's final join: base counts + estimator columns, with
+    * all-null columns kept (occupied/max_reg/est coalesce to zero). */
+  private def assembleProfile(base: DataFrame, est: DataFrame): DataFrame =
     base.join(est, Seq("col_name"), "left")
       .select(col("col_name"), col("n_rows"), col("n_null"),
         coalesce(col("occupied"), lit(0L)).as("occupied"),
         coalesce(col("max_reg"), lit(0)).as("max_reg"),
         coalesce(col("est_distinct"), lit(0.0)).as("est_distinct"))
+
+  /** Append a batch's profile rows to the PERSISTED profile table at
+    * `path`, stamped with `batch_id` — the maintained-index form of
+    * [[columnProfile]], and the first table in the family that mixes
+    * merge rules: base counts (kind='base') merge by exact SUM, HLL
+    * registers (kind='reg') by bucket-wise MAX, in ONE fold. Append
+    * batches must PARTITION the corpus (same contract as the moments/
+    * CMS tables): counts are summed, so overlapping batch contents
+    * double-count — only a replay under the SAME batch_id is absorbed
+    * (read-side (batch_id, kind, col_name, bucket) dedup; the register
+    * half is additionally idempotent). At 100 TB the running profile of
+    * every corpus drop is O(cols x 2^p) rows read back in one bounded
+    * scan — stats collection never rescans history. */
+  def appendColumnProfile(df: DataFrame, cols: Seq[String], path: String,
+                          batchId: String, p: Int = 12, seed: Int = 7,
+                          portable: Boolean = false): Unit = {
+    val pairs = unpivotToPairs(df, cols)
+    val base = profileBase(pairs)
+      .select(lit("base").as("kind"), col("col_name"),
+        lit(null).cast("long").as("bucket"), lit(null).cast("int").as("reg"),
+        col("n_rows"), col("n_null"))
+    val regs = hllRegistersBy(pairs.filter(col("value").isNotNull),
+        "col_name", "value", p, seed, portable)
+      .select(lit("reg").as("kind"), col("col_name"), col("bucket"),
+        col("reg"), lit(null).cast("long").as("n_rows"),
+        lit(null).cast("long").as("n_null"))
+    base.unionByName(regs).withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Profile from the persisted table: one fold (replay-dedup, SUM the
+    * counts, MAX the registers), then the SAME estimate + assemble
+    * chain as [[columnProfile]] — equals the one-shot profile of
+    * everything ever appended (q214's proof, anchored on q213's
+    * oracle). */
+  def columnProfileFromTable(spark: org.apache.spark.sql.SparkSession,
+                             path: String, p: Int = 12): DataFrame = {
+    val folded = foldProfile(spark.read.parquet(path))
+    assembleProfile(
+      folded.filter(col("kind") === "base")
+        .select(col("col_name"), col("n_rows"), col("n_null")),
+      hllEstimateBy(folded.filter(col("kind") === "reg")
+        .select(col("col_name"), col("bucket"), col("reg")), "col_name", p))
+  }
+
+  /** Fold the profile table value-preservingly (both merge rules). */
+  def compactProfile(spark: org.apache.spark.sql.SparkSession, path: String,
+                     targetFiles: Int = 1): (Int, Int) =
+    graft.etl.Sinks.compactWith(spark, path, targetFiles,
+      foldProfile(_).withColumn("batch_id", lit("__compacted")))
+
+  /** ONE fold shared by the read path and compaction: replay-dedup on
+    * (batch_id, kind, col_name, bucket), then SUM for the base-count
+    * rows and bucket-wise MAX for the register rows. */
+  private def foldProfile(df: DataFrame): DataFrame = {
+    val deduped = df.dropDuplicates("batch_id", "kind", "col_name", "bucket")
+    val base = deduped.filter(col("kind") === "base")
+      .groupBy(col("col_name"))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_null")).as("n_null"))
+      .select(lit("base").as("kind"), col("col_name"),
+        lit(null).cast("long").as("bucket"), lit(null).cast("int").as("reg"),
+        col("n_rows"), col("n_null"))
+    val regs = deduped.filter(col("kind") === "reg")
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+      .select(lit("reg").as("kind"), col("col_name"), col("bucket"),
+        col("reg"), lit(null).cast("long").as("n_rows"),
+        lit(null).cast("long").as("n_null"))
+    base.unionByName(regs)
   }
 
   /** HLL SET ALGEBRA over every unordered key pair: per-key distinct

@@ -565,6 +565,27 @@ object Stream {
           batchId = s"stream-$batchId", mBits, numHashes, portable)
       }
 
+  /** Streaming profile ingestion over the PERSISTED column-profile
+    * table ([[graft.operators.Sketch.appendColumnProfile]]): per
+    * micro-batch one bounded append of base counts + HLL registers;
+    * the running ANALYZE stats ([[graft.operators.Sketch
+    * .columnProfileFromTable]]) read from the table without rescanning
+    * the stream's history. Exactly-once by the [[momentsIngestSink]]
+    * argument — the SUM-merged count rows make the micro-batch-id
+    * replay dedup load-bearing here (unlike the idempotent register
+    * half). */
+  def profileIngestSink(rows: DataFrame, cols: Seq[String],
+                        tablePath: String, checkpoint: String,
+                        p: Int = 12, seed: Int = 7,
+                        portable: Boolean = false): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketch.appendColumnProfile(batch, cols, tablePath,
+          batchId = s"stream-$batchId", p, seed, portable)
+      }
+
   /** ST-8: stream -> staging via foreachBatch reusing the batch upsert
     * (exactly-once: checkpointed offsets + idempotent merge on event_id).
     * Synthesizes event_id when missing like StagingProgressWriter

@@ -659,6 +659,32 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(prof("id")._3 - 500.0) / 500.0 < 0.10)
   }
 
+  test("persisted profile table: mixed SUM/MAX fold absorbs replays; profile == one-shot; compacts") {
+    val df = (1 to 500).map(i =>
+        (i.toLong, s"cat${i % 7}", if (i % 5 == 0) null else s"v$i"))
+      .toDF("id", "cat", "sparse")
+    val cols = Seq("id", "cat", "sparse")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_prof").resolve("t").toString
+    Sketch.appendColumnProfile(df.filter(col("id") % 2 === 0), cols, path,
+      batchId = "even", p = 10)
+    Sketch.appendColumnProfile(df.filter(col("id") % 2 === 1), cols, path,
+      batchId = "odd", p = 10)
+    Sketch.appendColumnProfile(df.filter(col("id") % 2 === 1), cols, path,
+      batchId = "odd", p = 10) // replay — the SUM half NEEDS the dedup
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4),
+          r.getDouble(5))).toMap
+    val oneShot = m(Sketch.columnProfile(df, cols, p = 10))
+    assert(m(Sketch.columnProfileFromTable(spark, path, p = 10)) == oneShot)
+    // a replayed SUM row would have doubled n_rows — prove it did not
+    assert(oneShot("id")._1 == 500)
+    val (b, a) = Sketch.compactProfile(spark, path)
+    assert(a <= b && a >= 1)
+    assert(m(Sketch.columnProfileFromTable(spark, path, p = 10)) == oneShot)
+  }
+
   test("persisted Bloom bit table: OR-merge absorbs replays; probe == one-shot; no false negatives") {
     val rows = (1 to 400).map(i => (i.toLong, s"val${i % 211}"))
       .toDF("id", "v")

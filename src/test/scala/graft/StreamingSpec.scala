@@ -735,6 +735,33 @@ class StreamingSpec extends SparkSpec {
     assert((0 until 211).forall(i => fromTable(i.toLong)))
   }
 
+  test("streaming profile ingestion: table profile == one-shot batch, across restarts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-profstream").toString
+    val all = (1 to 400).map(i =>
+      (i.toLong, s"cat${i % 7}", if (i % 5 == 0) null else s"v$i"))
+    val cols = Seq("id", "cat", "sparse")
+
+    val input = MemoryStream[(Long, String, String)](spark)
+    def start() = Stream.profileIngestSink(
+      input.toDF().toDF("id", "cat", "sparse"), cols,
+      s"$dir/prof", s"$dir/ckpt-prof", p = 10).start()
+    val q1 = start()
+    try { input.addData(all.filter(_._1 < 200): _*); q1.processAllAvailable() }
+    finally q1.stop()
+    input.addData(all.filter(_._1 >= 200): _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4),
+          r.getDouble(5))).toMap
+    assert(m(graft.operators.Sketch.columnProfileFromTable(spark,
+        s"$dir/prof", p = 10)) ==
+      m(graft.operators.Sketch.columnProfile(all.toDF("id", "cat", "sparse"),
+        cols, p = 10)))
+  }
+
   test("staging sink survives a checkpointed restart exactly-once (ST-8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-restart").toString
     val input = MemoryStream[(String, String, String, java.sql.Timestamp)](spark)
