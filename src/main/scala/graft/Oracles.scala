@@ -2754,6 +2754,25 @@ object Oracles {
          |FROM e ORDER BY c_mktsegment""".stripMargin
     },
 
+    // snapshot-versioned table: the head read (after two appends + a
+    // compaction) must aggregate exactly like the original parquet —
+    // compaction may change layout, never values
+    "q215_versioned_head" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    // time travel: version 1 is the even-doc_id batch, readable
+    // untouched after later commits rewrote the head
+    "q216_time_travel" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id % 2 = 0 GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
     // column profiler: the q91 HLL machinery keyed on the unpivoted
     // column name; base counts are exact integers, the estimator chain
     // replays like q91's. All five documents columns are BIGINT/VARCHAR,

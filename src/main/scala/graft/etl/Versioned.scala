@@ -1,0 +1,183 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-versioned parquet tables: immutable data files + an atomic
+  * manifest pointer — the transactional-table-format core (what
+  * Iceberg/Delta do under the jars this offline environment cannot
+  * load), hand-rolled over plain parquet.
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/<commit-uuid>/part-*.parquet   // immutable once committed
+  *   <root>/_manifests/v00001.manifest          // one line per data file
+  * }}}
+  *
+  * A commit writes its data files into a FRESH directory under `data/`
+  * and then publishes exactly one new manifest via an atomic rename.
+  * Everything the reference's durability story needs falls out of that
+  * ordering:
+  *
+  *  - **Readers never see a half-commit**: a manifest either exists in
+  *    full or not at all; data files are never listed by directory scan,
+  *    only via a manifest, so files from an in-flight or crashed commit
+  *    are invisible.
+  *  - **Crash safety**: a crash before the manifest rename leaves an
+  *    orphan data directory that no reader resolves; [[expire]] garbage-
+  *    collects it later. No recovery step is ever required to read.
+  *  - **Compaction does not disturb readers**: [[compact]] writes NEW
+  *    files and a NEW manifest; a reader holding version N keeps reading
+  *    version N's untouched files (contrast [[Sinks.compact]], which
+  *    stages the live directory out from under pinned readers).
+  *  - **Time travel**: [[read]] takes an explicit version; old snapshots
+  *    stay readable until [[expire]] drops their manifests.
+  *  - **Single writer, fail-loud**: the manifest rename is the commit
+  *    CAS — if the target version already exists the rename fails and
+  *    the commit throws instead of clobbering. On an object store the
+  *    same structure swaps the POSIX rename for a conditional PUT or a
+  *    catalog pointer swap (Iceberg's catalog commit); data-file
+  *    immutability makes everything else carry over unchanged.
+  *
+  * Scale: the manifest is O(files), read once at planning time by the
+  * driver; data files are listed explicitly so there is no directory-
+  * listing storm at 100 TB file counts, and pruning/pushdown behave as
+  * for any parquet scan. Reference durability counterpart:
+  * dags/utils/db.py:45-65 (Postgres upsert swap). */
+object Versioned {
+
+  private def manifestsDir(root: String) = new java.io.File(root, "_manifests")
+  private def dataDir(root: String) = new java.io.File(root, "data")
+  private val ManifestName = """v(\d{5})\.manifest""".r
+
+  private def manifestFile(root: String, v: Long) =
+    new java.io.File(manifestsDir(root), f"v$v%05d.manifest")
+
+  /** All committed versions, ascending (empty for a fresh root). */
+  def versions(root: String): Seq[Long] = {
+    val fs = manifestsDir(root).listFiles()
+    if (fs == null) Seq.empty
+    else fs.toSeq.flatMap(_.getName match {
+      case ManifestName(d) => Some(d.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  /** Latest committed version, 0 for a fresh root. */
+  def currentVersion(root: String): Long = versions(root).lastOption.getOrElse(0L)
+
+  private def readManifest(root: String, v: Long): Seq[String] = {
+    val f = manifestFile(root, v)
+    require(f.isFile, s"versioned: no manifest for version $v at $root")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).toList finally src.close()
+  }
+
+  /** Publish `files` (paths relative to `root`) as version `next`.
+    * The rename is the commit point: atomic on POSIX, and it FAILS if
+    * the target exists — a commit is pinned to the base version it
+    * read, so two writers racing from the same base cannot both win
+    * (optimistic concurrency, Iceberg's commit rule). Package-private
+    * so the spec can drive the conflict path directly. */
+  private[graft] def publishAt(root: String, next: Long,
+                               files: Seq[String]): Long = {
+    val dir = manifestsDir(root)
+    if (!dir.isDirectory && !dir.mkdirs() && !dir.isDirectory)
+      throw new java.io.IOException(s"versioned: cannot create $dir")
+    val target = manifestFile(root, next)
+    val tmp = new java.io.File(dir,
+      s".tmp-${java.util.UUID.randomUUID().toString}")
+    val w = new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(tmp), "UTF-8")
+    try { files.foreach(f => w.write(f + "\n")); w.flush() } finally w.close()
+    // fail-loud CAS: renameTo returns false if target exists (POSIX
+    // rename would overwrite, but File.renameTo on an existing regular
+    // file is platform-dependent — so check-then-rename and verify)
+    if (target.exists() || !tmp.renameTo(target)) {
+      tmp.delete()
+      throw new IllegalStateException(
+        s"versioned: concurrent writer detected — version $next already " +
+          s"published at $root (single-writer contract)")
+    }
+    next
+  }
+
+  /** Write `df` as a new commit: data files land in a fresh directory
+    * under `data/` first, the manifest (prior version's files + the new
+    * ones) publishes second. Returns the new version. */
+  def append(df: DataFrame, root: String): Long = {
+    // pin the base BEFORE writing: the commit publishes base+1 or fails,
+    // so a writer that slipped in mid-flight conflicts instead of being
+    // silently built upon (whose files we never read)
+    val base = currentVersion(root)
+    val carried = if (base == 0) Seq.empty else readManifest(root, base)
+    val commitId = java.util.UUID.randomUUID().toString
+    val rel = s"data/$commitId"
+    val outDir = new java.io.File(root, rel)
+    df.write.parquet(outDir.getAbsolutePath)
+    val newFiles = listParquet(outDir).map(f => s"$rel/${f.getName}")
+    publishAt(root, base + 1, carried ++ newFiles)
+  }
+
+  /** Rewrite the CURRENT snapshot into ~`targetFiles` files (optionally
+    * folding rows) and publish the result as a new version that
+    * references ONLY the rewritten files. Prior versions keep reading
+    * their own untouched files — compaction is invisible to pinned
+    * readers and to time travel until [[expire]]. */
+  def compact(spark: SparkSession, root: String, targetFiles: Int = 1,
+              fold: DataFrame => DataFrame = identity): Long = {
+    require(targetFiles >= 1, "versioned compact: targetFiles >= 1")
+    val base = currentVersion(root) // pinned: rewrite of THIS snapshot
+    val commitId = java.util.UUID.randomUUID().toString
+    val rel = s"data/$commitId"
+    val outDir = new java.io.File(root, rel)
+    fold(read(spark, root, Some(base))).repartition(targetFiles)
+      .write.parquet(outDir.getAbsolutePath)
+    publishAt(root, base + 1, listParquet(outDir).map(f => s"$rel/${f.getName}"))
+  }
+
+  /** Read a snapshot: the latest by default, or any still-retained
+    * `version` (time travel). Files are enumerated from the manifest —
+    * never from a directory listing — so in-flight commits, crashed
+    * commits, and compactions published after this call's manifest read
+    * are all invisible. */
+  def read(spark: SparkSession, root: String,
+           version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(root))
+    require(v >= 1, s"versioned: no committed version at $root")
+    val files = readManifest(root, v)
+      .map(relative => new java.io.File(root, relative).getAbsolutePath)
+    require(files.nonEmpty, s"versioned: version $v is empty at $root")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Retention: keep the newest `keepLast` manifests, drop the rest,
+    * then delete every data directory no surviving manifest references
+    * (which also collects orphans from crashed commits). Single-writer
+    * scope: not concurrent with an in-flight [[append]]/[[compact]] —
+    * a commit's files exist before its manifest does, and would look
+    * orphaned. Returns (manifestsDeleted, dataDirsDeleted). */
+  def expire(root: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "versioned expire: keepLast >= 1")
+    val vs = versions(root)
+    val dropped = vs.dropRight(keepLast)
+    dropped.foreach(v => manifestFile(root, v).delete())
+    val live = versions(root).flatMap(readManifest(root, _))
+      .map(_.split("/")(1)).toSet // data/<commit-uuid>/file -> commit-uuid
+    val dirs = dataDir(root).listFiles()
+    val orphans =
+      if (dirs == null) Array.empty[java.io.File]
+      else dirs.filter(d => d.isDirectory && !live.contains(d.getName))
+    orphans.foreach(rm)
+    (dropped.size, orphans.length)
+  }
+
+  private def listParquet(dir: java.io.File): Seq[java.io.File] = {
+    val fs = dir.listFiles()
+    require(fs != null, s"versioned: commit wrote nothing at $dir")
+    fs.toSeq.filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    val fs = f.listFiles(); if (fs != null) fs.foreach(rm); f.delete(); ()
+  }
+}

@@ -1040,3 +1040,93 @@ class BucketedJoinSpec extends SparkSpec {
     assert(joined.count() == 1000)
   }
 }
+
+class VersionedSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.etl.Versioned
+
+  private def freshRoot() = java.nio.file.Files
+    .createTempDirectory("graft_versioned").resolve("t").toString
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("append/read/time-travel: head sees all commits, old versions stay exact") {
+    val root = freshRoot()
+    val a = (1 to 50).map(i => (i.toLong, s"a$i")).toDF("id", "v")
+    val b = (51 to 80).map(i => (i.toLong, s"b$i")).toDF("id", "v")
+    assert(Versioned.currentVersion(root) == 0)
+    assert(Versioned.append(a, root) == 1)
+    assert(Versioned.append(b, root) == 2)
+    assert(Versioned.versions(root) == Seq(1L, 2L))
+    assert(ids(Versioned.read(spark, root)) == (1L to 80L).toSet)
+    assert(ids(Versioned.read(spark, root, Some(1L))) == (1L to 50L).toSet)
+  }
+
+  test("compaction rewrites the head without touching prior snapshots") {
+    val root = freshRoot()
+    Versioned.append((1 to 40).map(i => (i.toLong, i % 5)).toDF("id", "g"), root)
+    Versioned.append((41 to 60).map(i => (i.toLong, i % 5)).toDF("id", "g"), root)
+    val v1Files = Versioned.read(spark, root, Some(1L)).inputFiles.toSet
+    val v3 = Versioned.compact(spark, root, targetFiles = 1)
+    assert(v3 == 3)
+    assert(ids(Versioned.read(spark, root)) == (1L to 60L).toSet)
+    // the head now reads exactly one rewritten file...
+    assert(Versioned.read(spark, root).inputFiles.length == 1)
+    // ...and version 1 still resolves its ORIGINAL files, byte-identical
+    assert(Versioned.read(spark, root, Some(1L)).inputFiles.toSet == v1Files)
+    assert(ids(Versioned.read(spark, root, Some(1L))) == (1L to 40L).toSet)
+  }
+
+  test("orphans from a crashed commit are invisible to every reader") {
+    val root = freshRoot()
+    Versioned.append((1 to 30).map(i => (i.toLong, "x")).toDF("id", "v"), root)
+    // simulate a crash after the data write, before the manifest rename:
+    // a full, valid parquet directory that no manifest references
+    val orphan = new java.io.File(root, "data/orphan-crashed-commit")
+    (100 to 110).map(i => (i.toLong, "ghost")).toDF("id", "v")
+      .write.parquet(orphan.getAbsolutePath)
+    assert(ids(Versioned.read(spark, root)) == (1L to 30L).toSet)
+    // expire garbage-collects it without disturbing the live snapshot
+    val (manifestsDropped, dirsDropped) = Versioned.expire(root, keepLast = 5)
+    assert(manifestsDropped == 0 && dirsDropped == 1)
+    assert(!orphan.exists())
+    assert(ids(Versioned.read(spark, root)) == (1L to 30L).toSet)
+  }
+
+  test("expire drops old manifests and their now-unreferenced files") {
+    val root = freshRoot()
+    Versioned.append((1 to 20).map(i => (i.toLong, "a")).toDF("id", "v"), root)
+    Versioned.append((21 to 40).map(i => (i.toLong, "b")).toDF("id", "v"), root)
+    Versioned.compact(spark, root, targetFiles = 1)
+    val (manifestsDropped, dirsDropped) = Versioned.expire(root, keepLast = 1)
+    // v1/v2 manifests dropped; both append commit dirs now unreferenced
+    // (the compacted head references only its own rewrite)
+    assert(manifestsDropped == 2 && dirsDropped == 2)
+    assert(Versioned.versions(root) == Seq(3L))
+    assert(ids(Versioned.read(spark, root)) == (1L to 40L).toSet)
+    intercept[IllegalArgumentException] {
+      Versioned.read(spark, root, Some(1L))
+    }
+  }
+
+  test("the manifest rename is a fail-loud CAS against a second writer") {
+    val root = freshRoot()
+    Versioned.append((1 to 10).map(i => (i.toLong, "a")).toDF("id", "v"), root)
+    // a second writer races us from the same base (version 1) and wins:
+    // its v2 manifest lands between our base read and our publish
+    val stolen = new java.io.File(root, "_manifests/v00002.manifest")
+    val w = new java.io.FileWriter(stolen)
+    try w.write("data/someone-elses-commit/part-0.parquet\n") finally w.close()
+    val e = intercept[IllegalStateException] {
+      Versioned.publishAt(root, 2L, Seq("data/our-commit/part-0.parquet"))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the loser's attempt must not have clobbered the winner
+    assert(Versioned.currentVersion(root) == 2L)
+    // a writer that instead REBASES (rereads the head) commits cleanly
+    val v3 = Versioned.append(
+      (11 to 20).map(i => (i.toLong, "b")).toDF("id", "v"), root)
+    assert(v3 == 3L)
+  }
+}
