@@ -4796,7 +4796,10 @@ object Oracles {
       "q212_bloom_table" -> base("q72_bloom_prefilter"),
       // the persisted profile table (mixed SUM-counts/MAX-registers fold
       // behind the shared replay dedup) must equal the one-shot profile
-      "q214_profile_table" -> base("q213_column_profile"))
+      "q214_profile_table" -> base("q213_column_profile"),
+      // the profile table riding the versioned layer (keyed commits
+      // absorb the replay at COMMIT level) must also equal the one-shot
+      "q217_versioned_profile" -> base("q213_column_profile"))
 
   /** The q60/q67/q167 shared edge CTEs: the deterministic fuzzy-dup
     * graph (contacts -> keyed pairs -> symmetrized edges). */

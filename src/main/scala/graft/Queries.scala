@@ -2673,6 +2673,41 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       java.lang.Boolean]()
 
+  /** The profile table RIDING the transactional layer
+    * (Sketch.appendColumnProfileVersioned / columnProfileFromVersioned):
+    * even/odd batches commit behind atomic manifests whose commit key
+    * is the batch id, and the REPLAYED odd append is absorbed at the
+    * COMMIT level — versionForKey finds the existing manifest and the
+    * append is a no-op, so the read side's replay dedup is belt and
+    * braces rather than load-bearing. Must equal the one-shot q213 bit
+    * for bit. This is the maintained-index family's object-store
+    * story: every sketch table can swap its plain parquet appends for
+    * versioned commits and gain exactly-once retries, half-append
+    * invisibility, and stats time travel, unchanged read semantics. */
+  def q217VersionedProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val root = rtPath(s, dir, "vprofidx")
+    oncePerSession(vprofBuilt, s, dir) {
+      // keyed commits are idempotent, so a surviving scratch table from
+      // an earlier JVM run is simply reused (keys match, appends no-op)
+      Sketch.appendColumnProfileVersioned(
+        docs.filter(col("doc_id") % 2 === 0), cols, root, batchId = "even",
+        p = 12, portable = true)
+      Sketch.appendColumnProfileVersioned(
+        docs.filter(col("doc_id") % 2 === 1), cols, root, batchId = "odd",
+        p = 12, portable = true)
+      // at-least-once replay: same key -> no-op, NOT a duplicate commit
+      Sketch.appendColumnProfileVersioned(
+        docs.filter(col("doc_id") % 2 === 1), cols, root, batchId = "odd",
+        p = 12, portable = true)
+    }
+    Sketch.columnProfileFromVersioned(s, root, p = 12).orderBy("col_name")
+  }
+  private val vprofBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Boolean]()
+
   /** Snapshot-versioned table, HEAD read (etl.Versioned): two appends
     * plus a compaction published as immutable data files behind an
     * atomic manifest pointer — the transactional-format core
@@ -3657,6 +3692,7 @@ object Queries {
     "q214_profile_table" -> (q214ProfileTable _),
     "q215_versioned_head" -> (q215VersionedHead _),
     "q216_time_travel" -> (q216TimeTravel _),
+    "q217_versioned_profile" -> (q217VersionedProfile _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

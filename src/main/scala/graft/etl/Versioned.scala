@@ -69,8 +69,22 @@ object Versioned {
     val f = manifestFile(root, v)
     require(f.isFile, s"versioned: no manifest for version $v at $root")
     val src = scala.io.Source.fromFile(f, "UTF-8")
-    try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#")).toList
+    finally src.close()
   }
+
+  /** The commit key a version was published under, if any ("#key=" header). */
+  private def keyOf(root: String, v: Long): Option[String] = {
+    val src = scala.io.Source.fromFile(manifestFile(root, v), "UTF-8")
+    try src.getLines().collectFirst {
+      case l if l.startsWith("#key=") => l.stripPrefix("#key=")
+    } finally src.close()
+  }
+
+  /** The version already committed under `key`, if any. Scans the
+    * retained manifests' headers — O(versions), driver-side. */
+  def versionForKey(root: String, key: String): Option[Long] =
+    versions(root).find(v => keyOf(root, v).contains(key))
 
   /** Publish `files` (paths relative to `root`) as version `next`.
     * The rename is the commit point: atomic on POSIX, and it FAILS if
@@ -78,8 +92,10 @@ object Versioned {
     * read, so two writers racing from the same base cannot both win
     * (optimistic concurrency, Iceberg's commit rule). Package-private
     * so the spec can drive the conflict path directly. */
-  private[graft] def publishAt(root: String, next: Long,
-                               files: Seq[String]): Long = {
+  private[graft] def publishAt(root: String, next: Long, files: Seq[String],
+                               key: Option[String] = None): Long = {
+    key.foreach(k => require(!k.contains("\n") && !k.contains("\r"),
+      "versioned: commit key must be single-line"))
     val dir = manifestsDir(root)
     if (!dir.isDirectory && !dir.mkdirs() && !dir.isDirectory)
       throw new java.io.IOException(s"versioned: cannot create $dir")
@@ -88,7 +104,10 @@ object Versioned {
       s".tmp-${java.util.UUID.randomUUID().toString}")
     val w = new java.io.OutputStreamWriter(
       new java.io.FileOutputStream(tmp), "UTF-8")
-    try { files.foreach(f => w.write(f + "\n")); w.flush() } finally w.close()
+    try {
+      key.foreach(k => w.write(s"#key=$k\n"))
+      files.foreach(f => w.write(f + "\n")); w.flush()
+    } finally w.close()
     // fail-loud CAS: renameTo returns false if target exists (POSIX
     // rename would overwrite, but File.renameTo on an existing regular
     // file is platform-dependent — so check-then-rename and verify)
@@ -104,19 +123,32 @@ object Versioned {
   /** Write `df` as a new commit: data files land in a fresh directory
     * under `data/` first, the manifest (prior version's files + the new
     * ones) publishes second. Returns the new version. */
-  def append(df: DataFrame, root: String): Long = {
-    // pin the base BEFORE writing: the commit publishes base+1 or fails,
-    // so a writer that slipped in mid-flight conflicts instead of being
-    // silently built upon (whose files we never read)
-    val base = currentVersion(root)
-    val carried = if (base == 0) Seq.empty else readManifest(root, base)
-    val commitId = java.util.UUID.randomUUID().toString
-    val rel = s"data/$commitId"
-    val outDir = new java.io.File(root, rel)
-    df.write.parquet(outDir.getAbsolutePath)
-    val newFiles = listParquet(outDir).map(f => s"$rel/${f.getName}")
-    publishAt(root, base + 1, carried ++ newFiles)
-  }
+  /** Write `df` as a new commit: data files land in a fresh directory
+    * under `data/` first, the manifest publishes second.
+    *
+    * `key` makes the commit IDEMPOTENT: if a retained manifest already
+    * carries this key, the append is a no-op returning that version —
+    * the manifest itself is the dedup record, so a retried batch job or
+    * a replayed streaming micro-batch (same key, e.g. the micro-batch
+    * id) commits exactly once even across a crash between data write
+    * and publish (the orphaned files are invisible; the retry writes
+    * fresh ones). Retention caveat: [[expire]] drops old manifests AND
+    * their keys — keep at least the replay horizon. Returns the new
+    * (or already-committed) version. */
+  def append(df: DataFrame, root: String, key: Option[String] = None): Long =
+    key.flatMap(versionForKey(root, _)).getOrElse {
+      // pin the base BEFORE writing: the commit publishes base+1 or
+      // fails, so a writer that slipped in mid-flight conflicts instead
+      // of being silently built upon (whose files we never read)
+      val base = currentVersion(root)
+      val carried = if (base == 0) Seq.empty else readManifest(root, base)
+      val commitId = java.util.UUID.randomUUID().toString
+      val rel = s"data/$commitId"
+      val outDir = new java.io.File(root, rel)
+      df.write.parquet(outDir.getAbsolutePath)
+      val newFiles = listParquet(outDir).map(f => s"$rel/${f.getName}")
+      publishAt(root, base + 1, carried ++ newFiles, key)
+    }
 
   /** Rewrite the CURRENT snapshot into ~`targetFiles` files (optionally
     * folding rows) and publish the result as a new version that

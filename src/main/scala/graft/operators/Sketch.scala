@@ -311,7 +311,14 @@ object Sketch {
     * scan — stats collection never rescans history. */
   def appendColumnProfile(df: DataFrame, cols: Seq[String], path: String,
                           batchId: String, p: Int = 12, seed: Int = 7,
-                          portable: Boolean = false): Unit = {
+                          portable: Boolean = false): Unit =
+    profileRows(df, cols, batchId, p, seed, portable)
+      .write.mode("append").parquet(path)
+
+  /** One batch's profile-table rows (both kinds, batch-stamped) —
+    * shared by the plain-append and versioned-commit forms. */
+  private def profileRows(df: DataFrame, cols: Seq[String], batchId: String,
+                          p: Int, seed: Int, portable: Boolean): DataFrame = {
     val pairs = unpivotToPairs(df, cols)
     val base = profileBase(pairs)
       .select(lit("base").as("kind"), col("col_name"),
@@ -323,8 +330,23 @@ object Sketch {
         col("reg"), lit(null).cast("long").as("n_rows"),
         lit(null).cast("long").as("n_null"))
     base.unionByName(regs).withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(path)
   }
+
+  /** [[appendColumnProfile]] as a TRANSACTIONAL commit
+    * ([[graft.etl.Versioned]]): the batch's profile rows publish behind
+    * an atomic manifest whose commit key IS the batch id — so a retried
+    * job or replayed streaming micro-batch commits exactly once at the
+    * COMMIT level (the read side's (batch_id, ...) dedup becomes belt
+    * and braces rather than load-bearing), readers never see a
+    * half-appended batch, and the profile history time-travels. Returns
+    * the committed version. */
+  def appendColumnProfileVersioned(df: DataFrame, cols: Seq[String],
+                                   root: String, batchId: String,
+                                   p: Int = 12, seed: Int = 7,
+                                   portable: Boolean = false): Long =
+    graft.etl.Versioned.append(
+      profileRows(df, cols, batchId, p, seed, portable), root,
+      key = Some(batchId))
 
   /** Profile from the persisted table: one fold (replay-dedup, SUM the
     * counts, MAX the registers), then the SAME estimate + assemble
@@ -332,8 +354,21 @@ object Sketch {
     * everything ever appended (q214's proof, anchored on q213's
     * oracle). */
   def columnProfileFromTable(spark: org.apache.spark.sql.SparkSession,
-                             path: String, p: Int = 12): DataFrame = {
-    val folded = foldProfile(spark.read.parquet(path))
+                             path: String, p: Int = 12): DataFrame =
+    profileFromRaw(spark.read.parquet(path), p)
+
+  /** Profile from a SNAPSHOT-VERSIONED table written by
+    * [[appendColumnProfileVersioned]] — same fold + estimate chain over
+    * the chosen snapshot (latest by default; pass a version to read the
+    * stats as of any retained commit). */
+  def columnProfileFromVersioned(spark: org.apache.spark.sql.SparkSession,
+                                 root: String, p: Int = 12,
+                                 version: Option[Long] = None): DataFrame =
+    profileFromRaw(graft.etl.Versioned.read(spark, root, version), p)
+
+  /** ONE fold + estimate + assemble chain shared by every read form. */
+  private def profileFromRaw(raw: DataFrame, p: Int): DataFrame = {
+    val folded = foldProfile(raw)
     assembleProfile(
       folded.filter(col("kind") === "base")
         .select(col("col_name"), col("n_rows"), col("n_null")),

@@ -586,6 +586,25 @@ object Stream {
           batchId = s"stream-$batchId", p, seed, portable)
       }
 
+  /** Streaming ingestion into a SNAPSHOT-VERSIONED table
+    * ([[graft.etl.Versioned.append]] keyed on the micro-batch id): each
+    * micro-batch is one atomic manifest commit, and a replayed batch
+    * (crash between data write and publish, checkpoint restart) finds
+    * its key already committed and no-ops — exactly-once at the COMMIT
+    * level with no read-side dedup required, plus half-append
+    * invisibility and time travel over the stream's history. The
+    * strongest of the three streaming-sink idempotence rungs (read-side
+    * dedup < idempotent merge < transactional commit). */
+  def versionedIngestSink(rows: DataFrame, root: String,
+                          checkpoint: String): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.etl.Versioned.append(batch, root, key = Some(s"stream-$batchId"))
+        ()
+      }
+
   /** ST-8: stream -> staging via foreachBatch reusing the batch upsert
     * (exactly-once: checkpointed offsets + idempotent merge on event_id).
     * Synthesizes event_id when missing like StagingProgressWriter

@@ -1110,6 +1110,34 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("keyed commits are idempotent: a replayed append no-ops at the commit level") {
+    val root = freshRoot()
+    val a = (1 to 30).map(i => (i.toLong, "a")).toDF("id", "v")
+    val b = (31 to 50).map(i => (i.toLong, "b")).toDF("id", "v")
+    assert(Versioned.append(a, root, key = Some("batch-a")) == 1)
+    assert(Versioned.append(b, root, key = Some("batch-b")) == 2)
+    // the replay: same key -> returns the existing version, no new commit
+    assert(Versioned.append(b, root, key = Some("batch-b")) == 2)
+    assert(Versioned.versions(root) == Seq(1L, 2L))
+    assert(ids(Versioned.read(spark, root)) == (1L to 50L).toSet)
+    assert(Versioned.versionForKey(root, "batch-a").contains(1L))
+    assert(Versioned.versionForKey(root, "nope").isEmpty)
+    // versioned profile rides this: replayed batch, still == one-shot
+    val df = (1 to 200).map(i => (i.toLong, s"c${i % 5}")).toDF("id", "c")
+    val proot = freshRoot()
+    graft.operators.Sketch.appendColumnProfileVersioned(
+      df.filter(col("id") <= 100), Seq("id", "c"), proot, "b1", p = 10)
+    graft.operators.Sketch.appendColumnProfileVersioned(
+      df.filter(col("id") > 100), Seq("id", "c"), proot, "b2", p = 10)
+    graft.operators.Sketch.appendColumnProfileVersioned(
+      df.filter(col("id") > 100), Seq("id", "c"), proot, "b2", p = 10)
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(m(graft.operators.Sketch.columnProfileFromVersioned(spark, proot,
+      p = 10)) == m(graft.operators.Sketch.columnProfile(df, Seq("id", "c"),
+      p = 10)))
+  }
+
   test("the manifest rename is a fail-loud CAS against a second writer") {
     val root = freshRoot()
     Versioned.append((1 to 10).map(i => (i.toLong, "a")).toDF("id", "v"), root)

@@ -762,6 +762,29 @@ class StreamingSpec extends SparkSpec {
         cols, p = 10)))
   }
 
+  test("streaming versioned ingestion: one atomic commit per micro-batch, across restarts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-verstream").toString
+    val all = (1 to 100).map(i => (i.toLong, s"v$i"))
+
+    val input = MemoryStream[(Long, String)](spark)
+    def start() = Stream.versionedIngestSink(input.toDF().toDF("id", "v"),
+      s"$dir/tbl", s"$dir/ckpt").start()
+    val q1 = start()
+    try { input.addData(all.filter(_._1 <= 60): _*); q1.processAllAvailable() }
+    finally q1.stop()
+    input.addData(all.filter(_._1 > 60): _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = graft.etl.Versioned.read(spark, s"$dir/tbl")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (1L to 100L).toSet)
+    // every retained version carries its micro-batch commit key
+    val root = s"$dir/tbl"
+    assert(graft.etl.Versioned.versions(root).nonEmpty)
+    assert(graft.etl.Versioned.versionForKey(root, "stream-0").isDefined)
+  }
+
   test("staging sink survives a checkpointed restart exactly-once (ST-8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-restart").toString
     val input = MemoryStream[(String, String, String, java.sql.Timestamp)](spark)
