@@ -2773,6 +2773,15 @@ object Oracles {
         |FROM documents WHERE doc_id % 2 = 0 GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
 
+    // change feed: the v1->v2 delta is the odd-doc_id batch, read as a
+    // manifest file-set difference over immutable files
+    "q218_change_feed" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id % 2 = 1 GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
     // column profiler: the q91 HLL machinery keyed on the unpivoted
     // column name; base counts are exact integers, the estimator chain
     // replays like q91's. All five documents columns are BIGINT/VARCHAR,

@@ -2735,6 +2735,22 @@ object Queries {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
       .orderBy("lang", "source")
 
+  /** Snapshot-versioned table, INCREMENTAL read (Versioned.readChanges):
+    * the delta between v1 and v2 is exactly the odd-doc_id batch —
+    * enumerated as the manifest file-set difference over immutable
+    * files, no row diffing, no change columns. This is how a
+    * downstream consumer rides the table at 100 TB: checkpoint the
+    * last version consumed, read each commit's delta, advance —
+    * rescanning nothing. (Across a compaction the range fails loud;
+    * q215's table compacts at v3, and the spec pins that throw.) */
+  def q218ChangeFeed(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Versioned.readChanges(s, versionedDocs(s, dir),
+        fromVersion = 1L, toVersion = Some(2L))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang", "source")
+
   /** Scratch dir for source/sink round-trip queries — under target/ so it
     * is build-local and gitignored (cleaned by `sbt clean`; dirs accrete
     * one suffix per session until then); keyed by sf dir so runs against
@@ -3693,6 +3709,7 @@ object Queries {
     "q215_versioned_head" -> (q215VersionedHead _),
     "q216_time_travel" -> (q216TimeTravel _),
     "q217_versioned_profile" -> (q217VersionedProfile _),
+    "q218_change_feed" -> (q218ChangeFeed _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

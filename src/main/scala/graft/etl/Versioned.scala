@@ -182,6 +182,37 @@ object Versioned {
     spark.read.parquet(files: _*)
   }
 
+  /** Incremental read: the rows added between `fromVersion` (exclusive)
+    * and `toVersion` (inclusive, default head) — the CDC surface that
+    * lets a downstream consumer process each commit's delta instead of
+    * rescanning the table (checkpoint the last version consumed, read
+    * changes, advance). Because data files are immutable and appends
+    * only ADD files, the delta is exactly the manifest file-set
+    * difference — no diffing of row contents, no extra columns.
+    *
+    * Fail-loud contract: the range must be append-only. A compaction
+    * (or any rewrite) inside the range replaces the file set, so a
+    * file diff would misread rewritten history as new rows; that range
+    * throws — consume a full snapshot read instead and re-anchor. */
+  def readChanges(spark: SparkSession, root: String, fromVersion: Long,
+                  toVersion: Option[Long] = None): DataFrame = {
+    val to = toVersion.getOrElse(currentVersion(root))
+    require(fromVersion >= 1 && to >= fromVersion,
+      s"versioned readChanges: need 1 <= from <= to, got $fromVersion..$to")
+    val fromFiles = readManifest(root, fromVersion).toSet
+    val toFiles = readManifest(root, to)
+    if (!fromFiles.subsetOf(toFiles.toSet))
+      throw new IllegalStateException(
+        s"versioned readChanges: $fromVersion..$to is not append-only " +
+          s"(a compaction/rewrite replaced files in the range) — " +
+          s"re-anchor on a full snapshot read")
+    val added = toFiles.filterNot(fromFiles)
+      .map(relative => new java.io.File(root, relative).getAbsolutePath)
+    if (added.isEmpty)
+      read(spark, root, Some(to)).limit(0) // empty delta, right schema
+    else spark.read.parquet(added: _*)
+  }
+
   /** Retention: keep the newest `keepLast` manifests, drop the rest,
     * then delete every data directory no surviving manifest references
     * (which also collects orphans from crashed commits). Single-writer

@@ -1110,6 +1110,29 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("readChanges: per-commit deltas; empty range; fail-loud across a compaction") {
+    val root = freshRoot()
+    Versioned.append((1 to 40).map(i => (i.toLong, "a")).toDF("id", "v"), root)
+    Versioned.append((41 to 70).map(i => (i.toLong, "b")).toDF("id", "v"), root)
+    Versioned.append((71 to 90).map(i => (i.toLong, "c")).toDF("id", "v"), root)
+    // each commit's delta is exactly its own rows
+    assert(ids(Versioned.readChanges(spark, root, 1L, Some(2L)))
+      == (41L to 70L).toSet)
+    assert(ids(Versioned.readChanges(spark, root, 2L)) == (71L to 90L).toSet)
+    // from == to: an empty delta with the right schema
+    val empty = Versioned.readChanges(spark, root, 3L, Some(3L))
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "v"))
+    // a compaction inside the range replaces files: the diff must refuse
+    Versioned.compact(spark, root, targetFiles = 1)
+    val e = intercept[IllegalStateException] {
+      Versioned.readChanges(spark, root, 2L)
+    }
+    assert(e.getMessage.contains("not append-only"))
+    // ...but a post-compaction append diffs fine from the new anchor
+    Versioned.append((91 to 95).map(i => (i.toLong, "d")).toDF("id", "v"), root)
+    assert(ids(Versioned.readChanges(spark, root, 4L)) == (91L to 95L).toSet)
+  }
+
   test("keyed commits are idempotent: a replayed append no-ops at the commit level") {
     val root = freshRoot()
     val a = (1 to 30).map(i => (i.toLong, "a")).toDF("id", "v")
