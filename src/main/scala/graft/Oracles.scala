@@ -2782,6 +2782,54 @@ object Oracles {
         |FROM documents WHERE doc_id % 2 = 1 GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
 
+    // CBO join planner: both single-column profile chains (the q213
+    // machinery, one column each) + the uniform-containment arithmetic;
+    // exact counts, 6-rounded ndv, one multiply-divide chain, no
+    // trailing round
+    "q219_join_planner" -> {
+      val m = 1 << 12
+      val w49 = 1L << 49
+      // the q91/q213 estimator chain over one BIGINT key column,
+      // emitting (n_<tag>, null_<tag>, ndv_<tag>) as three tiny CTEs
+      def chain(table: String, key: String, tag: String) =
+        s"""b_$tag AS (
+           | SELECT count(*) AS n_$tag,
+           |  count(CASE WHEN $key IS NULL THEN 1 END) AS null_$tag
+           | FROM $table),
+           |w_$tag AS (
+           | SELECT ${ph(s"CAST($key AS VARCHAR)", 7)} % $m AS bucket,
+           |  ${ph(s"CAST($key AS VARCHAR)", 8)} % ${1L << 48} AS wv
+           | FROM $table WHERE $key IS NOT NULL),
+           |r_$tag AS (
+           | SELECT bucket,
+           |  max(CASE WHEN wv = 0 THEN 49 ELSE 49 - length(bin(wv)) END) AS reg
+           | FROM w_$tag GROUP BY 1),
+           |a_$tag AS (
+           | SELECT count(*) AS occupied,
+           |  coalesce(sum((CAST(1 AS BIGINT) << (49 - reg))), 0)
+           |   + ($m - count(*)) * CAST($w49 AS HUGEINT) AS s_total
+           | FROM r_$tag),
+           |e_$tag AS (
+           | SELECT round(CASE WHEN ${graft.operators.Sketch.hllAlphaM2(12)}
+           |     / (CAST(s_total AS DOUBLE) / $w49.0) <= ${2.5 * m}
+           |    AND $m - occupied > 0
+           |   THEN $m.0 * ln($m.0 / ($m - occupied))
+           |   ELSE ${graft.operators.Sketch.hllAlphaM2(12)}
+           |     / (CAST(s_total AS DOUBLE) / $w49.0) END, 6) AS ndv_$tag
+           | FROM a_$tag)"""
+      s"""WITH ${chain("documents", "doc_id", "left")},
+         |${chain("embeddings", "vec_id", "right")}
+         |SELECT 'doc_id' AS key_left, 'vec_id' AS key_right,
+         | n_left, n_right, null_left, null_right, ndv_left, ndv_right,
+         | CASE WHEN greatest(ndv_left, ndv_right) <= 0.0 THEN 0.0
+         |  ELSE CAST(n_left - null_left AS DOUBLE)
+         |   * CAST(n_right - null_right AS DOUBLE)
+         |   / greatest(ndv_left, ndv_right) END AS est_join_rows,
+         | CASE WHEN n_left <= n_right THEN 'left' ELSE 'right' END
+         |  AS broadcast_side
+         |FROM b_left, b_right, e_left, e_right""".stripMargin
+    },
+
     // column profiler: the q91 HLL machinery keyed on the unpivoted
     // column name; base counts are exact integers, the estimator chain
     // replays like q91's. All five documents columns are BIGINT/VARCHAR,

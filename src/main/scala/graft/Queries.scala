@@ -2638,6 +2638,22 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       java.lang.Boolean]()
 
+  /** CBO join planning from collected stats (Sketch.joinEstimate over
+    * two Sketch.columnProfile rows): estimated documents-to-embeddings
+    * join cardinality on doc_id = vec_id via the uniform-containment
+    * formula, plus the broadcast-side decision — the step that turns
+    * q213's ANALYZE stats into a plan choice. Runs entirely on two
+    * 1-row profile slices; planning cost is independent of corpus
+    * size. The oracle replays both single-column profile chains and
+    * the same multiply-divide, bit for bit (exact counts, 6-rounded
+    * ndv, no trailing round). */
+  def q219JoinPlanner(s: SparkSession, dir: String): DataFrame =
+    Sketch.joinEstimate(
+      Sketch.columnProfile(t(s, dir, "documents"), Seq("doc_id"), p = 12,
+        portable = true), "doc_id",
+      Sketch.columnProfile(t(s, dir, "embeddings"), Seq("vec_id"), p = 12,
+        portable = true), "vec_id")
+
   /** Build the shared snapshot-versioned documents table once per
     * session: v1 = even doc_ids, v2 = + odd doc_ids, v3 = compacted
     * rewrite of the full snapshot. Old versions stay readable — q216
@@ -3710,6 +3726,7 @@ object Queries {
     "q216_time_travel" -> (q216TimeTravel _),
     "q217_versioned_profile" -> (q217VersionedProfile _),
     "q218_change_feed" -> (q218ChangeFeed _),
+    "q219_join_planner" -> (q219JoinPlanner _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -402,6 +402,42 @@ object Sketch {
     base.unionByName(regs)
   }
 
+  /** Equi-join cardinality estimate from two [[columnProfile]] rows —
+    * the CBO arithmetic that makes the collected stats actionable
+    * (System R's uniform-containment formula, what Catalyst's CBO
+    * computes from ANALYZE stats): joinable rows are the non-null
+    * sides, expected matches = n_left' * n_right' / max(ndv_l, ndv_r),
+    * and the smaller side by row count is the broadcast candidate.
+    * Everything runs on two 1-row profile slices (broadcast cross join
+    * — no data motion), so planning is free at any corpus size.
+    *
+    * The estimate is a DOUBLE with no trailing round: both operands
+    * are cross-engine-identical (exact counts; the estimator's
+    * 6-rounded ndv), so one multiply-divide chain replays bit-for-bit.
+    * Output: (key_left, key_right, n_left, n_right, null_left,
+    * null_right, ndv_left, ndv_right, est_join_rows, broadcast_side). */
+  def joinEstimate(profileLeft: DataFrame, keyLeft: String,
+                   profileRight: DataFrame, keyRight: String): DataFrame = {
+    def side(p: DataFrame, key: String, tag: String) =
+      p.filter(col("col_name") === key)
+        .select(lit(key).as(s"key_$tag"), col("n_rows").as(s"n_$tag"),
+          col("n_null").as(s"null_$tag"),
+          col("est_distinct").as(s"ndv_$tag"))
+    side(profileLeft, keyLeft, "left")
+      .crossJoin(side(profileRight, keyRight, "right"))
+      .select(col("key_left"), col("key_right"), col("n_left"),
+        col("n_right"), col("null_left"), col("null_right"),
+        col("ndv_left"), col("ndv_right"),
+        when(greatest(col("ndv_left"), col("ndv_right")) <= 0.0, lit(0.0))
+          .otherwise(
+            (col("n_left") - col("null_left")).cast("double") *
+              (col("n_right") - col("null_right")).cast("double") /
+              greatest(col("ndv_left"), col("ndv_right")))
+          .as("est_join_rows"),
+        when(col("n_left") <= col("n_right"), lit("left"))
+          .otherwise(lit("right")).as("broadcast_side"))
+  }
+
   /** HLL SET ALGEBRA over every unordered key pair: per-key distinct
     * estimate, pairwise UNION estimate (bucket-wise max register merge —
     * the mergeability that lets 1000 executors sketch shards

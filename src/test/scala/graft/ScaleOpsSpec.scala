@@ -640,6 +640,28 @@ class SketchSpec extends SparkSpec {
     assert(one(Sketch.hllDistinctFromTable(spark, path, p = 8)) == oneShot)
   }
 
+  test("joinEstimate: uniform-containment estimate near the true join size; broadcast side") {
+    // fact: 2000 rows over 100 distinct keys; dim: one row per key
+    val fact = (1 to 2000).map(i => (i.toLong, i % 100)).toDF("id", "k")
+    val dim = (0 until 100).map(i => (i, s"d$i")).toDF("k", "name")
+    val est = Sketch.joinEstimate(
+        Sketch.columnProfile(fact, Seq("k"), p = 12), "k",
+        Sketch.columnProfile(dim, Seq("k"), p = 12), "k")
+      .collect().head
+    val trueRows = fact.join(dim, "k").count() // = 2000
+    val predicted = est.getAs[Double]("est_join_rows")
+    assert(math.abs(predicted - trueRows) / trueRows < 0.05,
+      s"predicted $predicted vs true $trueRows")
+    assert(est.getAs[String]("broadcast_side") == "right") // dim is smaller
+    // an all-null key side estimates zero joinable rows
+    val nulls = (1 to 50).map(_ => null: Integer).toDF("k")
+    val zero = Sketch.joinEstimate(
+        Sketch.columnProfile(nulls, Seq("k"), p = 12), "k",
+        Sketch.columnProfile(dim, Seq("k"), p = 12), "k")
+      .collect().head
+    assert(zero.getAs[Double]("est_join_rows") == 0.0)
+  }
+
   test("columnProfile: exact base counts, HLL estimate near truth, all-null column kept") {
     val df = (1 to 500).map(i =>
         (i.toLong, s"cat${i % 7}", if (i % 5 == 0) null else s"v$i",
