@@ -2782,6 +2782,19 @@ object Oracles {
         |FROM documents WHERE doc_id % 2 = 1 GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
 
+    // manifest-pruned range scan: pruning only cuts IO — the values
+    // must equal a plain WHERE over the raw corpus (same integer-div
+    // threshold both sides)
+    "q220_pruned_scan" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents
+        |WHERE doc_id >= 0
+        | AND doc_id <= (SELECT max(doc_id) // 4 FROM documents)
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
     // CBO join planner: both single-column profile chains (the q213
     // machinery, one column each) + the uniform-containment arithmetic;
     // exact counts, 6-rounded ndv, one multiply-divide chain, no

@@ -2638,6 +2638,41 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       java.lang.Boolean]()
 
+  /** Manifest-level file pruning (Versioned.appendWithStats /
+    * readPruned): commits are range-clustered on doc_id
+    * (repartitionByRange before write -> each file holds a tight
+    * doc_id range, recorded as manifest min/max), and a selective
+    * range scan then opens ONLY the overlapping files — decided from
+    * the manifest alone, before any footer or row is read. The
+    * surviving files still get the row filter, so the result is exact
+    * (oracle = plain WHERE over the raw corpus); the spec pins the
+    * actual file-skip via inputFiles. At 100 TB with time- or
+    * Z-clustered commits this is the difference between opening a
+    * handful of files and opening all of them. */
+  def q220PrunedScan(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val root = rtPath(s, dir, "statidx")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    oncePerSession(statsTableBuilt, s, dir) {
+      def ranged(f: org.apache.spark.sql.Column) = docs.filter(f)
+        .repartitionByRange(2, col("doc_id"))
+      // keyed commits: idempotent across JVM reruns on a surviving dir
+      graft.etl.Versioned.appendWithStats(
+        ranged(col("doc_id") <= maxId / 2), root, "doc_id", Some("lower"))
+      graft.etl.Versioned.appendWithStats(
+        ranged(col("doc_id") > maxId / 2), root, "doc_id", Some("upper"))
+    }
+    graft.etl.Versioned.readPruned(s, root, "doc_id", 0L, maxId / 4)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang", "source")
+  }
+  private val statsTableBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Boolean]()
+
   /** CBO join planning from collected stats (Sketch.joinEstimate over
     * two Sketch.columnProfile rows): estimated documents-to-embeddings
     * join cardinality on doc_id = vec_id via the uniform-containment
@@ -3727,6 +3762,7 @@ object Queries {
     "q217_versioned_profile" -> (q217VersionedProfile _),
     "q218_change_feed" -> (q218ChangeFeed _),
     "q219_join_planner" -> (q219JoinPlanner _),
+    "q220_pruned_scan" -> (q220PrunedScan _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

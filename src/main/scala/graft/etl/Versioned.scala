@@ -65,13 +65,19 @@ object Versioned {
   /** Latest committed version, 0 for a fresh root. */
   def currentVersion(root: String): Long = versions(root).lastOption.getOrElse(0L)
 
-  private def readManifest(root: String, v: Long): Seq[String] = {
+  /** Full manifest entry lines (path, optionally "\tmin\tmax" stats),
+    * comments/headers stripped. */
+  private def readManifestRaw(root: String, v: Long): Seq[String] = {
     val f = manifestFile(root, v)
     require(f.isFile, s"versioned: no manifest for version $v at $root")
     val src = scala.io.Source.fromFile(f, "UTF-8")
     try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#")).toList
     finally src.close()
   }
+
+  /** Data-file paths only (stats columns dropped). */
+  private def readManifest(root: String, v: Long): Seq[String] =
+    readManifestRaw(root, v).map(_.split("\t")(0))
 
   /** The commit key a version was published under, if any ("#key=" header). */
   private def keyOf(root: String, v: Long): Option[String] = {
@@ -141,7 +147,8 @@ object Versioned {
       // fails, so a writer that slipped in mid-flight conflicts instead
       // of being silently built upon (whose files we never read)
       val base = currentVersion(root)
-      val carried = if (base == 0) Seq.empty else readManifest(root, base)
+      // carry RAW lines: prior commits' per-file stats survive verbatim
+      val carried = if (base == 0) Seq.empty else readManifestRaw(root, base)
       val commitId = java.util.UUID.randomUUID().toString
       val rel = s"data/$commitId"
       val outDir = new java.io.File(root, rel)
@@ -182,6 +189,65 @@ object Versioned {
     spark.read.parquet(files: _*)
   }
 
+  /** [[append]] recording per-file min/max of `statsCol` (a LONG-typed
+    * column) in the manifest — Iceberg-style FILE PRUNING metadata:
+    * [[readPruned]] later skips whole files from the manifest alone,
+    * before any footer or row is touched. Commit-time cost is one
+    * bounded aggregate per data file over the just-written batch
+    * (O(batch), like the sketch appends); carried-forward files keep
+    * whatever stats their own commit recorded. */
+  def appendWithStats(df: DataFrame, root: String, statsCol: String,
+                      key: Option[String] = None): Long =
+    key.flatMap(versionForKey(root, _)).getOrElse {
+      val base = currentVersion(root)
+      val carried = if (base == 0) Seq.empty else readManifestRaw(root, base)
+      val commitId = java.util.UUID.randomUUID().toString
+      val rel = s"data/$commitId"
+      val outDir = new java.io.File(root, rel)
+      df.write.parquet(outDir.getAbsolutePath)
+      val spark = df.sparkSession
+      import org.apache.spark.sql.functions.{col => c, max => mx, min => mn}
+      val newLines = listParquet(outDir).map { f =>
+        val row = spark.read.parquet(f.getAbsolutePath)
+          .agg(mn(c(statsCol)).cast("long"), mx(c(statsCol)).cast("long"))
+          .head()
+        if (row.isNullAt(0)) s"$rel/${f.getName}" // all-null file: no stats
+        else s"$rel/${f.getName}\t${row.getLong(0)}\t${row.getLong(1)}"
+      }
+      publishAt(root, base + 1, carried ++ newLines, key)
+    }
+
+  /** Snapshot read that SKIPS files whose recorded [min, max] range for
+    * `statsCol` cannot intersect [lo, hi] — pruning decided from the
+    * manifest alone (files without recorded stats are always read).
+    * The surviving files still get the row-level filter, so the result
+    * is exact; pruning only cuts IO. With range-clustered commits
+    * (time-ordered ingest, Z-ordered rewrites) a selective range scan
+    * over 100 TB opens a handful of files instead of all of them. */
+  def readPruned(spark: SparkSession, root: String, statsCol: String,
+                 lo: Long, hi: Long,
+                 version: Option[Long] = None): DataFrame = {
+    require(lo <= hi, s"versioned readPruned: lo <= hi, got $lo..$hi")
+    val v = version.getOrElse(currentVersion(root))
+    require(v >= 1, s"versioned: no committed version at $root")
+    val kept = readManifestRaw(root, v).flatMap { line =>
+      line.split("\t") match {
+        case Array(path, mn, mx) =>
+          if (mx.toLong >= lo && mn.toLong <= hi) Some(path) else None
+        case Array(path) => Some(path) // no stats: cannot prune
+        case other => Some(other(0))
+      }
+    }
+    import org.apache.spark.sql.functions.{col => c}
+    if (kept.isEmpty)
+      read(spark, root, Some(v))
+        .filter(c(statsCol) >= lo && c(statsCol) <= hi).limit(0)
+    else
+      spark.read.parquet(kept.map(relative =>
+          new java.io.File(root, relative).getAbsolutePath): _*)
+        .filter(c(statsCol) >= lo && c(statsCol) <= hi)
+  }
+
   /** Incremental read: the rows added between `fromVersion` (exclusive)
     * and `toVersion` (inclusive, default head) — the CDC surface that
     * lets a downstream consumer process each commit's delta instead of
@@ -211,6 +277,43 @@ object Versioned {
     if (added.isEmpty)
       read(spark, root, Some(to)).limit(0) // empty delta, right schema
     else spark.read.parquet(added: _*)
+  }
+
+  /** The downstream-consumer loop over [[readChanges]], packaged:
+    * reads the last-consumed version from `checkpointFile`, hands the
+    * delta up to the current head to `process`, then atomically
+    * advances the checkpoint. Checkpoint-after-process = at-least-once
+    * delivery; pair `process` with keyed commits or an idempotent
+    * merge for exactly-once end to end. A first run (no checkpoint)
+    * consumes the full snapshot. Returns the (from, to] range
+    * consumed, or None when already caught up. Throws readChanges'
+    * not-append-only error if a compaction broke the range — delete
+    * the checkpoint and re-anchor on a snapshot read. */
+  def consumeChanges(spark: SparkSession, root: String,
+                     checkpointFile: String)
+                    (process: DataFrame => Unit): Option[(Long, Long)] = {
+    val ck = new java.io.File(checkpointFile)
+    val from =
+      if (!ck.isFile) 0L
+      else {
+        val src = scala.io.Source.fromFile(ck, "UTF-8")
+        try src.mkString.trim.toLong finally src.close()
+      }
+    val to = currentVersion(root)
+    if (to <= from) None
+    else {
+      process(
+        if (from == 0L) read(spark, root, Some(to))
+        else readChanges(spark, root, from, Some(to)))
+      Option(ck.getParentFile).foreach(_.mkdirs())
+      val tmp = new java.io.File(checkpointFile + ".tmp")
+      val w = new java.io.FileWriter(tmp)
+      try w.write(to.toString) finally w.close()
+      java.nio.file.Files.move(tmp.toPath, ck.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Some((from, to))
+    }
   }
 
   /** Retention: keep the newest `keepLast` manifests, drop the rest,

@@ -1155,6 +1155,49 @@ class VersionedSpec extends SparkSpec {
     assert(ids(Versioned.readChanges(spark, root, 4L)) == (91L to 95L).toSet)
   }
 
+  test("manifest stats prune whole files; carried stats survive later commits") {
+    val root = freshRoot()
+    def ranged(lo: Int, hi: Int) = (lo to hi).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartitionByRange(2, col("id"))
+    Versioned.appendWithStats(ranged(1, 100), root, "id")
+    Versioned.appendWithStats(ranged(101, 200), root, "id")
+    val all = Versioned.read(spark, root).inputFiles.length
+    assert(all == 4) // 2 commits x 2 range files
+    // a scan of [1, 40] must SKIP commit 2 entirely and half of commit 1
+    val pruned = Versioned.readPruned(spark, root, "id", 1L, 40L)
+    assert(pruned.inputFiles.length < all / 2 + 1,
+      s"expected file skipping, read ${pruned.inputFiles.length}/$all files")
+    assert(ids(pruned) == (1L to 40L).toSet) // exact despite pruning
+    // a plain append AFTER the stats commits carries their stats forward
+    Versioned.append((201 to 210).map(i => (i.toLong, "x")).toDF("id", "v"), root)
+    val pruned2 = Versioned.readPruned(spark, root, "id", 150L, 160L)
+    // commit 1 skipped by stats; commit 3 (no stats) must still be read
+    assert(ids(pruned2) == (150L to 160L).toSet)
+    assert(pruned2.inputFiles.length < Versioned.read(spark, root).inputFiles.length)
+    // an out-of-range scan over only-stats files reads nothing but keeps schema
+    val none = Versioned.readPruned(spark, root, "id", 500L, 600L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+  }
+
+  test("consumeChanges: checkpointed at-least-once consumer over the change feed") {
+    val root = freshRoot()
+    val ck = new java.io.File(root, "consumer/last.version").getAbsolutePath
+    var seen = Set.empty[Long]
+    def drain() = Versioned.consumeChanges(spark, root, ck) { delta =>
+      seen ++= delta.select("id").collect().map(_.getLong(0))
+    }
+    assert(drain().isEmpty) // nothing committed yet
+    Versioned.append((1 to 20).map(i => (i.toLong, "a")).toDF("id", "v"), root)
+    assert(drain().contains((0L, 1L))) // first run = full snapshot
+    assert(seen == (1L to 20L).toSet)
+    Versioned.append((21 to 30).map(i => (i.toLong, "b")).toDF("id", "v"), root)
+    Versioned.append((31 to 35).map(i => (i.toLong, "c")).toDF("id", "v"), root)
+    seen = Set.empty
+    assert(drain().contains((1L, 3L))) // two pending commits in one delta
+    assert(seen == (21L to 35L).toSet) // ONLY the delta, no rescan
+    assert(drain().isEmpty) // caught up
+  }
+
   test("keyed commits are idempotent: a replayed append no-ops at the commit level") {
     val root = freshRoot()
     val a = (1 to 30).map(i => (i.toLong, "a")).toDF("id", "v")
