@@ -51,6 +51,14 @@ object Bench {
       val (warm, warmErr) = timeOnce(fn, name)
       val timed = (1 to reps).map(_ => timeOnce(fn, name))
       val err = (warmErr +: timed.map(_._2)).flatten.headOption
+      // localCheckpoint blocks from completed executions are only
+      // reclaimed when a JVM GC lets the ContextCleaner process their
+      // weak refs; in a 200+-query single-JVM run the accumulated blocks
+      // otherwise crowd storage memory and inflate later reps (observed
+      // as monotonically growing reps on the checkpoint-heavy CC
+      // queries). Session-cached family builds hold strong refs and
+      // survive; only dead blocks are reaped.
+      System.gc()
       (name, warm, timed.map(_._1), err)
     }
     // a failed query must be distinguishable from a fast one: any failed rep
