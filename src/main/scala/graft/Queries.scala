@@ -2561,8 +2561,8 @@ object Queries {
     * the one-shot q72 bit for bit (oracle = q72's SQL verbatim). This
     * is the maintained-index shape under the THIRD merge rule: sum
     * (q208-q210), max (q211), and here bitwise OR — idempotent and
-    * commutative, so the replay is absorbed twice over (read-side
-    * dedup AND the merge itself). At 100 TB the pre-filter for the
+    * commutative, so the replay is absorbed by the merge itself (the
+    * only table in the family needing NO replay-dedup step). At 100 TB the pre-filter for the
     * whole corpus is a bounded bit set that new batches extend in
     * O(batch); the digest anti-join only ever sees the maybe-dup
     * sliver, and history is never rescanned. */
@@ -2707,7 +2707,7 @@ object Queries {
       // partial one is wiped and rebuilt.
       val cur = graft.etl.Versioned.currentVersion(path)
       if (cur != 3) {
-        if (cur != 0) rmTree(new java.io.File(path))
+        if (cur != 0) graft.etl.Versioned.rm(new java.io.File(path))
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         graft.etl.Versioned.append(docs.filter(col("doc_id") % 2 === 0), path)
@@ -2716,9 +2716,6 @@ object Queries {
       }
     }
     path
-  }
-  private def rmTree(f: java.io.File): Unit = {
-    val fs = f.listFiles(); if (fs != null) fs.foreach(rmTree); f.delete(); ()
   }
   private val versionedBuilt =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),

@@ -14,7 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * }}}
   *
   * A commit writes its data files into a FRESH directory under `data/`
-  * and then publishes exactly one new manifest via an atomic rename.
+  * and then publishes exactly one new manifest via an atomic
+  * link(2)-based create (EEXIST = a racing writer won).
   * Everything the reference's durability story needs falls out of that
   * ordering:
   *
@@ -22,7 +23,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    full or not at all; data files are never listed by directory scan,
   *    only via a manifest, so files from an in-flight or crashed commit
   *    are invisible.
-  *  - **Crash safety**: a crash before the manifest rename leaves an
+  *  - **Crash safety**: a crash before the manifest publish leaves an
   *    orphan data directory that no reader resolves; [[expire]] garbage-
   *    collects it later. No recovery step is ever required to read.
   *  - **Compaction does not disturb readers**: [[compact]] writes NEW
@@ -31,10 +32,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    stages the live directory out from under pinned readers).
   *  - **Time travel**: [[read]] takes an explicit version; old snapshots
   *    stay readable until [[expire]] drops their manifests.
-  *  - **Single writer, fail-loud**: the manifest rename is the commit
-  *    CAS — if the target version already exists the rename fails and
-  *    the commit throws instead of clobbering. On an object store the
-  *    same structure swaps the POSIX rename for a conditional PUT or a
+  *  - **Single writer, fail-loud**: the manifest publish is the commit
+  *    CAS (link(2) fails EEXIST atomically) — if the target version
+  *    already exists the commit throws instead of clobbering. On an
+  *    object store the same structure swaps the link for a conditional PUT or a
   *    catalog pointer swap (Iceberg's catalog commit); data-file
   *    immutability makes everything else carry over unchanged.
   *
@@ -47,7 +48,10 @@ object Versioned {
 
   private def manifestsDir(root: String) = new java.io.File(root, "_manifests")
   private def dataDir(root: String) = new java.io.File(root, "data")
-  private val ManifestName = """v(\d{5})\.manifest""".r
+  // {5,} not {5}: %05d WIDENS past five digits (version 100000 writes
+  // v100000.manifest), and a fixed-width match would make that commit
+  // invisible — silent row loss, then every later append conflicts
+  private val ManifestName = """v(\d{5,})\.manifest""".r
 
   private def manifestFile(root: String, v: Long) =
     new java.io.File(manifestsDir(root), f"v$v%05d.manifest")
@@ -79,22 +83,29 @@ object Versioned {
   private def readManifest(root: String, v: Long): Seq[String] =
     readManifestRaw(root, v).map(_.split("\t")(0))
 
-  /** The commit key a version was published under, if any ("#key=" header). */
-  private def keyOf(root: String, v: Long): Option[String] = {
-    val src = scala.io.Source.fromFile(manifestFile(root, v), "UTF-8")
-    try src.getLines().collectFirst {
-      case l if l.startsWith("#key=") => l.stripPrefix("#key=")
-    } finally src.close()
-  }
+  /** The commit key a version was published under, if any ("#key="
+    * header). Manifests are immutable once published, so header reads
+    * memoize per JVM — a keyed-commit stream pays one file open per
+    * manifest over its lifetime, not per append. */
+  private val keyCache = java.util.Collections.synchronizedMap(
+    new java.util.HashMap[(String, Long), Option[String]]())
+  private def keyOf(root: String, v: Long): Option[String] =
+    keyCache.computeIfAbsent((root, v), { _ =>
+      val src = scala.io.Source.fromFile(manifestFile(root, v), "UTF-8")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("#key=") => l.stripPrefix("#key=")
+      } finally src.close()
+    })
 
-  /** The version already committed under `key`, if any. Scans the
-    * retained manifests' headers — O(versions), driver-side. */
+  /** The version already committed under `key`, if any. Scans
+    * newest-first (streaming replays hit recent keys) over the
+    * memoized headers — driver-side, bounded by retained versions. */
   def versionForKey(root: String, key: String): Option[Long] =
-    versions(root).find(v => keyOf(root, v).contains(key))
+    versions(root).reverseIterator.find(v => keyOf(root, v).contains(key))
 
   /** Publish `files` (paths relative to `root`) as version `next`.
-    * The rename is the commit point: atomic on POSIX, and it FAILS if
-    * the target exists — a commit is pinned to the base version it
+    * The link-create is the commit point: atomic on POSIX, and it
+    * FAILS if the target exists — a commit is pinned to the base version it
     * read, so two writers racing from the same base cannot both win
     * (optimistic concurrency, Iceberg's commit rule). Package-private
     * so the spec can drive the conflict path directly. */
@@ -114,21 +125,24 @@ object Versioned {
       key.foreach(k => w.write(s"#key=$k\n"))
       files.foreach(f => w.write(f + "\n")); w.flush()
     } finally w.close()
-    // fail-loud CAS: renameTo returns false if target exists (POSIX
-    // rename would overwrite, but File.renameTo on an existing regular
-    // file is platform-dependent — so check-then-rename and verify)
-    if (target.exists() || !tmp.renameTo(target)) {
+    // fail-loud CAS via link(2): hard-linking the temp file to the
+    // target fails with EEXIST ATOMICALLY if the version was published
+    // first — unlike rename(2), which silently REPLACES an existing
+    // target (so check-then-rename has a race window where both writers
+    // "win" and one commit's rows vanish)
+    try {
+      java.nio.file.Files.createLink(target.toPath, tmp.toPath)
       tmp.delete()
-      throw new IllegalStateException(
-        s"versioned: concurrent writer detected — version $next already " +
-          s"published at $root (single-writer contract)")
+      next
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        tmp.delete()
+        throw new IllegalStateException(
+          s"versioned: concurrent writer detected — version $next already " +
+            s"published at $root (rebase: reread the head and retry)")
     }
-    next
   }
 
-  /** Write `df` as a new commit: data files land in a fresh directory
-    * under `data/` first, the manifest (prior version's files + the new
-    * ones) publishes second. Returns the new version. */
   /** Write `df` as a new commit: data files land in a fresh directory
     * under `data/` first, the manifest publishes second.
     *
@@ -206,13 +220,25 @@ object Versioned {
       val outDir = new java.io.File(root, rel)
       df.write.parquet(outDir.getAbsolutePath)
       val spark = df.sparkSession
-      import org.apache.spark.sql.functions.{col => c, max => mx, min => mn}
+      import org.apache.spark.sql.functions.{col => c, input_file_name,
+        max => mx, min => mn}
+      // ONE job over the commit directory, grouped by source file — not
+      // one sequential driver-dispatched job per file
+      val statsByFile = spark.read.parquet(outDir.getAbsolutePath)
+        .groupBy(input_file_name().as("__f"))
+        .agg(mn(c(statsCol)).cast("long").as("__mn"),
+          mx(c(statsCol)).cast("long").as("__mx"))
+        .collect()
+        .flatMap { r =>
+          if (r.isNullAt(1)) None // all-null file: no stats
+          else Some(r.getString(0).split('/').last ->
+            (r.getLong(1), r.getLong(2)))
+        }.toMap
       val newLines = listParquet(outDir).map { f =>
-        val row = spark.read.parquet(f.getAbsolutePath)
-          .agg(mn(c(statsCol)).cast("long"), mx(c(statsCol)).cast("long"))
-          .head()
-        if (row.isNullAt(0)) s"$rel/${f.getName}" // all-null file: no stats
-        else s"$rel/${f.getName}\t${row.getLong(0)}\t${row.getLong(1)}"
+        statsByFile.get(f.getName) match {
+          case Some((mnV, mxV)) => s"$rel/${f.getName}\t$mnV\t$mxV"
+          case None => s"$rel/${f.getName}"
+        }
       }
       publishAt(root, base + 1, carried ++ newLines, key)
     }
@@ -343,7 +369,7 @@ object Versioned {
     fs.toSeq.filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
   }
 
-  private def rm(f: java.io.File): Unit = {
+  private[graft] def rm(f: java.io.File): Unit = {
     val fs = f.listFiles(); if (fs != null) fs.foreach(rm); f.delete(); ()
   }
 }

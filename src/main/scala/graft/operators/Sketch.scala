@@ -741,8 +741,8 @@ object Sketch {
     * (q208/q209/q210), HLL registers by bucket-wise MAX (q211), Bloom
     * bit sets by bitwise OR — which relationally is just DISTINCT over
     * set-bit positions, idempotent AND commutative, so a replayed
-    * append is harmless even before the read-side (batch_id, bit)
-    * dedup. The 100 TB role: the membership filter for the WHOLE
+    * append is absorbed by the merge itself (no read-side replay-dedup
+    * exists or is needed). The 100 TB role: the membership filter for the WHOLE
     * corpus stays bounded by its bit width (at most mBits rows) no
     * matter how many batches ever appended, so incremental-dedup
     * pre-filtering ([[bloomProbe]]'s join-pruning contract) never
@@ -754,8 +754,8 @@ object Sketch {
       .withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(path)
 
-  /** Membership probe against the persisted bit table: fold (replay-
-    * dedup, then OR = DISTINCT bit), then the [[bloomProbe]] chain —
+  /** Membership probe against the persisted bit table: fold (OR =
+    * DISTINCT bit), then the [[bloomProbe]] chain —
     * equals the one-shot probe against [[bloomBits]] of everything ever
     * appended (q212's proof, anchored on q72's oracle). No false
     * negatives can survive the fold: a bit set by ANY batch stays set. */
@@ -774,10 +774,12 @@ object Sketch {
     graft.etl.Sinks.compactWith(spark, path, targetFiles,
       foldBloom(_).withColumn("batch_id", lit("__compacted")))
 
-  /** ONE fold shared by the read path and compaction: replay-dedup on
-    * (batch_id, bit), then the bitwise-OR union (DISTINCT bit). */
+  /** ONE fold shared by the read path and compaction: the bitwise-OR
+    * union IS a DISTINCT over bit positions — no separate replay-dedup
+    * step exists or is needed (a (batch_id, bit) pre-dedup would be
+    * subsumed by the distinct while paying a second, wider shuffle). */
   private def foldBloom(df: DataFrame): DataFrame =
-    df.dropDuplicates("batch_id", "bit").select(col("bit")).distinct()
+    df.select(col("bit")).distinct()
 
   /** Hash-uniformity audit: chi-square statistic of the portable hash
     * family over `m` buckets — the trust check behind everything this

@@ -1226,7 +1226,7 @@ class VersionedSpec extends SparkSpec {
       p = 10)))
   }
 
-  test("the manifest rename is a fail-loud CAS against a second writer") {
+  test("the manifest publish is a fail-loud CAS against a second writer") {
     val root = freshRoot()
     Versioned.append((1 to 10).map(i => (i.toLong, "a")).toDF("id", "v"), root)
     // a second writer races us from the same base (version 1) and wins:
