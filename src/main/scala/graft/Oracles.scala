@@ -104,6 +104,56 @@ object Oracles {
   private def ph(expr: String, seed: Int) =
     s"CAST('0x' || substr(md5('$seed:' || $expr), 1, 15) AS BIGINT)"
 
+  /** The q213 documents-profile chain (unpivot + q91 estimator) as
+    * suffixed CTEs over an optionally filtered corpus, ending in
+    * p_<tag>(col_name, n_rows, n_null, occupied, max_reg,
+    * est_distinct). One emitter so q213 and q221's two snapshots can
+    * never drift from each other. */
+  private def docProfileChain(tag: String, where: String): String = {
+    val m = 1 << 12
+    val w49 = 1L << 49
+    s"""u_$tag AS (
+       | SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS value FROM documents $where
+       | UNION ALL SELECT 'text', text FROM documents $where
+       | UNION ALL SELECT 'lang', lang FROM documents $where
+       | UNION ALL SELECT 'source', source FROM documents $where
+       | UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents $where),
+       |b_$tag AS (
+       | SELECT col_name, count(*) AS n_rows,
+       |  count(CASE WHEN value IS NULL THEN 1 END) AS n_null
+       | FROM u_$tag GROUP BY 1),
+       |w_$tag AS (
+       | SELECT col_name, ${ph("value", 7)} % $m AS bucket,
+       |  ${ph("value", 8)} % ${1L << 48} AS wv
+       | FROM u_$tag WHERE value IS NOT NULL),
+       |r_$tag AS (
+       | SELECT col_name, bucket,
+       |  max(CASE WHEN wv = 0 THEN 49 ELSE 49 - length(bin(wv)) END) AS reg
+       | FROM w_$tag GROUP BY 1, 2),
+       |a_$tag AS (
+       | SELECT col_name, count(*) AS occupied, max(reg) AS max_reg,
+       |  coalesce(sum((CAST(1 AS BIGINT) << (49 - reg))), 0)
+       |   + ($m - count(*)) * CAST($w49 AS HUGEINT) AS s_total
+       | FROM r_$tag GROUP BY 1),
+       |e_$tag AS (
+       | SELECT col_name, occupied, max_reg,
+       |  ${graft.operators.Sketch.hllAlphaM2(12)}
+       |   / (CAST(s_total AS DOUBLE) / $w49.0) AS raw
+       | FROM a_$tag),
+       |est_$tag AS (
+       | SELECT col_name, occupied, max_reg,
+       |  round(CASE WHEN raw <= ${2.5 * m} AND $m - occupied > 0
+       |    THEN $m.0 * ln($m.0 / ($m - occupied)) ELSE raw END, 6)
+       |   AS est_distinct
+       | FROM e_$tag),
+       |p_$tag AS (
+       | SELECT b_$tag.col_name, n_rows, n_null,
+       |  coalesce(occupied, 0) AS occupied,
+       |  coalesce(max_reg, 0) AS max_reg,
+       |  coalesce(est_distinct, 0.0) AS est_distinct
+       | FROM b_$tag LEFT JOIN est_$tag ON b_$tag.col_name = est_$tag.col_name)"""
+  }
+
   /** Planted-near-dup corpus rows in SQL — mirrors Queries.plantedTailDocs
     * (drop the first 2 tokens, shift the id). Table and predicate are
     * separate parameters so the generated WHERE clause is well-formed for
@@ -2846,51 +2896,25 @@ object Oracles {
     // column profiler: the q91 HLL machinery keyed on the unpivoted
     // column name; base counts are exact integers, the estimator chain
     // replays like q91's. All five documents columns are BIGINT/VARCHAR,
-    // so the string-cast unpivot is engine-exact.
-    "q213_column_profile" -> {
-      val m = 1 << 12
-      val w49 = 1L << 49
-      s"""WITH u AS (
-         | SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS value FROM documents
-         | UNION ALL SELECT 'text', text FROM documents
-         | UNION ALL SELECT 'lang', lang FROM documents
-         | UNION ALL SELECT 'source', source FROM documents
-         | UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
-         |b AS (
-         | SELECT col_name, count(*) AS n_rows,
-         |  count(CASE WHEN value IS NULL THEN 1 END) AS n_null
-         | FROM u GROUP BY 1),
-         |w AS (
-         | SELECT col_name, ${ph("value", 7)} % $m AS bucket,
-         |  ${ph("value", 8)} % ${1L << 48} AS wv
-         | FROM u WHERE value IS NOT NULL),
-         |r AS (
-         | SELECT col_name, bucket,
-         |  max(CASE WHEN wv = 0 THEN 49 ELSE 49 - length(bin(wv)) END) AS reg
-         | FROM w GROUP BY 1, 2),
-         |a AS (
-         | SELECT col_name, count(*) AS occupied, max(reg) AS max_reg,
-         |  coalesce(sum((CAST(1 AS BIGINT) << (49 - reg))), 0)
-         |   + ($m - count(*)) * CAST($w49 AS HUGEINT) AS s_total
-         | FROM r GROUP BY 1),
-         |e AS (
-         | SELECT col_name, occupied, max_reg,
-         |  ${graft.operators.Sketch.hllAlphaM2(12)}
-         |   / (CAST(s_total AS DOUBLE) / $w49.0) AS raw
-         | FROM a),
-         |est AS (
-         | SELECT col_name, occupied, max_reg,
-         |  round(CASE WHEN raw <= ${2.5 * m} AND $m - occupied > 0
-         |    THEN $m.0 * ln($m.0 / ($m - occupied)) ELSE raw END, 6)
-         |   AS est_distinct
-         | FROM e)
-         |SELECT b.col_name, n_rows, n_null,
-         | coalesce(occupied, 0) AS occupied,
-         | coalesce(max_reg, 0) AS max_reg,
-         | coalesce(est_distinct, 0.0) AS est_distinct
-         |FROM b LEFT JOIN est ON b.col_name = est.col_name
-         |ORDER BY b.col_name""".stripMargin
-    },
+    // so the string-cast unpivot is engine-exact. One chain emitter is
+    // shared with q221's two-snapshot drift replay.
+    "q213_column_profile" ->
+      s"""WITH ${docProfileChain("a", "")}
+         |SELECT col_name, n_rows, n_null, occupied, max_reg, est_distinct
+         |FROM p_a ORDER BY col_name""".stripMargin,
+
+    // profile drift: the even-batch chain (v1) joined against the full
+    // chain (head) — every cell of the diff hash-anchored
+    "q221_profile_drift" ->
+      s"""WITH ${docProfileChain("t", "WHERE doc_id % 2 = 0")},
+         |${docProfileChain("n", "")}
+         |SELECT p_t.col_name,
+         | p_t.n_rows AS n_rows_then, p_t.n_null AS n_null_then,
+         | p_t.est_distinct AS ndv_then,
+         | p_n.n_rows AS n_rows_now, p_n.n_null AS n_null_now,
+         | p_n.est_distinct AS ndv_now
+         |FROM p_t JOIN p_n ON p_t.col_name = p_n.col_name
+         |ORDER BY p_t.col_name""".stripMargin,
 
     // count-min sketch: counters and min-over-depths estimates are exact
     // integers, so the whole sketch replays value-identically

@@ -2732,7 +2732,15 @@ object Queries {
     * story: every sketch table can swap its plain parquet appends for
     * versioned commits and gain exactly-once retries, half-append
     * invisibility, and stats time travel, unchanged read semantics. */
-  def q217VersionedProfile(s: SparkSession, dir: String): DataFrame = {
+  def q217VersionedProfile(s: SparkSession, dir: String): DataFrame =
+    Sketch.columnProfileFromVersioned(s, versionedProfileRoot(s, dir),
+      p = 12).orderBy("col_name")
+
+  /** Build the shared versioned profile table once per session:
+    * v1 = the even-batch profile, v2 = + the odd batch (+ a replayed
+    * keyed append that must no-op). q217 reads the head; q221 diffs
+    * v1 against the head (stats time travel). */
+  private def versionedProfileRoot(s: SparkSession, dir: String): String = {
     val docs = t(s, dir, "documents")
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
     val root = rtPath(s, dir, "vprofidx")
@@ -2750,7 +2758,28 @@ object Queries {
         docs.filter(col("doc_id") % 2 === 1), cols, root, batchId = "odd",
         p = 12, portable = true)
     }
-    Sketch.columnProfileFromVersioned(s, root, p = 12).orderBy("col_name")
+    root
+  }
+
+  /** Stats DRIFT between two snapshots of the versioned profile table
+    * — time travel doing audit work: what a corpus drop did to every
+    * column's row count, null count, and distinct estimate, computed
+    * from two bounded manifest reads (the corpus is never rescanned).
+    * v1 is the even-batch profile; the head includes the odd batch.
+    * The oracle replays BOTH profile chains (filtered and full) and
+    * joins them — so the diff's every cell is hash-anchored. */
+  def q221ProfileDrift(s: SparkSession, dir: String): DataFrame = {
+    val root = versionedProfileRoot(s, dir)
+    val then_ = Sketch.columnProfileFromVersioned(s, root, p = 12,
+      version = Some(1L))
+    val now = Sketch.columnProfileFromVersioned(s, root, p = 12)
+    then_.select(col("col_name"), col("n_rows").as("n_rows_then"),
+        col("n_null").as("n_null_then"),
+        col("est_distinct").as("ndv_then"))
+      .join(now.select(col("col_name"), col("n_rows").as("n_rows_now"),
+        col("n_null").as("n_null_now"),
+        col("est_distinct").as("ndv_now")), Seq("col_name"))
+      .orderBy("col_name")
   }
   private val vprofBuilt =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
@@ -3760,6 +3789,7 @@ object Queries {
     "q218_change_feed" -> (q218ChangeFeed _),
     "q219_join_planner" -> (q219JoinPlanner _),
     "q220_pruned_scan" -> (q220PrunedScan _),
+    "q221_profile_drift" -> (q221ProfileDrift _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -194,13 +194,18 @@ object Versioned {
     * commits, and compactions published after this call's manifest read
     * are all invisible. */
   def read(spark: SparkSession, root: String,
-           version: Option[Long] = None): DataFrame = {
+           version: Option[Long] = None,
+           mergeSchema: Boolean = false): DataFrame = {
     val v = version.getOrElse(currentVersion(root))
     require(v >= 1, s"versioned: no committed version at $root")
     val files = readManifest(root, v)
       .map(relative => new java.io.File(root, relative).getAbsolutePath)
     require(files.nonEmpty, s"versioned: version $v is empty at $root")
-    spark.read.parquet(files: _*)
+    // mergeSchema = schema evolution across commits: a later commit may
+    // ADD columns; the merged read backfills nulls for files written
+    // before the column existed. Off by default (footer union costs a
+    // planning pass over every file's schema).
+    spark.read.option("mergeSchema", mergeSchema).parquet(files: _*)
   }
 
   /** [[append]] recording per-file min/max of `statsCol` (a LONG-typed

@@ -1179,6 +1179,21 @@ class VersionedSpec extends SparkSpec {
     assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
   }
 
+  test("schema evolution: a later commit adds a column; merged read backfills nulls") {
+    val root = freshRoot()
+    Versioned.append((1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"), root)
+    Versioned.append((11 to 20).map(i => (i.toLong, s"v$i", i * 10))
+      .toDF("id", "v", "extra"), root)
+    val merged = Versioned.read(spark, root, mergeSchema = true)
+    assert(merged.columns.sorted.toSeq == Seq("extra", "id", "v"))
+    assert(merged.count() == 20)
+    // rows from before the column existed read as null, new rows carry it
+    assert(merged.filter(col("extra").isNull).count() == 10)
+    assert(merged.filter(col("id") === 15L).head().getAs[Int]("extra") == 150)
+    // time travel still sees v1's own schema, unwidened
+    assert(Versioned.read(spark, root, Some(1L)).columns.toSeq == Seq("id", "v"))
+  }
+
   test("consumeChanges: checkpointed at-least-once consumer over the change feed") {
     val root = freshRoot()
     val ck = new java.io.File(root, "consumer/last.version").getAbsolutePath
