@@ -2832,6 +2832,14 @@ object Oracles {
         |FROM documents WHERE doc_id % 2 = 1 GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
 
+    // table history: the builder is deterministic (two keyed commits,
+    // replay no-ops), so the snapshot metadata is literal-checkable
+    "q222_table_history" ->
+      """SELECT CAST(1 AS BIGINT) AS version, 'even' AS commit_key
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'odd'
+        |ORDER BY version""".stripMargin,
+
     // manifest-pruned range scan: pruning only cuts IO — the values
     // must equal a plain WHERE over the raw corpus (same integer-div
     // threshold both sides)

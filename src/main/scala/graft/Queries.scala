@@ -2673,6 +2673,18 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       java.lang.Boolean]()
 
+  /** Commit history of the versioned profile table (Versioned.history)
+    * — the snapshots metadata surface (Iceberg's table$snapshots): one
+    * row per retained version with its commit key. The builder is
+    * deterministic (v1 = keyed "even", v2 = keyed "odd", replay
+    * no-ops), so version/key pairs are oracle-checkable as literals;
+    * file counts are layout-dependent and intentionally excluded from
+    * the hash surface. */
+  def q222TableHistory(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Versioned.history(s, versionedProfileRoot(s, dir))
+      .select(col("version"), col("commit_key"))
+      .orderBy("version")
+
   /** CBO join planning from collected stats (Sketch.joinEstimate over
     * two Sketch.columnProfile rows): estimated documents-to-embeddings
     * join cardinality on doc_id = vec_id via the uniform-containment
@@ -3790,6 +3802,7 @@ object Queries {
     "q219_join_planner" -> (q219JoinPlanner _),
     "q220_pruned_scan" -> (q220PrunedScan _),
     "q221_profile_drift" -> (q221ProfileDrift _),
+    "q222_table_history" -> (q222TableHistory _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

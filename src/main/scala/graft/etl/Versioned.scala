@@ -310,6 +310,18 @@ object Versioned {
     else spark.read.parquet(added: _*)
   }
 
+  /** The table's commit history as a DataFrame — the snapshots
+    * metadata table (Iceberg's `table$snapshots`): one row per
+    * retained version with its commit key and file count. Driver-side
+    * manifest reads only; the operational surface behind "which
+    * version do I pin / re-anchor / expire to". */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(root)
+      .map(v => (v, keyOf(root, v).orNull, readManifest(root, v).size))
+      .toDF("version", "commit_key", "n_files")
+  }
+
   /** The downstream-consumer loop over [[readChanges]], packaged:
     * reads the last-consumed version from `checkpointFile`, hands the
     * delta up to the current head to `process`, then atomically

@@ -1179,6 +1179,22 @@ class VersionedSpec extends SparkSpec {
     assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
   }
 
+  test("history: one row per retained version with commit key and file count") {
+    val root = freshRoot()
+    Versioned.append((1 to 10).map(i => (i.toLong, "a")).toDF("id", "v"), root,
+      key = Some("k1"))
+    Versioned.append((11 to 20).map(i => (i.toLong, "b")).toDF("id", "v"), root)
+    val h = Versioned.history(spark, root).orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(h.length == 2)
+    assert(h(0)._1 == 1L && h(0)._2 == "k1" && h(0)._3 >= 1)
+    assert(h(1)._1 == 2L && h(1)._2 == null) // unkeyed commit
+    assert(h(1)._3 >= h(0)._3) // v2 carries v1's files plus its own
+    // expire trims the history to the retained tail
+    Versioned.expire(root, keepLast = 1)
+    assert(Versioned.history(spark, root).count() == 1)
+  }
+
   test("schema evolution: a later commit adds a column; merged read backfills nulls") {
     val root = freshRoot()
     Versioned.append((1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"), root)
