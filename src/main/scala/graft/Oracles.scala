@@ -2853,6 +2853,54 @@ object Oracles {
         |GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
 
+    // retention GC: expire keepLast=2 after (even, odd, compaction)
+    // drops v1 but cannot change a head value — data side = the raw
+    // corpus, metadata side = the literal retained tail
+    "q223_snapshot_expire" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id,
+        | CAST(2 AS BIGINT) AS n_retained, CAST(2 AS BIGINT) AS oldest_version
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    // copy-on-write DELETE: the head after purging every third doc in
+    // the lowest id quartile == a plain negated WHERE over the raw
+    // corpus (same integer-div threshold both sides); pruning and the
+    // rewrite mechanics cannot show up in values, only in IO
+    "q224_cow_delete" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents
+        |WHERE NOT (doc_id <= (SELECT max(doc_id) // 4 FROM documents)
+        | AND doc_id % 3 = 0)
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    // copy-on-write MERGE: base minus updated keys, plus the doubled
+    // updates, plus the negative-id inserts — upsert semantics replayed
+    // in set algebra over the raw corpus
+    "q225_cow_merge" ->
+      """WITH upd AS (
+        | SELECT doc_id, lang, source, n_chars * 2 AS n_chars
+        | FROM documents
+        | WHERE doc_id % 10 = 0
+        |  AND doc_id <= (SELECT max(doc_id) // 2 FROM documents)),
+        |ins AS (
+        | SELECT -doc_id - 1 AS doc_id, lang, source, n_chars
+        | FROM documents WHERE doc_id % 7 = 0),
+        |m AS (
+        | SELECT doc_id, lang, source, n_chars FROM documents
+        | WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+        | UNION ALL SELECT * FROM upd
+        | UNION ALL SELECT * FROM ins)
+        |SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM m GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
     // CBO join planner: both single-column profile chains (the q213
     // machinery, one column each) + the uniform-containment arithmetic;
     // exact counts, 6-rounded ndv, one multiply-divide chain, no

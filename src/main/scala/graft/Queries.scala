@@ -2673,6 +2673,116 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       java.lang.Boolean]()
 
+  /** Retention GC as a query surface (Versioned.expire): three commits
+    * (even batch, odd batch, compaction), then expire keepLast=2 —
+    * v1's manifest and every data directory only it referenced are
+    * GONE, yet the head values are untouched. Output = the head
+    * aggregate cross-joined with the retained-version metadata, so the
+    * hash anchors both the data (the oracle aggregates the raw corpus)
+    * and the retention outcome (literal versions 2..3). */
+  def q223SnapshotExpire(s: SparkSession, dir: String): DataFrame = {
+    val root = rtPath(s, dir, "expiretab")
+    oncePerSession(expireBuilt, s, dir) {
+      // expire MUTATES history, so keyed-commit idempotence can't carry
+      // a rerun alone: a complete survivor (exactly v2,v3 retained) is
+      // reused, anything else — fresh, partial, pre-expire — rebuilds
+      if (graft.etl.Versioned.versions(root) != Seq(2L, 3L)) {
+        graft.etl.Versioned.rm(new java.io.File(root))
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        graft.etl.Versioned.append(docs.filter(col("doc_id") % 2 === 0), root)
+        graft.etl.Versioned.append(docs.filter(col("doc_id") % 2 === 1), root)
+        graft.etl.Versioned.compact(s, root, targetFiles = 2)
+        graft.etl.Versioned.expire(root, keepLast = 2)
+      }
+    }
+    graft.etl.Versioned.read(s, root)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .crossJoin(graft.etl.Versioned.history(s, root)
+        .agg(count(lit(1)).as("n_retained"),
+          min(col("version")).as("oldest_version")))
+      .orderBy("lang", "source")
+  }
+  private val expireBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Boolean]()
+
+  /** Copy-on-write row-level DELETE (Versioned.deleteWhere) over a
+    * range-clustered stats table: purge every third doc in the lowest
+    * id quartile. The prune range carries the upper-half files BY
+    * REFERENCE (zero IO — the spec asserts it via inputFiles), the
+    * predicate's row-level part (`% 3`) proves rows, not files, were
+    * deleted, and the keyed commit makes the whole delete an
+    * exactly-once retryable operation. The oracle is a plain negated
+    * WHERE over the raw corpus. */
+  def q224CowDelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val root = rtPath(s, dir, "cowdel")
+    oncePerSession(cowDelBuilt, s, dir) {
+      // every commit is keyed, so a surviving dir in ANY state
+      // self-heals: done commits replay as no-ops, missing ones apply
+      def ranged(f: org.apache.spark.sql.Column) = docs.filter(f)
+        .repartitionByRange(2, col("doc_id"))
+      graft.etl.Versioned.appendWithStats(
+        ranged(col("doc_id") <= maxId / 2), root, "doc_id", Some("lower"))
+      graft.etl.Versioned.appendWithStats(
+        ranged(col("doc_id") > maxId / 2), root, "doc_id", Some("upper"))
+      graft.etl.Versioned.deleteWhere(s, root,
+        col("doc_id") <= maxId / 4 && col("doc_id") % 3 === 0,
+        pruneRange = Some(("doc_id", 0L, maxId / 4)), key = Some("purge"))
+    }
+    graft.etl.Versioned.read(s, root)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang", "source")
+  }
+  private val cowDelBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Boolean]()
+
+  /** Copy-on-write MERGE (Versioned.mergeInto): upsert a batch that
+    * doubles n_chars for every tenth doc in the lower id half and
+    * inserts negative-id copies of every seventh doc. Both the update
+    * keys and the insert keys sit at or below maxId/2, so the
+    * upper-half files are skipped by the updates' own key range —
+    * Iceberg/Delta CoW MERGE with file skipping, broadcast left_anti
+    * for the matched-row removal. The oracle replays the merge in
+    * set algebra over the raw corpus. */
+  def q225CowMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val root = rtPath(s, dir, "cowmerge")
+    oncePerSession(cowMergeBuilt, s, dir) {
+      def ranged(f: org.apache.spark.sql.Column) = docs.filter(f)
+        .repartitionByRange(2, col("doc_id"))
+      graft.etl.Versioned.appendWithStats(
+        ranged(col("doc_id") <= maxId / 2), root, "doc_id", Some("lower"))
+      graft.etl.Versioned.appendWithStats(
+        ranged(col("doc_id") > maxId / 2), root, "doc_id", Some("upper"))
+      val updates = docs
+        .filter(col("doc_id") % 10 === 0 && col("doc_id") <= maxId / 2)
+        .withColumn("n_chars", col("n_chars") * 2)
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", -col("doc_id") - 1))
+      graft.etl.Versioned.mergeInto(s, root, updates, "doc_id",
+        statsCol = Some("doc_id"), key = Some("merge1"))
+    }
+    graft.etl.Versioned.read(s, root)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang", "source")
+  }
+  private val cowMergeBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Boolean]()
+
   /** Commit history of the versioned profile table (Versioned.history)
     * — the snapshots metadata surface (Iceberg's table$snapshots): one
     * row per retained version with its commit key. The builder is
@@ -3803,6 +3913,9 @@ object Queries {
     "q220_pruned_scan" -> (q220PrunedScan _),
     "q221_profile_drift" -> (q221ProfileDrift _),
     "q222_table_history" -> (q222TableHistory _),
+    "q223_snapshot_expire" -> (q223SnapshotExpire _),
+    "q224_cow_delete" -> (q224CowDelete _),
+    "q225_cow_merge" -> (q225CowMerge _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

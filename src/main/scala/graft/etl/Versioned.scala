@@ -163,13 +163,43 @@ object Versioned {
       val base = currentVersion(root)
       // carry RAW lines: prior commits' per-file stats survive verbatim
       val carried = if (base == 0) Seq.empty else readManifestRaw(root, base)
-      val commitId = java.util.UUID.randomUUID().toString
-      val rel = s"data/$commitId"
-      val outDir = new java.io.File(root, rel)
-      df.write.parquet(outDir.getAbsolutePath)
-      val newFiles = listParquet(outDir).map(f => s"$rel/${f.getName}")
-      publishAt(root, base + 1, carried ++ newFiles, key)
+      publishAt(root, base + 1, carried ++ writeCommitDir(df, root, None), key)
     }
+
+  /** Shared writer for commit data: `df` lands in a fresh directory
+    * under `data/`, returning its manifest lines — with per-file
+    * min/max stats for `statsCol` when given (one grouped job over the
+    * just-written directory, not one driver-dispatched job per file). */
+  private def writeCommitDir(df: DataFrame, root: String,
+                             statsCol: Option[String]): Seq[String] = {
+    val commitId = java.util.UUID.randomUUID().toString
+    val rel = s"data/$commitId"
+    val outDir = new java.io.File(root, rel)
+    df.write.parquet(outDir.getAbsolutePath)
+    statsCol match {
+      case None => listParquet(outDir).map(f => s"$rel/${f.getName}")
+      case Some(sc) =>
+        val spark = df.sparkSession
+        import org.apache.spark.sql.functions.{col => c, input_file_name,
+          max => mx, min => mn}
+        val statsByFile = spark.read.parquet(outDir.getAbsolutePath)
+          .groupBy(input_file_name().as("__f"))
+          .agg(mn(c(sc)).cast("long").as("__mn"),
+            mx(c(sc)).cast("long").as("__mx"))
+          .collect()
+          .flatMap { r =>
+            if (r.isNullAt(1)) None // all-null file: no stats
+            else Some(r.getString(0).split('/').last ->
+              (r.getLong(1), r.getLong(2)))
+          }.toMap
+        listParquet(outDir).map { f =>
+          statsByFile.get(f.getName) match {
+            case Some((mnV, mxV)) => s"$rel/${f.getName}\t$mnV\t$mxV"
+            case None => s"$rel/${f.getName}"
+          }
+        }
+    }
+  }
 
   /** Rewrite the CURRENT snapshot into ~`targetFiles` files (optionally
     * folding rows) and publish the result as a new version that
@@ -220,32 +250,8 @@ object Versioned {
     key.flatMap(versionForKey(root, _)).getOrElse {
       val base = currentVersion(root)
       val carried = if (base == 0) Seq.empty else readManifestRaw(root, base)
-      val commitId = java.util.UUID.randomUUID().toString
-      val rel = s"data/$commitId"
-      val outDir = new java.io.File(root, rel)
-      df.write.parquet(outDir.getAbsolutePath)
-      val spark = df.sparkSession
-      import org.apache.spark.sql.functions.{col => c, input_file_name,
-        max => mx, min => mn}
-      // ONE job over the commit directory, grouped by source file — not
-      // one sequential driver-dispatched job per file
-      val statsByFile = spark.read.parquet(outDir.getAbsolutePath)
-        .groupBy(input_file_name().as("__f"))
-        .agg(mn(c(statsCol)).cast("long").as("__mn"),
-          mx(c(statsCol)).cast("long").as("__mx"))
-        .collect()
-        .flatMap { r =>
-          if (r.isNullAt(1)) None // all-null file: no stats
-          else Some(r.getString(0).split('/').last ->
-            (r.getLong(1), r.getLong(2)))
-        }.toMap
-      val newLines = listParquet(outDir).map { f =>
-        statsByFile.get(f.getName) match {
-          case Some((mnV, mxV)) => s"$rel/${f.getName}\t$mnV\t$mxV"
-          case None => s"$rel/${f.getName}"
-        }
-      }
-      publishAt(root, base + 1, carried ++ newLines, key)
+      publishAt(root, base + 1,
+        carried ++ writeCommitDir(df, root, Some(statsCol)), key)
     }
 
   /** Snapshot read that SKIPS files whose recorded [min, max] range for
@@ -358,6 +364,96 @@ object Versioned {
       Some((from, to))
     }
   }
+
+  /** Split a manifest's RAW lines into (touched, carried) by whether a
+    * file's recorded [min, max] stats range can intersect [lo, hi]:
+    * a file that cannot is carried forward VERBATIM (stats included,
+    * zero IO); everything else — including files with no recorded
+    * stats — must be read and rewritten. */
+  private def splitByRange(lines: Seq[String], lo: Long, hi: Long)
+      : (Seq[String], Seq[String]) =
+    lines.partition { line =>
+      line.split("\t") match {
+        case Array(_, mn, mx) => mx.toLong >= lo && mn.toLong <= hi
+        case _ => true // no stats: must read
+      }
+    }
+
+  private def readLines(spark: SparkSession, root: String,
+                        lines: Seq[String]): DataFrame =
+    spark.read.parquet(lines.map(l =>
+      new java.io.File(root, l.split("\t")(0)).getAbsolutePath): _*)
+
+  /** Copy-on-write row-level DELETE (Iceberg/Delta CoW semantics): the
+    * head snapshot minus every row matching `predicate`, published as a
+    * new version. `pruneRange = Some((statsCol, lo, hi))` — a caller
+    * promise that matching rows satisfy lo <= statsCol <= hi — lets
+    * files whose recorded stats cannot intersect be carried forward BY
+    * REFERENCE: on a range-clustered 100 TB table a targeted delete
+    * rewrites the handful of files holding the range, not the corpus.
+    * Rewritten files re-record stats when pruning metadata is in play;
+    * prior versions still time-travel to the pre-delete snapshot, and a
+    * `key` makes the whole delete an exactly-once retryable commit. */
+  def deleteWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column,
+                  pruneRange: Option[(String, Long, Long)] = None,
+                  key: Option[String] = None): Long =
+    key.flatMap(versionForKey(root, _)).getOrElse {
+      val base = currentVersion(root)
+      require(base >= 1, s"versioned deleteWhere: no committed version at $root")
+      val lines = readManifestRaw(root, base)
+      val (touched, carried) = pruneRange match {
+        case Some((_, lo, hi)) => splitByRange(lines, lo, hi)
+        case None => (lines, Seq.empty[String])
+      }
+      if (touched.isEmpty) base // no file can hold a match: commit elided
+      else {
+        // DELETE drops rows where the predicate is TRUE; a NULL
+        // predicate KEEPS the row (SQL DELETE semantics) — a bare
+        // filter(!p) would silently drop the null-predicate rows too
+        val kept = readLines(spark, root, touched).filter(
+          org.apache.spark.sql.functions.not(
+            org.apache.spark.sql.functions.coalesce(predicate,
+              org.apache.spark.sql.functions.lit(false))))
+        publishAt(root, base + 1,
+          carried ++ writeCommitDir(kept, root, pruneRange.map(_._1)), key)
+      }
+    }
+
+  /** Copy-on-write MERGE (upsert): rows of `updates` REPLACE head rows
+    * sharing a `keyCol` value; unmatched `updates` rows are inserted.
+    * With `statsCol` (the table's recorded pruning column), file
+    * skipping prunes against the updates' own key range — computed in
+    * one tiny aggregate, since updates is the small side by contract —
+    * and matched-row removal is a broadcast left_anti join, so the
+    * rewrite costs (touched files + |updates|), never O(table).
+    * `updates` must carry the table's columns (any order). */
+  def mergeInto(spark: SparkSession, root: String, updates: DataFrame,
+                keyCol: String, statsCol: Option[String] = None,
+                key: Option[String] = None): Long =
+    key.flatMap(versionForKey(root, _)).getOrElse {
+      val base = currentVersion(root)
+      require(base >= 1, s"versioned mergeInto: no committed version at $root")
+      import org.apache.spark.sql.functions.{broadcast, col => c,
+        max => mx, min => mn}
+      val range = updates.agg(mn(c(keyCol)).cast("long"),
+        mx(c(keyCol)).cast("long")).head()
+      if (range.isNullAt(0)) base // empty updates: no-op
+      else {
+        val lines = readManifestRaw(root, base)
+        val (touched, carried) =
+          if (statsCol.isDefined)
+            splitByRange(lines, range.getLong(0), range.getLong(1))
+          else (lines, Seq.empty[String])
+        val survivors =
+          if (touched.isEmpty) updates.limit(0)
+          else readLines(spark, root, touched)
+            .join(broadcast(updates.select(c(keyCol))), Seq(keyCol),
+              "left_anti")
+        publishAt(root, base + 1, carried ++
+          writeCommitDir(survivors.unionByName(updates), root, statsCol), key)
+      }
+    }
 
   /** Retention: keep the newest `keepLast` manifests, drop the rest,
     * then delete every data directory no surviving manifest references

@@ -1179,6 +1179,83 @@ class VersionedSpec extends SparkSpec {
     assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
   }
 
+  test("deleteWhere: CoW row delete with file skipping, null-keep, time travel") {
+    val root = freshRoot()
+    def ranged(lo: Int, hi: Int) = (lo to hi)
+      .map(i => (i.toLong, if (i % 10 == 0) null else s"v$i"))
+      .toDF("id", "v").repartitionByRange(2, col("id"))
+    Versioned.appendWithStats(ranged(1, 100), root, "id", Some("lower"))
+    Versioned.appendWithStats(ranged(101, 200), root, "id", Some("upper"))
+    val upperFiles = Versioned.readPruned(spark, root, "id", 101L, 200L)
+      .inputFiles.toSet
+    // delete even ids in [1,50]; the prune range spares the upper commit
+    val v3 = Versioned.deleteWhere(spark, root,
+      col("id") <= 50 && col("id") % 2 === 0,
+      pruneRange = Some(("id", 1L, 50L)), key = Some("purge"))
+    assert(v3 == 3)
+    val expect = (1L to 200L).toSet -- (1L to 50L).filter(_ % 2 == 0)
+    assert(ids(Versioned.read(spark, root)) == expect)
+    // the upper commit's files are carried BY REFERENCE — byte-identical
+    // paths in the new head, zero rewrite IO at 100 TB for a ranged purge
+    assert(upperFiles.subsetOf(Versioned.read(spark, root).inputFiles.toSet))
+    // rewritten files re-recorded stats: a ranged read still prunes
+    assert(Versioned.readPruned(spark, root, "id", 1L, 10L)
+      .inputFiles.length < Versioned.read(spark, root).inputFiles.length)
+    // the pre-delete snapshot still time-travels intact
+    assert(ids(Versioned.read(spark, root, Some(2L))) == (1L to 200L).toSet)
+    // keyed replay: the retried delete is a no-op on the same version
+    assert(Versioned.deleteWhere(spark, root, col("id") <= 50,
+      key = Some("purge")) == 3)
+    // a prune range no file can hold elides the commit entirely
+    // (every v3 line carries stats: carried upper + re-recorded rewrite)
+    assert(Versioned.deleteWhere(spark, root, col("id") > 10000,
+      pruneRange = Some(("id", 10001L, 20000L))) == 3)
+    // NULL predicate keeps the row (SQL DELETE semantics): deleting
+    // where v = 'nope' must not drop the null-v rows
+    val v4 = Versioned.deleteWhere(spark, root, col("v") === "nope")
+    assert(v4 == 4)
+    assert(ids(Versioned.read(spark, root)) == expect)
+  }
+
+  test("mergeInto: CoW upsert with file skipping; empty updates no-op") {
+    val root = freshRoot()
+    def ranged(lo: Int, hi: Int) = (lo to hi).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartitionByRange(2, col("id"))
+    Versioned.appendWithStats(ranged(1, 100), root, "id", Some("lower"))
+    Versioned.appendWithStats(ranged(101, 200), root, "id", Some("upper"))
+    val upperFiles = Versioned.readPruned(spark, root, "id", 101L, 200L)
+      .inputFiles.toSet
+    // a lower-half-only batch: its key range [10, 20] skips the upper files
+    val updates = (10 to 20).map(i => (i.toLong, s"NEW$i"))
+      .toDF("id", "v")
+    val v3 = Versioned.mergeInto(spark, root, updates, "id",
+      statsCol = Some("id"), key = Some("m1"))
+    assert(v3 == 3)
+    val head = Versioned.read(spark, root)
+    assert(head.count() == 200) // pure update, no inserts yet
+    val vById = head.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (10 to 20).foreach(i => assert(vById(i.toLong) == s"NEW$i"))
+    assert(vById(9L) == "v9" && vById(21L) == "v21" && vById(150L) == "v150")
+    // upper files carried by reference (the updates' key range skipped them)
+    assert(upperFiles.subsetOf(head.inputFiles.toSet))
+    // keyed replay no-ops
+    assert(Versioned.mergeInto(spark, root, updates, "id",
+      statsCol = Some("id"), key = Some("m1")) == 3)
+    // inserts: unmatched keys append; matched keys replace, in one commit
+    val batch2 = Seq((15L, "B15"), (300L, "B300"), (301L, "B301"))
+      .toDF("id", "v")
+    assert(Versioned.mergeInto(spark, root, batch2, "id",
+      statsCol = Some("id")) == 4)
+    val head2 = ids(Versioned.read(spark, root))
+    assert(head2 == (1L to 200L).toSet ++ Set(300L, 301L))
+    assert(Versioned.read(spark, root).filter(col("id") === 15)
+      .head().getString(1) == "B15")
+    // empty updates: no-op at the current version
+    assert(Versioned.mergeInto(spark, root, updates.limit(0), "id") == 4)
+    // pre-merge snapshots still time-travel intact
+    assert(ids(Versioned.read(spark, root, Some(2L))) == (1L to 200L).toSet)
+  }
+
   test("history: one row per retained version with commit key and file count") {
     val root = freshRoot()
     Versioned.append((1 to 10).map(i => (i.toLong, "a")).toDF("id", "v"), root,
