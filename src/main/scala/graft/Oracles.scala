@@ -2878,6 +2878,24 @@ object Oracles {
         |GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
 
+    // token-window chunking: 64-token windows, stride 48, replayed via
+    // DuckDB 1-based inclusive list slicing; chunk count = 0 empty doc,
+    // 1 when n <= 64, else 1 + ceil((n-64)/48) in integer math
+    "q226_text_chunks" -> {
+      val toks = toksSql("text")
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |n AS (SELECT doc_id, t, len(t) AS n FROM tk),
+         |c AS (SELECT doc_id, t,
+         |  CASE WHEN n = 0 THEN 0 WHEN n <= 64 THEN 1
+         |   ELSE 1 + (n - 64 + 47) // 48 END AS nc FROM n),
+         |e AS (SELECT doc_id, t, unnest(range(nc)) AS i FROM c),
+         |s AS (SELECT doc_id, i AS chunk_idx,
+         |  t[(i * 48 + 1):(i * 48 + 64)] AS ch FROM e)
+         |SELECT doc_id, chunk_idx, CAST(len(ch) AS BIGINT) AS n_toks,
+         | array_to_string(ch, ' ') AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+
     // copy-on-write MERGE: base minus updated keys, plus the doubled
     // updates, plus the negative-id inserts — upsert semantics replayed
     // in set algebra over the raw corpus

@@ -2783,6 +2783,18 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       java.lang.Boolean]()
 
+  /** Token-window chunking (TextOps.chunkTokens): the corpus split into
+    * 64-token windows advancing by 48 (16-token overlap) — RAG/context
+    * prep as one codegen'd per-row expression, no shuffle. Every chunk
+    * row is hash-anchored (index, token count AND the joined text), so
+    * the window arithmetic, the slice bounds and the short last chunk
+    * are all value-checked against DuckDB's list-slicing replay. */
+  def q226TextChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.chunkTokens(
+      t(s, dir, "documents"), "text", chunkSize = 64, stride = 48,
+      idCols = Seq("doc_id"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Commit history of the versioned profile table (Versioned.history)
     * — the snapshots metadata surface (Iceberg's table$snapshots): one
     * row per retained version with its commit key. The builder is
@@ -3916,6 +3928,7 @@ object Queries {
     "q223_snapshot_expire" -> (q223SnapshotExpire _),
     "q224_cow_delete" -> (q224CowDelete _),
     "q225_cow_merge" -> (q225CowMerge _),
+    "q226_text_chunks" -> (q226TextChunks _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -29,6 +29,44 @@ object TextOps {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(coalesce(text, lit("")), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Sliding token-window chunking (RAG/context-window prep): each
+    * doc's whitespace tokens split into windows of `chunkSize` tokens
+    * advancing by `stride` (stride < chunkSize ⇒ overlapping chunks).
+    * Chunk count is 0 for an empty doc, 1 for n <= chunkSize, else
+    * 1 + ceil((n - chunkSize) / stride) — every token is covered and
+    * only the LAST chunk may be short. Emits one row per chunk:
+    * `idCols ++ (chunk_idx, n_toks, chunk_text)`.
+    *
+    * Pure builtin sequence/slice/posexplode — codegen'd, no UDF, and
+    * NO shuffle: chunking is embarrassingly parallel per row, so it
+    * pipelines into whatever scan precedes it at any scale. Output
+    * rows ≈ input tokens / stride; with overlap the byte volume grows
+    * by chunkSize/stride, which is the knob to watch at 100 TB. */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+                  chunkSize: Int, stride: Int,
+                  idCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"chunkTokens: need 1 <= stride <= chunkSize, got $stride/$chunkSize")
+    val tk = tokens(col(textCol))
+    val n = size(tk)
+    // integer ceil in positive domain; exact in double far past any
+    // realistic token count (n < 2^52)
+    val nChunks = when(n === 0, lit(0L))
+      .when(n <= chunkSize, lit(1L))
+      .otherwise(floor((n - chunkSize + (stride - 1)).cast("double") / stride)
+        .cast("long") + 1L)
+    // sequence(0, -1) would step BACKWARD, not produce empty — guard the
+    // zero-chunk case explicitly
+    val chunks = when(nChunks === 0, array().cast("array<array<string>>"))
+      .otherwise(transform(sequence(lit(0L), nChunks - 1),
+        i => slice(tk, (i * stride + 1).cast("int"), lit(chunkSize))))
+    df.select(idCols.map(col) :+ posexplode(chunks).as(Seq("chunk_idx", "__c")): _*)
+      .select(idCols.map(col) ++ Seq(
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("__c")).cast("long").as("n_toks"),
+        array_join(col("__c"), " ").as("chunk_text")): _*)
+  }
+
   /** Distinct character n-grams of a string — the shingle granularity
     * for scripts without whitespace word boundaries (CJK) and for
     * robustness to word-level edits. Empty/short strings yield an empty

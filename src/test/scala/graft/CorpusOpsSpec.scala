@@ -573,4 +573,37 @@ class CorpusOpsSpec extends SparkSpec {
       out(2).getAs[Long]("t_start") == 0L)
     assert(out(2).getAs[String]("assembled_digest") == md5hex(turn3))
   }
+
+  // ----------------------------------------------------- chunkTokens
+
+  test("chunkTokens: window arithmetic, overlap, short last chunk, empty doc") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "a b c d"),                                // n == chunkSize
+      (3L, "x y z q w"),                              // n = 5: short tail
+      (4L, ""),                                       // empty: no chunks
+      (5L, null.asInstanceOf[String])                 // null == empty
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(docs, "text", chunkSize = 4, stride = 3,
+        idCols = Seq("doc_id"))
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1: nc = 1 + ceil((10-4)/3) = 3; windows overlap by 1 token
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10")))
+    // doc 2: exactly one full chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 4L, "a b c d")))
+    // doc 3: second chunk is the short tail (2 tokens), never dropped
+    assert(out.filter(_._1 == 3L).toSeq == Seq(
+      (3L, 0L, 4L, "x y z q"), (3L, 1L, 2L, "q w")))
+    // empty and null docs produce zero chunks, not an empty chunk
+    assert(!out.exists(r => r._1 == 4L || r._1 == 5L))
+    // stride == chunkSize: disjoint cover, every token exactly once
+    val flat = TextOps.chunkTokens(docs.filter(col("doc_id") === 1),
+        "text", chunkSize = 4, stride = 4, idCols = Seq("doc_id"))
+      .orderBy("chunk_idx").collect().map(_.getString(3))
+    assert(flat.toSeq == Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))
+  }
 }
