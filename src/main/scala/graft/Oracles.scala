@@ -2878,6 +2878,19 @@ object Oracles {
         |GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
 
+    // clustered rewrite: pruning created after the fact by the
+    // compaction cannot change a value — same range WHERE as q220, but
+    // the stats come from OPTIMIZE, not from the original appends
+    "q227_clustered_rewrite" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents
+        |WHERE doc_id >= 0
+        | AND doc_id <= (SELECT max(doc_id) // 4 FROM documents)
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
     // token-window chunking: 64-token windows, stride 48, replayed via
     // DuckDB 1-based inclusive list slicing; chunk count = 0 empty doc,
     // 1 when n <= 64, else 1 + ceil((n-64)/48) in integer math

@@ -2783,6 +2783,41 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       java.lang.Boolean]()
 
+  /** CLUSTERED rewrite (Versioned.compact with clusterBy — the
+    * OPTIMIZE ... CLUSTER BY story): two ingest-ordered appends arrive
+    * with NO pruning stats (interleaved id stripes, what a streaming
+    * sink produces), then one clustered compaction range-partitions on
+    * doc_id and records per-file min/max in the manifest — and the
+    * same range scan that had to read everything now skips files (the
+    * spec asserts the skip via inputFiles; values must equal a plain
+    * WHERE either way). The after-the-fact prunability is the point:
+    * at 100 TB you cannot re-ingest, only rewrite. */
+  def q227ClusteredRewrite(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val root = rtPath(s, dir, "clusterrw")
+    oncePerSession(clusterRwBuilt, s, dir) {
+      // the appends are UNKEYED by design (stats-free ingest commits),
+      // so any survivor that isn't the complete v1..v3 build is wiped
+      if (graft.etl.Versioned.versions(root) != Seq(1L, 2L, 3L)) {
+        graft.etl.Versioned.rm(new java.io.File(root))
+        graft.etl.Versioned.append(docs.filter(col("doc_id") % 2 === 0), root)
+        graft.etl.Versioned.append(docs.filter(col("doc_id") % 2 === 1), root)
+        graft.etl.Versioned.compact(s, root, targetFiles = 4,
+          clusterBy = Some("doc_id"))
+      }
+    }
+    graft.etl.Versioned.readPruned(s, root, "doc_id", 0L, maxId / 4)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang", "source")
+  }
+  private val clusterRwBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Boolean]()
+
   /** Token-window chunking (TextOps.chunkTokens): the corpus split into
     * 64-token windows advancing by 48 (16-token overlap) — RAG/context
     * prep as one codegen'd per-row expression, no shuffle. Every chunk
@@ -3929,6 +3964,7 @@ object Queries {
     "q224_cow_delete" -> (q224CowDelete _),
     "q225_cow_merge" -> (q225CowMerge _),
     "q226_text_chunks" -> (q226TextChunks _),
+    "q227_clustered_rewrite" -> (q227ClusteredRewrite _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -205,17 +205,28 @@ object Versioned {
     * folding rows) and publish the result as a new version that
     * references ONLY the rewritten files. Prior versions keep reading
     * their own untouched files — compaction is invisible to pinned
-    * readers and to time travel until [[expire]]. */
+    * readers and to time travel until [[expire]].
+    *
+    * `clusterBy` turns the compaction into a CLUSTERED rewrite
+    * (OPTIMIZE ... CLUSTER BY): rows are range-partitioned and sorted
+    * on the column, per-file min/max stats land in the manifest, and
+    * [[readPruned]] range scans skip rewritten files — ingest-ordered
+    * appends (which arrive with no useful clustering) become prunable
+    * after the fact, the file-layout lever for selective scans over
+    * 100 TB. Without it, a plain hash repartition (bin-packing only). */
   def compact(spark: SparkSession, root: String, targetFiles: Int = 1,
-              fold: DataFrame => DataFrame = identity): Long = {
+              fold: DataFrame => DataFrame = identity,
+              clusterBy: Option[String] = None): Long = {
     require(targetFiles >= 1, "versioned compact: targetFiles >= 1")
     val base = currentVersion(root) // pinned: rewrite of THIS snapshot
-    val commitId = java.util.UUID.randomUUID().toString
-    val rel = s"data/$commitId"
-    val outDir = new java.io.File(root, rel)
-    fold(read(spark, root, Some(base))).repartition(targetFiles)
-      .write.parquet(outDir.getAbsolutePath)
-    publishAt(root, base + 1, listParquet(outDir).map(f => s"$rel/${f.getName}"))
+    import org.apache.spark.sql.functions.{col => c}
+    val folded = fold(read(spark, root, Some(base)))
+    val arranged = clusterBy match {
+      case Some(cb) =>
+        folded.repartitionByRange(targetFiles, c(cb)).sortWithinPartitions(cb)
+      case None => folded.repartition(targetFiles)
+    }
+    publishAt(root, base + 1, writeCommitDir(arranged, root, clusterBy))
   }
 
   /** Read a snapshot: the latest by default, or any still-retained

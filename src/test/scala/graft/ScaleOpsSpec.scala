@@ -1179,6 +1179,32 @@ class VersionedSpec extends SparkSpec {
     assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
   }
 
+  test("clustered compaction creates prunability ingest never had") {
+    val root = freshRoot()
+    // ingest-ordered appends: interleaved stripes, no stats recorded
+    Versioned.append((1 to 200 by 2).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root)
+    Versioned.append((2 to 200 by 2).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), root)
+    // pre-rewrite: no stats anywhere, a ranged read must open every file
+    val before = Versioned.readPruned(spark, root, "id", 1L, 20L)
+    assert(before.inputFiles.length ==
+      Versioned.read(spark, root).inputFiles.length)
+    // OPTIMIZE ... CLUSTER BY id: range-partitioned rewrite + stats
+    val v3 = Versioned.compact(spark, root, targetFiles = 4,
+      clusterBy = Some("id"))
+    assert(v3 == 3)
+    val all = Versioned.read(spark, root)
+    assert(all.inputFiles.length == 4)
+    assert(ids(all) == (1L to 200L).toSet) // rewrite changes no value
+    // the SAME ranged read now skips disjoint range files
+    val after = Versioned.readPruned(spark, root, "id", 1L, 20L)
+    assert(after.inputFiles.length < all.inputFiles.length,
+      s"expected pruning after clustered rewrite, " +
+        s"read ${after.inputFiles.length}/${all.inputFiles.length}")
+    assert(ids(after) == (1L to 20L).toSet)
+  }
+
   test("deleteWhere: CoW row delete with file skipping, null-keep, time travel") {
     val root = freshRoot()
     def ranged(lo: Int, hi: Int) = (lo to hi)
