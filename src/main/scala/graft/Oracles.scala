@@ -4980,7 +4980,11 @@ object Oracles {
       "q214_profile_table" -> base("q213_column_profile"),
       // the profile table riding the versioned layer (keyed commits
       // absorb the replay at COMMIT level) must also equal the one-shot
-      "q217_versioned_profile" -> base("q213_column_profile"))
+      "q217_versioned_profile" -> base("q213_column_profile"),
+      // the persisted inverted index (postings + denormalized doc
+      // lengths, appended per batch + a replayed batch absorbed by
+      // read-side dedup) must rank exactly like the one-shot BM25
+      "q228_bm25_index" -> base("q76_bm25"))
 
   /** The q60/q67/q167 shared edge CTEs: the deterministic fuzzy-dup
     * graph (contacts -> keyed pairs -> symmetrized edges). */

@@ -98,6 +98,15 @@ object Rank {
       .join(broadcast(dfreq), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats.select(col("n_docs"), col("avgdl"))))
+    bm25Rank(postings, terms, topK)
+  }
+
+  /** The shared BM25 scoring tail over a postings frame carrying
+    * (token, doc_id, tf, dl, n_docs, avgdl, df) — one row per matching
+    * (doc, term). Association order is fixed and mirrored by the SQL
+    * oracle (see the object scaladoc). */
+  private def bm25Rank(postings: DataFrame, terms: Seq[String],
+                       topK: Int): DataFrame = {
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val termScore = idf * (col("tf") * lit(2.2)) /
@@ -122,5 +131,49 @@ object Rank {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
       .select(col("rank"), col("doc_id"), col("dl"), col("score"))
+  }
+
+  /** Append a batch of documents' postings to the PERSISTED inverted
+    * index at `path`: (batch_id, doc_id, token, tf, dl) with the doc
+    * length DENORMALIZED onto every posting (Lucene's norms) — a
+    * term-filtered probe then has everything it needs without ever
+    * touching the unfiltered table. Append-only contract: a doc enters
+    * the index in exactly one batch; a REPLAYED batch (same batch_id)
+    * is absorbed by the probe's read-side dedup. Per batch this is the
+    * same one corpus-sized (doc, token) aggregate as the one-shot
+    * search — paid once per batch instead of once per query. */
+  def appendPostings(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, batchId: String): Unit =
+    termFreq(docs, idCol, textCol)
+      .withColumn("dl", sum(col("tf")).over(
+        Window.partitionBy(col("doc_id"))))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(path)
+
+  /** BM25 top-k from the persisted inverted index — the maintained-
+    * index completion of [[bm25Search]]: the corpus is NOT on hand
+    * (the point — at 100 TB each query reads the term-filtered slice
+    * of the index, with the token predicate pushed to the parquet
+    * scan, never re-tokenizing anything). Corpus stats (N, avgdl) come
+    * from the index's doc-length projection — index-sized, not
+    * corpus-sized. Must equal the one-shot [[bm25Search]] over
+    * everything ever appended, bit for bit (q228's proof, anchored on
+    * q76's oracle). */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    terms: Seq[String], topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, "bm25: 1..8 literal terms")
+    require(terms.distinct.size == terms.size, "bm25: terms must be distinct")
+    val idx = spark.read.parquet(path)
+      .dropDuplicates("batch_id", "doc_id", "token") // replay absorption
+    val stats = idx.select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+    val hits = idx.filter(col("token").isin(terms: _*))
+      .transform(Checkpoints.ckpt) // shared by df + the scoring join
+    val dfreq = hits.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    bm25Rank(hits
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats.select(col("n_docs"), col("avgdl")))),
+      terms, topK)
   }
 }

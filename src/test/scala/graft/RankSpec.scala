@@ -77,6 +77,28 @@ class RankSpec extends SparkSpec {
     }
   }
 
+  test("bm25 from the persisted index == one-shot, across batches and a replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    val path = s"$dir/postings"
+    val wave2 = Seq((5L, "a b d"), (6L, "c c a")).toDF("doc_id", "text")
+    Rank.appendPostings(docs, "doc_id", "text", path, "b0")
+    Rank.appendPostings(wave2, "doc_id", "text", path, "b1")
+    // at-least-once replay: the same batch appended twice must not
+    // change a single statistic (tf, df, dl, N, avgdl all dedup)
+    Rank.appendPostings(wave2, "doc_id", "text", path, "b1")
+    val all = docs.unionByName(wave2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val oneShot = rows(Rank.bm25Search(all, "doc_id", "text",
+      terms = Seq("a", "c"), topK = 10))
+    val fromIndex = rows(Rank.bm25FromIndex(spark, path,
+      terms = Seq("a", "c"), topK = 10))
+    assert(fromIndex == oneShot && oneShot.nonEmpty)
+    // the second wave is genuinely in the index (doc 6 matches both terms)
+    assert(fromIndex.exists(_._2 == 6L))
+  }
+
   test("bm25 rejects empty or oversized term lists") {
     intercept[IllegalArgumentException] {
       Rank.bm25Search(docs, "doc_id", "text", Seq.empty)
