@@ -2909,6 +2909,53 @@ object Oracles {
          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
     },
 
+    // chunk-level BM25: the q226 chunking CTEs feeding the q76 BM25
+    // shape, with synthetic chunk ids (doc_id * 100000 + chunk_idx)
+    "q229_chunk_search" -> {
+      val toks = toksSql("text")
+      s"""WITH tk0 AS (SELECT doc_id, $toks AS t FROM documents),
+         |n0 AS (SELECT doc_id, t, len(t) AS n FROM tk0),
+         |c0 AS (SELECT doc_id, t,
+         |  CASE WHEN n = 0 THEN 0 WHEN n <= 64 THEN 1
+         |   ELSE 1 + (n - 64 + 47) // 48 END AS nc FROM n0),
+         |e0 AS (SELECT doc_id, t, unnest(range(nc)) AS i FROM c0),
+         |chk AS (SELECT doc_id * 100000 + i AS chunk_id,
+         |  t[(i * 48 + 1):(i * 48 + 64)] AS ch FROM e0),
+         |tok AS (SELECT chunk_id, lower(unnest(ch)) AS token FROM chk),
+         |tf AS (SELECT chunk_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT chunk_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |stats AS (
+         | SELECT count(*) AS n_docs,
+         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |df AS (
+         | SELECT token, count(*) AS df FROM tf
+         | WHERE token IN ('spark', 'vector', 'query') GROUP BY 1),
+         |posting AS (
+         | SELECT tf.chunk_id, tf.token, tf.tf, dl.dl, s.n_docs, s.avgdl, df.df
+         | FROM tf JOIN df USING (token) JOIN dl USING (chunk_id)
+         |  CROSS JOIN stats s
+         | WHERE tf.token IN ('spark', 'vector', 'query')),
+         |st AS (
+         | SELECT chunk_id, token, dl,
+         |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) AS st
+         | FROM posting),
+         |pivoted AS (
+         | SELECT chunk_id, dl,
+         |  max(CASE WHEN token = 'spark' THEN st END) AS s0,
+         |  max(CASE WHEN token = 'vector' THEN st END) AS s1,
+         |  max(CASE WHEN token = 'query' THEN st END) AS s2
+         | FROM st GROUP BY 1, 2),
+         |top AS (
+         | SELECT chunk_id, dl,
+         |  round(coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0), 6)
+         |   AS score
+         | FROM pivoted ORDER BY score DESC, chunk_id ASC LIMIT 20)
+         |SELECT row_number() OVER (ORDER BY score DESC, chunk_id ASC) AS rank,
+         | chunk_id, dl, score
+         |FROM top ORDER BY rank""".stripMargin
+    },
+
     // copy-on-write MERGE: base minus updated keys, plus the doubled
     // updates, plus the negative-id inserts — upsert semantics replayed
     // in set algebra over the raw corpus

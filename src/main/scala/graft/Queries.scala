@@ -2847,6 +2847,26 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       java.lang.Boolean]()
 
+  /** Chunk-level BM25 retrieval — the RAG loop closed: chunkTokens
+    * splits the corpus into 64/48 token windows, bm25Search ranks the
+    * CHUNKS for the query — so a hit points into the exact context
+    * window a retrieval-augmented pipeline would feed the model, not
+    * at a whole document. Operator composition is the point: the
+    * chunker's output is just a corpus whose doc ids are synthetic
+    * (doc_id * 100000 + chunk_idx), and the whole search stack works
+    * on it unchanged. Oracle replays chunking (list slicing) + BM25
+    * end to end. */
+  def q229ChunkSearch(s: SparkSession, dir: String): DataFrame =
+    Rank.bm25Search(
+      graft.operators.TextOps.chunkTokens(t(s, dir, "documents"), "text",
+          chunkSize = 64, stride = 48, idCols = Seq("doc_id"))
+        .withColumn("chunk_id",
+          col("doc_id") * 100000L + col("chunk_idx")),
+      "chunk_id", "chunk_text",
+      terms = Seq("spark", "vector", "query"), topK = 20)
+      .withColumnRenamed("doc_id", "chunk_id")
+      .orderBy("rank")
+
   /** Token-window chunking (TextOps.chunkTokens): the corpus split into
     * 64-token windows advancing by 48 (16-token overlap) — RAG/context
     * prep as one codegen'd per-row expression, no shuffle. Every chunk
@@ -3995,6 +4015,7 @@ object Queries {
     "q226_text_chunks" -> (q226TextChunks _),
     "q227_clustered_rewrite" -> (q227ClusteredRewrite _),
     "q228_bm25_index" -> (q228Bm25Index _),
+    "q229_chunk_search" -> (q229ChunkSearch _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
