@@ -2909,6 +2909,25 @@ object Oracles {
          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
     },
 
+    // phrase search: zipped unnest gives (pos, token); per-term position
+    // lists intersect after shifting slot i by -i — integer-exact
+    "q230_phrase_search" -> {
+      val toks = toksSql("lower(text)")
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(range(len(t))) AS pos,
+         |  unnest(t) AS token FROM tk),
+         |p0 AS (SELECT doc_id, list(pos) AS ps FROM tok
+         |  WHERE token = 'big' GROUP BY 1),
+         |p1 AS (SELECT doc_id, list(pos) AS ps FROM tok
+         |  WHERE token = 'table' GROUP BY 1),
+         |j AS (SELECT p0.doc_id,
+         |  CAST(len(list_intersect(p0.ps,
+         |    list_transform(p1.ps, x -> x - 1))) AS BIGINT) AS phrase_tf
+         | FROM p0 JOIN p1 USING (doc_id))
+         |SELECT doc_id, phrase_tf FROM j WHERE phrase_tf > 0
+         |ORDER BY phrase_tf DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
     // chunk-level BM25: the q226 chunking CTEs feeding the q76 BM25
     // shape, with synthetic chunk ids (doc_id * 100000 + chunk_idx)
     "q229_chunk_search" -> {

@@ -2847,6 +2847,16 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       java.lang.Boolean]()
 
+  /** Exact phrase search (Rank.phraseSearch): docs containing the
+    * bigram "big table" ranked by phrase frequency — the positional-
+    * index intersection |pos(t0) ∩ (pos(t1)−1)|, pure integer array
+    * ops, one corpus pass. BM25 ranks bags of terms; this is the
+    * adjacency-aware complement every search surface pairs with it. */
+  def q230PhraseSearch(s: SparkSession, dir: String): DataFrame =
+    Rank.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+      phrase = Seq("big", "table"), topK = 20)
+      .orderBy(col("phrase_tf").desc, col("doc_id").asc)
+
   /** Chunk-level BM25 retrieval — the RAG loop closed: chunkTokens
     * splits the corpus into 64/48 token windows, bm25Search ranks the
     * CHUNKS for the query — so a hit points into the exact context
@@ -4016,6 +4026,7 @@ object Queries {
     "q227_clustered_rewrite" -> (q227ClusteredRewrite _),
     "q228_bm25_index" -> (q228Bm25Index _),
     "q229_chunk_search" -> (q229ChunkSearch _),
+    "q230_phrase_search" -> (q230PhraseSearch _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

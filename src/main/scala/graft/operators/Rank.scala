@@ -133,6 +133,44 @@ object Rank {
       .select(col("rank"), col("doc_id"), col("dl"), col("score"))
   }
 
+  /** Exact PHRASE search over a positional posting list: per document,
+    * phrase_tf = |positions(t0) ∩ (positions(t1) − 1) ∩ ... ∩
+    * (positions(tn) − n)| — the classic positional-index intersection,
+    * done with integer array ops (no floats anywhere, so every count
+    * replays cross-engine exactly).
+    *
+    * Physical shape: ONE corpus pass (posexplode of the token stream,
+    * filtered to the phrase's terms BEFORE the aggregate), one
+    * vocabulary-bounded (doc, term)->positions aggregate shared by all
+    * terms via an eager checkpoint, then |phrase|−1 joins on doc_id
+    * over frames already shrunk to docs containing each term. Repeated
+    * phrase terms are fine: each slot joins its own alias of the same
+    * positions row. Output: (doc_id, phrase_tf) for phrase_tf > 0,
+    * top `topK` by tf desc / doc_id asc. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String], topK: Int = 20): DataFrame = {
+    require(phrase.size >= 2 && phrase.size <= 6,
+      "phraseSearch: 2..6 literal terms")
+    val grouped = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(lower(col(textCol))))
+          .as(Seq("pos", "token")))
+      .filter(col("token").isin(phrase.distinct: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(collect_list(col("pos")).as("ps"))
+      .transform(Checkpoints.ckpt)
+    val joined = phrase.zipWithIndex.map { case (t, i) =>
+      grouped.filter(col("token") === t)
+        .select(col("doc_id"), col("ps").as(s"ps$i"))
+    }.reduceLeft(_.join(_, "doc_id")) // inner: every term must occur
+    val matches = phrase.indices.tail.foldLeft(col("ps0")) { (acc, i) =>
+      array_intersect(acc, transform(col(s"ps$i"), x => x - i))
+    }
+    joined.withColumn("phrase_tf", size(matches).cast("long"))
+      .filter(col("phrase_tf") > 0)
+      .select(col("doc_id"), col("phrase_tf"))
+      .orderBy(col("phrase_tf").desc, col("doc_id").asc).limit(topK)
+  }
+
   /** Append a batch of documents' postings to the PERSISTED inverted
     * index at `path`: (batch_id, doc_id, token, tf, dl) with the doc
     * length DENORMALIZED onto every posting (Lucene's norms) — a

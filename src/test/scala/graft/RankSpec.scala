@@ -99,6 +99,29 @@ class RankSpec extends SparkSpec {
     assert(fromIndex.exists(_._2 == 6L))
   }
 
+  test("phraseSearch: adjacency counts, overlaps, repeated terms, misses") {
+    val corpus = Seq(
+      (1L, "a b a b a"),  // "a b" at 0 and 2
+      (2L, "a a a"),      // "a a" overlapping at 0 and 1
+      (3L, "x y"),        // contains neither term pair
+      (4L, "b a")         // reversed order only
+    ).toDF("doc_id", "text")
+    def run(phrase: Seq[String]) =
+      Rank.phraseSearch(corpus, "doc_id", "text", phrase, topK = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // order matters: "a b" hits docs 1 only; "b a" hits 1 (pos 1,3) and 4
+    assert(run(Seq("a", "b")) == Map(1L -> 2L))
+    assert(run(Seq("b", "a")) == Map(1L -> 2L, 4L -> 1L))
+    // a repeated term intersects two aliases of its own position list,
+    // and OVERLAPPING occurrences each count ("a a a" -> 2); doc 1 has
+    // no consecutive "a a" at all despite three a's
+    assert(run(Seq("a", "a")) == Map(2L -> 2L))
+    // 3-term phrase, still exact
+    assert(run(Seq("a", "b", "a")) == Map(1L -> 2L))
+    // absent phrase: no rows, not zero rows with tf 0
+    assert(run(Seq("x", "a")).isEmpty)
+  }
+
   test("bm25 rejects empty or oversized term lists") {
     intercept[IllegalArgumentException] {
       Rank.bm25Search(docs, "doc_id", "text", Seq.empty)
