@@ -2909,6 +2909,19 @@ object Oracles {
          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
     },
 
+    // gap fill: carried values, no float math — last_value IGNORE NULLS
+    // over the same (ts, event_id)-ordered unbounded-preceding frame
+    "q231_gap_fill" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        | FROM events)
+        |SELECT user_id, event_id, (v IS NULL) AS was_gap,
+        | last_value(v IGNORE NULLS) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+
     // phrase search: zipped unnest gives (pos, token); per-term position
     // lists intersect after shifting slot i by -i — integer-exact
     "q230_phrase_search" -> {

@@ -2847,6 +2847,30 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       java.lang.Boolean]()
 
+  /** Time-series gap fill: forward-fill nulled-out readings with the
+    * last non-null value per user in event-time order — last(ignoreNulls)
+    * over an unbounded-preceding row frame, the standard sensor/metric
+    * repair before any rolling computation. No float arithmetic (values
+    * are CARRIED, not combined), so the fill replays bitwise; leading
+    * nulls (no prior reading) stay null on both engines. Scale: one
+    * shuffle on user_id, per-partition linear scan. */
+  def q231GapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("v",
+        when(col("event_id") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("filled_value", last(col("v"), ignoreNulls = true).over(w))
+      .withColumn("was_gap", col("v").isNull)
+      .select(col("user_id"), col("event_id"), col("was_gap"),
+        col("filled_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Exact phrase search (Rank.phraseSearch): docs containing the
     * bigram "big table" ranked by phrase frequency — the positional-
     * index intersection |pos(t0) ∩ (pos(t1)−1)|, pure integer array
@@ -4027,6 +4051,7 @@ object Queries {
     "q228_bm25_index" -> (q228Bm25Index _),
     "q229_chunk_search" -> (q229ChunkSearch _),
     "q230_phrase_search" -> (q230PhraseSearch _),
+    "q231_gap_fill" -> (q231GapFill _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
