@@ -2909,6 +2909,54 @@ object Oracles {
          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
     },
 
+    // linear interpolation: anchors via IGNORE NULLS windows both ways,
+    // epoch-micro deltas, ONE multiply-divide chain in the exact
+    // association order of the Spark expression, no trailing round
+    "q233_interp_fill" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, ts, epoch_us(ts) AS t,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        | FROM events),
+        |f AS (
+        | SELECT user_id, event_id, v, t,
+        |  last_value(v IGNORE NULLS) OVER w_b AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |   OVER w_b AS pt,
+        |  first_value(v IGNORE NULLS) OVER w_f AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |   OVER w_f AS nt
+        | FROM e
+        | WINDOW w_b AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w_f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id, (v IS NULL) AS was_gap,
+        | CASE WHEN v IS NOT NULL THEN v
+        |  WHEN pv IS NULL THEN NULL
+        |  WHEN nv IS NULL THEN pv
+        |  ELSE pv + (nv - pv)
+        |   * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END
+        |  AS filled_value
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
+
+    // OHLC: open/close via row_number on the total (ts, event_id) order
+    // (arg_min/arg_max on a composite key, replayed as windows)
+    "q232_ohlc" ->
+      """WITH e AS (
+        | SELECT CAST(ts AS DATE) AS day, event_type, value,
+        |  row_number() OVER (PARTITION BY CAST(ts AS DATE), event_type
+        |   ORDER BY ts ASC, event_id ASC) AS rn_a,
+        |  row_number() OVER (PARTITION BY CAST(ts AS DATE), event_type
+        |   ORDER BY ts DESC, event_id DESC) AS rn_d
+        | FROM events)
+        |SELECT day, event_type,
+        | max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        | max(value) AS high, min(value) AS low,
+        | max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        | count(*) AS n_events
+        |FROM e GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin,
+
     // gap fill: carried values, no float math — last_value IGNORE NULLS
     // over the same (ts, event_id)-ordered unbounded-preceding frame
     "q231_gap_fill" ->

@@ -2847,6 +2847,67 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       java.lang.Boolean]()
 
+  /** OHLC downsampling: per (day, event_type) the open/high/low/close
+    * of the value stream — min_by/max_by on the (ts, event_id) struct
+    * for open/close (total order, ties impossible past the unique id),
+    * plain min/max for the band. Values are carried, never combined —
+    * bitwise replay. The metrics-rollup shape: one shuffle on the
+    * bucket key, partial aggregation does the heavy lifting map-side. */
+  def q232Ohlc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy("day", "event_type")
+
+  /** Linear-interpolation gap fill — the ffill's (q231) smooth
+    * counterpart: an interior gap takes
+    * prev + (next − prev) * ((t − t0) / (t1 − t0)) with times in exact
+    * epoch micros; a trailing gap forward-fills (no next anchor), a
+    * leading gap stays null (no prev anchor). One multiply-divide
+    * chain in a fixed association order, mirrored by the oracle, and
+    * deliberately UNROUNDED — a round() on this quotient is exactly
+    * the shortest-repr-tie hazard (PLANS_r07 part 14). Two window
+    * passes (backward anchors via a following frame), one shuffle. */
+  def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("v",
+        when(col("event_id") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+      // ts reads as TIMESTAMP_NTZ; the session tz is pinned UTC
+      // (Engine.scala), so the cast is instant-preserving and matches
+      // DuckDB's epoch_us on the same naive value
+      .withColumn("t", unix_micros(col("ts").cast("timestamp")))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tAnchor = when(col("v").isNotNull, col("t"))
+    val filled = ev
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("pt", last(tAnchor, ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nt", first(tAnchor, ignoreNulls = true).over(fwd))
+      .withColumn("filled_value",
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, lit(null).cast("double"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("t") - col("pt")).cast("double") /
+              (col("nt") - col("pt")).cast("double"))))
+    filled.select(col("user_id"), col("event_id"),
+        col("v").isNull.as("was_gap"), col("filled_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Time-series gap fill: forward-fill nulled-out readings with the
     * last non-null value per user in event-time order — last(ignoreNulls)
     * over an unbounded-preceding row frame, the standard sensor/metric
@@ -4052,6 +4113,8 @@ object Queries {
     "q229_chunk_search" -> (q229ChunkSearch _),
     "q230_phrase_search" -> (q230PhraseSearch _),
     "q231_gap_fill" -> (q231GapFill _),
+    "q232_ohlc" -> (q232Ohlc _),
+    "q233_interp_fill" -> (q233InterpFill _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
