@@ -99,6 +99,45 @@ object Oracles {
        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", round(sim, 6) AS cosine_sim
        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** Rank.bm25Search for the fixed ('spark','vector','query') query,
+    * top 20 — the q76 oracle, and (as a verbatim subquery) the lexical
+    * list inside q234's RRF fusion, so the two can never drift. */
+  private def q76Sql: String =
+    s"""WITH tok AS (
+       | SELECT doc_id, unnest(${toksSql("lower(text)")}) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |stats AS (
+       | SELECT count(*) AS n_docs,
+       |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |df AS (
+       | SELECT token, count(*) AS df FROM tf
+       | WHERE token IN ('spark', 'vector', 'query') GROUP BY 1),
+       |posting AS (
+       | SELECT tf.doc_id, tf.token, tf.tf, dl.dl, s.n_docs, s.avgdl, df.df
+       | FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+       |  CROSS JOIN stats s
+       | WHERE tf.token IN ('spark', 'vector', 'query')),
+       |st AS (
+       | SELECT doc_id, token, dl,
+       |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) AS st
+       | FROM posting),
+       |pivoted AS (
+       | SELECT doc_id, dl,
+       |  max(CASE WHEN token = 'spark' THEN st END) AS s0,
+       |  max(CASE WHEN token = 'vector' THEN st END) AS s1,
+       |  max(CASE WHEN token = 'query' THEN st END) AS s2
+       | FROM st GROUP BY 1, 2),
+       |top AS (
+       | SELECT doc_id, dl,
+       |  round(coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0), 6)
+       |   AS score
+       | FROM pivoted ORDER BY score DESC, doc_id ASC LIMIT 20)
+       |SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       | doc_id, dl, score
+       |FROM top ORDER BY rank""".stripMargin
+
   /** Dedup.portableHash64 in DuckDB: first 15 hex digits of
     * md5("seed:" || v) parsed as a 60-bit integer. */
   private def ph(expr: String, seed: Int) =
@@ -1827,45 +1866,45 @@ object Oracles {
     // 1.2/2.2 the same decimal TEXT both engines parse, never k1+1 in
     // Scala), identical association order, per-term partials summed in
     // fixed term order via the pivoted columns
-    "q76_bm25" ->
-      s"""WITH tok AS (
-         | SELECT doc_id, unnest(${toksSql("lower(text)")}) AS token FROM documents),
-         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         |stats AS (
-         | SELECT count(*) AS n_docs,
-         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         |df AS (
-         | SELECT token, count(*) AS df FROM tf
-         | WHERE token IN ('spark', 'vector', 'query') GROUP BY 1),
-         |posting AS (
-         | SELECT tf.doc_id, tf.token, tf.tf, dl.dl, s.n_docs, s.avgdl, df.df
-         | FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
-         |  CROSS JOIN stats s
-         | WHERE tf.token IN ('spark', 'vector', 'query')),
-         |st AS (
-         | SELECT doc_id, token, dl,
-         |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-         |   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) AS st
-         | FROM posting),
-         |pivoted AS (
-         | SELECT doc_id, dl,
-         |  max(CASE WHEN token = 'spark' THEN st END) AS s0,
-         |  max(CASE WHEN token = 'vector' THEN st END) AS s1,
-         |  max(CASE WHEN token = 'query' THEN st END) AS s2
-         | FROM st GROUP BY 1, 2),
-         |top AS (
-         | SELECT doc_id, dl,
-         |  round(coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0), 6)
-         |   AS score
-         | FROM pivoted ORDER BY score DESC, doc_id ASC LIMIT 20)
-         |SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
-         | doc_id, dl, score
-         |FROM top ORDER BY rank""".stripMargin,
+    "q76_bm25" -> q76Sql,
+
+    // hybrid RRF fusion: the q76 lexical statement verbatim as a
+    // subquery (one copy of the BM25 chain — the q204 shared-CTE
+    // discipline) + the brute-force cosine chain for the vec_id=0
+    // query; reciprocal ranks as 10^9 // (60+rank) BIGINT micro-units
+    "q234_rrf_fusion" ->
+      s"""WITH lex AS (
+         | SELECT doc_id, CAST("rank" AS INT) AS lex_rank FROM ($q76Sql)),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (
+         | SELECT neighbor_id,
+         |  ${dotSql("qv", "cv")} AS dot_p,
+         |  ${normSql("qv")} * ${normSql("cv")} AS norm_p
+         | FROM c, q WHERE neighbor_id <> query_id),
+         |sims AS (
+         | SELECT neighbor_id,
+         |  CASE WHEN norm_p = 0 THEN 0.0 ELSE dot_p / norm_p END AS sim
+         | FROM scored),
+         |dense AS (
+         | SELECT neighbor_id AS doc_id, CAST(rnk AS INT) AS dense_rank
+         | FROM (SELECT neighbor_id, row_number() OVER
+         |   (ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM sims)
+         | WHERE rnk <= 20),
+         |fused AS (
+         | SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, lex_rank, dense_rank,
+         |  CAST(coalesce(1000000000 // (60 + lex_rank), 0)
+         |   + coalesce(1000000000 // (60 + dense_rank), 0) AS BIGINT)
+         |   AS rrf_micros
+         | FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+         |SELECT CAST(row_number() OVER
+         |  (ORDER BY rrf_micros DESC, doc_id ASC) AS INT) AS fused_rank,
+         | doc_id, lex_rank, dense_rank, rrf_micros
+         |FROM fused ORDER BY fused_rank""".stripMargin,
 
     // dropNearDuplicates end-to-end: pairs -> recursive CC -> keep min-id
     "q65_neardedup_e2e_portable" -> q65Sql,
-
     // incremental (cross-corpus) near-dedup, full replay
     "q66_neardedup_incr_portable" -> q66Sql,
 

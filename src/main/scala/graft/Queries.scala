@@ -2875,6 +2875,39 @@ object Queries {
     * deliberately UNROUNDED — a round() on this quotient is exactly
     * the shortest-repr-tie hazard (PLANS_r07 part 14). Two window
     * passes (backward anchors via a following frame), one shuffle. */
+  /** Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    * top-20 (q76's query) fused with the dense cosine top-20 for the
+    * vec_id=0 query vector, score(d) = sum over lists of
+    * 1/(60 + rank_d) — computed as 10^9 DIV (60 + rank) integer
+    * micro-units summed in BIGINT, so the fused ordering is EXACT and
+    * order-independent cross-engine (no float reciprocal sums).
+    * Missing-from-a-list contributes 0 (full outer join + coalesce).
+    * Scale: both input lists are top-k (bounded); the fusion join and
+    * final rank run on <= 2k rows — the corpus-sized work is entirely
+    * inside the two retrievers, which keep their own scale shapes
+    * (posting-filtered BM25, broadcast-query brute force / IVF). */
+  def q234RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = Rank.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "vector", "query"), topK = 20)
+      .select(col("doc_id"), col("rank").cast("int").as("lex_rank"))
+    val emb = t(s, dir, "embeddings")
+    val dense = Knn.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 20)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").cast("int").as("dense_rank"))
+    val fused = lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micros",
+        coalesce(expr("1000000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + dense_rank)"), lit(0L)))
+    // the unpartitioned window ranks only the <= 40 fused survivors
+    fused
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("rrf_micros").desc, col("doc_id").asc)).cast("int"))
+      .select(col("fused_rank"), col("doc_id"), col("lex_rank"),
+        col("dense_rank"), col("rrf_micros"))
+      .orderBy("fused_rank")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -4115,6 +4148,7 @@ object Queries {
     "q231_gap_fill" -> (q231GapFill _),
     "q232_ohlc" -> (q232Ohlc _),
     "q233_interp_fill" -> (q233InterpFill _),
+    "q234_rrf_fusion" -> (q234RrfFusion _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
