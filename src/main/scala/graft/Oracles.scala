@@ -99,6 +99,14 @@ object Oracles {
        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", round(sim, 6) AS cosine_sim
        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** The nDCG@5 discount weights 1/log2(r+1), r = 1..5 — computed ONCE
+    * here and inlined as shortest-repr double literals into both the
+    * Spark expression (Queries.q235Ndcg) and the SQL below, so neither
+    * engine evaluates a transcendental and the sums are bitwise
+    * cross-engine. */
+  val ndcgWeights: Seq[Double] =
+    (1 to 5).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
   /** Rank.bm25Search for the fixed ('spark','vector','query') query,
     * top 20 — the q76 oracle, and (as a verbatim subquery) the lexical
     * list inside q234's RRF fusion, so the two can never drift. */
@@ -1902,6 +1910,62 @@ object Oracles {
          |  (ORDER BY rrf_micros DESC, doc_id ASC) AS INT) AS fused_rank,
          | doc_id, lex_rank, dense_rank, rrf_micros
          |FROM fused ORDER BY fused_rank""".stripMargin,
+
+    // nDCG@5 over the q21 brute-force lists, label-match relevance; the
+    // log2 discounts are the SAME inlined double literals Spark uses
+    // (ndcgWeights), added in the same left-to-right order
+    "q235_ndcg" -> {
+      // e-notation is load-bearing: a bare 17-digit literal parses as
+      // DECIMAL in DuckDB (scale-rounded arithmetic), and CAST(decimal
+      // AS DOUBLE) is not correctly rounded past 2^53 — only an
+      // exponent-form literal parses directly as a correctly-rounded
+      // DOUBLE (both observed as sf0.1 ulp reds)
+      val w = ndcgWeights.map(d => s"(${d}e0)")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |            label AS q_label FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |       label AS n_label FROM embeddings),
+         |scored AS (
+         | SELECT query_id, neighbor_id, q_label, n_label,
+         |  ${dotSql("qv", "cv")} AS dot_p,
+         |  ${normSql("qv")} * ${normSql("cv")} AS norm_p
+         | FROM c, q WHERE neighbor_id <> query_id),
+         |sims AS (
+         | SELECT query_id, neighbor_id, q_label, n_label,
+         |  CASE WHEN norm_p = 0 THEN 0.0 ELSE dot_p / norm_p END AS sim
+         | FROM scored),
+         |ranked AS (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM sims),
+         |rel AS (
+         | SELECT query_id, rnk,
+         |  CASE WHEN q_label = n_label THEN 1 ELSE 0 END AS rel
+         | FROM ranked WHERE rnk <= 5),
+         |piv AS (
+         | SELECT query_id,
+         |  CAST(coalesce(max(CASE WHEN rnk = 1 THEN rel END), 0) AS INT) AS r1,
+         |  CAST(coalesce(max(CASE WHEN rnk = 2 THEN rel END), 0) AS INT) AS r2,
+         |  CAST(coalesce(max(CASE WHEN rnk = 3 THEN rel END), 0) AS INT) AS r3,
+         |  CAST(coalesce(max(CASE WHEN rnk = 4 THEN rel END), 0) AS INT) AS r4,
+         |  CAST(coalesce(max(CASE WHEN rnk = 5 THEN rel END), 0) AS INT) AS r5
+         | FROM rel GROUP BY 1),
+         |calc AS (
+         | SELECT query_id, CAST(r1 + r2 + r3 + r4 + r5 AS INT) AS n_rel,
+         |  r1 * ${w(0)} + r2 * ${w(1)} + r3 * ${w(2)}
+         |   + r4 * ${w(3)} + r5 * ${w(4)} AS dcg
+         | FROM piv),
+         |fin AS (
+         | SELECT query_id, n_rel, dcg,
+         |  (CASE WHEN n_rel >= 1 THEN ${w(0)} ELSE 0.0 END)
+         |   + (CASE WHEN n_rel >= 2 THEN ${w(1)} ELSE 0.0 END)
+         |   + (CASE WHEN n_rel >= 3 THEN ${w(2)} ELSE 0.0 END)
+         |   + (CASE WHEN n_rel >= 4 THEN ${w(3)} ELSE 0.0 END)
+         |   + (CASE WHEN n_rel >= 5 THEN ${w(4)} ELSE 0.0 END) AS idcg
+         | FROM calc)
+         |SELECT query_id, n_rel, dcg, idcg,
+         | CASE WHEN idcg = 0 THEN 0.0 ELSE dcg / idcg END AS ndcg
+         |FROM fin ORDER BY query_id""".stripMargin
+    },
 
     // dropNearDuplicates end-to-end: pairs -> recursive CC -> keep min-id
     "q65_neardedup_e2e_portable" -> q65Sql,

@@ -2908,6 +2908,46 @@ object Queries {
       .orderBy("fused_rank")
   }
 
+  /** nDCG@5 retrieval eval over the q21 brute-force lists: relevance is
+    * label match (neighbor label == query label), DCG the standard
+    * sum of rel_r / log2(r+1). Float discipline: the five log2
+    * discounts are PRECOMPUTED in Scala and inlined as shortest-repr
+    * double literals into BOTH engines' expressions ([[Oracles
+    * .ndcgWeights]] interpolates the same strings into the SQL), so no
+    * engine ever evaluates a transcendental — dcg/idcg are fixed-order
+    * sums of products of identical doubles, and ndcg is one division.
+    * Scale: the ranked lists come from the broadcast-query brute-force
+    * pass; everything after is per-query pivot rows (bounded). */
+  def q235Ndcg(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label"))
+    val ranked = Knn.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("q_label"))), Seq("query_id"))
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"))), Seq("neighbor_id"))
+      .withColumn("rel", (col("q_label") === col("n_label")).cast("int"))
+    val w = Oracles.ndcgWeights // 1/log2(r+1), r = 1..5, shared literals
+    val pivots = (1 to 5).map(r =>
+      max(when(col("rank") === r, col("rel"))).as(s"rel$r"))
+    val perQ = ranked.groupBy(col("query_id")).agg(pivots.head, pivots.tail: _*)
+    val rel = (1 to 5).map(r => coalesce(col(s"rel$r"), lit(0)))
+    val nRel = rel.reduceLeft(_ + _)
+    val dcg = (1 to 5).map(r => rel(r - 1) * lit(w(r - 1))).reduceLeft(_ + _)
+    val idcg = (1 to 5).map(r =>
+      when(col("n_rel") >= r, lit(w(r - 1))).otherwise(lit(0.0)))
+      .reduceLeft(_ + _)
+    perQ
+      .withColumn("n_rel", nRel)
+      .withColumn("dcg", dcg)
+      .withColumn("idcg", idcg)
+      .withColumn("ndcg",
+        when(col("idcg") === 0.0, 0.0).otherwise(col("dcg") / col("idcg")))
+      .select(col("query_id"), col("n_rel"), col("dcg"), col("idcg"),
+        col("ndcg"))
+      .orderBy("query_id")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -4149,6 +4189,7 @@ object Queries {
     "q232_ohlc" -> (q232Ohlc _),
     "q233_interp_fill" -> (q233InterpFill _),
     "q234_rrf_fusion" -> (q234RrfFusion _),
+    "q235_ndcg" -> (q235Ndcg _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
