@@ -1967,6 +1967,29 @@ object Oracles {
          |FROM fin ORDER BY query_id""".stripMargin
     },
 
+    // calendar-spine hourly resample with explicit zero gap rows
+    "q236_resample" ->
+      """WITH e AS (
+        | SELECT date_trunc('hour', ts) AS hour, event_type, value
+        | FROM events),
+        |hourly AS (
+        | SELECT hour, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        | FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM e),
+        |hours AS (
+        | SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+        | FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM e),
+        |spine AS (SELECT hours.hour, ty.event_type FROM hours CROSS JOIN ty)
+        |SELECT s.hour, s.event_type,
+        | coalesce(h.n_events, 0) AS n_events,
+        | coalesce(h.sum_value, 0.0) AS sum_value,
+        | (h.n_events IS NULL) AS is_gap
+        |FROM spine s LEFT JOIN hourly h
+        | ON s.hour = h.hour AND s.event_type = h.event_type
+        |ORDER BY s.hour, s.event_type""".stripMargin,
+
     // dropNearDuplicates end-to-end: pairs -> recursive CC -> keep min-id
     "q65_neardedup_e2e_portable" -> q65Sql,
     // incremental (cross-corpus) near-dedup, full replay

@@ -2948,6 +2948,35 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** Calendar-spine resample: hourly (hour, event_type) totals with
+    * MISSING hours materialized as explicit zero rows — the resample
+    * step a time-series store runs before rolling math so window
+    * frames count calendar time, not observed rows. The spine is
+    * sequence(min_hour, max_hour, 1h) x distinct types, derived from
+    * the data (a 1-row bounds frame crossed with the bounded type
+    * dim); the corpus-sized work is the one hourly aggregate, and the
+    * left join keys on (hour, type) — spine side is bounded by the
+    * calendar, not the data. Values sum through exact DECIMAL cents
+    * (the q19 convention). */
+  def q236Resample(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"),
+        col("value"))
+    val hourly = ev.groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+    val hours = ev.agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"),
+        expr("interval 1 hour"))).as("hour"))
+    val spine = hours.crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+    spine.join(hourly, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+        col("n_events").isNull.as("is_gap"))
+      .orderBy("hour", "event_type")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -4190,6 +4219,7 @@ object Queries {
     "q233_interp_fill" -> (q233InterpFill _),
     "q234_rrf_fusion" -> (q234RrfFusion _),
     "q235_ndcg" -> (q235Ndcg _),
+    "q236_resample" -> (q236Resample _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
