@@ -1990,6 +1990,32 @@ object Oracles {
         | ON s.hour = h.hour AND s.event_type = h.event_type
         |ORDER BY s.hour, s.event_type""".stripMargin,
 
+    // trailing-window 3-sigma flags in BIGINT cents: the variance
+    // inequality cross-multiplied, no sqrt/division/float anywhere
+    "q237_anomaly_flags" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, ts,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |f AS (
+        | SELECT user_id, event_id, cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_window,
+        |  CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS s,
+        |  CAST(coalesce(sum(cents * cents) OVER w, 0) AS BIGINT) AS q
+        | FROM e
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)),
+        |g AS (
+        | SELECT user_id, event_id, cents, n_window,
+        |  (n_window * cents - s) * (n_window * cents - s)
+        |   * (n_window - 1) AS lhs,
+        |  9 * n_window * (n_window * q - s * s) AS rhs
+        | FROM f)
+        |SELECT user_id, event_id, cents, n_window,
+        | CAST(lhs AS BIGINT) AS lhs, CAST(rhs AS BIGINT) AS rhs,
+        | (n_window >= 10 AND lhs > rhs) AS is_anomaly
+        |FROM g ORDER BY user_id, event_id""".stripMargin,
+
     // dropNearDuplicates end-to-end: pairs -> recursive CC -> keep min-id
     "q65_neardedup_e2e_portable" -> q65Sql,
     // incremental (cross-corpus) near-dedup, full replay

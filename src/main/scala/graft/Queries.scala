@@ -2977,6 +2977,44 @@ object Queries {
       .orderBy("hour", "event_type")
   }
 
+  /** Online anomaly flags: per user, each event is tested at 3 sigma
+    * against the TRAILING window of its previous 50 readings (row
+    * frame -50..-1 — the streaming detector shape: only the past is
+    * visible). The z-test runs entirely in BIGINT cents with the
+    * variance inequality cross-multiplied —
+    *   (n*x - s)^2 * (n-1) > 9 * n * (n*q - s^2)
+    * where s = sum(cents), q = sum(cents^2) over the frame — so there
+    * is no sqrt, no division, no float: the flag is EXACT and
+    * replayable bit-for-bit (max magnitude ~3e15 at |value| <= 500,
+    * well inside BIGINT). Windows with n < 10 never flag (cold start).
+    * Scale: one shuffle on user_id, per-partition linear window scan;
+    * the two running sums are O(1) per row. */
+  def q237AnomalyFlags(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-50, -1)
+    val n = count(lit(1)).over(w)
+    val sum1 = sum(col("cents")).over(w)
+    val sum2 = sum(col("cents") * col("cents")).over(w)
+    ev.withColumn("n_window", n.cast("long"))
+      .withColumn("s", coalesce(sum1, lit(0L)))
+      .withColumn("q", coalesce(sum2, lit(0L)))
+      .withColumn("lhs",
+        (col("n_window") * col("cents") - col("s"))
+          * (col("n_window") * col("cents") - col("s"))
+          * (col("n_window") - 1))
+      .withColumn("rhs",
+        lit(9L) * col("n_window")
+          * (col("n_window") * col("q") - col("s") * col("s")))
+      .withColumn("is_anomaly", col("n_window") >= 10 && col("lhs") > col("rhs"))
+      .select(col("user_id"), col("event_id"), col("cents"),
+        col("n_window"), col("lhs"), col("rhs"), col("is_anomaly"))
+      .orderBy("user_id", "event_id")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -4220,6 +4258,7 @@ object Queries {
     "q234_rrf_fusion" -> (q234RrfFusion _),
     "q235_ndcg" -> (q235Ndcg _),
     "q236_resample" -> (q236Resample _),
+    "q237_anomaly_flags" -> (q237AnomalyFlags _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
