@@ -2016,6 +2016,45 @@ object Oracles {
         | (n_window >= 10 AND lhs > rhs) AS is_anomaly
         |FROM g ORDER BY user_id, event_id""".stripMargin,
 
+    // declarative DQ suite: one scalar-count row per check
+    "q238_dq_checks" ->
+      """WITH checks AS (
+        | SELECT 'not_null:o_orderkey' AS check_name,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey IS NULL)
+        |   AS n_violations,
+        |  (SELECT count(*) FROM orders) AS n_rows
+        | UNION ALL SELECT 'not_null:o_custkey',
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+        |  (SELECT count(*) FROM orders)
+        | UNION ALL SELECT 'unique:o_orderkey',
+        |  (SELECT coalesce(sum(c), 0) FROM (
+        |    SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+        |    HAVING count(*) > 1)),
+        |  (SELECT count(*) FROM orders)
+        | UNION ALL SELECT 'accepted_values:o_orderstatus',
+        |  (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+        |    AND o_orderstatus NOT IN ('O', 'F')),
+        |  (SELECT count(*) FROM orders)
+        | UNION ALL SELECT 'range:o_totalprice',
+        |  (SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL
+        |    AND (o_totalprice < 0.0 OR o_totalprice > 300000.0)),
+        |  (SELECT count(*) FROM orders)
+        | UNION ALL SELECT 'fk:o_custkey',
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |  (SELECT count(*) FROM orders)
+        | UNION ALL SELECT 'freshness:o_orderdate',
+        |  CASE WHEN (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)
+        |    < DATE '1998-01-01' THEN 1 ELSE 0 END,
+        |  (SELECT count(*) FROM orders)
+        | UNION ALL SELECT 'fk:l_orderkey',
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |  (SELECT count(*) FROM lineitem))
+        |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+        | CAST(n_rows AS BIGINT) AS n_rows, n_violations = 0 AS pass
+        |FROM checks ORDER BY check_name""".stripMargin,
+
     // dropNearDuplicates end-to-end: pairs -> recursive CC -> keep min-id
     "q65_neardedup_e2e_portable" -> q65Sql,
     // incremental (cross-corpus) near-dedup, full replay

@@ -3015,6 +3015,28 @@ object Queries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Declarative data-quality gate ([[Expectations]]): eight checks
+    * over orders (+ one lineitem FK), chosen so both outcomes are
+    * exercised — accepted_values excludes the real 'P' status and the
+    * range cap sits below the real price max, so those FAIL with
+    * nonzero violation counts while the key/null/FK checks pass. All
+    * row-local checks fold into one corpus pass; uniqueness is one
+    * keyed shuffle; each FK one anti-join. */
+  def q238DqChecks(s: SparkSession, dir: String): DataFrame = {
+    import Expectations._
+    val orders = t(s, dir, "orders")
+    Expectations.run(orders, Seq(
+        NotNull("o_orderkey"), NotNull("o_custkey"),
+        Unique(Seq("o_orderkey")),
+        InSet("o_orderstatus", Seq("O", "F")),
+        InRange("o_totalprice", 0.0, 300000.0),
+        ForeignKey("o_custkey", t(s, dir, "customer"), "c_custkey"),
+        MinDate("o_orderdate", "1998-01-01")))
+      .unionByName(Expectations.run(t(s, dir, "lineitem"),
+        Seq(ForeignKey("l_orderkey", orders, "o_orderkey"))))
+      .orderBy("check_name")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -4259,6 +4281,7 @@ object Queries {
     "q235_ndcg" -> (q235Ndcg _),
     "q236_resample" -> (q236Resample _),
     "q237_anomaly_flags" -> (q237AnomalyFlags _),
+    "q238_dq_checks" -> (q238DqChecks _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
