@@ -2055,6 +2055,43 @@ object Oracles {
         | CAST(n_rows AS BIGINT) AS n_rows, n_violations = 0 AS pass
         |FROM checks ORDER BY check_name""".stripMargin,
 
+    // triangle census of the q31 contact graph: canonical a<b edges,
+    // wedges closed by the oriented (a,b)+(b,c)+(a,c) join; counts
+    // exact, clustering = one double division 3T/W
+    "q239_triangles" ->
+      """WITH contacts AS (
+        | SELECT c_custkey,
+        |  'u' || CAST(c_custkey % 700 AS VARCHAR) || '@x.com' AS email,
+        |  'n' || CAST(c_custkey % 50 AS VARCHAR) AS name,
+        |  'p' || CAST(c_custkey % 60 AS VARCHAR) AS phone
+        | FROM customer),
+        |e AS (
+        | SELECT DISTINCT l.c_custkey AS a, r.c_custkey AS b
+        | FROM contacts l, contacts r
+        | WHERE l.c_custkey < r.c_custkey
+        |  AND (l.email = r.email
+        |   OR (l.name = r.name AND l.phone = r.phone))),
+        |deg AS (
+        | SELECT id, count(*) AS deg FROM (
+        |  SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+        | GROUP BY 1),
+        |ds AS (
+        | SELECT count(*) AS n_nodes,
+        |  sum(deg * (deg - 1) // 2) AS n_wedges FROM deg),
+        |m AS (SELECT count(*) AS n_edges FROM e),
+        |tr AS (
+        | SELECT count(*) AS n_triangles
+        | FROM e x JOIN e y ON x.b = y.a
+        |  JOIN e z ON z.a = x.a AND z.b = y.b)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        | CAST(n_edges AS BIGINT) AS n_edges,
+        | CAST(n_wedges AS BIGINT) AS n_wedges,
+        | CAST(n_triangles AS BIGINT) AS n_triangles,
+        | CASE WHEN n_wedges = 0 THEN 0.0
+        |  ELSE CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+        |  END AS clustering
+        |FROM ds CROSS JOIN m CROSS JOIN tr""".stripMargin,
+
     // dropNearDuplicates end-to-end: pairs -> recursive CC -> keep min-id
     "q65_neardedup_e2e_portable" -> q65Sql,
     // incremental (cross-corpus) near-dedup, full replay

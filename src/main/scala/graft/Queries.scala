@@ -3037,6 +3037,23 @@ object Queries {
       .orderBy("check_name")
   }
 
+  /** Triangle census + global clustering coefficient of the q31 fuzzy
+    * contact graph ([[Graph.triangleStats]]) — the graph-density audit
+    * run before trusting transitive dedup families: clique-ish
+    * clustering means the pair generator is consistent, near-zero
+    * clustering with many edges means chained false positives. Counts
+    * exact; clustering one double division. */
+  def q239Triangles(s: SparkSession, dir: String): DataFrame = {
+    val contacts = t(s, dir, "customer").select(
+      col("c_custkey"),
+      concat(lit("u"), col("c_custkey") % 700, lit("@x.com")).as("email"),
+      concat(lit("n"), col("c_custkey") % 50).as("name"),
+      concat(lit("p"), col("c_custkey") % 60).as("phone"))
+    Graph.triangleStats(
+      Dedup.fuzzyDuplicatePairs(contacts, "c_custkey", "email", "name",
+        "phone"))
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -4282,6 +4299,7 @@ object Queries {
     "q236_resample" -> (q236Resample _),
     "q237_anomaly_flags" -> (q237AnomalyFlags _),
     "q238_dq_checks" -> (q238DqChecks _),
+    "q239_triangles" -> (q239Triangles _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -126,4 +126,47 @@ object Graph {
     }
     hub.join(auth, Seq("id"))
   }
+
+  /** Triangle census of an undirected pair set (id_a, id_b): one row
+    * (n_nodes, n_edges, n_wedges, n_triangles, clustering) where
+    * clustering is the global coefficient 3T / W. Counts are exact
+    * integers (wedges = sum deg*(deg-1) DIV 2 — always even, the DIV is
+    * exact); clustering is ONE double division of exact operands, so
+    * the whole row replays bit-for-bit cross-engine.
+    *
+    * Edges canonicalize to a < b (self-loops dropped, duplicates
+    * merged); each triangle a < b < c is then counted exactly once as
+    * the wedge (a,b)+(b,c) closed by (a,c) — the standard oriented
+    * wedge-close join. Scale shape: two shuffle joins keyed on the
+    * shared vertex plus one degree aggregate; the classic hardening
+    * for power-law graphs is degree-based orientation (point each edge
+    * at the higher-degree endpoint) which bounds per-vertex wedge
+    * fan-out by sqrt(m) — id-orientation is kept here because dedup
+    * similarity graphs are clique-ish with bounded family sizes
+    * ([[Dedup.dropFrequentLines]]-capped), not power-law. */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val e = pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .transform(Checkpoints.ckpt) // consumed 4x: 3 join legs + degrees
+    val deg = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val degStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(deg * (deg - 1) DIV 2)").as("n_wedges"))
+    val tri = e.as("x").join(e.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("wa"), col("y.b").as("wc"))
+      .join(e.as("z"),
+        col("wa") === col("z.a") && col("wc") === col("z.b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    degStats.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise((lit(3L) * col("n_triangles")).cast("double") /
+            col("n_wedges").cast("double")).as("clustering"))
+  }
 }
