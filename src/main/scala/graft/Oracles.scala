@@ -2092,6 +2092,98 @@ object Oracles {
         |  END AS clustering
         |FROM ds CROSS JOIN m CROSS JOIN tr""".stripMargin,
 
+    // first-order Markov transitions: lag pairs per user, exact counts,
+    // one double division per probability
+    "q240_transition_matrix" ->
+      """WITH seq AS (
+        | SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_type
+        | FROM events),
+        |c AS (
+        | SELECT prev_type, event_type AS next_type, count(*) AS n
+        | FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        | CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+        | CAST(n AS DOUBLE)
+        |  / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+
+    // BM25 snippets: best 10-token window by hit count over the q76
+    // top-5 (the q76 statement verbatim as the retrieval subquery)
+    "q241_snippets" ->
+      s"""WITH top5 AS (
+         | SELECT CAST("rank" AS INT) AS rank, doc_id FROM ($q76Sql)
+         | WHERE "rank" <= 5),
+         |d AS (
+         | SELECT t.rank, doc_id, ${toksSql("lower(text)")} AS tk
+         | FROM documents JOIN top5 t USING (doc_id)),
+         |p AS (
+         | SELECT rank, doc_id, tk, len(tk) AS dl,
+         |  unnest(range(1, len(tk) + 1)) AS pos
+         | FROM d),
+         |h AS (
+         | SELECT rank, doc_id, tk, dl, pos,
+         |  CASE WHEN tk[pos] IN ('spark', 'vector', 'query')
+         |   THEN 1 ELSE 0 END AS hit
+         | FROM p),
+         |w AS (
+         | SELECT rank, doc_id, tk, dl, pos,
+         |  CAST(sum(hit) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS BIGINT)
+         |   AS n_hits
+         | FROM h),
+         |cand AS (
+         | SELECT *, row_number() OVER (PARTITION BY doc_id
+         |   ORDER BY n_hits DESC, pos ASC) AS rn
+         | FROM w WHERE pos <= greatest(dl - 9, 1))
+         |SELECT rank, doc_id, CAST(pos AS INT) AS snippet_start, n_hits,
+         | array_to_string(list_slice(tk, pos, pos + 9), ' ') AS snippet
+         |FROM cand WHERE rn = 1 ORDER BY rank""".stripMargin,
+
+    // Gini of per-source token mass: exact rank formula, one division
+    "q242_gini_sources" ->
+      s"""WITH s AS (
+         | SELECT source, CAST(sum(${tokenCountSql("text")}) AS BIGINT)
+         |  AS toks
+         | FROM documents GROUP BY 1),
+         |r AS (
+         | SELECT source, toks,
+         |  CAST(row_number() OVER (ORDER BY toks ASC, source ASC)
+         |   AS BIGINT) AS i
+         | FROM s),
+         |g AS (
+         | SELECT CAST(count(*) AS BIGINT) AS n_sources,
+         |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |  CAST(sum(i * toks) AS BIGINT) AS weighted
+         | FROM r)
+         |SELECT n_sources, total_tokens,
+         | CAST(2 * weighted - (n_sources + 1) * total_tokens AS DOUBLE)
+         |  / CAST(n_sources * total_tokens AS DOUBLE) AS gini
+         |FROM g""".stripMargin,
+
+    // TWAP per user: exact BIGINT weighted sum (int64->double is
+    // correctly rounded in both engines, unlike wide decimals), one
+    // double division
+    "q243_twap" ->
+      """WITH e AS (
+        | SELECT user_id, ts, event_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  epoch_us(ts) AS t
+        | FROM events),
+        |p AS (
+        | SELECT user_id, cents, t,
+        |  lead(t) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+        | FROM e),
+        |g AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(max(nt) - min(t) AS BIGINT) AS span_micros,
+        |  CAST(sum(cents * (nt - t)) AS BIGINT) AS wsum
+        | FROM p WHERE nt IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_intervals, span_micros, wsum,
+        | CAST(wsum AS DOUBLE) / CAST(span_micros AS DOUBLE) AS twap_cents
+        |FROM g ORDER BY user_id""".stripMargin,
+
     // dropNearDuplicates end-to-end: pairs -> recursive CC -> keep min-id
     "q65_neardedup_e2e_portable" -> q65Sql,
     // incremental (cross-corpus) near-dedup, full replay

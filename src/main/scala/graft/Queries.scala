@@ -3054,6 +3054,127 @@ object Queries {
         "phone"))
   }
 
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences: lag(1) pairs in (ts, event_id) order, then
+    * (prev, next) counts and row-normalized transition probabilities.
+    * Counts are exact; each probability is ONE double division of two
+    * exact longs (count / row_total), so the matrix replays bitwise.
+    * Scale: one user-keyed window shuffle for the lag, one bounded
+    * (|types|^2) aggregate — partials collapse map-side. */
+  def q240TransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = pairs.groupBy(col("prev_type"),
+        col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotal = Window.partitionBy(col("prev_type"))
+    counts
+      .withColumn("row_total", sum(col("n")).over(rowTotal))
+      .withColumn("p",
+        col("n").cast("double") / col("row_total").cast("double"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        col("row_total"), col("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Search-result snippets: for the BM25 top-5 (q76's query), the
+    * best 10-token window by query-term hit count (earliest window on
+    * ties; whole doc when shorter than the window). Hit counts come
+    * from one ROWS-frame window sum over token positions — exact
+    * integers; the snippet itself is a carried string slice. The only
+    * corpus-scale work is the BM25 retrieval; position explosion runs
+    * on the FIVE survivors only (the join prunes before posexplode). */
+  def q241Snippets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("spark", "vector", "query")
+    val top = Rank.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+        terms = terms, topK = 5)
+      .select(col("rank"), col("doc_id"))
+    val docs = t(s, dir, "documents")
+      .join(top, Seq("doc_id"))
+      .select(col("rank"), col("doc_id"),
+        TextOps.tokens(lower(col("text"))).as("tk"))
+    val pos = docs.select(col("rank"), col("doc_id"), col("tk"),
+        size(col("tk")).as("dl"),
+        posexplode(col("tk")).as(Seq("p0", "token")))
+      .withColumn("pos", col("p0") + 1)
+    val wHits = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 9)
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_hits").desc, col("pos").asc)
+    pos
+      .withColumn("n_hits",
+        sum(col("token").isin(terms: _*).cast("long")).over(wHits))
+      .filter(col("pos") <= greatest(col("dl") - 9, lit(1)))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("rank"), col("doc_id"),
+        col("pos").cast("int").as("snippet_start"), col("n_hits"),
+        array_join(slice(col("tk"), col("pos"), lit(10)), " ")
+          .as("snippet"))
+      .orderBy("rank")
+  }
+
+  /** Gini concentration of token mass across sources — the corpus-mix
+    * inequality audit (0 = every source contributes equally, 1 = one
+    * source dominates). Uses the exact rank formula on ascending
+    * totals: G = (2*sum(i*x_i) - (n+1)*S) / (n*S) — numerator and
+    * denominator are exact BIGINTs, ONE double division at the end.
+    * The rank window runs over the bounded per-source frame (a handful
+    * of rows), never the corpus; the corpus-sized work is the one
+    * token-count aggregate. */
+  def q242GiniSources(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(TextOps.tokenCount(col("text")).cast("long")).as("toks"))
+    val ranked = bySource.withColumn("i",
+      row_number().over(Window.orderBy(col("toks").asc, col("source").asc))
+        .cast("long"))
+    ranked.agg(count(lit(1)).as("n_sources"),
+        sum(col("toks")).as("total_tokens"),
+        sum(col("i") * col("toks")).as("weighted"))
+      .select(col("n_sources"), col("total_tokens"),
+        ((lit(2L) * col("weighted") - (col("n_sources") + 1) * col("total_tokens"))
+          .cast("double") /
+          (col("n_sources") * col("total_tokens")).cast("double"))
+          .as("gini"))
+  }
+
+  /** Time-weighted average value (TWAP) per user: each reading is
+    * weighted by how long it was current — sum(cents_i * dt_i) / span
+    * over (ts, event_id)-ordered intervals, times in epoch micros.
+    * The weighted sum stays EXACT in BIGINT (bounded by max_cents *
+    * span ~1.3e17 < 2^63; int64->double is correctly rounded in both
+    * engines, unlike wide decimals — the q235 lesson), and twap_cents
+    * is ONE double division. Users with a single event (no interval)
+    * are excluded by definition. One user-keyed window shuffle. */
+  def q243Twap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .withColumn("t", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("nt", lead(col("t"), 1).over(w))
+      .filter(col("nt").isNotNull)
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        (max(col("nt")) - min(col("t"))).as("span_micros"),
+        sum(col("cents") * (col("nt") - col("t"))).as("wsum"))
+      .select(col("user_id"), col("n_intervals"), col("span_micros"),
+        col("wsum"),
+        (col("wsum").cast("double") / col("span_micros").cast("double"))
+          .as("twap_cents"))
+      .orderBy("user_id")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -4300,6 +4421,10 @@ object Queries {
     "q237_anomaly_flags" -> (q237AnomalyFlags _),
     "q238_dq_checks" -> (q238DqChecks _),
     "q239_triangles" -> (q239Triangles _),
+    "q240_transition_matrix" -> (q240TransitionMatrix _),
+    "q241_snippets" -> (q241Snippets _),
+    "q242_gini_sources" -> (q242GiniSources _),
+    "q243_twap" -> (q243Twap _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
