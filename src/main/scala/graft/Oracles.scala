@@ -2184,6 +2184,57 @@ object Oracles {
         | CAST(wsum AS DOUBLE) / CAST(span_micros AS DOUBLE) AS twap_cents
         |FROM g ORDER BY user_id""".stripMargin,
 
+    // MMR re-ranking: the 5 greedy picks unrolled as CTE steps; rel is
+    // the q21-rounded cosine, weights are e-notation double literals
+    "q244_mmr_rerank" -> {
+      def pickedIds(k: Int): String =
+        (1 to k).map(i => s"SELECT id FROM p$i").mkString(" UNION ALL ")
+      val steps = (2 to 5).map { k =>
+        s"""r$k AS (
+           | SELECT c.id, c.rel,
+           |  0.7e0 * c.rel - 0.3e0 * (SELECT max(sim) FROM ps
+           |    WHERE ps.id_a = c.id AND ps.id_b IN (${pickedIds(k - 1)}))
+           |   AS mmr
+           | FROM cand c WHERE c.id NOT IN (${pickedIds(k - 1)})),
+           |p$k AS (SELECT id, rel, mmr, $k AS pick_order FROM r$k
+           | ORDER BY mmr DESC, id ASC LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c1 AS (SELECT vec_id AS id, embedding AS cv FROM embeddings
+         |       WHERE vec_id <> 0),
+         |sc AS (
+         | SELECT id, cv, ${dotSql("qv", "cv")} AS dot_p,
+         |  ${normSql("qv")} * ${normSql("cv")} AS norm_p
+         | FROM c1, q),
+         |sm AS (
+         | SELECT id, cv,
+         |  CASE WHEN norm_p = 0 THEN 0.0 ELSE dot_p / norm_p END AS sim
+         | FROM sc),
+         |cand AS (
+         | SELECT id, round(sim, 6) AS rel, cv FROM (
+         |  SELECT *, row_number() OVER (ORDER BY sim DESC, id ASC) AS rnk
+         |  FROM sm) WHERE rnk <= 20),
+         |pp AS (
+         | SELECT a.id AS id_a, b.id AS id_b,
+         |  ${dotSql("va", "vb")} AS dot_p,
+         |  ${normSql("va")} * ${normSql("vb")} AS norm_p
+         | FROM (SELECT id, cv AS va FROM cand) a
+         |  JOIN (SELECT id, cv AS vb FROM cand) b ON a.id <> b.id),
+         |ps AS (
+         | SELECT id_a, id_b,
+         |  CASE WHEN norm_p = 0 THEN 0.0 ELSE dot_p / norm_p END AS sim
+         | FROM pp),
+         |p1 AS (SELECT id, rel, 0.7e0 * rel AS mmr, 1 AS pick_order
+         |       FROM cand ORDER BY mmr DESC, id ASC LIMIT 1),
+         |$steps
+         |SELECT pick_order, id, rel, mmr FROM p1
+         |UNION ALL SELECT pick_order, id, rel, mmr FROM p2
+         |UNION ALL SELECT pick_order, id, rel, mmr FROM p3
+         |UNION ALL SELECT pick_order, id, rel, mmr FROM p4
+         |UNION ALL SELECT pick_order, id, rel, mmr FROM p5
+         |ORDER BY pick_order""".stripMargin
+    },
+
     // dropNearDuplicates end-to-end: pairs -> recursive CC -> keep min-id
     "q65_neardedup_e2e_portable" -> q65Sql,
     // incremental (cross-corpus) near-dedup, full replay

@@ -3175,6 +3175,51 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein 1998): greedy
+    * selection of 5 results from the dense top-20 for the vec_id=0
+    * query, mmr = 0.7*rel - 0.3*max(sim to already picked). The five
+    * steps are UNROLLED into the plan over checkpointed bounded frames
+    * (20 candidates, 380 pairwise sims) — no driver-side data loop;
+    * each step is an anti-join + max-agg + TakeOrdered(1). Float
+    * discipline: rel is the q21-rounded cosine, pairwise sims and the
+    * two literal weights evaluate identically in both engines
+    * (e-notation literals in the oracle), ties break on id — no
+    * rounding of any derived quantity. Scale: candidate retrieval is
+    * the only corpus-scale work; re-ranking cost is k * |cand|^2,
+    * independent of corpus size. */
+  def q244MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cand = Checkpoints.ckpt(
+      Knn.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 20)
+        .select(col("neighbor_id").as("id"), col("cosine_sim").as("rel"))
+        .join(emb.select(col("vec_id").as("id"), col("embedding").as("v")),
+          Seq("id")))
+    val sims = Checkpoints.ckpt(
+      cand.select(col("id").as("id_a"), col("v").as("va"))
+        .join(cand.select(col("id").as("id_b"), col("v").as("vb")),
+          col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Knn.cosine(col("va"), col("vb")).as("sim")))
+    var picked = cand
+      .select(col("id"), col("rel"), (lit(0.7) * col("rel")).as("mmr"))
+      .orderBy(col("mmr").desc, col("id").asc).limit(1)
+      .withColumn("pick_order", lit(1))
+    for (k <- 2 to 5) {
+      val maxSim = sims
+        .join(picked.select(col("id").as("id_b")), Seq("id_b"))
+        .groupBy(col("id_a").as("id")).agg(max(col("sim")).as("msim"))
+      val next = cand.join(picked.select("id"), Seq("id"), "left_anti")
+        .join(maxSim, Seq("id"))
+        .select(col("id"), col("rel"),
+          (lit(0.7) * col("rel") - lit(0.3) * col("msim")).as("mmr"))
+        .orderBy(col("mmr").desc, col("id").asc).limit(1)
+        .withColumn("pick_order", lit(k))
+      picked = Checkpoints.ckpt(picked.unionByName(next))
+    }
+    picked.select(col("pick_order"), col("id"), col("rel"), col("mmr"))
+      .orderBy("pick_order")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -4425,6 +4470,7 @@ object Queries {
     "q241_snippets" -> (q241Snippets _),
     "q242_gini_sources" -> (q242GiniSources _),
     "q243_twap" -> (q243Twap _),
+    "q244_mmr_rerank" -> (q244MmrRerank _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
