@@ -2235,6 +2235,41 @@ object Oracles {
          |ORDER BY pick_order""".stripMargin
     },
 
+    // 3-core peeling, the same 6 fixed rounds unrolled as CTEs
+    "q245_kcore" -> {
+      // MATERIALIZED is load-bearing: each round references the prior
+      // edge set three times, so inlined CTEs expand 3^rounds copies of
+      // the base scan (observed as a too-many-open-files failure)
+      val rounds = (1 to 6).map { r =>
+        val prev = s"e${r - 1}"
+        s"""d$r AS MATERIALIZED (
+           | SELECT id, count(*) AS deg FROM (
+           |  SELECT a AS id FROM $prev UNION ALL SELECT b FROM $prev)
+           | GROUP BY 1),
+           |k$r AS MATERIALIZED (SELECT id FROM d$r WHERE deg >= 3),
+           |e$r AS MATERIALIZED (
+           | SELECT $prev.a, $prev.b FROM $prev
+           |  JOIN k$r x ON $prev.a = x.id
+           |  JOIN k$r y ON $prev.b = y.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH contacts AS (
+         | SELECT c_custkey,
+         |  'u' || CAST(c_custkey % 700 AS VARCHAR) || '@x.com' AS email,
+         |  'n' || CAST(c_custkey % 50 AS VARCHAR) AS name,
+         |  'p' || CAST(c_custkey % 60 AS VARCHAR) AS phone
+         | FROM customer),
+         |e0 AS MATERIALIZED (
+         | SELECT DISTINCT l.c_custkey AS a, r.c_custkey AS b
+         | FROM contacts l, contacts r
+         | WHERE l.c_custkey < r.c_custkey
+         |  AND (l.email = r.email
+         |   OR (l.name = r.name AND l.phone = r.phone))),
+         |$rounds
+         |SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         | SELECT a AS id FROM e6 UNION ALL SELECT b FROM e6)
+         |GROUP BY 1 ORDER BY id""".stripMargin
+    },
+
     // dropNearDuplicates end-to-end: pairs -> recursive CC -> keep min-id
     "q65_neardedup_e2e_portable" -> q65Sql,
     // incremental (cross-corpus) near-dedup, full replay

@@ -3220,6 +3220,23 @@ object Queries {
       .orderBy("pick_order")
   }
 
+  /** 3-core of the q31 contact graph ([[Graph.kCore]], 6 unrolled
+    * peeling rounds): strips pendant pairs and triangles so only
+    * genuinely dense duplicate families remain — the pre-filter before
+    * spending verification effort on a family. Output: surviving
+    * (id, deg) rows. */
+  def q245Kcore(s: SparkSession, dir: String): DataFrame = {
+    val contacts = t(s, dir, "customer").select(
+      col("c_custkey"),
+      concat(lit("u"), col("c_custkey") % 700, lit("@x.com")).as("email"),
+      concat(lit("n"), col("c_custkey") % 50).as("name"),
+      concat(lit("p"), col("c_custkey") % 60).as("phone"))
+    Graph.kCore(
+        Dedup.fuzzyDuplicatePairs(contacts, "c_custkey", "email", "name",
+          "phone"), k = 3, rounds = 6)
+      .orderBy("id")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -4471,6 +4488,7 @@ object Queries {
     "q242_gini_sources" -> (q242GiniSources _),
     "q243_twap" -> (q243Twap _),
     "q244_mmr_rerank" -> (q244MmrRerank _),
+    "q245_kcore" -> (q245Kcore _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

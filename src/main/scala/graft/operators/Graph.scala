@@ -127,6 +127,38 @@ object Graph {
     hub.join(auth, Seq("id"))
   }
 
+  /** k-core peeling: `rounds` FIXED iterations of "drop every node with
+    * degree < k, keep edges between survivors" over the canonical a<b
+    * edge set; returns (id, deg) — each surviving node with its degree
+    * inside the core. Fixed rounds (not convergence-tested) keep the
+    * operator deterministic and driver-round-trip-free, the PageRank
+    * convention: the oracle unrolls the SAME rounds, so results match
+    * even on graphs whose cascade is longer (document rounds per call
+    * site; dedup similarity graphs cascade in 2-3 rounds). Scale
+    * shape: per round one degree aggregate + two semi-joins keyed on
+    * the endpoints, plan cut per round by a checkpoint. */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1 && rounds >= 1, "kCore: k >= 1, rounds >= 1")
+    var e = pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .transform(Checkpoints.ckpt)
+    def degrees(edges: DataFrame): DataFrame =
+      edges.select(col("a").as("id"))
+        .unionByName(edges.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select(col("id"))
+      e = e
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .transform(Checkpoints.ckpt)
+    }
+    degrees(e)
+  }
+
   /** Triangle census of an undirected pair set (id_a, id_b): one row
     * (n_nodes, n_edges, n_wedges, n_triangles, clustering) where
     * clustering is the global coefficient 3T / W. Counts are exact

@@ -116,6 +116,32 @@ class GraphSpec extends SparkSpec {
     assert(out.getAs[Double]("med") < 5.0)
   }
 
+  test("triangleStats: counts on a known graph (K4 + pendant)") {
+    // K4 on 1-4 (4 triangles, 6 edges) plus pendant 4-5; duplicate and
+    // reversed pairs must canonicalize away
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 5L), (4L, 5L)).toDF("id_a", "id_b")
+    val r = Graph.triangleStats(pairs).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 5L)
+    assert(r.getAs[Long]("n_edges") == 7L)
+    assert(r.getAs[Long]("n_triangles") == 4L)
+    // degrees 3,3,3,4,1 -> wedges 3+3+3+6+0 = 15; clustering = 12/15
+    assert(r.getAs[Long]("n_wedges") == 15L)
+    assert(r.getAs[Double]("clustering") == 12.0 / 15.0)
+  }
+
+  test("kCore: pendant chain peels away, clique survives with degrees") {
+    // K4 on 1-4 plus a tail 4-5-6: the tail cascades out of the 2-core?
+    // no — 4-5-6 is a path: deg(6)=1 peels, then deg(5)=1 peels; K4 stays
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val core = Graph.kCore(pairs, k = 2, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=5 over-peels everything (K4 max degree is 3)
+    assert(Graph.kCore(pairs, k = 5, rounds = 3).count() == 0L)
+  }
+
   test("moment battery: constant group reports zero spread and shape") {
     val r = Robust.momentStats(
       (1 to 50).map(_ => ("c", 7L)).toDF("source", "score"),
