@@ -2270,6 +2270,41 @@ object Oracles {
          |GROUP BY 1 ORDER BY id""".stripMargin
     },
 
+    // integer CUSUM: reflected prefix walk, planted last-fifth shift
+    "q246_cusum" ->
+      """WITH e AS (
+        | SELECT user_id, ts, event_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |r AS (
+        | SELECT *, row_number() OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_user
+        | FROM e),
+        |b AS (
+        | SELECT *, least(n_user, 20) AS n0,
+        |  CAST(sum(CASE WHEN rn <= 20 THEN cents END)
+        |   OVER (PARTITION BY user_id) AS BIGINT) AS s0,
+        |  cents + CASE WHEN rn > (n_user * 4) // 5
+        |   THEN 2 * cents ELSE 0 END AS cm
+        | FROM r),
+        |d AS (
+        | SELECT *, CASE WHEN rn > 20
+        |   THEN 20 * n0 * cm - 30 * s0 ELSE 0 END AS d10
+        | FROM b),
+        |p AS (
+        | SELECT *, CAST(sum(d10) OVER wp AS BIGINT) AS pfx FROM d
+        | WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (
+        | SELECT *, CAST(min(pfx) OVER wp AS BIGINT) AS runmin FROM p
+        | WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, CAST(rn AS INT) AS rn,
+        | pfx - runmin AS cusum,
+        | (pfx - runmin) > 200 * s0 AS flag
+        |FROM m WHERE rn > 20 ORDER BY user_id, event_id""".stripMargin,
+
     // dropNearDuplicates end-to-end: pairs -> recursive CC -> keep min-id
     "q65_neardedup_e2e_portable" -> q65Sql,
     // incremental (cross-corpus) near-dedup, full replay

@@ -3237,6 +3237,50 @@ object Queries {
       .orderBy("id")
   }
 
+  /** CUSUM drift detection, fully in exact integers: per user, the
+    * first 20 readings form a baseline (n0, s0 = exact cent sums); each
+    * later reading contributes the scaled deviation
+    * d = 20*n0*x - 30*s0 (the 30 bakes in a 50%-of-baseline-mean slack
+    * without any division), and the one-sided CUSUM statistic is the
+    * reflected prefix walk S_t = P_t - min(prefix P) — the max(0, ...)
+    * recursion rewritten as two window passes, no recursion, no float.
+    * A level shift is PLANTED (the last fifth of each user's stream
+    * reads 3x cents) so the alarm S > 200*s0 genuinely fires within
+    * ~7 shifted readings while stationary false alarms stay rare: for
+    * this exponential-like (sigma ~ mu) value stream the threshold
+    * sits ~10 excursion-scales above the reflected walk's stationary
+    * range, and a single-reading crossing needs x > 11.5*mu (~1e-5);
+    * everything is BIGINT so flags replay bit-for-bit.
+    * Scale: one user-keyed shuffle, two ordered prefix scans. */
+  def q246Cusum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(col("user_id"))
+    val ord = part.orderBy(col("ts"), col("event_id"))
+    val prefix = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("n_user", count(lit(1)).over(part))
+      .withColumn("n0", least(col("n_user"), lit(20L)))
+      .withColumn("s0",
+        sum(when(col("rn") <= 20, col("cents"))).over(part))
+      .withColumn("cm", col("cents") +
+        when(col("rn") > expr("(n_user * 4) DIV 5"),
+          lit(2L) * col("cents")).otherwise(lit(0L)))
+      .withColumn("d10",
+        when(col("rn") > 20,
+          lit(20L) * col("n0") * col("cm") - lit(30L) * col("s0"))
+          .otherwise(lit(0L)))
+      .withColumn("pfx", sum(col("d10")).over(prefix))
+      .withColumn("runmin", min(col("pfx")).over(prefix))
+      .filter(col("rn") > 20)
+      .select(col("user_id"), col("event_id"), col("rn"),
+        (col("pfx") - col("runmin")).as("cusum"),
+        ((col("pfx") - col("runmin")) > lit(200L) * col("s0")).as("flag"))
+      .orderBy("user_id", "event_id")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -4489,6 +4533,7 @@ object Queries {
     "q243_twap" -> (q243Twap _),
     "q244_mmr_rerank" -> (q244MmrRerank _),
     "q245_kcore" -> (q245Kcore _),
+    "q246_cusum" -> (q246Cusum _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
