@@ -2305,6 +2305,76 @@ object Oracles {
         | (pfx - runmin) > 200 * s0 AS flag
         |FROM m WHERE rn > 20 ORDER BY user_id, event_id""".stripMargin,
 
+    // rolling 24h Pearson r over zero-filled hourly series: exact
+    // BIGINT sums under 2^53, sqrt is IEEE-correctly-rounded
+    "q247_rolling_corr" ->
+      """WITH e AS (
+        | SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events WHERE event_type IN ('click', 'purchase')),
+        |hourly AS (
+        | SELECT hour,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'click'
+        |    THEN cents END), 0) AS BIGINT) AS x,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |    THEN cents END), 0) AS BIGINT) AS y
+        | FROM e GROUP BY 1),
+        |b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM e),
+        |hours AS (
+        | SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+        | FROM b),
+        |series AS (
+        | SELECT h.hour, coalesce(x, 0) AS x, coalesce(y, 0) AS y
+        | FROM hours h LEFT JOIN hourly USING (hour)),
+        |roll AS (
+        | SELECT hour, x, y,
+        |  row_number() OVER (ORDER BY hour) AS rn,
+        |  CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |  CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |  CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+        |  CAST(sum(y * y) OVER w AS BIGINT) AS syy
+        | FROM series
+        | WINDOW w AS (ORDER BY hour
+        |   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |f AS (
+        | SELECT hour, x, y,
+        |  24 * sxy - sx * sy AS num,
+        |  24 * sxx - sx * sx AS d1,
+        |  24 * syy - sy * sy AS d2
+        | FROM roll WHERE rn >= 24)
+        |SELECT hour, x, y, num, d1, d2,
+        | CASE WHEN d1 = 0 OR d2 = 0 THEN NULL
+        |  ELSE CAST(num AS DOUBLE)
+        |   / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE)))
+        |  END AS corr
+        |FROM f ORDER BY hour""".stripMargin,
+
+    // quantile normalization: within-source rank -> global CDF lookup
+    // via the (cum_prev, cum] interval join, all-integer
+    "q248_quantile_norm" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |ns AS (SELECT source, count(*) AS n_s FROM d GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM d),
+        |r AS (
+        | SELECT doc_id, source, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) AS INT) AS src_rank
+        | FROM d),
+        |cdf AS (SELECT n_chars AS v, count(*) AS cnt FROM d GROUP BY 1),
+        |c2 AS (
+        | SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+        |  CAST(sum(cnt) OVER (ORDER BY v) - cnt AS BIGINT) AS cum_prev
+        | FROM cdf),
+        |g AS (
+        | SELECT r.*, (src_rank * n + n_s - 1) // n_s AS target_rank
+        | FROM r JOIN ns USING (source) CROSS JOIN nn)
+        |SELECT doc_id, source, n_chars, src_rank,
+        | CAST(target_rank AS BIGINT) AS target_rank, c2.v AS qnorm_chars
+        |FROM g JOIN c2
+        | ON g.target_rank > c2.cum_prev AND g.target_rank <= c2.cum
+        |ORDER BY doc_id""".stripMargin,
+
     // dropNearDuplicates end-to-end: pairs -> recursive CC -> keep min-id
     "q65_neardedup_e2e_portable" -> q65Sql,
     // incremental (cross-corpus) near-dedup, full replay

@@ -3281,6 +3281,93 @@ object Queries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Rolling 24h Pearson correlation between the hourly click and
+    * purchase cent totals (zero-filled hours, the q236 spine). All five
+    * window sums are exact BIGINTs; num = n*sxy - sx*sy and the two
+    * variance terms stay below 2^53 so their double casts are exact,
+    * and the only irrational step is sqrt — which IEEE 754 requires to
+    * be CORRECTLY ROUNDED (unlike log/exp), so
+    * num / (sqrt(d1) * sqrt(d2)) is deterministic cross-engine with no
+    * rounding anywhere. Degenerate windows (zero variance) yield null.
+    * Scale: one hourly aggregate over the corpus, then windows over
+    * the bounded calendar spine. */
+  def q247RollingCorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    val hourly = ev.groupBy(col("hour"))
+      .agg(
+        coalesce(sum(when(col("event_type") === "click", col("cents"))),
+          lit(0L)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase", col("cents"))),
+          lit(0L)).as("y"))
+    val spine = ev.agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"),
+        expr("interval 1 hour"))).as("hour"))
+    val series = spine.join(hourly, Seq("hour"), "left")
+      .select(col("hour"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.orderBy(col("hour")).rowsBetween(-23, 0)
+    val n = lit(24L)
+    series
+      .withColumn("rn", row_number().over(Window.orderBy(col("hour"))))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .filter(col("rn") >= 24)
+      .withColumn("num", n * col("sxy") - col("sx") * col("sy"))
+      .withColumn("d1", n * col("sxx") - col("sx") * col("sx"))
+      .withColumn("d2", n * col("syy") - col("sy") * col("sy"))
+      .select(col("hour"), col("x"), col("y"), col("num"), col("d1"),
+        col("d2"),
+        when(col("d1") === 0 || col("d2") === 0, lit(null).cast("double"))
+          .otherwise(col("num").cast("double") /
+            (sqrt(col("d1").cast("double")) * sqrt(col("d2").cast("double"))))
+          .as("corr"))
+      .orderBy("hour")
+  }
+
+  /** Quantile normalization of n_chars across sources: each doc's
+    * within-source rank maps to the global empirical CDF, so every
+    * source's length distribution lands on the corpus distribution —
+    * the cross-source score-calibration step before mixing
+    * heterogeneous feeds. target_rank = ceil(r * N / n_s) in exact
+    * integer arithmetic; the global lookup is an interval join against
+    * the BOUNDED distinct-value CDF (cum_prev < g <= cum, exactly one
+    * match) — deliberately NOT a corpus-wide global rank window, which
+    * would funnel the table through one partition; the per-source rank
+    * windows partition by source. Everything is integers. */
+  def q248QuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val ranked = d.withColumn("src_rank",
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))).cast("int"))
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val n = d.agg(count(lit(1)).as("n"))
+    // distinct-value CDF: bounded by |distinct n_chars|, the window
+    // below runs over that bounded frame, never the corpus
+    val cdf = d.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("target_rank",
+        expr("(src_rank * n + n_s - 1) DIV n_s"))
+      .join(broadcast(cdf),
+        col("target_rank") > col("cum_prev") &&
+          col("target_rank") <= col("cum"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("src_rank"), col("target_rank"), col("v").as("qnorm_chars"))
+      .orderBy("doc_id")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -4534,6 +4621,8 @@ object Queries {
     "q244_mmr_rerank" -> (q244MmrRerank _),
     "q245_kcore" -> (q245Kcore _),
     "q246_cusum" -> (q246Cusum _),
+    "q247_rolling_corr" -> (q247RollingCorr _),
+    "q248_quantile_norm" -> (q248QuantileNorm _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
