@@ -261,6 +261,59 @@ object Stream {
     }.toDF()
   }
 
+  /** Per-key CUSUM state: readings seen, exact baseline cent sum, the
+    * prefix walk and its running minimum — O(1) per key, all integers. */
+  final case class CusumState(nSeen: Long, s0: Long, pfx: Long, runmin: Long)
+  final case class CusumFlag(user_id: Long, event_id: Long, rn: Long,
+    cusum: Long, flag: Boolean)
+
+  /** Streaming twin of the batch CUSUM detector (q246): per key, the
+    * first `baselineN` readings accumulate an exact baseline sum s0;
+    * each later reading folds d = 20*baselineN*cents - 30*s0 into the
+    * reflected prefix walk S = pfx - min(prefix pfx) and flags when
+    * S > thresholdX*s0 — BIT-IDENTICAL to the batch window form
+    * (asserted in StreamingSpec) because every quantity is a BIGINT and
+    * the fold order is the event-time order on both sides.
+    *
+    * State is O(1) per key (4 longs) — the whole point of CUSUM as a
+    * streaming operator: regime-shift detection over unbounded history
+    * with bounded state, where the batch form re-scans the stream.
+    * Rows must arrive per-key in event-time order ACROSS micro-batches
+    * (a replayed log does; out-of-order sources need the watermark
+    * dedup/sort upstream) — WITHIN a micro-batch the group iterator is
+    * sorted here before folding. Input columns: user_id, t (event-time
+    * micros), event_id, cents. */
+  def cusumDetector(events: DataFrame, baselineN: Int = 20,
+                    thresholdX: Long = 200L): DataFrame = {
+    import events.sparkSession.implicits._
+    val byUser = events
+      .select(col("user_id").cast("long"), col("t").cast("long"),
+        col("event_id").cast("long"), col("cents").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+    byUser.flatMapGroupsWithState(OutputMode.Append(),
+      GroupStateTimeout.NoTimeout()) {
+      (uid: Long, it: Iterator[(Long, Long, Long, Long)],
+       state: GroupState[CusumState]) =>
+        var s = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[CusumFlag]
+        it.toIndexedSeq.sortBy(e => (e._2, e._3)).foreach { e =>
+          val n = s.nSeen + 1
+          if (n <= baselineN) s = CusumState(n, s.s0 + e._4, 0L, 0L)
+          else {
+            val d = 20L * baselineN * e._4 - 30L * s.s0
+            val pfx = s.pfx + d
+            val runmin = math.min(s.runmin, pfx)
+            s = s.copy(nSeen = n, pfx = pfx, runmin = runmin)
+            out += CusumFlag(uid, e._3, n, pfx - runmin,
+              pfx - runmin > thresholdX * s.s0)
+          }
+        }
+        state.update(s)
+        out.iterator
+    }.toDF()
+  }
+
   /** Corpus-ingest quality router — the training-data quality filter run
     * AS documents arrive (the streaming face of the batch curation chain,
     * q42): the native one-pass metric kernel scores each document, keeps

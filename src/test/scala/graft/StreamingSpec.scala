@@ -955,4 +955,51 @@ class StreamingSpec extends SparkSpec {
       assert(!byId(3L)._3)
     } finally q.stop()
   }
+
+  test("streaming CUSUM == the batch window form, state carried across micro-batches") {
+    import org.apache.spark.sql.expressions.Window
+    // 2 users x 30 readings, a 3x level shift after reading 20; values
+    // deterministic via a seeded RNG (test-local fixture, not a data path)
+    val rnd = new scala.util.Random(11)
+    val rows = for (u <- 1 to 2; i <- 1 to 30) yield
+      (u.toLong, i.toLong * 1000L, (u * 1000 + i).toLong,
+        (rnd.nextInt(5000) + 100).toLong * (if (i > 20) 3 else 1))
+    // batch twin: the q246 window form with baselineN=5 (d uses
+    // 20*baselineN = 100)
+    val df = rows.toDF("user_id", "t", "event_id", "cents")
+    val part = Window.partitionBy($"user_id")
+    val ord = part.orderBy($"t", $"event_id")
+    val prefix = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("s0", sum(when($"rn" <= 5, $"cents")).over(part))
+      .withColumn("d", when($"rn" > 5,
+        lit(100L) * $"cents" - lit(30L) * $"s0").otherwise(0L))
+      .withColumn("pfx", sum($"d").over(prefix))
+      .withColumn("runmin", min($"pfx").over(prefix))
+      .filter($"rn" > 5)
+      .select($"user_id", $"event_id", $"rn".cast("long"),
+        ($"pfx" - $"runmin").as("cusum"),
+        (($"pfx" - $"runmin") > lit(200L) * $"s0").as("flag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(expected.exists(_._5), "fixture must trip the alarm")
+    val input = MemoryStream[(Long, Long, Long, Long)](spark)
+    val q = Stream.cusumDetector(
+        input.toDF.toDF("user_id", "t", "event_id", "cents"), baselineN = 5)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    try {
+      // feed in global time order, split into 4 micro-batches that cut
+      // mid-baseline and mid-walk — state must carry across the cuts
+      rows.sortBy(e => (e._2, e._3)).grouped(15).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val got = spark.table("cusum_out")
+        .select("user_id", "event_id", "rn", "cusum", "flag")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
 }
