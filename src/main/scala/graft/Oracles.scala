@@ -2375,6 +2375,46 @@ object Oracles {
         | ON g.target_rank > c2.cum_prev AND g.target_rank <= c2.cum
         |ORDER BY doc_id""".stripMargin,
 
+    // last-touch attribution: the as-of union + carried last_value
+    // replay, clicks pre-deduped per (user, ts) for a total order
+    "q249_attribution" ->
+      """WITH ev AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |p AS (SELECT user_id, ts, event_id, cents FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (
+        | SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+        | FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+        |u AS (
+        | SELECT user_id, ts AS t, 1 AS side, event_id, cents,
+        |  CAST(NULL AS BIGINT) AS click_id,
+        |  CAST(NULL AS TIMESTAMP) AS click_ts
+        | FROM p
+        | UNION ALL
+        | SELECT user_id, click_ts, 0, NULL, NULL, click_id, click_ts
+        | FROM c),
+        |w AS (
+        | SELECT *,
+        |  last_value(CASE WHEN side = 0 THEN click_id END IGNORE NULLS)
+        |   OVER win AS c_id,
+        |  last_value(CASE WHEN side = 0 THEN click_ts END IGNORE NULLS)
+        |   OVER win AS c_ts
+        | FROM u
+        | WINDOW win AS (PARTITION BY user_id ORDER BY t, side
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (
+        | SELECT user_id, event_id, cents,
+        |  (c_ts IS NOT NULL
+        |   AND epoch_us(t) - epoch_us(c_ts) <= 3600000000) AS attributed,
+        |  c_id, epoch_us(t) - epoch_us(c_ts) AS lag_raw
+        | FROM w WHERE side = 1)
+        |SELECT user_id, event_id, cents, attributed,
+        | CASE WHEN attributed THEN c_id END AS click_id,
+        | CASE WHEN attributed THEN lag_raw END AS lag_micros
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
+
     // dropNearDuplicates end-to-end: pairs -> recursive CC -> keep min-id
     "q65_neardedup_e2e_portable" -> q65Sql,
     // incremental (cross-corpus) near-dedup, full replay

@@ -3368,6 +3368,38 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Last-touch attribution: each purchase joins AS-OF backward to the
+    * user's most recent click ([[AsOfJoin.asOf]] — the union + carried
+    * last_value trick, one user-keyed window shuffle, no range
+    * explosion), then the 1-hour horizon decides attributed vs organic;
+    * out-of-horizon purchases null their click. Clicks are pre-deduped
+    * to max(click_id) per (user, ts) so the carried value is total-
+    * ordered — without it, two clicks on one timestamp would make
+    * last_value nondeterministic in BOTH engines. Lag is exact epoch
+    * micros; everything else is carried values. */
+  def q249Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("cents"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val joined = AsOfJoin.asOf(purchases, clicks, "user_id",
+      leftTs = "ts", rightTs = "click_ts", payload = Seq("click_id", "click_ts"))
+    val lag = unix_micros(col("ts").cast("timestamp")) -
+      unix_micros(col("click_ts").cast("timestamp"))
+    joined
+      .withColumn("attributed",
+        col("click_ts").isNotNull && lag <= lit(3600L * 1000000L))
+      .select(col("user_id"), col("event_id"), col("cents"),
+        col("attributed"),
+        when(col("attributed"), col("click_id")).as("click_id"),
+        when(col("attributed"), lag).as("lag_micros"))
+      .orderBy("user_id", "event_id")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -4623,6 +4655,7 @@ object Queries {
     "q246_cusum" -> (q246Cusum _),
     "q247_rolling_corr" -> (q247RollingCorr _),
     "q248_quantile_norm" -> (q248QuantileNorm _),
+    "q249_attribution" -> (q249Attribution _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
