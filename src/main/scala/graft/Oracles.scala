@@ -5627,6 +5627,254 @@ object Oracles {
         | count(*) >= 10 AS meets_k
         |FROM customer GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // market-basket pair lift: distinct baskets -> within-order pairs
+    // (p1 < p2, support >= 3) -> lift as ONE double division of exact
+    // BIGINT products (mirrors Queries.q250BasketLift)
+    "q250_basket_lift" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+        |items AS (SELECT l_partkey, count(*) AS n_item FROM b GROUP BY 1),
+        |pairs AS (
+        | SELECT a.l_partkey AS p1, c.l_partkey AS p2, count(*) AS n_pair
+        | FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+        |   AND a.l_partkey < c.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p1, p2, n_pair,
+        | i1.n_item AS n1, i2.n_item AS n2,
+        | CAST(n_pair * 1000000 // n_orders AS BIGINT) AS support_ppm,
+        | CAST(n_pair * n_orders AS DOUBLE)
+        |  / CAST(i1.n_item * i2.n_item AS DOUBLE) AS lift
+        |FROM pairs
+        |JOIN items i1 ON i1.l_partkey = p1
+        |JOIN items i2 ON i2.l_partkey = p2
+        |CROSS JOIN n
+        |ORDER BY lift DESC, p1, p2""".stripMargin,
+
+    // top 3-step event paths: two leads over the (ts, event_id) order,
+    // trigram counts + integer-DIV shares
+    "q251_top_paths" ->
+      """WITH s AS (
+        | SELECT event_type AS e0,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS e1,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS e2
+        | FROM events),
+        |p AS (
+        | SELECT e0 || '>' || e1 || '>' || e2 AS path, count(*) AS n
+        | FROM s WHERE e2 IS NOT NULL GROUP BY 1)
+        |SELECT path, n,
+        | CAST(n * 1000000 // sum(n) OVER () AS BIGINT) AS share_ppm
+        |FROM p ORDER BY n DESC, path""".stripMargin,
+
+    // RFM segmentation: explicit row_number quintiles (NOT ntile) with
+    // (metric, custkey) total orders, rolled up to labelled segments
+    "q252_rfm" ->
+      """WITH per AS (
+        | SELECT o_custkey,
+        |  date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |    DATE '1999-01-01') AS r_days,
+        |  count(*) AS f,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS m_cents
+        | FROM orders GROUP BY 1),
+        |scored AS (
+        | SELECT m_cents,
+        |  CAST(5 - (row_number() OVER (ORDER BY r_days ASC, o_custkey ASC)
+        |    - 1) * 5 // count(*) OVER () AS INT) AS r_score,
+        |  CAST(5 - (row_number() OVER (ORDER BY f DESC, o_custkey ASC)
+        |    - 1) * 5 // count(*) OVER () AS INT) AS f_score,
+        |  CAST(5 - (row_number() OVER (ORDER BY m_cents DESC, o_custkey ASC)
+        |    - 1) * 5 // count(*) OVER () AS INT) AS m_score
+        | FROM per)
+        |SELECT r_score, f_score, m_score,
+        | CAST(count(*) AS BIGINT) AS n_customers,
+        | CAST(sum(m_cents) AS BIGINT) AS total_cents,
+        | CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+        |   THEN 'champion'
+        |  WHEN f_score >= 4 THEN 'loyal'
+        |  WHEN m_score >= 4 THEN 'big_spender'
+        |  WHEN r_score <= 2 THEN 'at_risk'
+        |  ELSE 'other' END AS segment
+        |FROM scored GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
+
+    // Benford first-digit audit: leading digit from the BIGINT cent
+    // string (never double formatting); log10(1+1/d) ppm literals
+    "q253_benford" ->
+      """WITH c AS (
+        | SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS cents
+        | FROM orders),
+        |d AS (
+        | SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+        |  count(*) AS n
+        | FROM c WHERE cents > 0 GROUP BY 1)
+        |SELECT digit, n,
+        | CAST(n * 1000000 // sum(n) OVER () AS BIGINT) AS obs_ppm,
+        | CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |  WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |  WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |  WHEN 9 THEN 45757 END AS BIGINT) AS exp_ppm,
+        | CAST(n * 1000000 // sum(n) OVER () AS BIGINT)
+        |  - CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |     WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |     WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |     WHEN 9 THEN 45757 END AS BIGINT) AS dev_ppm
+        |FROM d ORDER BY digit""".stripMargin,
+
+    // truncated 8-lag EWMA on exact cents: weighted sum and present-
+    // weight denominator as exact BIGINTs, ONE double division
+    "q254_ewma" ->
+      """WITH base AS (
+        | SELECT user_id, ts, event_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |l AS (
+        | SELECT user_id, event_id, cents,
+        |  lag(cents, 1) OVER w AS x1, lag(cents, 2) OVER w AS x2,
+        |  lag(cents, 3) OVER w AS x3, lag(cents, 4) OVER w AS x4,
+        |  lag(cents, 5) OVER w AS x5, lag(cents, 6) OVER w AS x6,
+        |  lag(cents, 7) OVER w AS x7
+        | FROM base
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, cents,
+        | CAST(cents * 128 + coalesce(x1, 0) * 64 + coalesce(x2, 0) * 32
+        |   + coalesce(x3, 0) * 16 + coalesce(x4, 0) * 8
+        |   + coalesce(x5, 0) * 4 + coalesce(x6, 0) * 2
+        |   + coalesce(x7, 0) AS DOUBLE)
+        | / CAST(128 + CASE WHEN x1 IS NULL THEN 0 ELSE 64 END
+        |   + CASE WHEN x2 IS NULL THEN 0 ELSE 32 END
+        |   + CASE WHEN x3 IS NULL THEN 0 ELSE 16 END
+        |   + CASE WHEN x4 IS NULL THEN 0 ELSE 8 END
+        |   + CASE WHEN x5 IS NULL THEN 0 ELSE 4 END
+        |   + CASE WHEN x6 IS NULL THEN 0 ELSE 2 END
+        |   + CASE WHEN x7 IS NULL THEN 0 ELSE 1 END AS DOUBLE)
+        | AS ewma_cents
+        |FROM l ORDER BY user_id, event_id""".stripMargin,
+
+    // l-diversity over the q206 quasi-identifier: distinct $1000
+    // acctbal bands per class; floor on ONE double division of exact
+    // ints so negative balances band identically in both engines
+    "q255_l_diversity" ->
+      """WITH b AS (
+        | SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS DOUBLE) / 100000.0) AS BIGINT) AS band
+        | FROM customer)
+        |SELECT c_nationkey, c_mktsegment,
+        | CAST(count(*) AS BIGINT) AS group_size,
+        | CAST(count(DISTINCT band) AS BIGINT) AS l_distinct,
+        | count(DISTINCT band) >= 3 AS meets_l
+        |FROM b GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // skew advisor: keyed counts + one stats row; hot flag and salt
+    // factor in exact integer arithmetic (mirrors Skew.advisor)
+    "q257_skew_advisor" ->
+      """WITH c AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+        | FROM events GROUP BY 1),
+        |s AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+        |  CAST(count(*) AS BIGINT) AS keys FROM c)
+        |SELECT user_id, n_rows,
+        | CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm,
+        | n_rows * keys > 2 * total AS is_hot,
+        | CAST((n_rows + 49) // 50 AS BIGINT) AS salt_factor
+        |FROM c, s ORDER BY n_rows DESC, user_id""".stripMargin,
+
+    // two-proportion z-test: exact integer counts; z composed of
+    // +,-,*,/ and sqrt only (all IEEE-correctly-rounded), mirrored
+    // operation for operation against Queries.q258AbTest
+    "q258_ab_test" ->
+      """WITH pu AS (
+        | SELECT user_id, user_id % 2 AS variant,
+        |  max(CASE WHEN event_type = 'purchase' AND
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 15000
+        |   THEN 1 ELSE 0 END) AS conv
+        | FROM events GROUP BY 1),
+        |a AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+        |  CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+        | FROM pu)
+        |SELECT n_a, c_a, n_b, c_b,
+        | CAST(c_a * 1000000 // n_a AS BIGINT) AS conv_ppm_a,
+        | CAST(c_b * 1000000 // n_b AS BIGINT) AS conv_ppm_b,
+        | (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |   - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        | / sqrt(CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |    * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z
+        |FROM a""".stripMargin,
+
+    // chi-square independence cells: margins as window sums, expected
+    // and contribution as pure IEEE arithmetic on exact BIGINT products;
+    // DuckDB dayofweek is Sunday=0 vs Spark's Sunday=1, hence the +1
+    "q259_chi_square" ->
+      """WITH cells AS (
+        | SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |  CAST(count(*) AS BIGINT) AS o
+        | FROM events GROUP BY 1, 2),
+        |m AS (
+        | SELECT event_type, dow, o,
+        |  CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS row_total,
+        |  CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS col_total,
+        |  CAST(sum(o) OVER () AS BIGINT) AS n_total
+        | FROM cells)
+        |SELECT event_type, dow, o, row_total, col_total, n_total,
+        | CAST(row_total * col_total AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |  AS expected,
+        | (CAST(o AS DOUBLE) - CAST(row_total * col_total AS DOUBLE)
+        |    / CAST(n_total AS DOUBLE))
+        |  * (CAST(o AS DOUBLE) - CAST(row_total * col_total AS DOUBLE)
+        |    / CAST(n_total AS DOUBLE))
+        |  / (CAST(row_total * col_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |  AS contrib
+        |FROM m ORDER BY event_type, dow""".stripMargin,
+
+    // seasonal index: cell mean over global mean as double ratios of
+    // exact integer sums
+    "q260_seasonal_index" ->
+      """WITH cells AS (
+        | SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |  CAST(hour(ts) AS INT) AS hr, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        | FROM events GROUP BY 1, 2),
+        |m AS (
+        | SELECT *, CAST(sum(n) OVER () AS BIGINT) AS total_n,
+        |  CAST(sum(sum_cents) OVER () AS BIGINT) AS total_cents
+        | FROM cells)
+        |SELECT dow, hr, n, sum_cents,
+        | (CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE))
+        |  / (CAST(total_cents AS DOUBLE) / CAST(total_n AS DOUBLE))
+        |  AS seasonal_index
+        |FROM m ORDER BY dow, hr""".stripMargin,
+
+    // ABC/Pareto classes: cumulative exact-cent shares compared
+    // cross-multiplied — no division or double anywhere
+    "q261_abc_classification" ->
+      """WITH per AS (
+        | SELECT l_partkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |   AS cents
+        | FROM lineitem GROUP BY 1),
+        |c AS (
+        | SELECT l_partkey, cents,
+        |  CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_cents,
+        |  CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+        | FROM per)
+        |SELECT l_partkey, cents, cum_cents,
+        | CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 'A'
+        |  WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
+        |  ELSE 'C' END AS abc_class
+        |FROM c ORDER BY cents DESC, l_partkey""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two
@@ -5662,7 +5910,10 @@ object Oracles {
       // the persisted inverted index (postings + denormalized doc
       // lengths, appended per batch + a replayed batch absorbed by
       // read-side dedup) must rank exactly like the one-shot BM25
-      "q228_bm25_index" -> base("q76_bm25"))
+      "q228_bm25_index" -> base("q76_bm25"),
+      // the incrementally maintained rollup (v1 base + v1->v2 change-
+      // feed delta, merged) must equal the full head recompute verbatim
+      "q256_incr_agg" -> base("q215_versioned_head"))
 
   /** The q60/q67/q167 shared edge CTEs: the deterministic fuzzy-dup
     * graph (contacts -> keyed pairs -> symmetrized edges). */

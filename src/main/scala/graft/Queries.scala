@@ -3400,6 +3400,338 @@ object Queries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Market-basket pair lift over lineitem baskets: for every part pair
+    * co-ordered in >= 3 orders, support and lift =
+    * (n_pair * N) / (n1 * n2). Both products are exact BIGINTs under
+    * 2^53 (n_pair, n_i <= N; guard documented: past N ~ 9e7 orders the
+    * products need DECIMAL widening), so lift is ONE double division of
+    * cross-engine-identical operands — no rounding anywhere. Scale
+    * shape: the pair explosion is per-ORDER (bounded basket size, <= 13
+    * parts at any SF, so <= 78 pairs per order) after a distinct that
+    * shuffles on (orderkey, partkey); item counts broadcast back (one
+    * row per distinct part, far smaller than the pair set). */
+  def q250BasketLift(s: SparkSession, dir: String): DataFrame = {
+    val b = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = b.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val items = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val pairs = b.as("a")
+      .join(b.as("c"), col("a.l_orderkey") === col("c.l_orderkey") &&
+        col("a.l_partkey") < col("c.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("c.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 3)
+    pairs
+      .join(broadcast(items.select(col("l_partkey").as("p1"),
+        col("n_item").as("n1"))), Seq("p1"))
+      .join(broadcast(items.select(col("l_partkey").as("p2"),
+        col("n_item").as("n2"))), Seq("p2"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("n_pair"), col("n1"), col("n2"),
+        expr("n_pair * 1000000 DIV n_orders").as("support_ppm"),
+        ((col("n_pair") * col("n_orders")).cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("p1"), col("p2"))
+  }
+
+  /** Top 3-step event paths: per-user (ts, event_id)-ordered event-type
+    * trigrams via two leads, counted corpus-wide — the Sankey/journey
+    * building block. share_ppm is integer DIV on the BOUNDED aggregate
+    * (<= |event types|^3 rows); the corpus-scale work is one user-keyed
+    * window shuffle, same key as q240's transition matrix. */
+  def q251TopPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e1", lead(col("event_type"), 1).over(w))
+      .withColumn("e2", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e1"), col("e2"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+    paths
+      .withColumn("share_ppm", expr(
+        "n * 1000000 DIV (sum(n) OVER ())").cast("long"))
+      .orderBy(col("n").desc, col("path"))
+  }
+
+  /** RFM segmentation: per-customer recency (days to the frozen
+    * as-of date), frequency (order count), monetary (exact DECIMAL cent
+    * sum), each scored 1-5 by explicit row_number quintiles —
+    * score = 5 - (rn-1)*5 DIV n with a (metric, custkey) total order,
+    * NOT ntile(), so both engines bucket identically — then rolled up
+    * to (r,f,m) segments with a CASE label. The quintile windows are
+    * unpartitioned but run on the PER-CUSTOMER aggregate (one row per
+    * customer with orders), already reduced from the order fact; at
+    * extreme customer counts the rank would move to a distributed sort
+    * + partition-offset pass. */
+  def q252Rfm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(datediff(asOfDate, max(to_date(col("o_orderdate")))).as("r_days"),
+        count(lit(1)).as("f"),
+        (sum(dec2(col("o_totalprice"))) * 100).cast("long").as("m_cents"))
+    val scored = per
+      .withColumn("rn_r", row_number().over(
+        Window.orderBy(col("r_days").asc, col("o_custkey").asc)).cast("long"))
+      .withColumn("rn_f", row_number().over(
+        Window.orderBy(col("f").desc, col("o_custkey").asc)).cast("long"))
+      .withColumn("rn_m", row_number().over(
+        Window.orderBy(col("m_cents").desc, col("o_custkey").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .select(col("m_cents"),
+        expr("5 - (rn_r - 1) * 5 DIV n").cast("int").as("r_score"),
+        expr("5 - (rn_f - 1) * 5 DIV n").cast("int").as("f_score"),
+        expr("5 - (rn_m - 1) * 5 DIV n").cast("int").as("m_score"))
+    scored
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("m_cents")).cast("long").as("total_cents"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 &&
+          col("m_score") >= 4, "champion")
+          .when(col("f_score") >= 4, "loyal")
+          .when(col("m_score") >= 4, "big_spender")
+          .when(col("r_score") <= 2, "at_risk")
+          .otherwise("other"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** Benford's-law first-digit audit over order totals — the classic
+    * fabricated-data screen. The leading digit comes from the DECIMAL
+    * cent value rendered as a BIGINT string (exact, engine-identical —
+    * never from double formatting); expected frequencies are the
+    * log10(1+1/d) constants inlined as ppm literals (the q235
+    * shared-literal discipline); observed ppm is integer DIV. One
+    * corpus aggregate, 9 output rows. */
+  def q253Benford(s: SparkSession, dir: String): DataFrame = {
+    val expPpm = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L)
+    val exp = expPpm.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("long")) { case (acc, (d, p)) =>
+        when(col("digit") === d, p).otherwise(acc) }
+    t(s, dir, "orders")
+      .select((dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("obs_ppm", expr(
+        "n * 1000000 DIV (sum(n) OVER ())").cast("long"))
+      .withColumn("exp_ppm", exp)
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy("digit")
+  }
+
+  /** Truncated 8-lag EWMA (alpha = 1/2) of the event value per user:
+    * ewma = sum_k 2^(7-k) * x_{t-k} / sum of PRESENT weights, k = 0..7,
+    * on exact integer cents (the q249 convention). The weighted sum and
+    * the denominator are exact BIGINTs (|cents| * 255 stays far under
+    * 2^53), so ewma is ONE double division — no float recursion, no
+    * rounding step. Truncating the tail at 8 lags is what makes the
+    * smoother expressible as one user-keyed window (weight 1/256 and
+    * below is sub-cent at this value range); an exact infinite-horizon
+    * smoother is the streaming CUSUM shape instead (O(1) state/key). */
+  def q254Ewma(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val base = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    val lags = (0 to 7).map { k =>
+      val x = if (k == 0) col("cents") else lag(col("cents"), k).over(w)
+      (x, lit(1L << (7 - k)))
+    }
+    val ws = lags.map { case (x, wt) => coalesce(x, lit(0L)) * wt }
+      .reduce(_ + _)
+    val denom = lags.map { case (x, wt) =>
+      when(x.isNotNull, wt).otherwise(lit(0L)) }.reduce(_ + _)
+    base
+      .withColumn("ewma_cents", ws.cast("double") / denom.cast("double"))
+      .select(col("user_id"), col("event_id"), col("cents"),
+        col("ewma_cents"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** l-diversity audit over the q206 quasi-identifier (nation, market
+    * segment): each equivalence class must also carry >= 3 DISTINCT
+    * values of the sensitive attribute (account-balance band, $1000
+    * buckets) — k-anonymity alone leaves a uniform-sensitive class
+    * re-identifiable. Band = floor(cents / 1e5) via ONE double division
+    * of exact ints (floor handles negative balances identically in both
+    * engines; integer DIV would truncate toward zero instead). */
+  def q255LDiversity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor((dec2(col("c_acctbal")) * 100).cast("long").cast("double") /
+          100000.0).cast("long").as("band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col("band")).as("l_distinct"))
+      .withColumn("meets_l", col("l_distinct") >= 3)
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** Incremental aggregate maintenance — the materialized-view move:
+    * the v1 snapshot's (lang, source) rollup merged with the SAME
+    * rollup of the v1->v2 change feed must equal the full recompute at
+    * the head (oracle = q215's head aggregate verbatim). Counts and
+    * sums merge by +, min/max by least/greatest with null-safe
+    * coalesce — valid because this feed is insert-only (file-level
+    * deltas over immutable commits); deletes would ride a change-type
+    * column and flip the sign. This is how a 100 TB rollup stays
+    * current: the base aggregate is never recomputed, each commit
+    * contributes one delta-sized aggregation. */
+  def q256IncrAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = versionedDocs(s, dir)
+    def rollup(df: DataFrame, suffix: String): DataFrame =
+      df.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs" + suffix),
+          sum(col("n_chars")).as("sum_chars" + suffix),
+          min(col("doc_id")).as("min_id" + suffix),
+          max(col("doc_id")).as("max_id" + suffix))
+    val base = rollup(graft.etl.Versioned.read(s, root, version = Some(1L)), "_b")
+    val delta = rollup(graft.etl.Versioned.readChanges(s, root,
+      fromVersion = 1L, toVersion = Some(2L)), "_d")
+    base.join(delta, Seq("lang", "source"), "full_outer")
+      .select(col("lang"), col("source"),
+        (coalesce(col("n_docs_b"), lit(0L)) +
+          coalesce(col("n_docs_d"), lit(0L))).as("n_docs"),
+        (coalesce(col("sum_chars_b"), lit(0L)) +
+          coalesce(col("sum_chars_d"), lit(0L))).as("sum_chars"),
+        least(coalesce(col("min_id_b"), col("min_id_d")),
+          coalesce(col("min_id_d"), col("min_id_b"))).as("min_id"),
+        greatest(coalesce(col("max_id_b"), col("max_id_d")),
+          coalesce(col("max_id_d"), col("max_id_b"))).as("max_id"))
+      .orderBy("lang", "source")
+  }
+
+  /** Skew advisor over the event stream's user key (Skew.advisor): per
+    * key the row count, corpus share, hot flag (> 2x mean, compared
+    * cross-multiplied in BIGINTs), and the salt factor a 50-rows-per-
+    * task budget would need — the diagnostic that decides between a
+    * plain, salted, or broadcast plan BEFORE the expensive job runs. */
+  def q257SkewAdvisor(s: SparkSession, dir: String): DataFrame =
+    Skew.advisor(t(s, dir, "events"), Seq("user_id"),
+      targetRowsPerTask = 50L)
+
+  /** Two-proportion A/B z-test on high-value-purchase conversion
+    * (any purchase of >= 15000 cents — plain "any purchase" converts
+    * EVERY user here, making p = 1 and z degenerate 0/0), variants by
+    * user_id parity: exact integer user/converter counts and ppm rates;
+    * z is composed of +,-,*,/ and sqrt ONLY — every one IEEE-correctly-
+    * rounded, so identical exact-integer inputs give the bit-identical
+    * double in both engines (the q247 sqrt argument; no libm
+    * transcendentals). One user-keyed aggregate then a 2-row reduce. */
+  def q258AbTest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+        (dec2(col("value")) * 100).cast("long") >= 15000L, 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn("variant", pmod(col("user_id"), lit(2L)))
+    val agg = perUser.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(col("variant") === 0, col("conv")).otherwise(0L)).cast("long")
+        .as("c_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum(when(col("variant") === 1, col("conv")).otherwise(0L)).cast("long")
+        .as("c_b"))
+    val pa = col("c_a").cast("double") / col("n_a").cast("double")
+    val pb = col("c_b").cast("double") / col("n_b").cast("double")
+    val p = (col("c_a") + col("c_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    agg.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      expr("c_a * 1000000 DIV n_a").as("conv_ppm_a"),
+      expr("c_b * 1000000 DIV n_b").as("conv_ppm_b"),
+      ((pa - pb) / sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("n_a").cast("double") +
+          lit(1.0) / col("n_b").cast("double")))).as("z"))
+  }
+
+  /** Chi-square independence cells for event_type x day-of-week: per
+    * cell the observed count, margins, expected value e = (row*col)/N
+    * (ONE double division of exact BIGINT products), and the
+    * contribution (o-e)^2/e — again pure IEEE arithmetic on identical
+    * operands. The total statistic is left to the reader ON PURPOSE:
+    * summing 35 doubles is order-dependent and the repo's determinism
+    * rules forbid shipping it un-anchored. */
+  def q259ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "events")
+      .select(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val e = (col("row_total") * col("col_total")).cast("double") /
+      col("n_total").cast("double")
+    cells
+      .withColumn("row_total", expr(
+        "sum(o) OVER (PARTITION BY event_type)").cast("long"))
+      .withColumn("col_total", expr(
+        "sum(o) OVER (PARTITION BY dow)").cast("long"))
+      .withColumn("n_total", expr("sum(o) OVER ()").cast("long"))
+      .withColumn("expected", e)
+      .withColumn("contrib",
+        (col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+      .orderBy("event_type", "dow")
+  }
+
+  /** Seasonal index per (day-of-week, hour): cell mean cents over the
+    * global mean, as pure double ratios of exact integer sums — the
+    * weekly-seasonality profile that feeds staffing/capacity curves.
+    * All corpus work is one grouped aggregate; the index math runs on
+    * the bounded 168-cell frame. */
+  def q260SeasonalIndex(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "events")
+      .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .groupBy(col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long")
+        .as("sum_cents"))
+    cells
+      .withColumn("total_n", expr("sum(n) OVER ()").cast("long"))
+      .withColumn("total_cents", expr("sum(sum_cents) OVER ()").cast("long"))
+      .withColumn("seasonal_index",
+        (col("sum_cents").cast("double") / col("n").cast("double")) /
+          (col("total_cents").cast("double") / col("total_n").cast("double")))
+      .select(col("dow"), col("hr"), col("n"), col("sum_cents"),
+        col("seasonal_index"))
+      .orderBy("dow", "hr")
+  }
+
+  /** ABC / Pareto classification of parts by revenue: rank by exact
+    * cent totals, classify by CUMULATIVE share — A up to 80%, B up to
+    * 95%, C the tail — with every threshold compared CROSS-MULTIPLIED
+    * in exact BIGINTs (cum * 5 <= total * 4, cum * 20 <= total * 19):
+    * no division, no rounding, no double anywhere. The cumulative
+    * window is unpartitioned but runs on the per-part AGGREGATE (one
+    * row per part, already reduced from lineitem); at extreme part
+    * counts it becomes a distributed sort + per-partition offset pass,
+    * same note as q252's quintiles. */
+  def q261AbcClassification(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg((sum(dec2(col("l_extendedprice"))) * 100).cast("long").as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+    per
+      .withColumn("cum_cents", sum(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .withColumn("total_cents", sum(col("cents")).over(
+        Window.partitionBy()).cast("long"))
+      .withColumn("abc_class",
+        when(col("cum_cents") * 5 <= col("total_cents") * 4, "A")
+          .when(col("cum_cents") * 20 <= col("total_cents") * 19, "B")
+          .otherwise("C"))
+      .select(col("l_partkey"), col("cents"), col("cum_cents"),
+        col("abc_class"))
+      .orderBy(col("cents").desc, col("l_partkey"))
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -4656,6 +4988,18 @@ object Queries {
     "q247_rolling_corr" -> (q247RollingCorr _),
     "q248_quantile_norm" -> (q248QuantileNorm _),
     "q249_attribution" -> (q249Attribution _),
+    "q250_basket_lift" -> (q250BasketLift _),
+    "q251_top_paths" -> (q251TopPaths _),
+    "q252_rfm" -> (q252Rfm _),
+    "q253_benford" -> (q253Benford _),
+    "q254_ewma" -> (q254Ewma _),
+    "q255_l_diversity" -> (q255LDiversity _),
+    "q256_incr_agg" -> (q256IncrAgg _),
+    "q257_skew_advisor" -> (q257SkewAdvisor _),
+    "q258_ab_test" -> (q258AbTest _),
+    "q259_chi_square" -> (q259ChiSquare _),
+    "q260_seasonal_index" -> (q260SeasonalIndex _),
+    "q261_abc_classification" -> (q261AbcClassification _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -70,4 +70,32 @@ object Skew {
     saltedLeft.join(replicatedRight, Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
+
+  /** Skew DIAGNOSTICS: the measurement that decides whether the two
+    * operators above are needed at all. Per key: row count, corpus share
+    * in ppm, a hot flag (count > 2x the mean per-key count — compared
+    * cross-multiplied in exact BIGINTs, no division), and the salt
+    * factor a salted plan would need to land the key under
+    * `targetRowsPerTask` rows per task (ceiling division in integers).
+    * One keyed aggregation plus a broadcast 1-row stats frame — the
+    * report costs one shuffle of the keyed counts, never a second corpus
+    * pass. Run it on a sample or yesterday's partition at 100 TB; the
+    * hot-key set is stable far longer than the row counts. */
+  def advisor(df: DataFrame, keyCols: Seq[String],
+              targetRowsPerTask: Long = 1000000L): DataFrame = {
+    require(targetRowsPerTask > 0, "advisor: targetRowsPerTask must be > 0")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val stats = counts.agg(sum(col("n_rows")).cast("long").as("__total"),
+      count(lit(1)).as("__keys"))
+    counts.crossJoin(broadcast(stats))
+      .select(keyCols.map(col) ++ Seq(
+        col("n_rows"),
+        expr("n_rows * 1000000 DIV __total").as("share_ppm"),
+        (col("n_rows") * col("__keys") > lit(2L) * col("__total"))
+          .as("is_hot"),
+        expr(s"(n_rows + ${targetRowsPerTask - 1}L) DIV ${targetRowsPerTask}L")
+          .as("salt_factor")): _*)
+      .orderBy(col("n_rows").desc, struct(keyCols.map(col): _*))
+  }
 }

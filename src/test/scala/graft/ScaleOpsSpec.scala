@@ -37,6 +37,26 @@ class SkewSpec extends SparkSpec {
         Skew.saltedJoin(skewed, right, "k", salts = 4, joinType = bad)
       }
   }
+
+  test("advisor flags the hot key with the right share and salt factor") {
+    // 1000 hot + 50 cold rows over 51 keys: mean ~20.6, hot > 2x mean
+    val rep = Skew.advisor(skewed, Seq("k"), targetRowsPerTask = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    assert(rep.head == ("hot", 1000L, 1000L * 1000000L / 1050L, true, 10L))
+    assert(rep.length == 51)
+    val cold = rep.tail
+    assert(cold.forall { case (_, n, _, hot, salt) =>
+      n == 1L && !hot && salt == 1L })
+    // deterministic tiebreak: equal-count keys come back key-ordered
+    assert(cold.map(_._1).toSeq == cold.map(_._1).toSeq.sorted)
+  }
+
+  test("advisor rejects a non-positive task budget") {
+    intercept[IllegalArgumentException] {
+      Skew.advisor(skewed, Seq("k"), targetRowsPerTask = 0L)
+    }
+  }
 }
 
 class IvfSpec extends SparkSpec {
