@@ -5875,6 +5875,59 @@ object Oracles {
         |  WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
         |  ELSE 'C' END AS abc_class
         |FROM c ORDER BY cents DESC, l_partkey""".stripMargin,
+
+    // Kaplan-Meier: per-duration at-risk counts via an exclusive prefix
+    // window; ln S(t) as the running sum of round(ln,6)-micro terms
+    "q262_kaplan_meier" ->
+      """WITH pu AS (
+        | SELECT user_id, epoch_us(min(ts)) AS first_us,
+        |  epoch_us(max(ts)) AS last_us,
+        |  epoch_us(min(CASE WHEN event_type = 'purchase' AND
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 20000
+        |   THEN ts END)) AS conv_us
+        | FROM events GROUP BY 1),
+        |durs AS (
+        | SELECT (coalesce(conv_us, last_us) - first_us) // 3600000000
+        |   AS dur_h,
+        |  CAST(count(*) AS BIGINT) AS u,
+        |  CAST(sum(CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS d
+        | FROM pu GROUP BY 1),
+        |risk AS (
+        | SELECT dur_h, u, d,
+        |  CAST(sum(u) OVER () AS BIGINT)
+        |   - CAST(coalesce(sum(u) OVER (ORDER BY dur_h ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     AS BIGINT) AS n_risk
+        | FROM durs),
+        |terms AS (
+        | SELECT dur_h, n_risk, d,
+        |  CAST(round(round(ln(CAST(n_risk - d AS DOUBLE)
+        |   / CAST(n_risk AS DOUBLE)), 6) * 1e6) AS BIGINT) AS term
+        | FROM risk WHERE d > 0 AND n_risk > d)
+        |SELECT dur_h, n_risk, d,
+        | CAST(sum(term) OVER (ORDER BY dur_h ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS ln_surv_micro
+        |FROM terms ORDER BY dur_h""".stripMargin,
+
+    // DP Laplace release: noise derandomized through the portable
+    // 60-bit md5 hash of the cell key, frozen by the ln-micros kernel
+    "q263_dp_release" ->
+      s"""WITH cells AS (
+         | SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+         | FROM documents GROUP BY 1, 2),
+         |nz AS (
+         | SELECT lang, source, n,
+         |  CAST((${ph("lang || '|' || source", 4242)} % 1999999 - 999999)
+         |    AS DOUBLE) / 1e6 AS u
+         | FROM cells)
+         |SELECT lang, source, n,
+         | CAST(-sign(u) * round(round(ln(1.0 - abs(u)), 6) * 1e6)
+         |   AS BIGINT) AS noise_micro,
+         | n * 1000000 + CAST(-sign(u) * round(round(ln(1.0 - abs(u)), 6)
+         |   * 1e6) AS BIGINT) AS released_micro
+         |FROM nz ORDER BY lang, source""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

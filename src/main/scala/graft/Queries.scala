@@ -3732,6 +3732,81 @@ object Queries {
       .orderBy(col("cents").desc, col("l_partkey"))
   }
 
+  /** Kaplan-Meier survival for time-to-conversion: duration = whole
+    * hours from a user's first event to their first >= 20000-cent
+    * purchase (the EVENT, observed for ~20% of users) or to their last
+    * event (censored). Per event-time row: the at-risk count (total
+    * minus everyone with a shorter duration — one exclusive-prefix
+    * window over the BOUNDED per-duration aggregate, <= 720 rows), the
+    * event count, and ln S(t) as the running sum of
+    * round(ln((n-d)/n), 6) micro-BIGINTs — the established ln-micros
+    * kernel, so the cumulative "product" is an integer SUM
+    * (order-independent, overflow-free where the true product of
+    * rationals is neither). Rows where d = n (S hits exact zero) are
+    * cut — ln(0) — which is where the standard KM table ends anyway.
+    * Corpus-scale work is one user-keyed aggregate; both windows run
+    * on the duration grid. */
+  def q262KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(us).as("first_us"), max(us).as("last_us"),
+        min(when(col("event_type") === "purchase" &&
+          (dec2(col("value")) * 100).cast("long") >= 20000L, us))
+          .as("conv_us"))
+    val durs = perUser
+      .select(expr(
+        "(coalesce(conv_us, last_us) - first_us) DIV 3600000000")
+        .as("dur_h"),
+        when(col("conv_us").isNotNull, 1L).otherwise(0L).as("converted"))
+      .groupBy(col("dur_h"))
+      .agg(count(lit(1)).as("u"), sum(col("converted")).cast("long").as("d"))
+    val wPrior = Window.orderBy(col("dur_h").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("dur_h").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    durs
+      .withColumn("n_risk",
+        sum(col("u")).over(Window.partitionBy()).cast("long") -
+          coalesce(sum(col("u")).over(wPrior), lit(0L)).cast("long"))
+      .filter(col("d") > 0 && col("n_risk") > col("d"))
+      .withColumn("term", round(round(log(
+        (col("n_risk") - col("d")).cast("double") /
+          col("n_risk").cast("double")), 6) * 1e6).cast("long"))
+      .withColumn("ln_surv_micro", sum(col("term")).over(wCum).cast("long"))
+      .select(col("dur_h"), col("n_risk"), col("d"), col("ln_surv_micro"))
+      .orderBy("dur_h")
+  }
+
+  /** Differentially-private count release (Laplace mechanism, eps = 1,
+    * sensitivity 1) over the (lang, source) histogram — with the noise
+    * DERANDOMIZED through the portable 60-bit md5 hash of the cell key
+    * (the DSIR/split discipline), so both engines draw the identical
+    * "sample": u = (h mod 1999999 - 999999)/1e6 in (-1, 1), noise =
+    * -sign(u) * ln(1 - |u|) frozen by the round(ln, 6)-micros kernel.
+    * The released value is true_micro + noise_micro in exact BIGINTs.
+    * A production release publishes ONLY released_micro and spends the
+    * epsilon budget per query; the true count rides along here because
+    * the driver gate hashes every cell. One corpus aggregate; noise
+    * math runs on the bounded cell grid. */
+  def q263DpRelease(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val h = Dedup.portableHash64(
+      concat(col("lang"), lit("|"), col("source")), 4242)
+    val u = (pmod(h, lit(1999999L)) - lit(999999L)).cast("double") / 1e6
+    val noise = (-signum(u) *
+      round(round(log(lit(1.0) - abs(u)), 6) * 1e6)).cast("long")
+    cells
+      .withColumn("noise_micro", noise)
+      .withColumn("released_micro", col("n") * 1000000L + col("noise_micro"))
+      .select(col("lang"), col("source"), col("n"), col("noise_micro"),
+        col("released_micro"))
+      .orderBy("lang", "source")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -5000,6 +5075,8 @@ object Queries {
     "q259_chi_square" -> (q259ChiSquare _),
     "q260_seasonal_index" -> (q260SeasonalIndex _),
     "q261_abc_classification" -> (q261AbcClassification _),
+    "q262_kaplan_meier" -> (q262KaplanMeier _),
+    "q263_dp_release" -> (q263DpRelease _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
