@@ -5928,6 +5928,40 @@ object Oracles {
          | n * 1000000 + CAST(-sign(u) * round(round(ln(1.0 - abs(u)), 6)
          |   * 1e6) AS BIGINT) AS released_micro
          |FROM nz ORDER BY lang, source""".stripMargin,
+
+    // U-shaped multi-touch attribution: 40/20/40 ppm weights, middle
+    // split by integer DIV with the remainder spread over the earliest
+    // middles (weights sum to exactly 1e6 per purchase)
+    "q264_multi_touch" ->
+      """WITH ev AS (
+        | SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |p AS (
+        | SELECT user_id, us AS p_us, event_id AS p_id, cents
+        | FROM ev WHERE event_type = 'purchase'),
+        |c AS (
+        | SELECT user_id, us AS c_us, max(event_id) AS c_id
+        | FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+        |j AS (
+        | SELECT p.user_id, p_id, c_id, cents,
+        |  row_number() OVER (PARTITION BY p_id ORDER BY c_us, c_id) AS pos,
+        |  count(*) OVER (PARTITION BY p_id) AS k
+        | FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c_us <= p_us AND c_us > p_us - 86400000000),
+        |wts AS (
+        | SELECT user_id, p_id, c_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(k AS BIGINT) AS k, cents,
+        |  CAST(CASE WHEN k = 1 THEN 1000000
+        |   WHEN k = 2 THEN 500000
+        |   WHEN pos = 1 OR pos = k THEN 400000
+        |   ELSE 200000 // (k - 2)
+        |    + (CASE WHEN pos - 2 < 200000 % (k - 2) THEN 1 ELSE 0 END)
+        |  END AS BIGINT) AS weight_ppm
+        | FROM j)
+        |SELECT user_id, p_id, c_id, pos, k, cents, weight_ppm,
+        | CAST(cents * weight_ppm // 1000000 AS BIGINT) AS credited_cents
+        |FROM wts ORDER BY p_id, pos""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two
@@ -5966,7 +6000,11 @@ object Oracles {
       "q228_bm25_index" -> base("q76_bm25"),
       // the incrementally maintained rollup (v1 base + v1->v2 change-
       // feed delta, merged) must equal the full head recompute verbatim
-      "q256_incr_agg" -> base("q215_versioned_head"))
+      "q256_incr_agg" -> base("q215_versioned_head"),
+      // the PERSISTED rollup table (even/odd delta appends + a replayed
+      // batch absorbed by read-side dedup) must also equal the full
+      // head recompute verbatim
+      "q265_rollup_table" -> base("q215_versioned_head"))
 
   /** The q60/q67/q167 shared edge CTEs: the deterministic fuzzy-dup
     * graph (contacts -> keyed pairs -> symmetrized edges). */

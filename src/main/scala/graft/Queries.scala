@@ -3807,6 +3807,89 @@ object Queries {
       .orderBy("lang", "source")
   }
 
+  /** Position-based (U-shaped) multi-touch attribution: every click in
+    * the 24h window before a purchase shares the credit — 40% to the
+    * first touch, 40% to the last, 20% split over the middles — as
+    * EXACT ppm integers: the middle split is 200000 DIV m with the
+    * remainder spread one ppm each over the earliest middles, so the
+    * weights sum to exactly 1e6 for every k (k=1 takes all, k=2 splits
+    * 50/50). Complements q249's last-touch rule. The join is user-keyed
+    * (purchases x deduped clicks, horizon predicate applied in the join
+    * condition so the per-purchase click set is bounded by the window);
+    * position windows run per purchase. credited_cents = cents *
+    * weight_ppm DIV 1e6 truncates per touch — the per-purchase ledger
+    * keeps the exact ppm weights precisely so no cent is silently
+    * invented. */
+  def q264MultiTouch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), us.as("us"), col("event_id"),
+        col("event_type"), (dec2(col("value")) * 100).cast("long").as("cents"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"),
+        col("event_id").as("p_id"), col("cents"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us").as("c_us"))
+      .agg(max(col("event_id")).as("c_id"))
+    val w = Window.partitionBy(col("p_id")).orderBy(col("c_us"), col("c_id"))
+    val wAll = Window.partitionBy(col("p_id"))
+    purch
+      .join(clicks, purch("user_id") === clicks("user_id") &&
+        col("c_us") <= col("p_us") &&
+        col("c_us") > col("p_us") - lit(86400000000L))
+      .drop(clicks("user_id"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("k", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("weight_ppm",
+        when(col("k") === 1, 1000000L)
+          .when(col("k") === 2, 500000L)
+          .when(col("pos") === 1 || col("pos") === col("k"), 400000L)
+          .otherwise(expr("200000 DIV (k - 2)") +
+            when(col("pos") - 2 < expr("200000 % (k - 2)"), 1L)
+              .otherwise(0L)))
+      .withColumn("credited_cents", expr("cents * weight_ppm DIV 1000000"))
+      .select(col("user_id"), col("p_id"), col("c_id"), col("pos"),
+        col("k"), col("cents"), col("weight_ppm"), col("credited_cents"))
+      .orderBy("p_id", "pos")
+  }
+
+  /** The persisted maintained rollup ([[Rollup]]): even and odd halves
+    * of the documents corpus appended as bounded per-key delta frames,
+    * the odd batch REPLAYED under the same id (at-least-once -> the
+    * read-side (batch_id, keys) dedup folds it away), then the
+    * maintained read — which must equal q215's full head recompute
+    * verbatim (shared oracle). The group-by analogue of the
+    * moments/histogram/CMS persisted-stats tables: arbitrary
+    * count/sum/min/max rollups served without ever rescanning the
+    * base. */
+  def q265RollupTable(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val path = rtPath(s, dir, "rolluptab")
+    val keys = Seq("lang", "source")
+    val sums = Map("n_chars" -> "sum_chars")
+    val mins = Map("doc_id" -> "min_id")
+    val maxes = Map("doc_id" -> "max_id")
+    oncePerSession(rollupTableBuilt, s, dir) {
+      Rollup.appendRollup(docs.filter(col("doc_id") % 2 === 0), keys,
+        "n_docs", sums, mins, maxes, path, batchId = "even")
+      Rollup.appendRollup(docs.filter(col("doc_id") % 2 === 1), keys,
+        "n_docs", sums, mins, maxes, path, batchId = "odd")
+      // at-least-once replay: the same batch appended twice
+      Rollup.appendRollup(docs.filter(col("doc_id") % 2 === 1), keys,
+        "n_docs", sums, mins, maxes, path, batchId = "odd")
+    }
+    Rollup.rollupFromTable(s, path, keys, "n_docs", Seq("sum_chars"),
+        Seq("min_id"), Seq("max_id"))
+      .select(col("lang"), col("source"), col("n_docs"), col("sum_chars"),
+        col("min_id"), col("max_id"))
+      .orderBy("lang", "source")
+  }
+  private val rollupTableBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Boolean]()
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -5077,6 +5160,8 @@ object Queries {
     "q261_abc_classification" -> (q261AbcClassification _),
     "q262_kaplan_meier" -> (q262KaplanMeier _),
     "q263_dp_release" -> (q263DpRelease _),
+    "q264_multi_touch" -> (q264MultiTouch _),
+    "q265_rollup_table" -> (q265RollupTable _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -658,6 +658,29 @@ object Stream {
         ()
       }
 
+  /** Streaming materialized-view maintenance over the persisted rollup
+    * table ([[graft.operators.Rollup]]): each micro-batch appends its
+    * bounded per-key delta frame stamped with the micro-batch id;
+    * [[graft.operators.Rollup.rollupFromTable]] serves the maintained
+    * aggregate at read time, equal to a full recompute of everything
+    * ever ingested. Exactly-once by the [[momentsIngestSink]] argument:
+    * a replayed micro-batch re-appends byte-identical delta rows under
+    * the same id and the read-side fold dedups (batch_id, keys). The
+    * base table is never rescanned — q256's change-feed maintenance
+    * with the stream driving the deltas instead of table commits. */
+  def rollupIngestSink(rows: DataFrame, keyCols: Seq[String],
+                       countName: String, sumCols: Map[String, String],
+                       minCols: Map[String, String],
+                       maxCols: Map[String, String], tablePath: String,
+                       checkpoint: String): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Rollup.appendRollup(batch, keyCols, countName,
+          sumCols, minCols, maxCols, tablePath, batchId = s"stream-$batchId")
+      }
+
   /** ST-8: stream -> staging via foreachBatch reusing the batch upsert
     * (exactly-once: checkpointed offsets + idempotent merge on event_id).
     * Synthesizes event_id when missing like StagingProgressWriter
