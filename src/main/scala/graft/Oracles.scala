@@ -5962,6 +5962,134 @@ object Oracles {
         |SELECT user_id, p_id, c_id, pos, k, cents, weight_ppm,
         | CAST(cents * weight_ppm // 1000000 AS BIGINT) AS credited_cents
         |FROM wts ORDER BY p_id, pos""".stripMargin,
+
+    // max drawdown per user over the signed cent balance: three exact
+    // BIGINT windows (running sum, running max, peak minus balance)
+    "q266_max_drawdown" ->
+      """WITH f AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN event_type IN ('purchase', 'signup')
+        |   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  END AS flow
+        | FROM events),
+        |b1 AS (
+        | SELECT user_id, ts, event_id, flow,
+        |  CAST(sum(flow) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS balance
+        | FROM f),
+        |b AS (
+        | SELECT user_id, flow, balance,
+        |  CAST(max(balance) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS peak
+        | FROM b1)
+        |SELECT user_id,
+        | CAST(max(peak) AS BIGINT) AS peak_cents,
+        | CAST(min(balance) AS BIGINT) AS trough_cents,
+        | CAST(max(peak - balance) AS BIGINT) AS max_drawdown_cents,
+        | CAST(sum(flow) AS BIGINT) AS final_cents
+        |FROM b GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // ship latency by priority: EXACT median/p90 selected by
+    // row_number index over a total order — no interpolation
+    "q267_ship_latency" ->
+      """WITH d AS (
+        | SELECT o_orderpriority,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) AS BIGINT) AS days,
+        |  l_orderkey, l_linenumber
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |r AS (
+        | SELECT o_orderpriority, days,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY days, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        | FROM d)
+        |SELECT o_orderpriority, max(n) AS n,
+        | min(days) AS min_days,
+        | max(CASE WHEN rn = (n + 1) // 2 THEN days END) AS med_days,
+        | max(CASE WHEN rn = (9 * n + 9) // 10 THEN days END) AS p90_days,
+        | max(days) AS max_days
+        |FROM r GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // duplicate-invoice screen over planted +2-day clones: equality
+    // join on (custkey, cents), date predicate after
+    "q268_duplicate_invoices" ->
+      """WITH o AS (
+        | SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS cents,
+        |  CAST(o_orderdate AS DATE) AS d
+        | FROM orders),
+        |al AS (
+        | SELECT * FROM o
+        | UNION ALL
+        | SELECT o_custkey, o_orderkey + 5000000, cents, d + 2
+        | FROM o WHERE o_orderkey % 40 = 0)
+        |SELECT a.o_custkey AS custkey, a.o_orderkey AS okey_a,
+        | b.o_orderkey AS okey_b, a.cents AS cents,
+        | CAST(date_diff('day', a.d, b.d) AS INT) AS gap_days
+        |FROM al a JOIN al b ON a.o_custkey = b.o_custkey
+        | AND a.cents = b.cents AND a.o_orderkey < b.o_orderkey
+        |WHERE abs(date_diff('day', a.d, b.d)) <= 7
+        |ORDER BY custkey, okey_a, okey_b""".stripMargin,
+
+    // DAU/WAU/MAU: forward-contribution explode (each user-day serves
+    // the <= 7/30 trailing windows that cover it), inner-joined to the
+    // real activity-day spine
+    "q269_active_users" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (
+        | SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |wau AS (
+        | SELECT day, CAST(count(*) AS BIGINT) AS wau FROM (
+        |  SELECT DISTINCT user_id, day + CAST(off AS INT) AS day
+        |  FROM ud, (SELECT unnest(range(0, 7)) AS off))
+        | GROUP BY 1),
+        |mau AS (
+        | SELECT day, CAST(count(*) AS BIGINT) AS mau FROM (
+        |  SELECT DISTINCT user_id, day + CAST(off AS INT) AS day
+        |  FROM ud, (SELECT unnest(range(0, 30)) AS off))
+        | GROUP BY 1)
+        |SELECT day, dau.dau, wau.wau, mau.mau,
+        | CAST(dau.dau * 1000000 // mau.mau AS BIGINT) AS stickiness_ppm
+        |FROM dau JOIN wau USING (day) JOIN mau USING (day)
+        |ORDER BY day""".stripMargin,
+
+    // cohort LTV: q96's week ordinal, purchase cents per (cohort,
+    // offset), exact cumulative windows, integer-DIV per-member micros
+    "q270_cohort_ltv" ->
+      """WITH ev AS (
+        | SELECT user_id,
+        |  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+        |   AS week,
+        |  CASE WHEN event_type = 'purchase'
+        |   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   ELSE 0 END AS cents
+        | FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+        |sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        | FROM c GROUP BY 1),
+        |g AS (
+        | SELECT cohort_week, week - cohort_week AS week_offset,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        | FROM ev JOIN c USING (user_id) GROUP BY 1, 2),
+        |cum AS (
+        | SELECT cohort_week, week_offset, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY cohort_week
+        |    ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_cents
+        | FROM g)
+        |SELECT cohort_week, week_offset, cohort_size, cents, cum_cents,
+        | CAST(cum_cents * 1000000 // cohort_size AS BIGINT)
+        |  AS ltv_micro_per_user
+        |FROM cum JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

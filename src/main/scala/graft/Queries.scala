@@ -3890,6 +3890,155 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       java.lang.Boolean]()
 
+  /** Maximum drawdown per user over the signed running balance
+    * (purchases/signups credit, clicks/views/errors debit — exact
+    * cents): drawdown = running peak minus current balance, all three
+    * windows exact BIGINT sums/maxes in (ts, event_id) order. The
+    * risk-metric shape (peak-to-trough) on one user-keyed window
+    * shuffle; nothing leaves integer domain. */
+  def q266MaxDrawdown(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type").isin("purchase", "signup"),
+          (dec2(col("value")) * 100).cast("long"))
+          .otherwise(-(dec2(col("value")) * 100).cast("long")).as("flow"))
+      .withColumn("balance", sum(col("flow")).over(w).cast("long"))
+      .withColumn("peak", max(col("balance")).over(w).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(max(col("peak")).cast("long").as("peak_cents"),
+        min(col("balance")).cast("long").as("trough_cents"),
+        max(col("peak") - col("balance")).cast("long")
+          .as("max_drawdown_cents"),
+        sum(col("flow")).cast("long").as("final_cents"))
+      .orderBy("user_id")
+  }
+
+  /** Ship-latency distribution by order priority with EXACT order
+    * statistics: per priority the lower median and p90 selected by
+    * row_number index ((n+1) DIV 2 and (9n+9) DIV 10 — ceiling of
+    * 0.9n) over a (days, orderkey, linenumber) total order, so both
+    * engines pick the identical row; no interpolation, no doubles.
+    * One fact-dim join (orders broadcast-scale relative to lineitem at
+    * any SF ratio — 4:1 rows here, dims prune first at 100 TB) and one
+    * priority-keyed window. */
+  def q267ShipLatency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("days"), col("l_orderkey"), col("l_linenumber"))
+    val wAll = Window.partitionBy(col("o_orderpriority"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), days.cast("long").as("days"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).cast("long").as("n"),
+        min(col("days")).as("min_days"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("days")))
+          .as("med_days"),
+        max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("days")))
+          .as("p90_days"),
+        max(col("days")).as("max_days"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Duplicate-invoice screen (the finance fraud/dedup audit): same
+    * customer, same exact cent amount, order dates within 7 days. The
+    * natural corpus has no such pairs (checked — amounts are
+    * near-continuous), so every 40th order is PLANTED back re-keyed
+    * +5000000 and shifted +2 days (the q159 planted-variant
+    * discipline) and the screen must surface exactly the planted
+    * pairs. The join keys on (custkey, cents) — equality first, the
+    * date predicate after — so the candidate set is hash-joinable and
+    * bounded by per-(cust, amount) multiplicity, never a date-range
+    * cross product. */
+  def q268DuplicateInvoices(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      (dec2(col("o_totalprice")) * 100).cast("long").as("cents"),
+      to_date(col("o_orderdate")).as("d"))
+    val planted = o.filter(col("o_orderkey") % 40 === 0)
+      .select(col("o_custkey"), (col("o_orderkey") + 5000000L).as("o_orderkey"),
+        col("cents"), date_add(col("d"), 2).as("d"))
+    val all = o.unionByName(planted)
+    all.as("a")
+      .join(all.as("b"), col("a.o_custkey") === col("b.o_custkey") &&
+        col("a.cents") === col("b.cents") &&
+        col("a.o_orderkey") < col("b.o_orderkey"))
+      .filter(abs(datediff(col("b.d"), col("a.d"))) <= 7)
+      .select(col("a.o_custkey").as("custkey"),
+        col("a.o_orderkey").as("okey_a"), col("b.o_orderkey").as("okey_b"),
+        col("a.cents").as("cents"),
+        datediff(col("b.d"), col("a.d")).cast("int").as("gap_days"))
+      .orderBy("custkey", "okey_a", "okey_b")
+  }
+
+  /** DAU / WAU / MAU + stickiness per day: each distinct (user, day)
+    * activity CONTRIBUTES FORWARD to the <= 7 / <= 30 spine days whose
+    * trailing window covers it — a bounded explode (fan-out 7 and 30)
+    * instead of a per-day range join, so the shuffle keys on the day
+    * grid and no trailing-window distinct ever rescans the corpus.
+    * Spine days are the days with any activity (dense here); stickiness
+    * = dau * 1e6 DIV mau in exact integers. */
+  def q269ActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    def trailing(win: Int, name: String): DataFrame = ud
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(win - 1))).as("off"),
+        col("day"))
+      .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as(name))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    dau // inner joins keep only real activity days (spine = data days)
+      .join(trailing(7, "wau"), Seq("day"))
+      .join(trailing(30, "mau"), Seq("day"))
+      .withColumn("stickiness_ppm", expr("dau * 1000000 DIV mau"))
+      .orderBy("day")
+  }
+
+  /** Cohort LTV curves: per (first-week cohort, week offset) the
+    * purchase-cent total, the running cumulative total (exact BIGINT
+    * window over the bounded cohort grid), and the cumulative LTV per
+    * cohort member in micro-cents (integer DIV by the cohort size).
+    * Extends q96's retention matrix from presence counts to revenue;
+    * same week ordinal (FLOOR division — the q96 pre-epoch note). */
+  def q270CohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events").select(col("user_id"),
+      floor(datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+        .cast("double") / lit(7.0d)).cast("long").as("week"),
+      when(col("event_type") === "purchase",
+        (dec2(col("value")) * 100).cast("long")).otherwise(0L).as("cents"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val wCum = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.join(cohort, "user_id")
+      .select(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"), col("cents"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(sum(col("cents")).cast("long").as("cents"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("cum_cents", sum(col("cents")).over(wCum).cast("long"))
+      .withColumn("ltv_micro_per_user",
+        expr("cum_cents * 1000000 DIV cohort_size"))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+        col("cents"), col("cum_cents"), col("ltv_micro_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -5162,6 +5311,11 @@ object Queries {
     "q263_dp_release" -> (q263DpRelease _),
     "q264_multi_touch" -> (q264MultiTouch _),
     "q265_rollup_table" -> (q265RollupTable _),
+    "q266_max_drawdown" -> (q266MaxDrawdown _),
+    "q267_ship_latency" -> (q267ShipLatency _),
+    "q268_duplicate_invoices" -> (q268DuplicateInvoices _),
+    "q269_active_users" -> (q269ActiveUsers _),
+    "q270_cohort_ltv" -> (q270CohortLtv _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
