@@ -6090,6 +6090,93 @@ object Oracles {
         |  AS ltv_micro_per_user
         |FROM cum JOIN sz USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // sorted-neighborhood blocking: rank over (segment, cents, id),
+    // pairs via rank + offset equi-join, then the cent-gap screen
+    "q271_sorted_neighborhood" ->
+      """WITH c AS (
+        | SELECT c_custkey, c_mktsegment,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM customer),
+        |r AS (
+        | SELECT c_custkey AS id, c_mktsegment AS seg, cents,
+        |  CAST(row_number() OVER (ORDER BY c_mktsegment, cents, c_custkey)
+        |   AS BIGINT) AS rn
+        | FROM c),
+        |p AS (
+        | SELECT a.id AS id_a, b.id AS id_b, a.seg AS seg_a,
+        |  b.seg AS seg_b, a.cents AS cents_a, b.cents AS cents_b,
+        |  CAST(off AS INT) AS rank_gap
+        | FROM r a
+        | CROSS JOIN (SELECT unnest(range(1, 4)) AS off) o
+        | JOIN r b ON b.rn = a.rn + off)
+        |SELECT id_a, id_b, seg_a AS segment, cents_a, cents_b, rank_gap
+        |FROM p
+        |WHERE seg_a = seg_b AND abs(cents_a - cents_b) <= 100
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // nearest as-of: backward and forward candidate timestamps via
+    // correlated extrema (ties to the earlier side), c_id joined back
+    // on the chosen (user, ts)
+    "q272_asof_nearest" ->
+      """WITH ev AS (
+        | SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        | FROM events),
+        |p AS (
+        | SELECT user_id, us, event_id AS p_id
+        | FROM ev WHERE event_type = 'purchase'),
+        |c AS (
+        | SELECT user_id, us AS c_us, max(event_id) AS c_id
+        | FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+        |cand AS (
+        | SELECT p.user_id, p.us, p.p_id,
+        |  (SELECT max(c_us) FROM c
+        |   WHERE c.user_id = p.user_id AND c_us <= p.us) AS b_ts,
+        |  (SELECT min(c_us) FROM c
+        |   WHERE c.user_id = p.user_id AND c_us > p.us) AS f_ts
+        | FROM p),
+        |pick AS (
+        | SELECT user_id, us, p_id,
+        |  CASE WHEN f_ts IS NULL THEN b_ts
+        |   WHEN b_ts IS NOT NULL AND us - b_ts <= f_ts - us THEN b_ts
+        |   ELSE f_ts END AS matched_ts
+        | FROM cand)
+        |SELECT pick.user_id, p_id, c.c_id, matched_ts - us
+        |  AS signed_lag_us
+        |FROM pick LEFT JOIN c ON c.user_id = pick.user_id
+        | AND c.c_us = pick.matched_ts
+        |ORDER BY pick.user_id, p_id""".stripMargin,
+
+    // growth accounting: one (user, day) distinct frame self-joined at
+    // day-1; dau = new + retained + resurrected by construction
+    "q273_growth_accounting" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+        |pv AS (SELECT user_id, day + 1 AS day, 1 AS was_prev FROM ud),
+        |fl AS (
+        | SELECT ud.day,
+        |  CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END AS is_new,
+        |  coalesce(pv.was_prev, 0) AS is_ret
+        | FROM ud JOIN f USING (user_id)
+        | LEFT JOIN pv ON pv.user_id = ud.user_id AND pv.day = ud.day),
+        |byday AS (
+        | SELECT day, CAST(count(*) AS BIGINT) AS dau,
+        |  CAST(sum(is_new) AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN is_new = 0 THEN is_ret ELSE 0 END) AS BIGINT)
+        |   AS retained,
+        |  CAST(sum(CASE WHEN is_new = 0 AND is_ret = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS resurrected
+        | FROM fl GROUP BY 1),
+        |ch AS (
+        | SELECT a.day, CAST(count(*) AS BIGINT) AS churned_in FROM (
+        |  SELECT user_id, day + 1 AS day FROM ud) a
+        | LEFT JOIN ud b ON b.user_id = a.user_id AND b.day = a.day
+        | WHERE b.user_id IS NULL GROUP BY 1)
+        |SELECT byday.day, dau, new_users, retained, resurrected,
+        | CAST(coalesce(churned_in, 0) AS BIGINT) AS churned_in
+        |FROM byday LEFT JOIN ch USING (day)
+        |ORDER BY day""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -4039,6 +4039,90 @@ object Queries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Sorted-neighborhood entity-resolution candidates
+    * ([[Dedup.sortedNeighborhoodPairs]]): customers sorted by
+    * (segment, balance cents), each compared to its 3 successors, kept
+    * when the cent gap is <= 100 — "suspiciously similar accounts".
+    * The third blocking family (vs LSH buckets and prefix filtering):
+    * sort-adjacency finds near-equal NUMERIC keys that hash blocking
+    * scatters. Pairing is an equi-join on rank + offset, never a
+    * range theta join. */
+  def q271SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_mktsegment"),
+      (dec2(col("c_acctbal")) * 100).cast("long").as("cents"))
+    val pairs = Dedup.sortedNeighborhoodPairs(c, "c_custkey",
+      Seq(col("c_mktsegment").asc, col("cents").asc), window = 3)
+    pairs
+      .join(c.select(col("c_custkey").as("id_a"),
+        col("c_mktsegment").as("seg_a"), col("cents").as("cents_a")), Seq("id_a"))
+      .join(c.select(col("c_custkey").as("id_b"),
+        col("c_mktsegment").as("seg_b"), col("cents").as("cents_b")), Seq("id_b"))
+      .filter(col("seg_a") === col("seg_b") &&
+        abs(col("cents_a") - col("cents_b")) <= 100)
+      .select(col("id_a"), col("id_b"), col("seg_a").as("segment"),
+        col("cents_a"), col("cents_b"), col("rank_gap"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** NEAREST-neighbor as-of join ([[AsOfJoin.asOfNearest]]): every
+    * purchase matched to its closest click in EITHER direction (ties
+    * to the earlier), with the signed lag in micros — the sensor-
+    * alignment / quote-matching shape that backward-only as-of (q249)
+    * cannot express. One shuffle on user_id, two window frames over
+    * one sort, no interval explosion. */
+  def q272AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), us.as("us"), col("event_id"),
+        col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("event_id").as("p_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us").as("c_us"))
+      .agg(max(col("event_id")).as("c_id"))
+    AsOfJoin.asOfNearest(purchases, clicks, "user_id",
+        leftTs = "us", rightTs = "c_us", payload = Seq("c_id"))
+      .select(col("user_id"), col("p_id"), col("c_id"),
+        (col("matched_ts") - col("us")).as("signed_lag_us"))
+      .orderBy("user_id", "p_id")
+  }
+
+  /** Growth accounting: per day the DAU split into NEW (first-ever
+    * activity), RETAINED (also active yesterday) and RESURRECTED
+    * (returning after a gap), plus CHURNED-IN = yesterday's actives
+    * who did not return today. The decomposition identity dau = new +
+    * retained + resurrected holds by construction; all four classes
+    * come from one (user, day) distinct frame self-joined at day-1 —
+    * no window over the corpus, just day-keyed joins. */
+  def q273GrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val firstDay = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val prev = ud.select(col("user_id"), date_add(col("day"), 1).as("day"),
+      lit(1L).as("was_prev"))
+    val flags = ud
+      .join(firstDay, Seq("user_id"))
+      .join(prev, Seq("user_id", "day"), "left")
+      .select(col("day"),
+        when(col("day") === col("first_day"), 1L).otherwise(0L).as("is_new"),
+        coalesce(col("was_prev"), lit(0L)).as("is_ret"))
+    val byDay = flags.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(col("is_new")).cast("long").as("new_users"),
+        sum(when(col("is_new") === 0, col("is_ret")).otherwise(0L))
+          .cast("long").as("retained"),
+        sum(when(col("is_new") === 0 && col("is_ret") === 0, 1L)
+          .otherwise(0L)).cast("long").as("resurrected"))
+    // churned INTO day d: active at d-1, absent at d
+    val churn = ud.select(col("user_id"), date_add(col("day"), 1).as("day"))
+      .join(ud, Seq("user_id", "day"), "left_anti")
+      .groupBy(col("day")).agg(count(lit(1)).as("churned_in"))
+    byDay.join(churn, Seq("day"), "left")
+      .withColumn("churned_in", coalesce(col("churned_in"), lit(0L)))
+      .orderBy("day")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -5316,6 +5400,9 @@ object Queries {
     "q268_duplicate_invoices" -> (q268DuplicateInvoices _),
     "q269_active_users" -> (q269ActiveUsers _),
     "q270_cohort_ltv" -> (q270CohortLtv _),
+    "q271_sorted_neighborhood" -> (q271SortedNeighborhood _),
+    "q272_asof_nearest" -> (q272AsofNearest _),
+    "q273_growth_accounting" -> (q273GrowthAccounting _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

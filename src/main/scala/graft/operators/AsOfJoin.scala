@@ -54,6 +54,60 @@ object AsOfJoin {
         payload.map(p => col(s"__c_$p").as(p))): _*)
   }
 
+  /** NEAREST as-of join: for each left row, the right row minimizing
+    * |rightTs - leftTs| for the same key, ties to the EARLIER right row.
+    * Same union-sort trick as [[asOf]] but with TWO frames over the ONE
+    * per-key sort — a backward carry (last right at or before) and a
+    * forward carry (first right strictly after; an equal-ts right sorts
+    * before the left row, so the backward carry owns it) — then an
+    * exact-integer distance compare picks the side. Still ONE shuffle
+    * on (key), no interval explosion. Timestamps must be LONG (epoch
+    * micros or any orderable integer): the distance compare needs exact
+    * subtraction, and timestamp arithmetic would smuggle in a unit.
+    * Output carries `matched_ts` (the chosen right ts, null when the
+    * key has no right rows) plus the payload columns. */
+  def asOfNearest(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String,
+                  payload: Seq[String]): DataFrame = {
+    val all = ("__rts" +: payload.map(p => s"__p_$p")).toSeq
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__rts", lit(null).cast("long"))
+      .withColumns(payload.map(p => s"__p_$p" -> lit(null).cast(
+        right.schema(p).dataType)).toMap)
+    val r = right.select(
+      (Seq(col(key), lit(0).as("__side"), col(rightTs).as("__ts"),
+        col(rightTs).cast("long").as("__rts")) ++
+        payload.map(p => col(p).as(s"__p_$p"))): _*)
+    val lCols = left.columns
+    val merged = l.select(
+        (Seq(col(key), col("__side"), col("__ts")) ++ all.map(col) ++
+          lCols.filterNot(_ == key).map(c => col(c))): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val sort = Seq(col("__ts").asc, col("__side").asc)
+    val wb = Window.partitionBy(col(key)).orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wf = Window.partitionBy(col(key)).orderBy(sort: _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val carried = all.foldLeft(merged) { (df, c) =>
+      df.withColumn(s"__b_$c",
+          last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(wb))
+        .withColumn(s"__f_$c",
+          first(when(col("__side") === 0, col(c)), ignoreNulls = true).over(wf))
+    }
+    val takeBackward = col("__f___rts").isNull ||
+      (col("__b___rts").isNotNull &&
+        col("__ts").cast("long") - col("__b___rts") <=
+          col("__f___rts") - col("__ts").cast("long"))
+    carried.filter(col("__side") === 1)
+      .select((lCols.map(col) ++
+        (("__rts", "matched_ts") +: payload.map(p => (s"__p_$p", p))).map {
+          case (c, out) =>
+            when(takeBackward, col(s"__b_$c")).otherwise(col(s"__f_$c"))
+              .as(out)
+        }): _*)
+  }
+
   /** SCD2 interval construction: turn per-key change events
     * (key, changeTs, attributes...) into versioned rows with
     * [valid_from, valid_to) intervals and an is_current flag — one window

@@ -46,6 +46,21 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq(false, true, false))
   }
 
+  test("sortedNeighborhoodPairs pairs each record with its w sort-successors only") {
+    import org.apache.spark.sql.functions.col
+    // sort order by (v, id): 10->a, 20->b, 21->c, 90->d
+    val df = Seq((1L, 20L, "b"), (2L, 10L, "a"), (3L, 90L, "d"), (4L, 21L, "c"))
+      .toDF("id", "v", "tag")
+    val got = Dedup.sortedNeighborhoodPairs(df, "id", Seq(col("v").asc), window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // a(2)-b(1) gap1, a(2)-c(4) gap2, b(1)-c(4) gap1, b(1)-d(3) gap2, c(4)-d(3) gap1
+    assert(got == Set((2L, 1L, 1), (2L, 4L, 2), (1L, 4L, 1), (1L, 3L, 2),
+      (4L, 3L, 1)))
+    intercept[IllegalArgumentException] {
+      Dedup.sortedNeighborhoodPairs(df, "id", Seq(col("v").asc), window = 0)
+    }
+  }
+
   test("charNgrams: sliding distinct n-grams with degenerate-input guards") {
     val rows = Seq("abcd", "aaaa", "ab", "", null).toDF("t")
       .select(TextOps.charNgrams(col("t"), 3).as("g"))
@@ -784,6 +799,25 @@ class AsOfJoinSpec extends SparkSpec {
       .orderBy("name").collect().map(r => r.getAs[String]("name") -> r.getAs[String]("ver"))
     // e0 before any version -> null; e2 at exactly v2's ts -> v2 (inclusive)
     assert(got.toSeq == Seq("e0" -> null, "e1" -> "v1", "e2" -> "v2", "e3" -> null))
+  }
+
+  test("asOfNearest picks the closer side, ties to the earlier, nulls without right rows") {
+    val events = Seq((1L, 100L, "e1"), (1L, 205L, "e2"), (1L, 300L, "e3"),
+      (1L, 10L, "e0"), (2L, 50L, "e4"))
+      .toDF("k", "ts", "name")
+    val refs = Seq((1L, 90L, "r90"), (1L, 200L, "r200"), (1L, 210L, "r210"))
+      .toDF("k", "rts", "ref")
+    val got = graft.operators.AsOfJoin.asOfNearest(events, refs, "k",
+        "ts", "rts", Seq("ref"))
+      .orderBy("name").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[String]("ref"),
+        Option(r.getAs[java.lang.Long]("matched_ts")).map(_.toLong)))
+    assert(got.toSeq == Seq(
+      ("e0", "r90", Some(90L)),   // only forward exists -> forward
+      ("e1", "r90", Some(90L)),   // 10 back vs 100 fwd -> backward
+      ("e2", "r200", Some(200L)), // exact tie (5 vs 5) -> earlier
+      ("e3", "r210", Some(210L)), // only backward exists -> backward
+      ("e4", null, None)))        // key 2 has no refs
   }
 
   test("scd2 builds half-open validity intervals with a current flag") {
