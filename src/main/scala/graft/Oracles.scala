@@ -6177,6 +6177,71 @@ object Oracles {
         | CAST(coalesce(churned_in, 0) AS BIGINT) AS churned_in
         |FROM byday LEFT JOIN ch USING (day)
         |ORDER BY day""".stripMargin,
+
+    // grouping sets with per-column grouping flags (grouping_id bit
+    // order is engine-specific; the per-column flags are not)
+    "q274_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |  AS cents,
+        | CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        | CAST(grouping(o_orderstatus) AS INT) AS g_status
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        | (o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus""".stripMargin,
+
+    // deadline funnel: min-time chaining with 24h budgets per step
+    "q275_deadline_funnel" ->
+      """WITH ev AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (
+        | SELECT user_id, min(us) AS t1 FROM ev
+        | WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        | SELECT ev.user_id, min(us) AS t2
+        | FROM ev JOIN s1 USING (user_id)
+        | WHERE event_type = 'click' AND us >= t1 AND us <= t1 + 86400000000
+        | GROUP BY 1),
+        |s3 AS (
+        | SELECT ev.user_id, min(us) AS t3
+        | FROM ev JOIN s2 USING (user_id)
+        | WHERE event_type = 'purchase' AND us >= t2
+        |  AND us <= t2 + 86400000000
+        | GROUP BY 1)
+        |SELECT
+        | (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+        | (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_24h,
+        | (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_48h,
+        | CAST((SELECT count(*) FROM s2) * 1000000
+        |  // (SELECT count(*) FROM s1) AS BIGINT) AS click_ppm,
+        | CAST((SELECT count(*) FROM s3) * 1000000
+        |  // (SELECT count(*) FROM s2) AS BIGINT) AS purchase_ppm""".stripMargin,
+
+    // class balance: share and size-vs-largest-class in integer ppm
+    "q276_class_balance" ->
+      """WITH c AS (
+        | SELECT label, CAST(count(*) AS BIGINT) AS n
+        | FROM embeddings GROUP BY 1)
+        |SELECT label, n,
+        | CAST(n * 1000000 // sum(n) OVER () AS BIGINT) AS share_ppm,
+        | CAST(n * 1000000 // max(n) OVER () AS BIGINT) AS vs_max_ppm
+        |FROM c ORDER BY label""".stripMargin,
+
+    // stratified folds: derandomized-shuffle rank within each label,
+    // dealt round-robin -> per-(label, fold) counts differ by <= 1
+    "q277_stratified_folds" ->
+      s"""WITH r AS (
+         | SELECT label, vec_id,
+         |  row_number() OVER (PARTITION BY label
+         |   ORDER BY ${ph("CAST(vec_id AS VARCHAR)", 97)}, vec_id)
+         |   AS rn
+         | FROM embeddings),
+         |f AS (
+         | SELECT label, CAST((rn - 1) % 5 AS INT) AS fold FROM r)
+         |SELECT label, fold, CAST(count(*) AS BIGINT) AS n
+         |FROM f GROUP BY 1, 2 ORDER BY label, fold""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -4123,6 +4123,76 @@ object Queries {
       .orderBy("day")
   }
 
+  /** GROUPING SETS with explicit grouping flags — the generalized
+    * rollup/cube surface (q37/q51's missing sibling): exact cent
+    * totals at (priority, status), (priority), (status) and grand
+    * total in ONE pass, flags via grouping() per column (0/1 ints,
+    * engine-identical — grouping_id bit ORDER differs across engines,
+    * the per-column flags do not). */
+  def q274GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"))
+      .orderBy(col("g_priority"), col("g_status"),
+        col("o_orderpriority"), col("o_orderstatus"))
+
+  /** Deadline funnel: signup -> click within 24h -> purchase within a
+    * further 24h, per-user min-time chaining in exact epoch micros
+    * (q95's funnel demands order only; real activation metrics demand
+    * deadlines). Conversion rates as integer DIV ppm. */
+  def q275DeadlineFunnel(s: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), us.as("us"))
+    val day = 86400000000L
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("us") >= col("t1") && col("us") <= col("t1") + day)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("us") >= col("t2") && col("us") <= col("t2") + day)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_click_24h")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_48h")))
+      .select(col("n_signup"), col("n_click_24h"), col("n_purchase_48h"),
+        expr("n_click_24h * 1000000 DIV n_signup").as("click_ppm"),
+        expr("n_purchase_48h * 1000000 DIV n_click_24h").as("purchase_ppm"))
+  }
+
+  /** Class-balance audit over the embedding labels: per class the
+    * count, corpus share, and size relative to the LARGEST class (ppm,
+    * integer DIV) — the imbalance screen run before training a
+    * classifier head; the minority-class ratio decides whether q277's
+    * stratified folds are enough or resampling is needed. */
+  def q276ClassBalance(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "embeddings")
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("share_ppm", expr("n * 1000000 DIV (sum(n) OVER ())")
+        .cast("long"))
+      .withColumn("vs_max_ppm", expr("n * 1000000 DIV (max(n) OVER ())")
+        .cast("long"))
+      .orderBy("label")
+  }
+
+  /** Exact label-stratified 5-fold assignment ([[Split.stratifiedFolds]]):
+    * the per-(label, fold) counts — every label's folds must differ by
+    * at most one row, which plain hash-mod-k only achieves in
+    * expectation. The derandomized-shuffle rank replays in SQL. */
+  def q277StratifiedFolds(s: SparkSession, dir: String): DataFrame =
+    Split.stratifiedFolds(t(s, dir, "embeddings"), "vec_id", "label", k = 5)
+      .groupBy(col("label"), col("fold"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "fold")
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -5403,6 +5473,10 @@ object Queries {
     "q271_sorted_neighborhood" -> (q271SortedNeighborhood _),
     "q272_asof_nearest" -> (q272AsofNearest _),
     "q273_growth_accounting" -> (q273GrowthAccounting _),
+    "q274_grouping_sets" -> (q274GroupingSets _),
+    "q275_deadline_funnel" -> (q275DeadlineFunnel _),
+    "q276_class_balance" -> (q276ClassBalance _),
+    "q277_stratified_folds" -> (q277StratifiedFolds _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

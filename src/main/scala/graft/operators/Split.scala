@@ -522,4 +522,28 @@ object Split {
       .select(col(idCol), col("family"), col(qualityCol),
         (col(idCol) === col("__best.__bid")).as("is_rep"))
   }
+
+  /** EXACT label-stratified k-folds: within each stratum, rank by the
+    * portable hash (id as tiebreak) and deal round-robin — every
+    * stratum's fold sizes differ by at most one, unlike plain
+    * hash-mod-k assignment whose per-stratum balance is only
+    * statistical. The rank window partitions by STRATUM (the natural
+    * shuffle key); the hash ordering is the derandomized "shuffle"
+    * (same discipline as [[trainTestSplit]]), so folds are stable
+    * across runs and engines. Complements [[groupAwareFolds]]: that
+    * one keeps near-dup FAMILIES un-split (leakage), this one keeps
+    * LABEL PROPORTIONS equal (class balance) — compose by stratifying
+    * on (stratum, family rep) when both matter. */
+  def stratifiedFolds(df: DataFrame, idCol: String, strataCol: String,
+                      k: Int, seed: Int = 97): DataFrame = {
+    require(k >= 2, "stratifiedFolds: k >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(Dedup.portableHash64(col(idCol).cast("string"), seed).asc,
+        col(idCol).asc)
+    df.select(col(idCol), col(strataCol))
+      .withColumn("fold",
+        pmod(row_number().over(w).cast("long") - 1, lit(k.toLong))
+          .cast("int"))
+  }
 }

@@ -328,6 +328,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.values.toSet.size > 1) // not all in one fold
   }
 
+  test("stratifiedFolds: every stratum's fold sizes differ by at most one") {
+    // skewed strata: 17 'a', 5 'b', 3 'c' over k = 4
+    val rows = ((1L to 17L).map(i => (i, "a")) ++ (18L to 22L).map(i => (i, "b")) ++
+      (23L to 25L).map(i => (i, "c"))).toDF("id", "s")
+    val out = Split.stratifiedFolds(rows, "id", "s", k = 4, seed = 5)
+      .collect().map(r => (r.getString(1), r.getInt(2)))
+    val sizes = out.groupBy(identity).view.mapValues(_.length).toMap
+    for (stratum <- Seq("a", "b", "c")) {
+      val perFold = (0 until 4).map(f => sizes.getOrElse((stratum, f), 0))
+      assert(perFold.max - perFold.min <= 1, s"stratum $stratum: $perFold")
+    }
+    assert(out.length == 25)
+    intercept[IllegalArgumentException] {
+      Split.stratifiedFolds(rows, "id", "s", k = 1)
+    }
+  }
+
   // ------------------------------------------- contamination k-sweep
 
   test("contamination k-sensitivity: an 8-token quote flags at k <= 8, not at k = 13") {
