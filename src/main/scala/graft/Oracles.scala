@@ -6242,6 +6242,201 @@ object Oracles {
          | SELECT label, CAST((rn - 1) % 5 AS INT) AS fold FROM r)
          |SELECT label, fold, CAST(count(*) AS BIGINT) AS n
          |FROM f GROUP BY 1, 2 ORDER BY label, fold""".stripMargin,
+
+    // spend-band migration: explicit per-quarter quartiles (q252's
+    // formula), consecutive-quarter transition counts + row ppm
+    "q278_band_migration" ->
+      """WITH pq AS (
+        | SELECT o_custkey,
+        |  CAST(year(o_orderdate) * 4 + (month(o_orderdate) - 1) // 3
+        |   AS BIGINT) AS q,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |   AS cents
+        | FROM orders GROUP BY 1, 2),
+        |b AS (
+        | SELECT o_custkey, q,
+        |  CAST(1 + (row_number() OVER (PARTITION BY q
+        |    ORDER BY cents DESC, o_custkey ASC) - 1) * 4
+        |   // count(*) OVER (PARTITION BY q) AS INT) AS band
+        | FROM pq),
+        |t AS (
+        | SELECT a.band AS band_from, b2.band AS band_to,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM b a JOIN b b2 ON a.o_custkey = b2.o_custkey
+        |  AND a.q + 1 = b2.q
+        | GROUP BY 1, 2)
+        |SELECT band_from, band_to, n,
+        | CAST(n * 1000000 // sum(n) OVER (PARTITION BY band_from)
+        |  AS BIGINT) AS row_ppm
+        |FROM t ORDER BY band_from, band_to""".stripMargin,
+
+    // Fano-factor burstiness: exact BIGINT numerator, one double
+    // division; the bot flag compares cross-multiplied integers
+    "q279_burstiness" ->
+      """WITH ev AS (
+        | SELECT user_id, epoch_us(ts) // 3600000000 AS hour FROM events),
+        |span AS (
+        | SELECT max(hour) - min(hour) + 1 AS t_hours FROM ev),
+        |ph AS (
+        | SELECT user_id, hour, CAST(count(*) AS BIGINT) AS c
+        | FROM ev GROUP BY 1, 2),
+        |pu AS (
+        | SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(c * c) AS BIGINT) AS sum_c2
+        | FROM ph GROUP BY 1)
+        |SELECT user_id, n, sum_c2,
+        | CAST(t_hours * sum_c2 - n * n AS DOUBLE)
+        |  / CAST(n * (t_hours - 1) AS DOUBLE) AS fano,
+        | t_hours * sum_c2 - n * n > 2 * n * (t_hours - 1) AS is_bursty
+        |FROM pu, span ORDER BY user_id""".stripMargin,
+
+    // peak concurrency: +1/-1 boundary sweep, closed-interval
+    // convention (starts apply before ends at the same instant)
+    "q280_peak_concurrency" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |   THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+        |s AS (
+        | SELECT user_id, session_seq,
+        |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        | FROM (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged)
+        | GROUP BY 1, 2),
+        |bounds AS (
+        | SELECT us, CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS starts,
+        |  CAST(sum(d) AS BIGINT) AS net
+        | FROM (
+        |  SELECT start_us AS us, 1 AS d FROM s
+        |  UNION ALL
+        |  SELECT end_us AS us, -1 AS d FROM s)
+        | GROUP BY 1),
+        |pk AS (
+        | SELECT us,
+        |  CAST(coalesce(sum(net) OVER (ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   + starts AS BIGINT) AS peak,
+        |  CAST(make_timestamp(us) AS DATE) AS day
+        | FROM bounds),
+        |r AS (
+        | SELECT day, peak, us, row_number() OVER (PARTITION BY day
+        |   ORDER BY peak DESC, us ASC) AS rn
+        | FROM pk)
+        |SELECT day, peak AS peak_concurrency, us AS peak_at_us
+        |FROM r WHERE rn = 1 ORDER BY day""".stripMargin,
+
+    // order reconciliation: exact DECIMAL(25,6) recomputed charge vs the
+    // stored total; bands classified on cross-multiplied integers
+    "q281_order_recon" ->
+      """WITH ch AS (
+        | SELECT l_orderkey,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+        |   AS DECIMAL(25,6))) AS charge
+        | FROM lineitem GROUP BY 1),
+        |d AS (
+        | SELECT CAST((CAST(o_totalprice AS DECIMAL(18,2)) - charge)
+        |    * 1000000 AS BIGINT) AS diff_micros,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1000000 AS BIGINT)
+        |   AS total_micros
+        | FROM orders JOIN ch ON o_orderkey = l_orderkey)
+        |SELECT
+        | CASE WHEN abs(diff_micros) * 100 < total_micros THEN 'lt1pct'
+        |      WHEN abs(diff_micros) * 10 < total_micros THEN 'lt10pct'
+        |      ELSE 'ge10pct' END AS band,
+        | CASE WHEN diff_micros > 0 THEN 'over'
+        |      WHEN diff_micros < 0 THEN 'under' ELSE 'exact' END
+        |  AS direction,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(abs(diff_micros)) AS BIGINT) AS abs_diff_micros
+        |FROM d GROUP BY 1, 2 ORDER BY band, direction""".stripMargin,
+
+    // per-brand skyline: sort-sweep dominance via one strictly-cheaper
+    // RANGE running max + one equal-price partition max
+    "q282_skyline" ->
+      """WITH p AS (
+        | SELECT p_partkey, p_brand,
+        |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS price_cents,
+        |  CAST(p_size AS BIGINT) AS p_size
+        | FROM part),
+        |w AS (
+        | SELECT *,
+        |  max(p_size) OVER (PARTITION BY p_brand ORDER BY price_cents
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |   AS cheaper_max,
+        |  max(p_size) OVER (PARTITION BY p_brand, price_cents) AS same_max
+        | FROM p)
+        |SELECT p_brand, p_partkey, price_cents, p_size
+        |FROM w
+        |WHERE (cheaper_max IS NULL OR cheaper_max < p_size)
+        | AND same_max <= p_size
+        |ORDER BY p_brand, price_cents, p_partkey""".stripMargin,
+
+    // gaps-and-islands: day_num - row_number constant within a
+    // consecutive-day run; argmax by (length desc, start asc)
+    "q283_longest_streak" ->
+      """WITH d AS (
+        | SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |n AS (
+        | SELECT user_id, day,
+        |  CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT)
+        |   AS day_num
+        | FROM d),
+        |g AS (
+        | SELECT user_id, day, day_num,
+        |  day_num - row_number() OVER (PARTITION BY user_id
+        |    ORDER BY day_num) AS grp
+        | FROM n),
+        |i AS (
+        | SELECT user_id, grp, CAST(count(*) AS BIGINT) AS streak_days,
+        |  min(day) AS start_day, max(day) AS end_day
+        | FROM g GROUP BY 1, 2),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY streak_days DESC, start_day ASC) AS rn
+        | FROM i)
+        |SELECT user_id, streak_days, start_day, end_day
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // split conformal: Knuth-hash halves, pooled |residual| order
+    // statistic at ceil(0.9*(n+1)), integer-ppm held-out coverage
+    "q284_conformal" ->
+      """WITH p AS (
+        | SELECT p_partkey, p_brand,
+        |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS cents,
+        |  ((p_partkey * 2654435761) % 4294967296) % 2 AS half
+        | FROM part),
+        |m AS (
+        | SELECT p_brand, CAST(sum(cents) // count(*) AS BIGINT)
+        |   AS mean_cents,
+        |  CAST(count(*) AS BIGINT) AS n_cal
+        | FROM p WHERE half = 0 GROUP BY 1),
+        |sc AS (
+        | SELECT abs(cents - mean_cents) AS score
+        | FROM p JOIN m USING (p_brand) WHERE half = 0),
+        |k AS (SELECT (9 * (count(*) + 1) + 9) // 10 AS k FROM sc),
+        |q AS (
+        | SELECT score AS q_hat FROM (
+        |  SELECT score, row_number() OVER (ORDER BY score ASC) AS rk
+        |  FROM sc), k
+        | WHERE rk = k)
+        |SELECT p_brand, mean_cents, q_hat, n_cal,
+        | CAST(count(*) AS BIGINT) AS n_eval,
+        | CAST(sum(CASE WHEN abs(cents - mean_cents) <= q_hat
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+        | CAST(sum(CASE WHEN abs(cents - mean_cents) <= q_hat
+        |   THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+        |  AS coverage_ppm
+        |FROM p JOIN m USING (p_brand) CROSS JOIN q
+        |WHERE half = 1
+        |GROUP BY p_brand, mean_cents, q_hat, n_cal
+        |ORDER BY p_brand""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -4193,6 +4193,237 @@ object Queries {
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "fold")
 
+  /** Customer spend-band migration: per quarter, customers band into
+    * explicit row_number quartiles of their exact cent spend (the q252
+    * formula — never ntile), then consecutive-quarter transitions are
+    * counted into a 4x4 matrix with integer-ppm row shares. The
+    * "customer migration" BI shape: q240's Markov matrix but over
+    * DERIVED cohort states instead of raw event types. Quarter-keyed
+    * rank windows (bounded partitions), one (cust, quarter+1)
+    * self-join. */
+  def q278BandMigration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perQ = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(year(o_orderdate) * 4 + (month(o_orderdate) - 1) DIV 3" +
+          " AS BIGINT)").as("q"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey"), col("q"))
+      .agg(sum(col("cents")).cast("long").as("cents"))
+    val wRank = Window.partitionBy(col("q"))
+      .orderBy(col("cents").desc, col("o_custkey").asc)
+    val wN = Window.partitionBy(col("q"))
+    val banded = perQ
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN).cast("long"))
+      .select(col("o_custkey"), col("q"),
+        expr("1 + (rn - 1) * 4 DIV n").cast("int").as("band"))
+    val trans = banded.as("a")
+      .join(banded.as("b"), col("a.o_custkey") === col("b.o_custkey") &&
+        col("a.q") + 1 === col("b.q"))
+      .groupBy(col("a.band").as("band_from"), col("b.band").as("band_to"))
+      .agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("row_ppm", expr(
+        "n * 1000000 DIV (sum(n) OVER (PARTITION BY band_from))").cast("long"))
+      .orderBy("band_from", "band_to")
+  }
+
+  /** Burstiness (Fano factor) per user: variance-to-mean of hourly
+    * event counts over the corpus's T-hour span, computed EXACTLY —
+    * fano = (T*sum(c^2) - n^2) / (n*(T-1)) with the numerator in
+    * BIGINT and ONE double division; the bot flag (fano > 2) compares
+    * CROSS-MULTIPLIED integers, so the classification never touches a
+    * float. Zero hours contribute zero to both sums by construction.
+    * One (user, hour) aggregate; T is a broadcast 1-row scalar. */
+  def q279Burstiness(s: SparkSession, dir: String): DataFrame = {
+    val hr = expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000")
+    val ev = t(s, dir, "events").select(col("user_id"), hr.as("hour"))
+    val span = ev.agg((max(col("hour")) - min(col("hour")) + 1).as("t_hours"))
+    val perHour = ev.groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("c"))
+    perHour.groupBy(col("user_id"))
+      .agg(sum(col("c")).cast("long").as("n"),
+        sum(col("c") * col("c")).cast("long").as("sum_c2"))
+      .crossJoin(broadcast(span))
+      .select(col("user_id"), col("n"), col("sum_c2"),
+        ((col("t_hours") * col("sum_c2") - col("n") * col("n"))
+          .cast("double") /
+          (col("n") * (col("t_hours") - 1)).cast("double")).as("fano"),
+        (col("t_hours") * col("sum_c2") - col("n") * col("n") >
+          lit(2L) * col("n") * (col("t_hours") - 1)).as("is_bursty"))
+      .orderBy("user_id")
+  }
+
+  /** Peak concurrent sessions per day via the +1/-1 boundary sweep:
+    * session starts and ends (30-min gap sessions) become signed
+    * deltas; per distinct boundary timestamp the peak is the running
+    * net BEFORE the timestamp plus ALL of its starts (closed-interval
+    * convention: a session starting exactly when another ends counts
+    * as concurrent — starts apply before ends). The running window is
+    * unpartitioned but runs on the BOUNDARY aggregate (<= 2 rows per
+    * session, collapsed per distinct ts), the q252/q261 convention;
+    * the corpus-scale work is the sessionization itself. */
+  def q280PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = Sessionize.sessionSummary(t(s, dir, "events"), "user_id",
+      "ts", "value", 30)
+    val us = (c: Column) => unix_micros(c.cast("timestamp"))
+    val bounds = sess.select(us(col("session_start")).as("us"),
+        lit(1L).as("d"))
+      .unionByName(sess.select(us(col("session_end")).as("us"),
+        lit(-1L).as("d")))
+      .groupBy(col("us"))
+      .agg(sum(when(col("d") === 1, 1L).otherwise(0L)).as("starts"),
+        sum(col("d")).as("net"))
+    val wPrev = Window.orderBy(col("us"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDay = Window.partitionBy(col("day"))
+      .orderBy(col("peak").desc, col("us").asc)
+    bounds
+      .withColumn("peak",
+        (coalesce(sum(col("net")).over(wPrev), lit(0L)) + col("starts"))
+          .cast("long"))
+      .withColumn("day", to_date(timestamp_micros(col("us"))))
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("day"), col("peak").as("peak_concurrency"),
+        col("us").as("peak_at_us"))
+      .orderBy("day")
+  }
+
+  /** Order-total reconciliation: the stored o_totalprice audited against
+    * the DECIMAL-exact recomputed line charge sum(ext*(1-disc)*(1+tax));
+    * per-order micro-dollar deltas classify into deviation bands by
+    * CROSS-MULTIPLIED integers (|diff|*100 vs total, |diff|*10 vs
+    * total) so no float touches the classification. The double-entry
+    * audit every revenue pipeline runs (the generator does NOT maintain
+    * TPC-H's totalprice identity, so every band is populated). One
+    * orderkey-keyed agg over lineitem + one orderkey join, then a
+    * bounded band agg — shuffle keys are the natural fact keys. */
+  def q281OrderRecon(s: SparkSession, dir: String): DataFrame = {
+    val charge = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+        (lit(1.0) + col("l_tax")))).as("charge"))
+    t(s, dir, "orders")
+      .join(charge, col("o_orderkey") === col("l_orderkey"))
+      .select(((dec2(col("o_totalprice")) - col("charge")) * 1000000)
+          .cast("long").as("diff_micros"),
+        (dec2(col("o_totalprice")) * 1000000).cast("long").as("total_micros"))
+      .select(col("diff_micros"),
+        when(abs(col("diff_micros")) * 100 < col("total_micros"), "lt1pct")
+          .when(abs(col("diff_micros")) * 10 < col("total_micros"), "lt10pct")
+          .otherwise("ge10pct").as("band"),
+        when(col("diff_micros") > 0, "over")
+          .when(col("diff_micros") < 0, "under").otherwise("exact")
+          .as("direction"))
+      .groupBy(col("band"), col("direction"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(abs(col("diff_micros"))).cast("long").as("abs_diff_micros"))
+      .orderBy("band", "direction")
+  }
+
+  /** Per-brand Pareto frontier (skyline: minimize retail price, maximize
+    * size): a part survives iff no same-brand part is strictly cheaper
+    * with size >= its own, and no equal-priced part is strictly larger
+    * (duplicate (price,size) points both survive — neither strictly
+    * dominates). The O(n log n) sort-sweep form — one running-max RANGE
+    * window over strictly-cheaper rows plus one equal-price partition
+    * max — NOT the O(n^2) dominance self-join; at 100 TB the brand is
+    * the shuffle key and each frontier is a single sorted pass. Exact
+    * integer cents throughout. */
+  def q282Skyline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+      (dec2(col("p_retailprice")) * 100).cast("long").as("price_cents"),
+      col("p_size").cast("long").as("p_size"))
+    val wCheaper = Window.partitionBy(col("p_brand"))
+      .orderBy(col("price_cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSame = Window.partitionBy(col("p_brand"), col("price_cents"))
+    p.withColumn("cheaper_max", max(col("p_size")).over(wCheaper))
+      .withColumn("same_max", max(col("p_size")).over(wSame))
+      .filter((col("cheaper_max").isNull ||
+          col("cheaper_max") < col("p_size")) &&
+        col("same_max") <= col("p_size"))
+      .select(col("p_brand"), col("p_partkey"), col("price_cents"),
+        col("p_size"))
+      .orderBy("p_brand", "price_cents", "p_partkey")
+  }
+
+  /** Longest consecutive-day activity streak per user (gaps-and-islands):
+    * distinct active days get epoch-day numbers; day_num - row_number is
+    * constant within a consecutive run, so one user-keyed agg per island
+    * and an argmax (longest, then earliest start) finish it. Two
+    * user-keyed windows, no self-join — the classic streak/habit shape;
+    * user_id is the only shuffle key. */
+  def q283LongestStreak(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts").cast("timestamp")).as("day"))
+      .distinct()
+      .withColumn("day_num",
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+    val islands = days
+      .withColumn("grp", col("day_num") - row_number().over(wSeq))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("streak_days"), min(col("day")).as("start_day"),
+        max(col("day")).as("end_day"))
+    val wBest = Window.partitionBy(col("user_id"))
+      .orderBy(col("streak_days").desc, col("start_day").asc)
+    islands.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("user_id"), col("streak_days"), col("start_day"),
+        col("end_day"))
+      .orderBy("user_id")
+  }
+
+  /** Split-conformal prediction interval for part price from brand: the
+    * calibration half (Knuth-hash parity on partkey — the q41 portable
+    * split) fits per-brand mean cents (integer DIV) and pools absolute
+    * residuals; q_hat is the ceil(0.9*(n+1))-th smallest pooled score —
+    * an EXACT order statistic via row_number, never percentile
+    * interpolation (deterministic under score ties: the k-th order
+    * statistic VALUE is tie-order-free) — and the held-out half reports
+    * per-brand empirical coverage of [mean +- q_hat] in integer ppm.
+    * The distribution-free interval-validity audit (split conformal);
+    * scores, q_hat and coverage never touch a float. Brands absent from
+    * the calibration half have no model and are excluded by the inner
+    * join. The pooled-score rank window is unpartitioned but runs on
+    * the bounded part dimension (the q252 convention); requires
+    * n_cal >= 9 so the rank exists. */
+  def q284Conformal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+      (dec2(col("p_retailprice")) * 100).cast("long").as("cents"),
+      expr("((p_partkey * 2654435761) % 4294967296) % 2").as("half"))
+    val cal = p.filter(col("half") === 0)
+    val model = cal.groupBy(col("p_brand"))
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n_cal"))
+      .select(col("p_brand"), expr("sum_cents DIV n_cal").as("mean_cents"),
+        col("n_cal"))
+    val scores = cal.join(broadcast(model), Seq("p_brand"))
+      .select(abs(col("cents") - col("mean_cents")).as("score"))
+    val nCal = scores.agg(count(lit(1)).as("n_pool"))
+    val qhat = scores
+      .withColumn("rk", row_number().over(Window.orderBy(col("score").asc)))
+      .crossJoin(broadcast(nCal))
+      .filter(col("rk") === expr("(9 * (n_pool + 1) + 9) DIV 10"))
+      .select(col("score").as("q_hat"))
+    p.filter(col("half") === 1)
+      .join(broadcast(model), Seq("p_brand"))
+      .crossJoin(broadcast(qhat))
+      .groupBy(col("p_brand"), col("mean_cents"), col("q_hat"), col("n_cal"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(abs(col("cents") - col("mean_cents")) <= col("q_hat"), 1L)
+          .otherwise(0L)).as("covered"))
+      .select(col("p_brand"), col("mean_cents"), col("q_hat"), col("n_cal"),
+        col("n_eval"), col("covered"),
+        expr("covered * 1000000 DIV n_eval").as("coverage_ppm"))
+      .orderBy("p_brand")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -5477,6 +5708,13 @@ object Queries {
     "q275_deadline_funnel" -> (q275DeadlineFunnel _),
     "q276_class_balance" -> (q276ClassBalance _),
     "q277_stratified_folds" -> (q277StratifiedFolds _),
+    "q278_band_migration" -> (q278BandMigration _),
+    "q279_burstiness" -> (q279Burstiness _),
+    "q280_peak_concurrency" -> (q280PeakConcurrency _),
+    "q281_order_recon" -> (q281OrderRecon _),
+    "q282_skyline" -> (q282Skyline _),
+    "q283_longest_streak" -> (q283LongestStreak _),
+    "q284_conformal" -> (q284Conformal _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
