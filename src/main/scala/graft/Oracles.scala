@@ -6437,6 +6437,129 @@ object Oracles {
         |WHERE half = 1
         |GROUP BY p_brand, mean_cents, q_hat, n_cal
         |ORDER BY p_brand""".stripMargin,
+
+    // label-centroid cosines: exact integer-micro sum vectors (cosine is
+    // scale-invariant, so no mean division), BIGINT dot/norms, one
+    // IEEE-deterministic sqrt/mul/div finalization
+    "q285_label_centroids" ->
+      """WITH e AS (
+        | SELECT label, embedding AS v FROM embeddings
+        | WHERE embedding IS NOT NULL),
+        |x AS (
+        | SELECT label, unnest(list_transform(range(0, len(v)),
+        |   i -> {'i': i,
+        |         'x': CAST(round(CAST(v[i+1] AS DOUBLE), 6)
+        |               AS DECIMAL(25,6))})) AS u
+        | FROM e),
+        |s AS (
+        | SELECT label, u.i AS i,
+        |  CAST(sum(u.x) * 1000000 AS BIGINT) AS s
+        | FROM x GROUP BY 1, 2),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |nrm AS (
+        | SELECT label, CAST(sum(s * s) AS BIGINT) AS norm2
+        | FROM s GROUP BY 1),
+        |d AS (
+        | SELECT a.label AS label_a, b.label AS label_b,
+        |  CAST(sum(a.s * b.s) AS BIGINT) AS dot
+        | FROM s a JOIN s b ON a.i = b.i AND a.label < b.label
+        | GROUP BY 1, 2)
+        |SELECT label_a, label_b, na.n AS n_a, nb.n AS n_b, dot,
+        | CAST(dot AS DOUBLE)
+        |  / (sqrt(CAST(ra.norm2 AS DOUBLE)) * sqrt(CAST(rb.norm2 AS DOUBLE)))
+        |  AS cos
+        |FROM d
+        | JOIN n na ON na.label = label_a JOIN n nb ON nb.label = label_b
+        | JOIN nrm ra ON ra.label = label_a JOIN nrm rb ON rb.label = label_b
+        |ORDER BY label_a, label_b""".stripMargin,
+
+    // kNN label agreement: the q21 brute-force replay over the every-10th
+    // probe set, neighbors vote labels, per-label ppm agreement
+    "q286_label_agreement" ->
+      s"""WITH q AS (
+         | SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+         | FROM embeddings WHERE vec_id % 10 = 0),
+         |c AS (
+         | SELECT vec_id AS neighbor_id, embedding AS cv, label AS clabel
+         | FROM embeddings),
+         |scored AS (
+         | SELECT query_id, qlabel, neighbor_id, clabel,
+         |  ${dotSql("qv", "cv")} AS dot_p,
+         |  ${normSql("qv")} * ${normSql("cv")} AS norm_p
+         | FROM c, q WHERE neighbor_id <> query_id),
+         |sims AS (
+         | SELECT query_id, qlabel, neighbor_id, clabel,
+         |  CASE WHEN norm_p = 0 THEN 0.0 ELSE dot_p / norm_p END AS sim
+         | FROM scored),
+         |ranked AS (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY sim DESC, neighbor_id ASC) AS rnk
+         | FROM sims),
+         |agree AS (
+         | SELECT query_id, qlabel,
+         |  CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS matches
+         | FROM ranked WHERE rnk <= 5 GROUP BY 1, 2)
+         |SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_probes,
+         | CAST(sum(matches) AS BIGINT) AS n_matches,
+         | CAST(sum(matches) * 200000 // count(*) AS BIGINT)
+         |  AS mean_agree_ppm,
+         | CAST(sum(CASE WHEN matches < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_flagged
+         |FROM agree GROUP BY 1 ORDER BY label""".stripMargin,
+
+    // discount elasticity: closed-form OLS slope with exact BIGINT
+    // numerator/denominator, one double division; direction from the
+    // exact numerator sign
+    "q287_discount_elasticity" ->
+      """WITH li AS (
+        | SELECT l_partkey,
+        |  CAST(CAST(l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT) AS x,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        | FROM lineitem),
+        |a AS (
+        | SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx
+        | FROM li JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |f AS (
+        | SELECT p_brand, n,
+        |  n * sxy - sx * sy AS slope_num,
+        |  n * sxx - sx * sx AS slope_den
+        | FROM a)
+        |SELECT p_brand, n, slope_num, slope_den,
+        | CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE) AS slope,
+        | CASE WHEN slope_num < 0 THEN 'negative'
+        |      WHEN slope_num > 0 THEN 'positive' ELSE 'flat' END
+        |  AS direction
+        |FROM f ORDER BY p_brand""".stripMargin,
+
+    // weighted median / p90 by cumulative-weight crossing on collapsed
+    // price runs; thresholds cross-multiplied, no division
+    "q288_weighted_median" ->
+      """WITH li AS (
+        | SELECT l_partkey,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS price_cents,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+        | FROM lineitem),
+        |runs AS (
+        | SELECT p_brand, price_cents, CAST(sum(w) AS BIGINT) AS w
+        | FROM li JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |c AS (
+        | SELECT p_brand, price_cents, w,
+        |  CAST(sum(w) OVER (PARTITION BY p_brand ORDER BY price_cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cw,
+        |  CAST(sum(w) OVER (PARTITION BY p_brand) AS BIGINT) AS tot
+        | FROM runs)
+        |SELECT p_brand, max(tot) AS total_w,
+        | min(CASE WHEN cw * 2 >= tot THEN price_cents END)
+        |  AS wmedian_cents,
+        | min(CASE WHEN cw * 10 >= tot * 9 THEN price_cents END)
+        |  AS wp90_cents
+        |FROM c GROUP BY p_brand ORDER BY p_brand""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

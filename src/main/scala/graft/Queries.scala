@@ -4424,6 +4424,149 @@ object Queries {
       .orderBy("p_brand")
   }
 
+  /** Label-centroid cosine matrix: per-label embedding sums in exact
+    * integer MICROS (the q99/q151 rounding discipline: elements round
+    * to 6 decimals, sum through DECIMAL, then one exact cast to BIGINT
+    * — cosine is scale-invariant, so the UN-NORMALIZED sum vector
+    * stands in for the centroid and no mean division ever happens),
+    * then pairwise label cosines from exact BIGINT dot/norm sums with
+    * IEEE-deterministic finalization (int64->double casts are
+    * correctly rounded in both engines — unlike decimal->double — and
+    * sqrt/mul/div are single correctly-rounded ops). Bounds: |sum| <=
+    * n*1e6 keeps every product within int64 through sf0.1-scale labels;
+    * past that the sums ride the DECIMAL ladder (SCALE.md). The
+    * inter-class-similarity audit before training a classifier: labels
+    * whose centroids cosine-collide are candidates for merging or
+    * relabeling. d rows per label, bounded label-pair output. */
+  def q285LabelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val sums = t(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg((sum(round(col("x").cast("double"), 6).cast("decimal(25,6)"))
+        * 1000000).cast("long").as("s"))
+    val n = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val norms = sums.groupBy(col("label"))
+      .agg(sum(col("s") * col("s")).as("norm2"))
+    val a = sums.select(col("label").as("label_a"), col("i"),
+      col("s").as("sa"))
+    val b = sums.select(col("label").as("label_b"), col("i"),
+      col("s").as("sb"))
+    a.join(b, Seq("i")).filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("sa") * col("sb")).as("dot"))
+      .join(broadcast(norms.select(col("label").as("label_a"),
+        col("norm2").as("norm2_a"))), Seq("label_a"))
+      .join(broadcast(norms.select(col("label").as("label_b"),
+        col("norm2").as("norm2_b"))), Seq("label_b"))
+      .join(broadcast(n.select(col("label").as("label_a"),
+        col("n").as("n_a"))), Seq("label_a"))
+      .join(broadcast(n.select(col("label").as("label_b"),
+        col("n").as("n_b"))), Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("dot"),
+        (col("dot").cast("double") /
+          (sqrt(col("norm2_a").cast("double")) *
+            sqrt(col("norm2_b").cast("double")))).as("cos"))
+      .orderBy("label_a", "label_b")
+  }
+
+  /** kNN label-agreement audit (confident-learning-style label-noise
+    * screen): every 10th vector probes its exact cosine top-5 (the q21
+    * brute-force machinery — probe set bounded by construction, corpus
+    * streamed map-side against the broadcast probes), neighbors vote
+    * with their labels, and per-label the mean agreement (integer ppm)
+    * and the count of suspect rows (< 2 of 5 neighbors agree) come out
+    * of one bounded agg. Labels whose probes disagree with their
+    * neighborhoods are mislabel candidates. */
+  def q286LabelAgreement(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label"))
+    val nn = Knn.bruteForceTopK(emb, emb.filter(col("vec_id") % 10 === 0),
+      k = 5)
+    val agree = nn
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel"))), Seq("query_id"))
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("clabel"))), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(sum(when(col("clabel") === col("qlabel"), 1L).otherwise(0L))
+        .as("matches"))
+    agree.groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("matches")).cast("long").as("n_matches"),
+        sum(when(col("matches") < 2, 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("label"), col("n_probes"), col("n_matches"),
+        expr("n_matches * 200000 DIV n_probes").as("mean_agree_ppm"),
+        col("n_flagged"))
+      .orderBy("label")
+  }
+
+  /** Per-brand discount elasticity: the OLS slope of quantity (centi
+    * units) on discount (basis points) with the classic closed form
+    * slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) — numerator and
+    * denominator both EXACT BIGINT (all five sums integral, every
+    * product within int64 and below 2^53 through sf0.1, so the final
+    * int64->double casts are exact), then ONE double division; the
+    * direction label reads the exact numerator's sign, so the
+    * classification never touches the float. The do-discounts-move-
+    * volume screen; brand arrives by broadcast dim join, the agg keys
+    * on brand only. */
+  def q287DiscountElasticity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"),
+      (dec2(col("l_discount")) * 10000).cast("long").as("x"),
+      (dec2(col("l_quantity")) * 100).cast("long").as("y"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("p_brand"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .select(col("p_brand"), col("n"), col("slope_num"), col("slope_den"),
+        (col("slope_num").cast("double") / col("slope_den").cast("double"))
+          .as("slope"),
+        when(col("slope_num") < 0, "negative")
+          .when(col("slope_num") > 0, "positive").otherwise("flat")
+          .as("direction"))
+      .orderBy("p_brand")
+  }
+
+  /** Weighted median and weighted p90 of line price per brand, weighted
+    * by quantity: collapse to one row per (brand, price) with the run's
+    * total weight, cumulative-sum in price order, and pick the first
+    * price whose cumulative weight crosses half (resp. 9/10) of the
+    * total — thresholds compared CROSS-MULTIPLIED (2*cum >= tot,
+    * 10*cum >= 9*tot), no division anywhere. Deterministic under any
+    * intra-price ordering because the crossing is evaluated on the
+    * price-run aggregate. Brand is the only shuffle key; the cumulative
+    * window runs per brand over the collapsed price runs. */
+  def q288WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem").select(col("l_partkey"),
+      (dec2(col("l_extendedprice")) * 100).cast("long").as("price_cents"),
+      (dec2(col("l_quantity")) * 100).cast("long").as("w"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val runs = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("price_cents"))
+      .agg(sum(col("w")).as("w"))
+    val wCum = Window.partitionBy(col("p_brand")).orderBy(col("price_cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("p_brand"))
+    val cum = runs.withColumn("cw", sum(col("w")).over(wCum))
+      .withColumn("tot", sum(col("w")).over(wTot))
+    cum.groupBy(col("p_brand"))
+      .agg(max(col("tot")).as("total_w"),
+        min(when(col("cw") * 2 >= col("tot"), col("price_cents")))
+          .as("wmedian_cents"),
+        min(when(col("cw") * 10 >= col("tot") * 9, col("price_cents")))
+          .as("wp90_cents"))
+      .orderBy("p_brand")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -5715,6 +5858,10 @@ object Queries {
     "q282_skyline" -> (q282Skyline _),
     "q283_longest_streak" -> (q283LongestStreak _),
     "q284_conformal" -> (q284Conformal _),
+    "q285_label_centroids" -> (q285LabelCentroids _),
+    "q286_label_agreement" -> (q286LabelAgreement _),
+    "q287_discount_elasticity" -> (q287DiscountElasticity _),
+    "q288_weighted_median" -> (q288WeightedMedian _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
