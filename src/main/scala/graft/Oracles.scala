@@ -6560,6 +6560,147 @@ object Oracles {
         | min(CASE WHEN cw * 10 >= tot * 9 THEN price_cents END)
         |  AS wp90_cents
         |FROM c GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // Newman modularity of the %700 email partition over the q245
+    // contact graph: per-community 4m*L_c - d_c^2 in exact BIGINT
+    "q289_modularity" ->
+      """WITH contacts AS (
+        | SELECT c_custkey,
+        |  'u' || CAST(c_custkey % 700 AS VARCHAR) || '@x.com' AS email,
+        |  'n' || CAST(c_custkey % 50 AS VARCHAR) AS name,
+        |  'p' || CAST(c_custkey % 60 AS VARCHAR) AS phone
+        | FROM customer),
+        |e0 AS (
+        | SELECT DISTINCT l.c_custkey AS a, r.c_custkey AS b
+        | FROM contacts l, contacts r
+        | WHERE l.c_custkey < r.c_custkey
+        |  AND (l.email = r.email
+        |   OR (l.name = r.name AND l.phone = r.phone))),
+        |e AS (SELECT a, b, a % 700 AS ca, b % 700 AS cb FROM e0),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |ends AS (
+        | SELECT a AS id, ca AS c FROM e
+        | UNION ALL SELECT b, cb FROM e),
+        |d AS (
+        | SELECT c, CAST(count(*) AS BIGINT) AS d_c,
+        |  CAST(count(DISTINCT id) AS BIGINT) AS n_nodes
+        | FROM ends GROUP BY 1),
+        |l AS (
+        | SELECT ca AS c, CAST(count(*) AS BIGINT) AS l_c
+        | FROM e WHERE ca = cb GROUP BY 1)
+        |SELECT d.c AS community, n_nodes, d_c,
+        | coalesce(l_c, 0) AS l_c,
+        | 4 * m * coalesce(l_c, 0) - d_c * d_c AS contrib_scaled,
+        | CAST(4 * m * coalesce(l_c, 0) - d_c * d_c AS DOUBLE)
+        |  / CAST(4 * m * m AS DOUBLE) AS contrib_q
+        |FROM d LEFT JOIN l ON d.c = l.c CROSS JOIN m
+        |ORDER BY community""".stripMargin,
+
+    // rendezvous sharding 8 -> 9: portable-md5 argmax per doc; the HRW
+    // reshard guarantee (every move lands on the new shard) exact
+    "q290_rendezvous" ->
+      """WITH dd AS (
+        | SELECT doc_id, s FROM documents,
+        |  (SELECT unnest(range(0, 9)) AS s)),
+        |h AS (
+        | SELECT doc_id, s,
+        |  CAST('0x' || substr(md5(CAST(s AS VARCHAR) || ':'
+        |    || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        | FROM dd),
+        |s8 AS (
+        | SELECT doc_id, s AS shard8 FROM (
+        |  SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY h DESC, s DESC) AS rn
+        |  FROM h WHERE s < 8) WHERE rn = 1),
+        |s9 AS (
+        | SELECT doc_id, s AS shard9 FROM (
+        |  SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY h DESC, s DESC) AS rn
+        |  FROM h) WHERE rn = 1)
+        |SELECT shard8 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_moved,
+        | CAST(sum(CASE WHEN shard8 <> shard9 AND shard9 = 8
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_to_new,
+        | CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+        |  * 1000000 // count(*) AS BIGINT) AS moved_ppm
+        |FROM s8 JOIN s9 USING (doc_id)
+        |GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // information gain via N*1e6-scaled entropies over frozen ln-micros
+    // terms; one double division at the end
+    "q291_info_gain" ->
+      """WITH d1 AS (SELECT source AS x, lang AS y FROM documents),
+        |d2 AS (
+        | SELECT n_chars // 500 AS x, lang AS y FROM documents),
+        |f1 AS (
+        | WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d1),
+        | hy AS (
+        |  SELECT CAST(-sum(n_y * CAST(round(round(ln(
+        |     CAST(n_y AS DOUBLE) / n_total), 6) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS h_y_scaled
+        |  FROM (SELECT y, CAST(count(*) AS BIGINT) AS n_y
+        |        FROM d1 GROUP BY 1), n),
+        | nx AS (SELECT x, CAST(count(*) AS BIGINT) AS n_x
+        |        FROM d1 GROUP BY 1),
+        | hc AS (
+        |  SELECT CAST(-sum(n_xy * CAST(round(round(ln(
+        |     CAST(n_xy AS DOUBLE) / n_x), 6) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS h_cond_scaled
+        |  FROM (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+        |        FROM d1 GROUP BY 1, 2) JOIN nx USING (x))
+        | SELECT 'source' AS feature, n_total, h_y_scaled, h_cond_scaled,
+        |  h_y_scaled - h_cond_scaled AS ig_scaled,
+        |  CAST(h_y_scaled - h_cond_scaled AS DOUBLE)
+        |   / (CAST(n_total AS DOUBLE) * 1e6) AS ig_nats
+        | FROM hy, hc, n),
+        |f2 AS (
+        | WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d2),
+        | hy AS (
+        |  SELECT CAST(-sum(n_y * CAST(round(round(ln(
+        |     CAST(n_y AS DOUBLE) / n_total), 6) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS h_y_scaled
+        |  FROM (SELECT y, CAST(count(*) AS BIGINT) AS n_y
+        |        FROM d2 GROUP BY 1), n),
+        | nx AS (SELECT x, CAST(count(*) AS BIGINT) AS n_x
+        |        FROM d2 GROUP BY 1),
+        | hc AS (
+        |  SELECT CAST(-sum(n_xy * CAST(round(round(ln(
+        |     CAST(n_xy AS DOUBLE) / n_x), 6) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS h_cond_scaled
+        |  FROM (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+        |        FROM d2 GROUP BY 1, 2) JOIN nx USING (x))
+        | SELECT 'len_band' AS feature, n_total, h_y_scaled, h_cond_scaled,
+        |  h_y_scaled - h_cond_scaled AS ig_scaled,
+        |  CAST(h_y_scaled - h_cond_scaled AS DOUBLE)
+        |   / (CAST(n_total AS DOUBLE) * 1e6) AS ig_nats
+        | FROM hy, hc, n)
+        |SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |ORDER BY feature""".stripMargin,
+
+    // half-life decayed popularity: dyadic 2^(30-w) weights via integer
+    // shifts — exact BIGINT scores, integer ranking
+    "q292_decayed_popularity" ->
+      """WITH mx AS (
+        | SELECT max(CAST(o_orderdate AS DATE)) AS max_d FROM orders),
+        |sc AS (
+        | SELECT l_partkey,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+        |  (CAST(1 AS BIGINT) << CAST(30 - least(
+        |    date_diff('day', CAST(o_orderdate AS DATE), max_d) // 7, 30)
+        |   AS INT)) AS wt
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  CROSS JOIN mx),
+        |agg AS (
+        | SELECT l_partkey, CAST(sum(q * wt) AS BIGINT) AS score_scaled
+        | FROM sc GROUP BY 1),
+        |r AS (
+        | SELECT *, row_number() OVER (ORDER BY score_scaled DESC,
+        |   l_partkey ASC) AS "rank"
+        | FROM agg)
+        |SELECT "rank", l_partkey, score_scaled,
+        | CAST(score_scaled AS DOUBLE) / 107374182400.0 AS decayed_units
+        |FROM r WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

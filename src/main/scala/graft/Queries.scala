@@ -4567,6 +4567,151 @@ object Queries {
       .orderBy("p_brand")
   }
 
+  /** Modularity of the email-group partition over the q245 contact
+    * graph, fully exact: with m edges, L_c intra-community edges and
+    * d_c community degree sums, each community's contribution to
+    * Newman modularity is (4m*L_c - d_c^2) / (4m^2) — the scaled
+    * numerator stays in BIGINT (no float in any comparison) and the
+    * per-row double is one division of exact operands. The
+    * community-quality audit for any graph clustering (here: does the
+    * email key explain the contact graph's structure). Edge list and
+    * degree explode shuffle on node ids only; output is bounded by the
+    * community count. */
+  def q289Modularity(s: SparkSession, dir: String): DataFrame = {
+    val contacts = t(s, dir, "customer").select(
+      col("c_custkey"),
+      concat(lit("u"), col("c_custkey") % 700, lit("@x.com")).as("email"),
+      concat(lit("n"), col("c_custkey") % 50).as("name"),
+      concat(lit("p"), col("c_custkey") % 60).as("phone"))
+    val edges = Dedup.fuzzyDuplicatePairs(contacts, "c_custkey", "email",
+        "name", "phone")
+      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"), (col("id_a") % 700).as("ca"),
+        (col("id_b") % 700).as("cb"))
+    val m = edges.agg(count(lit(1)).as("m"))
+    val ends = edges.select(col("id_a").as("id"), col("ca").as("c"))
+      .unionByName(edges.select(col("id_b").as("id"), col("cb").as("c")))
+    val deg = ends.groupBy(col("c"))
+      .agg(count(lit(1)).as("d_c"), countDistinct(col("id")).as("n_nodes"))
+    val intra = edges.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("l_c"))
+    deg.join(intra, Seq("c"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("c").as("community"), col("n_nodes"), col("d_c"),
+        coalesce(col("l_c"), lit(0L)).as("l_c"),
+        (lit(4L) * col("m") * coalesce(col("l_c"), lit(0L)) -
+          col("d_c") * col("d_c")).as("contrib_scaled"),
+        ((lit(4L) * col("m") * coalesce(col("l_c"), lit(0L)) -
+          col("d_c") * col("d_c")).cast("double") /
+          (lit(4L) * col("m") * col("m")).cast("double")).as("contrib_q"))
+      .orderBy("community")
+  }
+
+  /** Rendezvous (highest-random-weight) sharding with a reshard diff:
+    * every doc scores each shard with the portable md5 hash of
+    * "shard:doc_id" and lands on the argmax; going 8 -> 9 shards moves
+    * EXACTLY the docs whose new-shard score wins — the HRW guarantee
+    * (~1/9 of docs, all moving TO the new shard) shown exactly:
+    * n_moved == n_moved_to_new per source shard, moved_ppm ~ 111111.
+    * The shard-assignment operator consistent-routing layers need;
+    * per-doc windows hold <= 9 rows, shuffle key is doc_id. */
+  def q290Rendezvous(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = t(s, dir, "documents").select(col("doc_id"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(8))).as("s"))
+      .withColumn("h", conv(substring(md5(concat(col("s").cast("string"),
+        lit(":"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("h").desc, col("s").desc)
+    val s8 = h.filter(col("s") < 8)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("s").as("shard8"))
+    val s9 = h.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("s").as("shard9"))
+    s8.join(s9, Seq("doc_id"))
+      .groupBy(col("shard8"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L))
+          .as("n_moved"),
+        sum(when(col("shard8") =!= col("shard9") && col("shard9") === 8,
+          1L).otherwise(0L)).as("n_moved_to_new"))
+      .select(col("shard8").as("shard"), col("n_docs"), col("n_moved"),
+        col("n_moved_to_new"),
+        expr("n_moved * 1000000 DIV n_docs").as("moved_ppm"))
+      .orderBy("shard")
+  }
+
+  /** Information gain of two candidate features (source; n_chars DIV 500
+    * length band) for predicting lang — the feature-selection screen.
+    * Exact-integer discipline: with frozen per-ratio logs (the q99
+    * ln-micros kernel), N*1e6-scaled entropies are H_scaled(Y) =
+    * -sum_y n_y*lnm(n_y/N) and H_scaled(Y|X) = -sum_xy n_xy*lnm(n_xy/n_x)
+    * — every term an exact BIGINT product — and ig_nats is ONE double
+    * division of the exact scaled gain by N*1e6. Counts shuffle on the
+    * (x,y) keys; output is one row per feature. */
+  def q291InfoGain(s: SparkSession, dir: String): DataFrame = {
+    def lnm(num: Column, den: Column): Column =
+      round(round(log(num.cast("double") / den), 6) * 1e6).cast("long")
+    def igOf(feature: String, x: Column): DataFrame = {
+      val d = t(s, dir, "documents").select(x.as("x"), col("lang").as("y"))
+      val n = d.agg(count(lit(1)).as("n_total"))
+      val hy = d.groupBy(col("y")).agg(count(lit(1)).as("n_y"))
+        .crossJoin(broadcast(n))
+        .agg((-sum(col("n_y") * lnm(col("n_y"), col("n_total"))))
+          .as("h_y_scaled"))
+      val nx = d.groupBy(col("x")).agg(count(lit(1)).as("n_x"))
+      val hc = d.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+        .join(nx, Seq("x"))
+        .agg((-sum(col("n_xy") * lnm(col("n_xy"), col("n_x"))))
+          .as("h_cond_scaled"))
+      hy.crossJoin(hc).crossJoin(broadcast(n))
+        .select(lit(feature).as("feature"), col("n_total"),
+          col("h_y_scaled"), col("h_cond_scaled"),
+          (col("h_y_scaled") - col("h_cond_scaled")).as("ig_scaled"),
+          ((col("h_y_scaled") - col("h_cond_scaled")).cast("double") /
+            (col("n_total").cast("double") * 1e6)).as("ig_nats"))
+    }
+    igOf("source", col("source"))
+      .unionByName(igOf("len_band", expr("n_chars DIV 500")))
+      .orderBy("feature")
+  }
+
+  /** Half-life-decayed part popularity: each line item contributes
+    * quantity-centi times 2^(30 - weeks_ago) (weeks capped at 30,
+    * measured back from the corpus max order date) — dyadic weights
+    * via integer SHIFTS, so the decayed scores are EXACT BIGINTs
+    * (never pow(): float powers aren't correctly-rounded-guaranteed)
+    * and ranking compares integers; the unit-scale double is one
+    * division by the exact literal 2^30*100. The freshness-weighted
+    * leaderboard (exponential decay counters) with none of the usual
+    * float drift; one part-keyed agg, dimension-sized top-20 window. */
+  def q292DecayedPopularity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val mx = o.agg(max(to_date(col("o_orderdate"))).as("max_d"))
+    val scored = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        (dec2(col("l_quantity")) * 100).cast("long").as("q"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .crossJoin(broadcast(mx))
+      .withColumn("w", least(expr(
+        "CAST(datediff(max_d, to_date(o_orderdate)) DIV 7 AS BIGINT)"),
+        lit(30L)))
+      .withColumn("wt",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - w AS INT))"))
+    scored.groupBy(col("l_partkey"))
+      .agg(sum(col("q") * col("wt")).as("score_scaled"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_scaled").desc, col("l_partkey").asc)))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("l_partkey"), col("score_scaled"),
+        (col("score_scaled").cast("double") / lit(107374182400.0))
+          .as("decayed_units"))
+      .orderBy("rank")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -5862,6 +6007,10 @@ object Queries {
     "q286_label_agreement" -> (q286LabelAgreement _),
     "q287_discount_elasticity" -> (q287DiscountElasticity _),
     "q288_weighted_median" -> (q288WeightedMedian _),
+    "q289_modularity" -> (q289Modularity _),
+    "q290_rendezvous" -> (q290Rendezvous _),
+    "q291_info_gain" -> (q291InfoGain _),
+    "q292_decayed_popularity" -> (q292DecayedPopularity _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
