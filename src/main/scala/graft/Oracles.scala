@@ -6701,6 +6701,141 @@ object Oracles {
         |SELECT "rank", l_partkey, score_scaled,
         | CAST(score_scaled AS DOUBLE) / 107374182400.0 AS decayed_units
         |FROM r WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin,
+
+    // mutual top-1 (reciprocal best match) on the every-5th subset — the
+    // q21 brute-force replay, self-joined for reciprocity
+    "q293_mutual_nn" ->
+      s"""WITH u AS (
+         | SELECT vec_id, embedding, label FROM embeddings
+         | WHERE vec_id % 5 = 0),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM u),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM u),
+         |scored AS (
+         | SELECT query_id, neighbor_id,
+         |  ${dotSql("qv", "cv")} AS dot_p,
+         |  ${normSql("qv")} * ${normSql("cv")} AS norm_p
+         | FROM c, q WHERE neighbor_id <> query_id),
+         |sims AS (
+         | SELECT query_id, neighbor_id,
+         |  CASE WHEN norm_p = 0 THEN 0.0 ELSE dot_p / norm_p END AS sim
+         | FROM scored),
+         |nn1 AS (
+         | SELECT query_id, neighbor_id, round(sim, 6) AS cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM sims)
+         | WHERE rnk = 1)
+         |SELECT a.query_id AS id_a, a.neighbor_id AS id_b, a.cos,
+         | la.label = lb.label AS same_label
+         |FROM nn1 a JOIN nn1 b
+         |  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+         |  AND a.query_id < a.neighbor_id
+         | JOIN u la ON la.vec_id = a.query_id
+         | JOIN u lb ON lb.vec_id = a.neighbor_id
+         |ORDER BY id_a""".stripMargin,
+
+    // RBO@d curve, p = 1/2: dyadic weights -> exact integer terms
+    // X_d * 2^(20-d) * (lcm(1..20)/d); one double division per row
+    "q294_rbo" ->
+      s"""WITH lex AS (
+         | SELECT doc_id, CAST("rank" AS BIGINT) AS ra FROM ($q76Sql)),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+         |      FROM embeddings),
+         |scored AS (
+         | SELECT neighbor_id,
+         |  ${dotSql("qv", "cv")} AS dot_p,
+         |  ${normSql("qv")} * ${normSql("cv")} AS norm_p
+         | FROM c, q WHERE neighbor_id <> query_id),
+         |sims AS (
+         | SELECT neighbor_id,
+         |  CASE WHEN norm_p = 0 THEN 0.0 ELSE dot_p / norm_p END AS sim
+         | FROM scored),
+         |dense AS (
+         | SELECT neighbor_id AS doc_id, CAST(rnk AS BIGINT) AS rb
+         | FROM (SELECT neighbor_id, row_number() OVER
+         |   (ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM sims)
+         | WHERE rnk <= 20),
+         |ov AS (
+         | SELECT d, CAST(count(*) AS BIGINT) AS overlap_d FROM (
+         |  SELECT unnest(range(greatest(ra, rb), 21)) AS d
+         |  FROM lex JOIN dense USING (doc_id))
+         | GROUP BY 1),
+         |spine AS (SELECT unnest(range(1, 21)) AS d),
+         |terms AS (
+         | SELECT spine.d AS d, coalesce(overlap_d, 0) AS overlap_d,
+         |  coalesce(overlap_d, 0)
+         |   * (CAST(1 AS BIGINT) << CAST(20 - spine.d AS INT))
+         |   * (232792560 // spine.d) AS term_scaled
+         | FROM spine LEFT JOIN ov ON spine.d = ov.d)
+         |SELECT CAST(d AS BIGINT) AS d, overlap_d,
+         | CAST(term_scaled AS BIGINT) AS term_scaled,
+         | CAST(sum(term_scaled) OVER (ORDER BY d
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |  / CAST(CAST(232792560 AS BIGINT) << 20 AS DOUBLE) AS rbo_cum
+         |FROM terms ORDER BY d""".stripMargin,
+
+    // hot-set drift: early/late halves split at the exact micro-epoch
+    // midpoint; rising/falling decided on cross-multiplied counts
+    "q295_hotset_drift" ->
+      """WITH ev AS (
+        | SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        | FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev),
+        |h AS (
+        | SELECT event_type,
+        |  CAST(sum(CASE WHEN us < mid_us THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_early,
+        |  CAST(sum(CASE WHEN us >= mid_us THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_late
+        | FROM ev, mid GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(sum(n_early) AS BIGINT) AS tot_early,
+        |  CAST(sum(n_late) AS BIGINT) AS tot_late FROM h)
+        |SELECT event_type, n_early, n_late,
+        | CASE WHEN n_early = 0 AND n_late > 0 THEN 'new'
+        |      WHEN n_late = 0 AND n_early > 0 THEN 'gone'
+        |      WHEN n_late * tot_early > n_early * tot_late THEN 'rising'
+        |      WHEN n_late * tot_early < n_early * tot_late THEN 'falling'
+        |      ELSE 'stable' END AS trend,
+        | CASE WHEN n_early > 0 THEN
+        |  CAST(n_late * tot_early * 1000000 // (n_early * tot_late)
+        |   AS BIGINT) END AS rate_ratio_ppm
+        |FROM h, tot ORDER BY event_type""".stripMargin,
+
+    // Kendall tau-b: sign-logic pair census over the brand dimension,
+    // exact C/D/tie counts, IEEE-deterministic sqrt finalization
+    "q296_kendall_tau" ->
+      """WITH b AS (
+        | SELECT p_brand,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS rev,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS qty
+        | FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |p AS (
+        | SELECT CAST(sign(a.rev - b2.rev) AS BIGINT) AS sx,
+        |  CAST(sign(a.qty - b2.qty) AS BIGINT) AS sy
+        | FROM b a JOIN b b2 ON a.p_brand < b2.p_brand),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_brands FROM b),
+        |agg AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS concordant,
+        |  CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS discordant,
+        |  CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS ties_x,
+        |  CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS ties_y
+        | FROM p)
+        |SELECT n_brands, n_brands * (n_brands - 1) // 2 AS n0,
+        | concordant, discordant, ties_x, ties_y,
+        | CAST(concordant - discordant AS DOUBLE)
+        |  / (sqrt(CAST(n_brands * (n_brands - 1) // 2 - ties_x AS DOUBLE))
+        |   * sqrt(CAST(n_brands * (n_brands - 1) // 2 - ties_y AS DOUBLE)))
+        |  AS tau_b
+        |FROM agg, n""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -4712,6 +4712,151 @@ object Queries {
       .orderBy("rank")
   }
 
+  /** Mutual nearest neighbors (reciprocal best match) over the every-5th
+    * probe subset: pairs where each vector is the other's exact cosine
+    * top-1 — the blocking-free entity-resolution / bitext-alignment
+    * primitive (a match both sides agree on is far more precise than a
+    * one-way top-1). Reuses the q21 brute-force machinery (probes
+    * broadcast, corpus streamed map-side); the mutual join keys on ids
+    * only; same_label exhibits precision against the stored labels. */
+  def q293MutualNn(s: SparkSession, dir: String): DataFrame = {
+    val sub = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+    val nn1 = Knn.bruteForceTopK(sub, sub, k = 1)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
+    val labels = sub.select(col("vec_id"), col("label"))
+    nn1.as("a")
+      .join(nn1.as("b"),
+        col("a.query_id") === col("b.neighbor_id") &&
+          col("a.neighbor_id") === col("b.query_id") &&
+          col("a.query_id") < col("a.neighbor_id"))
+      .select(col("a.query_id").as("id_a"),
+        col("a.neighbor_id").as("id_b"), col("a.cosine_sim").as("cos"))
+      .join(broadcast(labels.select(col("vec_id").as("id_a"),
+        col("label").as("label_a"))), Seq("id_a"))
+      .join(broadcast(labels.select(col("vec_id").as("id_b"),
+        col("label").as("label_b"))), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("cos"),
+        (col("label_a") === col("label_b")).as("same_label"))
+      .orderBy("id_a")
+  }
+
+  /** Rank-biased overlap curve (p = 1/2) between the lexical BM25
+    * top-20 (the q76 list) and the dense cosine top-20 for probe 0 (the
+    * q234 list): RBO@D = sum_{d<=D} X_d / (d * 2^d) with X_d the
+    * depth-d overlap. p = 1/2 makes every weight DYADIC, so each term
+    * scales to the exact integer X_d * 2^(20-d) * (L/d) with
+    * L = lcm(1..20) = 232792560 (divisible by every d), the running
+    * numerator stays in BIGINT, and rbo_cum is one double division by
+    * the exact scale 2^20 * L per row. The top-k ranking agreement
+    * metric that — unlike plain overlap — discounts by depth; both
+    * input lists reuse their hash-verified builders. */
+  def q294Rbo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = Rank.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "vector", "query"), topK = 20)
+      .select(col("doc_id"), col("rank").cast("long").as("ra"))
+    val emb = t(s, dir, "embeddings")
+    val dense = Knn.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+        k = 20)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rb"))
+    val overlaps = lex.join(dense, Seq("doc_id"))
+      .select(explode(sequence(greatest(col("ra"), col("rb")), lit(20L)))
+        .as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("overlap_d"))
+    val spine = s.range(1, 21).toDF("d")
+    val terms = spine.join(overlaps, Seq("d"), "left")
+      .select(col("d"), coalesce(col("overlap_d"), lit(0L)).as("overlap_d"))
+      .withColumn("term_scaled",
+        col("overlap_d") *
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - d AS INT))") *
+          expr("232792560 DIV d"))
+    terms
+      .withColumn("rbo_cum",
+        sum(col("term_scaled")).over(Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") /
+          expr("CAST(shiftleft(CAST(232792560 AS BIGINT), 20) AS DOUBLE)"))
+      .select(col("d").cast("long").as("d"), col("overlap_d"),
+        col("term_scaled"), col("rbo_cum"))
+      .orderBy("d")
+  }
+
+  /** Heavy-hitter drift: event types' share of traffic in the early vs
+    * late half of the corpus window (split at the exact micro-epoch
+    * midpoint), with the rising/falling call made on CROSS-MULTIPLIED
+    * counts (n_late*tot_early vs n_early*tot_late) and the ratio
+    * reported in integer ppm — the what-became-hot monitoring screen
+    * with no float in the classification. Types absent from one half
+    * classify 'new'/'gone'. One (half, type) agg; totals broadcast. */
+  def q295HotsetDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val mid = ev.agg(expr("(min(us) + max(us)) DIV 2").as("mid_us"))
+    val halves = ev.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("us") < col("mid_us"), 1L).otherwise(0L))
+        .as("n_early"),
+        sum(when(col("us") >= col("mid_us"), 1L).otherwise(0L))
+          .as("n_late"))
+    val tot = halves.agg(sum(col("n_early")).as("tot_early"),
+      sum(col("n_late")).as("tot_late"))
+    halves.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        when(col("n_early") === 0 && col("n_late") > 0, "new")
+          .when(col("n_late") === 0 && col("n_early") > 0, "gone")
+          .when(col("n_late") * col("tot_early") >
+            col("n_early") * col("tot_late"), "rising")
+          .when(col("n_late") * col("tot_early") <
+            col("n_early") * col("tot_late"), "falling")
+          .otherwise("stable").as("trend"),
+        when(col("n_early") > 0,
+          expr("n_late * tot_early * 1000000 DIV (n_early * tot_late)"))
+          .as("rate_ratio_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** Kendall tau-b between the brand-by-revenue and brand-by-quantity
+    * rankings: concordant/discordant/tied pair counts over the bounded
+    * brand dimension (sign logic via comparisons — never a product of
+    * deltas, which would overflow), then tau_b = (C - D) /
+    * sqrt((n0 - tx)*(n0 - ty)) from exact small integers with
+    * IEEE-deterministic sqrt/div. The rank-correlation complement to
+    * Theil-Sen (q195): do two business orderings agree, ties handled
+    * exactly. Dimension-sized pair join (25 x 24 / 2). */
+  def q296KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val byBrand = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum((dec2(col("l_extendedprice")) * 100).cast("long")).as("rev"),
+        sum((dec2(col("l_quantity")) * 100).cast("long")).as("qty"))
+    val pairs = byBrand.as("a")
+      .join(byBrand.as("b"), col("a.p_brand") < col("b.p_brand"))
+      .select(
+        signum(col("a.rev") - col("b.rev")).cast("long").as("sx"),
+        signum(col("a.qty") - col("b.qty")).cast("long").as("sy"))
+    val n = byBrand.agg(count(lit(1)).as("n_brands"))
+    pairs.agg(
+        sum(when(col("sx") * col("sy") === 1, 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(col("sx") * col("sy") === -1, 1L).otherwise(0L))
+          .as("discordant"),
+        sum(when(col("sx") === 0, 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("sy") === 0, 1L).otherwise(0L)).as("ties_y"))
+      .crossJoin(broadcast(n))
+      .select(col("n_brands"),
+        expr("n_brands * (n_brands - 1) DIV 2").as("n0"),
+        col("concordant"), col("discordant"), col("ties_x"), col("ties_y"),
+        ((col("concordant") - col("discordant")).cast("double") /
+          (sqrt((expr("n_brands * (n_brands - 1) DIV 2") - col("ties_x"))
+            .cast("double")) *
+            sqrt((expr("n_brands * (n_brands - 1) DIV 2") - col("ties_y"))
+              .cast("double")))).as("tau_b"))
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -6011,6 +6156,10 @@ object Queries {
     "q290_rendezvous" -> (q290Rendezvous _),
     "q291_info_gain" -> (q291InfoGain _),
     "q292_decayed_popularity" -> (q292DecayedPopularity _),
+    "q293_mutual_nn" -> (q293MutualNn _),
+    "q294_rbo" -> (q294Rbo _),
+    "q295_hotset_drift" -> (q295HotsetDrift _),
+    "q296_kendall_tau" -> (q296KendallTau _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
