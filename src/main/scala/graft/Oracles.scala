@@ -6836,6 +6836,129 @@ object Oracles {
         |   * sqrt(CAST(n_brands * (n_brands - 1) // 2 - ties_y AS DOUBLE)))
         |  AS tau_b
         |FROM agg, n""".stripMargin,
+
+    // per-source KS + 1-D EMD vs complement: CDF deviations as
+    // cross-multiplied integers |cumA*Nb - cumB*Na|
+    "q297_dist_drift" ->
+      """WITH docs AS (SELECT source, n_chars FROM documents),
+        |h AS (
+        | SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+        | FROM docs GROUP BY 1, 2),
+        |g AS (
+        | SELECT n_chars, CAST(count(*) AS BIGINT) AS gcnt
+        | FROM docs GROUP BY 1),
+        |grid AS (
+        | SELECT s.source, g.n_chars, coalesce(h.cnt, 0) AS cnt, g.gcnt
+        | FROM g CROSS JOIN (SELECT DISTINCT source FROM docs) s
+        |  LEFT JOIN h ON h.source = s.source AND h.n_chars = g.n_chars),
+        |cum AS (
+        | SELECT source, n_chars,
+        |  sum(cnt) OVER w AS cum_a, sum(gcnt) OVER w AS cum_t,
+        |  coalesce(lead(n_chars, 1) OVER w - n_chars, 0) AS gap
+        | FROM grid
+        | WINDOW w AS (PARTITION BY source ORDER BY n_chars
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |na AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        | FROM docs GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM docs),
+        |dev AS (
+        | SELECT cum.source, n_s, n_all,
+        |  abs(cum_a * (n_all - n_s) - (cum_t - cum_a) * n_s) AS dev, gap
+        | FROM cum JOIN na ON cum.source = na.source CROSS JOIN nt)
+        |SELECT source, n_s,
+        | CAST(max(dev) AS BIGINT) AS ks_scaled,
+        | CAST(max(dev) AS DOUBLE)
+        |  / CAST(n_s * (max(n_all) - n_s) AS DOUBLE) AS ks,
+        | CAST(sum(dev * gap) AS BIGINT) AS emd_scaled,
+        | CAST(sum(dev * gap) AS DOUBLE)
+        |  / CAST(n_s * (max(n_all) - n_s) AS DOUBLE) AS emd_chars
+        |FROM dev GROUP BY source, n_s ORDER BY source""".stripMargin,
+
+    // Mann-Whitney U / AUC, exact under ties via doubled midranks
+    "q298_mann_whitney" ->
+      """WITH byv AS (
+        | SELECT n_chars, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS pos_cnt
+        | FROM documents GROUP BY 1),
+        |r AS (
+        | SELECT *,
+        |  2 * (sum(cnt) OVER (ORDER BY n_chars
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |   + cnt + 1 AS midrank2
+        | FROM byv),
+        |agg AS (
+        | SELECT CAST(sum(pos_cnt) AS BIGINT) AS n_pos,
+        |  CAST(sum(cnt - pos_cnt) AS BIGINT) AS n_neg,
+        |  CAST(sum(pos_cnt * midrank2) AS BIGINT) AS r1_2
+        | FROM r)
+        |SELECT n_pos, n_neg,
+        | r1_2 - n_pos * (n_pos + 1) AS u2,
+        | CAST(r1_2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |  / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+        |FROM agg""".stripMargin,
+
+    // exact largest-remainder revenue proration across the order ->
+    // latest-ship month range; allocations sum exactly to the total
+    "q299_revenue_proration" ->
+      """WITH o AS (
+        | SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS total_cents,
+        |  CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+        |   AS sm
+        | FROM orders),
+        |se AS (
+        | SELECT l_orderkey,
+        |  CAST(max(year(l_shipdate) * 12 + month(l_shipdate) - 1)
+        |   AS BIGINT) AS em
+        | FROM lineitem GROUP BY 1),
+        |spans AS (
+        | SELECT total_cents, sm,
+        |  greatest(em, sm) - sm + 1 AS m
+        | FROM o JOIN se ON o_orderkey = l_orderkey),
+        |alloc AS (
+        | SELECT (sm + i) // 12 * 100 + (sm + i) % 12 + 1 AS ym,
+        |  total_cents // m
+        |   + CASE WHEN i < total_cents % m THEN 1 ELSE 0 END AS alloc
+        | FROM (SELECT total_cents, sm, m, unnest(range(0, m)) AS i
+        |       FROM spans))
+        |SELECT ym, CAST(count(*) AS BIGINT) AS n_slices,
+        | CAST(sum(alloc) AS BIGINT) AS recognized_cents
+        |FROM alloc GROUP BY 1 ORDER BY ym""".stripMargin,
+
+    // Lorenz deciles: ascending explicit row_number deciles over exact
+    // cent spend (zero-spend customers included), cumulative ppm share
+    "q300_lorenz_deciles" ->
+      """WITH spend AS (
+        | SELECT c_custkey, coalesce(cents, 0) AS cents
+        | FROM customer LEFT JOIN (
+        |  SELECT o_custkey,
+        |   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |     AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+        |n AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents FROM spend),
+        |d AS (
+        | SELECT CAST(1 + (row_number() OVER (ORDER BY cents ASC,
+        |    c_custkey ASC) - 1) * 10 // n_cust AS INT) AS decile,
+        |  cents, total_cents
+        | FROM spend, n),
+        |agg AS (
+        | SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS decile_cents,
+        |  max(total_cents) AS total_cents
+        | FROM d GROUP BY 1)
+        |SELECT decile, n_customers, decile_cents,
+        | CAST(sum(decile_cents) OVER (ORDER BY decile
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS cum_cents,
+        | CAST(sum(decile_cents) OVER (ORDER BY decile
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  * 1000000 // total_cents AS BIGINT) AS cum_share_ppm
+        |FROM agg ORDER BY decile""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

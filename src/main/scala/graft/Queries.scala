@@ -4857,6 +4857,153 @@ object Queries {
               .cast("double")))).as("tau_b"))
   }
 
+  /** Distribution drift per source: the two-sample Kolmogorov-Smirnov
+    * statistic AND the 1-D earth-mover distance of each source's
+    * doc-length distribution against its complement, both EXACT —
+    * CDF deviations live as cross-multiplied integers
+    * |cumA*Nb - cumB*Na| (KS takes the max, EMD sums them weighted by
+    * the support gap), with one double division per output row. The
+    * which-source-shifted screen behind mixture rebalancing; the grid
+    * is (distinct lengths x sources) — support-bounded, not
+    * corpus-bounded — and the windows partition by source. */
+  def q297DistDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").select(col("source"), col("n_chars"))
+    val h = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val g = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("gcnt"))
+    val grid = g.select(col("n_chars"), col("gcnt"))
+      .crossJoin(docs.select(col("source")).distinct())
+      .join(h, Seq("source", "n_chars"), "left")
+      .select(col("source"), col("n_chars"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"), col("gcnt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+    val cum = grid
+      .withColumn("cum_a", sum(col("cnt")).over(w))
+      .withColumn("cum_t", sum(col("gcnt")).over(w))
+      .withColumn("gap", coalesce(
+        lead(col("n_chars"), 1).over(w) - col("n_chars"), lit(0L)))
+    val na = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val nt = docs.agg(count(lit(1)).as("n_all"))
+    cum.join(broadcast(na), Seq("source")).crossJoin(broadcast(nt))
+      .withColumn("dev", abs(
+        col("cum_a") * (col("n_all") - col("n_s")) -
+          (col("cum_t") - col("cum_a")) * col("n_s")))
+      .groupBy(col("source"), col("n_s"))
+      .agg(max(col("dev")).as("ks_scaled"),
+        sum(col("dev") * col("gap")).as("emd_scaled"),
+        max(col("n_all")).as("n_all"))
+      .select(col("source"), col("n_s"), col("ks_scaled"),
+        (col("ks_scaled").cast("double") /
+          (col("n_s") * (col("n_all") - col("n_s"))).cast("double"))
+          .as("ks"),
+        col("emd_scaled"),
+        (col("emd_scaled").cast("double") /
+          (col("n_s") * (col("n_all") - col("n_s"))).cast("double"))
+          .as("emd_chars"))
+      .orderBy("source")
+  }
+
+  /** Mann-Whitney U / ROC-AUC of doc length separating lang = 'en' from
+    * the rest, exact under ties: per distinct length the DOUBLED
+    * midrank 2*cum_before + cnt + 1 is an integer, the positive rank
+    * sum and U stay in BIGINT, and AUC is one double division by
+    * 2*n1*n0. The does-this-feature-rank-the-classes screen (the
+    * rank-sum twin of q258's parametric z-test); one value-keyed agg
+    * plus a support-sized window. */
+  def q298MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+      .select(col("n_chars"), (col("lang") === "en").as("pos"))
+    val byV = d.groupBy(col("n_chars"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("pos_cnt"))
+    val w = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byV
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("midrank2",
+        lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1)
+    ranked.agg(
+        sum(col("pos_cnt")).cast("long").as("n_pos"),
+        sum(col("cnt") - col("pos_cnt")).cast("long").as("n_neg"),
+        sum(col("pos_cnt") * col("midrank2")).cast("long").as("r1_2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("r1_2") - col("n_pos") * (col("n_pos") + 1)).as("u2"),
+        ((col("r1_2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+  }
+
+  /** Calendar revenue proration with EXACT largest-remainder allocation:
+    * each order's total cents spread over the inclusive month range
+    * from its order month to its latest ship month (clamped at the
+    * order month when shipments predate it) as base = total DIV m per
+    * month plus one extra cent to the first total%m months — so the
+    * per-month allocations are integers that sum EXACTLY to the order
+    * total (the finance-grade proration guarantee float spreads can't
+    * make). One orderkey agg for the ship horizon, bounded month
+    * explode, calendar-keyed final agg. */
+  def q299RevenueProration(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      (dec2(col("o_totalprice")) * 100).cast("long").as("total_cents"),
+      expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").cast("long")
+        .as("sm"))
+    val shipEnd = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(expr("year(l_shipdate) * 12 + month(l_shipdate) - 1"))
+        .cast("long").as("em"))
+    o.join(shipEnd, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("m", greatest(col("em"), col("sm")) - col("sm") + 1)
+      .select(col("total_cents"), col("sm"), col("m"),
+        explode(sequence(lit(0L), col("m") - 1)).as("i"))
+      .select(
+        expr("(sm + i) DIV 12 * 100 + (sm + i) % 12 + 1").as("ym"),
+        (expr("total_cents DIV m") +
+          when(col("i") < expr("total_cents % m"), 1L).otherwise(0L))
+          .as("alloc"))
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n_slices"),
+        sum(col("alloc")).cast("long").as("recognized_cents"))
+      .orderBy("ym")
+  }
+
+  /** Lorenz curve by customer decile: customers ranked ascending by
+    * exact cent spend (zero-spend customers included — they ARE the
+    * inequality), dealt into explicit row_number deciles (the q252
+    * formula), cumulative spend share in integer ppm. The
+    * concentration curve behind q242's Gini scalar — where the
+    * revenue actually sits. Dimension-keyed windows only. */
+  def q300LorenzDeciles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = t(s, dir, "customer")
+      .join(t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum((dec2(col("o_totalprice")) * 100).cast("long"))
+          .as("cents")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("cents"), lit(0L)).as("cents"))
+    val wRank = Window.orderBy(col("cents").asc, col("c_custkey").asc)
+    val n = spend.agg(count(lit(1)).as("n_cust"),
+      sum(col("cents")).cast("long").as("total_cents"))
+    val deciles = spend
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .crossJoin(broadcast(n))
+      .select(expr("CAST(1 + (rn - 1) * 10 DIV n_cust AS INT)").as("decile"),
+        col("cents"), col("total_cents"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).cast("long").as("decile_cents"),
+        max(col("total_cents")).as("total_cents"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles
+      .withColumn("cum_cents", sum(col("decile_cents")).over(wCum))
+      .select(col("decile"), col("n_customers"), col("decile_cents"),
+        col("cum_cents"),
+        expr("cum_cents * 1000000 DIV total_cents").as("cum_share_ppm"))
+      .orderBy("decile")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -6160,6 +6307,10 @@ object Queries {
     "q294_rbo" -> (q294Rbo _),
     "q295_hotset_drift" -> (q295HotsetDrift _),
     "q296_kendall_tau" -> (q296KendallTau _),
+    "q297_dist_drift" -> (q297DistDrift _),
+    "q298_mann_whitney" -> (q298MannWhitney _),
+    "q299_revenue_proration" -> (q299RevenueProration _),
+    "q300_lorenz_deciles" -> (q300LorenzDeciles _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
