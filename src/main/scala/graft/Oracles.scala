@@ -6959,6 +6959,133 @@ object Oracles {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |  * 1000000 // total_cents AS BIGINT) AS cum_share_ppm
         |FROM agg ORDER BY decile""".stripMargin,
+
+    // 3-player Shapley attribution: exposure masks, ppm coalition
+    // values, exact {2,1,1,2}/6 weights as 6-scaled BIGINTs
+    "q301_shapley_attribution" ->
+      """WITH ev AS (
+        | SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        | FROM events),
+        |fb AS (
+        | SELECT user_id, min(ts) AS buy_ts FROM ev
+        | WHERE event_type = 'purchase' GROUP BY 1),
+        |mk AS (
+        | SELECT e.user_id, fb.buy_ts IS NOT NULL AS converted,
+        |  CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |   + 2 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |   + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS mask
+        | FROM ev e LEFT JOIN fb ON e.user_id = fb.user_id
+        | WHERE fb.buy_ts IS NULL OR e.ts < fb.buy_ts
+        | GROUP BY 1, 2),
+        |v AS (
+        | SELECT mask,
+        |  CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) * 1000000
+        |   // count(*) AS BIGINT) AS v_ppm
+        | FROM mk GROUP BY 1),
+        |terms AS (
+        | SELECT b, m AS s_mask, m + bv AS si_mask,
+        |  CAST(CASE WHEN m % 2 + (m // 2) % 2 + (m // 4) % 2 = 1
+        |   THEN 1 ELSE 2 END AS BIGINT) AS w6
+        | FROM (
+        |  SELECT b, CASE b WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS bv,
+        |   m
+        |  FROM (SELECT unnest(range(0, 3)) AS b),
+        |   (SELECT unnest(range(0, 8)) AS m))
+        | WHERE (m // bv) % 2 = 0),
+        |phi AS (
+        | SELECT b,
+        |  CAST(sum(w6 * (coalesce(v2.v_ppm, 0) - coalesce(v1.v_ppm, 0)))
+        |   AS BIGINT) AS phi_scaled6
+        | FROM terms LEFT JOIN v v1 ON v1.mask = terms.s_mask
+        |  LEFT JOIN v v2 ON v2.mask = terms.si_mask
+        | GROUP BY 1)
+        |SELECT CASE b WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+        |  ELSE 'signup' END AS channel,
+        | phi_scaled6, CAST(phi_scaled6 AS DOUBLE) / 6.0 AS phi_ppm
+        |FROM phi ORDER BY channel""".stripMargin,
+
+    // Oaxaca mix/rate decomposition: exact integer inputs, fixed-shape
+    // double expression trees (the q258 discipline)
+    "q302_metric_decomposition" ->
+      """WITH o AS (
+        | SELECT o_orderpriority AS seg,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS cents,
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        | FROM orders),
+        |mid AS (SELECT (min(day) + max(day)) // 2 AS mid_day FROM o),
+        |seg AS (
+        | SELECT seg,
+        |  CAST(sum(CASE WHEN day < mid_day THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_early,
+        |  CAST(sum(CASE WHEN day < mid_day THEN cents ELSE 0 END)
+        |   AS BIGINT) AS rev_early,
+        |  CAST(sum(CASE WHEN day >= mid_day THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_late,
+        |  CAST(sum(CASE WHEN day >= mid_day THEN cents ELSE 0 END)
+        |   AS BIGINT) AS rev_late
+        | FROM o, mid GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(sum(n_early) AS BIGINT) AS te,
+        |  CAST(sum(n_late) AS BIGINT) AS tl FROM seg)
+        |SELECT seg, n_early, n_late, rev_early, rev_late,
+        | (CAST(n_late AS DOUBLE) / CAST(tl AS DOUBLE)
+        |  - CAST(n_early AS DOUBLE) / CAST(te AS DOUBLE))
+        |  * (CAST(rev_early AS DOUBLE) / CAST(n_early AS DOUBLE))
+        |  AS mix_effect,
+        | (CAST(n_late AS DOUBLE) / CAST(tl AS DOUBLE))
+        |  * (CAST(rev_late AS DOUBLE) / CAST(n_late AS DOUBLE)
+        |   - CAST(rev_early AS DOUBLE) / CAST(n_early AS DOUBLE))
+        |  AS rate_effect
+        |FROM seg, tot ORDER BY seg""".stripMargin,
+
+    // Simpson screen: per-brand exact slope-numerator sign vs pooled
+    "q303_simpson_flags" ->
+      """WITH li AS (
+        | SELECT l_partkey,
+        |  CAST(CAST(l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT) AS x,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        | FROM lineitem),
+        |j AS (
+        | SELECT p_brand, x, y
+        | FROM li JOIN part ON l_partkey = p_partkey),
+        |b AS (
+        | SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) * CAST(sum(x * y) AS BIGINT)
+        |   - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS num
+        | FROM j GROUP BY 1),
+        |p AS (
+        | SELECT CAST(count(*) AS BIGINT) * CAST(sum(x * y) AS BIGINT)
+        |  - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS pooled_num
+        | FROM j)
+        |SELECT p_brand, n,
+        | CAST(sign(num) AS BIGINT) AS brand_sign,
+        | CAST(sign(pooled_num) AS BIGINT) AS pooled_sign,
+        | sign(num) * sign(pooled_num) = -1 AS simpson_flip
+        |FROM b, p ORDER BY p_brand""".stripMargin,
+
+    // per-priority exact latency order stats + 90-day breach ppm
+    "q304_priority_sla" ->
+      """WITH lat AS (
+        | SELECT o_orderpriority AS priority,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) AS BIGINT) AS days
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |r AS (
+        | SELECT priority, days,
+        |  CAST(row_number() OVER (PARTITION BY priority ORDER BY days ASC)
+        |   AS BIGINT) AS rk,
+        |  CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+        | FROM lat)
+        |SELECT priority, n,
+        | min(CASE WHEN rk * 2 >= n THEN days END) AS p50_days,
+        | min(CASE WHEN rk * 10 >= n * 9 THEN days END) AS p90_days,
+        | min(CASE WHEN rk * 100 >= n * 99 THEN days END) AS p99_days,
+        | CAST(sum(CASE WHEN days > 90 THEN 1 ELSE 0 END) * 1000000
+        |  // max(n) AS BIGINT) AS breach_ppm
+        |FROM r GROUP BY priority, n ORDER BY priority""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -5004,6 +5004,162 @@ object Queries {
       .orderBy("decile")
   }
 
+  /** Shapley-value channel attribution over the {click, view, signup}
+    * exposure sets: each user's pre-first-purchase exposure bitmask
+    * defines the coalition, v(S) is that cohort's conversion rate in
+    * integer ppm (missing cohorts contribute v = 0), and the exact
+    * 3-player Shapley weights {2,1,1,2}/6 keep every phi as a
+    * 6-scaled BIGINT — one double division renders phi_ppm. The
+    * cooperative-game attribution (sums to v(full) - v(empty)) that
+    * q264's positional U-shape approximates; masks are 8 rows, the
+    * (channel, subset) term table 12 rows, all the corpus-scale work
+    * is one user-keyed agg. */
+  def q301ShapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      col("ts").cast("timestamp").as("ts"))
+    val firstBuy = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("buy_ts"))
+    val masks = ev.join(firstBuy, Seq("user_id"), "left")
+      .filter(col("buy_ts").isNull || col("ts") < col("buy_ts"))
+      .groupBy(col("user_id"), col("buy_ts").isNotNull.as("converted"))
+      .agg((max(when(col("event_type") === "click", 1L).otherwise(0L)) +
+        lit(2L) * max(when(col("event_type") === "view", 1L)
+          .otherwise(0L)) +
+        lit(4L) * max(when(col("event_type") === "signup", 1L)
+          .otherwise(0L))).as("mask"))
+    val v = masks.groupBy(col("mask"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_conv"))
+      .select(col("mask"), expr("n_conv * 1000000 DIV n_users").as("v_ppm"))
+    // (channel bit, subset-without-bit) term table: 3 x 4 rows, exact
+    // 6-scaled weights by subset size
+    val terms = s.range(0, 3).toDF("b").crossJoin(s.range(0, 8).toDF("m"))
+      .filter(expr("(m DIV shiftleft(1, CAST(b AS INT))) % 2 = 0"))
+      .select(col("b"), col("m").as("s_mask"),
+        expr("m + shiftleft(1, CAST(b AS INT))").as("si_mask"),
+        expr("CASE bit_count(m) WHEN 0 THEN 2 WHEN 1 THEN 1 " +
+          "ELSE 2 END").cast("long").as("w6"))
+    terms
+      .join(v.select(col("mask").as("s_mask"), col("v_ppm").as("v_s")),
+        Seq("s_mask"), "left")
+      .join(v.select(col("mask").as("si_mask"), col("v_ppm").as("v_si")),
+        Seq("si_mask"), "left")
+      .groupBy(col("b"))
+      .agg(sum(col("w6") * (coalesce(col("v_si"), lit(0L)) -
+        coalesce(col("v_s"), lit(0L)))).as("phi_scaled6"))
+      .select(
+        when(col("b") === 0, "click").when(col("b") === 1, "view")
+          .otherwise("signup").as("channel"),
+        col("phi_scaled6"),
+        (col("phi_scaled6").cast("double") / 6.0).as("phi_ppm"))
+      .orderBy("channel")
+  }
+
+  /** Mix/rate decomposition of average order value between the early
+    * and late half of the order window (split at the exact epoch-day
+    * midpoint): per priority segment, mix = (share_late - share_early)
+    * * rate_early and rate = share_late * (rate_late - rate_early),
+    * the Oaxaca-Blinder "why did the metric move" waterfall. Counts
+    * and cent sums are exact BIGINTs; the effects are fixed-shape
+    * expression trees over those exact operands (the q258 +,-,*,/
+    * discipline), bit-identical cross-engine. One (half, segment)
+    * agg; totals broadcast. */
+  def q302MetricDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderpriority").as("seg"),
+      (dec2(col("o_totalprice")) * 100).cast("long").as("cents"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+        .cast("long").as("day"))
+    val mid = o.agg(expr("(min(day) + max(day)) DIV 2").as("mid_day"))
+    val seg = o.crossJoin(broadcast(mid))
+      .groupBy(col("seg"))
+      .agg(
+        sum(when(col("day") < col("mid_day"), 1L).otherwise(0L))
+          .as("n_early"),
+        sum(when(col("day") < col("mid_day"), col("cents"))
+          .otherwise(0L)).as("rev_early"),
+        sum(when(col("day") >= col("mid_day"), 1L).otherwise(0L))
+          .as("n_late"),
+        sum(when(col("day") >= col("mid_day"), col("cents"))
+          .otherwise(0L)).as("rev_late"))
+    val tot = seg.agg(sum(col("n_early")).as("te"),
+      sum(col("n_late")).as("tl"))
+    seg.crossJoin(broadcast(tot))
+      .select(col("seg"), col("n_early"), col("n_late"),
+        col("rev_early"), col("rev_late"),
+        ((col("n_late").cast("double") / col("tl").cast("double") -
+          col("n_early").cast("double") / col("te").cast("double")) *
+          (col("rev_early").cast("double") /
+            col("n_early").cast("double"))).as("mix_effect"),
+        ((col("n_late").cast("double") / col("tl").cast("double")) *
+          (col("rev_late").cast("double") / col("n_late").cast("double") -
+            col("rev_early").cast("double") /
+              col("n_early").cast("double"))).as("rate_effect"))
+      .orderBy("seg")
+  }
+
+  /** Simpson's-paradox screen on the q287 elasticity: each brand's
+    * exact OLS slope-numerator sign against the POOLED numerator sign
+    * — a brand whose within-group direction contradicts the aggregate
+    * is a flip (the aggregation-bias alarm before anyone acts on the
+    * pooled trend). Signs come from exact BIGINTs; no float anywhere.
+    * Same shuffle shape as q287 plus one broadcast scalar. */
+  def q303SimpsonFlags(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"),
+      (dec2(col("l_discount")) * 10000).cast("long").as("x"),
+      (dec2(col("l_quantity")) * 100).cast("long").as("y"))
+    val withBrand = li.join(broadcast(t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))),
+      col("l_partkey") === col("p_partkey"))
+    val byBrand = withBrand.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("p_brand"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"))
+    val pooled = withBrand
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+      .select((col("n") * col("sxy") - col("sx") * col("sy"))
+        .as("pooled_num"))
+    byBrand.crossJoin(broadcast(pooled))
+      .select(col("p_brand"), col("n"),
+        signum(col("num")).cast("long").as("brand_sign"),
+        signum(col("pooled_num")).cast("long").as("pooled_sign"),
+        (signum(col("num")) * signum(col("pooled_num")) === -1.0)
+          .as("simpson_flip"))
+      .orderBy("p_brand")
+  }
+
+  /** Per-priority ship-latency SLA: exact p50/p90/p99 order statistics
+    * (the q267 row_number selection — never interpolation) plus the
+    * 90-day breach rate in integer ppm, keyed by order priority. The
+    * operational SLA scorecard; priority is the only shuffle key and
+    * each percentile is the ceil(q*n)-th ranked row of its partition. */
+  def q304PrioritySla(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lat = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("days"))
+    val w = Window.partitionBy(col("priority"))
+      .orderBy(col("days").asc)
+    val ranked = lat
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("priority"))).cast("long"))
+    ranked.groupBy(col("priority"), col("n"))
+      .agg(
+        min(when(col("rk") * 2 >= col("n"), col("days"))).as("p50_days"),
+        min(when(col("rk") * 10 >= col("n") * 9, col("days")))
+          .as("p90_days"),
+        min(when(col("rk") * 100 >= col("n") * 99, col("days")))
+          .as("p99_days"),
+        sum(when(col("days") > 90, 1L).otherwise(0L)).as("n_breach"))
+      .select(col("priority"), col("n"), col("p50_days"), col("p90_days"),
+        col("p99_days"), expr("n_breach * 1000000 DIV n").as("breach_ppm"))
+      .orderBy("priority")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -6311,6 +6467,10 @@ object Queries {
     "q298_mann_whitney" -> (q298MannWhitney _),
     "q299_revenue_proration" -> (q299RevenueProration _),
     "q300_lorenz_deciles" -> (q300LorenzDeciles _),
+    "q301_shapley_attribution" -> (q301ShapleyAttribution _),
+    "q302_metric_decomposition" -> (q302MetricDecomposition _),
+    "q303_simpson_flags" -> (q303SimpsonFlags _),
+    "q304_priority_sla" -> (q304PrioritySla _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
