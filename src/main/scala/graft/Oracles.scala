@@ -7086,6 +7086,105 @@ object Oracles {
         | CAST(sum(CASE WHEN days > 90 THEN 1 ELSE 0 END) * 1000000
         |  // max(n) AS BIGINT) AS breach_ppm
         |FROM r GROUP BY priority, n ORDER BY priority""".stripMargin,
+
+    // prefix-cache audit: shared leading-2-token groups, exact
+    // (g-1)*prefix_tokens savings
+    "q305_prefix_cache" ->
+      s"""WITH pre AS (
+         | SELECT doc_id,
+         |  array_to_string(${toksSql("text")}[1:2], ' ') AS prefix,
+         |  CAST(least(len(${toksSql("text")}), 2) AS BIGINT) AS p_tokens
+         | FROM documents),
+         |g AS (
+         | SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(p_tokens) AS prefix_tokens
+         | FROM pre GROUP BY 1)
+         |SELECT prefix, n_docs, prefix_tokens,
+         | (n_docs - 1) * prefix_tokens AS saved_tokens
+         |FROM g WHERE n_docs >= 2
+         |ORDER BY saved_tokens DESC, prefix ASC""".stripMargin,
+
+    // per-source embedding norm audit: q151 micro-product discipline,
+    // cross-multiplied 20% deviation flag
+    "q306_norm_audit" ->
+      """WITH e AS (
+        | SELECT d.source, em.embedding AS v
+        | FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id
+        | WHERE em.embedding IS NOT NULL),
+        |p AS (
+        | SELECT source, unnest(list_transform(range(1, len(v)+1),
+        |   i -> CAST(round(CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE), 6)
+        |        AS DECIMAL(25,6)))) AS p2
+        | FROM e),
+        |n AS (
+        | SELECT source, CAST(sum(p2) * 1000000 AS BIGINT) AS s_micros,
+        |  CAST(count(*) // 64 AS BIGINT) AS n_vecs
+        | FROM p GROUP BY 1),
+        |g AS (
+        | SELECT CAST(sum(s_micros) AS BIGINT) AS g_micros,
+        |  CAST(sum(n_vecs) AS BIGINT) AS g_vecs FROM n)
+        |SELECT source, n_vecs, s_micros,
+        | CAST(s_micros AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1e6)
+        |  AS mean_norm2,
+        | abs(5 * s_micros * g_vecs - 5 * g_micros * n_vecs)
+        |  > g_micros * n_vecs AS deviates
+        |FROM n, g ORDER BY source""".stripMargin,
+
+    // grouped Pearson: exact BIGINT num/d1/d2, IEEE sqrt finalization
+    "q307_grouped_pearson" ->
+      s"""WITH d AS (
+         | SELECT source, CAST(n_chars AS BIGINT) AS x,
+         |  CAST(${tokenCountSql("text")} AS BIGINT) AS y
+         | FROM documents),
+         |a AS (
+         | SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx,
+         |  CAST(sum(y * y) AS BIGINT) AS syy
+         | FROM d GROUP BY 1)
+         |SELECT source, n,
+         | n * sxy - sx * sy AS num,
+         | n * sxx - sx * sx AS d1,
+         | n * syy - sy * sy AS d2,
+         | CAST(n * sxy - sx * sy AS DOUBLE)
+         |  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+         |FROM a ORDER BY source""".stripMargin,
+
+    // click position-bias: q18 session gap rule, (ts, event_id)-ordered
+    // positions, cross-multiplied ratio vs position 1
+    "q308_position_bias" ->
+      """WITH f AS (
+        | SELECT user_id, event_id, event_type, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |   THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+        |s2 AS (
+        | SELECT user_id, event_id, event_type, ts,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS session_seq
+        | FROM f),
+        |pos AS (
+        | SELECT CAST(rn AS BIGINT) AS pos, event_type FROM (
+        |  SELECT event_type, row_number() OVER (PARTITION BY user_id,
+        |    session_seq ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM s2) WHERE rn <= 10),
+        |agg AS (
+        | SELECT pos, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_clicks
+        | FROM pos GROUP BY 1),
+        |p1 AS (
+        | SELECT n_events AS n1, n_clicks AS c1 FROM agg WHERE pos = 1)
+        |SELECT pos, n_events, n_clicks,
+        | CAST(n_clicks * 1000000 // n_events AS BIGINT) AS click_ppm,
+        | CASE WHEN c1 > 0 THEN
+        |  CAST(n_clicks * n1 * 1000000 // (n_events * c1) AS BIGINT)
+        | END AS vs_pos1_ppm
+        |FROM agg, p1 ORDER BY pos""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -5160,6 +5160,116 @@ object Queries {
       .orderBy("priority")
   }
 
+  /** Prefix-cache audit: docs sharing the same leading-k token prefix
+    * (k = 2 here — the fixture's vocabulary makes longer shared
+    * prefixes vanish; k is the dial) can reuse one KV-cache entry, so
+    * each group of g docs saves (g-1) * prefix_tokens prefill tokens.
+    * The serving-era "shared system prompt" audit: one prefix-keyed
+    * agg over the standard whitespace tokens, groups of 1 drop out,
+    * savings are exact integers. */
+  def q305PrefixCache(s: SparkSession, dir: String): DataFrame = {
+    val pre = t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 2))
+          .as("prefix"),
+        least(size(TextOps.tokens(col("text"))), lit(2)).cast("long")
+          .as("p_tokens"))
+    pre.groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("p_tokens"))
+        .as("prefix_tokens"))
+      .filter(col("n_docs") >= 2)
+      .select(col("prefix"), col("n_docs"), col("prefix_tokens"),
+        ((col("n_docs") - 1) * col("prefix_tokens")).as("saved_tokens"))
+      .orderBy(col("saved_tokens").desc, col("prefix").asc)
+  }
+
+  /** Per-source embedding-norm audit: squared norms through the q151
+    * micro-product discipline (round(x*x, 6) summed in DECIMAL — exact
+    * and order-free), per-source mean as ONE double division, and the
+    * deviates-by->20% flag decided on CROSS-MULTIPLIED integers
+    * (|5*S_s*n_g - 5*S_g*n_s| > S_g*n_s) so no float enters the
+    * classification. The embedding-QA screen that catches a source
+    * whose vectors were scaled or truncated differently. */
+  def q306NormAudit(s: SparkSession, dir: String): DataFrame = {
+    val norms = t(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select(col("source"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("source"),
+        round(col("x").cast("double") * col("x").cast("double"), 6)
+          .cast("decimal(25,6)").as("p2"))
+      .groupBy(col("source"))
+      .agg((sum(col("p2")) * 1000000).cast("long").as("s_micros"),
+        expr("count(1) DIV 64").as("n_vecs"))
+    val g = norms.agg(sum(col("s_micros")).as("g_micros"),
+      sum(col("n_vecs")).as("g_vecs"))
+    norms.crossJoin(broadcast(g))
+      .select(col("source"), col("n_vecs"), col("s_micros"),
+        (col("s_micros").cast("double") /
+          (col("n_vecs").cast("double") * 1e6)).as("mean_norm2"),
+        (abs(lit(5L) * col("s_micros") * col("g_vecs") -
+          lit(5L) * col("g_micros") * col("n_vecs")) >
+          col("g_micros") * col("n_vecs")).as("deviates"))
+      .orderBy("source")
+  }
+
+  /** Grouped Pearson correlation (chars vs whitespace tokens per
+    * source): the five exact integral sums per group, numerator and
+    * both variance terms in BIGINT, r as numerator / (sqrt(d1) *
+    * sqrt(d2)) — single correctly-rounded ops over exact operands
+    * (the q287/q296 discipline). The per-segment linear-association
+    * screen; the exact integer columns anchor the float. */
+  def q307GroupedPearson(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("source"),
+      col("n_chars").as("x"),
+      TextOps.tokenCount(col("text")).cast("long").as("y"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("source"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("d1"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("d2"))
+      .select(col("source"), col("n"), col("num"), col("d1"), col("d2"),
+        (col("num").cast("double") /
+          (sqrt(col("d1").cast("double")) * sqrt(col("d2").cast("double"))))
+          .as("r"))
+      .orderBy("source")
+  }
+
+  /** Click position-bias curve: within 30-min sessions (the q18 gap
+    * rule, (ts, event_id)-ordered so the index is total and
+    * engine-portable), the click rate at each of the first 10 session
+    * positions in integer ppm, plus the rate ratio vs position 1 on
+    * CROSS-MULTIPLIED counts. The position-bias audit ranking systems
+    * need before training on click feedback; one user-keyed session
+    * pass, bounded position output. */
+  def q308PositionBias(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = Sessionize.withSessions(t(s, dir, "events"), "user_id", "ts")
+    val wPos = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pos = sess.withColumn("pos", row_number().over(wPos))
+      .filter(col("pos") <= 10)
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_clicks"))
+    val p1 = pos.filter(col("pos") === 1)
+      .select(col("n_events").as("n1"), col("n_clicks").as("c1"))
+    pos.crossJoin(broadcast(p1))
+      .select(col("pos").cast("long").as("pos"), col("n_events"),
+        col("n_clicks"),
+        expr("n_clicks * 1000000 DIV n_events").as("click_ppm"),
+        when(col("c1") > 0,
+          expr("n_clicks * n1 * 1000000 DIV (n_events * c1)"))
+          .as("vs_pos1_ppm"))
+      .orderBy("pos")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -6471,6 +6581,10 @@ object Queries {
     "q302_metric_decomposition" -> (q302MetricDecomposition _),
     "q303_simpson_flags" -> (q303SimpsonFlags _),
     "q304_priority_sla" -> (q304PrioritySla _),
+    "q305_prefix_cache" -> (q305PrefixCache _),
+    "q306_norm_audit" -> (q306NormAudit _),
+    "q307_grouped_pearson" -> (q307GroupedPearson _),
+    "q308_position_bias" -> (q308PositionBias _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
