@@ -7185,6 +7185,129 @@ object Oracles {
         |  CAST(n_clicks * n1 * 1000000 // (n_events * c1) AS BIGINT)
         | END AS vs_pos1_ppm
         |FROM agg, p1 ORDER BY pos""".stripMargin,
+
+    // two-way (year x priority) effects in integer micro-cents via
+    // floor DIV of exact cent sums
+    "q309_two_way_effects" ->
+      """WITH o AS (
+        | SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  o_orderpriority AS pri,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS cents
+        | FROM orders),
+        |cell AS (
+        | SELECT yr, pri, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) * 1000000 // count(*) AS BIGINT) AS cell_micro
+        | FROM o GROUP BY 1, 2),
+        |r AS (
+        | SELECT yr, CAST(sum(cents) * 1000000 // count(*) AS BIGINT)
+        |   AS row_micro
+        | FROM o GROUP BY 1),
+        |c AS (
+        | SELECT pri, CAST(sum(cents) * 1000000 // count(*) AS BIGINT)
+        |   AS col_micro
+        | FROM o GROUP BY 1),
+        |g AS (
+        | SELECT CAST(sum(cents) * 1000000 // count(*) AS BIGINT)
+        |   AS grand_micro
+        | FROM o)
+        |SELECT cell.yr, cell.pri, n, cell_micro,
+        | row_micro - grand_micro AS year_effect_micro,
+        | col_micro - grand_micro AS pri_effect_micro,
+        | cell_micro - row_micro - col_micro + grand_micro AS resid_micro
+        |FROM cell JOIN r ON cell.yr = r.yr JOIN c ON cell.pri = c.pri
+        | CROSS JOIN g
+        |ORDER BY 1, 2""".stripMargin,
+
+    // binary-segmentation changepoint: exact BIGINT d = S1*n2 - S2*n1,
+    // deterministic double gain, day-tiebroken argmax, top 3
+    "q310_changepoint" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS dn,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS ds
+        | FROM orders GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(sum(dn) AS BIGINT) AS n_all,
+        |  CAST(sum(ds) AS BIGINT) AS s_all FROM daily),
+        |cum AS (
+        | SELECT day,
+        |  CAST(sum(dn) OVER w AS BIGINT) AS n1,
+        |  CAST(sum(ds) OVER w AS BIGINT) AS s1
+        | FROM daily
+        | WINDOW w AS (ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |stat AS (
+        | SELECT day, n1, s1, n_all - n1 AS n2, s_all - s1 AS s2,
+        |  s1 * (n_all - n1) - (s_all - s1) * n1 AS d_stat
+        | FROM cum, tot WHERE n1 < n_all),
+        |gain AS (
+        | SELECT day, n1, n2, s1, s2,
+        |  (CAST(d_stat AS DOUBLE) * CAST(d_stat AS DOUBLE))
+        |   / CAST(n1 * n2 AS DOUBLE) AS gain
+        | FROM stat)
+        |SELECT CAST(rk AS BIGINT) AS rk, day, n1, n2, s1, s2, gain
+        |FROM (SELECT *, row_number() OVER (ORDER BY gain DESC, day ASC)
+        |       AS rk FROM gain)
+        |WHERE rk <= 3 ORDER BY rk""".stripMargin,
+
+    // Lincoln-Petersen + Chapman capture-recapture vs the true count
+    "q311_capture_recapture" ->
+      """WITH ev AS (
+        | SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        | FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev),
+        |mk AS (
+        | SELECT user_id,
+        |  max(CASE WHEN us < mid_us THEN 1 ELSE 0 END) AS in_early,
+        |  max(CASE WHEN us >= mid_us THEN 1 ELSE 0 END) AS in_late
+        | FROM ev, mid GROUP BY 1),
+        |a AS (
+        | SELECT CAST(sum(in_early) AS BIGINT) AS n1,
+        |  CAST(sum(in_late) AS BIGINT) AS n2,
+        |  CAST(sum(in_early * in_late) AS BIGINT) AS m,
+        |  CAST(count(*) AS BIGINT) AS true_total
+        | FROM mk)
+        |SELECT n1, n2, m, n1 * n2 // m AS lincoln_est,
+        | (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS chapman_est, true_total
+        |FROM a""".stripMargin,
+
+    // diff-in-differences on purchase value: four exact cells, one
+    // fixed-shape double tree
+    "q312_diff_in_diff" ->
+      """WITH ev AS (
+        | SELECT user_id, event_type,
+        |  CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        | FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev),
+        |tr AS (SELECT DISTINCT user_id FROM ev
+        |       WHERE event_type = 'signup'),
+        |cells AS (
+        | SELECT tr.user_id IS NOT NULL AS treated, us >= mid_us AS post,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+        | FROM ev LEFT JOIN tr ON ev.user_id = tr.user_id CROSS JOIN mid
+        | WHERE event_type = 'purchase'
+        | GROUP BY 1, 2),
+        |w AS (
+        | SELECT
+        |  sum(CASE WHEN treated AND post THEN s END) AS s_tp,
+        |  sum(CASE WHEN treated AND post THEN n END) AS n_tp,
+        |  sum(CASE WHEN treated AND NOT post THEN s END) AS s_t0,
+        |  sum(CASE WHEN treated AND NOT post THEN n END) AS n_t0,
+        |  sum(CASE WHEN NOT treated AND post THEN s END) AS s_cp,
+        |  sum(CASE WHEN NOT treated AND post THEN n END) AS n_cp,
+        |  sum(CASE WHEN NOT treated AND NOT post THEN s END) AS s_c0,
+        |  sum(CASE WHEN NOT treated AND NOT post THEN n END) AS n_c0
+        | FROM cells)
+        |SELECT CAST(n_tp AS BIGINT) AS n_tp, CAST(n_t0 AS BIGINT) AS n_t0,
+        | CAST(n_cp AS BIGINT) AS n_cp, CAST(n_c0 AS BIGINT) AS n_c0,
+        | (CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
+        |  - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE))
+        | - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)
+        |  - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)) AS did_cents
+        |FROM w""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

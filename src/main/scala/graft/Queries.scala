@@ -5270,6 +5270,149 @@ object Queries {
       .orderBy("pos")
   }
 
+  /** Two-way effects decomposition of average order value over the
+    * (order year x priority) grid: grand mean, row (year) and column
+    * (priority) effects, and the interaction residual per cell, all in
+    * integer MICRO-cents via floor DIV of exact cent sums — the
+    * ANOVA-style "which year/priority combination is anomalous beyond
+    * its margins" screen. Floor rounding makes the additive identity
+    * hold only to the micro (documented); every number is an exact
+    * integer both engines agree on. Bounded grid output. */
+  def q309TwoWayEffects(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      year(to_date(col("o_orderdate"))).cast("long").as("yr"),
+      col("o_orderpriority").as("pri"),
+      (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val cell = o.groupBy(col("yr"), col("pri"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .withColumn("cell_micro", expr("s * 1000000 DIV n"))
+    val row = o.groupBy(col("yr"))
+      .agg(expr("sum(cents) * 1000000 DIV count(1)").as("row_micro"))
+    val colM = o.groupBy(col("pri"))
+      .agg(expr("sum(cents) * 1000000 DIV count(1)").as("col_micro"))
+    val grand = o.agg(expr("sum(cents) * 1000000 DIV count(1)")
+      .as("grand_micro"))
+    cell.join(broadcast(row), Seq("yr"))
+      .join(broadcast(colM), Seq("pri"))
+      .crossJoin(broadcast(grand))
+      .select(col("yr"), col("pri"), col("n"), col("cell_micro"),
+        (col("row_micro") - col("grand_micro")).as("year_effect_micro"),
+        (col("col_micro") - col("grand_micro")).as("pri_effect_micro"),
+        (col("cell_micro") - col("row_micro") - col("col_micro") +
+          col("grand_micro")).as("resid_micro"))
+      .orderBy("yr", "pri")
+  }
+
+  /** Binary-segmentation changepoint on the daily revenue series: the
+    * split day maximizing the between-segment variance reduction
+    * n1*n2/n * (mean1 - mean2)^2, evaluated as d^2/(n1*n2) with
+    * d = S1*n2 - S2*n1 held EXACT in BIGINT (its int64->double cast is
+    * correctly rounded in both engines, hence deterministic; squaring
+    * happens in double because d^2 would overflow int64) — gain is a
+    * fixed-shape expression and the argmax tiebreaks on the day.
+    * Top-3 candidate splits out.
+    * One day-keyed agg + day-ordered running window (day cardinality,
+    * not corpus). */
+  def q310Changepoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("dn"),
+        sum((dec2(col("o_totalprice")) * 100).cast("long")).as("ds"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(sum(col("dn")).as("n_all"),
+      sum(col("ds")).cast("long").as("s_all"))
+    val cum = daily
+      .withColumn("n1", sum(col("dn")).over(w))
+      .withColumn("s1", sum(col("ds")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("n1") < col("n_all"))
+      .select(col("day"), col("n1"), col("s1"),
+        (col("n_all") - col("n1")).as("n2"),
+        (col("s_all") - col("s1")).as("s2"))
+      .withColumn("d_stat",
+        col("s1") * col("n2") - col("s2") * col("n1"))
+      .withColumn("gain",
+        (col("d_stat").cast("double") * col("d_stat").cast("double")) /
+          (col("n1") * col("n2")).cast("double"))
+    cum
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("gain").desc, col("day").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("rk").cast("long").as("rk"), col("day"), col("n1"),
+        col("n2"), col("s1"), col("s2"), col("gain"))
+      .orderBy("rk")
+  }
+
+  /** Capture-recapture (Lincoln-Petersen + Chapman) estimate of the
+    * active-user population from the early and late halves of the
+    * event window (exact micro-epoch midpoint split): n1, n2, the
+    * recapture overlap m, the classic n1*n2 DIV m estimate, Chapman's
+    * bias-corrected (n1+1)(n2+1) DIV (m+1) - 1, and — because the log
+    * is complete — the TRUE distinct-user count beside them. The
+    * mark-recapture estimator ops teams use for how-many-users-did-we
+    * -miss; three distinct-count aggs, all integer. */
+  def q311CaptureRecapture(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+    val mid = ev.agg(expr("(min(us) + max(us)) DIV 2").as("mid_us"))
+    val marked = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("us") < col("mid_us"), 1L).otherwise(0L))
+        .as("in_early"),
+        max(when(col("us") >= col("mid_us"), 1L).otherwise(0L))
+          .as("in_late"))
+    marked.agg(
+        sum(col("in_early")).cast("long").as("n1"),
+        sum(col("in_late")).cast("long").as("n2"),
+        sum(col("in_early") * col("in_late")).cast("long").as("m"),
+        count(lit(1)).as("true_total"))
+      .select(col("n1"), col("n2"), col("m"),
+        expr("n1 * n2 DIV m").as("lincoln_est"),
+        expr("(n1 + 1) * (n2 + 1) DIV (m + 1) - 1").as("chapman_est"),
+        col("true_total"))
+  }
+
+  /** Difference-in-differences on purchase value: treatment = users
+    * with any signup event, pre/post = the exact micro-epoch midpoint,
+    * outcome = average purchase value in cents. The four cell means
+    * are single divisions of exact BIGINT sums and DiD is the
+    * fixed-shape (T_post - T_pre) - (C_post - C_pre) tree (the q258
+    * discipline) — the quasi-experimental lift readout when an A/B
+    * split isn't available. One user-keyed flag agg + one (cell) agg. */
+  def q312DiffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      (dec2(col("value")) * 100).cast("long").as("cents"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+    val mid = ev.agg(expr("(min(us) + max(us)) DIV 2").as("mid_us"))
+    val treated = ev.filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct()
+      .withColumn("treated", lit(true))
+    val cells = ev.filter(col("event_type") === "purchase")
+      .join(treated, Seq("user_id"), "left")
+      .crossJoin(broadcast(mid))
+      .select(coalesce(col("treated"), lit(false)).as("treated"),
+        (col("us") >= col("mid_us")).as("post"), col("cents"))
+      .groupBy(col("treated"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val wide = cells.agg(
+      sum(when(col("treated") && col("post"), col("s"))).as("s_tp"),
+      sum(when(col("treated") && col("post"), col("n"))).as("n_tp"),
+      sum(when(col("treated") && !col("post"), col("s"))).as("s_t0"),
+      sum(when(col("treated") && !col("post"), col("n"))).as("n_t0"),
+      sum(when(!col("treated") && col("post"), col("s"))).as("s_cp"),
+      sum(when(!col("treated") && col("post"), col("n"))).as("n_cp"),
+      sum(when(!col("treated") && !col("post"), col("s"))).as("s_c0"),
+      sum(when(!col("treated") && !col("post"), col("n"))).as("n_c0"))
+    wide.select(col("n_tp"), col("n_t0"), col("n_cp"), col("n_c0"),
+      ((col("s_tp").cast("double") / col("n_tp").cast("double") -
+        col("s_t0").cast("double") / col("n_t0").cast("double")) -
+        (col("s_cp").cast("double") / col("n_cp").cast("double") -
+          col("s_c0").cast("double") / col("n_c0").cast("double")))
+        .as("did_cents"))
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -6585,6 +6728,10 @@ object Queries {
     "q306_norm_audit" -> (q306NormAudit _),
     "q307_grouped_pearson" -> (q307GroupedPearson _),
     "q308_position_bias" -> (q308PositionBias _),
+    "q309_two_way_effects" -> (q309TwoWayEffects _),
+    "q310_changepoint" -> (q310Changepoint _),
+    "q311_capture_recapture" -> (q311CaptureRecapture _),
+    "q312_diff_in_diff" -> (q312DiffInDiff _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
