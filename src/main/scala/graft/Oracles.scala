@@ -7308,6 +7308,135 @@ object Oracles {
         | - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)
         |  - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)) AS did_cents
         |FROM w""".stripMargin,
+
+    // dormant-entity audit: anti-join counts + ppm per dimension
+    "q313_dormant_entities" ->
+      """WITH p AS (
+        | SELECT 'part' AS dimension,
+        |  CAST((SELECT count(*) FROM part) AS BIGINT) AS n_total,
+        |  CAST((SELECT count(*) FROM part WHERE p_partkey NOT IN
+        |    (SELECT DISTINCT l_partkey FROM lineitem)) AS BIGINT)
+        |   AS n_dormant),
+        |c AS (
+        | SELECT 'customer' AS dimension,
+        |  CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total,
+        |  CAST((SELECT count(*) FROM customer WHERE c_custkey NOT IN
+        |    (SELECT DISTINCT o_custkey FROM orders)) AS BIGINT)
+        |   AS n_dormant),
+        |s AS (
+        | SELECT 'supplier' AS dimension,
+        |  CAST((SELECT count(*) FROM supplier) AS BIGINT) AS n_total,
+        |  CAST((SELECT count(*) FROM supplier WHERE s_suppkey NOT IN
+        |    (SELECT DISTINCT l_suppkey FROM lineitem)) AS BIGINT)
+        |   AS n_dormant),
+        |u AS (
+        | SELECT * FROM p UNION ALL SELECT * FROM c
+        | UNION ALL SELECT * FROM s)
+        |SELECT dimension, n_total, n_dormant,
+        | CAST(n_dormant * 1000000 // n_total AS BIGINT) AS dormant_ppm
+        |FROM u ORDER BY dimension""".stripMargin,
+
+    // additive seasonal split: centered 7-day trend (exact calendar
+    // span check), weekly-phase effect by truncating DIV, residual
+    "q314_seasonal_decompose" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num
+        | FROM orders GROUP BY 1, 3),
+        |tr AS (
+        | SELECT day, rev_cents, day_num,
+        |  CAST(sum(rev_cents) OVER w AS BIGINT) AS win_sum,
+        |  max(day_num) OVER w - min(day_num) OVER w AS win_span,
+        |  count(*) OVER w AS win_n
+        | FROM daily
+        | WINDOW w AS (ORDER BY day_num
+        |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (
+        | SELECT day, rev_cents, day_num,
+        |  win_sum * 1000000 // 7 AS trend_micro,
+        |  rev_cents * 1000000 - win_sum * 1000000 // 7 AS detr_micro,
+        |  day_num % 7 AS phase
+        | FROM tr WHERE win_n = 7 AND win_span = 6),
+        |pe AS (
+        | SELECT phase, CAST(sum(detr_micro) // count(*) AS BIGINT)
+        |   AS phase_micro
+        | FROM d GROUP BY 1)
+        |SELECT day, rev_cents, trend_micro, d.phase, phase_micro,
+        | detr_micro - phase_micro AS resid_micro
+        |FROM d JOIN pe ON d.phase = pe.phase
+        |ORDER BY day""".stripMargin,
+
+    // Laspeyres/Paasche/Fisher over milli-cent frozen unit prices;
+    // basket sums exact BIGINT, indices in integer ppm
+    "q315_price_index" ->
+      """WITH li AS (
+        | SELECT l_partkey,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS rev,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty,
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |mid AS (SELECT (min(day) + max(day)) // 2 AS mid_day FROM li),
+        |per AS (
+        | SELECT l_partkey,
+        |  CAST(sum(CASE WHEN day < mid_day THEN rev ELSE 0 END) AS BIGINT)
+        |   AS rev0,
+        |  CAST(sum(CASE WHEN day < mid_day THEN qty ELSE 0 END) AS BIGINT)
+        |   AS qty0,
+        |  CAST(sum(CASE WHEN day >= mid_day THEN rev ELSE 0 END)
+        |   AS BIGINT) AS rev1,
+        |  CAST(sum(CASE WHEN day >= mid_day THEN qty ELSE 0 END)
+        |   AS BIGINT) AS qty1
+        | FROM li, mid GROUP BY 1),
+        |pp AS (
+        | SELECT l_partkey, qty0, qty1,
+        |  rev0 * 1000 // qty0 AS p0, rev1 * 1000 // qty1 AS p1
+        | FROM per WHERE qty0 > 0 AND qty1 > 0),
+        |agg AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(p1 * qty0) AS BIGINT) AS l_num,
+        |  CAST(sum(p0 * qty0) AS BIGINT) AS l_den,
+        |  CAST(sum(p1 * qty1) AS BIGINT) AS p_num,
+        |  CAST(sum(p0 * qty1) AS BIGINT) AS p_den
+        | FROM pp)
+        |SELECT n_parts,
+        | CAST(CAST(l_num AS HUGEINT) * 1000000 // l_den AS BIGINT)
+        |  AS laspeyres_ppm,
+        | CAST(CAST(p_num AS HUGEINT) * 1000000 // p_den AS BIGINT)
+        |  AS paasche_ppm,
+        | sqrt(CAST(CAST(CAST(l_num AS HUGEINT) * 1000000 // l_den AS BIGINT)
+        |  * CAST(CAST(p_num AS HUGEINT) * 1000000 // p_den AS BIGINT)
+        |  AS DOUBLE)) AS fisher_ppm
+        |FROM agg""".stripMargin,
+
+    // brand audience Jaccard: (cust, brand) dedup, pair intersection,
+    // inclusion-exclusion union, integer ppm
+    "q316_audience_overlap" ->
+      """WITH bc AS (
+        | SELECT DISTINCT o_custkey AS cust, p_brand
+        | FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey),
+        |sz AS (
+        | SELECT p_brand, CAST(count(*) AS BIGINT) AS n
+        | FROM bc GROUP BY 1),
+        |inter AS (
+        | SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |  CAST(count(*) AS BIGINT) AS n_both
+        | FROM bc a JOIN bc b ON a.cust = b.cust
+        |  AND a.p_brand < b.p_brand
+        | GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, sa.n AS n_a, sb.n AS n_b, n_both,
+        | CAST(n_both * 1000000 // (sa.n + sb.n - n_both) AS BIGINT)
+        |  AS jaccard_ppm
+        |FROM inter
+        | JOIN sz sa ON sa.p_brand = brand_a
+        | JOIN sz sb ON sb.p_brand = brand_b
+        |ORDER BY brand_a, brand_b""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

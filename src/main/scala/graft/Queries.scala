@@ -5413,6 +5413,161 @@ object Queries {
         .as("did_cents"))
   }
 
+  /** Dormant-entity audit: parts never sold, customers who never
+    * ordered, suppliers never used — one anti-join count per dimension
+    * with the dormant share in integer ppm. The referential
+    * completeness screen (the inverse of q32's FK violations: keys
+    * that exist but never participate). Three broadcast-scale
+    * anti-joins, 3-row output. */
+  def q313DormantEntities(s: SparkSession, dir: String): DataFrame = {
+    def dim(name: String, df: DataFrame, key: String,
+            fact: DataFrame, fkey: String): DataFrame = {
+      val used = fact.select(col(fkey).as(key)).distinct()
+      df.select(col(key)).join(used, Seq(key), "left_anti")
+        .agg(count(lit(1)).as("n_dormant"))
+        .crossJoin(df.agg(count(lit(1)).as("n_total")))
+        .select(lit(name).as("dimension"), col("n_total"),
+          col("n_dormant"),
+          expr("n_dormant * 1000000 DIV n_total").as("dormant_ppm"))
+    }
+    dim("part", t(s, dir, "part"), "p_partkey",
+        t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey")),
+        "p_partkey")
+      .unionByName(dim("customer", t(s, dir, "customer"), "c_custkey",
+        t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        "c_custkey"))
+      .unionByName(dim("supplier", t(s, dir, "supplier"), "s_suppkey",
+        t(s, dir, "lineitem").select(col("l_suppkey").as("s_suppkey")),
+        "s_suppkey"))
+      .orderBy("dimension")
+  }
+
+  /** Additive seasonal decomposition of daily revenue: trend = centered
+    * 7-day moving sum DIV 7 (only where the window spans exactly 7
+    * CALENDAR days — checked with an explicit first/last-day span
+    * test, so sparse stretches drop out instead of leaking a wrong
+    * trend), weekly-phase effect = truncating-DIV mean of the
+    * detrended series per day_num % 7 (both engines truncate integer
+    * division toward zero — verified, portable even for negatives),
+    * residual = detrended - phase effect. Everything integer
+    * micro-cents; the classic trend/seasonal/residual split with zero
+    * float drift. Day-keyed windows only. */
+  def q314SeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast("long"))
+        .as("rev_cents"))
+      .withColumn("day_num",
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+    val w7 = Window.orderBy(col("day_num")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("win_sum", sum(col("rev_cents")).over(w7))
+      .withColumn("win_span",
+        max(col("day_num")).over(w7) - min(col("day_num")).over(w7))
+      .withColumn("win_n", count(lit(1)).over(w7))
+      .filter(col("win_n") === 7 && col("win_span") === 6)
+      .withColumn("trend_micro", expr("win_sum * 1000000 DIV 7"))
+      .withColumn("detr_micro",
+        col("rev_cents") * 1000000 - col("trend_micro"))
+      .withColumn("phase", col("day_num") % 7)
+    val phaseEff = trended.groupBy(col("phase"))
+      .agg(expr("sum(detr_micro) DIV count(1)").as("phase_micro"))
+    trended.join(broadcast(phaseEff), Seq("phase"))
+      .select(col("day"), col("rev_cents"), col("trend_micro"),
+        col("phase"), col("phase_micro"),
+        (col("detr_micro") - col("phase_micro")).as("resid_micro"))
+      .orderBy("day")
+  }
+
+  /** Laspeyres / Paasche / Fisher price indices between the early and
+    * late half of the order window: per-part unit prices frozen as
+    * floor-DIV milli-cents (rev*1000 DIV qty_centi — the quantization
+    * keeps every basket product inside int64; identical both engines),
+    * basket sums
+    * sum(p*q) exact BIGINT over parts traded in BOTH periods, index
+    * ratios in integer ppm, Fisher as one sqrt over the exact ppm
+    * product. The canonical inflation/price-level readout. Part-keyed
+    * aggs; the basket join keys on partkey. */
+  def q315PriceIndex(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("rev"),
+        (dec2(col("l_quantity")) * 100).cast("long").as("qty"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+    val mid = li.agg(expr("(min(day) + max(day)) DIV 2").as("mid_day"))
+    val per = li.crossJoin(broadcast(mid))
+      .groupBy(col("l_partkey"))
+      .agg(
+        sum(when(col("day") < col("mid_day"), col("rev")).otherwise(0L))
+          .as("rev0"),
+        sum(when(col("day") < col("mid_day"), col("qty")).otherwise(0L))
+          .as("qty0"),
+        sum(when(col("day") >= col("mid_day"), col("rev")).otherwise(0L))
+          .as("rev1"),
+        sum(when(col("day") >= col("mid_day"), col("qty")).otherwise(0L))
+          .as("qty1"))
+      .filter(col("qty0") > 0 && col("qty1") > 0)
+      .select(col("l_partkey"), col("qty0"), col("qty1"),
+        expr("rev0 * 1000 DIV qty0").as("p0"),
+        expr("rev1 * 1000 DIV qty1").as("p1"))
+    per.agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("p1") * col("qty0")).as("l_num"),
+        sum(col("p0") * col("qty0")).as("l_den"),
+        sum(col("p1") * col("qty1")).as("p_num"),
+        sum(col("p0") * col("qty1")).as("p_den"))
+      .select(col("n_parts"),
+        // basket sums reach ~1.6e14 at sf0.01 — the x1e6 ppm scaling
+        // overflows int64, so the ratio runs in DECIMAL(36,0) (exact:
+        // 25+10+1 digits; DuckDB twin uses HUGEINT). All operands
+        // positive, so both engines' truncating DIV agree.
+        expr("CAST(l_num AS DECIMAL(25,0)) * 1000000 DIV l_den")
+          .as("laspeyres_ppm"),
+        expr("CAST(p_num AS DECIMAL(25,0)) * 1000000 DIV p_den")
+          .as("paasche_ppm"),
+        sqrt((expr("CAST(l_num AS DECIMAL(25,0)) * 1000000 DIV l_den") *
+          expr("CAST(p_num AS DECIMAL(25,0)) * 1000000 DIV p_den"))
+          .cast("double")).as("fisher_ppm"))
+  }
+
+  /** Audience overlap between brands: the exact Jaccard of the two
+    * brands' buyer sets for every brand pair, from one
+    * (customer, brand) dedup, per-brand buyer counts and one pair
+    * join — |A n B| via the shared-customer count, the union by
+    * inclusion-exclusion, the ratio in integer ppm. The
+    * cross-sell/assortment "shared audience" matrix; pair output is
+    * dimension-sized (25 x 24 / 2). */
+  def q316AudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val bc = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey").as("cust"), col("p_brand")).distinct()
+    val sizes = bc.groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+    val inter = bc.as("a")
+      .join(bc.as("b"), col("a.cust") === col("b.cust") &&
+        col("a.p_brand") < col("b.p_brand"))
+      .groupBy(col("a.p_brand").as("brand_a"),
+        col("b.p_brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.select(col("p_brand").as("brand_a"),
+        col("n").as("n_a"))), Seq("brand_a"))
+      .join(broadcast(sizes.select(col("p_brand").as("brand_b"),
+        col("n").as("n_b"))), Seq("brand_b"))
+      .select(col("brand_a"), col("brand_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("n_both * 1000000 DIV (n_a + n_b - n_both)")
+          .as("jaccard_ppm"))
+      .orderBy("brand_a", "brand_b")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -6732,6 +6887,10 @@ object Queries {
     "q310_changepoint" -> (q310Changepoint _),
     "q311_capture_recapture" -> (q311CaptureRecapture _),
     "q312_diff_in_diff" -> (q312DiffInDiff _),
+    "q313_dormant_entities" -> (q313DormantEntities _),
+    "q314_seasonal_decompose" -> (q314SeasonalDecompose _),
+    "q315_price_index" -> (q315PriceIndex _),
+    "q316_audience_overlap" -> (q316AudienceOverlap _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
