@@ -7437,6 +7437,105 @@ object Oracles {
         | JOIN sz sa ON sa.p_brand = brand_a
         | JOIN sz sb ON sb.p_brand = brand_b
         |ORDER BY brand_a, brand_b""".stripMargin,
+
+    // melt part metrics long (UNION ALL = the unpivot), profile per metric
+    "q317_unpivot" ->
+      """WITH long AS (
+        | SELECT p_partkey, 'size' AS metric,
+        |  CAST(p_size AS BIGINT) AS value FROM part
+        | UNION ALL
+        | SELECT p_partkey, 'retail_cents',
+        |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        | FROM part
+        | UNION ALL
+        | SELECT p_partkey, 'name_chars',
+        |  CAST(length(p_name) AS BIGINT) FROM part)
+        |SELECT metric, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(DISTINCT value) AS BIGINT) AS ndv,
+        | min(value) AS vmin, max(value) AS vmax,
+        | CAST(sum(value) AS BIGINT) AS vsum
+        |FROM long GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-customer fulfillment-window pair overlaps, per-customer rollup
+    "q318_interval_overlap" ->
+      """WITH se AS (
+        | SELECT l_orderkey,
+        |  max(CAST(date_diff('day', DATE '1970-01-01',
+        |    CAST(l_shipdate AS DATE)) AS BIGINT)) AS e
+        | FROM lineitem GROUP BY 1),
+        |ord AS (
+        | SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS s, e
+        | FROM orders JOIN se ON o_orderkey = l_orderkey),
+        |pr AS (
+        | SELECT a.o_custkey,
+        |  least(a.e, b.e) - greatest(a.s, b.s) + 1 AS ov
+        | FROM ord a JOIN ord b ON a.o_custkey = b.o_custkey
+        |  AND a.o_orderkey < b.o_orderkey)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(CASE WHEN ov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_overlapping,
+        | CAST(sum(CASE WHEN ov > 0 THEN ov ELSE 0 END) AS BIGINT)
+        |  AS sum_overlap_days,
+        | CAST(max(CASE WHEN ov > 0 THEN ov ELSE 0 END) AS BIGINT)
+        |  AS max_overlap_days
+        |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // daily-revenue ACF lags 1..14: frozen-dollar series, frozen integer
+    // mean, exact BIGINT num/den, ppm via HUGEINT floor division
+    "q319_acf" ->
+      """WITH daily AS (
+        | SELECT CAST(date_diff('day', DATE '1970-01-01',
+        |   CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) // 100 AS BIGINT) AS x
+        | FROM orders GROUP BY 1),
+        |st AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) // count(*) AS BIGINT) AS m FROM daily),
+        |dev AS (
+        | SELECT day_num, x - m AS dev FROM daily, st),
+        |dn AS (SELECT CAST(sum(dev * dev) AS BIGINT) AS den FROM dev),
+        |ks AS (SELECT unnest(range(1, 15)) AS k),
+        |pairs AS (
+        | SELECT k.k, a.dev AS dev_a, b.dev AS dev_b
+        | FROM dev a CROSS JOIN ks k
+        |  JOIN dev b ON b.day_num = a.day_num + k.k)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(dev_a * dev_b) AS BIGINT) AS num, den,
+        | CAST(CAST(CAST(sum(dev_a * dev_b) AS BIGINT) AS HUGEINT)
+        |  * 1000000 // den AS BIGINT) AS acf_ppm
+        |FROM pairs, dn GROUP BY k, den ORDER BY k""".stripMargin,
+
+    // seasonal-naive backtest: lag-7 forecast, lag-1 MASE reference,
+    // truncating-DIV ppm ratios
+    "q320_backtest" ->
+      """WITH daily AS (
+        | SELECT CAST(date_diff('day', DATE '1970-01-01',
+        |   CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS x
+        | FROM orders GROUP BY 1),
+        |sc AS (
+        | SELECT t.x, f.x AS f, abs(t.x - f.x) AS ae,
+        |  abs(t.x - p.x) AS ae1
+        | FROM daily t
+        |  JOIN daily f ON t.day_num = f.day_num + 7
+        |  JOIN daily p ON t.day_num = p.day_num + 1),
+        |agg AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(ae) AS BIGINT) AS sum_ae_cents,
+        |  CAST(sum(ae1) AS BIGINT) AS sum_ae1_cents,
+        |  CAST(sum(ae * 1000000 // x) AS BIGINT) AS sum_ape_ppm,
+        |  CAST(sum(ae * 2000000 // (x + f)) AS BIGINT) AS sum_sape_ppm
+        | FROM sc)
+        |SELECT n_days, sum_ae_cents,
+        | sum_ape_ppm // n_days AS mape_ppm,
+        | sum_sape_ppm // n_days AS smape_ppm,
+        | CAST(CAST(sum_ae_cents AS HUGEINT) * 1000000
+        |  // sum_ae1_cents AS BIGINT) AS mase_ppm
+        |FROM agg""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

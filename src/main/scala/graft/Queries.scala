@@ -5568,6 +5568,149 @@ object Queries {
       .orderBy("brand_a", "brand_b")
   }
 
+  /** Unpivot (melt) surface — the inverse of q43's pivot: three part
+    * metrics (size, retail cents, name length) melt into long
+    * (partkey, metric, value) form via Dataset.unpivot, then a
+    * per-metric profile agg proves every melted cell flowed. The
+    * wide-to-long reshape every feature store / metrics warehouse
+    * needs; melt is map-side only (no shuffle — each input row emits
+    * its k metric rows in place), the profile agg shuffles on the
+    * 3-value metric key. Exact integers throughout. */
+  def q317Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "part").select(col("p_partkey"),
+      col("p_size").cast("long").as("size"),
+      (dec2(col("p_retailprice")) * 100).cast("long").as("retail_cents"),
+      length(col("p_name")).cast("long").as("name_chars"))
+    wide.unpivot(Array(col("p_partkey")),
+        Array(col("size"), col("retail_cents"), col("name_chars")),
+        "metric", "value")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("value")).as("ndv"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"),
+        sum(col("value")).cast("long").as("vsum"))
+      .orderBy("metric")
+  }
+
+  /** Interval-overlap self-join: within each customer, every pair of
+    * orders whose fulfillment windows [orderdate, last shipdate]
+    * overlap, with the pair's overlap in days — rolled up per customer
+    * (n_pairs, n_overlapping, total/max overlap). The interval-algebra
+    * workhorse (concurrent open orders, double-booking, resource
+    * contention) expressed as a KEYED self-join: the custkey bounds
+    * each side, so there is no cross product anywhere — at 100 TB the
+    * pair work is sum over customers of |orders|² with |orders| small
+    * and custkey the only shuffle key (pathological hot keys would
+    * salt through the q35 machinery). Day arithmetic exact integers. */
+  def q318IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val shipEnd = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(datediff(to_date(col("l_shipdate")),
+        to_date(lit("1970-01-01"))).cast("long")).as("e"))
+    val ord = t(s, dir, "orders")
+      .join(shipEnd, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("s"), col("e"))
+    ord.as("a")
+      .join(ord.as("b"), col("a.o_custkey") === col("b.o_custkey") &&
+        col("a.o_orderkey") < col("b.o_orderkey"))
+      .select(col("a.o_custkey").as("o_custkey"),
+        (least(col("a.e"), col("b.e")) -
+          greatest(col("a.s"), col("b.s")) + 1).as("ov"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("ov") > 0, 1L).otherwise(0L)).as("n_overlapping"),
+        sum(when(col("ov") > 0, col("ov")).otherwise(0L)).cast("long")
+          .as("sum_overlap_days"),
+        max(when(col("ov") > 0, col("ov")).otherwise(0L))
+          .as("max_overlap_days"))
+      .orderBy("o_custkey")
+  }
+
+  /** Autocorrelation function of daily revenue at lags 1..14 — the
+    * is-there-weekly-structure screen behind q314's decomposition.
+    * Exact-integer discipline: daily revenue frozen to whole dollars
+    * (truncating DIV — portable), deviations taken against the FROZEN
+    * integer mean m = S DIV n (the rational mean would force rounded
+    * doubles into every product; the frozen mean keeps num/den exact
+    * BIGINTs, and for n in the thousands the quantization is far below
+    * the estimator's own noise). Lag pairs by CALENDAR day join
+    * (day_num + k), so gaps drop pairs instead of misaligning them;
+    * acf reported as exact integer ppm via DECIMAL/HUGEINT floor
+    * division (no doubles anywhere). Day-cardinality frames only; the
+    * dollar ladder holds to ~3e9-dollar daily scale (sum dev² < 2^63)
+    * — rescale units past that. */
+  def q319Acf(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100" +
+        " AS BIGINT)) DIV 100 AS BIGINT)").as("x"))
+      .withColumn("day_num",
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+    val stats = daily.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("long").as("sx"))
+      .select(col("n"), expr("sx DIV n").as("m"))
+    val dev = daily.crossJoin(broadcast(stats))
+      .select(col("day_num"), (col("x") - col("m")).as("dev"))
+    val den = dev.agg(sum(col("dev") * col("dev")).cast("long").as("den"))
+    val shifted = dev.select(col("day_num"), col("dev"))
+      .withColumn("k", explode(array((1 to 14).map(lit(_)): _*)))
+      .select((col("day_num") + col("k")).as("tgt"), col("k"),
+        col("dev").as("dev_a"))
+    shifted
+      .join(dev.select(col("day_num").as("tgt"), col("dev").as("dev_b")),
+        Seq("tgt"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dev_a") * col("dev_b")).cast("long").as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("k"), col("n_pairs"), col("num"), col("den"),
+        expr("CAST(CAST(num AS DECIMAL(25,0)) * 1000000 DIV den AS BIGINT)")
+          .as("acf_ppm"))
+      .orderBy("k")
+  }
+
+  /** Seasonal-naive forecast backtest: predict each day's revenue with
+    * the value 7 calendar days earlier, score MAPE / sMAPE / MASE over
+    * every day where the lag-7 AND lag-1 references exist (calendar
+    * joins — gaps drop days, never misalign them). Per-day ratios as
+    * truncating-DIV ppm (exact, portable); MASE as one
+    * DECIMAL/HUGEINT ppm ratio of the exact absolute-error sums
+    * (seasonal-naive MAE vs naive-1 MAE — the standard scale-free
+    * skill score). The forecast-evaluation loop every KPI pipeline
+    * runs before trusting a model; day-cardinality frames only. */
+  def q320Backtest(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast("long")).cast("long")
+        .as("x"))
+      .withColumn("day_num",
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+      .select(col("day_num"), col("x"))
+    val scored = daily.as("t")
+      .join(daily.select((col("day_num") + 7).as("day_num"),
+        col("x").as("f")), Seq("day_num"))
+      .join(daily.select((col("day_num") + 1).as("day_num"),
+        col("x").as("p")), Seq("day_num"))
+      .select(col("x"), col("f"),
+        abs(col("x") - col("f")).as("ae"),
+        abs(col("x") - col("p")).as("ae1"))
+    scored.agg(
+        count(lit(1)).as("n_days"),
+        sum(col("ae")).cast("long").as("sum_ae_cents"),
+        sum(col("ae1")).cast("long").as("sum_ae1_cents"),
+        sum(expr("ae * 1000000 DIV x")).cast("long").as("sum_ape_ppm"),
+        sum(expr("ae * 2000000 DIV (x + f)")).cast("long")
+          .as("sum_sape_ppm"))
+      .select(col("n_days"), col("sum_ae_cents"),
+        expr("sum_ape_ppm DIV n_days").as("mape_ppm"),
+        expr("sum_sape_ppm DIV n_days").as("smape_ppm"),
+        expr("CAST(CAST(sum_ae_cents AS DECIMAL(25,0)) * 1000000" +
+          " DIV sum_ae1_cents AS BIGINT)").as("mase_ppm"))
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -6891,6 +7034,10 @@ object Queries {
     "q314_seasonal_decompose" -> (q314SeasonalDecompose _),
     "q315_price_index" -> (q315PriceIndex _),
     "q316_audience_overlap" -> (q316AudienceOverlap _),
+    "q317_unpivot" -> (q317Unpivot _),
+    "q318_interval_overlap" -> (q318IntervalOverlap _),
+    "q319_acf" -> (q319Acf _),
+    "q320_backtest" -> (q320Backtest _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
