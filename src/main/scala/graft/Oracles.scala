@@ -7536,6 +7536,150 @@ object Oracles {
         | CAST(CAST(sum_ae_cents AS HUGEINT) * 1000000
         |  // sum_ae1_cents AS BIGINT) AS mase_ppm
         |FROM agg""".stripMargin,
+
+    // PSI of the discount distribution, early vs late half: ppm shares,
+    // frozen ln-micros, exact pico-nat terms
+    "q321_psi" ->
+      """WITH li AS (
+        | SELECT CAST(round(l_discount * 100) AS BIGINT) AS bin_centi,
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |mid AS (SELECT (min(day) + max(day)) // 2 AS mid_day FROM li),
+        |cnt AS (
+        | SELECT bin_centi,
+        |  CAST(sum(CASE WHEN day < mid_day THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_early,
+        |  CAST(sum(CASE WHEN day >= mid_day THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_late
+        | FROM li, mid GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(sum(n_early) AS BIGINT) AS na,
+        |  CAST(sum(n_late) AS BIGINT) AS nb FROM cnt),
+        |terms AS (
+        | SELECT bin_centi, n_early, n_late,
+        |  n_early * 1000000 // na AS p_ppm,
+        |  n_late * 1000000 // nb AS q_ppm,
+        |  CAST(round(round(ln(CAST(n_early * 1000000 // na AS DOUBLE)
+        |    / (n_late * 1000000 // nb)), 6) * 1e6) AS BIGINT) AS woe_micro
+        | FROM cnt, tot WHERE n_early > 0 AND n_late > 0)
+        |SELECT bin_centi, n_early, n_late, p_ppm, q_ppm, woe_micro,
+        | (p_ppm - q_ppm) * woe_micro AS term_pico,
+        | (SELECT CAST(sum((p_ppm - q_ppm) * woe_micro) AS BIGINT)
+        |  FROM terms) AS psi_pico
+        |FROM terms ORDER BY bin_centi""".stripMargin,
+
+    // Cohen's kappa between the priority rater and the order-size rater
+    "q322_cohens_kappa" ->
+      """WITH r AS (
+        | SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |   AS BIGINT) >= 15000000 THEN 1 ELSE 0 END AS b
+        | FROM orders),
+        |cells AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n11,
+        |  CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n10,
+        |  CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n01,
+        |  CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n00
+        | FROM r),
+        |m AS (
+        | SELECT n11, n10, n01, n00,
+        |  n11 + n10 + n01 + n00 AS n,
+        |  (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+        |   AS pe_scaled
+        | FROM cells)
+        |SELECT n11, n10, n01, n00,
+        | (n11 + n00) * 1000000 // n AS po_ppm,
+        | CAST(CAST(pe_scaled AS HUGEINT) * 1000000 // (n * n) AS BIGINT)
+        |  AS pe_ppm,
+        | CAST(CAST(n * (n11 + n00) - pe_scaled AS HUGEINT) * 1000000
+        |  // (n * n - pe_scaled) AS BIGINT) AS kappa_ppm
+        |FROM m""".stripMargin,
+
+    // t-closeness: per-nation EMD of the acctbal-band distribution vs
+    // global, cross-multiplied integer CDF deviations, ppm
+    "q323_t_closeness" ->
+      """WITH c AS (
+        | SELECT c_nationkey,
+        |  CASE WHEN c_acctbal < 0 THEN 0 WHEN c_acctbal < 3000 THEN 1
+        |   WHEN c_acctbal < 7000 THEN 2 ELSE 3 END AS band
+        | FROM customer),
+        |bb AS (
+        | SELECT c_nationkey, band, CAST(count(*) AS BIGINT) AS cnt
+        | FROM c GROUP BY 1, 2),
+        |gb AS (
+        | SELECT band, CAST(count(*) AS BIGINT) AS gcnt
+        | FROM c GROUP BY 1),
+        |grid AS (
+        | SELECT n.c_nationkey, g.band,
+        |  coalesce(bb.cnt, 0) AS cnt, g.gcnt
+        | FROM (SELECT DISTINCT c_nationkey FROM c) n
+        |  CROSS JOIN gb g
+        |  LEFT JOIN bb ON bb.c_nationkey = n.c_nationkey
+        |   AND bb.band = g.band),
+        |cum AS (
+        | SELECT c_nationkey, band,
+        |  sum(cnt) OVER (PARTITION BY c_nationkey ORDER BY band)
+        |   AS cum_g,
+        |  sum(gcnt) OVER (PARTITION BY c_nationkey ORDER BY band)
+        |   AS cum_t
+        | FROM grid),
+        |ng AS (
+        | SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_g
+        | FROM c GROUP BY 1),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM c),
+        |emd AS (
+        | SELECT cum.c_nationkey, ng.n_g,
+        |  CAST(sum(abs(cum_g * n_all - cum_t * n_g)) AS BIGINT)
+        |   AS emd_scaled,
+        |  max(n_all) AS n_all
+        | FROM cum JOIN ng ON cum.c_nationkey = ng.c_nationkey, na
+        | WHERE band < 3
+        | GROUP BY 1, 2),
+        |fin AS (
+        | SELECT c_nationkey, n_g, emd_scaled,
+        |  CAST(CAST(emd_scaled AS HUGEINT) * 1000000 // (n_g * n_all)
+        |   AS BIGINT) AS emd_ppm
+        | FROM emd)
+        |SELECT c_nationkey, n_g, emd_scaled, emd_ppm,
+        | (SELECT max(emd_ppm) FROM fin) AS t_ppm
+        |FROM fin ORDER BY c_nationkey""".stripMargin,
+
+    // holdout calibration: early-half return-rate model scored late,
+    // exact ppm gaps + Brier numerator
+    "q324_calibration" ->
+      """WITH li AS (
+        | SELECT (CAST(l_quantity AS BIGINT) - 1) // 10 AS qbin,
+        |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |mid AS (SELECT (min(day) + max(day)) // 2 AS mid_day FROM li),
+        |model AS (
+        | SELECT qbin, CAST(count(*) AS BIGINT) AS n_train,
+        |  CAST(sum(y) AS BIGINT) * 1000000 // count(*) AS p_ppm
+        | FROM li, mid WHERE day < mid_day GROUP BY 1),
+        |bins AS (
+        | SELECT li.qbin, n_train, p_ppm,
+        |  CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(sum(y) AS BIGINT) AS y_eval,
+        |  CAST(sum((p_ppm - y * 1000000) * (p_ppm - y * 1000000))
+        |   AS BIGINT) AS se_sum
+        | FROM li JOIN model ON li.qbin = model.qbin, mid
+        | WHERE day >= mid_day
+        | GROUP BY 1, 2, 3)
+        |SELECT qbin, n_train, p_ppm, n_eval, y_eval,
+        | y_eval * 1000000 // n_eval AS obs_ppm,
+        | p_ppm - y_eval * 1000000 // n_eval AS gap_ppm, se_sum,
+        | (SELECT CAST(sum(se_sum) // sum(n_eval) AS BIGINT) FROM bins)
+        |  AS brier_e12
+        |FROM bins ORDER BY qbin""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

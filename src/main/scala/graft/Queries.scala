@@ -5711,6 +5711,172 @@ object Queries {
           " DIV sum_ae1_cents AS BIGINT)").as("mase_ppm"))
   }
 
+  /** Population-stability index of the discount distribution, early vs
+    * late half of the order window — the canonical is-the-feature-
+    * drifting score (credit-risk PSI, same functional form as KL's
+    * symmetrized cousin). Exact discipline: per-bin shares frozen to
+    * integer ppm by truncating DIV, the log-ratio frozen to micro-nats
+    * via the q291 ln-micros kernel (ONE fixed-shape double ln per
+    * BOUNDED bin, then integer), every PSI term the exact BIGINT
+    * product (p_ppm - q_ppm) * woe_micro in pico-nats. The corpus work
+    * is one (half, bin) count agg; everything after is bin-cardinality.
+    * psi_pico repeats the bounded total on each detail row. */
+  def q321Psi(s: SparkSession, dir: String): DataFrame = {
+    def lnm(num: Column, den: Column): Column =
+      round(round(log(num.cast("double") / den), 6) * 1e6).cast("long")
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(round(col("l_discount") * 100).cast("long").as("bin_centi"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+    val mid = li.agg(expr("(min(day) + max(day)) DIV 2").as("mid_day"))
+    val counts = li.crossJoin(broadcast(mid))
+      .groupBy(col("bin_centi"))
+      .agg(sum(when(col("day") < col("mid_day"), 1L).otherwise(0L))
+          .as("n_early"),
+        sum(when(col("day") >= col("mid_day"), 1L).otherwise(0L))
+          .as("n_late"))
+    val tot = counts.agg(sum(col("n_early")).cast("long").as("na"),
+      sum(col("n_late")).cast("long").as("nb"))
+    val terms = counts.crossJoin(broadcast(tot))
+      .filter(col("n_early") > 0 && col("n_late") > 0)
+      .select(col("bin_centi"), col("n_early"), col("n_late"),
+        expr("n_early * 1000000 DIV na").as("p_ppm"),
+        expr("n_late * 1000000 DIV nb").as("q_ppm"))
+      .withColumn("woe_micro", lnm(col("p_ppm"), col("q_ppm")))
+      .withColumn("term_pico",
+        (col("p_ppm") - col("q_ppm")) * col("woe_micro"))
+    terms.crossJoin(broadcast(
+        terms.agg(sum(col("term_pico")).cast("long").as("psi_pico"))))
+      .orderBy("bin_centi")
+  }
+
+  /** Cohen's kappa between two deterministic order "raters" — rater A:
+    * priority says urgent (1-URGENT / 2-HIGH); rater B: the order is
+    * large (total >= $150k) — the inter-annotator-agreement gauge every
+    * labeling pipeline reports before trusting labels. All-integer:
+    * the 2x2 cells are exact counts and kappa = (N*agree - pe_scaled)
+    * / (N^2 - pe_scaled) is an exact-integer ratio reported in ppm via
+    * DECIMAL floor division (marginal products bound the int64 ladder
+    * to N < ~3e9 rows; widen to DECIMAL sums past that). One corpus
+    * agg to four cells; everything after is constant-size. */
+  def q322CohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "orders").select(
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+        .otherwise(0L).as("a"),
+      when((dec2(col("o_totalprice")) * 100).cast("long") >= 15000000L, 1L)
+        .otherwise(0L).as("b"))
+    r.agg(
+        sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+          .as("n11"),
+        sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+          .as("n10"),
+        sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L))
+          .as("n01"),
+        sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L))
+          .as("n00"))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        (col("n11") + col("n10") + col("n01") + col("n00")).as("n"),
+        ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+          (col("n01") + col("n00")) * (col("n10") + col("n00")))
+          .as("pe_scaled"))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("(n11 + n00) * 1000000 DIV n").as("po_ppm"),
+        expr("CAST(CAST(pe_scaled AS DECIMAL(25,0)) * 1000000 DIV (n * n)" +
+          " AS BIGINT)").as("pe_ppm"),
+        expr("CAST(CAST(n * (n11 + n00) - pe_scaled AS DECIMAL(25,0))" +
+          " * 1000000 DIV (n * n - pe_scaled) AS BIGINT)").as("kappa_ppm"))
+  }
+
+  /** t-closeness audit of the customer table: nation as the
+    * quasi-identifier, the ordered account-balance band (neg / low /
+    * mid / high) as the sensitive attribute, and per-nation EMD
+    * between the group's band distribution and the global one — the
+    * third rung of the privacy-release ladder next to k-anonymity
+    * (q150) and l-diversity (q255), catching groups whose sensitive
+    * distribution leaks even when k and l pass. Exact q297 discipline:
+    * cross-multiplied CDF deviations |cum_g*n_all - cum_t*n_g| summed
+    * over unit band gaps stay BIGINT, emd in integer ppm; t_ppm (the
+    * table's t) repeats the bounded max on each row. One (nation,
+    * band) count agg; the rest is 25 x 4 cells. */
+  def q323TCloseness(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = t(s, dir, "customer").select(col("c_nationkey"),
+      when(col("c_acctbal") < 0, 0L).when(col("c_acctbal") < 3000, 1L)
+        .when(col("c_acctbal") < 7000, 2L).otherwise(3L).as("band"))
+    val byBand = c.groupBy(col("c_nationkey"), col("band"))
+      .agg(count(lit(1)).as("cnt"))
+    val gBand = c.groupBy(col("band")).agg(count(lit(1)).as("gcnt"))
+    val grid = gBand.select(col("band"), col("gcnt"))
+      .crossJoin(c.select(col("c_nationkey")).distinct())
+      .join(byBand, Seq("c_nationkey", "band"), "left")
+      .select(col("c_nationkey"), col("band"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"), col("gcnt"))
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("band"))
+    val ng = c.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_g"))
+    val nAll = c.agg(count(lit(1)).as("n_all"))
+    val emd = grid
+      .withColumn("cum_g", sum(col("cnt")).over(w))
+      .withColumn("cum_t", sum(col("gcnt")).over(w))
+      .filter(col("band") < 3) // deviations at the 3 interior boundaries
+      .join(broadcast(ng), Seq("c_nationkey")).crossJoin(broadcast(nAll))
+      .groupBy(col("c_nationkey"), col("n_g"))
+      .agg(sum(abs(col("cum_g") * col("n_all") - col("cum_t") * col("n_g")))
+        .cast("long").as("emd_scaled"),
+        max(col("n_all")).as("n_all"))
+      .select(col("c_nationkey"), col("n_g"), col("emd_scaled"),
+        expr("CAST(CAST(emd_scaled AS DECIMAL(25,0)) * 1000000" +
+          " DIV (n_g * n_all) AS BIGINT)").as("emd_ppm"))
+    emd.crossJoin(broadcast(
+        emd.agg(max(col("emd_ppm")).as("t_ppm"))))
+      .orderBy("c_nationkey")
+  }
+
+  /** Holdout calibration of an empirical return-rate model: per
+    * quantity bin, the return rate LEARNED on the early half of the
+    * order window becomes the predicted probability (frozen integer
+    * ppm), scored on the late half — per-bin predicted-vs-observed
+    * gap plus the exact Brier numerator sum((p_ppm - y*1e6)^2). The
+    * before-you-trust-a-score calibration table (reliability diagram
+    * in exact integers; sf1-scale sums need the DECIMAL ladder —
+    * documented, bins are bounded). Two (half, bin) count aggs and a
+    * per-late-row square; bin count bounds everything downstream. */
+  def q324Calibration(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(expr("(CAST(l_quantity AS BIGINT) - 1) DIV 10").as("qbin"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+    val mid = li.agg(expr("(min(day) + max(day)) DIV 2").as("mid_day"))
+    val halves = li.crossJoin(broadcast(mid))
+    val model = halves.filter(col("day") < col("mid_day"))
+      .groupBy(col("qbin"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(col("y")).cast("long").as("y_train"))
+      .select(col("qbin"), col("n_train"),
+        expr("y_train * 1000000 DIV n_train").as("p_ppm"))
+    val scored = halves.filter(col("day") >= col("mid_day"))
+      .join(broadcast(model), Seq("qbin"))
+      .withColumn("se", (col("p_ppm") - col("y") * 1000000L) *
+        (col("p_ppm") - col("y") * 1000000L))
+    val bins = scored.groupBy(col("qbin"), col("n_train"), col("p_ppm"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("y")).cast("long").as("y_eval"),
+        sum(col("se")).cast("long").as("se_sum"))
+      .select(col("qbin"), col("n_train"), col("p_ppm"), col("n_eval"),
+        col("y_eval"),
+        expr("y_eval * 1000000 DIV n_eval").as("obs_ppm"),
+        (col("p_ppm") - expr("y_eval * 1000000 DIV n_eval")).as("gap_ppm"),
+        col("se_sum"))
+    bins.crossJoin(broadcast(bins.agg(
+        expr("CAST(sum(se_sum) DIV sum(n_eval) AS BIGINT)")
+          .as("brier_e12"))))
+      .orderBy("qbin")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -7038,6 +7204,10 @@ object Queries {
     "q318_interval_overlap" -> (q318IntervalOverlap _),
     "q319_acf" -> (q319Acf _),
     "q320_backtest" -> (q320Backtest _),
+    "q321_psi" -> (q321Psi _),
+    "q322_cohens_kappa" -> (q322CohensKappa _),
+    "q323_t_closeness" -> (q323TCloseness _),
+    "q324_calibration" -> (q324Calibration _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
