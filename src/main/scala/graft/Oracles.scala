@@ -7680,6 +7680,164 @@ object Oracles {
         | (SELECT CAST(sum(se_sum) // sum(n_eval) AS BIGINT) FROM bins)
         |  AS brier_e12
         |FROM bins ORDER BY qbin""".stripMargin,
+
+    // coordinated key-hash sample: per-table retained counts/value;
+    // orders decide membership locally from o_custkey
+    "q325_coordinated_sample" ->
+      s"""WITH c AS (
+        | SELECT 'customer' AS entity, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN ${ph("CAST(c_custkey AS VARCHAR)", 4242)}
+        |    % 100 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN ${ph("CAST(c_custkey AS VARCHAR)", 4242)}
+        |    % 100 < 10 THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) ELSE 0 END) AS BIGINT) AS value_kept_cents
+        | FROM customer),
+        |o AS (
+        | SELECT 'orders', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN ${ph("CAST(o_custkey AS VARCHAR)", 4242)}
+        |    % 100 < 10 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN ${ph("CAST(o_custkey AS VARCHAR)", 4242)}
+        |    % 100 < 10 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) ELSE 0 END) AS BIGINT)
+        | FROM orders),
+        |so AS (
+        | SELECT o_orderkey FROM orders
+        | WHERE ${ph("CAST(o_custkey AS VARCHAR)", 4242)} % 100 < 10),
+        |l AS (
+        | SELECT 'lineitem', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT),
+        |  CAST(sum(CASE WHEN o_orderkey IS NOT NULL
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) ELSE 0 END) AS BIGINT)
+        | FROM lineitem LEFT JOIN so ON l_orderkey = o_orderkey),
+        |u AS (
+        | SELECT * FROM c UNION ALL SELECT * FROM o
+        | UNION ALL SELECT * FROM l)
+        |SELECT entity, n_total, n_kept,
+        | n_kept * 1000000 // n_total AS kept_ppm, value_kept_cents
+        |FROM u ORDER BY entity""".stripMargin,
+
+    // Wald SPRT on the daily return rate: frozen micro-nat LLR
+    // constants from literal ratios (e-notation = true doubles)
+    "q326_sprt" ->
+      """WITH daily AS (
+        | SELECT CAST(date_diff('day', DATE '1970-01-01',
+        |   CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+        |  CAST(count(*) AS BIGINT) AS n_tot,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_ret
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY 1),
+        |k AS (
+        | SELECT CAST(round(round(ln(0.26e0 / 0.24e0), 6) * 1e6)
+        |   AS BIGINT) AS l1,
+        |  CAST(round(round(ln(0.74e0 / 0.76e0), 6) * 1e6)
+        |   AS BIGINT) AS l0),
+        |cum AS (
+        | SELECT day_num, n_tot, n_ret,
+        |  n_ret * l1 + (n_tot - n_ret) * l0 AS llr_day_micro,
+        |  CAST(sum(n_ret * l1 + (n_tot - n_ret) * l0)
+        |   OVER (ORDER BY day_num ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS BIGINT) AS cum_micro
+        | FROM daily, k)
+        |SELECT day_num, n_tot, n_ret, llr_day_micro, cum_micro,
+        | CASE WHEN cum_micro >= 2944439 THEN 'h1'
+        |  WHEN cum_micro <= -2944439 THEN 'h0'
+        |  ELSE 'continue' END AS state
+        |FROM cum ORDER BY day_num""".stripMargin,
+
+    // embedding-collapse audit: hash-bucketed deterministic pairing,
+    // portable value-rounded cosine, banded histogram
+    "q327_sim_audit" ->
+      s"""WITH e AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |r AS (
+        | SELECT vec_id, embedding,
+        |  ${ph("CAST(vec_id AS VARCHAR)", 909)} AS r FROM e),
+        |bk AS (
+        | SELECT vec_id, embedding, r, r % 64 AS bkt,
+        |  row_number() OVER (PARTITION BY r % 64 ORDER BY r, vec_id)
+        |   AS rn
+        | FROM r),
+        |p AS (
+        | SELECT bkt, (rn + 1) // 2 AS pair_id, rn % 2 AS side,
+        |  vec_id, embedding
+        | FROM bk),
+        |j AS (
+        | SELECT a.embedding AS va, b.embedding AS vb
+        | FROM p a JOIN p b ON a.bkt = b.bkt AND a.pair_id = b.pair_id
+        |  AND a.side = 1 AND b.side = 0),
+        |cv AS (
+        | SELECT floor((${dotSql("va", "vb")}
+        |   / (${normSql("va")} * ${normSql("vb")})) * 1e6 + 0.5) / 1e6
+        |   AS c6
+        | FROM j),
+        |bands AS (
+        | SELECT CAST(floor(c6 * 10) AS BIGINT) AS band_deci,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CAST(round(c6 * 1e6) AS BIGINT)) AS BIGINT)
+        |   AS sum_cos_micro
+        | FROM cv GROUP BY 1)
+        |SELECT band_deci, n_pairs, sum_cos_micro,
+        | (SELECT CAST(sum(n_pairs) AS BIGINT) FROM bands) AS n_total,
+        | (SELECT CAST(sum(sum_cos_micro) // sum(n_pairs) AS BIGINT)
+        |  FROM bands) AS mean_cos_micro
+        |FROM bands ORDER BY band_deci""".stripMargin,
+
+    // 3-round synchronous label propagation over the q289 contact
+    // graph, rounds unrolled; modal label, ties -> smallest
+    "q328_label_propagation" ->
+      """WITH contacts AS (
+        | SELECT c_custkey,
+        |  'u' || CAST(c_custkey % 700 AS VARCHAR) || '@x.com' AS email,
+        |  'n' || CAST(c_custkey % 50 AS VARCHAR) AS name,
+        |  'p' || CAST(c_custkey % 60 AS VARCHAR) AS phone
+        | FROM customer),
+        |e0 AS (
+        | SELECT DISTINCT l.c_custkey AS a, r.c_custkey AS b
+        | FROM contacts l, contacts r
+        | WHERE l.c_custkey < r.c_custkey
+        |  AND (l.email = r.email
+        |   OR (l.name = r.name AND l.phone = r.phone))),
+        |ends AS (
+        | SELECT a AS src, b AS dst FROM e0
+        | UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT c_custkey AS id, c_custkey AS label FROM contacts),
+        |n1 AS (
+        | SELECT dst AS id, label, CAST(count(*) AS BIGINT) AS cnt
+        | FROM ends JOIN l0 ON src = l0.id GROUP BY 1, 2),
+        |p1 AS (
+        | SELECT id, label FROM (
+        |  SELECT id, label, row_number() OVER (PARTITION BY id
+        |   ORDER BY cnt DESC, label) AS rn FROM n1) WHERE rn = 1),
+        |l1 AS (
+        | SELECT l0.id, coalesce(p1.label, l0.label) AS label
+        | FROM l0 LEFT JOIN p1 ON l0.id = p1.id),
+        |n2 AS (
+        | SELECT dst AS id, label, CAST(count(*) AS BIGINT) AS cnt
+        | FROM ends JOIN l1 ON src = l1.id GROUP BY 1, 2),
+        |p2 AS (
+        | SELECT id, label FROM (
+        |  SELECT id, label, row_number() OVER (PARTITION BY id
+        |   ORDER BY cnt DESC, label) AS rn FROM n2) WHERE rn = 1),
+        |l2 AS (
+        | SELECT l1.id, coalesce(p2.label, l1.label) AS label
+        | FROM l1 LEFT JOIN p2 ON l1.id = p2.id),
+        |n3 AS (
+        | SELECT dst AS id, label, CAST(count(*) AS BIGINT) AS cnt
+        | FROM ends JOIN l2 ON src = l2.id GROUP BY 1, 2),
+        |p3 AS (
+        | SELECT id, label FROM (
+        |  SELECT id, label, row_number() OVER (PARTITION BY id
+        |   ORDER BY cnt DESC, label) AS rn FROM n3) WHERE rn = 1),
+        |l3 AS (
+        | SELECT l2.id, coalesce(p3.label, l2.label) AS label
+        | FROM l2 LEFT JOIN p3 ON l2.id = p3.id)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+        | min(id) AS min_id
+        |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -5877,6 +5877,170 @@ object Queries {
       .orderBy("qbin")
   }
 
+  /** Coordinated (key-hash) sampling across the customer→orders→
+    * lineitem chain: a customer is in the 10% sample iff
+    * portable_hash(custkey) % 100 < 10, orders decide membership
+    * LOCALLY from their own o_custkey (no join — the point of
+    * coordinating on the key), and lineitem follows through one
+    * orderkey-keyed semi-join. Every sampled order's customer is in
+    * the sample BY CONSTRUCTION, so joins over the sample are
+    * complete — the property row-level Bernoulli sampling destroys
+    * and the reason 100 TB dev loops sample by key. Output: per-table
+    * retained counts, ppm, and retained value. */
+  def q325CoordinatedSample(s: SparkSession, dir: String): DataFrame = {
+    def inSample(key: Column): Column =
+      pmod(Dedup.portableHash64(key.cast("string"), 4242), lit(100L)) < 10
+    def row(name: String, df: DataFrame, kept: Column,
+            value: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_total"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(kept, value).otherwise(0L)).cast("long")
+            .as("value_kept_cents"))
+        .select(lit(name).as("entity"), col("n_total"), col("n_kept"),
+          expr("n_kept * 1000000 DIV n_total").as("kept_ppm"),
+          col("value_kept_cents"))
+    val cust = row("customer", t(s, dir, "customer"),
+      inSample(col("c_custkey")),
+      (dec2(col("c_acctbal")) * 100).cast("long"))
+    val ord = row("orders", t(s, dir, "orders"),
+      inSample(col("o_custkey")),
+      (dec2(col("o_totalprice")) * 100).cast("long"))
+    val sampledOrders = t(s, dir, "orders")
+      .filter(inSample(col("o_custkey"))).select(col("o_orderkey"))
+    val li = row("lineitem",
+      t(s, dir, "lineitem").join(sampledOrders.withColumn("__in", lit(true)),
+        col("l_orderkey") === col("o_orderkey"), "left"),
+      col("__in").isNotNull,
+      (dec2(col("l_extendedprice")) * 100).cast("long"))
+    cust.unionByName(ord).unionByName(li).orderBy("entity")
+  }
+
+  /** Sequential probability ratio test (Wald) monitoring the return
+    * rate day by day: H0 p=0.24 vs H1 p=0.26, alpha = beta = 0.05.
+    * Per-observation log-likelihood ratios are TWO frozen micro-nat
+    * constants (ln of literal ratios — fixed-shape, cross-engine
+    * identical), so each day's increment n_ret*l1 + (n_tot-n_ret)*l0
+    * and the running sum are exact BIGINTs; the boundaries
+    * +-ln(19) = +-2944439 micro-nats are literals. The
+    * early-stopping audit for q258's fixed-horizon A/B test: the
+    * state column shows when a sequential design would have called
+    * it. One day-keyed agg + one day-ordered window. */
+  def q326Sprt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l1 = round(round(log(lit(0.26) / lit(0.24)), 6) * 1e6).cast("long")
+    val l0 = round(round(log(lit(0.74) / lit(0.76)), 6) * 1e6).cast("long")
+    val daily = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(datediff(to_date(col("o_orderdate")),
+        to_date(lit("1970-01-01"))).cast("long").as("day_num"))
+      .agg(count(lit(1)).as("n_tot"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_ret"))
+    daily
+      .withColumn("llr_day_micro",
+        col("n_ret") * l1 + (col("n_tot") - col("n_ret")) * l0)
+      .withColumn("cum_micro", sum(col("llr_day_micro"))
+        .over(Window.orderBy(col("day_num"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("state",
+        when(col("cum_micro") >= 2944439L, "h1")
+          .when(col("cum_micro") <= -2944439L, "h0")
+          .otherwise("continue"))
+      .orderBy("day_num")
+  }
+
+  /** Embedding-collapse audit: cosine similarity over DETERMINISTIC
+    * pseudo-random disjoint pairs — each vector gets a portable-hash
+    * rank, is routed to one of 64 hash buckets, and pairs with its
+    * rank-neighbor inside the bucket (bucketed pairing, so the
+    * pairing window is 64 independent partitions, never one global
+    * sort — the scale-correct form of "sample random pairs"). A
+    * healthy embedding space shows a wide similarity histogram; a
+    * collapsed one piles into the top band. Cosine frozen by the
+    * portable value-round, banded by floor(c*10); per-band counts and
+    * micro sums exact BIGINTs; the bounded totals repeat per row. */
+  def q327SimAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("r", Dedup.portableHash64(col("vec_id").cast("string"), 909))
+      .withColumn("bkt", pmod(col("r"), lit(64L)))
+    val rn = row_number().over(
+      Window.partitionBy(col("bkt")).orderBy(col("r"), col("vec_id")))
+    val ranked = e.withColumn("rn", rn)
+      .withColumn("pair_id", expr("(rn + 1) DIV 2"))
+    val a = ranked.filter(col("rn") % 2 === 1)
+      .select(col("bkt"), col("pair_id"), col("vec_id").as("id_a"),
+        col("embedding").as("va"))
+    val b = ranked.filter(col("rn") % 2 === 0)
+      .select(col("bkt"), col("pair_id"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"))
+    val cos = graft.expr.GraftFunctions.vectorDot(col("va"), col("vb")) /
+      (graft.expr.GraftFunctions.vectorNorm(col("va")) *
+        graft.expr.GraftFunctions.vectorNorm(col("vb")))
+    val pairs = a.join(b, Seq("bkt", "pair_id"))
+      .withColumn("c6", graft.expr.GraftFunctions.portableRound(cos, 6))
+      .select(floor(col("c6") * 10).cast("long").as("band_deci"),
+        round(col("c6") * 1e6).cast("long").as("cos_micro"))
+    val bands = pairs.groupBy(col("band_deci"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("cos_micro")).cast("long").as("sum_cos_micro"))
+    bands.crossJoin(broadcast(bands.agg(
+        sum(col("n_pairs")).cast("long").as("n_total"),
+        expr("CAST(sum(sum_cos_micro) DIV sum(n_pairs) AS BIGINT)")
+          .as("mean_cos_micro"))))
+      .orderBy("band_deci")
+  }
+
+  /** Label-propagation communities over the q289 contact graph: three
+    * SYNCHRONOUS fixed rounds, each node adopting its neighbors'
+    * modal label (ties -> smallest label; isolated nodes keep their
+    * own), labels initialized to node ids — fully deterministic, so
+    * the DuckDB oracle replays the rounds unrolled. The
+    * cheap-communities complement to q60's connected components
+    * (which merges everything reachable) and q289's fixed
+    * communities: LPA finds dense cores without a modularity search.
+    * Fixed iteration count (no convergence actions), id-keyed
+    * shuffles only, per-round checkpoint — the q167 integer-rounds
+    * discipline. Output: per-label community sizes. */
+  def q328LabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val contacts = t(s, dir, "customer").select(
+      col("c_custkey"),
+      concat(lit("u"), col("c_custkey") % 700, lit("@x.com")).as("email"),
+      concat(lit("n"), col("c_custkey") % 50).as("name"),
+      concat(lit("p"), col("c_custkey") % 60).as("phone"))
+    val pairs = Dedup.fuzzyDuplicatePairs(contacts, "c_custkey", "email",
+        "name", "phone")
+      .select(col("id_a"), col("id_b")).distinct()
+    val ends = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"),
+        col("id_a").as("dst")))
+      .transform(Checkpoints.ckpt) // consumed once per round
+    var lab = contacts.select(col("c_custkey").as("id"))
+      .withColumn("label", col("id"))
+    for (_ <- 1 to 3) {
+      val cnts = ends
+        .join(lab.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val pick = cnts.withColumn("rn", row_number().over(
+          Window.partitionBy(col("id"))
+            .orderBy(col("cnt").desc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("label").as("new_label"))
+      lab = lab.join(pick, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .transform(Checkpoints.ckpt)
+    }
+    lab.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"))
+      .orderBy("label")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -7208,6 +7372,10 @@ object Queries {
     "q322_cohens_kappa" -> (q322CohensKappa _),
     "q323_t_closeness" -> (q323TCloseness _),
     "q324_calibration" -> (q324Calibration _),
+    "q325_coordinated_sample" -> (q325CoordinatedSample _),
+    "q326_sprt" -> (q326Sprt _),
+    "q327_sim_audit" -> (q327SimAudit _),
+    "q328_label_propagation" -> (q328LabelPropagation _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
