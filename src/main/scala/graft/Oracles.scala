@@ -7838,6 +7838,132 @@ object Oracles {
         |SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
         | min(id) AS min_id
         |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // fuzzy-dedup precision/recall/F1 vs the planted %700 identity
+    "q329_dedup_eval" ->
+      """WITH contacts AS (
+        | SELECT c_custkey,
+        |  'u' || CAST(c_custkey % 700 AS VARCHAR) || '@x.com' AS email,
+        |  'n' || CAST(c_custkey % 50 AS VARCHAR) AS name,
+        |  'p' || CAST(c_custkey % 60 AS VARCHAR) AS phone
+        | FROM customer),
+        |e0 AS (
+        | SELECT DISTINCT l.c_custkey AS a, r.c_custkey AS b
+        | FROM contacts l, contacts r
+        | WHERE l.c_custkey < r.c_custkey
+        |  AND (l.email = r.email
+        |   OR (l.name = r.name AND l.phone = r.phone))),
+        |pa AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_pred,
+        |  CAST(sum(CASE WHEN a % 700 = b % 700 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS tp
+        | FROM e0),
+        |ta AS (
+        | SELECT CAST(sum(n_g * (n_g - 1) // 2) AS BIGINT) AS n_true
+        | FROM (SELECT CAST(count(*) AS BIGINT) AS n_g FROM contacts
+        |       GROUP BY c_custkey % 700))
+        |SELECT n_pred, n_true, tp, n_pred - tp AS fp, n_true - tp AS fn,
+        | tp * 1000000 // n_pred AS precision_ppm,
+        | tp * 1000000 // n_true AS recall_ppm,
+        | 2 * (tp * 1000000 // n_pred) * (tp * 1000000 // n_true)
+        |  // ((tp * 1000000 // n_pred) + (tp * 1000000 // n_true))
+        |  AS f1_ppm
+        |FROM pa, ta""".stripMargin,
+
+    // Heaps-law curve: doc-id decile buckets, token volume + first-seen
+    // vocabulary types, running totals
+    "q330_vocab_growth" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |tk AS (
+        | SELECT doc_id * 10 // (mx + 1) AS decile, doc_id,
+        |  unnest(${toksSql("lower(text)")}) AS token
+        | FROM documents, mx),
+        |vol AS (
+        | SELECT decile, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        | FROM tk GROUP BY 1),
+        |fs AS (SELECT min(decile) AS decile FROM tk GROUP BY token),
+        |nw AS (
+        | SELECT decile, CAST(count(*) AS BIGINT) AS new_types
+        | FROM fs GROUP BY 1)
+        |SELECT v.decile, n_docs, n_tokens,
+        | coalesce(new_types, 0) AS new_types,
+        | CAST(sum(n_tokens) OVER (ORDER BY v.decile) AS BIGINT)
+        |  AS cum_tokens,
+        | CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY v.decile)
+        |  AS BIGINT) AS cum_types
+        |FROM vol v LEFT JOIN nw ON v.decile = nw.decile
+        |ORDER BY 1""".stripMargin,
+
+    // one-pass Poisson bootstrap: /256-quantized Poisson(1) hash draws,
+    // exact truncating-DIV replicate means, min/max envelope
+    "q331_poisson_bootstrap" ->
+      s"""WITH base AS (
+        | SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS cents
+        | FROM orders),
+        |drawn AS (
+        | SELECT b, cents,
+        |  CASE WHEN u < 94 THEN 0 WHEN u < 188 THEN 1
+        |   WHEN u < 235 THEN 2 WHEN u < 251 THEN 3
+        |   WHEN u < 255 THEN 4 ELSE 5 END AS w
+        | FROM (
+        |  SELECT cents, b,
+        |   ${ph("CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)", 7777)}
+        |    % 256 AS u
+        |  FROM base, (SELECT unnest(range(0, 16)) AS b))),
+        |reps AS (
+        | SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+        |  CAST(sum(w * cents) // sum(w) AS BIGINT) AS mean_cents
+        | FROM drawn GROUP BY b),
+        |pt AS (
+        | SELECT CAST(sum(cents) // count(*) AS BIGINT) AS point_cents
+        | FROM base),
+        |env AS (
+        | SELECT min(mean_cents) AS lo_cents, max(mean_cents) AS hi_cents
+        | FROM reps)
+        |SELECT b, n_eff, mean_cents, point_cents, lo_cents, hi_cents
+        |FROM reps, pt, env ORDER BY b""".stripMargin,
+
+    // seasonality strength: 1 - SS_resid/SS_detr in ppm, exact HUGEINT
+    // squares over the q314 components
+    "q332_seasonal_strength" ->
+      """WITH daily AS (
+        | SELECT CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num
+        | FROM orders GROUP BY 2),
+        |tr AS (
+        | SELECT rev_cents, day_num,
+        |  CAST(sum(rev_cents) OVER w AS BIGINT) AS win_sum,
+        |  max(day_num) OVER w - min(day_num) OVER w AS win_span,
+        |  count(*) OVER w AS win_n
+        | FROM daily
+        | WINDOW w AS (ORDER BY day_num
+        |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (
+        | SELECT day_num,
+        |  rev_cents * 1000000 - win_sum * 1000000 // 7 AS detr_micro,
+        |  day_num % 7 AS phase
+        | FROM tr WHERE win_n = 7 AND win_span = 6),
+        |pe AS (
+        | SELECT phase, CAST(sum(detr_micro) // count(*) AS BIGINT)
+        |   AS phase_micro
+        | FROM d GROUP BY 1),
+        |j AS (
+        | SELECT detr_micro, detr_micro - phase_micro AS resid_micro
+        | FROM d JOIN pe ON d.phase = pe.phase)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        | CAST(sum(CAST(detr_micro AS HUGEINT) * detr_micro)
+        |  AS DECIMAL(38,0)) AS ss_detr,
+        | CAST(sum(CAST(resid_micro AS HUGEINT) * resid_micro)
+        |  AS DECIMAL(38,0)) AS ss_resid,
+        | CAST(1000000 - sum(CAST(resid_micro AS HUGEINT) * resid_micro)
+        |  * 1000000 // sum(CAST(detr_micro AS HUGEINT) * detr_micro)
+        |  AS BIGINT) AS strength_ppm
+        |FROM j""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

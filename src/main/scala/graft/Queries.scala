@@ -6041,6 +6041,152 @@ object Queries {
       .orderBy("label")
   }
 
+  /** Dedup-rule evaluation against PLANTED ground truth: the q289
+    * contact fixture's email key IS the identity (custkey % 700), so
+    * the fuzzy-duplicate rule's pairs can be scored exactly —
+    * tp = predicted pairs within one identity group, fp = name+phone
+    * collisions across groups, fn = identity pairs the rule missed —
+    * giving exact precision / recall / F1 in ppm. The
+    * measure-your-dedup-before-trusting-it loop (pair-level eval is
+    * the standard record-linkage protocol); counts are exact BIGINTs
+    * (n_true = sum of C(n_g, 2) per group), F1 the exact integer
+    * harmonic mean of the two ppms. Pair work is the q31 blocked
+    * self-join; everything else is group-cardinality. */
+  def q329DedupEval(s: SparkSession, dir: String): DataFrame = {
+    val contacts = t(s, dir, "customer").select(
+      col("c_custkey"),
+      concat(lit("u"), col("c_custkey") % 700, lit("@x.com")).as("email"),
+      concat(lit("n"), col("c_custkey") % 50).as("name"),
+      concat(lit("p"), col("c_custkey") % 60).as("phone"))
+    val pred = Dedup.fuzzyDuplicatePairs(contacts, "c_custkey", "email",
+        "name", "phone")
+      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"),
+        (col("id_a") % 700 === col("id_b") % 700).as("is_true"))
+    val predAgg = pred.agg(count(lit(1)).as("n_pred"),
+      sum(when(col("is_true"), 1L).otherwise(0L)).as("tp"))
+    val trueAgg = contacts.groupBy(col("c_custkey") % 700)
+      .agg(count(lit(1)).as("n_g"))
+      .agg(sum(expr("n_g * (n_g - 1) DIV 2")).cast("long").as("n_true"))
+    predAgg.crossJoin(broadcast(trueAgg))
+      .select(col("n_pred"), col("n_true"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_true") - col("tp")).as("fn"),
+        expr("tp * 1000000 DIV n_pred").as("precision_ppm"),
+        expr("tp * 1000000 DIV n_true").as("recall_ppm"))
+      .withColumn("f1_ppm",
+        expr("2 * precision_ppm * recall_ppm DIV " +
+          "(precision_ppm + recall_ppm)"))
+  }
+
+  /** Heaps-law vocabulary-growth curve: the corpus in ten doc-id
+    * deciles (bucket = id*10 DIV (max+1) — a pure key function, no
+    * global sort; generator ids are dense, and at scale the bucket
+    * would be the ingest partition), per decile the token volume and
+    * the NEW vocabulary types (each type counted at its min-doc-id
+    * first appearance), with running totals. Sublinear type growth is
+    * the healthy-corpus signature; a flattening curve means duplicated
+    * boilerplate, a superlinear one means encoding noise. Exact
+    * counts end to end; the min-per-token agg is the only
+    * corpus-token-keyed shuffle, the curve is 10 rows. */
+  def q330VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id")).as("mx"))
+    val toks = docs.crossJoin(broadcast(maxId))
+      .select(expr("doc_id * 10 DIV (mx + 1)").as("decile"), col("doc_id"),
+        explode(TextOps.tokens(lower(col("text")))).as("token"))
+    val volume = toks.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("doc_id")).as("n_docs"))
+    val firstSeen = toks.groupBy(col("token"))
+      .agg(min(col("decile")).as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    volume.join(firstSeen, Seq("decile"), "left")
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .orderBy("decile")
+  }
+
+  /** Poisson bootstrap of the mean order value — the ONE-PASS bootstrap
+    * (Chamandy et al.'s large-scale form): replicate b weights each
+    * row by a deterministic portable-hash draw from a /256-quantized
+    * Poisson(1) table (94/94/47/16/4/1 for w=0..5), so all 16
+    * replicates accumulate in a single scan with NO resampling shuffle
+    * — the only way a bootstrap survives 100 TB. Replicate means are
+    * exact truncating-DIV cents; the repeated summary columns carry
+    * the point estimate and the replicate min/max envelope (B=16 ⇒
+    * ~an 88% interval; widen B for tighter coverage). Derandomized =
+    * the oracle replays every draw. */
+  def q331PoissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val reps = base
+      .withColumn("b", explode(array((0 until 16).map(i => lit(i.toLong)): _*)))
+      .withColumn("u", pmod(Dedup.portableHash64(
+        concat(col("o_orderkey").cast("string"), lit(":"),
+          col("b").cast("string")), 7777), lit(256L)))
+      .withColumn("w",
+        when(col("u") < 94, 0L).when(col("u") < 188, 1L)
+          .when(col("u") < 235, 2L).when(col("u") < 251, 3L)
+          .when(col("u") < 255, 4L).otherwise(5L))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).cast("long").as("n_eff"),
+        expr("CAST(sum(w * cents) DIV sum(w) AS BIGINT)").as("mean_cents"))
+    val point = base.agg(
+      expr("CAST(sum(cents) DIV count(1) AS BIGINT)").as("point_cents"))
+    reps.crossJoin(broadcast(point))
+      .crossJoin(broadcast(reps.agg(min(col("mean_cents")).as("lo_cents"),
+        max(col("mean_cents")).as("hi_cents"))))
+      .orderBy("b")
+  }
+
+  /** Seasonality strength of daily revenue — how much of the detrended
+    * variance the weekly phase explains: 1 - SS_resid/SS_detrended
+    * over q314's exact micro-cent components, reported in ppm with the
+    * sums-of-squares EXACT (each square through DECIMAL(38,0) — the
+    * micro-cent squares overflow int64 by design; DuckDB runs the twin
+    * in HUGEINT). Zero doubles anywhere. The one-number gate on
+    * whether q314's seasonal split is worth applying (strength near 0
+    * = no weekly structure). Day-cardinality frames only. */
+  def q332SeasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast("long"))
+        .as("rev_cents"))
+      .withColumn("day_num",
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+    val w7 = Window.orderBy(col("day_num")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("win_sum", sum(col("rev_cents")).over(w7))
+      .withColumn("win_span",
+        max(col("day_num")).over(w7) - min(col("day_num")).over(w7))
+      .withColumn("win_n", count(lit(1)).over(w7))
+      .filter(col("win_n") === 7 && col("win_span") === 6)
+      .withColumn("detr_micro",
+        col("rev_cents") * 1000000 - expr("win_sum * 1000000 DIV 7"))
+      .withColumn("phase", col("day_num") % 7)
+    val phaseEff = trended.groupBy(col("phase"))
+      .agg(expr("sum(detr_micro) DIV count(1)").as("phase_micro"))
+    def sq(c: Column): Column =
+      (c.cast("decimal(20,0)") * c.cast("decimal(20,0)"))
+        .cast("decimal(38,0)")
+    trended.join(broadcast(phaseEff), Seq("phase"))
+      .select(col("detr_micro"),
+        (col("detr_micro") - col("phase_micro")).as("resid_micro"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(sq(col("detr_micro"))).cast("decimal(38,0)").as("ss_detr"),
+        sum(sq(col("resid_micro"))).cast("decimal(38,0)").as("ss_resid"))
+      .select(col("n_days"), col("ss_detr"), col("ss_resid"),
+        (lit(1000000L) - expr("CAST(ss_resid * 1000000 DIV ss_detr" +
+          " AS BIGINT)")).as("strength_ppm"))
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -7376,6 +7522,10 @@ object Queries {
     "q326_sprt" -> (q326Sprt _),
     "q327_sim_audit" -> (q327SimAudit _),
     "q328_label_propagation" -> (q328LabelPropagation _),
+    "q329_dedup_eval" -> (q329DedupEval _),
+    "q330_vocab_growth" -> (q330VocabGrowth _),
+    "q331_poisson_bootstrap" -> (q331PoissonBootstrap _),
+    "q332_seasonal_strength" -> (q332SeasonalStrength _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
