@@ -7964,6 +7964,122 @@ object Oracles {
         |  * 1000000 // sum(CAST(detr_micro AS HUGEINT) * detr_micro)
         |  AS BIGINT) AS strength_ppm
         |FROM j""".stripMargin,
+
+    // HHI concentration per customer-nation market, brand revenue
+    // shares squared through HUGEINT
+    "q333_hhi" ->
+      """WITH rev AS (
+        | SELECT c_nationkey, p_brand,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS rev
+        | FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN part ON l_partkey = p_partkey
+        | GROUP BY 1, 2)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_brands,
+        | CAST(sum(rev) AS BIGINT) AS total_cents,
+        | CAST(sum(CAST(rev AS HUGEINT) * rev) * 1000000000000
+        |  // (CAST(sum(rev) AS HUGEINT) * sum(rev)) AS BIGINT)
+        |  AS hhi_e12
+        |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // effective rank of the q151 covariance: frozen cells, exact
+    // trace^2 / Frobenius^2 in milli
+    "q334_effective_rank" ->
+      """WITH e AS (
+        | SELECT embedding AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |p AS (
+        | SELECT unnest(flatten(list_transform(range(0, len(v)), i ->
+        |   list_transform(range(i, len(v)), j ->
+        |     {'i': i, 'j': j,
+        |      'xy': CAST(round(CAST(v[i+1] AS DOUBLE)*CAST(v[j+1] AS DOUBLE), 6)
+        |                 AS DECIMAL(25,6))})))) AS s
+        | FROM e),
+        |sp AS (SELECT s.i AS i, s.j AS j, sum(s.xy) AS sxy FROM p GROUP BY 1, 2),
+        |xs AS (
+        | SELECT unnest(list_transform(range(0, len(v)),
+        |   i -> {'i': i,
+        |         'x': CAST(round(CAST(v[i+1] AS DOUBLE), 6) AS DECIMAL(25,6))})) AS u
+        | FROM e),
+        |s2 AS (SELECT u.i AS i, sum(u.x) AS si, count(*) AS n FROM xs GROUP BY 1),
+        |cells AS (
+        | SELECT CAST(sp.i AS INT) AS i, CAST(sp.j AS INT) AS j,
+        |  CAST(CAST(round(
+        |         CAST(CAST(a.n AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(20,6))
+        |              AS DECIMAL(37,12))
+        |         - CAST(a.si AS DECIMAL(16,6)) * CAST(b.si AS DECIMAL(16,6)),
+        |       6) AS DECIMAL(20,6)) AS DOUBLE)
+        |    / CAST(a.n * (a.n - 1) AS DOUBLE) AS cov
+        | FROM sp JOIN s2 a ON sp.i = a.i JOIN s2 b ON sp.j = b.i),
+        |fz AS (
+        | SELECT i, j,
+        |  CAST(round((floor(cov * 1e6 + 0.5) / 1e6) * 1e6) AS BIGINT)
+        |   AS micro
+        | FROM cells)
+        |SELECT max(j) + 1 AS d,
+        | CAST(sum(CASE WHEN i = j THEN micro ELSE 0 END) AS BIGINT)
+        |  AS trace_micro,
+        | CAST(sum(micro * micro * CASE WHEN i = j THEN 1 ELSE 2 END)
+        |  AS BIGINT) AS frob2,
+        | CAST(sum(CASE WHEN i = j THEN micro ELSE 0 END)
+        |  * sum(CASE WHEN i = j THEN micro ELSE 0 END) * 1000
+        |  // sum(micro * micro * CASE WHEN i = j THEN 1 ELSE 2 END)
+        |  AS BIGINT) AS eff_rank_milli
+        |FROM fz""".stripMargin,
+
+    // item-item co-purchase top-3, baskets capped at 30 parts
+    "q335_item_cf" ->
+      """WITH baskets AS (
+        | SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |small AS (
+        | SELECT cust FROM baskets GROUP BY 1 HAVING count(*) <= 30),
+        |b AS (
+        | SELECT baskets.cust, baskets.part
+        | FROM baskets JOIN small ON baskets.cust = small.cust),
+        |co AS (
+        | SELECT a.part AS part_a, b2.part AS part_b,
+        |  CAST(count(*) AS BIGINT) AS co_cnt
+        | FROM b a JOIN b b2 ON a.cust = b2.cust AND a.part <> b2.part
+        | GROUP BY 1, 2)
+        |SELECT part_a, part_b, co_cnt, CAST(rn AS BIGINT) AS rn FROM (
+        | SELECT part_a, part_b, co_cnt, row_number() OVER (
+        |   PARTITION BY part_a ORDER BY co_cnt DESC, part_b) AS rn
+        | FROM co)
+        |WHERE rn <= 3 ORDER BY part_a, rn""".stripMargin,
+
+    // Zipf fit over top-1000 ranks: milli-nat frozen logs, exact
+    // HUGEINT least-squares slope and r^2
+    "q336_zipf_fit" ->
+      s"""WITH freqs AS (
+        | SELECT token, CAST(count(*) AS BIGINT) AS freq
+        | FROM (SELECT unnest(${toksSql("lower(text)")}) AS token
+        |       FROM documents)
+        | GROUP BY 1),
+        |ranked AS (
+        | SELECT CAST(round(round(ln(CAST(rn AS DOUBLE)), 3) * 1e3)
+        |   AS BIGINT) AS x,
+        |  CAST(round(round(ln(CAST(freq AS DOUBLE)), 3) * 1e3)
+        |   AS BIGINT) AS y
+        | FROM (SELECT freq, row_number() OVER (
+        |    ORDER BY freq DESC, token) AS rn FROM freqs)
+        | WHERE rn <= 1000),
+        |st AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(y * y) AS BIGINT) AS syy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy
+        | FROM ranked)
+        |SELECT n,
+        | CAST(CAST(n * sxy - sx * sy AS HUGEINT) * 1000
+        |  // (n * sxx - sx * sx) AS BIGINT) AS slope_milli,
+        | CAST(CAST(n * sxy - sx * sy AS HUGEINT)
+        |  * CAST(n * sxy - sx * sy AS HUGEINT) * 1000
+        |  // (CAST(n * sxx - sx * sx AS HUGEINT)
+        |     * CAST(n * syy - sy * sy AS HUGEINT)) AS BIGINT) AS r2_milli
+        |FROM st""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -6187,6 +6187,136 @@ object Queries {
           " AS BIGINT)")).as("strength_ppm"))
   }
 
+  /** Herfindahl-Hirschman market concentration: per customer-nation
+    * market, the sum of squared brand revenue shares — the antitrust /
+    * assortment-concentration standard next to Gini (q242) and Lorenz
+    * (q300). Exact: revenue in cents, every square and the 1e12
+    * scaling through DECIMAL(38,0) (cent sums square past int64 by
+    * design; DuckDB twin runs HUGEINT), hhi_e12 = sum(rev_b^2)*1e12
+    * DIV total^2 — an integer in [1e12/n_brands, 1e12]. One
+    * (nation, brand) agg; 25 x 25 cells after. */
+  def q333Hhi(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("c_nationkey"), col("p_brand"))
+      .agg(sum((dec2(col("l_extendedprice")) * 100).cast("long"))
+        .cast("long").as("rev"))
+    rev.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_brands"),
+        sum(col("rev")).cast("long").as("total_cents"),
+        sum((col("rev").cast("decimal(20,0)") *
+          col("rev").cast("decimal(20,0)")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("ss"))
+      .select(col("c_nationkey"), col("n_brands"), col("total_cents"),
+        expr("CAST(ss * 1000000000000 DIV (CAST(total_cents AS" +
+          " DECIMAL(20,0)) * CAST(total_cents AS DECIMAL(20,0)))" +
+          " AS BIGINT)").as("hhi_e12"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Effective rank (participation ratio) of the embedding covariance:
+    * trace(C)^2 / ||C||_F^2 — the eigendecomposition-free anisotropy
+    * gate (equals d for isotropic spaces, ~1 for collapsed ones),
+    * computed straight from q151's hash-green covariance cells with
+    * each cell frozen by the portable value-round so trace and the
+    * Frobenius sum are exact BIGINTs (off-diagonal cells counted
+    * twice). The one-number screen that decides whether q152's PCA is
+    * worth running; bounded d(d+1)/2-cell frame end to end. */
+  def q334EffectiveRank(s: SparkSession, dir: String): DataFrame = {
+    val cells = Embeddings.covariance(t(s, dir, "embeddings"), "embedding")
+      .select(col("i"), col("j"),
+        round(graft.expr.GraftFunctions.portableRound(col("cov"), 6) * 1e6)
+          .cast("long").as("micro"))
+    cells.agg(
+        (max(col("j")) + 1).as("d"),
+        sum(when(col("i") === col("j"), col("micro")).otherwise(0L))
+          .cast("long").as("trace_micro"),
+        sum(col("micro") * col("micro") *
+          when(col("i") === col("j"), 1L).otherwise(2L)).cast("long")
+          .as("frob2"))
+      .select(col("d"), col("trace_micro"), col("frob2"),
+        expr("trace_micro * trace_micro * 1000 DIV frob2")
+          .as("eff_rank_milli"))
+  }
+
+  /** Item-item collaborative filtering: top-3 co-purchase neighbors
+    * per part from (customer, part) baskets — the classic
+    * "customers who bought X also bought Y" kernel. Scale policy made
+    * explicit: baskets are capped at 30 distinct parts (a heavy
+    * basket contributes O(n²) pairs and mostly noise — the standard
+    * frequency-cap mitigation, same family as q35's salting), pair
+    * generation is customer-keyed (never a cross product), and the
+    * top-3 window compiles to WindowGroupLimit (rank pushdown, no
+    * full sort per part). Ties break on neighbor id; exact counts. */
+  def q335ItemCf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val baskets = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+    val small = baskets.groupBy(col("cust"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= 30)
+      .select(col("cust"))
+    val b = baskets.join(small, Seq("cust"))
+    val co = b.as("a")
+      .join(b.as("b"), col("a.cust") === col("b.cust") &&
+        col("a.part") =!= col("b.part"))
+      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+      .agg(count(lit(1)).as("co_cnt"))
+    co.withColumn("rn", row_number().over(
+        Window.partitionBy(col("part_a"))
+          .orderBy(col("co_cnt").desc, col("part_b").asc)))
+      .filter(col("rn") <= 3)
+      .select(col("part_a"), col("part_b"), col("co_cnt"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("part_a", "rn")
+  }
+
+  /** Zipf-law fit over the top-1000 token ranks: least-squares slope
+    * and r² of ln(freq) on ln(rank), with both logs frozen to
+    * MILLI-nats (the q291 kernel at scale 3 — the coarser grid keeps
+    * num² inside DECIMAL(38,0) at any corpus size) so every
+    * regression sum is an exact BIGINT and the final slope/r² are
+    * exact DECIMAL integer ratios. A healthy natural-language corpus
+    * fits slope ≈ -1 tightly; boilerplate flattens it, noise steepens
+    * it — the corpus-health twin of q330's Heaps curve. One
+    * token-count agg + a 1000-row ranked frame. */
+  def q336ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lnMilli(c: Column): Column =
+      round(round(log(c.cast("double")), 3) * 1e3).cast("long")
+    val ranked = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("freq").desc, col("token").asc)))
+      .filter(col("rn") <= 1000)
+      .select(lnMilli(col("rn")).as("x"), lnMilli(col("freq")).as("y"))
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y") * col("y")).cast("long").as("syy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"))
+      .select(col("n"),
+        expr("CAST(CAST(n * sxy - sx * sy AS DECIMAL(25,0)) * 1000" +
+          " DIV (n * sxx - sx * sx) AS BIGINT)").as("slope_milli"),
+        expr("CAST(CAST(n * sxy - sx * sy AS DECIMAL(25,0))" +
+          " * CAST(n * sxy - sx * sy AS DECIMAL(25,0)) * 1000" +
+          " DIV (CAST(n * sxx - sx * sx AS DECIMAL(25,0))" +
+          " * CAST(n * syy - sy * sy AS DECIMAL(25,0))) AS BIGINT)")
+          .as("r2_milli"))
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -7526,6 +7656,10 @@ object Queries {
     "q330_vocab_growth" -> (q330VocabGrowth _),
     "q331_poisson_bootstrap" -> (q331PoissonBootstrap _),
     "q332_seasonal_strength" -> (q332SeasonalStrength _),
+    "q333_hhi" -> (q333Hhi _),
+    "q334_effective_rank" -> (q334EffectiveRank _),
+    "q335_item_cf" -> (q335ItemCf _),
+    "q336_zipf_fit" -> (q336ZipfFit _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
