@@ -8080,6 +8080,115 @@ object Oracles {
         |  // (CAST(n * sxx - sx * sx AS HUGEINT)
         |     * CAST(n * syy - sy * sy AS HUGEINT)) AS BIGINT) AS r2_milli
         |FROM st""".stripMargin,
+
+    // sample-ratio mismatch over three hash-split seeds: exact chi2
+    // micro + cross-multiplied alpha=0.05 flag
+    "q337_srm_check" ->
+      s"""WITH a AS (
+        | SELECT seed,
+        |  CASE WHEN ${ph("CAST(c_custkey AS VARCHAR) || ':' || CAST(seed AS VARCHAR)", 555)}
+        |   % 100 < 50 THEN 1 ELSE 0 END AS arm
+        | FROM customer, (SELECT unnest([11, 22, 33]) AS seed)),
+        |c AS (
+        | SELECT seed, CAST(sum(arm) AS BIGINT) AS n_a,
+        |  CAST(sum(1 - arm) AS BIGINT) AS n_b
+        | FROM a GROUP BY 1)
+        |SELECT CAST(seed AS BIGINT) AS seed, n_a, n_b,
+        | (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
+        |  AS chi2_micro,
+        | (n_a - n_b) * (n_a - n_b) * 100 > 384 * (n_a + n_b)
+        |  AS srm_flag
+        |FROM c ORDER BY seed""".stripMargin,
+
+    // Fano overdispersion of daily order counts per nation; zero days
+    // enter through the calendar span n
+    "q338_dispersion" ->
+      """WITH daily AS (
+        | SELECT c_nationkey, CAST(o_orderdate AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS x
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY 1, 2),
+        |span AS (
+        | SELECT CAST(date_diff('day', min(CAST(o_orderdate AS DATE)),
+        |   max(CAST(o_orderdate AS DATE))) + 1 AS BIGINT) AS n_days
+        | FROM orders),
+        |agg AS (
+        | SELECT c_nationkey, CAST(sum(x) AS BIGINT) AS s,
+        |  CAST(sum(x * x) AS BIGINT) AS q,
+        |  CAST(count(*) AS BIGINT) AS n_active_days
+        | FROM daily GROUP BY 1)
+        |SELECT c_nationkey, n_days, n_active_days, s, q,
+        | CAST(CAST(n_days * q - s * s AS HUGEINT) * 1000000
+        |  // ((n_days - 1) * s) AS BIGINT) AS fano_ppm
+        |FROM agg, span ORDER BY c_nationkey""".stripMargin,
+
+    // knee of the top-100 cumulative revenue curve: integer
+    // chord-cross-product argmax, ties -> smallest rank
+    "q339_knee" ->
+      """WITH revs AS (
+        | SELECT l_partkey,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS rev
+        | FROM lineitem GROUP BY 1),
+        |top AS (
+        | SELECT rev, rn FROM (
+        |  SELECT rev, row_number() OVER (ORDER BY rev DESC, l_partkey)
+        |   AS rn FROM revs)
+        | WHERE rn <= 100),
+        |curve AS (
+        | SELECT CAST(rn AS BIGINT) AS rn,
+        |  CAST(sum(rev) OVER (ORDER BY rn) AS BIGINT) AS cum
+        | FROM top),
+        |ends AS (
+        | SELECT min(cum) AS c1, max(rn) AS n_pts, max(cum) AS cn
+        | FROM curve)
+        |SELECT rn, cum,
+        | (cn - c1) * (rn - 1) - (n_pts - 1) * (cum - c1)
+        |  AS cross_scaled
+        |FROM curve, ends
+        |ORDER BY cross_scaled DESC, rn LIMIT 1""".stripMargin,
+
+    // CF coverage + popularity bias over the q335 chain
+    "q340_rec_coverage" ->
+      """WITH baskets AS (
+        | SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |small AS (
+        | SELECT cust FROM baskets GROUP BY 1 HAVING count(*) <= 30),
+        |b AS (
+        | SELECT baskets.cust, baskets.part
+        | FROM baskets JOIN small ON baskets.cust = small.cust),
+        |recs AS (
+        | SELECT part_a, part_b FROM (
+        |  SELECT part_a, part_b, row_number() OVER (
+        |    PARTITION BY part_a ORDER BY co_cnt DESC, part_b) AS rn
+        |  FROM (
+        |   SELECT a.part AS part_a, b2.part AS part_b,
+        |    CAST(count(*) AS BIGINT) AS co_cnt
+        |   FROM b a JOIN b b2 ON a.cust = b2.cust AND a.part <> b2.part
+        |   GROUP BY 1, 2))
+        | WHERE rn <= 3),
+        |popr AS (
+        | SELECT part, row_number() OVER (ORDER BY buyers DESC, part)
+        |   AS prank, count(*) OVER () AS n_ranked
+        | FROM (SELECT part, CAST(count(*) AS BIGINT) AS buyers
+        |       FROM baskets GROUP BY 1)),
+        |topd AS (
+        | SELECT part FROM popr WHERE prank * 10 <= n_ranked),
+        |cat AS (SELECT CAST(count(*) AS BIGINT) AS n_catalog FROM part),
+        |cov AS (
+        | SELECT CAST(count(DISTINCT part_a) AS BIGINT) AS n_covered
+        | FROM recs),
+        |bias AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_recs,
+        |  CAST(sum(CASE WHEN t.part IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_top_decile_recs
+        | FROM recs LEFT JOIN topd t ON recs.part_b = t.part)
+        |SELECT n_catalog, n_covered,
+        | n_covered * 1000000 // n_catalog AS coverage_ppm,
+        | n_recs, n_top_decile_recs,
+        | n_top_decile_recs * 1000000 // n_recs AS popbias_ppm
+        |FROM cat, cov, bias""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -6317,6 +6317,147 @@ object Queries {
           .as("r2_milli"))
   }
 
+  /** Sample-ratio-mismatch check over three hash-split seeds: the
+    * guardrail every experimentation platform runs before reading an
+    * A/B test — a 50/50 split whose realized counts are improbably
+    * unbalanced means corrupted assignment, not treatment effect.
+    * Exact: chi-square (n_a - n_b)²/n in integer micro, and the
+    * alpha=0.05 flag via the cross-multiplied comparison
+    * (n_a - n_b)² * 100 > 384 * n — no float ever touches the
+    * decision. One corpus scan accumulates all three seeds (the
+    * explode is map-side); output is 3 rows. */
+  def q337SrmCheck(s: SparkSession, dir: String): DataFrame = {
+    val assigned = t(s, dir, "customer").select(col("c_custkey"))
+      .withColumn("seed", explode(array(Seq(11L, 22L, 33L).map(lit(_)): _*)))
+      .withColumn("arm", pmod(Dedup.portableHash64(
+        concat(col("c_custkey").cast("string"), lit(":"),
+          col("seed").cast("string")), 555), lit(100L)) < 50)
+    assigned.groupBy(col("seed"))
+      .agg(sum(when(col("arm"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm"), 0L).otherwise(1L)).as("n_b"))
+      .select(col("seed"), col("n_a"), col("n_b"),
+        expr("(n_a - n_b) * (n_a - n_b) * 1000000 DIV (n_a + n_b)")
+          .as("chi2_micro"),
+        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) * 100 >
+          lit(384L) * (col("n_a") + col("n_b"))).as("srm_flag"))
+      .orderBy("seed")
+  }
+
+  /** Overdispersion (Fano factor) of daily order counts per customer
+    * nation: variance-to-mean ratio, the before-you-assume-Poisson
+    * screen for count models (Fano ≈ 1 Poisson, >> 1 bursty). Exact
+    * cross-multiplied form: var/mean = (n·Σx² - S²) / ((n-1)·S) with
+    * every operand an exact BIGINT from one (nation, day) count agg —
+    * reported in integer ppm via DECIMAL floor division. Missing days
+    * count as zero via the nation x day-span calendar (exact closed
+    * form: the zero days only change n, S and Σx² are unaffected).
+    * Nation-cardinality output. */
+  def q338Dispersion(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val span = t(s, dir, "orders")
+      .agg((datediff(max(to_date(col("o_orderdate"))),
+        min(to_date(col("o_orderdate")))) + 1).cast("long").as("n_days"))
+    daily.groupBy(col("c_nationkey"))
+      .agg(sum(col("x")).cast("long").as("s"),
+        sum(col("x") * col("x")).cast("long").as("q"),
+        count(lit(1)).as("n_active_days"))
+      .crossJoin(broadcast(span))
+      .select(col("c_nationkey"), col("n_days"), col("n_active_days"),
+        col("s"), col("q"),
+        expr("CAST(CAST(n_days * q - s * s AS DECIMAL(25,0)) * 1000000" +
+          " DIV ((n_days - 1) * s) AS BIGINT)").as("fano_ppm"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Knee (elbow) detection on the cumulative-revenue curve of the
+    * top-100 parts: the point of maximum perpendicular distance to
+    * the chord from first to last point — where diminishing returns
+    * set in, read off EXACTLY via the integer cross product
+    * (c_end - c_1)·(rank - 1) - (n - 1)·(cum - c_1) (distance
+    * ordering is scale-invariant, so the un-normalized cross product
+    * argmax IS the knee; ties -> smallest rank). The
+    * how-many-items-matter cutoff selector behind q261's fixed ABC
+    * bands. One revenue agg + a bounded 100-row curve. */
+  def q339Knee(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum((dec2(col("l_extendedprice")) * 100).cast("long"))
+        .cast("long").as("rev"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rev").desc, col("l_partkey").asc)))
+      .filter(col("rn") <= 100)
+    val curve = top.withColumn("cum", sum(col("rev")).over(
+      Window.orderBy(col("rn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // cum is strictly increasing (revenues positive), so min/max ARE the
+    // chord endpoints — total even when fewer than 100 parts exist
+    val ends = curve.agg(min(col("cum")).as("c1"),
+      max(col("rn")).as("n_pts"), max(col("cum")).as("cn"))
+    curve.crossJoin(broadcast(ends))
+      .select(col("rn").cast("long").as("rn"), col("cum"),
+        ((col("cn") - col("c1")) * (col("rn") - 1) -
+          (col("n_pts") - 1) * (col("cum") - col("c1"))).as("cross_scaled"))
+      .orderBy(col("cross_scaled").desc, col("rn").asc)
+      .limit(1)
+  }
+
+  /** Recommender-quality audit over q335's item-item lists: catalog
+    * coverage (parts that received at least one neighbor list) and
+    * popularity bias (share of recommended neighbors drawn from the
+    * top popularity decile — the long-tail-starvation gauge). Exact:
+    * the top decile by the cross-multiplied rank test rank*10 <= n
+    * (no ntile), both shares integer ppm. The eval loop that keeps a
+    * CF deployment honest; reuses the capped-basket pair chain, adds
+    * two bounded aggs. */
+  def q340RecCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val baskets = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+    val small = baskets.groupBy(col("cust"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= 30)
+      .select(col("cust"))
+    val b = baskets.join(small, Seq("cust"))
+    val recs = b.as("a")
+      .join(b.as("b"), col("a.cust") === col("b.cust") &&
+        col("a.part") =!= col("b.part"))
+      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+      .agg(count(lit(1)).as("co_cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("part_a"))
+          .orderBy(col("co_cnt").desc, col("part_b").asc)))
+      .filter(col("rn") <= 3)
+    val pop = baskets.groupBy(col("part"))
+      .agg(count(lit(1)).as("buyers"))
+      .withColumn("prank", row_number().over(
+        Window.orderBy(col("buyers").desc, col("part").asc)))
+    val popN = pop.agg(count(lit(1)).as("n_ranked"))
+    val topDecile = pop.crossJoin(broadcast(popN))
+      .filter(col("prank") * 10 <= col("n_ranked"))
+      .select(col("part").as("part_b")).withColumn("__top", lit(true))
+    val catalog = t(s, dir, "part").agg(count(lit(1)).as("n_catalog"))
+    val covered = recs.select(col("part_a")).distinct()
+      .agg(count(lit(1)).as("n_covered"))
+    val bias = recs.join(topDecile, Seq("part_b"), "left")
+      .agg(count(lit(1)).as("n_recs"),
+        sum(when(col("__top").isNotNull, 1L).otherwise(0L))
+          .as("n_top_decile_recs"))
+    catalog.crossJoin(broadcast(covered)).crossJoin(broadcast(bias))
+      .select(col("n_catalog"), col("n_covered"),
+        expr("n_covered * 1000000 DIV n_catalog").as("coverage_ppm"),
+        col("n_recs"), col("n_top_decile_recs"),
+        expr("n_top_decile_recs * 1000000 DIV n_recs").as("popbias_ppm"))
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -7660,6 +7801,10 @@ object Queries {
     "q334_effective_rank" -> (q334EffectiveRank _),
     "q335_item_cf" -> (q335ItemCf _),
     "q336_zipf_fit" -> (q336ZipfFit _),
+    "q337_srm_check" -> (q337SrmCheck _),
+    "q338_dispersion" -> (q338Dispersion _),
+    "q339_knee" -> (q339Knee _),
+    "q340_rec_coverage" -> (q340RecCoverage _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
