@@ -8189,6 +8189,130 @@ object Oracles {
         | n_recs, n_top_decile_recs,
         | n_top_decile_recs * 1000000 // n_recs AS popbias_ppm
         |FROM cat, cov, bias""".stripMargin,
+
+    // cohort retention triangle: absolute weeks (epoch-day DIV 7),
+    // distinct (user, week) activity, exact ppm rates
+    "q341_retention_triangle" ->
+      """WITH weeks AS (
+        | SELECT DISTINCT user_id,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+        |   AS BIGINT) AS week
+        | FROM events),
+        |cohorts AS (
+        | SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1),
+        |active AS (
+        | SELECT c.cohort_week, w.week - c.cohort_week AS age_weeks,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        | FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+        | GROUP BY 1, 2),
+        |sizes AS (
+        | SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+        | FROM cohorts GROUP BY 1)
+        |SELECT a.cohort_week, a.age_weeks, a.n_active, s.n_cohort,
+        | a.n_active * 1000000 // s.n_cohort AS retention_ppm
+        |FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
+        |ORDER BY 1, 2""".stripMargin,
+
+    // CUPED: whole-dollar pre/post revenue per customer (zero-filled
+    // population), theta and rho^2 as exact HUGEINT ratios
+    "q342_cuped" ->
+      """WITH pc AS (
+        | SELECT o_custkey,
+        |  CAST(sum(CASE WHEN o_orderdate < DATE '1997-01-01'
+        |   THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   ELSE 0 END) // 100 AS BIGINT) AS xc,
+        |  CAST(sum(CASE WHEN o_orderdate >= DATE '1997-01-01'
+        |   THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   ELSE 0 END) // 100 AS BIGINT) AS yc
+        | FROM orders GROUP BY 1),
+        |xy AS (
+        | SELECT coalesce(pc.xc, 0) AS x, coalesce(pc.yc, 0) AS y
+        | FROM customer LEFT JOIN pc ON c_custkey = pc.o_custkey),
+        |st AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(y * y) AS BIGINT) AS syy
+        | FROM xy)
+        |SELECT n, sx, sy,
+        | CAST(CAST(n * sxy - sx * sy AS HUGEINT) * 1000
+        |  // CAST(n * sxx - sx * sx AS HUGEINT) AS BIGINT) AS theta_milli,
+        | CAST(CAST(n * sxy - sx * sy AS HUGEINT)
+        |  * CAST(n * sxy - sx * sy AS HUGEINT) * 1000000
+        |  // (CAST(n * sxx - sx * sx AS HUGEINT)
+        |     * CAST(n * syy - sy * sy AS HUGEINT)) AS BIGINT)
+        |  AS var_reduction_ppm
+        |FROM st""".stripMargin,
+
+    // uplift by acctbal decile: hash arms, exact decile by
+    // (rank-1)*10 DIV n, cross-multiplied rate differences in ppm
+    "q343_uplift_deciles" ->
+      s"""WITH resp AS (
+        | SELECT DISTINCT o_custkey FROM orders
+        | WHERE o_orderdate >= DATE '1997-01-01'),
+        |ranked AS (
+        | SELECT c_custkey,
+        |  ${ph("CAST(c_custkey AS VARCHAR)", 777)} % 100 < 50 AS treated,
+        |  row_number() OVER (ORDER BY CAST(c_acctbal AS DECIMAL(18,2))
+        |    DESC, c_custkey) AS rank,
+        |  count(*) OVER () AS n_all
+        | FROM customer),
+        |cells AS (
+        | SELECT (rank - 1) * 10 // n_all + 1 AS decile,
+        |  CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |  CAST(sum(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+        |  CAST(sum(CASE WHEN treated AND resp.o_custkey IS NOT NULL
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS r_t,
+        |  CAST(sum(CASE WHEN NOT treated AND resp.o_custkey IS NOT NULL
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS r_c
+        | FROM ranked LEFT JOIN resp ON ranked.c_custkey = resp.o_custkey
+        | GROUP BY 1),
+        |cum AS (
+        | SELECT decile, n_t, n_c, r_t, r_c,
+        |  CAST(sum(n_t) OVER (ORDER BY decile) AS BIGINT) AS ct,
+        |  CAST(sum(n_c) OVER (ORDER BY decile) AS BIGINT) AS cc,
+        |  CAST(sum(r_t) OVER (ORDER BY decile) AS BIGINT) AS crt,
+        |  CAST(sum(r_c) OVER (ORDER BY decile) AS BIGINT) AS crc
+        | FROM cells)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_t, n_c, r_t, r_c,
+        | CAST(CAST(r_t * n_c - r_c * n_t AS HUGEINT) * 1000000
+        |  // CAST(n_t * n_c AS HUGEINT) AS BIGINT) AS uplift_ppm,
+        | CAST(CAST(crt * cc - crc * ct AS HUGEINT) * 1000000
+        |  // CAST(ct * cc AS HUGEINT) AS BIGINT) AS cum_uplift_ppm
+        |FROM cum ORDER BY decile""".stripMargin,
+
+    // degree assortativity over the q239 edge set: both orientations,
+    // exact integer Pearson ratio in milli (marginals coincide)
+    "q344_assortativity" ->
+      """WITH contacts AS (
+        | SELECT c_custkey,
+        |  'u' || CAST(c_custkey % 700 AS VARCHAR) || '@x.com' AS email,
+        |  'n' || CAST(c_custkey % 50 AS VARCHAR) AS name,
+        |  'p' || CAST(c_custkey % 60 AS VARCHAR) AS phone
+        | FROM customer),
+        |e AS (
+        | SELECT DISTINCT l.c_custkey AS id_a, r.c_custkey AS id_b
+        | FROM contacts l, contacts r
+        | WHERE l.c_custkey < r.c_custkey
+        |  AND (l.email = r.email
+        |   OR (l.name = r.name AND l.phone = r.phone))),
+        |deg AS (
+        | SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e)
+        | GROUP BY 1),
+        |st AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(sum(da.deg + db.deg) AS BIGINT) AS s,
+        |  CAST(sum(da.deg * da.deg + db.deg * db.deg) AS BIGINT) AS sxx,
+        |  CAST(sum(da.deg * db.deg * 2) AS BIGINT) AS sxy
+        | FROM e JOIN deg da ON e.id_a = da.id
+        |  JOIN deg db ON e.id_b = db.id)
+        |SELECT n_edges,
+        | CAST(CAST(2 * n_edges * sxy - s * s AS HUGEINT) * 1000
+        |  // CAST(2 * n_edges * sxx - s * s AS HUGEINT) AS BIGINT)
+        |  AS assortativity_milli
+        |FROM st""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

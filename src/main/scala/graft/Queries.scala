@@ -6458,6 +6458,171 @@ object Queries {
         expr("n_top_decile_recs * 1000000 DIV n_recs").as("popbias_ppm"))
   }
 
+  /** Cohort retention triangle over the event stream: users bucketed
+    * by first-active week, then the share still active k weeks later —
+    * the classic growth-accounting matrix (q273's entity-level twin,
+    * here at full cohort x age resolution). Weeks are absolute day
+    * numbers DIV 7 from 1970-01-01 (no engine week-start convention
+    * in play); activity is the distinct (user, week) set, so the
+    * retention numerator is an exact count and the rate integer ppm.
+    * Scale: one user-keyed agg for cohorts + one (cohort, age) agg;
+    * output is calendar² bounded, never corpus-sized. */
+  def q341RetentionTriangle(s: SparkSession, dir: String): DataFrame = {
+    val weeks = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("CAST(datediff(to_date(ts), DATE '1970-01-01') DIV 7" +
+          " AS BIGINT)").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val active = weeks.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    active.join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("age_weeks"), col("n_active"),
+        col("n_cohort"),
+        expr("n_active * 1000000 DIV n_cohort").as("retention_ppm"))
+      .orderBy("cohort_week", "age_weeks")
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013): the pre-experiment
+    * covariate adjustment every mature experimentation stack applies
+    * before reading a metric. Per customer, X = pre-1997 revenue and
+    * Y = post-1997 revenue (zero-filled over the full population —
+    * CUPED is defined on the whole assignment frame, not just
+    * converters), both frozen as floor-DIV whole dollars. theta =
+    * cov(X,Y)/var(X) and the variance-reduction share rho² are exact
+    * integer ratios of the cross-multiplied sums (n·Σxy − ΣxΣy etc.),
+    * reported in milli / ppm via DECIMAL(38,0) truncating DIV — the
+    * squared numerator stays under 1e38 through sf1k at
+    * whole-dollar quantization. One row out; one customer-keyed agg
+    * is the only corpus shuffle. */
+  def q342Cuped(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        (sum(when(col("o_orderdate") < "1997-01-01",
+          (dec2(col("o_totalprice")) * 100).cast("long")).otherwise(0L))
+          / lit(100)).cast("long").as("__xc"),
+        (sum(when(col("o_orderdate") >= "1997-01-01",
+          (dec2(col("o_totalprice")) * 100).cast("long")).otherwise(0L))
+          / lit(100)).cast("long").as("__yc"))
+    val xy = t(s, dir, "customer").select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("__xc"), lit(0L)).as("x"),
+        coalesce(col("__yc"), lit(0L)).as("y"))
+    xy.agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("y") * col("y")).cast("long").as("syy"))
+      .select(col("n"), col("sx"), col("sy"),
+        expr("CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) * 1000" +
+          " DIV CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS BIGINT)")
+          .as("theta_milli"),
+        expr("CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0))" +
+          " * CAST(n * sxy - sx * sy AS DECIMAL(38,0)) * 1000000" +
+          " DIV (CAST(n * sxx - sx * sx AS DECIMAL(38,0))" +
+          " * CAST(n * syy - sy * sy AS DECIMAL(38,0))) AS BIGINT)")
+          .as("var_reduction_ppm"))
+  }
+
+  /** Uplift-by-decile (Qini-style) read-out: hash-assigned 50/50 arms
+    * (q337's assignment machinery), customers ranked by the targeting
+    * score (account balance) into exact deciles via
+    * decile = (rank−1)·10 DIV n + 1 (no ntile — its remainder
+    * distribution is engine-specific), response = any 1997+ order.
+    * Per decile and cumulatively: uplift = r_t/n_t − r_c/n_c as the
+    * exact cross-multiplied ratio (r_t·n_c − r_c·n_t)·1e6 DIV
+    * (n_t·n_c) through DECIMAL(25,0). The targeting-model eval that
+    * decides whether a campaign should go to the top deciles only.
+    * Scale: one rank window (single global sort of the assignment
+    * frame — dimension-sized, not fact-sized) + bounded 10-row aggs. */
+  def q343UpliftDeciles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val resp = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= "1997-01-01")
+      .select(col("o_custkey")).distinct()
+      .withColumn("__resp", lit(1L))
+    val ranked = t(s, dir, "customer")
+      .select(col("c_custkey"), dec2(col("c_acctbal")).as("bal"))
+      .withColumn("treated", pmod(Dedup.portableHash64(
+        col("c_custkey").cast("string"), 777), lit(100L)) < 50)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bal").desc, col("c_custkey").asc)))
+    val n = ranked.agg(count(lit(1)).as("n_all"))
+    val cells = ranked.crossJoin(broadcast(n))
+      .withColumn("decile",
+        expr("CAST((rank - 1) * 10 DIV n_all AS BIGINT) + 1"))
+      .join(resp, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("decile"))
+      .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("treated"), coalesce(col("__resp"), lit(0L)))
+          .otherwise(0L)).as("r_t"),
+        sum(when(!col("treated"), coalesce(col("__resp"), lit(0L)))
+          .otherwise(0L)).as("r_c"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("ct", sum(col("n_t")).over(w))
+      .withColumn("cc", sum(col("n_c")).over(w))
+      .withColumn("crt", sum(col("r_t")).over(w))
+      .withColumn("crc", sum(col("r_c")).over(w))
+      .select(col("decile"), col("n_t"), col("n_c"), col("r_t"),
+        col("r_c"),
+        expr("CAST(CAST(r_t * n_c - r_c * n_t AS DECIMAL(25,0))" +
+          " * 1000000 DIV CAST(n_t * n_c AS DECIMAL(25,0)) AS BIGINT)")
+          .as("uplift_ppm"),
+        expr("CAST(CAST(crt * cc - crc * ct AS DECIMAL(25,0))" +
+          " * 1000000 DIV CAST(ct * cc AS DECIMAL(25,0)) AS BIGINT)")
+          .as("cum_uplift_ppm"))
+      .orderBy("decile")
+  }
+
+  /** Degree assortativity of the q239 contact graph: the Pearson
+    * correlation of endpoint degrees over the edge list (both
+    * orientations, Newman 2002) — positive means hubs link to hubs
+    * (dedup blow-up risk in a merge graph), negative means
+    * hub-and-spoke. With both orientations the x and y marginals
+    * coincide, so r is the EXACT integer ratio
+    * (m·Σxy − S²) / (m·Σxx − S²) — no square root ever — reported in
+    * milli via DECIMAL(25,0) truncating DIV. Scale: degrees are one
+    * id-keyed agg; the two degree joins key on edge endpoints;
+    * everything after is a 1-row agg. */
+  def q344Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val contacts = t(s, dir, "customer").select(
+      col("c_custkey"),
+      concat(lit("u"), col("c_custkey") % 700, lit("@x.com")).as("email"),
+      concat(lit("n"), col("c_custkey") % 50).as("name"),
+      concat(lit("p"), col("c_custkey") % 60).as("phone"))
+    val e = Dedup.fuzzyDuplicatePairs(contacts, "c_custkey", "email",
+        "name", "phone")
+      .select(col("id_a"), col("id_b")).distinct()
+    val deg = e.select(col("id_a").as("id"))
+      .unionByName(e.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).cast("long").as("deg"))
+    val both = e
+      .join(deg.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("deg", "da"), Seq("id_a"))
+      .join(deg.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("deg", "db"), Seq("id_b"))
+    both.agg(
+        count(lit(1)).cast("long").as("n_edges"),
+        sum(col("da") + col("db")).cast("long").as("s"),
+        sum(col("da") * col("da") + col("db") * col("db")).cast("long")
+          .as("sxx"),
+        sum(col("da") * col("db") * 2).cast("long").as("sxy"))
+      .select(col("n_edges"),
+        expr("CAST(CAST(2 * n_edges * sxy - s * s AS DECIMAL(25,0))" +
+          " * 1000 DIV CAST(2 * n_edges * sxx - s * s AS DECIMAL(25,0))" +
+          " AS BIGINT)").as("assortativity_milli"))
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -7805,6 +7970,10 @@ object Queries {
     "q338_dispersion" -> (q338Dispersion _),
     "q339_knee" -> (q339Knee _),
     "q340_rec_coverage" -> (q340RecCoverage _),
+    "q341_retention_triangle" -> (q341RetentionTriangle _),
+    "q342_cuped" -> (q342Cuped _),
+    "q343_uplift_deciles" -> (q343UpliftDeciles _),
+    "q344_assortativity" -> (q344Assortativity _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
