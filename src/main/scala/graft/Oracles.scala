@@ -8313,6 +8313,82 @@ object Oracles {
         |  // CAST(2 * n_edges * sxx - s * s AS HUGEINT) AS BIGINT)
         |  AS assortativity_milli
         |FROM st""".stripMargin,
+
+    // JL sign projection over the q327 pairs: value-rounded coord
+    // diffs, exact DECIMAL projected sums, distortion ppm vs k*orig
+    "q345_jl_distortion" ->
+      s"""WITH e AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |r AS (
+        | SELECT vec_id, embedding,
+        |  ${ph("CAST(vec_id AS VARCHAR)", 909)} AS r FROM e),
+        |bk AS (
+        | SELECT vec_id, embedding, r, r % 64 AS bkt,
+        |  row_number() OVER (PARTITION BY r % 64 ORDER BY r, vec_id)
+        |   AS rn
+        | FROM r),
+        |p AS (
+        | SELECT bkt, (rn + 1) // 2 AS pair_id, rn % 2 AS side,
+        |  vec_id, embedding
+        | FROM bk),
+        |j AS (
+        | SELECT a.bkt, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  a.embedding AS va, b.embedding AS vb
+        | FROM p a JOIN p b ON a.bkt = b.bkt AND a.pair_id = b.pair_id
+        |  AND a.side = 1 AND b.side = 0),
+        |coords AS (
+        | SELECT bkt, id_a, id_b, unnest(range(1, len(va) + 1)) AS i,
+        |  va, vb
+        | FROM j),
+        |d AS (
+        | SELECT bkt, id_a, id_b, i,
+        |  CAST(round(CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE), 6)
+        |   AS DECIMAL(25,6)) AS d6
+        | FROM coords),
+        |orig AS (
+        | SELECT bkt, id_a, id_b,
+        |  CAST(sum(CAST(d6 * 1000000 AS BIGINT)
+        |   * CAST(d6 * 1000000 AS BIGINT)) AS BIGINT) AS ssq_orig
+        | FROM d GROUP BY 1, 2, 3),
+        |pr AS (
+        | SELECT bkt, id_a, id_b, o,
+        |  CAST(sum(d6 * (${ph(
+             "CAST(i - 1 AS VARCHAR) || ':' || CAST(o AS VARCHAR)", 1213)}
+        |    % 2 * 2 - 1)) * 1000000 AS BIGINT) AS pm
+        | FROM d, (SELECT unnest(range(1, 17)) AS o)
+        | GROUP BY 1, 2, 3, 4),
+        |proj AS (
+        | SELECT bkt, id_a, id_b,
+        |  CAST(sum(pm * pm) AS BIGINT) AS ssq_proj
+        | FROM pr GROUP BY 1, 2, 3)
+        |SELECT orig.bkt, orig.id_a, orig.id_b, ssq_orig, ssq_proj,
+        | CAST(CAST(ssq_proj AS HUGEINT) * 1000000
+        |  // (16 * CAST(ssq_orig AS HUGEINT)) AS BIGINT)
+        |  AS distortion_ppm
+        |FROM orig JOIN proj ON orig.bkt = proj.bkt
+        | AND orig.id_a = proj.id_a AND orig.id_b = proj.id_b
+        |ORDER BY orig.bkt""".stripMargin,
+
+    // leave-one-out nation target encode of order counts: exact
+    // truncating milli ratio, NULL for singleton groups
+    "q346_target_encoding" ->
+      """WITH y AS (
+        | SELECT c_custkey, c_nationkey,
+        |  CAST(coalesce(o.n_ord, 0) AS BIGINT) AS y
+        | FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n_ord FROM orders GROUP BY 1) o
+        |  ON c_custkey = o.o_custkey),
+        |g AS (
+        | SELECT c_nationkey, CAST(sum(y) AS BIGINT) AS s_g,
+        |  CAST(count(*) AS BIGINT) AS n_g
+        | FROM y GROUP BY 1)
+        |SELECT y.c_custkey, y.c_nationkey, y.y,
+        | CASE WHEN g.n_g > 1
+        |  THEN (g.s_g - y.y) * 1000 // (g.n_g - 1)
+        |  ELSE NULL END AS loo_encode_milli
+        |FROM y JOIN g ON y.c_nationkey = g.c_nationkey
+        |ORDER BY y.c_custkey""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -6623,6 +6623,95 @@ object Queries {
           " AS BIGINT)").as("assortativity_milli"))
   }
 
+  /** Johnson-Lindenstrauss sign-projection distortion audit: project
+    * 64-d embeddings to k=16 dims with ±1 signs drawn from the
+    * portable hash of (in_dim, out_dim), then verify on q327's
+    * deterministic hash-bucket pairs that squared pairwise distances
+    * survive within the JL bound (E[‖P(x−y)‖²] = k·‖x−y‖²). The
+    * cheapest dimensionality-reduction rung below PQ (q134) and
+    * quantization (q74) — a data-independent projection needs no
+    * training pass at 100 TB. Exactness: per-coordinate differences
+    * value-rounded to 6 (the q306 discipline) so every projected
+    * coordinate is an exact DECIMAL sum, squared norms exact BIGINT
+    * micro², distortion integer ppm. Scale: the projection is one
+    * map-side explode (d·k multiplies per pair, no shuffle); the
+    * audit frame is 64 bounded pairs. */
+  def q345JlDistortion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 16
+    val e = t(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("r", Dedup.portableHash64(col("vec_id").cast("string"), 909))
+      .withColumn("bkt", pmod(col("r"), lit(64L)))
+    val rn = row_number().over(
+      Window.partitionBy(col("bkt")).orderBy(col("r"), col("vec_id")))
+    val ranked = e.withColumn("rn", rn)
+      .withColumn("pair_id", expr("(rn + 1) DIV 2"))
+    val a = ranked.filter(col("rn") % 2 === 1)
+      .select(col("bkt"), col("pair_id"), col("vec_id").as("id_a"),
+        col("embedding").as("va"))
+    val b = ranked.filter(col("rn") % 2 === 0)
+      .select(col("bkt"), col("pair_id"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"))
+    val coords = a.join(b, Seq("bkt", "pair_id"))
+      .select(col("bkt"), col("id_a"), col("id_b"),
+        posexplode(col("va")).as(Seq("i", "xa")), col("vb"))
+      .select(col("bkt"), col("id_a"), col("id_b"), col("i"),
+        round(col("xa").cast("double") -
+          element_at(col("vb"), col("i") + 1).cast("double"), 6)
+          .cast("decimal(25,6)").as("d6"))
+    val orig = coords.groupBy(col("bkt"), col("id_a"), col("id_b"))
+      .agg(sum((col("d6") * 1000000).cast("long") *
+        (col("d6") * 1000000).cast("long")).cast("long").as("ssq_orig"))
+    val proj = coords
+      .withColumn("o", explode(expr(s"sequence(1, $k)")))
+      .withColumn("sgn", pmod(Dedup.portableHash64(
+        concat(col("i").cast("string"), lit(":"), col("o").cast("string")),
+        1213), lit(2L)) * 2 - 1)
+      .groupBy(col("bkt"), col("id_a"), col("id_b"), col("o"))
+      .agg(sum(col("d6") * col("sgn")).as("p"))
+      .select(col("bkt"), col("id_a"), col("id_b"),
+        (col("p") * 1000000).cast("long").as("pm"))
+      .groupBy(col("bkt"), col("id_a"), col("id_b"))
+      .agg(sum(col("pm") * col("pm")).cast("long").as("ssq_proj"))
+    orig.join(proj, Seq("bkt", "id_a", "id_b"))
+      .select(col("bkt"), col("id_a"), col("id_b"), col("ssq_orig"),
+        col("ssq_proj"),
+        expr("CAST(CAST(ssq_proj AS DECIMAL(25,0)) * 1000000" +
+          s" DIV ($k * CAST(ssq_orig AS DECIMAL(25,0))) AS BIGINT)")
+          .as("distortion_ppm"))
+      .orderBy("bkt")
+  }
+
+  /** Leave-one-out target encoding of customer nation against order
+    * count: the standard high-cardinality categorical feature for
+    * tabular models, with the row's own label held out so the encode
+    * can't leak it (the difference between a feature and a target
+    * copy). Exact: y is a count, the encode (S_g − y)·1000 DIV
+    * (n_g − 1) an exact truncating integer ratio; singleton groups
+    * yield NULL rather than a fabricated prior. Scale: one
+    * customer-keyed count + one broadcast-size nation agg joined
+    * back — no window, no per-row recompute. */
+  def q346TargetEncoding(s: SparkSession, dir: String): DataFrame = {
+    val y = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(t(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("__n_ord")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_nationkey"),
+        coalesce(col("__n_ord"), lit(0L)).as("y"))
+    val g = y.groupBy(col("c_nationkey"))
+      .agg(sum(col("y")).cast("long").as("s_g"),
+        count(lit(1)).as("n_g"))
+    y.join(broadcast(g), Seq("c_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("y"),
+        when(col("n_g") > 1,
+          expr("(s_g - y) * 1000 DIV (n_g - 1)")).otherwise(lit(null))
+          .cast("long").as("loo_encode_milli"))
+      .orderBy("c_custkey")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -7974,6 +8063,8 @@ object Queries {
     "q342_cuped" -> (q342Cuped _),
     "q343_uplift_deciles" -> (q343UpliftDeciles _),
     "q344_assortativity" -> (q344Assortativity _),
+    "q345_jl_distortion" -> (q345JlDistortion _),
+    "q346_target_encoding" -> (q346TargetEncoding _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
