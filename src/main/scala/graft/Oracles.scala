@@ -8389,6 +8389,137 @@ object Oracles {
         |  ELSE NULL END AS loo_encode_milli
         |FROM y JOIN g ON y.c_nationkey = g.c_nationkey
         |ORDER BY y.c_custkey""".stripMargin,
+
+    // ABC (cumulative revenue share, cross-multiplied) x XYZ (weekly
+    // CV^2 ppm with calendar zero-weeks in closed form)
+    "q347_abc_xyz" ->
+      """WITH li AS (
+        | SELECT l_partkey,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS rev_c,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS qty_c,
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |   CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS week
+        | FROM lineitem),
+        |span AS (
+        | SELECT CAST(max(week) - min(week) + 1 AS BIGINT) AS n_weeks
+        | FROM li),
+        |weekly AS (
+        | SELECT l_partkey, week, CAST(sum(qty_c) AS BIGINT) AS x
+        | FROM li GROUP BY 1, 2),
+        |vp AS (
+        | SELECT l_partkey,
+        |  CAST(n_weeks * CAST(n_weeks * qq - sq * sq AS HUGEINT)
+        |   * 1000000 // ((n_weeks - 1)
+        |   * CAST(sq * sq AS HUGEINT)) AS BIGINT) AS cv2_ppm
+        | FROM (
+        |  SELECT l_partkey, CAST(sum(x) AS BIGINT) AS sq,
+        |   CAST(sum(x * x) AS BIGINT) AS qq
+        |  FROM weekly GROUP BY 1), span),
+        |rev AS (
+        | SELECT l_partkey, CAST(sum(rev_c) AS BIGINT) AS rev
+        | FROM li GROUP BY 1),
+        |cumr AS (
+        | SELECT l_partkey, rev,
+        |  CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS BIGINT)
+        |   AS cum
+        | FROM rev),
+        |tot AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM rev),
+        |vr AS (
+        | SELECT l_partkey,
+        |  row_number() OVER (ORDER BY cv2_ppm, l_partkey) AS vrank,
+        |  count(*) OVER () AS n_var
+        | FROM vp),
+        |classed AS (
+        | SELECT c.l_partkey, c.rev,
+        |  CASE WHEN CAST(c.cum AS HUGEINT) * 100
+        |    <= CAST(t.total AS HUGEINT) * 80 THEN 'A'
+        |   WHEN CAST(c.cum AS HUGEINT) * 100
+        |    <= CAST(t.total AS HUGEINT) * 95 THEN 'B'
+        |   ELSE 'C' END AS abc,
+        |  CASE (v.vrank - 1) * 3 // v.n_var WHEN 0 THEN 'X'
+        |   WHEN 1 THEN 'Y' ELSE 'Z' END AS xyz
+        | FROM cumr c CROSS JOIN tot t
+        |  JOIN vr v ON c.l_partkey = v.l_partkey)
+        |SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+        | CAST(sum(rev) AS BIGINT) AS rev_cents,
+        | CAST(CAST(sum(rev) AS HUGEINT) * 1000000
+        |  // (SELECT total FROM tot) AS BIGINT) AS rev_share_ppm
+        |FROM classed GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin,
+
+    // triplet-violation rate: label-partitioned hash pairing for
+    // (anchor, positive), 32-bucket distinct-label reps for negatives,
+    // exact micro^2 distance comparison
+    "q348_triplet_violation" ->
+      s"""WITH e AS (
+        | SELECT vec_id, label, embedding,
+        |  ${ph("CAST(vec_id AS VARCHAR)", 414)} AS r
+        | FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |  AND label IS NOT NULL),
+        |ranked AS (
+        | SELECT vec_id, label, embedding, r,
+        |  row_number() OVER (PARTITION BY label ORDER BY r, vec_id)
+        |   AS rn
+        | FROM e),
+        |anchors AS (
+        | SELECT label, (rn + 1) // 2 AS pair_id, vec_id AS id_a,
+        |  embedding AS va,
+        |  ${ph("CAST(vec_id AS VARCHAR)", 131)} % 32 AS nbkt
+        | FROM ranked WHERE rn % 2 = 1),
+        |pos AS (
+        | SELECT label, (rn + 1) // 2 AS pair_id, embedding AS vp
+        | FROM ranked WHERE rn % 2 = 0),
+        |bkt AS (
+        | SELECT vec_id, label, embedding, r,
+        |  ${ph("CAST(vec_id AS VARCHAR)", 737)} % 32 AS nbkt
+        | FROM e),
+        |bro AS (
+        | SELECT vec_id, label, embedding, nbkt,
+        |  row_number() OVER (PARTITION BY nbkt ORDER BY r, vec_id)
+        |   AS brn,
+        |  first_value(label) OVER (PARTITION BY nbkt
+        |    ORDER BY r, vec_id) AS lab1
+        | FROM bkt),
+        |rep1 AS (
+        | SELECT nbkt, label AS lab_n1, embedding AS vn1
+        | FROM bro WHERE brn = 1),
+        |rep2 AS (
+        | SELECT nbkt, embedding AS vn2 FROM (
+        |  SELECT nbkt, embedding,
+        |   row_number() OVER (PARTITION BY nbkt ORDER BY brn) AS arn
+        |  FROM bro WHERE label <> lab1)
+        | WHERE arn = 1),
+        |triplets AS (
+        | SELECT a.id_a, a.va, p.vp,
+        |  CASE WHEN r1.lab_n1 <> a.label THEN r1.vn1 ELSE r2.vn2 END
+        |   AS vn
+        | FROM anchors a
+        |  JOIN pos p ON a.label = p.label AND a.pair_id = p.pair_id
+        |  JOIN rep1 r1 ON a.nbkt = r1.nbkt
+        |  LEFT JOIN rep2 r2 ON a.nbkt = r2.nbkt),
+        |tf AS (SELECT * FROM triplets WHERE vn IS NOT NULL),
+        |coords AS (
+        | SELECT id_a, unnest(range(1, len(va) + 1)) AS i, va, vp, vn
+        | FROM tf),
+        |d AS (
+        | SELECT id_a,
+        |  CAST(CAST(round(CAST(va[i] AS DOUBLE) - CAST(vp[i] AS DOUBLE),
+        |   6) AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS dpm,
+        |  CAST(CAST(round(CAST(va[i] AS DOUBLE) - CAST(vn[i] AS DOUBLE),
+        |   6) AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS dnm
+        | FROM coords),
+        |dist AS (
+        | SELECT id_a, CAST(sum(dpm * dpm) AS BIGINT) AS d_ap,
+        |  CAST(sum(dnm * dnm) AS BIGINT) AS d_an
+        | FROM d GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_triplets,
+        | CAST(sum(CASE WHEN d_ap >= d_an THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_violations,
+        | CAST(sum(CASE WHEN d_ap >= d_an THEN 1 ELSE 0 END) AS BIGINT)
+        |  * 1000000 // CAST(count(*) AS BIGINT) AS violation_ppm
+        |FROM dist""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -6712,6 +6712,151 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  /** ABC-XYZ inventory matrix: parts classed by cumulative revenue
+    * share (A ≤ 80%, B ≤ 95%, C — cross-multiplied, no float share)
+    * crossed with demand-variability classes from the weekly CV²
+    * (exact rank terciles over cv2_ppm — intermittent TPC-H-style
+    * demand puts every part far above the classic CV=0.5/1.0 cuts, so
+    * relative classes keep the matrix informative at every SF) — the
+    * planning grid that decides which SKUs get safety stock vs
+    * make-to-order.
+    * Weekly demand uses q341's absolute epoch-week and q338's
+    * closed-form zero-week treatment (the calendar span only changes
+    * n); quantities frozen as exact cents. Output is the bounded
+    * class matrix with part counts and exact ppm revenue share.
+    * Scale: two part-keyed aggs + one rank window over the part
+    * dimension (dimension-sized, not fact-sized; range-partition the
+    * cumulative rank at a 1e9-part catalog). */
+  def q347AbcXyz(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("rev_c"),
+        (dec2(col("l_quantity")) * 100).cast("long").as("qty_c"),
+        expr("CAST(datediff(to_date(l_shipdate), DATE '1970-01-01')" +
+          " DIV 7 AS BIGINT)").as("week"))
+    val span = li.agg((max(col("week")) - min(col("week")) + 1)
+      .cast("long").as("n_weeks"))
+    val weekly = li.groupBy(col("l_partkey"), col("week"))
+      .agg(sum(col("qty_c")).cast("long").as("x"))
+    val varPart = weekly.groupBy(col("l_partkey"))
+      .agg(sum(col("x")).cast("long").as("sq"),
+        sum(col("x") * col("x")).cast("long").as("qq"))
+      .crossJoin(broadcast(span))
+      .select(col("l_partkey"),
+        expr("CAST(n_weeks * CAST(n_weeks * qq - sq * sq AS" +
+          " DECIMAL(38,0)) * 1000000 DIV ((n_weeks - 1)" +
+          " * CAST(sq * sq AS DECIMAL(38,0))) AS BIGINT)").as("cv2_ppm"))
+    val rev = li.groupBy(col("l_partkey"))
+      .agg(sum(col("rev_c")).cast("long").as("rev"))
+      .withColumn("cum", sum(col("rev")).over(
+        Window.orderBy(col("rev").desc, col("l_partkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = rev.agg(sum(col("rev")).cast("long").as("total"))
+    val classed = rev.crossJoin(broadcast(tot))
+      .select(col("l_partkey"), col("rev"),
+        when(expr("CAST(cum AS DECIMAL(25,0)) * 100" +
+            " <= CAST(total AS DECIMAL(25,0)) * 80"), "A")
+          .when(expr("CAST(cum AS DECIMAL(25,0)) * 100" +
+            " <= CAST(total AS DECIMAL(25,0)) * 95"), "B")
+          .otherwise("C").as("abc"))
+      .join(varPart
+        .withColumn("vrank", row_number().over(
+          Window.orderBy(col("cv2_ppm").asc, col("l_partkey").asc)))
+        .crossJoin(broadcast(varPart.agg(count(lit(1)).as("n_var"))))
+        .withColumn("xyz",
+          expr("CASE (vrank - 1) * 3 DIV n_var WHEN 0 THEN 'X'" +
+            " WHEN 1 THEN 'Y' ELSE 'Z' END"))
+        .select(col("l_partkey"), col("xyz")), Seq("l_partkey"))
+    classed.groupBy(col("abc"), col("xyz"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev")).cast("long").as("rev_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("abc"), col("xyz"), col("n_parts"), col("rev_cents"),
+        expr("CAST(CAST(rev_cents AS DECIMAL(25,0)) * 1000000" +
+          " DIV total AS BIGINT)").as("rev_share_ppm"))
+      .orderBy("abc", "xyz")
+  }
+
+  /** Triplet-violation rate over the labeled embedding corpus: the
+    * metric-learning health gate — for deterministic (anchor,
+    * positive, negative) triplets, how often the same-label positive
+    * sits FARTHER than the different-label negative. Anchors pair
+    * with positives inside each label via q327's hash-rank pairing;
+    * the negative comes from 32 hash buckets, each contributing its
+    * two lowest-rank distinct-label representatives so every anchor
+    * finds a different-label rep without any corpus sort. Distances
+    * are exact micro² sums of value-rounded coordinate differences
+    * (the q306/q345 discipline), so the violation decision is an
+    * exact integer comparison. Output: one row (n, violations, ppm).
+    * Scale: label/bucket-keyed windows, per-row kernels, 1-row agg. */
+  def q348TripletViolation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0 &&
+        col("label").isNotNull)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("r", Dedup.portableHash64(col("vec_id").cast("string"), 414))
+    val rnLab = row_number().over(
+      Window.partitionBy(col("label")).orderBy(col("r"), col("vec_id")))
+    val ranked = e.withColumn("rn", rnLab)
+      .withColumn("pair_id", expr("(rn + 1) DIV 2"))
+    val anchors = ranked.filter(col("rn") % 2 === 1)
+      .select(col("label"), col("pair_id"), col("vec_id").as("id_a"),
+        col("embedding").as("va"))
+      .withColumn("nbkt", pmod(Dedup.portableHash64(
+        col("id_a").cast("string"), 131), lit(32L)))
+    val pos = ranked.filter(col("rn") % 2 === 0)
+      .select(col("label"), col("pair_id"), col("vec_id").as("id_p"),
+        col("embedding").as("vp"))
+    // per hash bucket: the lowest-rank vec, plus the lowest-rank vec of a
+    // DIFFERENT label, so any anchor label finds a mismatched rep
+    val bkt = e.withColumn("nbkt", pmod(Dedup.portableHash64(
+        col("vec_id").cast("string"), 737), lit(32L)))
+      .withColumn("brn", row_number().over(
+        Window.partitionBy(col("nbkt")).orderBy(col("r"), col("vec_id"))))
+      .withColumn("lab1", first(col("label")).over(
+        Window.partitionBy(col("nbkt")).orderBy(col("brn"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val rep1 = bkt.filter(col("brn") === 1)
+      .select(col("nbkt"), col("vec_id").as("id_n1"),
+        col("label").as("lab_n1"), col("embedding").as("vn1"))
+    val rep2 = bkt.filter(col("label") =!= col("lab1"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col("nbkt")).orderBy(col("brn"))))
+      .filter(col("arn") === 1)
+      .select(col("nbkt"), col("vec_id").as("id_n2"),
+        col("label").as("lab_n2"), col("embedding").as("vn2"))
+    val triplets = anchors.join(pos, Seq("label", "pair_id"))
+      .join(rep1, Seq("nbkt"))
+      .join(rep2, Seq("nbkt"), "left")
+      .select(col("id_a"), col("va"), col("vp"),
+        when(col("lab_n1") =!= col("label"), col("vn1"))
+          .otherwise(col("vn2")).as("vn"))
+      .filter(col("vn").isNotNull)
+    val d = triplets
+      .select(col("id_a"), posexplode(col("va")).as(Seq("i", "xa")),
+        col("vp"), col("vn"))
+      .select(col("id_a"),
+        round(col("xa").cast("double") -
+          element_at(col("vp"), col("i") + 1).cast("double"), 6)
+          .cast("decimal(25,6)").as("dp"),
+        round(col("xa").cast("double") -
+          element_at(col("vn"), col("i") + 1).cast("double"), 6)
+          .cast("decimal(25,6)").as("dn"))
+      .groupBy(col("id_a"))
+      .agg(sum((col("dp") * 1000000).cast("long") *
+          (col("dp") * 1000000).cast("long")).cast("long").as("d_ap"),
+        sum((col("dn") * 1000000).cast("long") *
+          (col("dn") * 1000000).cast("long")).cast("long").as("d_an"))
+    d.agg(count(lit(1)).as("n_triplets"),
+        sum(when(col("d_ap") >= col("d_an"), 1L).otherwise(0L))
+          .as("n_violations"))
+      .select(col("n_triplets"), col("n_violations"),
+        expr("n_violations * 1000000 DIV n_triplets")
+          .as("violation_ppm"))
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -8065,6 +8210,8 @@ object Queries {
     "q344_assortativity" -> (q344Assortativity _),
     "q345_jl_distortion" -> (q345JlDistortion _),
     "q346_target_encoding" -> (q346TargetEncoding _),
+    "q347_abc_xyz" -> (q347AbcXyz _),
+    "q348_triplet_violation" -> (q348TripletViolation _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
