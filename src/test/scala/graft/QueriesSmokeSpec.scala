@@ -9,8 +9,10 @@ class QueriesSmokeSpec extends SparkSpec {
 
   // q31's synthesized collision moduli exceed the 150-customer key range at
   // sf0.001, so zero pairs is the correct answer there (the oracle agrees);
-  // q245's 3-core rides the same pair graph — no pairs, no core
-  private val mayBeEmptyAtTinyScale = Set("q31_fuzzy_dups", "q245_kcore")
+  // q245's 3-core, q271's blocking pairs, and q289's community edges ride
+  // the same pair graph — no pairs, no rows
+  private val mayBeEmptyAtTinyScale = Set("q31_fuzzy_dups", "q245_kcore",
+    "q271_sorted_neighborhood", "q289_modularity")
 
   for ((name, fn) <- Queries.all.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001") {
