@@ -8094,10 +8094,10 @@ object Oracles {
         |  CAST(sum(1 - arm) AS BIGINT) AS n_b
         | FROM a GROUP BY 1)
         |SELECT CAST(seed AS BIGINT) AS seed, n_a, n_b,
-        | (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
-        |  AS chi2_micro,
-        | (n_a - n_b) * (n_a - n_b) * 100 > 384 * (n_a + n_b)
-        |  AS srm_flag
+        | CAST(CAST(n_a - n_b AS HUGEINT) * CAST(n_a - n_b AS HUGEINT)
+        |  * 1000000 // (n_a + n_b) AS BIGINT) AS chi2_micro,
+        | CAST(n_a - n_b AS HUGEINT) * CAST(n_a - n_b AS HUGEINT) * 100
+        |  > CAST(384 AS HUGEINT) * (n_a + n_b) AS srm_flag
         |FROM c ORDER BY seed""".stripMargin,
 
     // Fano overdispersion of daily order counts per nation; zero days
@@ -8213,17 +8213,18 @@ object Oracles {
         |FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
         |ORDER BY 1, 2""".stripMargin,
 
-    // CUPED: whole-dollar pre/post revenue per customer (zero-filled
-    // population), theta and rho^2 as exact HUGEINT ratios
+    // CUPED: kilodollar pre/post revenue per customer (zero-filled
+    // population), theta and rho^2 as exact HUGEINT ratios with
+    // operand-level casts (no BIGINT product anywhere)
     "q342_cuped" ->
       """WITH pc AS (
         | SELECT o_custkey,
         |  CAST(sum(CASE WHEN o_orderdate < DATE '1997-01-01'
         |   THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |   ELSE 0 END) // 100 AS BIGINT) AS xc,
+        |   ELSE 0 END) // 100000 AS BIGINT) AS xc,
         |  CAST(sum(CASE WHEN o_orderdate >= DATE '1997-01-01'
         |   THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |   ELSE 0 END) // 100 AS BIGINT) AS yc
+        |   ELSE 0 END) // 100000 AS BIGINT) AS yc
         | FROM orders GROUP BY 1),
         |xy AS (
         | SELECT coalesce(pc.xc, 0) AS x, coalesce(pc.yc, 0) AS y
@@ -8236,13 +8237,15 @@ object Oracles {
         |  CAST(sum(y * y) AS BIGINT) AS syy
         | FROM xy)
         |SELECT n, sx, sy,
-        | CAST(CAST(n * sxy - sx * sy AS HUGEINT) * 1000
-        |  // CAST(n * sxx - sx * sx AS HUGEINT) AS BIGINT) AS theta_milli,
-        | CAST(CAST(n * sxy - sx * sy AS HUGEINT)
-        |  * CAST(n * sxy - sx * sy AS HUGEINT) * 1000000
-        |  // (CAST(n * sxx - sx * sx AS HUGEINT)
-        |     * CAST(n * syy - sy * sy AS HUGEINT)) AS BIGINT)
-        |  AS var_reduction_ppm
+        | CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |  * 1000 // (CAST(n AS HUGEINT) * sxx
+        |   - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS theta_milli,
+        | CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |  * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |  * 1000000
+        |  // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |     * (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy))
+        |  AS BIGINT) AS var_reduction_ppm
         |FROM st""".stripMargin,
 
     // uplift by acctbal decile: hash arms, exact decile by
@@ -8309,8 +8312,10 @@ object Oracles {
         | FROM e JOIN deg da ON e.id_a = da.id
         |  JOIN deg db ON e.id_b = db.id)
         |SELECT n_edges,
-        | CAST(CAST(2 * n_edges * sxy - s * s AS HUGEINT) * 1000
-        |  // CAST(2 * n_edges * sxx - s * s AS HUGEINT) AS BIGINT)
+        | CAST((CAST(2 * n_edges AS HUGEINT) * sxy
+        |   - CAST(s AS HUGEINT) * s) * 1000
+        |  // (CAST(2 * n_edges AS HUGEINT) * sxx
+        |   - CAST(s AS HUGEINT) * s) AS BIGINT)
         |  AS assortativity_milli
         |FROM st""".stripMargin,
 

@@ -6336,10 +6336,15 @@ object Queries {
       .agg(sum(when(col("arm"), 1L).otherwise(0L)).as("n_a"),
         sum(when(col("arm"), 0L).otherwise(1L)).as("n_b"))
       .select(col("seed"), col("n_a"), col("n_b"),
-        expr("(n_a - n_b) * (n_a - n_b) * 1000000 DIV (n_a + n_b)")
-          .as("chi2_micro"),
-        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) * 100 >
-          lit(384L) * (col("n_a") + col("n_b"))).as("srm_flag"))
+        // the worst case this guardrail exists to flag is a grossly
+        // unbalanced split, where (n_a-n_b)^2 approaches n^2 — square
+        // in DECIMAL so the pathological input can't overflow the alarm
+        expr("CAST(CAST(n_a - n_b AS DECIMAL(25,0))" +
+          " * CAST(n_a - n_b AS DECIMAL(25,0)) * 1000000" +
+          " DIV (n_a + n_b) AS BIGINT)").as("chi2_micro"),
+        expr("CAST(n_a - n_b AS DECIMAL(25,0))" +
+          " * CAST(n_a - n_b AS DECIMAL(25,0)) * 100" +
+          " > CAST(384 AS DECIMAL(25,0)) * (n_a + n_b)").as("srm_flag"))
       .orderBy("seed")
   }
 
@@ -6493,23 +6498,27 @@ object Queries {
     * before reading a metric. Per customer, X = pre-1997 revenue and
     * Y = post-1997 revenue (zero-filled over the full population —
     * CUPED is defined on the whole assignment frame, not just
-    * converters), both frozen as floor-DIV whole dollars. theta =
-    * cov(X,Y)/var(X) and the variance-reduction share rho² are exact
-    * integer ratios of the cross-multiplied sums (n·Σxy − ΣxΣy etc.),
-    * reported in milli / ppm via DECIMAL(38,0) truncating DIV — the
-    * squared numerator stays under 1e38 through sf1k at
-    * whole-dollar quantization. One row out; one customer-keyed agg
-    * is the only corpus shuffle. */
+    * converters), both frozen as floor-DIV KILOdollars (TPC-H
+    * customers move ~1.5e6 dollars each, so dollar units would push
+    * the rho² squared numerator past DECIMAL(38) already at sf0.1).
+    * theta = cov(X,Y)/var(X) and the variance-reduction share rho²
+    * are exact integer ratios of the cross-multiplied sums
+    * (n·Σxy − ΣxΣy etc.), every product taken AFTER the operands are
+    * individually cast to DECIMAL(38,0) so no long multiply can
+    * overflow; at kilodollar units the squared numerator holds to
+    * ~sf30 (rescale to megadollars past that — documented ladder).
+    * One row out; one customer-keyed agg is the only corpus
+    * shuffle. */
   def q342Cuped(s: SparkSession, dir: String): DataFrame = {
     val perCust = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(
-        (sum(when(col("o_orderdate") < "1997-01-01",
-          (dec2(col("o_totalprice")) * 100).cast("long")).otherwise(0L))
-          / lit(100)).cast("long").as("__xc"),
-        (sum(when(col("o_orderdate") >= "1997-01-01",
-          (dec2(col("o_totalprice")) * 100).cast("long")).otherwise(0L))
-          / lit(100)).cast("long").as("__yc"))
+        expr("CAST(sum(CASE WHEN o_orderdate < DATE '1997-01-01' THEN" +
+          " CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " ELSE 0 END) DIV 100000 AS BIGINT)").as("__xc"),
+        expr("CAST(sum(CASE WHEN o_orderdate >= DATE '1997-01-01' THEN" +
+          " CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " ELSE 0 END) DIV 100000 AS BIGINT)").as("__yc"))
     val xy = t(s, dir, "customer").select(col("c_custkey"))
       .join(perCust, col("c_custkey") === col("o_custkey"), "left")
       .select(coalesce(col("__xc"), lit(0L)).as("x"),
@@ -6521,14 +6530,20 @@ object Queries {
         sum(col("x") * col("y")).cast("long").as("sxy"),
         sum(col("y") * col("y")).cast("long").as("syy"))
       .select(col("n"), col("sx"), col("sy"),
-        expr("CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) * 1000" +
-          " DIV CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS BIGINT)")
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * sxy" +
+          " - CAST(sx AS DECIMAL(38,0)) * sy) * 1000" +
+          " DIV (CAST(n AS DECIMAL(38,0)) * sxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)")
           .as("theta_milli"),
-        expr("CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0))" +
-          " * CAST(n * sxy - sx * sy AS DECIMAL(38,0)) * 1000000" +
-          " DIV (CAST(n * sxx - sx * sx AS DECIMAL(38,0))" +
-          " * CAST(n * syy - sy * sy AS DECIMAL(38,0))) AS BIGINT)")
-          .as("var_reduction_ppm"))
+        expr("CAST(CAST(CAST(n AS DECIMAL(38,0)) * sxy" +
+          " - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(19,0))" +
+          " * CAST(CAST(n AS DECIMAL(38,0)) * sxy" +
+          " - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(19,0)) * 1000000" +
+          " DIV (CAST(CAST(n AS DECIMAL(38,0)) * sxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(19,0))" +
+          " * CAST(CAST(n AS DECIMAL(38,0)) * syy" +
+          " - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(19,0)))" +
+          " AS BIGINT)").as("var_reduction_ppm"))
   }
 
   /** Uplift-by-decile (Qini-style) read-out: hash-assigned 50/50 arms
@@ -6618,9 +6633,11 @@ object Queries {
           .as("sxx"),
         sum(col("da") * col("db") * 2).cast("long").as("sxy"))
       .select(col("n_edges"),
-        expr("CAST(CAST(2 * n_edges * sxy - s * s AS DECIMAL(25,0))" +
-          " * 1000 DIV CAST(2 * n_edges * sxx - s * s AS DECIMAL(25,0))" +
-          " AS BIGINT)").as("assortativity_milli"))
+        expr("CAST((CAST(2 * n_edges AS DECIMAL(25,0)) * sxy" +
+          " - CAST(s AS DECIMAL(25,0)) * s) * 1000" +
+          " DIV (CAST(2 * n_edges AS DECIMAL(25,0)) * sxx" +
+          " - CAST(s AS DECIMAL(25,0)) * s) AS BIGINT)")
+          .as("assortativity_milli"))
   }
 
   /** Johnson-Lindenstrauss sign-projection distortion audit: project
