@@ -7945,23 +7945,23 @@ object Oracles {
         |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
         |d AS (
         | SELECT day_num,
-        |  rev_cents * 1000000 - win_sum * 1000000 // 7 AS detr_micro,
+        |  rev_cents * 1000 - win_sum * 1000 // 7 AS detr_milli,
         |  day_num % 7 AS phase
         | FROM tr WHERE win_n = 7 AND win_span = 6),
         |pe AS (
-        | SELECT phase, CAST(sum(detr_micro) // count(*) AS BIGINT)
-        |   AS phase_micro
+        | SELECT phase, CAST(sum(detr_milli) // count(*) AS BIGINT)
+        |   AS phase_milli
         | FROM d GROUP BY 1),
         |j AS (
-        | SELECT detr_micro, detr_micro - phase_micro AS resid_micro
+        | SELECT detr_milli, detr_milli - phase_milli AS resid_milli
         | FROM d JOIN pe ON d.phase = pe.phase)
         |SELECT CAST(count(*) AS BIGINT) AS n_days,
-        | CAST(sum(CAST(detr_micro AS HUGEINT) * detr_micro)
+        | CAST(sum(CAST(detr_milli AS HUGEINT) * detr_milli)
         |  AS DECIMAL(38,0)) AS ss_detr,
-        | CAST(sum(CAST(resid_micro AS HUGEINT) * resid_micro)
+        | CAST(sum(CAST(resid_milli AS HUGEINT) * resid_milli)
         |  AS DECIMAL(38,0)) AS ss_resid,
-        | CAST(1000000 - sum(CAST(resid_micro AS HUGEINT) * resid_micro)
-        |  * 1000000 // sum(CAST(detr_micro AS HUGEINT) * detr_micro)
+        | CAST(1000000 - sum(CAST(resid_milli AS HUGEINT) * resid_milli)
+        |  * 1000000 // sum(CAST(detr_milli AS HUGEINT) * detr_milli)
         |  AS BIGINT) AS strength_ppm
         |FROM j""".stripMargin,
 

@@ -6147,12 +6147,17 @@ object Queries {
 
   /** Seasonality strength of daily revenue — how much of the detrended
     * variance the weekly phase explains: 1 - SS_resid/SS_detrended
-    * over q314's exact micro-cent components, reported in ppm with the
-    * sums-of-squares EXACT (each square through DECIMAL(38,0) — the
-    * micro-cent squares overflow int64 by design; DuckDB runs the twin
-    * in HUGEINT). Zero doubles anywhere. The one-number gate on
-    * whether q314's seasonal split is worth applying (strength near 0
-    * = no weekly structure). Day-cardinality frames only. */
+    * over q314-style exact MILLI-cent components, reported in ppm with
+    * the sums-of-squares EXACT (each square through DECIMAL(38,0) —
+    * the milli-cent squares overflow int64 by design; DuckDB runs the
+    * twin in HUGEINT). Milli, not micro: at sf0.1 daily revenue is
+    * ~1e9 cents, and micro-scaled squares summed over the calendar
+    * pushed the final ·1e6 ratio scaling past DECIMAL(38) — milli
+    * keeps the detrend/phase truncation sub-cent while leaving four
+    * orders of headroom (holds to ~sf100). Zero doubles anywhere. The
+    * one-number gate on whether q314's seasonal split is worth
+    * applying (strength near 0 = no weekly structure).
+    * Day-cardinality frames only. */
   def q332SeasonalStrength(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = t(s, dir, "orders")
@@ -6168,20 +6173,20 @@ object Queries {
         max(col("day_num")).over(w7) - min(col("day_num")).over(w7))
       .withColumn("win_n", count(lit(1)).over(w7))
       .filter(col("win_n") === 7 && col("win_span") === 6)
-      .withColumn("detr_micro",
-        col("rev_cents") * 1000000 - expr("win_sum * 1000000 DIV 7"))
+      .withColumn("detr_milli",
+        col("rev_cents") * 1000 - expr("win_sum * 1000 DIV 7"))
       .withColumn("phase", col("day_num") % 7)
     val phaseEff = trended.groupBy(col("phase"))
-      .agg(expr("sum(detr_micro) DIV count(1)").as("phase_micro"))
+      .agg(expr("sum(detr_milli) DIV count(1)").as("phase_milli"))
     def sq(c: Column): Column =
       (c.cast("decimal(20,0)") * c.cast("decimal(20,0)"))
         .cast("decimal(38,0)")
     trended.join(broadcast(phaseEff), Seq("phase"))
-      .select(col("detr_micro"),
-        (col("detr_micro") - col("phase_micro")).as("resid_micro"))
+      .select(col("detr_milli"),
+        (col("detr_milli") - col("phase_milli")).as("resid_milli"))
       .agg(count(lit(1)).as("n_days"),
-        sum(sq(col("detr_micro"))).cast("decimal(38,0)").as("ss_detr"),
-        sum(sq(col("resid_micro"))).cast("decimal(38,0)").as("ss_resid"))
+        sum(sq(col("detr_milli"))).cast("decimal(38,0)").as("ss_detr"),
+        sum(sq(col("resid_milli"))).cast("decimal(38,0)").as("ss_resid"))
       .select(col("n_days"), col("ss_detr"), col("ss_resid"),
         (lit(1000000L) - expr("CAST(ss_resid * 1000000 DIV ss_detr" +
           " AS BIGINT)")).as("strength_ppm"))
