@@ -8525,6 +8525,146 @@ object Oracles {
         | CAST(sum(CASE WHEN d_ap >= d_an THEN 1 ELSE 0 END) AS BIGINT)
         |  * 1000000 // CAST(count(*) AS BIGINT) AS violation_ppm
         |FROM dist""".stripMargin,
+
+    // stationary distribution: micro transition matrix, uniform pi0,
+    // four unrolled integer power-iteration rounds
+    "q349_stationary_dist" ->
+      """WITH seq AS (
+        | SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |c AS (
+        | SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+        | FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |p AS (
+        | SELECT prev, next,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev)
+        |   AS BIGINT) AS p_micro
+        | FROM c),
+        |k AS (SELECT CAST(count(DISTINCT prev) AS BIGINT) AS n_states
+        |      FROM p),
+        |r0 AS (
+        | SELECT DISTINCT prev AS state,
+        |  CAST(1000000 // n_states AS BIGINT) AS pi_micro
+        | FROM p, k),
+        |r1 AS (
+        | SELECT p.next AS state,
+        |  CAST(sum(pi_micro * p_micro) // 1000000 AS BIGINT) AS pi_micro
+        | FROM r0 JOIN p ON r0.state = p.prev GROUP BY 1),
+        |r2 AS (
+        | SELECT p.next AS state,
+        |  CAST(sum(pi_micro * p_micro) // 1000000 AS BIGINT) AS pi_micro
+        | FROM r1 JOIN p ON r1.state = p.prev GROUP BY 1),
+        |r3 AS (
+        | SELECT p.next AS state,
+        |  CAST(sum(pi_micro * p_micro) // 1000000 AS BIGINT) AS pi_micro
+        | FROM r2 JOIN p ON r2.state = p.prev GROUP BY 1),
+        |r4 AS (
+        | SELECT p.next AS state,
+        |  CAST(sum(pi_micro * p_micro) // 1000000 AS BIGINT) AS pi_micro
+        | FROM r3 JOIN p ON r3.state = p.prev GROUP BY 1)
+        |SELECT state, pi_micro FROM r4 ORDER BY state""".stripMargin,
+
+    // rule metrics over the capped baskets: exact ppm/ppb/milli
+    // ratios; conviction NULL at the deterministic-rule pole
+    "q350_rule_metrics" ->
+      """WITH baskets AS (
+        | SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |small AS (
+        | SELECT cust FROM baskets GROUP BY 1 HAVING count(*) <= 30),
+        |b AS (
+        | SELECT baskets.cust, baskets.part
+        | FROM baskets JOIN small ON baskets.cust = small.cust),
+        |ntot AS (
+        | SELECT CAST(count(DISTINCT cust) AS BIGINT) AS n_total FROM b),
+        |buyers AS (
+        | SELECT part, CAST(count(*) AS BIGINT) AS buyers
+        | FROM b GROUP BY 1),
+        |co AS (
+        | SELECT x.part AS part_a, y.part AS part_b,
+        |  CAST(count(*) AS BIGINT) AS co
+        | FROM b x JOIN b y ON x.cust = y.cust AND x.part < y.part
+        | GROUP BY 1, 2
+        | ORDER BY co DESC, part_a, part_b LIMIT 20)
+        |SELECT part_a, part_b, co, na.buyers AS n_a, nb.buyers AS n_b,
+        | co * 1000000 // na.buyers AS confidence_ppm,
+        | CAST((CAST(co AS HUGEINT) * n_total
+        |   - CAST(na.buyers AS HUGEINT) * nb.buyers) * 1000000000
+        |  // (CAST(n_total AS HUGEINT) * n_total) AS BIGINT)
+        |  AS leverage_ppb,
+        | CASE WHEN na.buyers = co THEN NULL ELSE
+        |  CAST(CAST(n_total - nb.buyers AS HUGEINT) * na.buyers * 1000
+        |   // (CAST(n_total AS HUGEINT) * (na.buyers - co)) AS BIGINT)
+        |  END AS conviction_milli
+        |FROM co
+        | JOIN buyers na ON co.part_a = na.part
+        | JOIN buyers nb ON co.part_b = nb.part
+        | CROSS JOIN ntot
+        |ORDER BY co DESC, part_a, part_b""".stripMargin,
+
+    // Neyman allocation: exact stratum variance, one IEEE sqrt per
+    // stratum, value-rounded weight, exact shares
+    "q351_neyman_alloc" ->
+      """WITH st AS (
+        | SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_h,
+        |  CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx
+        | FROM (SELECT c_nationkey,
+        |   CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM customer)
+        | GROUP BY 1),
+        |v AS (
+        | SELECT c_nationkey, n_h,
+        |  CAST((CAST(n_h AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |   // (CAST(n_h AS HUGEINT) * (n_h - 1)) AS BIGINT)
+        |   AS var_cents2
+        | FROM st),
+        |w AS (
+        | SELECT c_nationkey, n_h, var_cents2,
+        |  CAST(round(n_h * sqrt(CAST(var_cents2 AS DOUBLE)))
+        |   AS BIGINT) AS w
+        | FROM v),
+        |ws AS (SELECT CAST(sum(w) AS BIGINT) AS w_sum FROM w)
+        |SELECT c_nationkey, n_h, var_cents2, w,
+        | CAST(CAST(w AS HUGEINT) * 1000000 // w_sum AS BIGINT)
+        |  AS alloc_ppm,
+        | CAST(CAST(w AS HUGEINT) * 1000 // w_sum AS BIGINT)
+        |  AS n_alloc_of_1000
+        |FROM w, ws ORDER BY c_nationkey""".stripMargin,
+
+    // Good-Turing over 3-shingles (q122's kernel): count-of-counts,
+    // p0 = N1/N ppm, r* milli
+    "q352_good_turing" ->
+      s"""WITH tok AS (
+        | SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        |shg AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |   ELSE list_transform(range(1, len(tk) - 1),
+        |          i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END
+        |   AS sh
+        | FROM tok),
+        |freqs AS (
+        | SELECT token, CAST(count(*) AS BIGINT) AS freq
+        | FROM (SELECT unnest(sh) AS token FROM shg)
+        | GROUP BY 1),
+        |nn AS (
+        | SELECT freq AS r, CAST(count(*) AS BIGINT) AS n_r
+        | FROM freqs WHERE freq <= 6 GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(sum(freq) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_1
+        | FROM freqs)
+        |SELECT a.r, a.n_r, coalesce(b.n_r, 0) AS n_r_next,
+        | CASE WHEN a.n_r = 0 THEN NULL ELSE
+        |  (a.r + 1) * coalesce(b.n_r, 0) * 1000 // a.n_r END
+        |  AS r_star_milli,
+        | n_tokens, n_1 * 1000000 // n_tokens AS p0_ppm
+        |FROM nn a LEFT JOIN nn b ON a.r + 1 = b.r CROSS JOIN tot
+        |WHERE a.r <= 5 ORDER BY a.r""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

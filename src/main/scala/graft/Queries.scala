@@ -6887,6 +6887,171 @@ object Queries {
           .as("violation_ppm"))
   }
 
+  /** Stationary distribution of q240's event-type Markov chain by
+    * FOUR unrolled integer power-iteration rounds (the q167/q328
+    * fixed-rounds discipline — no convergence actions, no floats):
+    * transition probabilities frozen as exact micro (count·1e6 DIV
+    * row_total), π₀ uniform micro, each round
+    * π'[j] = Σᵢ π[i]·P_micro[i][j] DIV 1e6 with the truncating DIV
+    * taken AFTER the exact sum. Truncation leaks ≤ |states| micro of
+    * mass per round by construction — the price of a bitwise-portable
+    * fixed point, and irrelevant to the ranking the answer feeds
+    * (where does user behavior settle). |types|² cells; the lag
+    * window is the only corpus-sized shuffle. */
+  def q349StationaryDist(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val counts = pairs.groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val p = counts
+      .withColumn("n_row", sum(col("n")).over(
+        Window.partitionBy(col("prev"))))
+      .select(col("prev"), col("next"),
+        expr("n * 1000000 DIV n_row").as("p_micro"))
+      .transform(graft.operators.Checkpoints.ckpt)
+    val states = p.select(col("prev").as("state")).distinct()
+    val k = states.agg(count(lit(1)).as("n_states"))
+    var pi = states.crossJoin(broadcast(k))
+      .select(col("state"), expr("CAST(1000000 DIV n_states AS BIGINT)")
+        .as("pi_micro"))
+    for (_ <- 1 to 4)
+      pi = pi.join(p, col("state") === col("prev"))
+        .groupBy(col("next"))
+        .agg(expr("CAST(sum(pi_micro * p_micro) DIV 1000000 AS BIGINT)")
+          .as("pi_micro"))
+        .withColumnRenamed("next", "state")
+    pi.orderBy("state")
+  }
+
+  /** Association-rule quality metrics beyond q250's lift: confidence,
+    * leverage, and conviction for the top co-occurring part pairs —
+    * the full screen a rules engine applies before surfacing
+    * "customers who bought A also bought B". All three are EXACT
+    * integer ratios: confidence = co·1e6 DIV n_a ppm, leverage =
+    * (co·N − n_a·n_b)·1e9 DIV N² ppb (the additive
+    * independence gap), conviction = (N−n_b)·n_a·1000 DIV
+    * (N·(n_a−co)) milli with the deterministic-rule pole (n_a = co)
+    * surfaced as NULL rather than a fake large number. Products
+    * through DECIMAL(25,0) operands. Reuses q335's capped-basket
+    * policy; output the top-20 pairs by support. */
+  def q350RuleMetrics(s: SparkSession, dir: String): DataFrame = {
+    val baskets = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+      .transform(graft.operators.Checkpoints.ckpt)
+    val small = baskets.groupBy(col("cust"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= 30)
+      .select(col("cust"))
+    val b = baskets.join(small, Seq("cust"))
+      .transform(graft.operators.Checkpoints.ckpt)
+    val nTot = b.select(col("cust")).distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val buyers = b.groupBy(col("part"))
+      .agg(count(lit(1)).cast("long").as("buyers"))
+    val co = b.as("x")
+      .join(b.as("y"), col("x.cust") === col("y.cust") &&
+        col("x.part") < col("y.part"))
+      .groupBy(col("x.part").as("part_a"), col("y.part").as("part_b"))
+      .agg(count(lit(1)).cast("long").as("co"))
+      .orderBy(col("co").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+    co.join(broadcast(buyers.withColumnRenamed("part", "part_a")
+        .withColumnRenamed("buyers", "n_a")), Seq("part_a"))
+      .join(broadcast(buyers.withColumnRenamed("part", "part_b")
+        .withColumnRenamed("buyers", "n_b")), Seq("part_b"))
+      .crossJoin(broadcast(nTot))
+      .select(col("part_a"), col("part_b"), col("co"), col("n_a"),
+        col("n_b"),
+        expr("co * 1000000 DIV n_a").as("confidence_ppm"),
+        expr("CAST((CAST(co AS DECIMAL(25,0)) * n_total" +
+          " - CAST(n_a AS DECIMAL(25,0)) * n_b) * 1000000000" +
+          " DIV (CAST(n_total AS DECIMAL(25,0)) * n_total) AS BIGINT)")
+          .as("leverage_ppb"),
+        expr("CASE WHEN n_a = co THEN NULL ELSE" +
+          " CAST(CAST(n_total - n_b AS DECIMAL(25,0)) * n_a * 1000" +
+          " DIV (CAST(n_total AS DECIMAL(25,0)) * (n_a - co))" +
+          " AS BIGINT) END").as("conviction_milli"))
+      .orderBy(col("co").desc, col("part_a").asc, col("part_b").asc)
+  }
+
+  /** Neyman optimal sample allocation across nation strata: the
+    * survey-sampling rule (allocate ∝ n_h·σ_h) that beats
+    * proportional allocation whenever strata variances differ — here
+    * for a 1000-unit audit sample of customer balances. The variance
+    * per stratum is an exact integer (operand-cast DECIMAL
+    * numerator DIV n(n−1), cents²); σ_h enters through ONE
+    * IEEE-correctly-rounded sqrt per stratum (the q307 single-op
+    * discipline — sqrt is exactly rounded by both engines, unlike
+    * ln), the weight n_h·σ_h is value-rounded to an integer, and the
+    * shares/allocations are exact truncating ratios from there.
+    * Nation-cardinality output; one customer-keyed agg. */
+  def q351NeymanAlloc(s: SparkSession, dir: String): DataFrame = {
+    val st = t(s, dir, "customer")
+      .select(col("c_nationkey"),
+        (dec2(col("c_acctbal")) * 100).cast("long").as("x"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("x") * col("x")).cast("long").as("sxx"))
+      .select(col("c_nationkey"), col("n_h"),
+        expr("CAST((CAST(n_h AS DECIMAL(38,0)) * sxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx)" +
+          " DIV (CAST(n_h AS DECIMAL(38,0)) * (n_h - 1)) AS BIGINT)")
+          .as("var_cents2"))
+      .withColumn("w",
+        expr("CAST(round(n_h * sqrt(CAST(var_cents2 AS DOUBLE)))" +
+          " AS BIGINT)"))
+    st.crossJoin(broadcast(st.agg(sum(col("w")).cast("long").as("w_sum"))))
+      .select(col("c_nationkey"), col("n_h"), col("var_cents2"), col("w"),
+        expr("CAST(CAST(w AS DECIMAL(25,0)) * 1000000 DIV w_sum" +
+          " AS BIGINT)").as("alloc_ppm"),
+        expr("CAST(CAST(w AS DECIMAL(25,0)) * 1000 DIV w_sum AS BIGINT)")
+          .as("n_alloc_of_1000"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Good-Turing frequency re-estimation over the corpus 3-shingle
+    * vocabulary: the unseen-probability mass p₀ = N₁/N (share of
+    * shingle occurrences whose type was seen exactly once) and the
+    * smoothed counts r* = (r+1)·N_{r+1}/N_r for r = 1..5 — the
+    * classic LM smoothing companion to Kneser-Ney (q174) and the
+    * vocabulary-growth curve (q330). Shingles, not unigrams: the
+    * fixture's whitespace vocabulary is 31 types, all with counts in
+    * the hundreds, so the unigram count-of-counts has no tail —
+    * 3-shingles (q122's kernel) give N₁ ≈ 9.4k at sf0.01. Every
+    * quantity is an exact integer ratio of count-of-count
+    * frequencies (ppm / milli); no float touches anything. One
+    * shingle-keyed agg then a ≤6-row count-of-counts frame. */
+  def q352GoodTuring(s: SparkSession, dir: String): DataFrame = {
+    val freqs = t(s, dir, "documents")
+      .select(explode(Dedup.shingles(col("text"), 3)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .transform(graft.operators.Checkpoints.ckpt)
+    val nn = freqs.filter(col("freq") <= 6)
+      .groupBy(col("freq").as("r")).agg(count(lit(1)).as("n_r"))
+    val tot = freqs.agg(sum(col("freq")).cast("long").as("n_tokens"),
+      sum(when(col("freq") === 1, 1L).otherwise(0L)).as("n_1"))
+    nn.as("a")
+      .join(nn.as("b"), col("a.r") + 1 === col("b.r"), "left")
+      .filter(col("a.r") <= 5)
+      .crossJoin(broadcast(tot))
+      .select(col("a.r").as("r"), col("a.n_r").as("n_r"),
+        coalesce(col("b.n_r"), lit(0L)).as("n_r_next"),
+        expr("CASE WHEN a.n_r = 0 THEN NULL ELSE" +
+          " (a.r + 1) * coalesce(b.n_r, 0) * 1000 DIV a.n_r END")
+          .cast("long").as("r_star_milli"),
+        col("n_tokens"),
+        expr("n_1 * 1000000 DIV n_tokens").as("p0_ppm"))
+      .orderBy("r")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -8242,6 +8407,10 @@ object Queries {
     "q346_target_encoding" -> (q346TargetEncoding _),
     "q347_abc_xyz" -> (q347AbcXyz _),
     "q348_triplet_violation" -> (q348TripletViolation _),
+    "q349_stationary_dist" -> (q349StationaryDist _),
+    "q350_rule_metrics" -> (q350RuleMetrics _),
+    "q351_neyman_alloc" -> (q351NeymanAlloc _),
+    "q352_good_turing" -> (q352GoodTuring _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
