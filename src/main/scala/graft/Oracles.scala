@@ -8665,6 +8665,44 @@ object Oracles {
         | n_tokens, n_1 * 1000000 // n_tokens AS p0_ppm
         |FROM nn a LEFT JOIN nn b ON a.r + 1 = b.r CROSS JOIN tot
         |WHERE a.r <= 5 ORDER BY a.r""".stripMargin,
+
+    // two-proportion MDE curve: exact counts, one double division,
+    // frozen z-sum literal, IEEE sqrt chain, q327 value-rounding
+    "q353_mde_power" ->
+      """WITH conv AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_all,
+        |  CAST(sum(CASE WHEN r.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_conv
+        | FROM customer LEFT JOIN (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= DATE '1997-01-01') r
+        |  ON c_custkey = r.o_custkey),
+        |grid AS (
+        | SELECT n_all, n_conv, unnest([1000, 10000, 100000, 1000000])
+        |   AS n_per_arm,
+        |  CAST(n_conv AS DOUBLE) / CAST(n_all AS DOUBLE) AS p
+        | FROM conv)
+        |SELECT n_all, n_conv, n_conv * 1000000 // n_all AS p_ppm,
+        | CAST(n_per_arm AS BIGINT) AS n_per_arm,
+        | CAST(round(floor(sqrt(2.0e0 * p * (1.0e0 - p)
+        |    / CAST(n_per_arm AS DOUBLE)) * 2.801585218728082e0
+        |   * 1e6 + 0.5) / 1e6 * 1e6) AS BIGINT) AS mde_micro
+        |FROM grid ORDER BY n_per_arm""".stripMargin,
+
+    // fixed-size per-stratum hash sample: exactly min(6, n_h) per
+    // nation, pure key function
+    "q354_group_sample" ->
+      s"""WITH r AS (
+        | SELECT c_nationkey, c_custkey,
+        |  ${ph("CAST(c_custkey AS VARCHAR)", 606)} AS r
+        | FROM customer),
+        |rk AS (
+        | SELECT c_nationkey, c_custkey,
+        |  row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY r, c_custkey) AS rn
+        | FROM r)
+        |SELECT c_nationkey, CAST(rn AS BIGINT) AS rn, c_custkey
+        |FROM rk WHERE rn <= 6 ORDER BY c_nationkey, rn""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -7052,6 +7052,65 @@ object Queries {
       .orderBy("r")
   }
 
+  /** Minimum-detectable-effect curve for a two-proportion A/B test:
+    * given the observed base conversion rate (exact counts; ONE double
+    * division), the absolute MDE at alpha=0.05 / power=0.80 for
+    * per-arm sizes 1k/10k/100k/1M — the "is this experiment even
+    * worth running" sizing table. The float chain is
+    * (z_a+z_b)·sqrt(2·p·(1−p)/n) with the z-sum a frozen e-notation
+    * literal and a fixed parenthesization — every op is a single
+    * correctly-rounded IEEE double op over portable operands, then
+    * value-rounded to micro via the q327 portableRound discipline.
+    * Grid is a 4-row broadcast; the only corpus work is two exact
+    * counts. */
+  def q353MdePower(s: SparkSession, dir: String): DataFrame = {
+    val conv = t(s, dir, "customer").select(col("c_custkey"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= "1997-01-01")
+          .select(col("o_custkey")).distinct()
+          .withColumn("__c", lit(1L)),
+        col("c_custkey") === col("o_custkey"), "left")
+      .agg(count(lit(1)).as("n_all"),
+        sum(coalesce(col("__c"), lit(0L))).cast("long").as("n_conv"))
+    val grid = conv
+      .withColumn("n_per_arm",
+        explode(array(Seq(1000L, 10000L, 100000L, 1000000L).map(lit(_)): _*)))
+      .withColumn("p", col("n_conv").cast("double") /
+        col("n_all").cast("double"))
+    val mde = sqrt(lit(2.0) * col("p") * (lit(1.0) - col("p")) /
+      col("n_per_arm").cast("double")) * lit(2.801585218728082e0)
+    grid.select(col("n_all"), col("n_conv"),
+        expr("n_conv * 1000000 DIV n_all").as("p_ppm"),
+        col("n_per_arm"),
+        round(graft.expr.GraftFunctions.portableRound(mde, 6) * 1e6)
+          .cast("long").as("mde_micro"))
+      .orderBy("n_per_arm")
+  }
+
+  /** Deterministic fixed-size per-stratum sample: exactly
+    * min(k=6, n_h) customers per nation, chosen by portable-hash rank
+    * — the dev-fixture / spot-audit sampler that complements q325's
+    * Bernoulli coordinated sampling (which cannot promise a size) and
+    * q351's allocation design (which says how MANY, this says WHICH).
+    * Selection is a pure function of the key and seed: stable across
+    * engines, runs, and cluster sizes, and new rows can only displace
+    * the highest hash ranks (bounded churn on refresh). One window
+    * per stratum partition; output |strata|·k rows. */
+  def q354GroupSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"))
+      .withColumn("r", Dedup.portableHash64(
+        col("c_custkey").cast("string"), 606))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("r"), col("c_custkey"))))
+      .filter(col("rn") <= 6)
+      .select(col("c_nationkey"), col("rn").cast("long").as("rn"),
+        col("c_custkey"))
+      .orderBy("c_nationkey", "rn")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -8411,6 +8470,8 @@ object Queries {
     "q350_rule_metrics" -> (q350RuleMetrics _),
     "q351_neyman_alloc" -> (q351NeymanAlloc _),
     "q352_good_turing" -> (q352GoodTuring _),
+    "q353_mde_power" -> (q353MdePower _),
+    "q354_group_sample" -> (q354GroupSample _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
