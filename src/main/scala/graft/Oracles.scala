@@ -8703,6 +8703,133 @@ object Oracles {
         | FROM r)
         |SELECT c_nationkey, CAST(rn AS BIGINT) AS rn, c_custkey
         |FROM rk WHERE rn <= 6 ORDER BY c_nationkey, rn""".stripMargin,
+
+    // Kish ESS under language-balance weights: integer micro weights,
+    // exact (sum w)^2 / sum w^2 via HUGEINT
+    "q355_ess_balance" ->
+      """WITH byl AS (
+        | SELECT lang, CAST(count(*) AS BIGINT) AS n_g
+        | FROM documents GROUP BY 1),
+        |k AS (
+        | SELECT CAST(count(*) AS BIGINT) AS k_classes,
+        |  CAST(sum(n_g) AS BIGINT) AS n_total FROM byl),
+        |w AS (
+        | SELECT lang, n_g,
+        |  CAST(CAST(n_total AS HUGEINT) * 1000000
+        |   // (k_classes * n_g) AS BIGINT) AS w_micro,
+        |  n_total
+        | FROM byl, k),
+        |g AS (
+        | SELECT CAST(sum(CAST(n_g AS HUGEINT) * w_micro) AS HUGEINT)
+        |   AS sw,
+        |  CAST(sum(CAST(n_g AS HUGEINT) * w_micro * w_micro) AS HUGEINT)
+        |   AS sw2
+        | FROM w)
+        |SELECT lang, n_g, w_micro,
+        | CAST(sw * sw // sw2 AS BIGINT) AS ess_count,
+        | CAST(sw * sw * 1000000
+        |  // (CAST(n_total AS HUGEINT) * sw2) AS BIGINT)
+        |  AS ess_share_ppm
+        |FROM w, g ORDER BY lang""".stripMargin,
+
+    // window funnel: ordered signup -> view -> click -> purchase
+    // within 7 days of the signup; strictly advancing timestamps
+    "q356_window_funnel" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, ts FROM events),
+        |t1 AS (
+        | SELECT user_id, min(ts) AS t1,
+        |  min(ts) + INTERVAL 7 DAY AS t_end
+        | FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (
+        | SELECT e.user_id, min(e.ts) AS t2
+        | FROM e JOIN t1 ON e.user_id = t1.user_id
+        | WHERE e.event_type = 'view' AND e.ts > t1.t1
+        |  AND e.ts <= t1.t_end
+        | GROUP BY 1),
+        |t3 AS (
+        | SELECT e.user_id, min(e.ts) AS t3
+        | FROM e JOIN t1 ON e.user_id = t1.user_id
+        |  JOIN t2 ON e.user_id = t2.user_id
+        | WHERE e.event_type = 'click' AND e.ts > t2.t2
+        |  AND e.ts <= t1.t_end
+        | GROUP BY 1),
+        |t4 AS (
+        | SELECT e.user_id, min(e.ts) AS t4
+        | FROM e JOIN t1 ON e.user_id = t1.user_id
+        |  JOIN t3 ON e.user_id = t3.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts > t3.t3
+        |  AND e.ts <= t1.t_end
+        | GROUP BY 1),
+        |d AS (
+        | SELECT CASE WHEN t4.user_id IS NOT NULL THEN 4
+        |  WHEN t3.user_id IS NOT NULL THEN 3
+        |  WHEN t2.user_id IS NOT NULL THEN 2
+        |  WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS depth
+        | FROM (SELECT DISTINCT user_id FROM e) u
+        |  LEFT JOIN t1 ON u.user_id = t1.user_id
+        |  LEFT JOIN t2 ON u.user_id = t2.user_id
+        |  LEFT JOIN t3 ON u.user_id = t3.user_id
+        |  LEFT JOIN t4 ON u.user_id = t4.user_id),
+        |cells AS (
+        | SELECT CAST(depth AS BIGINT) AS depth,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        | FROM d GROUP BY 1)
+        |SELECT depth, n_users,
+        | (SELECT CAST(sum(n_users) AS BIGINT) FROM cells) AS n_total,
+        | CAST(n_users * 1000000
+        |  // (SELECT sum(n_users) FROM cells) AS BIGINT) AS share_ppm
+        |FROM cells ORDER BY depth""".stripMargin,
+
+    // seasonal-adjusted MAD anomaly days: q332 milli residuals,
+    // integer lower-median fences
+    "q357_seasonal_mad" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num
+        | FROM orders GROUP BY 1, 3),
+        |tr AS (
+        | SELECT day, rev_cents, day_num,
+        |  CAST(sum(rev_cents) OVER w AS BIGINT) AS win_sum,
+        |  max(day_num) OVER w - min(day_num) OVER w AS win_span,
+        |  count(*) OVER w AS win_n
+        | FROM daily
+        | WINDOW w AS (ORDER BY day_num
+        |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (
+        | SELECT day, day_num,
+        |  rev_cents * 1000 - win_sum * 1000 // 7 AS detr_milli,
+        |  day_num % 7 AS phase
+        | FROM tr WHERE win_n = 7 AND win_span = 6),
+        |pe AS (
+        | SELECT phase, CAST(sum(detr_milli) // count(*) AS BIGINT)
+        |   AS phase_milli
+        | FROM d GROUP BY 1),
+        |resid AS (
+        | SELECT day, day_num, detr_milli - phase_milli AS resid_milli
+        | FROM d JOIN pe ON d.phase = pe.phase),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM resid),
+        |med AS (
+        | SELECT resid_milli AS med FROM (
+        |  SELECT resid_milli, row_number() OVER (
+        |    ORDER BY resid_milli, day_num) AS rn
+        |  FROM resid), n
+        | WHERE rn = (n_days + 1) // 2),
+        |dev AS (
+        | SELECT day, day_num, resid_milli, med,
+        |  abs(resid_milli - med) AS adev
+        | FROM resid, med),
+        |mad AS (
+        | SELECT adev AS mad FROM (
+        |  SELECT adev, row_number() OVER (ORDER BY adev, day_num) AS rn
+        |  FROM dev), n
+        | WHERE rn = (n_days + 1) // 2)
+        |SELECT day, resid_milli, med, mad
+        |FROM dev, mad WHERE adev > 3 * mad
+        |ORDER BY day""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -7111,6 +7111,138 @@ object Queries {
       .orderBy("c_nationkey", "rn")
   }
 
+  /** Kish effective sample size under class-balancing weights: if the
+    * corpus is reweighted so every language contributes equal mass
+    * (w_g = N·1e6 DIV (k·n_g) micro), how much data do we EFFECTIVELY
+    * keep? ESS = (Σw)²/Σw², reported as ppm of N — the one-number
+    * check that a rebalance isn't quietly collapsing the corpus onto
+    * a few upweighted rows (ESS share near 1e6 = balanced already;
+    * near k·n_min/N = dominated by the rarest class). Exact: weights
+    * integer micro, the square and cross ratios through
+    * DECIMAL(38,0)/HUGEINT. Per-class rows + the global ESS; one
+    * class-keyed count is the corpus work. */
+  def q355EssBalance(s: SparkSession, dir: String): DataFrame = {
+    val byLang = t(s, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_g"))
+    val k = byLang.agg(count(lit(1)).as("k_classes"),
+      sum(col("n_g")).cast("long").as("n_total"))
+    val w = byLang.crossJoin(broadcast(k))
+      .select(col("lang"), col("n_g"), col("k_classes"), col("n_total"),
+        expr("CAST(CAST(n_total AS DECIMAL(25,0)) * 1000000" +
+          " DIV (k_classes * n_g) AS BIGINT)").as("w_micro"))
+    val g = w.agg(
+      sum(expr("CAST(n_g AS DECIMAL(38,0)) * w_micro")).as("sw"),
+      sum(expr("CAST(n_g AS DECIMAL(38,0)) * w_micro * w_micro"))
+        .as("sw2"))
+    w.crossJoin(broadcast(g))
+      .select(col("lang"), col("n_g"), col("w_micro"),
+        expr("CAST(CAST(sw AS DECIMAL(19,0)) * CAST(sw AS DECIMAL(19,0))" +
+          " DIV sw2 AS BIGINT)").as("ess_count"),
+        expr("CAST(CAST(sw AS DECIMAL(19,0)) * CAST(sw AS DECIMAL(19,0))" +
+          " * 1000000 DIV (CAST(n_total AS DECIMAL(38,0)) * sw2)" +
+          " AS BIGINT)").as("ess_share_ppm"))
+      .orderBy("lang")
+  }
+
+  /** Window funnel (the ClickHouse-style sequence matcher): per user,
+    * the deepest prefix of signup → view → click → purchase completed
+    * IN ORDER within 7 days of the signup — per-step timestamps must
+    * strictly advance, so out-of-order events don't fake depth. Three
+    * user-keyed conditional-min joins (no per-user UDF state); every
+    * comparison is exact timestamp arithmetic. Output: users per
+    * depth 0-4 with the step-conversion ppm — the activation funnel
+    * read every growth team starts the week with. */
+  def q356WindowFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      .withColumn("tEnd", expr("t1 + INTERVAL 7 DAY"))
+    val t2 = e.filter(col("event_type") === "view")
+      .join(t1, Seq("user_id"))
+      .filter(col("ts") > col("t1") && col("ts") <= col("tEnd"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = e.filter(col("event_type") === "click")
+      .join(t1.join(t2, Seq("user_id")), Seq("user_id"))
+      .filter(col("ts") > col("t2") && col("ts") <= col("tEnd"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val t4 = e.filter(col("event_type") === "purchase")
+      .join(t1.join(t3, Seq("user_id")), Seq("user_id"))
+      .filter(col("ts") > col("t3") && col("ts") <= col("tEnd"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t4"))
+    val depth = e.select(col("user_id")).distinct()
+      .join(t1.select(col("user_id"), col("t1")), Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .join(t4, Seq("user_id"), "left")
+      .select(when(col("t4").isNotNull, 4L)
+        .when(col("t3").isNotNull, 3L)
+        .when(col("t2").isNotNull, 2L)
+        .when(col("t1").isNotNull, 1L)
+        .otherwise(0L).as("depth"))
+    val cells = depth.groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+    cells.crossJoin(broadcast(cells.agg(
+        sum(col("n_users")).cast("long").as("n_total"))))
+      .select(col("depth"), col("n_users"), col("n_total"),
+        expr("n_users * 1000000 DIV n_total").as("share_ppm"))
+      .orderBy("depth")
+  }
+
+  /** Seasonal-adjusted anomaly days: q332's exact milli-cent
+    * detrend-and-deseasonalize residuals, then the q110 MAD fence —
+    * but fully in integers (lower-median by rank, no interpolating
+    * percentile), so a day is flagged iff
+    * |resid − med| · 1 > 3 · mad exactly. Catches the day that is
+    * genuinely unusual AFTER the weekly rhythm is removed — the
+    * day-level alert q237's raw-value flags would drown in
+    * seasonality. Day-cardinality frames only; two rank windows on
+    * the bounded day frame. */
+  def q357SeasonalMad(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast("long"))
+        .as("rev_cents"))
+      .withColumn("day_num",
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+    val w7 = Window.orderBy(col("day_num")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("win_sum", sum(col("rev_cents")).over(w7))
+      .withColumn("win_span",
+        max(col("day_num")).over(w7) - min(col("day_num")).over(w7))
+      .withColumn("win_n", count(lit(1)).over(w7))
+      .filter(col("win_n") === 7 && col("win_span") === 6)
+      .withColumn("detr_milli",
+        col("rev_cents") * 1000 - expr("win_sum * 1000 DIV 7"))
+      .withColumn("phase", col("day_num") % 7)
+    val phaseEff = trended.groupBy(col("phase"))
+      .agg(expr("sum(detr_milli) DIV count(1)").as("phase_milli"))
+    val resid = trended.join(broadcast(phaseEff), Seq("phase"))
+      .select(col("day"), col("day_num"),
+        (col("detr_milli") - col("phase_milli")).as("resid_milli"))
+      .transform(graft.operators.Checkpoints.ckpt)
+    val n = resid.agg(count(lit(1)).as("n_days"))
+    val med = resid
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("resid_milli"), col("day_num"))))
+      .crossJoin(broadcast(n))
+      .filter(expr("rn = (n_days + 1) DIV 2"))
+      .select(col("resid_milli").as("med"))
+    val dev = resid.crossJoin(broadcast(med))
+      .withColumn("adev", abs(col("resid_milli") - col("med")))
+    val mad = dev
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("adev"), col("day_num"))))
+      .crossJoin(broadcast(n))
+      .filter(expr("rn = (n_days + 1) DIV 2"))
+      .select(col("adev").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .filter(col("adev") > lit(3L) * col("mad"))
+      .select(col("day"), col("resid_milli"), col("med"), col("mad"))
+      .orderBy("day")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -8472,6 +8604,9 @@ object Queries {
     "q352_good_turing" -> (q352GoodTuring _),
     "q353_mde_power" -> (q353MdePower _),
     "q354_group_sample" -> (q354GroupSample _),
+    "q355_ess_balance" -> (q355EssBalance _),
+    "q356_window_funnel" -> (q356WindowFunnel _),
+    "q357_seasonal_mad" -> (q357SeasonalMad _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
