@@ -8830,6 +8830,73 @@ object Oracles {
         |SELECT day, resid_milli, med, mad
         |FROM dev, mad WHERE adev > 3 * mad
         |ORDER BY day""".stripMargin,
+
+    // histogram join-cardinality calibration: exact sum c(k)^2 vs the
+    // equi-width uniform-within-bucket estimate, err in ppm
+    "q358_join_card_estimate" ->
+      """WITH pk AS (
+        | SELECT o_custkey, CAST(count(*) AS BIGINT) AS c
+        | FROM orders GROUP BY 1),
+        |actual AS (
+        | SELECT CAST(sum(c * c) AS BIGINT) AS actual_pairs FROM pk),
+        |est AS (
+        | SELECT width, CAST(sum(CAST(cb AS HUGEINT) * cb // db)
+        |   AS BIGINT) AS est_pairs
+        | FROM (
+        |  SELECT width, o_custkey // width AS bucket,
+        |   CAST(sum(c) AS BIGINT) AS cb, CAST(count(*) AS BIGINT) AS db
+        |  FROM pk, (SELECT unnest([16, 64, 256]) AS width)
+        |  GROUP BY 1, 2)
+        | GROUP BY 1)
+        |SELECT CAST(width AS BIGINT) AS width, actual_pairs, est_pairs,
+        | CAST(abs(CAST(est_pairs AS HUGEINT) - actual_pairs) * 1000000
+        |  // actual_pairs AS BIGINT) AS err_ppm
+        |FROM est, actual ORDER BY width""".stripMargin,
+
+    // customer feature matrix: RFM + tenure + balance decile + LOO
+    // nation encode + conversion label, all exact
+    "q359_feature_matrix" ->
+      """WITH maxd AS (
+        | SELECT max(CAST(o_orderdate AS DATE)) AS d_max FROM orders),
+        |pc AS (
+        | SELECT o_custkey, CAST(count(*) AS BIGINT) AS frequency,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS monetary_cents,
+        |  min(CAST(o_orderdate AS DATE)) AS d_first,
+        |  max(CAST(o_orderdate AS DATE)) AS d_last,
+        |  CAST(sum(CASE WHEN o_orderdate >= DATE '1997-01-01'
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n97
+        | FROM orders GROUP BY 1),
+        |base AS (
+        | SELECT c_custkey, c_nationkey,
+        |  coalesce(pc.frequency, 0) AS frequency,
+        |  coalesce(pc.monetary_cents, 0) AS monetary_cents,
+        |  CASE WHEN pc.d_last IS NOT NULL THEN
+        |   CAST(date_diff('day', pc.d_last, maxd.d_max) AS BIGINT)
+        |   ELSE NULL END AS recency_days,
+        |  CASE WHEN pc.d_first IS NOT NULL THEN
+        |   CAST(date_diff('day', pc.d_first, pc.d_last) AS BIGINT)
+        |   ELSE NULL END AS tenure_days,
+        |  coalesce(pc.n97, 0) > 0 AS label_converted,
+        |  row_number() OVER (ORDER BY CAST(c_acctbal AS DECIMAL(18,2))
+        |    DESC, c_custkey) AS bal_rank,
+        |  count(*) OVER () AS n_all
+        | FROM customer
+        |  LEFT JOIN pc ON c_custkey = pc.o_custkey
+        |  CROSS JOIN maxd),
+        |g AS (
+        | SELECT c_nationkey, CAST(sum(frequency) AS BIGINT) AS s_g,
+        |  CAST(count(*) AS BIGINT) AS n_g
+        | FROM base GROUP BY 1)
+        |SELECT b.c_custkey, b.c_nationkey, b.recency_days, b.frequency,
+        | b.monetary_cents, b.tenure_days,
+        | (b.bal_rank - 1) * 10 // b.n_all + 1 AS bal_decile,
+        | CASE WHEN g.n_g > 1
+        |  THEN (g.s_g - b.frequency) * 1000 // (g.n_g - 1)
+        |  ELSE NULL END AS nation_loo_milli,
+        | b.label_converted
+        |FROM base b JOIN g ON b.c_nationkey = g.c_nationkey
+        |ORDER BY b.c_custkey""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -7243,6 +7243,96 @@ object Queries {
       .orderBy("day")
   }
 
+  /** Histogram join-cardinality estimation calibration: the planner
+    * question behind q219 — how well does an equi-width histogram
+    * predict the self-join fan-out Σ c(k)² of the order-per-customer
+    * key? For widths 16/64/256, the estimate under the
+    * uniform-within-bucket assumption is Σ_b C_b² DIV d_b (bucket
+    * row-count squared over its distinct keys) vs the exact answer
+    * Σ_k c(k)² — both exact integers, the error an exact ppm. The
+    * table a cost-based optimizer's stats module would emit to pick
+    * its histogram resolution. One key-keyed count, then bucket aggs
+    * per width (exploded map-side). */
+  def q358JoinCardEstimate(s: SparkSession, dir: String): DataFrame = {
+    val perKey = t(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      .transform(graft.operators.Checkpoints.ckpt)
+    val actual = perKey.agg(sum(col("c") * col("c")).cast("long")
+      .as("actual_pairs"))
+    val est = perKey
+      .withColumn("width", explode(array(Seq(16L, 64L, 256L).map(lit(_)): _*)))
+      .groupBy(col("width"), expr("o_custkey DIV width").as("bucket"))
+      .agg(sum(col("c")).cast("long").as("cb"),
+        count(lit(1)).as("db"))
+      .groupBy(col("width"))
+      .agg(sum(expr("CAST(cb AS DECIMAL(25,0)) * cb DIV db"))
+        .cast("long").as("est_pairs"))
+    est.crossJoin(broadcast(actual))
+      .select(col("width"), col("actual_pairs"), col("est_pairs"),
+        expr("CAST(abs(CAST(est_pairs AS DECIMAL(25,0)) - actual_pairs)" +
+          " * 1000000 DIV actual_pairs AS BIGINT)").as("err_ppm"))
+      .orderBy("width")
+  }
+
+  /** Customer feature-matrix assembly — the integration query that
+    * turns nine verified operators into one training table: recency
+    * (days from last order to the corpus max date), frequency,
+    * monetary cents, tenure days, account-balance decile (the exact
+    * (rank−1)·10 DIV n rule), the q346 leave-one-out nation encode,
+    * and the 1997+ response label. Every feature is an exact integer;
+    * zero-order customers get explicit zero/NULL semantics instead of
+    * dropping out (a training table must cover the population).
+    * Scale: one orders agg + broadcast dimension joins + one rank
+    * window on the customer dimension. */
+  def q359FeatureMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxDay = t(s, dir, "orders")
+      .agg(max(to_date(col("o_orderdate"))).as("d_max"))
+    val perCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("frequency"),
+        sum((dec2(col("o_totalprice")) * 100).cast("long")).cast("long")
+          .as("monetary_cents"),
+        min(to_date(col("o_orderdate"))).as("d_first"),
+        max(to_date(col("o_orderdate"))).as("d_last"),
+        sum(when(col("o_orderdate") >= "1997-01-01", 1L).otherwise(0L))
+          .as("__n97"))
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        dec2(col("c_acctbal")).as("bal"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .crossJoin(broadcast(maxDay))
+      .select(col("c_custkey"), col("c_nationkey"),
+        coalesce(col("frequency"), lit(0L)).as("frequency"),
+        coalesce(col("monetary_cents"), lit(0L)).as("monetary_cents"),
+        when(col("d_last").isNotNull,
+          datediff(col("d_max"), col("d_last")).cast("long"))
+          .as("recency_days"),
+        when(col("d_first").isNotNull,
+          datediff(col("d_last"), col("d_first")).cast("long"))
+          .as("tenure_days"),
+        (coalesce(col("__n97"), lit(0L)) > 0).as("label_converted"),
+        col("bal"))
+      .withColumn("bal_rank", row_number().over(
+        Window.orderBy(col("bal").desc, col("c_custkey").asc)))
+    val n = base.agg(count(lit(1)).as("n_all"))
+    val g = base.groupBy(col("c_nationkey"))
+      .agg(sum(col("frequency")).cast("long").as("s_g"),
+        count(lit(1)).as("n_g"))
+    base.crossJoin(broadcast(n))
+      .join(broadcast(g), Seq("c_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("recency_days"), col("frequency"), col("monetary_cents"),
+        col("tenure_days"),
+        expr("CAST((bal_rank - 1) * 10 DIV n_all AS BIGINT) + 1")
+          .as("bal_decile"),
+        when(col("n_g") > 1,
+          expr("(s_g - frequency) * 1000 DIV (n_g - 1)")).otherwise(null)
+          .cast("long").as("nation_loo_milli"),
+        col("label_converted"))
+      .orderBy("c_custkey")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -8607,6 +8697,8 @@ object Queries {
     "q355_ess_balance" -> (q355EssBalance _),
     "q356_window_funnel" -> (q356WindowFunnel _),
     "q357_seasonal_mad" -> (q357SeasonalMad _),
+    "q358_join_card_estimate" -> (q358JoinCardEstimate _),
+    "q359_feature_matrix" -> (q359FeatureMatrix _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
