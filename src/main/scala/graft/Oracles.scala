@@ -8897,6 +8897,69 @@ object Oracles {
         | b.label_converted
         |FROM base b JOIN g ON b.c_nationkey = g.c_nationkey
         |ORDER BY b.c_custkey""".stripMargin,
+
+    // bloom sizing planner: frozen -ln(p)/ln^2(2) and -log2(p)
+    // coefficients, floor(x+0.5) value-round
+    "q360_bloom_planner" ->
+      """WITH ns AS (
+        | SELECT 'custkey' AS key_col,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_keys
+        | FROM orders
+        | UNION ALL
+        | SELECT 'orderkey',
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        | UNION ALL
+        | SELECT 'partkey',
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem),
+        |fpps AS (
+        | SELECT * FROM (VALUES
+        |  ('p_1e-2', 9.585058960443727e0, 6.643856189774724e0),
+        |  ('p_1e-3', 1.4377588440665591e1, 9.965784284662087e0),
+        |  ('p_1e-6', 2.8755176881331182e1, 1.9931568569324174e1))
+        |  t(fpp, c_bits, k_exact))
+        |SELECT key_col, n_keys, fpp,
+        | CAST(floor(CAST(n_keys AS DOUBLE) * c_bits + 0.5) AS BIGINT)
+        |  AS m_bits,
+        | CAST(floor(k_exact + 0.5) AS BIGINT) AS k_hashes
+        |FROM ns, fpps ORDER BY key_col, fpp""".stripMargin,
+
+    // sessionized bounce rate + exact depth order statistics over the
+    // q18 session chain
+    "q361_bounce_rate" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |   THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+        |sess AS (
+        | SELECT user_id, sum(is_new) OVER (PARTITION BY user_id
+        |   ORDER BY ts ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |   CURRENT ROW) AS session_seq, ts
+        | FROM flagged),
+        |depths AS (
+        | SELECT user_id, session_seq, CAST(count(*) AS BIGINT)
+        |   AS n_events
+        | FROM sess GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT n_events, row_number() OVER (
+        |   ORDER BY n_events, user_id, session_seq) AS rn
+        | FROM depths),
+        |n AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_bounces
+        | FROM depths),
+        |med AS (
+        | SELECT n_events AS median_depth FROM ranked, n
+        | WHERE rn = (n_sessions + 1) // 2),
+        |p90 AS (
+        | SELECT n_events AS p90_depth FROM ranked, n
+        | WHERE rn = (n_sessions * 9 + 9) // 10)
+        |SELECT n_sessions, n_bounces,
+        | n_bounces * 1000000 // n_sessions AS bounce_ppm,
+        | median_depth, p90_depth
+        |FROM n, med, p90""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -7333,6 +7333,73 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  /** Bloom-filter sizing planner for the keys the engine actually
+    * filters on (q72's prefilter, q212's bit table): for each key
+    * population n (exact distinct counts) × target false-positive
+    * rate, the optimal bit count m = n·(−ln p / ln²2) and hash count
+    * k = −log₂ p. The per-fpp coefficients are FROZEN e-notation
+    * double literals (ln is not correctly rounded cross-engine, so it
+    * must never run at query time — the q321/q326 frozen-constant
+    * discipline); m is one IEEE multiply then the q327 floor(x+0.5)
+    * value-round. The capacity-planning table every bloom deployment
+    * writes before allocating executor memory. Corpus work: three
+    * exact distinct counts. */
+  def q360BloomPlanner(s: SparkSession, dir: String): DataFrame = {
+    val ns = t(s, dir, "orders").agg(
+        countDistinct(col("o_custkey")).as("n_custkeys"),
+        countDistinct(col("o_orderkey")).as("n_orderkeys"))
+      .crossJoin(t(s, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("n_partkeys")))
+      .select(explode(map(
+        lit("custkey"), col("n_custkeys"),
+        lit("orderkey"), col("n_orderkeys"),
+        lit("partkey"), col("n_partkeys"))).as(Seq("key_col", "n_keys")))
+    // c = -ln(p)/ln^2(2), k = -log2(p): frozen, never computed at runtime
+    val fpps = array(
+      struct(lit("p_1e-2").as("fpp"), lit(9.585058960443727e0).as("c_bits"),
+        lit(6.643856189774724e0).as("k_exact")),
+      struct(lit("p_1e-3").as("fpp"), lit(1.4377588440665591e1).as("c_bits"),
+        lit(9.965784284662087e0).as("k_exact")),
+      struct(lit("p_1e-6").as("fpp"), lit(2.8755176881331182e1).as("c_bits"),
+        lit(1.9931568569324174e1).as("k_exact")))
+    val grid = ns.withColumn("f", explode(fpps))
+      .select(col("key_col"), col("n_keys"), col("f.fpp").as("fpp"),
+        col("f.c_bits").as("c_bits"), col("f.k_exact").as("k_exact"))
+    grid.select(col("key_col"), col("n_keys"), col("fpp"),
+        expr("CAST(floor(CAST(n_keys AS DOUBLE) * c_bits + 0.5)" +
+          " AS BIGINT)").as("m_bits"),
+        expr("CAST(floor(k_exact + 0.5) AS BIGINT)").as("k_hashes"))
+      .orderBy("key_col", "fpp")
+  }
+
+  /** Sessionized bounce rate and depth order statistics: q18's
+    * 30-minute gap sessions, then the share of single-event sessions
+    * (bounce ppm) and the exact lower-median / ceil-p90 session depth
+    * by rank formula — the engagement topline next to q269's
+    * DAU/WAU/MAU. All integers; the only corpus shuffle is the
+    * session window q18 already pays. */
+  def q361BounceRate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val depths = Sessionize.sessionSummary(
+        t(s, dir, "events"), "user_id", "ts", "value", 30)
+      .select(col("user_id"), col("session_seq"), col("n_events"))
+      .transform(graft.operators.Checkpoints.ckpt)
+    val ranked = depths.withColumn("rn", row_number().over(
+      Window.orderBy(col("n_events"), col("user_id"), col("session_seq"))))
+    val n = depths.agg(count(lit(1)).as("n_sessions"),
+      sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+    val med = ranked.crossJoin(broadcast(n))
+      .filter(expr("rn = (n_sessions + 1) DIV 2"))
+      .select(col("n_events").as("median_depth"))
+    val p90 = ranked.crossJoin(broadcast(n))
+      .filter(expr("rn = (n_sessions * 9 + 9) DIV 10"))
+      .select(col("n_events").as("p90_depth"))
+    n.crossJoin(broadcast(med)).crossJoin(broadcast(p90))
+      .select(col("n_sessions"), col("n_bounces"),
+        expr("n_bounces * 1000000 DIV n_sessions").as("bounce_ppm"),
+        col("median_depth"), col("p90_depth"))
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -8699,6 +8766,8 @@ object Queries {
     "q357_seasonal_mad" -> (q357SeasonalMad _),
     "q358_join_card_estimate" -> (q358JoinCardEstimate _),
     "q359_feature_matrix" -> (q359FeatureMatrix _),
+    "q360_bloom_planner" -> (q360BloomPlanner _),
+    "q361_bounce_rate" -> (q361BounceRate _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
