@@ -48,17 +48,22 @@ object Bench {
     // sorted so runs are comparable round over round; with the per-query
     // warm rep the ordering no longer shifts costs between queries
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (warm, warmErr) = timeOnce(fn, name)
-      val timed = (1 to reps).map(_ => timeOnce(fn, name))
-      val err = (warmErr +: timed.map(_._2)).flatten.headOption
       // localCheckpoint blocks from completed executions are only
       // reclaimed when a JVM GC lets the ContextCleaner process their
-      // weak refs; in a 200+-query single-JVM run the accumulated blocks
+      // weak refs; in a 300+-query single-JVM run the accumulated blocks
       // otherwise crowd storage memory and inflate later reps (observed
       // as monotonically growing reps on the checkpoint-heavy CC
-      // queries). Session-cached family builds hold strong refs and
-      // survive; only dead blocks are reaped.
+      // queries). The nudge runs BETWEEN reps, outside the timed
+      // window — per-query alone let a heavy query's own rep-1/rep-2
+      // blocks crush rep 3 (q239 at 361 queries: 5.9 -> 15.9 -> 133 s).
+      // Session-cached family builds hold strong refs and survive; only
+      // dead blocks are reaped.
+      val (warm, warmErr) = timeOnce(fn, name)
       System.gc()
+      val timed = (1 to reps).map { _ =>
+        val r = timeOnce(fn, name); System.gc(); r
+      }
+      val err = (warmErr +: timed.map(_._2)).flatten.headOption
       (name, warm, timed.map(_._1), err)
     }
     // a failed query must be distinguishable from a fast one: any failed rep
