@@ -8960,6 +8960,117 @@ object Oracles {
         | n_bounces * 1000000 // n_sessions AS bounce_ppm,
         | median_depth, p90_depth
         |FROM n, med, p90""".stripMargin,
+
+    // truncated absorption horizon: purchase absorbing, five unrolled
+    // integer survival rounds, Neumann-prefix expected steps
+    "q362_absorption_horizon" ->
+      """WITH seq AS (
+        | SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |c AS (
+        | SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+        | FROM seq WHERE prev IS NOT NULL AND prev <> 'purchase'
+        | GROUP BY 1, 2),
+        |p AS (
+        | SELECT prev, next,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev)
+        |   AS BIGINT) AS p_micro
+        | FROM c),
+        |st AS (SELECT DISTINCT prev AS state FROM p),
+        |s1 AS (
+        | SELECT p.prev AS state,
+        |  CAST(sum(p_micro * 1000000) // 1000000 AS BIGINT) AS s
+        | FROM p JOIN st ON p.next = st.state
+        | WHERE p.next <> 'purchase' GROUP BY 1),
+        |s2 AS (
+        | SELECT p.prev AS state,
+        |  CAST(sum(p_micro * s1.s) // 1000000 AS BIGINT) AS s
+        | FROM p JOIN s1 ON p.next = s1.state
+        | WHERE p.next <> 'purchase' GROUP BY 1),
+        |s3 AS (
+        | SELECT p.prev AS state,
+        |  CAST(sum(p_micro * s2.s) // 1000000 AS BIGINT) AS s
+        | FROM p JOIN s2 ON p.next = s2.state
+        | WHERE p.next <> 'purchase' GROUP BY 1),
+        |s4 AS (
+        | SELECT p.prev AS state,
+        |  CAST(sum(p_micro * s3.s) // 1000000 AS BIGINT) AS s
+        | FROM p JOIN s3 ON p.next = s3.state
+        | WHERE p.next <> 'purchase' GROUP BY 1),
+        |s5 AS (
+        | SELECT p.prev AS state,
+        |  CAST(sum(p_micro * s4.s) // 1000000 AS BIGINT) AS s
+        | FROM p JOIN s4 ON p.next = s4.state
+        | WHERE p.next <> 'purchase' GROUP BY 1)
+        |SELECT st.state, CAST(coalesce(s5.s, 0) AS BIGINT)
+        |  AS survive_5_micro,
+        | CAST(1000000 + coalesce(s1.s, 0) + coalesce(s2.s, 0)
+        |  + coalesce(s3.s, 0) + coalesce(s4.s, 0) + coalesce(s5.s, 0)
+        |  AS BIGINT) AS exp_steps_6h_micro
+        |FROM st
+        | LEFT JOIN s1 ON st.state = s1.state
+        | LEFT JOIN s2 ON st.state = s2.state
+        | LEFT JOIN s3 ON st.state = s3.state
+        | LEFT JOIN s4 ON st.state = s4.state
+        | LEFT JOIN s5 ON st.state = s5.state
+        |ORDER BY st.state""".stripMargin,
+
+    // CF holdout eval vs the popularity baseline: 80/20 hash split,
+    // q335 train chain, exact hit counts and lift
+    "q363_rec_holdout" ->
+      s"""WITH baskets AS (
+        | SELECT DISTINCT o_custkey AS cust, l_partkey AS part,
+        |  ${ph("CAST(o_custkey AS VARCHAR)", 909)} % 5 = 0 AS is_test
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |train AS (
+        | SELECT cust, part FROM baskets WHERE NOT is_test),
+        |small AS (
+        | SELECT cust FROM train GROUP BY 1 HAVING count(*) <= 30),
+        |b AS (
+        | SELECT train.cust, train.part
+        | FROM train JOIN small ON train.cust = small.cust),
+        |recs AS (
+        | SELECT part_a, part_b FROM (
+        |  SELECT x.part AS part_a, y.part AS part_b,
+        |   row_number() OVER (PARTITION BY x.part
+        |     ORDER BY count(*) DESC, y.part) AS rn
+        |  FROM b x JOIN b y ON x.cust = y.cust AND x.part <> y.part
+        |  GROUP BY x.part, y.part)
+        | WHERE rn <= 3),
+        |poptop AS (
+        | SELECT part AS part_b FROM train
+        | GROUP BY 1 ORDER BY count(*) DESC, part LIMIT 3),
+        |testb AS (
+        | SELECT cust, part FROM baskets WHERE is_test),
+        |multi AS (
+        | SELECT cust FROM testb GROUP BY 1 HAVING count(*) >= 2),
+        |probes AS (
+        | SELECT testb.cust, testb.part
+        | FROM testb JOIN multi ON testb.cust = multi.cust),
+        |cf AS (
+        | SELECT CAST(count(*) AS BIGINT) AS cf_hits FROM (
+        |  SELECT DISTINCT pr.cust, pr.part
+        |  FROM probes pr
+        |   JOIN recs r ON pr.part = r.part_a
+        |   JOIN testb tb ON tb.cust = pr.cust AND tb.part = r.part_b
+        |  WHERE r.part_b <> pr.part)),
+        |pop AS (
+        | SELECT CAST(count(*) AS BIGINT) AS pop_hits FROM (
+        |  SELECT DISTINCT pr.cust, pr.part
+        |  FROM probes pr
+        |   CROSS JOIN poptop pt
+        |   JOIN testb tb ON tb.cust = pr.cust AND tb.part = pt.part_b
+        |  WHERE pt.part_b <> pr.part)),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes)
+        |SELECT n_probes, cf_hits, pop_hits,
+        | cf_hits * 1000000 // n_probes AS cf_hit_ppm,
+        | pop_hits * 1000000 // n_probes AS pop_hit_ppm,
+        | CASE WHEN pop_hits = 0 THEN NULL ELSE
+        |  CAST(CAST(cf_hits AS HUGEINT) * 1000 // pop_hits AS BIGINT)
+        |  END AS lift_milli
+        |FROM np, cf, pop""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

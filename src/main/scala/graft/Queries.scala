@@ -7400,6 +7400,130 @@ object Queries {
         col("median_depth"), col("p90_depth"))
   }
 
+  /** Truncated absorption horizon of the event Markov chain: with
+    * 'purchase' absorbing, the probability of still wandering after t
+    * steps from each start state, and the expected steps within a
+    * 6-step horizon (Σ_{t=0..5} survival — the Neumann-series prefix,
+    * an exact LOWER bound on the true expectation; the full inverse
+    * needs a matrix solve no SQL engine replays). Same integer-micro
+    * discipline as q349: survival s_{t+1}[i] = Σ_j P_micro[i→j]·s_t[j]
+    * DIV 1e6 over non-absorbing j, six rounds unrolled in the oracle.
+    * Answers "how many more events until this session converts".
+    * |types|² cells; the lag window is the only corpus shuffle. */
+  def q362AbsorptionHorizon(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= "purchase")
+    val p = pairs.groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_row", sum(col("n")).over(
+        Window.partitionBy(col("prev"))))
+      .select(col("prev"), col("next"),
+        expr("n * 1000000 DIV n_row").as("p_micro"))
+      .transform(graft.operators.Checkpoints.ckpt)
+    val states = p.select(col("prev").as("state")).distinct()
+    var surv = states.withColumn("s_micro", lit(1000000L))
+    var exp = states.withColumn("e_micro", lit(1000000L))
+    for (_ <- 1 to 5) {
+      surv = p.filter(col("next") =!= "purchase")
+        .join(surv.withColumnRenamed("state", "next"), Seq("next"))
+        .groupBy(col("prev"))
+        .agg(expr("CAST(sum(p_micro * s_micro) DIV 1000000 AS BIGINT)")
+          .as("s_micro"))
+        .withColumnRenamed("prev", "state")
+      exp = exp.join(surv.withColumnRenamed("s_micro", "__s"),
+          Seq("state"), "left")
+        .select(col("state"),
+          (col("e_micro") + coalesce(col("__s"), lit(0L))).as("e_micro"))
+    }
+    exp.join(surv.withColumnRenamed("s_micro", "survive_5_micro"),
+        Seq("state"), "left")
+      .select(col("state"),
+        coalesce(col("survive_5_micro"), lit(0L)).as("survive_5_micro"),
+        col("e_micro").as("exp_steps_6h_micro"))
+      .orderBy("state")
+  }
+
+  /** Holdout evaluation of the q335 recommender against the
+    * popularity baseline — the gate every CF deployment must pass
+    * (beating top-3-popular is the whole point). Customers split
+    * 80/20 by portable hash; co-occurrence lists train on the 80 with
+    * the q335 basket cap; on each held-out (customer, owned part)
+    * probe, a hit means another owned part appears in the probe
+    * part's top-3 list (vs the global top-3 for the baseline). Exact
+    * counts, hit rates ppm, lift as the cross-multiplied milli ratio.
+    * Scale: the q335 pair-join shapes on the train split; eval is two
+    * part-keyed joins + one basket semi-join. */
+  def q363RecHoldout(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val baskets = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+      .withColumn("is_test", pmod(Dedup.portableHash64(
+        col("cust").cast("string"), 909), lit(5L)) === 0)
+      .transform(graft.operators.Checkpoints.ckpt)
+    val train = baskets.filter(!col("is_test"))
+      .select(col("cust"), col("part"))
+    val small = train.groupBy(col("cust"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= 30)
+      .select(col("cust"))
+    val b = train.join(small, Seq("cust"))
+    val recs = b.as("x")
+      .join(b.as("y"), col("x.cust") === col("y.cust") &&
+        col("x.part") =!= col("y.part"))
+      .groupBy(col("x.part").as("part_a"), col("y.part").as("part_b"))
+      .agg(count(lit(1)).as("co_cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("part_a"))
+          .orderBy(col("co_cnt").desc, col("part_b").asc)))
+      .filter(col("rn") <= 3)
+      .select(col("part_a"), col("part_b"))
+      .transform(graft.operators.Checkpoints.ckpt)
+    val popTop = train.groupBy(col("part"))
+      .agg(count(lit(1)).as("buyers"))
+      .orderBy(col("buyers").desc, col("part").asc).limit(3)
+      .select(col("part").as("part_b"))
+    // held-out probes: (cust, part) where the customer owns >= 2 parts
+    val testB = baskets.filter(col("is_test"))
+      .select(col("cust"), col("part"))
+      .transform(graft.operators.Checkpoints.ckpt)
+    val multi = testB.groupBy(col("cust"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("cust"))
+    val probes = testB.join(multi, Seq("cust"))
+    def hits(lists: DataFrame, joinOnPart: Boolean): DataFrame = {
+      val cand =
+        if (joinOnPart) probes.join(lists,
+          probes("part") === lists("part_a")).select(col("cust"),
+            col("part"), col("part_b"))
+        else probes.crossJoin(broadcast(lists))
+          .select(col("cust"), col("part"), col("part_b"))
+      cand.filter(col("part_b") =!= col("part"))
+        .join(testB.withColumnRenamed("part", "part_b"),
+          Seq("cust", "part_b"), "left_semi")
+        .select(col("cust"), col("part")).distinct()
+        .agg(count(lit(1)).as("h"))
+    }
+    val nProbes = probes.agg(count(lit(1)).as("n_probes"))
+    nProbes
+      .crossJoin(broadcast(hits(recs, joinOnPart = true)
+        .withColumnRenamed("h", "cf_hits")))
+      .crossJoin(broadcast(hits(popTop, joinOnPart = false)
+        .withColumnRenamed("h", "pop_hits")))
+      .select(col("n_probes"), col("cf_hits"), col("pop_hits"),
+        expr("cf_hits * 1000000 DIV n_probes").as("cf_hit_ppm"),
+        expr("pop_hits * 1000000 DIV n_probes").as("pop_hit_ppm"),
+        expr("CASE WHEN pop_hits = 0 THEN NULL ELSE" +
+          " CAST(CAST(cf_hits AS DECIMAL(25,0)) * 1000 DIV pop_hits" +
+          " AS BIGINT) END").as("lift_milli"))
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -8768,6 +8892,8 @@ object Queries {
     "q359_feature_matrix" -> (q359FeatureMatrix _),
     "q360_bloom_planner" -> (q360BloomPlanner _),
     "q361_bounce_rate" -> (q361BounceRate _),
+    "q362_absorption_horizon" -> (q362AbsorptionHorizon _),
+    "q363_rec_holdout" -> (q363RecHoldout _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
