@@ -9071,6 +9071,93 @@ object Oracles {
         |  CAST(CAST(cf_hits AS HUGEINT) * 1000 // pop_hits AS BIGINT)
         |  END AS lift_milli
         |FROM np, cf, pop""".stripMargin,
+
+    // churn label factory: two cutoffs, 300-day horizon, explicit
+    // censoring (NULL label past the data edge)
+    "q364_churn_labels" ->
+      """WITH o AS (
+        | SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, cutoff
+        | FROM orders,
+        |  (SELECT unnest([DATE '1997-06-01', DATE '1998-03-01'])
+        |    AS cutoff)),
+        |maxd AS (SELECT max(d) AS d_max FROM o),
+        |pre AS (
+        | SELECT cutoff, o_custkey, CAST(count(*) AS BIGINT)
+        |   AS freq_before,
+        |  max(d) AS d_last_before
+        | FROM o WHERE d < cutoff GROUP BY 1, 2),
+        |post AS (
+        | SELECT DISTINCT cutoff, o_custkey FROM o
+        | WHERE d >= cutoff AND d < cutoff + INTERVAL 300 DAY)
+        |SELECT pre.cutoff, pre.o_custkey AS c_custkey,
+        | CAST(date_diff('day', pre.d_last_before, pre.cutoff) AS BIGINT)
+        |  AS recency_at_cutoff,
+        | pre.freq_before,
+        | pre.cutoff + INTERVAL 300 DAY > maxd.d_max AS censored,
+        | CASE WHEN pre.cutoff + INTERVAL 300 DAY > maxd.d_max THEN NULL
+        |  ELSE post.o_custkey IS NULL END AS label_churned
+        |FROM pre
+        | LEFT JOIN post ON pre.cutoff = post.cutoff
+        |  AND pre.o_custkey = post.o_custkey
+        | CROSS JOIN maxd
+        |ORDER BY pre.cutoff, c_custkey""".stripMargin,
+
+    // feature-label leakage screen: exact point-biserial r^2 ppm per
+    // q359 feature against the binary conversion label
+    "q365_leakage_screen" ->
+      """WITH maxd AS (
+        | SELECT max(CAST(o_orderdate AS DATE)) AS d_max FROM orders),
+        |pc AS (
+        | SELECT o_custkey, CAST(count(*) AS BIGINT) AS frequency,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS monetary_cents,
+        |  min(CAST(o_orderdate AS DATE)) AS d_first,
+        |  max(CAST(o_orderdate AS DATE)) AS d_last,
+        |  CAST(sum(CASE WHEN o_orderdate >= DATE '1997-01-01'
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n97
+        | FROM orders GROUP BY 1),
+        |m AS (
+        | SELECT c_custkey,
+        |  CASE WHEN pc.d_last IS NOT NULL THEN
+        |   CAST(date_diff('day', pc.d_last, maxd.d_max) AS BIGINT)
+        |   ELSE 0 END AS recency_days,
+        |  coalesce(pc.frequency, 0) AS frequency,
+        |  coalesce(pc.monetary_cents, 0) AS monetary_cents,
+        |  CASE WHEN pc.d_first IS NOT NULL THEN
+        |   CAST(date_diff('day', pc.d_first, pc.d_last) AS BIGINT)
+        |   ELSE 0 END AS tenure_days,
+        |  CASE WHEN coalesce(pc.n97, 0) > 0 THEN 1 ELSE 0 END AS y
+        | FROM customer
+        |  LEFT JOIN pc ON c_custkey = pc.o_custkey
+        |  CROSS JOIN maxd),
+        |melted AS (
+        | SELECT y, 'recency_days' AS feature, recency_days AS x FROM m
+        | UNION ALL
+        | SELECT y, 'frequency', frequency FROM m
+        | UNION ALL
+        | SELECT y, 'monetary_kusd', monetary_cents // 100000 FROM m
+        | UNION ALL
+        | SELECT y, 'tenure_days', tenure_days FROM m),
+        |st AS (
+        | SELECT feature, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy
+        | FROM melted GROUP BY 1)
+        |SELECT feature,
+        | CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |  * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |  * 1000000
+        |  // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |    * (CAST(n AS HUGEINT) * sy - CAST(sy AS HUGEINT) * sy))
+        |  AS BIGINT) AS r2_ppm,
+        | CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |  * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |  * 1000000
+        |  // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |    * (CAST(n AS HUGEINT) * sy - CAST(sy AS HUGEINT) * sy))
+        |  AS BIGINT) > 900000 AS leak_flag
+        |FROM st ORDER BY feature""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -7524,6 +7524,92 @@ object Queries {
           " AS BIGINT) END").as("lift_milli"))
   }
 
+  /** Churn label factory: for each observation cutoff, every customer
+    * active before it gets a label — churned iff no order lands in
+    * the 300-day horizon after the cutoff — with CENSORING made
+    * explicit (a horizon that runs past the data's edge yields
+    * censored=true and a NULL label, never a fake negative; silently
+    * labeling censored rows is the classic survival-data bug, q262's
+    * KM lesson applied to label generation). Two cutoffs demonstrate
+    * both regimes. Features-at-cutoff (recency, frequency) use only
+    * pre-cutoff data — the leakage discipline q365 then audits.
+    * Exact day arithmetic throughout; one orders scan serves both
+    * cutoffs via a map-side explode. */
+  def q364ChurnLabels(s: SparkSession, dir: String): DataFrame = {
+    val cutoffs = Seq("1997-06-01", "1998-03-01")
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .withColumn("cutoff",
+        explode(array(cutoffs.map(c => to_date(lit(c))): _*)))
+      .transform(graft.operators.Checkpoints.ckpt)
+    val maxD = o.agg(max(col("d")).as("d_max"))
+    val pre = o.filter(col("d") < col("cutoff"))
+      .groupBy(col("cutoff"), col("o_custkey"))
+      .agg(count(lit(1)).as("freq_before"),
+        max(col("d")).as("d_last_before"))
+    val post = o.filter(col("d") >= col("cutoff") &&
+        col("d") < expr("cutoff + INTERVAL 300 DAY"))
+      .select(col("cutoff"), col("o_custkey")).distinct()
+      .withColumn("__active_after", lit(true))
+    pre.join(post, Seq("cutoff", "o_custkey"), "left")
+      .crossJoin(broadcast(maxD))
+      .select(col("cutoff"), col("o_custkey").as("c_custkey"),
+        datediff(col("cutoff"), col("d_last_before")).cast("long")
+          .as("recency_at_cutoff"),
+        col("freq_before"),
+        expr("cutoff + INTERVAL 300 DAY > d_max").as("censored"),
+        when(expr("cutoff + INTERVAL 300 DAY > d_max"), lit(null))
+          .otherwise(col("__active_after").isNull).as("label_churned"))
+      .orderBy("cutoff", "c_custkey")
+  }
+
+  /** Feature-label leakage screen over the q359 matrix: the exact
+    * point-biserial r² (ppm) of every numeric feature against the
+    * conversion label, flagged when a feature explains so much of the
+    * label (r² > 0.9) that it is almost certainly a leak — recency
+    * and frequency are COMPUTED FROM the same orders that define the
+    * label here, so this fixture demonstrates true positives by
+    * construction, exactly what the screen exists to catch before a
+    * model trains on it. Binary label keeps everything integer: the
+    * five sums per feature are exact, r² the cross-multiplied
+    * DECIMAL ratio (q336's discipline). One matrix pass, map-side
+    * melt, four 1-row cells. */
+  def q365LeakageScreen(s: SparkSession, dir: String): DataFrame = {
+    val m = q359FeatureMatrix(s, dir)
+      .select(col("c_custkey"),
+        coalesce(col("recency_days"), lit(0L)).as("recency_days"),
+        col("frequency"), col("monetary_cents"),
+        coalesce(col("tenure_days"), lit(0L)).as("tenure_days"),
+        when(col("label_converted"), 1L).otherwise(0L).as("y"))
+    // monetary enters in KILOdollars: per-customer dollars reach 1.5e6,
+    // and the r² denominator squares n·Σx² — dollars would blow the
+    // DECIMAL(19) operand cap already at sf0.1 (the q342 unit lesson)
+    val melted = m.select(col("y"), explode(map(
+        lit("recency_days"), col("recency_days"),
+        lit("frequency"), col("frequency"),
+        lit("monetary_kusd"), expr("monetary_cents DIV 100000"),
+        lit("tenure_days"), col("tenure_days")))
+      .as(Seq("feature", "x")))
+    melted.groupBy(col("feature"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("x") * col("y")).cast("long").as("sxy"))
+      .select(col("feature"),
+        expr("CAST(CAST(CAST(n AS DECIMAL(38,0)) * sxy" +
+          " - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(19,0))" +
+          " * CAST(CAST(n AS DECIMAL(38,0)) * sxy" +
+          " - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(19,0)) * 1000000" +
+          " DIV (CAST(CAST(n AS DECIMAL(38,0)) * sxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(19,0))" +
+          " * CAST(CAST(n AS DECIMAL(38,0)) * sy" +
+          " - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(19,0)))" +
+          " AS BIGINT)").as("r2_ppm"))
+      .withColumn("leak_flag", col("r2_ppm") > 900000L)
+      .orderBy("feature")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -8894,6 +8980,8 @@ object Queries {
     "q361_bounce_rate" -> (q361BounceRate _),
     "q362_absorption_horizon" -> (q362AbsorptionHorizon _),
     "q363_rec_holdout" -> (q363RecHoldout _),
+    "q364_churn_labels" -> (q364ChurnLabels _),
+    "q365_leakage_screen" -> (q365LeakageScreen _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
