@@ -9078,7 +9078,7 @@ object Oracles {
       """WITH o AS (
         | SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, cutoff
         | FROM orders,
-        |  (SELECT unnest([DATE '1997-06-01', DATE '1998-03-01'])
+        |  (SELECT unnest([DATE '1997-06-01', DATE '2001-03-01'])
         |    AS cutoff)),
         |maxd AS (SELECT max(d) AS d_max FROM o),
         |pre AS (
@@ -9143,21 +9143,22 @@ object Oracles {
         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
         |  CAST(sum(x * x) AS BIGINT) AS sxx,
         |  CAST(sum(x * y) AS BIGINT) AS sxy
-        | FROM melted GROUP BY 1)
-        |SELECT feature,
-        | CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
-        |  * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
-        |  * 1000000
-        |  // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
-        |    * (CAST(n AS HUGEINT) * sy - CAST(sy AS HUGEINT) * sy))
-        |  AS BIGINT) AS r2_ppm,
-        | CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
-        |  * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
-        |  * 1000000
-        |  // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
-        |    * (CAST(n AS HUGEINT) * sy - CAST(sy AS HUGEINT) * sy))
-        |  AS BIGINT) > 900000 AS leak_flag
-        |FROM st ORDER BY feature""".stripMargin,
+        | FROM melted GROUP BY 1),
+        |r2 AS (
+        | SELECT feature,
+        |  CASE WHEN CAST(n AS HUGEINT) * sy - CAST(sy AS HUGEINT) * sy
+        |     = 0
+        |   OR CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+        |   THEN NULL ELSE
+        |   CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |    * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |    * 1000000
+        |    // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |      * (CAST(n AS HUGEINT) * sy - CAST(sy AS HUGEINT) * sy))
+        |    AS BIGINT) END AS r2_ppm
+        | FROM st)
+        |SELECT feature, r2_ppm, r2_ppm > 900000 AS leak_flag
+        |FROM r2 ORDER BY feature""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -7531,12 +7531,14 @@ object Queries {
     * censored=true and a NULL label, never a fake negative; silently
     * labeling censored rows is the classic survival-data bug, q262's
     * KM lesson applied to label generation). Two cutoffs demonstrate
-    * both regimes. Features-at-cutoff (recency, frequency) use only
+    * both regimes: the fixture's orders end 2001-08-01, so 1997-06-01
+    * completes its horizon and 2001-03-01 runs past the edge.
+    * Features-at-cutoff (recency, frequency) use only
     * pre-cutoff data — the leakage discipline q365 then audits.
     * Exact day arithmetic throughout; one orders scan serves both
     * cutoffs via a map-side explode. */
   def q364ChurnLabels(s: SparkSession, dir: String): DataFrame = {
-    val cutoffs = Seq("1997-06-01", "1998-03-01")
+    val cutoffs = Seq("1997-06-01", "2001-03-01")
     val o = t(s, dir, "orders")
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
       .withColumn("cutoff",
@@ -7597,7 +7599,14 @@ object Queries {
         sum(col("x") * col("x")).cast("long").as("sxx"),
         sum(col("x") * col("y")).cast("long").as("sxy"))
       .select(col("feature"),
-        expr("CAST(CAST(CAST(n AS DECIMAL(38,0)) * sxy" +
+        // a constant label (every customer converted — true at tiny SF)
+        // or a constant feature has zero variance: r² undefined → NULL,
+        // found by the property spec (count() pruning hid it from smoke)
+        expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * sy" +
+          " - CAST(sy AS DECIMAL(38,0)) * sy = 0" +
+          " OR CAST(n AS DECIMAL(38,0)) * sxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx = 0 THEN NULL ELSE" +
+          " CAST(CAST(CAST(n AS DECIMAL(38,0)) * sxy" +
           " - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(19,0))" +
           " * CAST(CAST(n AS DECIMAL(38,0)) * sxy" +
           " - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(19,0)) * 1000000" +
@@ -7605,7 +7614,7 @@ object Queries {
           " - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(19,0))" +
           " * CAST(CAST(n AS DECIMAL(38,0)) * sy" +
           " - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(19,0)))" +
-          " AS BIGINT)").as("r2_ppm"))
+          " AS BIGINT) END").as("r2_ppm"))
       .withColumn("leak_flag", col("r2_ppm") > 900000L)
       .orderBy("feature")
   }

@@ -174,4 +174,51 @@ class AnalyticsPropertiesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_bounces") <= r.getAs[Long]("n_sessions"))
     assert(r.getAs[Long]("median_depth") <= r.getAs[Long]("p90_depth"))
   }
+
+  test("q362: survival is a probability and the horizon bound holds") {
+    val r = Queries.q362AbsorptionHorizon(spark, dir).collect()
+    r.foreach { row =>
+      val s = row.getAs[Long]("survive_5_micro")
+      val e = row.getAs[Long]("exp_steps_6h_micro")
+      assert(s >= 0L && s <= 1000000L)
+      // e = sum of six survival terms, each in [0, 1e6]
+      assert(e >= 1000000L && e <= 6000000L)
+    }
+  }
+
+  test("q363: hits never exceed probes") {
+    val r = Queries.q363RecHoldout(spark, dir).collect().head
+    assert(r.getAs[Long]("cf_hits") <= r.getAs[Long]("n_probes"))
+    assert(r.getAs[Long]("pop_hits") <= r.getAs[Long]("n_probes"))
+  }
+
+  test("q364: censoring tracks the data edge exactly") {
+    val r = Queries.q364ChurnLabels(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val censored = row.getAs[Boolean]("censored")
+      // censored rows must carry NULL labels; complete rows must not
+      assert(censored == row.isNullAt(row.fieldIndex("label_churned")))
+      assert(row.getAs[Long]("recency_at_cutoff") >= 1L)
+    }
+    // the fixture's orders end 2001-08-01: the late cutoff's horizon
+    // runs past the edge (censored), the early one completes
+    val byCutoff = r.groupBy(_.getAs[java.sql.Date]("cutoff").toString)
+    assert(byCutoff("2001-03-01").forall(_.getAs[Boolean]("censored")))
+    assert(byCutoff("1997-06-01").forall(!_.getAs[Boolean]("censored")))
+  }
+
+  test("q365: r2 is in [0, 1e6] or NULL exactly when variance is zero") {
+    val r = Queries.q365LeakageScreen(spark, dir).collect()
+    assert(r.length == 4)
+    r.foreach { row =>
+      if (!row.isNullAt(row.fieldIndex("r2_ppm"))) {
+        val r2 = row.getAs[Long]("r2_ppm")
+        assert(r2 >= 0L && r2 <= 1000000L)
+      } else
+        // NULL only under a degenerate label/feature (sf0.001: every
+        // customer converts, so the label is constant)
+        assert(row.isNullAt(row.fieldIndex("leak_flag")))
+    }
+  }
 }
