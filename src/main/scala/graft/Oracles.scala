@@ -9159,6 +9159,65 @@ object Oracles {
         | FROM st)
         |SELECT feature, r2_ppm, r2_ppm > 900000 AS leak_flag
         |FROM r2 ORDER BY feature""".stripMargin,
+
+    // time-decayed co-occurrence: exact power-of-two half-life weights
+    // (right shift by whole 180-day half-lives), q335 cap policy
+    "q366_decayed_cf" ->
+      """WITH maxd AS (
+        | SELECT max(CAST(o_orderdate AS DATE)) AS d_max FROM orders),
+        |baskets AS (
+        | SELECT o_custkey AS cust, l_partkey AS part,
+        |  CAST(1000000 // (1 << CAST(date_diff('day',
+        |    max(CAST(o_orderdate AS DATE)), maxd.d_max) // 180 AS INT))
+        |   AS BIGINT) AS w
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  CROSS JOIN maxd
+        | GROUP BY o_custkey, l_partkey, maxd.d_max),
+        |small AS (
+        | SELECT cust FROM baskets GROUP BY 1 HAVING count(*) <= 30),
+        |b AS (
+        | SELECT baskets.cust, baskets.part, baskets.w
+        | FROM baskets JOIN small ON baskets.cust = small.cust),
+        |co AS (
+        | SELECT x.part AS part_a, y.part AS part_b,
+        |  CAST(sum(least(x.w, y.w)) AS BIGINT) AS decayed_micro,
+        |  CAST(count(*) AS BIGINT) AS co_cnt
+        | FROM b x JOIN b y ON x.cust = y.cust AND x.part <> y.part
+        | GROUP BY 1, 2),
+        |rk AS (
+        | SELECT part_a, part_b, decayed_micro, co_cnt,
+        |  CAST(row_number() OVER (PARTITION BY part_a
+        |    ORDER BY decayed_micro DESC, co_cnt DESC, part_b)
+        |   AS BIGINT) AS rn
+        | FROM co)
+        |SELECT part_a, part_b, decayed_micro, co_cnt, rn
+        |FROM rk WHERE rn <= 3 ORDER BY part_a, rn""".stripMargin,
+
+    // transition lift vs independence: exact cross-multiplied
+    // (n_ij * N) / (n_i * n_j) in ppm
+    "q367_transition_lift" ->
+      """WITH pairs AS (
+        | SELECT prev, event_type AS next FROM (
+        |  SELECT event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        | WHERE prev IS NOT NULL),
+        |c AS (
+        | SELECT prev, next, CAST(count(*) AS BIGINT) AS n_ij
+        | FROM pairs GROUP BY 1, 2),
+        |rt AS (SELECT prev, CAST(count(*) AS BIGINT) AS n_i
+        |       FROM pairs GROUP BY 1),
+        |ct AS (SELECT next, CAST(count(*) AS BIGINT) AS n_j
+        |       FROM pairs GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pairs)
+        |SELECT c.prev, c.next, c.n_ij, rt.n_i, ct.n_j,
+        | CAST(CAST(c.n_ij AS HUGEINT) * n_total * 1000000
+        |  // (CAST(rt.n_i AS HUGEINT) * ct.n_j) AS BIGINT) AS lift_ppm
+        |FROM c JOIN rt ON c.prev = rt.prev
+        | JOIN ct ON c.next = ct.next
+        | CROSS JOIN tot
+        |ORDER BY c.prev, c.next""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -7619,6 +7619,87 @@ object Queries {
       .orderBy("feature")
   }
 
+  /** Time-decayed item co-occurrence: q335's also-bought lists, but a
+    * co-purchase from two years ago should not outvote one from last
+    * month — each basket contributes weight 1e6 ⋙ (age DIV 180d),
+    * an EXACT integer half-life (right-shift by whole half-lives;
+    * 2^-x as a float would not replay cross-engine, the power-of-two
+    * ladder does). Basket age anchors to the customer's LAST order
+    * date so the decay is a pure data function. Top-3 per part by
+    * decayed weight, ties on raw count then id. Same capped-basket
+    * scale policy as q335; one extra broadcast of the max date. */
+  def q366DecayedCf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxD = t(s, dir, "orders")
+      .agg(max(to_date(col("o_orderdate"))).as("d_max"))
+    val baskets = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            to_date(col("o_orderdate")).as("d")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .agg(max(col("d")).as("d_last"))
+      .crossJoin(broadcast(maxD))
+      .select(col("cust"), col("part"),
+        expr("CAST(1000000 DIV shiftleft(1," +
+          " CAST(datediff(d_max, d_last) DIV 180 AS INT)) AS BIGINT)")
+          .as("w"))
+      .transform(graft.operators.Checkpoints.ckpt)
+    val small = baskets.groupBy(col("cust"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= 30)
+      .select(col("cust"))
+    val b = baskets.join(small, Seq("cust"))
+    b.as("x")
+      .join(b.as("y"), col("x.cust") === col("y.cust") &&
+        col("x.part") =!= col("y.part"))
+      .groupBy(col("x.part").as("part_a"), col("y.part").as("part_b"))
+      .agg(sum(least(col("x.w"), col("y.w"))).cast("long")
+          .as("decayed_micro"),
+        count(lit(1)).as("co_cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("part_a"))
+          .orderBy(col("decayed_micro").desc, col("co_cnt").desc,
+            col("part_b").asc)))
+      .filter(col("rn") <= 3)
+      .select(col("part_a"), col("part_b"), col("decayed_micro"),
+        col("co_cnt"), col("rn").cast("long").as("rn"))
+      .orderBy("part_a", "rn")
+  }
+
+  /** Transition lift vs independence over the q240 Markov pairs: how
+    * much more likely is j-after-i than j's base rate —
+    * lift = P(j|i)/P(j) = (n_ij·N)·1e6 DIV (n_i·n_j), an exact
+    * integer ppm of cross-multiplied counts (the PMI idea, q168,
+    * applied to the behavioral chain; > 1e6 means a real sequential
+    * pull, < 1e6 avoidance). The reading q240's raw probabilities
+    * hide: a frequent event follows EVERYTHING frequently. |types|²
+    * cells, one lag-window corpus pass. */
+  def q367TransitionLift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev"), col("event_type").as("next"))
+      .transform(graft.operators.Checkpoints.ckpt)
+    val c = pairs.groupBy(col("prev"), col("next"))
+      .agg(count(lit(1)).as("n_ij"))
+    val rowT = pairs.groupBy(col("prev")).agg(count(lit(1)).as("n_i"))
+    val colT = pairs.groupBy(col("next")).agg(count(lit(1)).as("n_j"))
+    val tot = pairs.agg(count(lit(1)).as("n_total"))
+    c.join(broadcast(rowT), Seq("prev"))
+      .join(broadcast(colT), Seq("next"))
+      .crossJoin(broadcast(tot))
+      .select(col("prev"), col("next"), col("n_ij"), col("n_i"),
+        col("n_j"),
+        expr("CAST(CAST(n_ij AS DECIMAL(25,0)) * n_total * 1000000" +
+          " DIV (CAST(n_i AS DECIMAL(25,0)) * n_j) AS BIGINT)")
+          .as("lift_ppm"))
+      .orderBy("prev", "next")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -8991,6 +9072,8 @@ object Queries {
     "q363_rec_holdout" -> (q363RecHoldout _),
     "q364_churn_labels" -> (q364ChurnLabels _),
     "q365_leakage_screen" -> (q365LeakageScreen _),
+    "q366_decayed_cf" -> (q366DecayedCf _),
+    "q367_transition_lift" -> (q367TransitionLift _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
