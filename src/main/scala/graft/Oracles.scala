@@ -9218,6 +9218,50 @@ object Oracles {
         | JOIN ct ON c.next = ct.next
         | CROSS JOIN tot
         |ORDER BY c.prev, c.next""".stripMargin,
+
+    // k-arm SRM: exact chi2 micro vs the frozen chi2_3 95% quantile,
+    // decided by integer cross-multiplication
+    "q368_karm_srm" ->
+      s"""WITH arms AS (
+        | SELECT ${ph("CAST(c_custkey AS VARCHAR)", 881)} % 4 AS arm,
+        |  CAST(count(*) AS BIGINT) AS n_a
+        | FROM customer GROUP BY 1),
+        |n AS (SELECT CAST(sum(n_a) AS BIGINT) AS n FROM arms),
+        |ss AS (
+        | SELECT CAST(sum(CAST(4 * n_a - n.n AS HUGEINT)
+        |   * CAST(4 * n_a - n.n AS HUGEINT)) AS HUGEINT) AS ss,
+        |  max(n.n) AS n
+        | FROM arms, n)
+        |SELECT n,
+        | CAST(ss * 1000000 // (4 * n) AS BIGINT) AS chi2_micro,
+        | ss * 1000 > CAST(7815 AS HUGEINT) * 4 * n AS srm_flag
+        |FROM ss""".stripMargin,
+
+    // AMS F2 sketch vs exact: four portable sign estimates, exact
+    // squares, mean vs sum c(k)^2 in ppm
+    "q369_ams_f2" ->
+      s"""WITH pk AS (
+        | SELECT o_custkey, CAST(count(*) AS BIGINT) AS c
+        | FROM orders GROUP BY 1),
+        |actual AS (
+        | SELECT CAST(sum(c * c) AS BIGINT) AS actual_f2 FROM pk),
+        |z AS (
+        | SELECT r, CAST(sum((${ph(
+             "CAST(o_custkey AS VARCHAR) || ':' || CAST(r AS VARCHAR)",
+             997)} % 2 * 2 - 1) * c) AS BIGINT) AS z
+        | FROM pk, (SELECT unnest([1, 2, 3, 4]) AS r)
+        | GROUP BY 1),
+        |est AS (
+        | SELECT r, CAST(z AS HUGEINT) * z AS est_r FROM z),
+        |mean AS (
+        | SELECT CAST(sum(est_r) // count(*) AS HUGEINT) AS est_f2_mean,
+        |  CAST(count(*) AS BIGINT) AS n_seeds
+        | FROM est)
+        |SELECT n_seeds, actual_f2,
+        | CAST(est_f2_mean AS BIGINT) AS est_f2,
+        | CAST(abs(est_f2_mean - actual_f2) * 1000000 // actual_f2
+        |  AS BIGINT) AS err_ppm
+        |FROM mean, actual""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -7700,6 +7700,69 @@ object Queries {
       .orderBy("prev", "next")
   }
 
+  /** k-arm sample-ratio-mismatch guardrail — q337 generalized to the
+    * 4-arm test every multi-variant experiment needs: chi² against
+    * the uniform split is Σ(k·n_a − n)² / (k·n) with k−1 = 3 dof,
+    * kept exact in micro, and the alpha=0.05 flag decided by the
+    * cross-multiplication Σ(k·n_a − n)²·1000 > 7815·k·n (7.815 being
+    * the frozen chi²₃ 95% quantile — an integer comparison, the
+    * quantile never computed at runtime). One corpus scan; 1 row. */
+  def q368KarmSrm(s: SparkSession, dir: String): DataFrame = {
+    val k = 4L
+    val arms = t(s, dir, "customer").select(col("c_custkey"))
+      .withColumn("arm", pmod(Dedup.portableHash64(
+        col("c_custkey").cast("string"), 881), lit(k)))
+      .groupBy(col("arm")).agg(count(lit(1)).as("n_a"))
+    val n = arms.agg(sum(col("n_a")).cast("long").as("n"),
+      count(lit(1)).as("k_arms"))
+    arms.crossJoin(broadcast(n))
+      .select(col("arm"), col("n_a"), col("n"),
+        expr(s"CAST($k * n_a - n AS DECIMAL(25,0))" +
+          s" * CAST($k * n_a - n AS DECIMAL(25,0))").as("dev2"))
+      .agg(max(col("n")).as("n"),
+        sum(col("dev2")).as("ss"))
+      .select(col("n"),
+        expr(s"CAST(CAST(ss AS DECIMAL(38,0)) * 1000000" +
+          s" DIV ($k * n) AS BIGINT)").as("chi2_micro"),
+        expr(s"CAST(ss AS DECIMAL(38,0)) * 1000" +
+          s" > CAST(7815 AS DECIMAL(38,0)) * $k * n").as("srm_flag"))
+  }
+
+  /** AMS (Alon-Matias-Szegedy) F₂ sketch vs the exact second moment:
+    * the self-join-size estimator a planner uses when it cannot
+    * afford q358's per-key count — four sign estimates
+    * est_r = (Σ_k sign_r(k)·c(k))², each sign a portable hash bit, so
+    * every estimate is an EXACT integer that replays in SQL; the
+    * report compares their mean to the exact Σc(k)² in ppm. The
+    * sketch needs one pass and O(r) state per partition — the
+    * 100 TB story is the point (the exact answer needs the full
+    * key-count table). */
+  def q369AmsF2(s: SparkSession, dir: String): DataFrame = {
+    val perKey = t(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      .transform(graft.operators.Checkpoints.ckpt)
+    val actual = perKey.agg(sum(col("c") * col("c")).cast("long")
+      .as("actual_f2"))
+    val est = perKey
+      .withColumn("r", explode(array(Seq(1L, 2L, 3L, 4L).map(lit(_)): _*)))
+      .withColumn("sgn", pmod(Dedup.portableHash64(
+        concat(col("o_custkey").cast("string"), lit(":"),
+          col("r").cast("string")), 997), lit(2L)) * 2 - 1)
+      .groupBy(col("r"))
+      .agg(sum(col("sgn") * col("c")).cast("long").as("z"))
+      .select(col("r"),
+        expr("CAST(CAST(z AS DECIMAL(19,0)) * z AS DECIMAL(38,0))")
+          .as("est_r"))
+    val mean = est.agg(
+      expr("CAST(sum(est_r) DIV count(1) AS DECIMAL(38,0))")
+        .as("est_f2_mean"), count(lit(1)).as("n_seeds"))
+    mean.crossJoin(broadcast(actual))
+      .select(col("n_seeds"), col("actual_f2"),
+        col("est_f2_mean").cast("long").as("est_f2"),
+        expr("CAST(abs(est_f2_mean - actual_f2) * 1000000" +
+          " DIV actual_f2 AS BIGINT)").as("err_ppm"))
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -9074,6 +9137,8 @@ object Queries {
     "q365_leakage_screen" -> (q365LeakageScreen _),
     "q366_decayed_cf" -> (q366DecayedCf _),
     "q367_transition_lift" -> (q367TransitionLift _),
+    "q368_karm_srm" -> (q368KarmSrm _),
+    "q369_ams_f2" -> (q369AmsF2 _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
