@@ -48,20 +48,28 @@ object Bench {
     // sorted so runs are comparable round over round; with the per-query
     // warm rep the ordering no longer shifts costs between queries
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // localCheckpoint blocks from completed executions are only
-      // reclaimed when a JVM GC lets the ContextCleaner process their
-      // weak refs; in a 300+-query single-JVM run the accumulated blocks
-      // otherwise crowd storage memory and inflate later reps (observed
-      // as monotonically growing reps on the checkpoint-heavy CC
-      // queries). The nudge runs BETWEEN reps, outside the timed
-      // window — per-query alone let a heavy query's own rep-1/rep-2
-      // blocks crush rep 3 (q239 at 361 queries: 5.9 -> 15.9 -> 133 s).
-      // Session-cached family builds hold strong refs and survive; only
-      // dead blocks are reaped.
+      // localCheckpoint blocks from completed executions used to be
+      // reclaimed only when a JVM GC let the ContextCleaner process
+      // their weak refs — an ASYNC path the r8 driver bench proved
+      // insufficient under 369-query storage pressure (q239 reps
+      // [9.2, 3.2, 22.1]; q167 2.4 -> 9.3 s): the GC nudge alone left
+      // reclamation timing-dependent, so a rep's cost depended on suite
+      // position. Now every Checkpoints.ckpt site registers its blocks
+      // and releaseQueryScoped unpersists them DETERMINISTICALLY
+      // between reps, outside the timed window — per-query alone let a
+      // heavy query's own rep-1/rep-2 blocks crush rep 3 (q239 at 361
+      // queries: 5.9 -> 15.9 -> 133 s). Session-lifetime caches
+      // (sessionScope ckpts, .persist() frames) survive; the GC nudge
+      // stays for what the registry cannot see (shuffle files,
+      // broadcasts, dropped session frames).
+      def release(): Unit = {
+        graft.operators.Checkpoints.releaseQueryScoped(spark)
+        System.gc()
+      }
       val (warm, warmErr) = timeOnce(fn, name)
-      System.gc()
+      release()
       val timed = (1 to reps).map { _ =>
-        val r = timeOnce(fn, name); System.gc(); r
+        val r = timeOnce(fn, name); release(); r
       }
       val err = (warmErr +: timed.map(_._2)).flatten.headOption
       (name, warm, timed.map(_._1), err)

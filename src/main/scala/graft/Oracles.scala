@@ -7949,17 +7949,14 @@ object Oracles {
         |  day_num % 7 AS phase
         | FROM tr WHERE win_n = 7 AND win_span = 6),
         |pe AS (
-        | SELECT phase, CAST(sum(detr_milli) // count(*) AS BIGINT)
+        | SELECT phase, CAST(CASE WHEN sum(detr_milli) < 0 THEN -1
+        |    ELSE 1 END * (abs(sum(detr_milli)) // count(*)) AS BIGINT)
         |   AS phase_milli
         | FROM d GROUP BY 1),
         |j AS (
         | SELECT detr_milli, detr_milli - phase_milli AS resid_milli
         | FROM d JOIN pe ON d.phase = pe.phase)
         |SELECT CAST(count(*) AS BIGINT) AS n_days,
-        | CAST(sum(CAST(detr_milli AS HUGEINT) * detr_milli)
-        |  AS DECIMAL(38,0)) AS ss_detr,
-        | CAST(sum(CAST(resid_milli AS HUGEINT) * resid_milli)
-        |  AS DECIMAL(38,0)) AS ss_resid,
         | CAST(1000000 - sum(CAST(resid_milli AS HUGEINT) * resid_milli)
         |  * 1000000 // sum(CAST(detr_milli AS HUGEINT) * detr_milli)
         |  AS BIGINT) AS strength_ppm
@@ -8805,7 +8802,8 @@ object Oracles {
         |  day_num % 7 AS phase
         | FROM tr WHERE win_n = 7 AND win_span = 6),
         |pe AS (
-        | SELECT phase, CAST(sum(detr_milli) // count(*) AS BIGINT)
+        | SELECT phase, CAST(CASE WHEN sum(detr_milli) < 0 THEN -1
+        |    ELSE 1 END * (abs(sum(detr_milli)) // count(*)) AS BIGINT)
         |   AS phase_milli
         | FROM d GROUP BY 1),
         |resid AS (

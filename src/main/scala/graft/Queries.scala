@@ -391,10 +391,16 @@ object Queries {
     (SparkSession, String), DataFrame]()
   private def xxPairs(s: SparkSession, dir: String): DataFrame = {
     xxPairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    xxPairsCache.computeIfAbsent((s, dir), _ =>
-      Dedup.minhashNearDups(xxPlantedCorpus(s, dir), "doc_id", "text",
-          threshold = 0.5)
-        .transform(graft.operators.Checkpoints.ckpt))
+    xxPairsCache.computeIfAbsent((s, dir), _ => {
+      // internal LSH-chain ckpts stay query-scoped (dead once the final
+      // frame truncates lineage); only the cached RESULT must survive
+      // the harness release, so just its ckpt runs under sessionScope
+      val pairs = Dedup.minhashNearDups(xxPlantedCorpus(s, dir),
+        "doc_id", "text", threshold = 0.5)
+      graft.operators.Checkpoints.sessionScope {
+        pairs.transform(graft.operators.Checkpoints.ckpt)
+      }
+    })
   }
 
   /** MinHash+LSH near-duplicate pairs (xxhash64 signatures — not SQL-
@@ -2033,7 +2039,7 @@ object Queries {
     val idx = ivfSeeded(s, dir)
     val brute = Knn.bruteForceTopK(emb, queries, k = 5)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint()
+      .transform(graft.operators.Checkpoints.ckpt)
     val per = Knn.ivfSearchBudgets(idx, queries, k = 5,
         budgets = Seq(1, 2, 4, 16))
       .select(col("nprobe"), col("query_id"), col("neighbor_id"))
@@ -2315,7 +2321,7 @@ object Queries {
     // scored pass by ivfSearchBudgets).
     val brute5 = Knn.bruteForceTopK(emb, queries, k = 5)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint()
+      .transform(graft.operators.Checkpoints.ckpt)
     val per = Knn.ivfSearchBudgets(idx, queries, k = 5,
         budgets = Seq(1, 2, 4, 16))
       .select(col("nprobe"), col("query_id"), col("neighbor_id"), col("rank"))
@@ -6147,11 +6153,20 @@ object Queries {
 
   /** Seasonality strength of daily revenue — how much of the detrended
     * variance the weekly phase explains: 1 - SS_resid/SS_detrended
-    * over q314-style exact MILLI-cent components, reported in ppm with
-    * the sums-of-squares EXACT (each square through DECIMAL(38,0) —
-    * the milli-cent squares overflow int64 by design; DuckDB runs the
-    * twin in HUGEINT). Milli, not micro: at sf0.1 daily revenue is
-    * ~1e9 cents, and micro-scaled squares summed over the calendar
+    * over q314-style exact MILLI-cent components, reported in ppm. The
+    * sums of squares run EXACT internally (each square through
+    * DECIMAL(38,0) — the milli-cent squares overflow int64 by design;
+    * DuckDB runs the twin in HUGEINT), but the OUTPUT carries only the
+    * int64-exact contract values (n_days, strength_ppm): the raw
+    * 25-digit sums exceed float64's 2^53 and were the r8 driver's one
+    * hash red — any comparator-side decimal coercion diverges on them
+    * even when the arithmetic is bit-identical (CORRECTNESS_r08,
+    * VERDICT r8 #1). Hash surfaces stay <= 2^53 repo-wide now
+    * (tools/lint_hash_surface.py enforces it). The phase mean
+    * sign-splits its possibly-negative numerator
+    * (sign(s) * (abs(s) DIV n)) so trunc-vs-floor semantics can never
+    * diverge between engines. Milli, not micro: at sf0.1 daily revenue
+    * is ~1e9 cents, and micro-scaled squares summed over the calendar
     * pushed the final ·1e6 ratio scaling past DECIMAL(38) — milli
     * keeps the detrend/phase truncation sub-cent while leaving four
     * orders of headroom (holds to ~sf100). Zero doubles anywhere. The
@@ -6177,7 +6192,9 @@ object Queries {
         col("rev_cents") * 1000 - expr("win_sum * 1000 DIV 7"))
       .withColumn("phase", col("day_num") % 7)
     val phaseEff = trended.groupBy(col("phase"))
-      .agg(expr("sum(detr_milli) DIV count(1)").as("phase_milli"))
+      .agg(expr("CAST(CASE WHEN sum(detr_milli) < 0 THEN -1 ELSE 1 END" +
+        " * (abs(sum(detr_milli)) DIV count(1)) AS BIGINT)")
+        .as("phase_milli"))
     def sq(c: Column): Column =
       (c.cast("decimal(20,0)") * c.cast("decimal(20,0)"))
         .cast("decimal(38,0)")
@@ -6187,7 +6204,7 @@ object Queries {
       .agg(count(lit(1)).as("n_days"),
         sum(sq(col("detr_milli"))).cast("decimal(38,0)").as("ss_detr"),
         sum(sq(col("resid_milli"))).cast("decimal(38,0)").as("ss_resid"))
-      .select(col("n_days"), col("ss_detr"), col("ss_resid"),
+      .select(col("n_days"),
         (lit(1000000L) - expr("CAST(ss_resid * 1000000 DIV ss_detr" +
           " AS BIGINT)")).as("strength_ppm"))
   }
@@ -7217,7 +7234,9 @@ object Queries {
         col("rev_cents") * 1000 - expr("win_sum * 1000 DIV 7"))
       .withColumn("phase", col("day_num") % 7)
     val phaseEff = trended.groupBy(col("phase"))
-      .agg(expr("sum(detr_milli) DIV count(1)").as("phase_milli"))
+      .agg(expr("CAST(CASE WHEN sum(detr_milli) < 0 THEN -1 ELSE 1 END" +
+        " * (abs(sum(detr_milli)) DIV count(1)) AS BIGINT)")
+        .as("phase_milli"))
     val resid = trended.join(broadcast(phaseEff), Seq("phase"))
       .select(col("day"), col("day_num"),
         (col("detr_milli") - col("phase_milli")).as("resid_milli"))

@@ -18,6 +18,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // deterministic block reclamation between queries — same rationale
+      // as Bench: a 369-query single-JVM sweep otherwise accumulates
+      // dead checkpoint blocks that pressure later queries
+      graft.operators.Checkpoints.releaseQueryScoped(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

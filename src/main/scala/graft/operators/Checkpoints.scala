@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Plan-truncating eager materialization for iterative / multi-consumer
   * frames (CC rounds, LSH candidate sets, shared tf aggregates).
@@ -19,14 +19,71 @@ import org.apache.spark.sql.DataFrame
   * checkpointing instead: blocks go to the checkpoint dir (HDFS/object
   * store on a cluster), surviving executor loss, at the cost of a
   * write+read through the filesystem per materialization. Same values
-  * either way (ReliableCheckpointSpec pins a CC + near-dedup pass). */
+  * either way (ReliableCheckpointSpec pins a CC + near-dedup pass).
+  *
+  * Block-lifetime accounting (the r8 driver-bench lesson): in a 369-query
+  * single-JVM run, checkpoint blocks from completed queries are reclaimed
+  * only when a GC happens to let the ContextCleaner process their weak
+  * refs — an ASYNC path that under suite-level storage pressure lags far
+  * enough for later queries' reps to inflate 4-7x (q239 reps [9.2, 3.2,
+  * 22.1], q167 2.4 -> 9.3 s in BENCH_r08). So every ckpt call registers
+  * the RDD ids it persisted as query-scoped and RELEASABLE, and the
+  * harnesses (Bench between reps, Verify between queries) call
+  * [[releaseQueryScoped]] to unpersist them deterministically — no rep's
+  * cost depends on suite position. Frames that must OUTLIVE a query —
+  * the session-level family caches (shared LSH pair chains etc.) — build
+  * under [[sessionScope]], which suppresses registration; `.persist()`/
+  * `.cache()` frames (IVF lists, the EduFlow pipeline) keep their lineage
+  * and are never registered, so they are untouched either way.
+  *
+  * Registration snapshots `getPersistentRDDs` around the materialization;
+  * under concurrent ckpt calls (parallel test suites) a diff can attribute
+  * a neighbor thread's ids — harmless there, because only the
+  * single-threaded Bench/Verify harnesses ever release. */
 object Checkpoints {
+  private val releasable =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private val suppress = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** Run `body` with ckpt registration suppressed: blocks created inside
+    * belong to a session-lifetime cache and must survive
+    * [[releaseQueryScoped]]. */
+  def sessionScope[T](body: => T): T = {
+    val prev = suppress.get
+    suppress.set(java.lang.Boolean.TRUE)
+    try body finally suppress.set(prev)
+  }
+
   def ckpt(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    if (spark.conf.get("spark.graft.reliableCheckpoint", "false").toBoolean) {
-      require(spark.sparkContext.getCheckpointDir.isDefined,
-        "spark.graft.reliableCheckpoint=true requires sparkContext.setCheckpointDir(...)")
-      df.checkpoint()
-    } else df.localCheckpoint()
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out =
+      if (spark.conf.get("spark.graft.reliableCheckpoint", "false").toBoolean) {
+        require(sc.getCheckpointDir.isDefined,
+          "spark.graft.reliableCheckpoint=true requires sparkContext.setCheckpointDir(...)")
+        df.checkpoint()
+      } else df.localCheckpoint()
+    if (!suppress.get.booleanValue()) {
+      sc.getPersistentRDDs.keySet.diff(before).foreach(id => releasable.add(id))
+    }
+    out
+  }
+
+  /** Unpersist (blocking) every query-scoped checkpoint block registered
+    * since the last call. Safe at any query boundary: each execution
+    * re-materializes its own checkpoints, and session caches either built
+    * under [[sessionScope]] or hold recomputable `.persist()` frames. */
+  def releaseQueryScoped(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    val persisted = sc.getPersistentRDDs
+    val it = releasable.iterator()
+    while (it.hasNext) {
+      val id = it.next()
+      it.remove()
+      persisted.get(id).foreach(_.unpersist(blocking = true))
+    }
   }
 }
