@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Hash-surface lint: flag query outputs whose values could diverge in a
+comparator that coerces decimals through float64.
+
+The r8 driver adjudication showed q332 — the only query of 369 whose
+output carried DECIMAL(38,0) values beyond 2^53 — hash-red while the
+local gate passed bit-for-bit: any comparator-side decimal->float64
+coercion silently rounds such values, so the hash surface must stay
+float64-exact even when the arithmetic is exact on both engines
+(VERDICT r8 #1/#3).
+
+Scans a Verify output dir (run at sf0.1, where magnitudes are largest)
+and flags, per query/column:
+  * any decimal-typed parquet column whose |value| exceeds 2^53
+  * any integer column whose |value| exceeds 2^53 (same coercion risk)
+  * decimal columns with scale > 0 (the suite's convention is exact
+    integer surfaces; fractional decimals are listed for awareness,
+    flagged only if they also exceed 2^53 in magnitude)
+
+Exit 1 iff a hard flag fires that is not justified in docs/NOTES.md
+(justification = the literal query name appearing in the NOTES.md
+"hash-surface" section); the flag text tells you which.
+
+Usage: python3 tools/lint_hash_surface.py <verifyOutDir> [query ...]
+"""
+import os
+import re
+import sys
+
+import duckdb
+
+LIMIT = 2 ** 53
+
+
+def justified(notes_text, name):
+    m = re.search(r"## hash-surface[\s\S]*?(?=\n## |\Z)", notes_text)
+    return bool(m and name in m.group(0))
+
+
+def main():
+    out_dir = sys.argv[1]
+    only = set(sys.argv[2:])
+    notes_path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                              "NOTES.md")
+    notes = ""
+    if os.path.exists(notes_path):
+        with open(notes_path) as f:
+            notes = f.read()
+    con = duckdb.connect()
+    n_flag = 0
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        if only and name not in only:
+            continue
+        try:
+            rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        except Exception as e:
+            print(f"SKIP {name}: unreadable: {str(e).splitlines()[0]}")
+            continue
+        for col, dtype in zip(rel.columns, rel.types):
+            ds = str(dtype)
+            is_dec = ds.startswith("DECIMAL")
+            is_int = ds in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                            "HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER",
+                            "UBIGINT")
+            if not (is_dec or is_int):
+                continue
+            q = f'SELECT max(abs(CAST("{col}" AS HUGEINT))) FROM rel'
+            if is_dec and ",0)" not in ds:
+                # fractional decimal: flag on the integer part of the
+                # VALUE's magnitude (past 2^53 even the integer digits
+                # are unrepresentable in float64)
+                q = f'SELECT max(abs(CAST(trunc(CAST("{col}" AS DOUBLE)) AS HUGEINT))) FROM rel'
+            try:
+                mx = con.sql(q).fetchone()[0]
+            except Exception as e:
+                print(f"SKIP {name}.{col}: {str(e).splitlines()[0]}")
+                continue
+            if mx is not None and int(mx) > LIMIT:
+                tag = "JUSTIFIED" if justified(notes, name) else "FLAG"
+                if tag == "FLAG":
+                    n_flag += 1
+                print(f"{tag} {name}.{col} ({ds}): max |value| = {mx}"
+                      f" > 2^53 — a float64-coercing comparator rounds"
+                      f" this; rescale to an exact coarser unit or"
+                      f" justify in docs/NOTES.md '## hash-surface'")
+    if n_flag:
+        print(f"\n{n_flag} unjustified hash-surface flag(s)")
+        sys.exit(1)
+    print("hash-surface lint clean")
+
+
+if __name__ == "__main__":
+    main()
