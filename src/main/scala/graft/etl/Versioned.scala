@@ -86,16 +86,30 @@ object Versioned {
   /** The commit key a version was published under, if any ("#key="
     * header). Manifests are immutable once published, so header reads
     * memoize per JVM — a keyed-commit stream pays one file open per
-    * manifest over its lifetime, not per append. */
+    * manifest over its lifetime, not per append. The cache key carries
+    * the manifest file's (size, mtime) identity: a (root, version) pair
+    * alone could return a stale hit after a table at `root` is deleted
+    * and recreated (or a version expired and re-published by a manual
+    * rebuild) in the same JVM, making versionForKey silently skip a
+    * keyed append — a lost micro-batch with no error. One File.stat per
+    * lookup buys that safety; entries for dead identities are dropped
+    * eagerly so the map tracks live manifests only. */
   private val keyCache = java.util.Collections.synchronizedMap(
-    new java.util.HashMap[(String, Long), Option[String]]())
-  private def keyOf(root: String, v: Long): Option[String] =
-    keyCache.computeIfAbsent((root, v), { _ =>
-      val src = scala.io.Source.fromFile(manifestFile(root, v), "UTF-8")
+    new java.util.HashMap[(String, Long, Long, Long), Option[String]]())
+  private def keyOf(root: String, v: Long): Option[String] = {
+    val f = manifestFile(root, v)
+    val ident = (root, v, f.length(), f.lastModified())
+    keyCache.synchronized {
+      keyCache.keySet.removeIf(k =>
+        k._1 == root && k._2 == v && k != ident)
+    }
+    keyCache.computeIfAbsent(ident, { _ =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
       try src.getLines().collectFirst {
         case l if l.startsWith("#key=") => l.stripPrefix("#key=")
       } finally src.close()
     })
+  }
 
   /** The version already committed under `key`, if any. Scans
     * newest-first (streaming replays hit recent keys) over the
@@ -438,11 +452,23 @@ object Versioned {
     * one tiny aggregate, since updates is the small side by contract —
     * and matched-row removal is a broadcast left_anti join, so the
     * rewrite costs (touched files + |updates|), never O(table).
-    * `updates` must carry the table's columns (any order). */
+    * `updates` must carry the table's columns (any order).
+    *
+    * `statsCol`, when set, MUST equal `keyCol`: pruning compares the
+    * updates' key range against stats recorded for statsCol, so stats
+    * on any other column would let matched rows in carried files
+    * survive the anti-join — duplicate keys, silent corruption. The
+    * parameter stays an Option (None = no pruning) but the value is
+    * enforced rather than trusted. */
   def mergeInto(spark: SparkSession, root: String, updates: DataFrame,
                 keyCol: String, statsCol: Option[String] = None,
                 key: Option[String] = None): Long =
     key.flatMap(versionForKey(root, _)).getOrElse {
+      require(statsCol.forall(_ == keyCol),
+        s"versioned mergeInto: pruning stats must be recorded on the " +
+          s"merge key (statsCol=${statsCol.get}, keyCol=$keyCol) — " +
+          "stats on another column would carry matched rows past the " +
+          "anti-join and duplicate keys")
       val base = currentVersion(root)
       require(base >= 1, s"versioned mergeInto: no committed version at $root")
       import org.apache.spark.sql.functions.{broadcast, col => c,

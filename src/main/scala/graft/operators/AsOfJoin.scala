@@ -41,9 +41,14 @@ object AsOfJoin {
           lCols.filterNot(_ == key).map(c => col(c))): _*)
       .unionByName(r, allowMissingColumns = true)
     // right rows sort before left rows at equal ts (side 0 < 1), so a right
-    // version taking effect exactly at the event time IS visible to it
+    // version taking effect exactly at the event time IS visible to it.
+    // The payload struct is the deterministic tiebreaker: duplicate
+    // (key, ts) right rows would otherwise carry whichever row the
+    // shuffle happened to order last — nondeterministic across runs and
+    // engines. With it, ties resolve to the max payload struct, always.
+    val tie = struct(payload.map(p => col(s"__p_$p")): _*)
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc, col("__side").asc, tie.asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = payload.foldLeft(merged) { (df, p) =>
       df.withColumn(s"__c_$p",
@@ -84,7 +89,11 @@ object AsOfJoin {
         (Seq(col(key), col("__side"), col("__ts")) ++ all.map(col) ++
           lCols.filterNot(_ == key).map(c => col(c))): _*)
       .unionByName(r, allowMissingColumns = true)
-    val sort = Seq(col("__ts").asc, col("__side").asc)
+    // deterministic tiebreaker for duplicate (key, rightTs) right rows,
+    // same rationale as [[asOf]]: backward carry resolves an equal-ts
+    // tie to the max (__rts, payload) struct, forward carry to the min
+    val sort = Seq(col("__ts").asc, col("__side").asc,
+      struct(all.map(col): _*).asc)
     val wb = Window.partitionBy(col(key)).orderBy(sort: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wf = Window.partitionBy(col(key)).orderBy(sort: _*)

@@ -90,8 +90,11 @@ object Expectations {
         case InSet(cl, vs) =>
           count(when(col(cl).isNotNull && !col(cl).isin(vs: _*), 1))
         case MinDate(cl, atLeast) =>
-          when(max(to_date(col(cl))) < to_date(lit(atLeast)), 1L)
-            .otherwise(0L)
+          // NULL max (empty table / all-null column) must FAIL the
+          // freshness gate, not slide through the NULL predicate to
+          // otherwise(0): an empty table is maximally stale
+          when(coalesce(max(to_date(col(cl))) >= to_date(lit(atLeast)),
+            lit(false)), 0L).otherwise(1L)
         case other => sys.error(s"not row-local: $other")
       }).as(s"__v$i")
     }

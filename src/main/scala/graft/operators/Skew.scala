@@ -92,8 +92,13 @@ object Skew {
       .select(keyCols.map(col) ++ Seq(
         col("n_rows"),
         expr("n_rows * 1000000 DIV __total").as("share_ppm"),
-        (col("n_rows") * col("__keys") > lit(2L) * col("__total"))
-          .as("is_hot"),
+        // the cross-product runs in DECIMAL(38,0): at the 100 TB scale
+        // this advisor targets (1e12 rows x 1e9 keys) a BIGINT product
+        // wraps silently under non-ANSI Spark and flips is_hot
+        (col("n_rows").cast("decimal(19,0)") *
+          col("__keys").cast("decimal(19,0)") >
+          lit(2L).cast("decimal(19,0)") *
+          col("__total").cast("decimal(19,0)")).as("is_hot"),
         expr(s"(n_rows + ${targetRowsPerTask - 1}L) DIV ${targetRowsPerTask}L")
           .as("salt_factor")): _*)
       .orderBy(col("n_rows").desc, struct(keyCols.map(col): _*))

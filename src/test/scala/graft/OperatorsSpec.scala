@@ -820,6 +820,24 @@ class AsOfJoinSpec extends SparkSpec {
       ("e4", null, None)))        // key 2 has no refs
   }
 
+  test("duplicate (key, ts) right rows resolve deterministically: max payload backward, min forward") {
+    // without the struct tiebreaker the carried payload was
+    // shuffle-order-dependent (r9 ADVICE); pin the contract on both ops
+    val events = Seq((1L, 100L, "eb"), (1L, 300L, "ef")).toDF("k", "ts", "name")
+    val refs = Seq((1L, 90L, "rA"), (1L, 90L, "rZ"),
+      (1L, 310L, "sB"), (1L, 310L, "sY")).toDF("k", "rts", "ref")
+    (1 to 3).foreach { _ =>
+      val near = graft.operators.AsOfJoin.asOfNearest(
+          events, refs.repartition(7), "k", "ts", "rts", Seq("ref"))
+        .orderBy("name").collect().map(_.getAs[String]("ref"))
+      assert(near.toSeq == Seq("rZ", "sB")) // backward max, forward min
+      val backOnly = graft.operators.AsOfJoin.asOf(
+          events, refs.repartition(5), "k", "ts", "rts", Seq("ref"))
+        .orderBy("name").collect().map(_.getAs[String]("ref"))
+      assert(backOnly.toSeq == Seq("rZ", "rZ")) // latest-at-or-before, max on tie
+    }
+  }
+
   test("scd2 builds half-open validity intervals with a current flag") {
     val changes = Seq((1, ts("2024-01-01"), "a"), (1, ts("2024-02-01"), "b"))
       .toDF("k", "cts", "v")

@@ -1399,4 +1399,41 @@ class VersionedSpec extends SparkSpec {
       (11 to 20).map(i => (i.toLong, "b")).toDF("id", "v"), root)
     assert(v3 == 3L)
   }
+
+  test("keyed commits survive a same-JVM table rebuild: no stale key-cache hit") {
+    // the r9 ADVICE scenario: a table at `root` is deleted and recreated
+    // in the same JVM; a keyed append whose key matched a PRE-rebuild
+    // version must land as a real commit, not no-op off a stale memo
+    val root = freshRoot()
+    val a = (1 to 10).map(i => (i.toLong, "a")).toDF("id", "v")
+    assert(Versioned.append(a, root, key = Some("batch-1")) == 1)
+    assert(Versioned.versionForKey(root, "batch-1").contains(1L))
+    // nuke and recreate the table at the same root
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmAll)
+      f.delete(); ()
+    }
+    rmAll(new java.io.File(root))
+    val b = (11 to 20).map(i => (i.toLong, "b")).toDF("id", "v")
+    assert(Versioned.append(b, root, key = Some("other")) == 1)
+    // same (root, version) pair as the pre-rebuild keyed commit, but a
+    // DIFFERENT manifest: batch-1 must be unknown here
+    assert(Versioned.versionForKey(root, "batch-1").isEmpty)
+    val v2 = Versioned.append(a, root, key = Some("batch-1"))
+    assert(v2 == 2L)
+    assert(ids(Versioned.read(spark, root)) == (1L to 20L).toSet)
+  }
+
+  test("mergeInto rejects pruning stats recorded on a non-key column") {
+    val root = freshRoot()
+    Versioned.appendWithStats(
+      (1 to 10).map(i => (i.toLong, i.toLong * 2)).toDF("id", "w"),
+      root, "w")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.mergeInto(spark,
+        root, Seq((1L, 99L)).toDF("id", "w"), keyCol = "id",
+        statsCol = Some("w"))
+    }
+    assert(e.getMessage.contains("merge key"))
+  }
 }
