@@ -46,8 +46,15 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: $what"); (-1.0, Some(what)) }
     }
     // sorted so runs are comparable round over round; with the per-query
-    // warm rep the ordering no longer shifts costs between queries
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // warm rep the ordering no longer shifts costs between queries.
+    // SPARK_GRAFT_BENCH_ONLY (comma-separated names) scopes a local
+    // perf iteration; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       // localCheckpoint blocks from completed executions used to be
       // reclaimed only when a JVM GC let the ContextCleaner process
       // their weak refs — an ASYNC path the r8 driver bench proved
