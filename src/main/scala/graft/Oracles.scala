@@ -9260,6 +9260,58 @@ object Oracles {
         | CAST(abs(est_f2_mean - actual_f2) * 1000000 // actual_f2
         |  AS BIGINT) AS err_ppm
         |FROM mean, actual""".stripMargin,
+
+    // batch-replay anchor for the streaming quality router: the
+    // textMetrics kernel (quality + lang heuristic) and the keep/reject
+    // contract replayed per document
+    "q370_quality_router" ->
+      s"""WITH h AS (
+         | SELECT doc_id,
+         |  CAST(${qualitySql("text")} AS BIGINT) AS quality_score,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['the','and','of','to','is'], x))) AS h_en,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['el','la','de','que','los'], x))) AS h_es,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['le','la','les','des','est'], x))) AS h_fr,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['der','die','und','das','ist'], x))) AS h_de,
+         |  len(list_filter(${toksSql("lower(text)")}, x -> list_contains(['的','是','了','在','我'], x))) AS h_zh
+         | FROM documents)
+         |SELECT doc_id, quality_score,
+         | CASE WHEN h_en + h_es + h_fr + h_de + h_zh = 0 THEN 'und'
+         |      WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en >= h_zh THEN 'en'
+         |      WHEN h_es >= h_fr AND h_es >= h_de AND h_es >= h_zh THEN 'es'
+         |      WHEN h_fr >= h_de AND h_fr >= h_zh THEN 'fr'
+         |      WHEN h_de >= h_zh THEN 'de'
+         |      ELSE 'zh' END AS lang,
+         | (quality_score >= 50) AS keep,
+         | CASE WHEN quality_score >= 50 THEN NULL
+         |      ELSE 'quality_below_50' END AS reject_reason
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // batch-replay anchor for the streaming session metrics: gap-split
+    // sessions at micros-exact diff >= 5 min, window end = last event +
+    // gap, exact DECIMAL(18,2) score average (scores clamp to [0,100]
+    // through the cleanEvent contract)
+    "q371_session_metrics" ->
+      """WITH ev AS (
+        | SELECT CAST(user_id AS VARCHAR) AS student_id, ts,
+        |  LEAST(GREATEST(value, 0.0), 100.0) AS clean_score
+        | FROM events),
+        |flagged AS (
+        | SELECT student_id, ts, clean_score,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 300000000
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM ev WINDOW w AS (PARTITION BY student_id ORDER BY ts ASC)),
+        |sessions AS (
+        | SELECT *, sum(is_new) OVER (PARTITION BY student_id ORDER BY ts ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        | FROM flagged)
+        |SELECT min(ts) AS session_start,
+        | max(ts) + INTERVAL 5 MINUTE AS session_end,
+        | student_id, count(*) AS n_events,
+        | CAST(sum(CAST(clean_score AS DECIMAL(18,2))) AS DOUBLE)
+        |  / count(clean_score) AS avg_score
+        |FROM sessions GROUP BY student_id, seq
+        |ORDER BY student_id, session_start""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

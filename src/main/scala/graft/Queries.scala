@@ -7795,6 +7795,42 @@ object Queries {
           " DIV actual_f2 AS BIGINT)").as("err_ppm"))
   }
 
+  /** Batch-replay anchor for [[graft.streaming.Stream.qualityRouter]]
+    * (the streaming keep/reject/DLQ router was pass-(test)-only until
+    * r9): the EXACT function runs here on the documents table — it is
+    * stateless per-row expressions, so batch and stream are the same
+    * plan — and the oracle replays the native textMetrics kernel
+    * (quality score + lang heuristic) plus the keep/reject contract in
+    * SQL. A green hash is therefore an oracle anchor for the router
+    * itself, not a re-implementation. */
+  def q370QualityRouter(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Stream.qualityRouter(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", minQuality = 50)
+      .select(col("doc_id"), col("quality_score").cast("long")
+          .as("quality_score"),
+        col("lang"), col("keep"), col("reject_reason"))
+      .orderBy("doc_id")
+
+  /** Batch-replay anchor for [[graft.streaming.Stream.sessionMetrics]] +
+    * [[graft.streaming.Stream.cleanEvent]] (ST-2/ST-5's session rung):
+    * the event fixture replays through the SAME cleanEvent ->
+    * sessionMetrics chain the stream runs (withWatermark is a no-op in
+    * batch; session_window semantics are engine-identical), and the
+    * oracle recomputes the gap-split sessions (split at micros-exact
+    * diff >= gap), the +gap window end, and the exact DECIMAL(18,2)
+    * score average in SQL. Scores enter as strings so cleanEvent's
+    * parse-and-clamp path is the thing being anchored. */
+  def q371SessionMetrics(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = graft.streaming.Stream.cleanEvent(
+      t(s, dir, "events").select(
+        col("user_id").cast("string").as("student_id"),
+        col("ts").cast("timestamp").as("event_time"),
+        col("value").cast("string").as("score")))
+    graft.streaming.Stream.sessionMetrics(cleaned, gap = "5 minutes")
+      .orderBy("student_id", "session_start")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -9171,6 +9207,8 @@ object Queries {
     "q367_transition_lift" -> (q367TransitionLift _),
     "q368_karm_srm" -> (q368KarmSrm _),
     "q369_ams_f2" -> (q369AmsF2 _),
+    "q370_quality_router" -> (q370QualityRouter _),
+    "q371_session_metrics" -> (q371SessionMetrics _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -126,8 +126,15 @@ object Stream {
       .filter(col("student_id").isNotNull)
       .withWatermark("event_time", watermark)
       .groupBy(session_window(col("event_time"), gap), col("student_id"))
+      // exact DECIMAL(18,2) sum + ONE double division instead of
+      // avg(double): scores are this engine's clamped [0,100] 2-decimal
+      // domain, so the sum is exact and the average is accumulation-
+      // order-independent — identical across reruns, partitionings, and
+      // engines (the repo's portable-exactness discipline; float avg
+      // varies in the last ulp with merge order)
       .agg(count(lit(1)).as("n_events"),
-        avg(col("clean_score")).as("avg_score"))
+        (sum(col("clean_score").cast("decimal(18,2)")).cast("double") /
+          count(col("clean_score"))).as("avg_score"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("student_id"), col("n_events"), col("avg_score"))
