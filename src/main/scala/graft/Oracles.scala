@@ -9312,6 +9312,66 @@ object Oracles {
         |  / count(clean_score) AS avg_score
         |FROM sessions GROUP BY student_id, seq
         |ORDER BY student_id, session_start""".stripMargin,
+
+    // batch-replay anchor for the streaming per-minute metrics: tumbling
+    // 1-minute windows, exact DECIMAL(18,2) average
+    "q372_per_minute_metrics" ->
+      """SELECT date_trunc('minute', ts) AS window_start,
+        | CAST(user_id AS VARCHAR) AS student_id,
+        | count(*) AS events_per_minute,
+        | CAST(sum(CAST(LEAST(GREATEST(value, 0.0), 100.0)
+        |   AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+        |  AS rolling_avg_score
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // batch-replay anchor for the streaming per-student rolling metrics
+    // + alert predicate: error events carry an unparseable score, so
+    // is_valid=false exactly on event_type='error'
+    "q373_student_metrics" ->
+      """SELECT CAST(user_id AS VARCHAR) AS student_id,
+        | count(*) AS event_count,
+        | CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT))
+        |  AS BIGINT) AS total_duration,
+        | count(CASE WHEN event_type = 'error' THEN 1 END) AS error_count,
+        | CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE)
+        |  / GREATEST(count(*), 1) AS error_rate,
+        | (CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE)
+        |  / GREATEST(count(*), 1)) > 0.2 AS is_anomalous
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // batch-replay anchor for the sliding-window linear-counting sketch:
+    // hash -> bucket -> occupied per 5-min/1-min window -> estimator,
+    // all replayed (the q68 anchor extended to the windowed shape)
+    "q374_active_sketch" ->
+      s"""WITH w AS (
+         | SELECT DISTINCT
+         |  date_trunc('minute', ts) - k * INTERVAL 1 MINUTE AS window_start,
+         |  ${ph("CAST(user_id AS VARCHAR)", 7)} % 4096 AS bucket
+         | FROM events, (SELECT unnest(range(0, 5)) AS k)
+         | WHERE CAST(ts AS DATE) = DATE '2024-01-01')
+         |SELECT window_start, count(*) AS occupied,
+         | round(-4096 * ln((4096 - count(*)) / 4096.0), 6) AS est_active
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // batch-replay anchor for the streaming session-sequence assembler:
+    // gap sessions at micros-exact diff >= 30 min, (ts, id)-ordered
+    // sentences
+    "q375_session_sequences" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+        |sessions AS (
+        | SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        | FROM flagged)
+        |SELECT min(ts) AS session_start, user_id,
+        | count(*) AS n_events,
+        | string_agg(event_type, ' ' ORDER BY ts, event_id) AS event_seq
+        |FROM sessions GROUP BY user_id, seq
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -7831,6 +7831,71 @@ object Queries {
       .orderBy("student_id", "session_start")
   }
 
+  /** Batch-replay anchor for [[graft.streaming.Stream.perMinuteMetrics]]
+    * (ST-5's tumbling rung, previously covered only indirectly by the
+    * Sessionize twin q19): the actual streaming function over the
+    * cleaned event fixture; tumbling 1-minute windows, exact
+    * DECIMAL(18,2) score average. */
+  def q372PerMinuteMetrics(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = graft.streaming.Stream.cleanEvent(
+      t(s, dir, "events").select(
+        col("user_id").cast("string").as("student_id"),
+        col("ts").cast("timestamp").as("event_time"),
+        col("value").cast("string").as("score")))
+    graft.streaming.Stream.perMinuteMetrics(cleaned)
+      .orderBy("window_start", "student_id")
+  }
+
+  /** Batch-replay anchor for [[graft.streaming.Stream.studentMetrics]] /
+    * [[graft.streaming.Stream.alerts]] (ST-3/ST-4): error-type events
+    * carry an UNPARSEABLE score so cleanEvent's is_valid path — the
+    * thing error_rate counts — is exercised end to end; durations come
+    * from the props payload. is_anomalous IS the alerts predicate, so a
+    * green hash anchors both functions. error_rate is one double
+    * division of exact counts — portable. */
+  def q373StudentMetrics(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events").select(
+      col("user_id").cast("string").as("student_id"),
+      col("ts").cast("timestamp").as("event_time"),
+      when(col("event_type") === "error", lit("not-a-number"))
+        .otherwise(col("value").cast("string")).as("score"),
+      regexp_extract(col("props"), "([0-9]+)", 1).as("duration_seconds"))
+    graft.streaming.Stream.studentMetrics(
+        graft.streaming.Stream.cleanEvent(base))
+      .orderBy("student_id")
+  }
+
+  /** Batch-replay anchor for
+    * [[graft.streaming.Stream.activeStudentsSketch]] (the bounded-state
+    * linear-counting distinct over sliding windows): run PORTABLE so
+    * the oracle replays hash -> bucket -> occupied -> estimator for
+    * every 5-minute/1-minute sliding window — the q68 sketch anchor
+    * extended to the windowed streaming shape. Day-scoped (one fixture
+    * day) to keep the window frame bounded. */
+  def q374ActiveSketch(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = t(s, dir, "events")
+      .filter(to_date(col("ts")) === lit("2024-01-01"))
+      .select(col("user_id").cast("string").as("student_id"),
+        col("ts").cast("timestamp").as("event_time"))
+    graft.streaming.Stream.activeStudentsSketch(cleaned, m = 4096,
+        portable = true)
+      .orderBy("window_start")
+  }
+
+  /** Batch-replay anchor for
+    * [[graft.streaming.Stream.sessionSequences]] (the streaming
+    * event-sequence corpus assembler): session_window splits at
+    * micros-exact diff >= 30 min, sequences assembled in (ts, id)
+    * order by sort_array — the oracle rebuilds sessions with the gap
+    * rule and string_aggs in the same order. */
+  def q375SessionSequences(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Stream.sessionSequences(
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_type"), col("event_id")),
+        "user_id", "ts", "event_type", "event_id")
+      .orderBy("user_id", "session_start")
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -9209,6 +9274,10 @@ object Queries {
     "q369_ams_f2" -> (q369AmsF2 _),
     "q370_quality_router" -> (q370QualityRouter _),
     "q371_session_metrics" -> (q371SessionMetrics _),
+    "q372_per_minute_metrics" -> (q372PerMinuteMetrics _),
+    "q373_student_metrics" -> (q373StudentMetrics _),
+    "q374_active_sketch" -> (q374ActiveSketch _),
+    "q375_session_sequences" -> (q375SessionSequences _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

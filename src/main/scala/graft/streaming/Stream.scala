@@ -98,9 +98,12 @@ object Stream {
     cleaned
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), "1 minute"), col("student_id"))
+      // exact DECIMAL(18,2) sum + one double division, not avg(double) —
+      // same portable-exactness rationale as [[sessionMetrics]]
       .agg(
         count(lit(1)).as("events_per_minute"),
-        avg(col("clean_score")).as("rolling_avg_score"))
+        (sum(col("clean_score").cast("decimal(18,2)")).cast("double") /
+          count(col("clean_score"))).as("rolling_avg_score"))
       .select(col("window.start").as("window_start"),
         col("student_id"), col("events_per_minute"), col("rolling_avg_score"))
 
@@ -174,13 +177,16 @@ object Stream {
     * [[activeStudents]]'s HLL, but with the sketch the batch side already
     * value-oracles, so batch and stream share one estimator. */
   def activeStudentsSketch(cleaned: DataFrame, m: Int = 4096,
-                           watermark: String = "10 minutes"): DataFrame =
+                           watermark: String = "10 minutes",
+                           portable: Boolean = false): DataFrame =
     cleaned
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), "5 minutes", "1 minute"),
         // the batch operator's own bucket/estimator definitions
-        // (graft.operators.Sketch) — one code path, never two
-        graft.operators.Sketch.bucketCol(col("student_id"), m).as("__bucket"))
+        // (graft.operators.Sketch) — one code path, never two; portable
+        // routes the hash through the md5 family the oracle can replay
+        graft.operators.Sketch.bucketCol(col("student_id"), m,
+          portable = portable).as("__bucket"))
       .agg(count(lit(1)).as("__n"))
       .groupBy(col("window"))
       .agg(count(lit(1)).as("occupied"))
