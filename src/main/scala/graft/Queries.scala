@@ -3159,7 +3159,12 @@ object Queries {
     * span ~1.3e17 < 2^63; int64->double is correctly rounded in both
     * engines, unlike wide decimals — the q235 lesson), and twap_cents
     * is ONE double division. Users with a single event (no interval)
-    * are excluded by definition. One user-keyed window shuffle. */
+    * are excluded by definition. One user-keyed window shuffle.
+    * Hash surface: the raw micros-grain wsum exceeds 2^53 (the q332
+    * comparator-coercion exposure the lint guards), so the OUTPUT
+    * carries it in exact cents-seconds (DIV 1e6, non-negative domain —
+    * value >= 0 in the fixture — so trunc == floor); twap_cents still
+    * divides the full-precision BIGINT internally. */
   def q243Twap(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
@@ -3175,7 +3180,7 @@ object Queries {
         (max(col("nt")) - min(col("t"))).as("span_micros"),
         sum(col("cents") * (col("nt") - col("t"))).as("wsum"))
       .select(col("user_id"), col("n_intervals"), col("span_micros"),
-        col("wsum"),
+        expr("wsum div 1000000").as("wsum_cents_sec"),
         (col("wsum").cast("double") / col("span_micros").cast("double"))
           .as("twap_cents"))
       .orderBy("user_id")
