@@ -20,3 +20,7 @@ fi
 grep '\[verify\]' "$log" || true
 rm -f "$log"
 python3 tools/check.py "$SF" "$OUT" "$@"
+# hash-surface lint rides every gate run (scoped to the same queries):
+# values beyond 2^53 in an output column are a latent driver-comparator
+# red even when check.py is green (the q332/q243 class).
+python3 tools/lint_hash_surface.py "$OUT" "$@"
