@@ -52,6 +52,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // fail fast on a typo'd name: a silent no-match run would overwrite
+    // the committed-evidence BENCH_RAW.json with an empty result.
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY names not in the registry: " +
+        unknown.toSeq.sorted.mkString(", "))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>

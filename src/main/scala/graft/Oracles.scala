@@ -6353,7 +6353,7 @@ object Oracles {
         |      WHEN diff_micros < 0 THEN 'under' ELSE 'exact' END
         |  AS direction,
         | CAST(count(*) AS BIGINT) AS n_orders,
-        | CAST(sum(abs(diff_micros)) AS BIGINT) AS abs_diff_micros
+        | CAST(sum(abs(diff_micros)) // 10000 AS BIGINT) AS abs_diff_cents
         |FROM d GROUP BY 1, 2 ORDER BY band, direction""".stripMargin,
 
     // per-brand skyline: sort-sweep dominance via one strictly-cheaper
@@ -7504,7 +7504,10 @@ object Oracles {
         | FROM dev a CROSS JOIN ks k
         |  JOIN dev b ON b.day_num = a.day_num + k.k)
         |SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
-        | CAST(sum(dev_a * dev_b) AS BIGINT) AS num, den,
+        | CAST(CASE WHEN sum(dev_a * dev_b) < 0
+        |  THEN -((-sum(dev_a * dev_b)) // 1000000)
+        |  ELSE sum(dev_a * dev_b) // 1000000 END AS BIGINT) AS num_e6,
+        | CAST(den // 1000000 AS BIGINT) AS den_e6,
         | CAST(CAST(CAST(sum(dev_a * dev_b) AS BIGINT) AS HUGEINT)
         |  * 1000000 // den AS BIGINT) AS acf_ppm
         |FROM pairs, dn GROUP BY k, den ORDER BY k""".stripMargin,
@@ -7677,7 +7680,8 @@ object Oracles {
         | GROUP BY 1, 2, 3)
         |SELECT qbin, n_train, p_ppm, n_eval, y_eval,
         | y_eval * 1000000 // n_eval AS obs_ppm,
-        | p_ppm - y_eval * 1000000 // n_eval AS gap_ppm, se_sum,
+        | p_ppm - y_eval * 1000000 // n_eval AS gap_ppm,
+        | CAST(se_sum // n_eval AS BIGINT) AS bin_mse_e12,
         | (SELECT CAST(sum(se_sum) // sum(n_eval) AS BIGINT) FROM bins)
         |  AS brier_e12
         |FROM bins ORDER BY qbin""".stripMargin,
@@ -9294,7 +9298,8 @@ object Oracles {
     "q371_session_metrics" ->
       """WITH ev AS (
         | SELECT CAST(user_id AS VARCHAR) AS student_id, ts,
-        |  LEAST(GREATEST(value, 0.0), 100.0) AS clean_score
+        |  CASE WHEN value IS NULL OR NOT isfinite(value) THEN NULL
+        |       ELSE LEAST(GREATEST(value, 0.0), 100.0) END AS clean_score
         | FROM events),
         |flagged AS (
         | SELECT student_id, ts, clean_score,
@@ -9317,13 +9322,17 @@ object Oracles {
     // batch-replay anchor for the streaming per-minute metrics: tumbling
     // 1-minute windows, exact DECIMAL(18,2) average
     "q372_per_minute_metrics" ->
-      """SELECT date_trunc('minute', ts) AS window_start,
+      """WITH ev AS (
+        | SELECT ts, user_id,
+        |  CASE WHEN value IS NULL OR NOT isfinite(value) THEN NULL
+        |       ELSE LEAST(GREATEST(value, 0.0), 100.0) END AS clean_score
+        | FROM events)
+        |SELECT date_trunc('minute', ts) AS window_start,
         | CAST(user_id AS VARCHAR) AS student_id,
         | count(*) AS events_per_minute,
-        | CAST(sum(CAST(LEAST(GREATEST(value, 0.0), 100.0)
-        |   AS DECIMAL(18,2))) AS DOUBLE) / count(value)
-        |  AS rolling_avg_score
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        | CAST(sum(CAST(clean_score AS DECIMAL(18,2))) AS DOUBLE)
+        |  / count(clean_score) AS rolling_avg_score
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // batch-replay anchor for the streaming per-student rolling metrics
     // + alert predicate: error events carry an unparseable score, so
@@ -9331,7 +9340,8 @@ object Oracles {
     "q373_student_metrics" ->
       """SELECT CAST(user_id AS VARCHAR) AS student_id,
         | count(*) AS event_count,
-        | CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT))
+        | CAST(sum(COALESCE(
+        |   TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT), 0))
         |  AS BIGINT) AS total_duration,
         | count(CASE WHEN event_type = 'error' THEN 1 END) AS error_count,
         | CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE)
@@ -9351,7 +9361,8 @@ object Oracles {
          | FROM events, (SELECT unnest(range(0, 5)) AS k)
          | WHERE CAST(ts AS DATE) = DATE '2024-01-01')
          |SELECT window_start, count(*) AS occupied,
-         | round(-4096 * ln((4096 - count(*)) / 4096.0), 6) AS est_active
+         | CASE WHEN count(*) < 4096 THEN
+         |  round(-4096 * ln((4096 - count(*)) / 4096.0), 6) END AS est_active
          |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // batch-replay anchor for the streaming session-sequence assembler:

@@ -389,19 +389,12 @@ object Queries {
   }
   private val xxPairsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
-  private def xxPairs(s: SparkSession, dir: String): DataFrame = {
-    xxPairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    xxPairsCache.computeIfAbsent((s, dir), _ => {
-      // internal LSH-chain ckpts stay query-scoped (dead once the final
-      // frame truncates lineage); only the cached RESULT must survive
-      // the harness release, so just its ckpt runs under sessionScope
-      val pairs = Dedup.minhashNearDups(xxPlantedCorpus(s, dir),
+  private def xxPairs(s: SparkSession, dir: String): DataFrame =
+    sessionCachedFrame(xxPairsCache, (s, dir),
+        (k: (SparkSession, String)) => k._1) {
+      Dedup.minhashNearDups(xxPlantedCorpus(s, dir),
         "doc_id", "text", threshold = 0.5)
-      graft.operators.Checkpoints.sessionScope {
-        pairs.transform(graft.operators.Checkpoints.ckpt)
-      }
-    })
-  }
+    }
 
   /** MinHash+LSH near-duplicate pairs (xxhash64 signatures — not SQL-
     * expressible, rows-only check). Corpus gets planted near-dups: every
@@ -4331,7 +4324,11 @@ object Queries {
           .as("direction"))
       .groupBy(col("band"), col("direction"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(abs(col("diff_micros"))).cast("long").as("abs_diff_micros"))
+        // hash surface: the micro-unit band sum crosses 2^53 at sf0.1
+        // (1.56x over) — report in exact cents (one truncating DIV of
+        // the non-negative sum); classification above stays micro-exact.
+        expr("sum(abs(diff_micros)) DIV 10000").cast("long")
+          .as("abs_diff_cents"))
       .orderBy("band", "direction")
   }
 
@@ -5677,7 +5674,14 @@ object Queries {
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("dev_a") * col("dev_b")).cast("long").as("num"))
       .crossJoin(broadcast(den))
-      .select(col("k"), col("n_pairs"), col("num"), col("den"),
+      // hash surface: raw num/den are Σ dev·dev sums that cross 2^53 at
+      // sf0.1 (den 1.4x over) — emit them in exact mega-units (sign-split
+      // DIV, trunc == floor-proof) per the q332 rule; acf_ppm still
+      // divides the full-precision values.
+      .select(col("k"), col("n_pairs"),
+        expr("CASE WHEN num < 0 THEN -((-num) DIV 1000000)" +
+          " ELSE num DIV 1000000 END").as("num_e6"),
+        expr("den DIV 1000000").as("den_e6"),
         expr("CAST(CAST(num AS DECIMAL(25,0)) * 1000000 DIV den AS BIGINT)")
           .as("acf_ppm"))
       .orderBy("k")
@@ -5877,14 +5881,19 @@ object Queries {
       .agg(count(lit(1)).as("n_eval"),
         sum(col("y")).cast("long").as("y_eval"),
         sum(col("se")).cast("long").as("se_sum"))
+      // hash surface: raw se_sum crosses 2^53 at sf0.1 (1.48x over) —
+      // the per-bin mean squared error (<= 1e12 by construction, scale-
+      // free) is the contract value; the global brier_e12 still sums
+      // the full-precision se_sum internally.
       .select(col("qbin"), col("n_train"), col("p_ppm"), col("n_eval"),
         col("y_eval"),
         expr("y_eval * 1000000 DIV n_eval").as("obs_ppm"),
         (col("p_ppm") - expr("y_eval * 1000000 DIV n_eval")).as("gap_ppm"),
-        col("se_sum"))
+        expr("se_sum DIV n_eval").as("bin_mse_e12"), col("se_sum"))
     bins.crossJoin(broadcast(bins.agg(
         expr("CAST(sum(se_sum) DIV sum(n_eval) AS BIGINT)")
           .as("brier_e12"))))
+      .drop("se_sum")
       .orderBy("qbin")
   }
 
@@ -6284,21 +6293,17 @@ object Queries {
     * weights; the (cust, part) grain IS the distinct the others need. */
   private val basketsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
-  private def basketFrame(s: SparkSession, dir: String): DataFrame = {
-    basketsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    basketsCache.computeIfAbsent((s, dir), _ => {
-      val b = t(s, dir, "lineitem")
+  private def basketFrame(s: SparkSession, dir: String): DataFrame =
+    sessionCachedFrame(basketsCache, (s, dir),
+        (k: (SparkSession, String)) => k._1) {
+      t(s, dir, "lineitem")
         .join(t(s, dir, "orders")
             .select(col("o_orderkey"), col("o_custkey"),
               to_date(col("o_orderdate")).as("d")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
         .agg(max(col("d")).as("d_last"))
-      graft.operators.Checkpoints.sessionScope {
-        b.transform(graft.operators.Checkpoints.ckpt)
-      }
-    })
-  }
+    }
 
   /** Item-item collaborative filtering: top-3 co-purchase neighbors
     * per part from (customer, part) baskets — the classic
@@ -6329,14 +6334,14 @@ object Queries {
   private def cfTop3Variant(s: SparkSession, dir: String, kind: String)
                            (basket: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    cfTop3Cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    cfTop3Cache.computeIfAbsent((s, dir, kind), _ => {
+    sessionCachedFrame(cfTop3Cache, (s, dir, kind),
+        (k: (SparkSession, String, String)) => k._1) {
       val baskets = basket(basketFrame(s, dir))
       val small = baskets.groupBy(col("cust"))
         .agg(count(lit(1)).as("n")).filter(col("n") <= 30)
         .select(col("cust"))
       val b = baskets.join(small, Seq("cust"))
-      val top = b.as("a")
+      b.as("a")
         .join(b.as("b"), col("a.cust") === col("b.cust") &&
           col("a.part") =!= col("b.part"))
         .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
@@ -6345,10 +6350,7 @@ object Queries {
           Window.partitionBy(col("part_a"))
             .orderBy(col("co_cnt").desc, col("part_b").asc)))
         .filter(col("rn") <= 3)
-      graft.operators.Checkpoints.sessionScope {
-        top.transform(graft.operators.Checkpoints.ckpt)
-      }
-    })
+    }
   }
   private def cfTop3(s: SparkSession, dir: String): DataFrame =
     cfTop3Variant(s, dir, "full")(_.select(col("cust"), col("part")))
@@ -8198,6 +8200,28 @@ object Queries {
     map.keySet.removeIf(k => k._1.sparkContext.isStopped)
     map.computeIfAbsent((s, dir), _ => { build; java.lang.Boolean.TRUE })
     ()
+  }
+
+  /** Session-lifetime DataFrame cache (the xxPairs/basketFrame/cfTop3
+    * idiom, extracted so no copy can mis-assemble it): purge stopped
+    * sessions, build once per key, and ckpt the RESULT under
+    * sessionScope so the harness's query-scoped block release never
+    * unpersists a lineage-truncated cached frame. `build` evaluates
+    * OUTSIDE sessionScope on purpose — its internal chain ckpts stay
+    * query-scoped (dead once the final frame truncates lineage); only
+    * the returned frame must survive. Same no-nesting contract as
+    * [[oncePerSession]] (the q112 lesson). */
+  private def sessionCachedFrame[K](
+      map: java.util.concurrent.ConcurrentHashMap[K, DataFrame],
+      key: K, session: K => SparkSession)
+      (build: => DataFrame): DataFrame = {
+    map.keySet.removeIf(k => session(k).sparkContext.isStopped)
+    map.computeIfAbsent(key, _ => {
+      val frame = build
+      graft.operators.Checkpoints.sessionScope {
+        frame.transform(graft.operators.Checkpoints.ckpt)
+      }
+    })
   }
 
   /** ORC sink + source round trip: write documents as ORC, read it back,

@@ -84,31 +84,19 @@ object Versioned {
     readManifestRaw(root, v).map(_.split("\t")(0))
 
   /** The commit key a version was published under, if any ("#key="
-    * header). Manifests are immutable once published, so header reads
-    * memoize per JVM — a keyed-commit stream pays one file open per
-    * manifest over its lifetime, not per append. The cache key carries
-    * the manifest file's (size, mtime) identity: a (root, version) pair
-    * alone could return a stale hit after a table at `root` is deleted
-    * and recreated (or a version expired and re-published by a manual
-    * rebuild) in the same JVM, making versionForKey silently skip a
-    * keyed append — a lost micro-batch with no error. One File.stat per
-    * lookup buys that safety; entries for dead identities are dropped
-    * eagerly so the map tracks live manifests only. */
-  private val keyCache = java.util.Collections.synchronizedMap(
-    new java.util.HashMap[(String, Long, Long, Long), Option[String]]())
+    * header). Deliberately NOT memoized: any cache identity short of
+    * the file content can alias (a same-millisecond table rebuild with
+    * an equal-length manifest defeats a (size, mtime) key), and a stale
+    * hit makes versionForKey silently skip a keyed append — a lost
+    * micro-batch with no error. A content-faithful identity would have
+    * to open the file anyway, at which point reading the one header
+    * line IS the lookup. Cost: one small driver-side file open per
+    * retained version per versionForKey scan, bounded by retention. */
   private def keyOf(root: String, v: Long): Option[String] = {
-    val f = manifestFile(root, v)
-    val ident = (root, v, f.length(), f.lastModified())
-    keyCache.synchronized {
-      keyCache.keySet.removeIf(k =>
-        k._1 == root && k._2 == v && k != ident)
-    }
-    keyCache.computeIfAbsent(ident, { _ =>
-      val src = scala.io.Source.fromFile(f, "UTF-8")
-      try src.getLines().collectFirst {
-        case l if l.startsWith("#key=") => l.stripPrefix("#key=")
-      } finally src.close()
-    })
+    val src = scala.io.Source.fromFile(manifestFile(root, v), "UTF-8")
+    try src.getLines().collectFirst {
+      case l if l.startsWith("#key=") => l.stripPrefix("#key=")
+    } finally src.close()
   }
 
   /** The version already committed under `key`, if any. Scans

@@ -22,5 +22,13 @@ rm -f "$log"
 python3 tools/check.py "$SF" "$OUT" "$@"
 # hash-surface lint rides every gate run (scoped to the same queries):
 # values beyond 2^53 in an output column are a latent driver-comparator
-# red even when check.py is green (the q332/q243 class).
-python3 tools/lint_hash_surface.py "$OUT" "$@"
+# red even when check.py is green (the q332/q243 class). The limit is
+# magnitude-dependent — sums scale ~linearly with corpus size — so
+# smaller-SF gates tighten it by the scale-up to sf0.1 (plus ~1.6x
+# slack) to catch what the driver's sf0.1 run would see.
+case "$SF" in
+  *sf0.001*) MARGIN=160 ;;
+  *sf0.01*)  MARGIN=16 ;;
+  *)         MARGIN=1 ;;
+esac
+python3 tools/lint_hash_surface.py --margin "$MARGIN" "$OUT" "$@"

@@ -33,13 +33,30 @@ LIMIT = 2 ** 53
 
 
 def justified(notes_text, name):
+    # A justification is a LIST ENTRY starting with the query name inside
+    # the hash-surface section ("- q243_twap: ..."), not any prose mention
+    # of the name — narrative text must not silently suppress a flag.
     m = re.search(r"## hash-surface[\s\S]*?(?=\n## |\Z)", notes_text)
-    return bool(m and name in m.group(0))
+    if not m:
+        return False
+    return bool(re.search(rf"^\s*[-*]\s+{re.escape(name)}\b",
+                          m.group(0), re.MULTILINE))
 
 
 def main():
-    out_dir = sys.argv[1]
-    only = set(sys.argv[2:])
+    # --margin N divides the 2^53 limit: gate runs at small SFs pass
+    # --margin so a column that would exceed 2^53 at sf0.1 (sums scale
+    # ~linearly with corpus size) is flagged at authoring time, not only
+    # in the close-chain sf0.1 sweep.
+    args = sys.argv[1:]
+    margin = 1
+    if args and args[0] == "--margin":
+        margin = int(args[1])
+        args = args[2:]
+    global LIMIT
+    LIMIT = LIMIT // margin
+    out_dir = args[0]
+    only = set(args[1:])
     notes_path = os.path.join(os.path.dirname(__file__), "..", "docs",
                               "NOTES.md")
     notes = ""
@@ -81,8 +98,9 @@ def main():
                 tag = "JUSTIFIED" if justified(notes, name) else "FLAG"
                 if tag == "FLAG":
                     n_flag += 1
+                lim = "2^53" if margin == 1 else f"2^53/{margin} (gate margin)"
                 print(f"{tag} {name}.{col} ({ds}): max |value| = {mx}"
-                      f" > 2^53 — a float64-coercing comparator rounds"
+                      f" > {lim} — a float64-coercing comparator rounds"
                       f" this; rescale to an exact coarser unit or"
                       f" justify in docs/NOTES.md '## hash-surface'")
     if n_flag:
