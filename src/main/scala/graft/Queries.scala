@@ -1572,22 +1572,35 @@ object Queries {
     * over per-row products (q99 float discipline) makes the full 2,080
     * cells hash-verifiable cross-engine. */
   def q151EmbeddingCov(s: SparkSession, dir: String): DataFrame =
-    Embeddings.covariance(t(s, dir, "embeddings"), "embedding")
-      .orderBy("i", "j")
+    covCells(s, dir).orderBy("i", "j")
+
+  /** The covariance family's shared cell frame (i, j, cov — 2,080 rows
+    * at d=64): ONE corpus pass serves q151 (the cells themselves), q152
+    * (the PCA basis fit) and q334 (effective rank), which each ran the
+    * full d² accumulation from scratch (~3 s apiece at sf0.1). Same
+    * session-cache discipline as the CF basket frame. */
+  private val covCellsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def covCells(s: SparkSession, dir: String): DataFrame =
+    sessionCachedFrame(covCellsCache, (s, dir),
+        (k: (SparkSession, String)) => k._1) {
+      Embeddings.covariance(t(s, dir, "embeddings"), "embedding")
+    }
 
   /** Session cache for the fitted PCA basis (components + means) per
     * (session, sf-dir) — the ivfCache convention: the basis is INDEX
     * METADATA a production pipeline fits once and persists; steady-state
-    * q152 measures the projection, the fit lands in the bench warm rep. */
+    * q152 measures the projection, the fit lands in the bench warm rep.
+    * The fit consumes the shared [[covCells]] frame (different map —
+    * the no-nesting contract binds per-map only). */
   private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (Array[Array[Double]], Array[Double])]()
   private def pcaBasisFor(s: SparkSession, dir: String): (Array[Array[Double]], Array[Double]) = {
     pcaCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     pcaCache.computeIfAbsent((s, dir), _ => {
-      val e = t(s, dir, "embeddings")
-      val (comps, _) = Embeddings.pcaComponents(e, "embedding", 4)
-      val mv = Embeddings.means(e, "embedding").collect()
-        .sortBy(_.getInt(0)).map(_.getDouble(1))
+      val comps = Embeddings.pcaComponentsFromCells(covCells(s, dir), 4)._1
+      val mv = Embeddings.means(t(s, dir, "embeddings"), "embedding")
+        .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
       (comps, mv)
     })
   }
@@ -6266,7 +6279,7 @@ object Queries {
     * twice). The one-number screen that decides whether q152's PCA is
     * worth running; bounded d(d+1)/2-cell frame end to end. */
   def q334EffectiveRank(s: SparkSession, dir: String): DataFrame = {
-    val cells = Embeddings.covariance(t(s, dir, "embeddings"), "embedding")
+    val cells = covCells(s, dir)
       .select(col("i"), col("j"),
         round(graft.expr.GraftFunctions.portableRound(col("cov"), 6) * 1e6)
           .cast("long").as("micro"))

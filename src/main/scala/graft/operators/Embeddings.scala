@@ -175,8 +175,17 @@ object Embeddings {
     * components(c)(i) = loading of input dim i on component c, rows
     * ordered by descending eigenvalue. */
   def pcaComponents(df: DataFrame, vecCol: String, k: Int,
-                    iters: Int = 100): (Array[Array[Double]], Array[Double]) = {
-    val cells = covariance(df, vecCol).collect()
+                    iters: Int = 100): (Array[Array[Double]], Array[Double]) =
+    pcaComponentsFromCells(covariance(df, vecCol), k, iters)
+
+  /** [[pcaComponents]] over an ALREADY-COMPUTED covariance cell frame
+    * (i, j, cov) — the corpus-scale covariance pass is the expensive
+    * step, and callers that share one cells frame across the cov/PCA/
+    * effective-rank family (the session-cache discipline) should not
+    * pay it per consumer. */
+  def pcaComponentsFromCells(cellsDf: DataFrame, k: Int,
+                             iters: Int = 100): (Array[Array[Double]], Array[Double]) = {
+    val cells = cellsDf.collect()
     require(cells.nonEmpty, "pcaComponents: empty input")
     val d = cells.iterator.map(_.getInt(1)).max + 1
     require(k >= 1 && k <= d, s"pcaComponents: k must be in [1, $d]")
