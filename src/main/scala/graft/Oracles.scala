@@ -9384,6 +9384,17 @@ object Oracles {
         | string_agg(event_type, ' ' ORDER BY ts, event_id) AS event_seq
         |FROM sessions GROUP BY user_id, seq
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // batch-replay anchor for the stream-stream attribution join:
+    // click -> purchase pairs per user, purchase within [click,
+    // click + 10 min] — the two-sided time bound replayed verbatim
+    "q376_interval_join" ->
+      """SELECT l.user_id, l.ts AS left_time, r.ts AS right_time
+        |FROM events l JOIN events r
+        | ON l.user_id = r.user_id
+        | AND l.event_type = 'click' AND r.event_type = 'purchase'
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+        |ORDER BY 1, 2, 3""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

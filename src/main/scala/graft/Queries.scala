@@ -7923,6 +7923,24 @@ object Queries {
         "user_id", "ts", "event_type", "event_id")
       .orderBy("user_id", "session_start")
 
+  /** Batch-replay anchor for [[graft.streaming.Stream.intervalJoin]]
+    * (the stream-stream attribution join, the last streaming row with
+    * no oracle): click -> purchase pairs per user within a 10-minute
+    * horizon. The join condition bounds time in BOTH directions — the
+    * property that makes the streaming state horizon-bounded — and the
+    * oracle replays exactly that condition, so a green hash anchors the
+    * pairing semantics the watermark eviction depends on. */
+  def q376IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def side(tpe: String, tcol: String) =
+      ev.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("ts").cast("timestamp").as(tcol))
+    graft.streaming.Stream.intervalJoin(
+        side("click", "left_time"), side("purchase", "right_time"),
+        "user_id", horizonMinutes = 10)
+      .orderBy("user_id", "left_time", "right_time")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -9327,6 +9345,7 @@ object Queries {
     "q373_student_metrics" -> (q373StudentMetrics _),
     "q374_active_sketch" -> (q374ActiveSketch _),
     "q375_session_sequences" -> (q375SessionSequences _),
+    "q376_interval_join" -> (q376IntervalJoin _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
