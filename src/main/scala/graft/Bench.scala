@@ -35,15 +35,33 @@ object Bench {
     // an order-dependent failure is diagnosable from the COMMITTED
     // BENCH_RAW.json without a re-run (the r07 q112 lesson: stderr-only
     // messages are gone by adjudication time)
+    // per-rep JVM GC time and post-rep storage-memory snapshots ride
+    // BENCH_RAW so a driver-vs-builder drift (r9: 256.0 vs 234.1 s with
+    // identical code) is attributable from the committed evidence: a
+    // drifted rep with flat gc_ms and flat storage is host noise; rising
+    // gc_ms says JVM pressure; rising storage says a lifetime leak.
+    def gcMillis(): Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var sum = 0L
+      while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) sum += t }
+      sum
+    }
+    def storageMb(): Double =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6
+    case class Rep(sec: Double, err: Option[String], gcMs: Long, storMb: Double)
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
-                 name: String): (Double, Option[String]) = {
+                 name: String): Rep = {
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, None) }
+      try { fn(spark, sfDir).count()
+        Rep((System.nanoTime() - t0) / 1e9, None, gcMillis() - gc0, storageMb()) }
       catch { case e: Throwable =>
         val first = Option(e.getMessage)
           .flatMap(_.linesIterator.nextOption()).getOrElse("")
         val what = s"${e.getClass.getName}: $first"
-        System.err.println(s"[bench] $name FAILED: $what"); (-1.0, Some(what)) }
+        System.err.println(s"[bench] $name FAILED: $what")
+        Rep(-1.0, Some(what), gcMillis() - gc0, storageMb()) }
     }
     // sorted so runs are comparable round over round; with the per-query
     // warm rep the ordering no longer shifts costs between queries.
@@ -79,13 +97,13 @@ object Bench {
         graft.operators.Checkpoints.releaseQueryScoped(spark)
         System.gc()
       }
-      val (warm, warmErr) = timeOnce(fn, name)
+      val warmRep = timeOnce(fn, name)
       release()
       val timed = (1 to reps).map { _ =>
         val r = timeOnce(fn, name); release(); r
       }
-      val err = (warmErr +: timed.map(_._2)).flatten.headOption
-      (name, warm, timed.map(_._1), err)
+      val err = (warmRep.err +: timed.map(_.err)).flatten.headOption
+      (name, warmRep, timed, err)
     }
     // a failed query must be distinguishable from a fast one: any failed rep
     // marks the query failed, its reported timing is -1
@@ -98,7 +116,19 @@ object Bench {
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def short(name: String): String = name.takeWhile(_ != '_')
     val meds = results.map { case (name, warm, ts, _) =>
-      (name, if (ts.contains(-1.0) || warm == -1.0) -1.0 else median(ts))
+      (name, if (ts.exists(_.sec == -1.0) || warm.sec == -1.0) -1.0
+             else median(ts.map(_.sec)))
+    }
+    // rep-spread flag (r9 verdict item 3): a query whose timed reps span
+    // more than 2x is unstable — the r8 q239 release bug was visible as
+    // spread long before it moved the median. Reported like `failed`;
+    // sub-0.3 s queries are exempt (JVM scheduling noise dominates there,
+    // not plan behavior).
+    val spreadFlagged = results.collect {
+      case (name, _, ts, None)
+        if ts.nonEmpty && ts.forall(_.sec > 0) &&
+           ts.map(_.sec).max >= 0.3 &&
+           ts.map(_.sec).max / ts.map(_.sec).min > 2.0 => name
     }
     // duplicate short keys would silently overwrite each other in the JSON
     // object — fail fast instead if a registry name ever reuses a qNN prefix
@@ -118,17 +148,22 @@ object Bench {
         case c => c.toString
       } + "\""
     val raw = results.map { case (k, warm, ts, err) =>
-      "\"" + k + "\":{\"warm\":" + r3(warm) + ",\"reps\":" +
-        ts.map(r3).mkString("[", ",", "]") +
+      "\"" + k + "\":{\"warm\":" + r3(warm.sec) + ",\"reps\":" +
+        ts.map(r => r3(r.sec)).mkString("[", ",", "]") +
+        ",\"gc_ms\":" + (warm +: ts).map(_.gcMs.toString).mkString("[", ",", "]") +
+        ",\"storage_mb\":" + (warm +: ts).map(r => r3(r.storMb)).mkString("[", ",", "]") +
         err.map(e => ",\"error\":" + jstr(e)).getOrElse("") + "}"
     }.mkString("{", ",", "}")
-    val rawLine = s"""{"bench_detail":$raw,"sf":"$sfDir","cpus":$cpus,"reps":$reps,"protocol":"1 warm + $reps timed per query, medians over timed only"}"""
+    val flaggedRaw = spreadFlagged.map(jstr).mkString("[", ",", "]")
+    val rawLine = s"""{"bench_detail":$raw,"flagged_spread":$flaggedRaw,"sf":"$sfDir","cpus":$cpus,"reps":$reps,"protocol":"1 warm + $reps timed per query, medians over timed only; gc_ms/storage_mb are [warm, rep...] JVM-GC-time deltas and post-rep storage snapshots"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_RAW.json"), rawLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_RAW.json write failed: ${e.getMessage}") }
     System.err.println(rawLine)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$reps,"warm":1,"sf":"$sfDir"}""")
+    val flaggedShort = spreadFlagged.map(n => "\"" + short(n) + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"flagged_spread":$flaggedShort,"runs":$reps,"warm":1,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

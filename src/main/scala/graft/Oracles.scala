@@ -2181,7 +2181,8 @@ object Oracles {
         |  CAST(sum(cents * (nt - t)) AS BIGINT) AS wsum
         | FROM p WHERE nt IS NOT NULL GROUP BY user_id)
         |SELECT user_id, n_intervals, span_micros,
-        | wsum // 1000000 AS wsum_cents_sec,
+        | CASE WHEN wsum < 0 THEN -((-wsum) // 1000000)
+        |      ELSE wsum // 1000000 END AS wsum_cents_sec,
         | CAST(wsum AS DOUBLE) / CAST(span_micros AS DOUBLE) AS twap_cents
         |FROM g ORDER BY user_id""".stripMargin,
 

@@ -3175,9 +3175,10 @@ object Queries {
     * are excluded by definition. One user-keyed window shuffle.
     * Hash surface: the raw micros-grain wsum exceeds 2^53 (the q332
     * comparator-coercion exposure the lint guards), so the OUTPUT
-    * carries it in exact cents-seconds (DIV 1e6, non-negative domain —
-    * value >= 0 in the fixture — so trunc == floor); twap_cents still
-    * divides the full-precision BIGINT internally. */
+    * carries it in exact cents-seconds (sign-split DIV 1e6, so Spark
+    * truncation == DuckDB floor unconditionally, not just on the
+    * fixture's non-negative domain); twap_cents still divides the
+    * full-precision BIGINT internally. */
   def q243Twap(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
@@ -3193,7 +3194,11 @@ object Queries {
         (max(col("nt")) - min(col("t"))).as("span_micros"),
         sum(col("cents") * (col("nt") - col("t"))).as("wsum"))
       .select(col("user_id"), col("n_intervals"), col("span_micros"),
-        expr("wsum div 1000000").as("wsum_cents_sec"),
+        // sign-split so trunc (Spark div) == floor (DuckDB //) holds even
+        // if a future fixture yields negative cents (r9 advice): both
+        // branches operate on a non-negative numerator.
+        expr("CASE WHEN wsum < 0 THEN -((-wsum) div 1000000) " +
+          "ELSE wsum div 1000000 END").as("wsum_cents_sec"),
         (col("wsum").cast("double") / col("span_micros").cast("double"))
           .as("twap_cents"))
       .orderBy("user_id")

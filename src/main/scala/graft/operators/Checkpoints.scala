@@ -36,10 +36,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `.cache()` frames (IVF lists, the EduFlow pipeline) keep their lineage
   * and are never registered, so they are untouched either way.
   *
-  * Registration snapshots `getPersistentRDDs` around the materialization;
-  * under concurrent ckpt calls (parallel test suites) a diff can attribute
-  * a neighbor thread's ids — harmless there, because only the
-  * single-threaded Bench/Verify harnesses ever release. */
+  * Registration reads the PRECISE persisted-RDD id off the returned
+  * Dataset's plan (a checkpoint result is a LogicalRDD wrapping exactly
+  * the RDD that was persisted — shim.checkpointedRddId), so concurrent
+  * ckpt calls (parallel test suites, a future parallel harness) can never
+  * cross-attribute each other's blocks; [[releaseQueryScoped]] then only
+  * ever unpersists ids this thread's queries actually registered (r9
+  * advice: the previous getPersistentRDDs set-diff could claim a neighbor
+  * thread's sessionScope blocks, and releasing them would crash that
+  * cache's next consumer). */
 object Checkpoints {
   private val releasable =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
@@ -59,7 +64,6 @@ object Checkpoints {
   def ckpt(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out =
       if (spark.conf.get("spark.graft.reliableCheckpoint", "false").toBoolean) {
         require(sc.getCheckpointDir.isDefined,
@@ -67,7 +71,11 @@ object Checkpoints {
         df.checkpoint()
       } else df.localCheckpoint()
     if (!suppress.get.booleanValue()) {
-      sc.getPersistentRDDs.keySet.diff(before).foreach(id => releasable.add(id))
+      // exact id from the returned plan — never a set-diff that could
+      // claim a concurrent thread's blocks. A reliable checkpoint's RDD
+      // is not persisted; registering its id is a release-time no-op.
+      org.apache.spark.sql.graft.shim.checkpointedRddId(out)
+        .foreach(id => releasable.add(id))
     }
     out
   }

@@ -11,4 +11,20 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The id of the RDD a `checkpoint()`/`localCheckpoint()` result wraps
+    * (its analyzed plan is a LogicalRDD holding exactly the RDD that was
+    * persisted), or None for any other plan shape. Lets the checkpoint
+    * block-lifetime registry record the PRECISE id instead of diffing
+    * `getPersistentRDDs` around the call — a diff can misattribute a
+    * concurrent thread's blocks (r9 advice). */
+  def checkpointedRddId(df: org.apache.spark.sql.DataFrame): Option[Int] =
+    df match {
+      case d: org.apache.spark.sql.classic.Dataset[_] =>
+        d.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd.id)
+          case _ => None
+        }
+      case _ => None
+    }
 }

@@ -48,4 +48,33 @@ class CheckpointsSpec extends SparkSpec {
     Checkpoints.releaseQueryScoped(spark)
     Checkpoints.releaseQueryScoped(spark)
   }
+
+  test("a CONCURRENT thread's sessionScope ckpt is never claimed by a " +
+      "query-scoped registration (exact-id registration, r9 advice)") {
+    Checkpoints.releaseQueryScoped(spark)
+    // the neighbor thread builds a session cache while this thread runs a
+    // query-scoped ckpt; under the old getPersistentRDDs set-diff the
+    // main thread's registration window could claim the neighbor's block,
+    // and the release below would unpersist a lineage-truncated cache
+    @volatile var neighbor: org.apache.spark.sql.DataFrame = null
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val t = new Thread(() => {
+      barrier.await()
+      neighbor = Checkpoints.sessionScope {
+        Checkpoints.ckpt((1 to 40).toDF("x").withColumn("n", col("x") * 3))
+      }
+      neighbor.count()
+      barrier.await()
+    })
+    t.start()
+    barrier.await()
+    val mine = Checkpoints.ckpt((1 to 60).toDF("x").withColumn("m", col("x") + 7))
+    assert(mine.count() == 60)
+    barrier.await(); t.join()
+    Checkpoints.releaseQueryScoped(spark)
+    // the neighbor's session cache must still be readable after release
+    assert(neighbor.count() == 40)
+    assert(neighbor.agg(sum(col("n"))).head.getLong(0) == (1 to 40).map(_ * 3).sum)
+    neighbor.rdd.unpersist(blocking = true)
+  }
 }

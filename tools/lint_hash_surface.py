@@ -30,6 +30,15 @@ import sys
 import duckdb
 
 LIMIT = 2 ** 53
+# Epoch-microsecond timestamps are SCALE-INVARIANT (they never grow with
+# corpus size), so the --margin heuristic built for sums must not apply;
+# they are exempt from the margin iff they stay under the year-2255
+# magnitude (the point where an epoch-us value crosses 2^53 and a
+# float64-coercing comparator starts rounding it). Recognized by the
+# suite's `_us` column-name convention AND a plausibility floor (year
+# 2000) so an ordinary sum can't ride the exemption by name alone.
+YEAR_2255_US = 8_993_721_600_000_000  # 2255-01-01T00:00:00Z in epoch us
+YEAR_2000_US = 946_684_800_000_000    # 2000-01-01T00:00:00Z in epoch us
 
 
 def justified(notes_text, name):
@@ -87,18 +96,30 @@ def main():
             if is_dec and ",0)" not in ds:
                 # fractional decimal: flag on the integer part of the
                 # VALUE's magnitude (past 2^53 even the integer digits
-                # are unrepresentable in float64)
-                q = f'SELECT max(abs(CAST(trunc(CAST("{col}" AS DOUBLE)) AS HUGEINT))) FROM rel'
+                # are unrepresentable in float64). trunc DIRECTLY on the
+                # DECIMAL — exact; routing through DOUBLE first would
+                # itself round a just-above-2^53 value back to exactly
+                # 2^53 and let it escape the check (r9 advice).
+                q = f'SELECT max(abs(CAST(trunc("{col}") AS HUGEINT))) FROM rel'
             try:
                 mx = con.sql(q).fetchone()[0]
             except Exception as e:
                 print(f"SKIP {name}.{col}: {str(e).splitlines()[0]}")
                 continue
-            if mx is not None and int(mx) > LIMIT:
+            col_limit = LIMIT
+            if (col.endswith("_us") and mx is not None
+                    and YEAR_2000_US <= int(mx) < YEAR_2255_US):
+                # scale-invariant epoch-us timestamp: exempt from the
+                # sum-scaling margin, still bound by the full 2^53 limit
+                # (== "below year-2255 magnitude"; beyond that it flags
+                # like any other column, no NOTES prose can ride this)
+                col_limit = 2 ** 53
+            if mx is not None and int(mx) > col_limit:
                 tag = "JUSTIFIED" if justified(notes, name) else "FLAG"
                 if tag == "FLAG":
                     n_flag += 1
-                lim = "2^53" if margin == 1 else f"2^53/{margin} (gate margin)"
+                lim = ("2^53" if col_limit == 2 ** 53
+                       else f"2^53/{margin} (gate margin)")
                 print(f"{tag} {name}.{col} ({ds}): max |value| = {mx}"
                       f" > {lim} — a float64-coercing comparator rounds"
                       f" this; rescale to an exact coarser unit or"
