@@ -9396,6 +9396,44 @@ object Oracles {
         | AND l.event_type = 'click' AND r.event_type = 'purchase'
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // block-size-capped fuzzy pairing: the count-gate (HAVING <= 100)
+    // must drop EXACTLY the two planted hot blocks (shared email on
+    // every 3rd customer, unknown name+phone on every 7th) and keep
+    // every honest block's pairs; per-reason census replayed verbatim
+    "q377_capped_pairs" ->
+      """WITH c AS (
+        | SELECT c_custkey,
+        |  CASE WHEN c_custkey % 3 = 0 THEN 'hot@x.com'
+        |       ELSE 'u' || (c_custkey % 400) || '@x.com' END AS email,
+        |  CASE WHEN c_custkey % 7 = 0 THEN 'n_unk'
+        |       ELSE 'n' || (c_custkey % 40) END AS name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN 'p_unk'
+        |       ELSE 'p' || (c_custkey % 55) END AS phone
+        | FROM customer),
+        |ek AS (SELECT email FROM c GROUP BY email HAVING count(*) <= 100),
+        |nk AS (SELECT name, phone FROM c GROUP BY name, phone
+        |       HAVING count(*) <= 100),
+        |ce AS (SELECT c.* FROM c JOIN ek USING (email)),
+        |cn AS (SELECT c.* FROM c JOIN nk USING (name, phone)),
+        |p AS (
+        | SELECT l.c_custkey AS id_a, r.c_custkey AS id_b,
+        |        'email' AS match_reason
+        | FROM ce l JOIN ce r
+        |   ON l.email = r.email AND l.c_custkey < r.c_custkey
+        | UNION
+        | SELECT l.c_custkey, r.c_custkey, 'name_phone'
+        | FROM cn l JOIN cn r
+        |   ON l.name = r.name AND l.phone = r.phone
+        |  AND l.c_custkey < r.c_custkey),
+        |i AS (SELECT match_reason, id_a AS id FROM p
+        |      UNION ALL SELECT match_reason, id_b FROM p)
+        |SELECT p.match_reason,
+        | CAST(count(*) AS BIGINT) AS n_pairs,
+        | (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM i
+        |   WHERE i.match_reason = p.match_reason) AS n_ids,
+        | min(id_a) AS min_id, max(id_b) AS max_id
+        |FROM p GROUP BY p.match_reason ORDER BY p.match_reason""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

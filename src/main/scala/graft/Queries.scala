@@ -7948,6 +7948,40 @@ object Queries {
       .orderBy("user_id", "left_time", "right_time")
   }
 
+  /** Block-size-capped fuzzy pairing (the r10 scaling-measurement
+    * mitigation, docs/PLANS_r10.md §6): contacts get TWO planted hot junk
+    * keys — a shared email on every third customer and an unknown
+    * name+phone on every seventh — each forming a block far above the
+    * cap, the exact pathology that turned the measured fixed-cardinality
+    * fixture quadratic (|E| x101 for x10 rows). With maxBlockSize = 100
+    * both hot blocks contribute ZERO pairs while every honest block pairs
+    * as before; the oracle replays the count-gate and both self-joins, so
+    * a green hash pins that the cap drops exactly the oversized blocks
+    * and nothing else. Output is the per-reason pair/id census. */
+  def q377CappedPairs(s: SparkSession, dir: String): DataFrame = {
+    val contacts = t(s, dir, "customer").select(
+      col("c_custkey"),
+      when(col("c_custkey") % 3 === 0, lit("hot@x.com"))
+        .otherwise(concat(lit("u"), col("c_custkey") % 400, lit("@x.com")))
+        .as("email"),
+      when(col("c_custkey") % 7 === 0, lit("n_unk"))
+        .otherwise(concat(lit("n"), col("c_custkey") % 40)).as("name"),
+      when(col("c_custkey") % 7 === 0, lit("p_unk"))
+        .otherwise(concat(lit("p"), col("c_custkey") % 55)).as("phone"))
+    val pairs = Dedup.fuzzyDuplicatePairs(contacts, "c_custkey", "email",
+      "name", "phone", maxBlockSize = 100)
+    val ids = pairs.select(col("match_reason"), col("id_a").as("id"))
+      .unionByName(pairs.select(col("match_reason"), col("id_b").as("id")))
+    pairs.groupBy(col("match_reason"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("id_a")).as("min_id"), max(col("id_b")).as("max_id"))
+      .join(ids.groupBy(col("match_reason"))
+        .agg(countDistinct(col("id")).as("n_ids")), Seq("match_reason"))
+      .select(col("match_reason"), col("n_pairs"), col("n_ids"),
+        col("min_id"), col("max_id"))
+      .orderBy("match_reason")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -9353,6 +9387,7 @@ object Queries {
     "q374_active_sketch" -> (q374ActiveSketch _),
     "q375_session_sequences" -> (q375SessionSequences _),
     "q376_interval_join" -> (q376IntervalJoin _),
+    "q377_capped_pairs" -> (q377CappedPairs _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -677,12 +677,36 @@ object Dedup {
   /** D-3 (assignment Rule 10, spec-only in the reference): fuzzy duplicate
     * pairs — same email OR same (name, phone). Two hash self-joins on small
     * keys unioned, never a cross join; null keys are excluded so they don't
-    * hash-collide into one giant bucket. */
+    * hash-collide into one giant bucket.
+    *
+    * `maxBlockSize` is the 100 TB safety valve this round's 10x scaling
+    * measurement motivated (docs/PLANS_r10.md §6): each blocking key emits
+    * C(block,2) pairs, so ONE hot junk key ("unknown" phone, a shared
+    * corporate email) turns the self-join quadratic — the measured
+    * fixed-cardinality fixture grew |E| 101x for 10x rows. Standard
+    * entity-resolution practice drops oversized blocks entirely (their
+    * pairs are key-collision noise, not evidence of duplication, and they
+    * carry ~all the cost); a block with more than `maxBlockSize` members
+    * contributes no pairs. Default keeps every block (the fixture
+    * queries' gated behavior, unchanged). */
   def fuzzyDuplicatePairs(df: DataFrame, idCol: String, emailCol: String,
-                          nameCol: String, phoneCol: String): DataFrame = {
+                          nameCol: String, phoneCol: String,
+                          maxBlockSize: Int = Int.MaxValue): DataFrame = {
+    require(maxBlockSize >= 2, "fuzzyDuplicatePairs: maxBlockSize must be >= 2")
     def pairsOn(keys: Seq[String], reason: String): DataFrame = {
-      val slim = df.select((idCol +: keys).map(col): _*)
+      val slim0 = df.select((idCol +: keys).map(col): _*)
         .filter(keys.map(k => col(k).isNotNull).reduce(_ && _))
+      val slim =
+        if (maxBlockSize == Int.MaxValue) slim0
+        else {
+          // one key-keyed count agg + a broadcast-friendly semi filter:
+          // the oversized-block set is tiny (it is the pathological tail)
+          val small = slim0.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("__bn"))
+            .filter(col("__bn") <= maxBlockSize)
+            .select(keys.map(col): _*)
+          slim0.join(small, keys, "left_semi")
+        }
       slim.as("l").join(slim.as("r"),
           keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
             col(s"l.$idCol") < col(s"r.$idCol"))

@@ -153,6 +153,25 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, "email"), (2L, 3L, "name_phone"), (4L, 5L, "name_phone")))
   }
 
+  test("fuzzyDuplicatePairs maxBlockSize drops exactly the oversized blocks") {
+    // hot@ forms a 4-member email block (6 pairs); name+phone blocks stay
+    // size 2. Cap 3 must erase the hot block's pairs and NOTHING else —
+    // the 100 TB junk-key valve (one shared email must not go quadratic).
+    val df = Seq(
+      (1L, "hot@x.com", "a", "1"), (2L, "hot@x.com", "b", "2"),
+      (3L, "hot@x.com", "c", "3"), (4L, "hot@x.com", "d", "4"),
+      (5L, "e@x.com", "z", "9"), (6L, "e@x.com", "z", "9"))
+      .toDF("id", "email", "name", "phone")
+    val capped = Dedup.fuzzyDuplicatePairs(df, "id", "email", "name",
+        "phone", maxBlockSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(capped == Set((5L, 6L, "email"), (5L, 6L, "name_phone")))
+    // default cap = keep everything: the gated fixture behavior
+    val all = Dedup.fuzzyDuplicatePairs(df, "id", "email", "name", "phone")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(all.count(_._3 == "email") == 7 && all((5L, 6L, "name_phone")))
+  }
+
   test("lastN keeps the most recent n events per key") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val df = Seq((1L, ts(1)), (1L, ts(2)), (1L, ts(3)), (2L, ts(1))).toDF("k", "ts")
