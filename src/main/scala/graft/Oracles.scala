@@ -9411,9 +9411,9 @@ object Oracles {
         |  CASE WHEN c_custkey % 7 = 0 THEN 'p_unk'
         |       ELSE 'p' || (c_custkey % 55) END AS phone
         | FROM customer),
-        |ek AS (SELECT email FROM c GROUP BY email HAVING count(*) <= 100),
+        |ek AS (SELECT email FROM c GROUP BY email HAVING count(*) <= 40),
         |nk AS (SELECT name, phone FROM c GROUP BY name, phone
-        |       HAVING count(*) <= 100),
+        |       HAVING count(*) <= 40),
         |ce AS (SELECT c.* FROM c JOIN ek USING (email)),
         |cn AS (SELECT c.* FROM c JOIN nk USING (name, phone)),
         |p AS (

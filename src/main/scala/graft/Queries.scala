@@ -4620,13 +4620,7 @@ object Queries {
     * degree explode shuffle on node ids only; output is bounded by the
     * community count. */
   def q289Modularity(s: SparkSession, dir: String): DataFrame = {
-    val contacts = t(s, dir, "customer").select(
-      col("c_custkey"),
-      concat(lit("u"), col("c_custkey") % 700, lit("@x.com")).as("email"),
-      concat(lit("n"), col("c_custkey") % 50).as("name"),
-      concat(lit("p"), col("c_custkey") % 60).as("phone"))
-    val edges = Dedup.fuzzyDuplicatePairs(contacts, "c_custkey", "email",
-        "name", "phone")
+    val edges = fuzzyPairs700(s, dir)
       .select(col("id_a"), col("id_b")).distinct()
       .select(col("id_a"), col("id_b"), (col("id_a") % 700).as("ca"),
         (col("id_b") % 700).as("cb"))
@@ -6106,19 +6100,13 @@ object Queries {
     * harmonic mean of the two ppms. Pair work is the q31 blocked
     * self-join; everything else is group-cardinality. */
   def q329DedupEval(s: SparkSession, dir: String): DataFrame = {
-    val contacts = t(s, dir, "customer").select(
-      col("c_custkey"),
-      concat(lit("u"), col("c_custkey") % 700, lit("@x.com")).as("email"),
-      concat(lit("n"), col("c_custkey") % 50).as("name"),
-      concat(lit("p"), col("c_custkey") % 60).as("phone"))
-    val pred = Dedup.fuzzyDuplicatePairs(contacts, "c_custkey", "email",
-        "name", "phone")
+    val pred = fuzzyPairs700(s, dir)
       .select(col("id_a"), col("id_b")).distinct()
       .select(col("id_a"), col("id_b"),
         (col("id_a") % 700 === col("id_b") % 700).as("is_true"))
     val predAgg = pred.agg(count(lit(1)).as("n_pred"),
       sum(when(col("is_true"), 1L).otherwise(0L)).as("tp"))
-    val trueAgg = contacts.groupBy(col("c_custkey") % 700)
+    val trueAgg = t(s, dir, "customer").groupBy(col("c_custkey") % 700)
       .agg(count(lit(1)).as("n_g"))
       .agg(sum(expr("n_g * (n_g - 1) DIV 2")).cast("long").as("n_true"))
     predAgg.crossJoin(broadcast(trueAgg))
@@ -7953,11 +7941,15 @@ object Queries {
     * keys — a shared email on every third customer and an unknown
     * name+phone on every seventh — each forming a block far above the
     * cap, the exact pathology that turned the measured fixed-cardinality
-    * fixture quadratic (|E| x101 for x10 rows). With maxBlockSize = 100
-    * both hot blocks contribute ZERO pairs while every honest block pairs
+    * fixture quadratic (|E| x101 for x10 rows). With maxBlockSize = 40
+    * the hot blocks contribute ZERO pairs while every honest block pairs
     * as before; the oracle replays the count-gate and both self-joins, so
     * a green hash pins that the cap drops exactly the oversized blocks
-    * and nothing else. Output is the per-reason pair/id census. */
+    * and nothing else. Output is the per-reason pair/id census. Cap
+    * arithmetic across the gated SFs: hot email block = rows/3 (50 at
+    * sf0.001 — fires even at the smallest SF), hot name+phone = rows/7
+    * (fires at sf0.01+); honest blocks peak at ~30 members (sf0.1
+    * name+phone, rows/440-ish), safely under the cap. */
   def q377CappedPairs(s: SparkSession, dir: String): DataFrame = {
     val contacts = t(s, dir, "customer").select(
       col("c_custkey"),
@@ -7969,7 +7961,7 @@ object Queries {
       when(col("c_custkey") % 7 === 0, lit("p_unk"))
         .otherwise(concat(lit("p"), col("c_custkey") % 55)).as("phone"))
     val pairs = Dedup.fuzzyDuplicatePairs(contacts, "c_custkey", "email",
-      "name", "phone", maxBlockSize = 100)
+      "name", "phone", maxBlockSize = 40)
     val ids = pairs.select(col("match_reason"), col("id_a").as("id"))
       .unionByName(pairs.select(col("match_reason"), col("id_b").as("id")))
     pairs.groupBy(col("match_reason"))

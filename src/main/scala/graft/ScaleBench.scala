@@ -28,8 +28,14 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "args: <scaleA>:<dirA> <scaleB>:<dirB>")
     val Array((sfA, dirA), (sfB, dirB)) = args.map { a =>
-      val i = a.indexOf(':'); (a.take(i).toDouble, a.drop(i + 1))
+      val i = a.indexOf(':')
+      require(i > 0, s"malformed arg '$a' — expected <scale>:<dir>")
+      (a.take(i).toDouble, a.drop(i + 1))
     }
+    // equal scales would make every exponent log(x)/log(1) = infinite and
+    // blow up AFTER the expensive measurement — reject before any work
+    require(sfA != sfB && sfA > 0 && sfB > 0,
+      s"scales must be positive and distinct (got $sfA and $sfB)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -133,6 +133,15 @@ object ScaleData {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "target/scaledata/sf1"
     val replicas = if (args.length > 2) args(2).toInt else 10
+    // r = 10 would rotate digits onto themselves (identity mod 10) and
+    // digit-only tokens would collide across replicas — exactly the
+    // quadratic bucket growth the rotation exists to prevent. Tokens with
+    // no [a-zA-Z0-9] characters are likewise never rotated; the driver
+    // corpus has none, but a different corpus should check before trusting
+    // cross-replica disjointness.
+    require(replicas >= 1 && replicas <= 10,
+      s"replicas must be in 1..10 (got $replicas): rotation is only " +
+        "collision-free while r < 10 for digits and r < 26 for letters")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = Engine.localSession(cpus, "graft-scaledata")
 

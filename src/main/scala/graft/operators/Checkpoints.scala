@@ -38,16 +38,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Registration reads the PRECISE persisted-RDD id off the returned
   * Dataset's plan (a checkpoint result is a LogicalRDD wrapping exactly
-  * the RDD that was persisted — shim.checkpointedRddId), so concurrent
-  * ckpt calls (parallel test suites, a future parallel harness) can never
-  * cross-attribute each other's blocks; [[releaseQueryScoped]] then only
-  * ever unpersists ids this thread's queries actually registered (r9
-  * advice: the previous getPersistentRDDs set-diff could claim a neighbor
-  * thread's sessionScope blocks, and releasing them would crash that
-  * cache's next consumer). */
+  * the RDD that was persisted — shim.checkpointedRddId, and the local-
+  * checkpoint path REQUIRES the id to be found, so a future Spark plan-
+  * shape change fails fast instead of silently never releasing anything
+  * and resurrecting the r8 storage-pressure pathology), and the
+  * releasable registry is THREAD-SCOPED: concurrent ckpt calls (parallel
+  * test suites, a future parallel harness) can neither cross-attribute
+  * nor cross-release each other's blocks — [[releaseQueryScoped]] only
+  * unpersists ids the CALLING thread's queries registered (r9 advice: the
+  * previous getPersistentRDDs set-diff + global set could claim, and then
+  * release, a neighbor thread's blocks mid-query). A thread's
+  * registrations it never releases die with the ContextCleaner as before. */
 object Checkpoints {
-  private val releasable =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private val releasable = new ThreadLocal[scala.collection.mutable.Set[Int]] {
+    override def initialValue(): scala.collection.mutable.Set[Int] =
+      scala.collection.mutable.Set.empty[Int]
+  }
   private val suppress = new ThreadLocal[java.lang.Boolean] {
     override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
   }
@@ -74,24 +80,27 @@ object Checkpoints {
       // exact id from the returned plan — never a set-diff that could
       // claim a concurrent thread's blocks. A reliable checkpoint's RDD
       // is not persisted; registering its id is a release-time no-op.
-      org.apache.spark.sql.graft.shim.checkpointedRddId(out)
-        .foreach(id => releasable.add(id))
+      val id = org.apache.spark.sql.graft.shim.checkpointedRddId(out)
+      val reliable =
+        spark.conf.get("spark.graft.reliableCheckpoint", "false").toBoolean
+      require(reliable || id.isDefined,
+        "localCheckpoint result did not expose its persisted RDD " +
+          "(plan shape changed?) — block release would silently stop working")
+      id.foreach(i => releasable.get.add(i))
     }
     out
   }
 
-  /** Unpersist (blocking) every query-scoped checkpoint block registered
-    * since the last call. Safe at any query boundary: each execution
-    * re-materializes its own checkpoints, and session caches either built
-    * under [[sessionScope]] or hold recomputable `.persist()` frames. */
+  /** Unpersist (blocking) every query-scoped checkpoint block THIS THREAD
+    * registered since its last call. Safe at any query boundary: each
+    * execution re-materializes its own checkpoints, and session caches
+    * either built under [[sessionScope]] or hold recomputable
+    * `.persist()` frames; other threads' in-flight blocks are untouchable
+    * by construction (thread-scoped registry). */
   def releaseQueryScoped(spark: SparkSession): Unit = {
-    val sc = spark.sparkContext
-    val persisted = sc.getPersistentRDDs
-    val it = releasable.iterator()
-    while (it.hasNext) {
-      val id = it.next()
-      it.remove()
-      persisted.get(id).foreach(_.unpersist(blocking = true))
-    }
+    val persisted = spark.sparkContext.getPersistentRDDs
+    val mine = releasable.get
+    mine.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = true)))
+    mine.clear()
   }
 }

@@ -41,8 +41,17 @@ class CheckpointsSpec extends SparkSpec {
     // found" if the release had dropped the session-scoped blocks
     assert(cached.count() == 50)
     assert(cached.agg(sum(col("s"))).head.getLong(0) == (2 to 51).sum)
-    cached.rdd.unpersist(blocking = true) // leave the shared session clean
+    unpersistCheckpoint(cached) // leave the shared session clean
   }
+
+  /** `.rdd.unpersist` would be a no-op (Dataset.rdd builds a NEW RDD from
+    * the plan, not the persisted one) — unpersist the actual checkpoint
+    * block via its registered id. */
+  private def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    org.apache.spark.sql.graft.shim.checkpointedRddId(df).foreach { id =>
+      spark.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = true))
+    }
 
   test("release is idempotent and safe with nothing registered") {
     Checkpoints.releaseQueryScoped(spark)
@@ -75,6 +84,33 @@ class CheckpointsSpec extends SparkSpec {
     // the neighbor's session cache must still be readable after release
     assert(neighbor.count() == 40)
     assert(neighbor.agg(sum(col("n"))).head.getLong(0) == (1 to 40).map(_ * 3).sum)
-    neighbor.rdd.unpersist(blocking = true)
+    unpersistCheckpoint(neighbor)
+  }
+
+  test("a CONCURRENT thread's QUERY-scoped ckpt is never cross-released " +
+      "(thread-scoped registry)") {
+    Checkpoints.releaseQueryScoped(spark)
+    // thread A registers a query-scoped ckpt and parks mid-query; the
+    // main thread (B) releases ITS scope — A's block must survive,
+    // because a released local checkpoint cannot recompute
+    @volatile var theirs: org.apache.spark.sql.DataFrame = null
+    val built = new java.util.concurrent.CountDownLatch(1)
+    val mayFinish = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      theirs = Checkpoints.ckpt((1 to 30).toDF("x").withColumn("q", col("x") * 5))
+      theirs.count()
+      built.countDown()
+      mayFinish.await()
+      // A's own boundary release must still work on its own thread
+      Checkpoints.releaseQueryScoped(spark)
+    })
+    t.start(); built.await()
+    Checkpoints.releaseQueryScoped(spark) // B's release, mid-A-query
+    assert(theirs.count() == 30, "neighbor's query-scoped block survived")
+    val id = org.apache.spark.sql.graft.shim.checkpointedRddId(theirs).get
+    assert(spark.sparkContext.getPersistentRDDs.contains(id))
+    mayFinish.countDown(); t.join()
+    assert(!spark.sparkContext.getPersistentRDDs.contains(id),
+      "A's own release reclaims its block")
   }
 }

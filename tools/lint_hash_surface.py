@@ -112,8 +112,18 @@ def main():
                 # scale-invariant epoch-us timestamp: exempt from the
                 # sum-scaling margin, still bound by the full 2^53 limit
                 # (== "below year-2255 magnitude"; beyond that it flags
-                # like any other column, no NOTES prose can ride this)
-                col_limit = 2 ** 53
+                # like any other column, no NOTES prose can ride this).
+                # A SUM that merely lands in the epoch window must not
+                # ride the exemption: instants cluster — every value sits
+                # in the window — while a sum's range dips below it, so
+                # the min is checked too.
+                try:
+                    mn = con.sql(f'SELECT min(abs(CAST("{col}" AS HUGEINT)))'
+                                 ' FROM rel').fetchone()[0]
+                except Exception:
+                    mn = None
+                if mn is not None and int(mn) >= YEAR_2000_US:
+                    col_limit = 2 ** 53
             if mx is not None and int(mx) > col_limit:
                 tag = "JUSTIFIED" if justified(notes, name) else "FLAG"
                 if tag == "FLAG":
