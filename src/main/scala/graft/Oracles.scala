@@ -9434,6 +9434,148 @@ object Oracles {
         |   WHERE i.match_reason = p.match_reason) AS n_ids,
         | min(id_a) AS min_id, max(id_b) AS max_id
         |FROM p GROUP BY p.match_reason ORDER BY p.match_reason""".stripMargin,
+
+    // capped-pair triangle census: replay the row-proportional dup-group
+    // fixture, the <=40 block gate per reason key, both self-joins, the
+    // distinct undirected edge union, and the full triangle join; counts
+    // exact, clustering one double division of two exact longs
+    "q378_capped_triangles" ->
+      """WITH c AS (
+        | SELECT c_custkey,
+        |  CASE WHEN c_custkey % 3 = 0 THEN 'hot@x.com'
+        |       ELSE 'u' || (c_custkey // 5) || '@x.com' END AS email,
+        |  CASE WHEN c_custkey % 2 = 0 THEN 'n_unk'
+        |       ELSE 'n' || (c_custkey // 4) END AS name,
+        |  CASE WHEN c_custkey % 2 = 0 THEN 'p_unk'
+        |       ELSE 'p' || (c_custkey // 4) END AS phone
+        | FROM customer),
+        |ek AS (SELECT email FROM c GROUP BY email HAVING count(*) <= 40),
+        |nk AS (SELECT name, phone FROM c GROUP BY name, phone
+        |       HAVING count(*) <= 40),
+        |ce AS (SELECT c.* FROM c JOIN ek USING (email)),
+        |cn AS (SELECT c.* FROM c JOIN nk USING (name, phone)),
+        |e AS (
+        | SELECT DISTINCT a, b FROM (
+        |  SELECT l.c_custkey AS a, r.c_custkey AS b
+        |  FROM ce l JOIN ce r
+        |    ON l.email = r.email AND l.c_custkey < r.c_custkey
+        |  UNION ALL
+        |  SELECT l.c_custkey, r.c_custkey
+        |  FROM cn l JOIN cn r
+        |    ON l.name = r.name AND l.phone = r.phone
+        |   AND l.c_custkey < r.c_custkey)),
+        |deg AS (
+        | SELECT id, count(*) AS deg FROM (
+        |  SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+        | GROUP BY 1),
+        |ds AS (
+        | SELECT count(*) AS n_nodes,
+        |  sum(deg * (deg - 1) // 2) AS n_wedges FROM deg),
+        |m AS (SELECT count(*) AS n_edges FROM e),
+        |tr AS (
+        | SELECT count(*) AS n_triangles
+        | FROM e x JOIN e y ON x.b = y.a
+        |  JOIN e z ON z.a = x.a AND z.b = y.b)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        | CAST(n_edges AS BIGINT) AS n_edges,
+        | CAST(n_wedges AS BIGINT) AS n_wedges,
+        | CAST(n_triangles AS BIGINT) AS n_triangles,
+        | CASE WHEN n_wedges = 0 THEN 0.0
+        |  ELSE CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+        |  END AS clustering
+        |FROM ds CROSS JOIN m CROSS JOIN tr""".stripMargin,
+
+    // degree-oriented triangle census over the hub fixture: replay the
+    // fixture, the (deg, id) edge orientation, the oriented wedge join
+    // and the out-degree wedge census; n_triangles must equal q380's
+    "q379_oriented_triangles" ->
+      """WITH ids AS (SELECT c_custkey AS id FROM customer),
+        |h AS (SELECT max(id) // 2 AS hub FROM ids),
+        |raw AS (
+        | SELECT least(hub, id) AS id_a, greatest(hub, id) AS id_b
+        | FROM ids CROSS JOIN h WHERE id % 7 = 2 AND id <> hub
+        | UNION ALL
+        | SELECT l.id, l.id + 1 FROM ids l JOIN ids r ON r.id = l.id + 1
+        |  WHERE l.id // 5 = (l.id + 1) // 5
+        | UNION ALL
+        | SELECT l.id, l.id + 2 FROM ids l JOIN ids r ON r.id = l.id + 2
+        |  WHERE l.id // 5 = (l.id + 2) // 5),
+        |e AS (SELECT DISTINCT least(id_a, id_b) AS a,
+        |       greatest(id_a, id_b) AS b FROM raw WHERE id_a <> id_b),
+        |deg AS (
+        | SELECT id, count(*) AS deg FROM (
+        |  SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+        | GROUP BY 1),
+        |ds AS (
+        | SELECT count(*) AS n_nodes,
+        |  sum(deg * (deg - 1) // 2) AS n_wedges FROM deg),
+        |m AS (SELECT count(*) AS n_edges FROM e),
+        |o AS (
+        | SELECT CASE WHEN da < db OR (da = db AND a < b)
+        |             THEN a ELSE b END AS src,
+        |        CASE WHEN da < db OR (da = db AND a < b)
+        |             THEN b ELSE a END AS dst,
+        |        CASE WHEN da < db OR (da = db AND a < b)
+        |             THEN db ELSE da END AS dd
+        | FROM (SELECT e.a, e.b, x.deg AS da, y.deg AS db
+        |       FROM e JOIN deg x ON x.id = e.a
+        |        JOIN deg y ON y.id = e.b)),
+        |tr AS (
+        | SELECT count(*) AS n_triangles
+        | FROM o x JOIN o y ON x.src = y.src
+        |   AND (x.dd < y.dd OR (x.dd = y.dd AND x.dst < y.dst))
+        |  JOIN o z ON z.src = x.dst AND z.dst = y.dst),
+        |ow AS (
+        | SELECT coalesce(sum(od * (od - 1) // 2), 0)
+        |   AS n_wedges_oriented
+        | FROM (SELECT src, count(*) AS od FROM o GROUP BY 1))
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        | CAST(n_edges AS BIGINT) AS n_edges,
+        | CAST(n_wedges AS BIGINT) AS n_wedges,
+        | CAST(n_wedges_oriented AS BIGINT) AS n_wedges_oriented,
+        | CAST(n_triangles AS BIGINT) AS n_triangles,
+        | CASE WHEN n_wedges = 0 THEN 0.0
+        |  ELSE CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+        |  END AS clustering
+        |FROM ds CROSS JOIN m CROSS JOIN ow CROSS JOIN tr""".stripMargin,
+
+    // id-oriented twin on the same hub fixture (the q239 census form):
+    // correct at gated SFs, quadratic in rows — the contrast q379 is
+    // measured against
+    "q380_hub_triangles" ->
+      """WITH ids AS (SELECT c_custkey AS id FROM customer),
+        |h AS (SELECT max(id) // 2 AS hub FROM ids),
+        |raw AS (
+        | SELECT least(hub, id) AS id_a, greatest(hub, id) AS id_b
+        | FROM ids CROSS JOIN h WHERE id % 7 = 2 AND id <> hub
+        | UNION ALL
+        | SELECT l.id, l.id + 1 FROM ids l JOIN ids r ON r.id = l.id + 1
+        |  WHERE l.id // 5 = (l.id + 1) // 5
+        | UNION ALL
+        | SELECT l.id, l.id + 2 FROM ids l JOIN ids r ON r.id = l.id + 2
+        |  WHERE l.id // 5 = (l.id + 2) // 5),
+        |e AS (SELECT DISTINCT least(id_a, id_b) AS a,
+        |       greatest(id_a, id_b) AS b FROM raw WHERE id_a <> id_b),
+        |deg AS (
+        | SELECT id, count(*) AS deg FROM (
+        |  SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+        | GROUP BY 1),
+        |ds AS (
+        | SELECT count(*) AS n_nodes,
+        |  sum(deg * (deg - 1) // 2) AS n_wedges FROM deg),
+        |m AS (SELECT count(*) AS n_edges FROM e),
+        |tr AS (
+        | SELECT count(*) AS n_triangles
+        | FROM e x JOIN e y ON x.b = y.a
+        |  JOIN e z ON z.a = x.a AND z.b = y.b)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        | CAST(n_edges AS BIGINT) AS n_edges,
+        | CAST(n_wedges AS BIGINT) AS n_wedges,
+        | CAST(n_triangles AS BIGINT) AS n_triangles,
+        | CASE WHEN n_wedges = 0 THEN 0.0
+        |  ELSE CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+        |  END AS clustering
+        |FROM ds CROSS JOIN m CROSS JOIN tr""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -7974,6 +7974,88 @@ object Queries {
       .orderBy("match_reason")
   }
 
+  /** The capped-pair graph diagnostic MEASURED at scale (the q239 story's
+    * missing number, docs/PLANS_r10.md §6): q239's fixture holds blocking-
+    * key cardinality fixed, so its edge set grows quadratically in rows
+    * and the sf1 triangle census is Θ(output) ~7.3e9 — unmeasurable and,
+    * per §6, not the deployment posture anyway. THIS fixture is the
+    * realistic corpus shape: duplicate groups of ≤5 consecutive custkeys
+    * (`c_custkey DIV 5` — group COUNT scales with rows, group SIZE does
+    * not) plus two planted hot junk keys (a shared email on every third
+    * customer, unknown name+phone on every second), each far above the
+    * cap at every gated SF (hot email = rows/3 ≥ 50, hot name+phone =
+    * rows/2 ≥ 75 at sf0.001). With `maxBlockSize = 40` the hot blocks
+    * contribute zero edges, the honest groups pair as before, and the
+    * full triangle census ([[Graph.triangleStats]]) runs over an edge set
+    * that is LINEAR in rows — the exponent ScaleBench measures at
+    * sf0.1→sf1. Oracle replays the count-gate, both self-joins, and the
+    * triangle join; counts exact, clustering one double division. */
+  def q378CappedTriangles(s: SparkSession, dir: String): DataFrame = {
+    val contacts = t(s, dir, "customer").select(
+      col("c_custkey"),
+      when(col("c_custkey") % 3 === 0, lit("hot@x.com"))
+        .otherwise(concat(lit("u"), expr("c_custkey DIV 5"), lit("@x.com")))
+        .as("email"),
+      when(col("c_custkey") % 2 === 0, lit("n_unk"))
+        .otherwise(concat(lit("n"), expr("c_custkey DIV 4"))).as("name"),
+      when(col("c_custkey") % 2 === 0, lit("p_unk"))
+        .otherwise(concat(lit("p"), expr("c_custkey DIV 4"))).as("phone"))
+    Graph.triangleStats(Dedup.fuzzyDuplicatePairs(contacts, "c_custkey",
+      "email", "name", "phone", maxBlockSize = 40))
+  }
+
+  /** The hub fixture behind the q379/q380 orientation pair: one planted
+    * MID-RANGE hub (`max(custkey) DIV 2`, linked to every custkey ≡ 2
+    * mod 7 — degree grows WITH rows, the skewed shape a shared
+    * "unknown" contact key produces) plus +1/+2 edges inside
+    * `custkey DIV 5` windows (3 triangles per full window — the honest,
+    * linear signal). The hub id must sit MID-range: the id-ordered path
+    * join centers lo×hi wedge work on a vertex with lo lower-id and hi
+    * higher-id neighbors, so a min- or max-id hub costs ~nothing (the
+    * first draft of this fixture used hub id 2 and ScaleBench measured
+    * the "naive" twin LINEAR — the measurement caught the bad fixture);
+    * at mid-range lo ≈ hi ≈ rows/14 and the path join enumerates
+    * (rows/14)² pairs: 400 → 14,364 → 1,176,183 → 115,091,942 at
+    * sf0.001 → sf1 (DuckDB exact counts). The hub belongs to no
+    * triangle, so the fixture isolates exactly the cost degree
+    * orientation removes. Both +k endpoints are semi-joined against the
+    * real key set so partial windows at replica boundaries stay exact. */
+  private def hubEdges(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "customer").select(col("c_custkey").as("id"))
+    val hub = ids.agg(expr("max(id) DIV 2").as("hub"))
+    val spokes = ids.crossJoin(broadcast(hub))
+      .filter(col("id") % 7 === 2 && col("id") =!= col("hub"))
+      .select(least(col("hub"), col("id")).as("id_a"),
+        greatest(col("hub"), col("id")).as("id_b"))
+    val windows = ids
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      .unionByName(ids
+        .select(col("id").as("id_a"), (col("id") + 2).as("id_b")))
+      .filter(expr("id_a DIV 5 = id_b DIV 5"))
+      .join(ids.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    spokes.unionByName(windows.select(col("id_a"), col("id_b")))
+  }
+
+  /** Degree-oriented triangle census over the hub fixture
+    * ([[Graph.triangleStatsOriented]]): the wedge join enumerates
+    * sum C(outdeg, 2) pairs — LINEAR here (the hub's out-degree is ~0
+    * because every hub edge points INTO the max-degree endpoint) —
+    * while q380's id-ordered path join on the SAME graph enumerates
+    * lo×hi ≈ (rows/14)² pairs at the mid-id hub (115M at sf1).
+    * n_triangles must equal q380's exactly; both replay in DuckDB, so
+    * the orientation's count-preservation is hash-pinned cross-engine,
+    * not asserted. */
+  def q379OrientedTriangles(s: SparkSession, dir: String): DataFrame =
+    Graph.triangleStatsOriented(hubEdges(s, dir))
+
+  /** The id-oriented twin ([[Graph.triangleStats]]) on the SAME hub
+    * fixture — the contrast side of the q379 measurement: correct at
+    * every gated SF (the mid-id hub's path wedges are still only ~1.2M
+    * at sf0.1) but quadratic in rows (115M path pairs at sf1), which
+    * ScaleBench measures against q379's linear form at sf0.1 → sf1. */
+  def q380HubTriangles(s: SparkSession, dir: String): DataFrame =
+    Graph.triangleStats(hubEdges(s, dir))
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -9380,6 +9462,9 @@ object Queries {
     "q375_session_sequences" -> (q375SessionSequences _),
     "q376_interval_join" -> (q376IntervalJoin _),
     "q377_capped_pairs" -> (q377CappedPairs _),
+    "q378_capped_triangles" -> (q378CappedTriangles _),
+    "q379_oriented_triangles" -> (q379OrientedTriangles _),
+    "q380_hub_triangles" -> (q380HubTriangles _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -201,4 +201,77 @@ object Graph {
           .otherwise((lit(3L) * col("n_triangles")).cast("double") /
             col("n_wedges").cast("double")).as("clustering"))
   }
+
+  /** [[triangleStats]]'s power-law hardening: DEGREE-oriented wedge
+    * enumeration (Schank & Wagner 2005 "forward"; the standard fix
+    * noted in triangleStats's scaladoc). Each undirected edge points
+    * from its (degree, id)-smaller endpoint to its larger one — a total
+    * order, so orientation is deterministic and acyclic — and wedges
+    * are enumerated only at a node's OUT-edges. A hub of degree d
+    * contributes C(d, 2) wedges to the id-oriented join but has out-
+    * degree ~0 here (every hub edge points INTO it), so per-node wedge
+    * fan-out is bounded by out-degree <= O(sqrt(m)) and the join never
+    * explodes on skewed degree distributions — the 100 TB posture for
+    * triangle counting when the graph is NOT clique-capped (one shared
+    * "unknown" contact key = one hub). The triangle total is identical
+    * to [[triangleStats]]'s by construction (each triangle is counted
+    * once, at its (deg, id)-smallest corner), which the q379/q380
+    * fixture pair pins cross-engine.
+    *
+    * Output: (n_nodes, n_edges, n_wedges, n_wedges_oriented,
+    * n_triangles, clustering) — n_wedges and clustering are the same
+    * exact-integer / one-double-division values as triangleStats;
+    * n_wedges_oriented = sum C(outdeg, 2) is the work the oriented
+    * join actually does. Scale shape: one degree aggregate, two
+    * broadcast-friendly degree joins to orient, then the same two
+    * shuffle joins as triangleStats but keyed on the oriented src. */
+  def triangleStatsOriented(pairs: DataFrame): DataFrame = {
+    val e = pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .transform(Checkpoints.ckpt) // degrees + both orientation joins
+    val deg = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .transform(Checkpoints.ckpt) // joined onto both endpoints + stats
+    val degStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(deg * (deg - 1) DIV 2)").as("n_wedges"))
+    // ties in (deg, id) are impossible for distinct ids, so the edge
+    // orientation below is strict and total
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = e
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+      .transform(Checkpoints.ckpt) // 3 join legs + the outdeg aggregate
+    // a wedge (src -> dst1, src -> dst2) with dst1 (deg, id)-before dst2
+    // can only close via the edge dst1 -> dst2 — orientation follows the
+    // same total order, so one semi-join probe direction suffices
+    val wedgeOrd = col("x.dd") < col("y.dd") ||
+      (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))
+    val tri = o.as("x").join(o.as("y"),
+        col("x.src") === col("y.src") && wedgeOrd)
+      .select(col("x.dst").as("wa"), col("y.dst").as("wc"))
+      .join(o.as("z"),
+        col("wa") === col("z.src") && col("wc") === col("z.dst"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val owedges = o.groupBy(col("src")).agg(count(lit(1)).as("__od"))
+      .agg(coalesce(expr("sum(__od * (__od - 1) DIV 2)"), lit(0L))
+        .as("n_wedges_oriented"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    degStats.crossJoin(broadcast(edges)).crossJoin(broadcast(owedges))
+      .crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_wedges_oriented"), col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise((lit(3L) * col("n_triangles")).cast("double") /
+            col("n_wedges").cast("double")).as("clustering"))
+  }
 }

@@ -130,6 +130,33 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Double]("clustering") == 12.0 / 15.0)
   }
 
+  test("triangleStatsOriented: same census as triangleStats, hub wedges gone") {
+    // K4 + pendant: every shared column must equal the id-oriented form
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 5L), (4L, 5L)).toDF("id_a", "id_b")
+    val naive = Graph.triangleStats(k4).collect()(0)
+    val o = Graph.triangleStatsOriented(k4).collect()(0)
+    for (c <- Seq("n_nodes", "n_edges", "n_wedges", "n_triangles"))
+      assert(o.getAs[Long](c) == naive.getAs[Long](c), c)
+    assert(o.getAs[Double]("clustering") == naive.getAs[Double]("clustering"))
+    // oriented wedges are a subset of wedges: each triangle is exactly one
+    // oriented wedge plus the closing edge, so n_wedges_oriented >= T
+    assert(o.getAs[Long]("n_wedges_oriented") >= o.getAs[Long]("n_triangles"))
+    assert(o.getAs[Long]("n_wedges_oriented") <= o.getAs[Long]("n_wedges"))
+
+    // star + one rim edge: hub 0 with 60 spokes holds C(60,2)=1770 of the
+    // 1771 id-oriented wedges but has out-degree 0 under degree
+    // orientation — the oriented census does ~rim-only work yet counts
+    // the same single triangle
+    val star = (1 to 60).map(i => (0L, i.toLong)) :+ (1L, 2L)
+    val so = Graph.triangleStatsOriented(star.toDF("id_a", "id_b")).collect()(0)
+    assert(so.getAs[Long]("n_triangles") == 1L)
+    assert(so.getAs[Long]("n_wedges") == 1770L + 1L + 1L) // hub + nodes 1,2
+    // hub contributes ZERO oriented wedges: spokes each have one out-edge
+    // (into the hub) except 1 and 2, which also point at each other
+    assert(so.getAs[Long]("n_wedges_oriented") == 1L)
+  }
+
   test("kCore: pendant chain peels away, clique survives with degrees") {
     // K4 on 1-4 plus a tail 4-5-6: the tail cascades out of the 2-core?
     // no — 4-5-6 is a path: deg(6)=1 peels, then deg(5)=1 peels; K4 stays
