@@ -223,8 +223,10 @@ object Graph {
     * exact-integer / one-double-division values as triangleStats;
     * n_wedges_oriented = sum C(outdeg, 2) is the work the oriented
     * join actually does. Scale shape: one degree aggregate, two
-    * broadcast-friendly degree joins to orient, then the same two
-    * shuffle joins as triangleStats but keyed on the oriented src. */
+    * id-keyed shuffle joins to attach endpoint degrees (node-set-sized
+    * — NOT broadcastable), then the same two shuffle joins as
+    * triangleStats but keyed on the oriented src, whose fan-out the
+    * orientation bounds. */
   def triangleStatsOriented(pairs: DataFrame): DataFrame = {
     val e = pairs
       .select(least(col("id_a"), col("id_b")).as("a"),
