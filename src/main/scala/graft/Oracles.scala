@@ -9576,6 +9576,58 @@ object Oracles {
         |  ELSE CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
         |  END AS clustering
         |FROM ds CROSS JOIN m CROSS JOIN tr""".stripMargin,
+
+    // q286's LSH scale-path twin: the portable SRP bucket (8 fold-form
+    // hyperplane projections over the portable hash family), the
+    // bucket-keyed candidate join, and the same rank/vote/aggregate —
+    // the approximation itself replays value-identically
+    "q381_agreement_lsh" -> {
+      val numPlanes = 8
+      def comp(p: Int) =
+        s"(CAST(${ph("CAST(i - 1 AS VARCHAR)", p)} % 2000001 - 1000000 AS DOUBLE) / 1000000.0)"
+      val bucket = (0 until numPlanes).map { p =>
+        val proj = foldSumSql(
+          s"list_transform(range(1, len(e)+1), i -> CAST(e[i] AS DOUBLE) * ${comp(p)})")
+        s"(CASE WHEN $proj > 0 THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString("\n       + ")
+      s"""WITH e0 AS (
+         | SELECT vec_id, label, embedding AS e FROM embeddings),
+         |b AS (
+         | SELECT vec_id, label, e,
+         |  $bucket AS bkt
+         | FROM e0),
+         |q AS (
+         | SELECT vec_id AS query_id, e AS qv, label AS qlabel, bkt
+         | FROM b WHERE vec_id % 10 = 0),
+         |c AS (
+         | SELECT vec_id AS neighbor_id, e AS cv, label AS clabel, bkt
+         | FROM b),
+         |scored AS (
+         | SELECT query_id, qlabel, neighbor_id, clabel,
+         |  ${dotSql("qv", "cv")} AS dot_p,
+         |  ${normSql("qv")} * ${normSql("cv")} AS norm_p
+         | FROM c JOIN q USING (bkt) WHERE neighbor_id <> query_id),
+         |sims AS (
+         | SELECT query_id, qlabel, neighbor_id, clabel,
+         |  CASE WHEN norm_p = 0 THEN 0.0 ELSE dot_p / norm_p END AS sim
+         | FROM scored),
+         |ranked AS (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY sim DESC, neighbor_id ASC) AS rnk
+         | FROM sims),
+         |agree AS (
+         | SELECT query_id, qlabel,
+         |  CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS matches
+         | FROM ranked WHERE rnk <= 5 GROUP BY 1, 2)
+         |SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_probes,
+         | CAST(sum(matches) AS BIGINT) AS n_matches,
+         | CAST(sum(matches) * 200000 // count(*) AS BIGINT)
+         |  AS mean_agree_ppm,
+         | CAST(sum(CASE WHEN matches < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_flagged
+         |FROM agree GROUP BY 1 ORDER BY label""".stripMargin
+    },
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -8056,6 +8056,41 @@ object Queries {
   def q380HubTriangles(s: SparkSession, dir: String): DataFrame =
     Graph.triangleStats(hubEdges(s, dir))
 
+  /** q286's scale-path twin (the breadth pass's one finding,
+    * docs/PLANS_r10.md §10): the SAME kNN label-agreement audit — same
+    * every-10th probe set, same top-5 vote, same per-label aggregate —
+    * but candidates bounded to the probe's portable SRP bucket
+    * ([[Knn.lshTopKPortable]], bucket-keyed shuffle join, nothing
+    * broadcast) instead of q286's n²/10 brute sweep. Work per probe =
+    * bucket size ≈ n / 2^8; numPlanes is the deployment lever. The
+    * verdicts differ from q286 only where single-probe recall misses a
+    * true neighbor — the documented LSH tradeoff, and the oracle
+    * replays THIS computation (fold-form projections, bucket join,
+    * rank, vote) value-identically, so the approximation itself is
+    * hash-pinned. */
+  def q381AgreementLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label"))
+    val nn = Knn.lshTopKPortable(emb, emb.filter(col("vec_id") % 10 === 0),
+      k = 5, numPlanes = 8)
+    val agree = nn
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel"))), Seq("query_id"))
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("clabel"))), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(sum(when(col("clabel") === col("qlabel"), 1L).otherwise(0L))
+        .as("matches"))
+    agree.groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("matches")).cast("long").as("n_matches"),
+        sum(when(col("matches") < 2, 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("label"), col("n_probes"), col("n_matches"),
+        expr("n_matches * 200000 DIV n_probes").as("mean_agree_ppm"),
+        col("n_flagged"))
+      .orderBy("label")
+  }
+
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
@@ -9465,6 +9500,7 @@ object Queries {
     "q378_capped_triangles" -> (q378CappedTriangles _),
     "q379_oriented_triangles" -> (q379OrientedTriangles _),
     "q380_hub_triangles" -> (q380HubTriangles _),
+    "q381_agreement_lsh" -> (q381AgreementLsh _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

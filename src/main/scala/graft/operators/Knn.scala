@@ -250,6 +250,34 @@ object Knn {
     topK(scored, k)
   }
 
+  /** [[lshTopK]]'s oracle-replayable twin: the same single-probe
+    * same-bucket candidate bound with the PORTABLE SRP bucket
+    * ([[srpBucketPortable]]) and a plain bucket-keyed equi-join —
+    * neither side broadcast, the 100 TB shape: both sides shuffle on
+    * the bucket key and only same-bucket candidates are ever scored,
+    * so per-probe work is the bucket size ≈ n / 2^numPlanes and
+    * `numPlanes` is the cost lever (pick ~log2(n / targetBucketSize)).
+    * Approximate by construction (single-probe recall < 1 — the
+    * documented LSH tradeoff); every arithmetic step (fold-form
+    * projections, unrolled norms, one division) replays in DuckDB SQL.
+    * Same output shape as [[bruteForceTopK]]. */
+  def lshTopKPortable(corpus: DataFrame, queries: DataFrame, k: Int,
+                      numPlanes: Int = 8, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val dim = staticDim(corpus, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qb", srpBucketPortable(col("__qv"), numPlanes))
+      .withColumn("__qn", normN(col("__qv"), dim))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cb", srpBucketPortable(col("__cv"), numPlanes))
+      .withColumn("__cn", normN(col("__cv"), dim))
+    val scored = c.join(q, col("__qb") === col("__cb") &&
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        cosineFrom(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
+    topK(scored, k)
+  }
+
   /** A built IVF index. `centroids` is driver-side metadata — (id, vector,
     * norm), bounded by nlist (dozens to thousands), NOT data — so search
     * never re-derives it from a DataFrame lineage; `lists` is the persisted
