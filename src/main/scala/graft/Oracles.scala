@@ -9628,6 +9628,51 @@ object Oracles {
          |  AS n_flagged
          |FROM agree GROUP BY 1 ORDER BY label""".stripMargin
     },
+
+    // q293's LSH scale-path twin: the portable SRP bucket over the
+    // every-5th subset, bucket-keyed top-1, then q293's reciprocity
+    // join verbatim — the approximation itself replays value-identically
+    "q382_mutual_nn_lsh" -> {
+      val numPlanes = 8
+      def comp(p: Int) =
+        s"(CAST(${ph("CAST(i - 1 AS VARCHAR)", p)} % 2000001 - 1000000 AS DOUBLE) / 1000000.0)"
+      val bucket = (0 until numPlanes).map { p =>
+        val proj = foldSumSql(
+          s"list_transform(range(1, len(e)+1), i -> CAST(e[i] AS DOUBLE) * ${comp(p)})")
+        s"(CASE WHEN $proj > 0 THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString("\n       + ")
+      s"""WITH u AS (
+         | SELECT vec_id, embedding AS e, label FROM embeddings
+         | WHERE vec_id % 5 = 0),
+         |b AS (
+         | SELECT vec_id, label, e,
+         |  $bucket AS bkt
+         | FROM u),
+         |q AS (SELECT vec_id AS query_id, e AS qv, bkt FROM b),
+         |c AS (SELECT vec_id AS neighbor_id, e AS cv, bkt FROM b),
+         |scored AS (
+         | SELECT query_id, neighbor_id,
+         |  ${dotSql("qv", "cv")} AS dot_p,
+         |  ${normSql("qv")} * ${normSql("cv")} AS norm_p
+         | FROM c JOIN q USING (bkt) WHERE neighbor_id <> query_id),
+         |sims AS (
+         | SELECT query_id, neighbor_id,
+         |  CASE WHEN norm_p = 0 THEN 0.0 ELSE dot_p / norm_p END AS sim
+         | FROM scored),
+         |nn1 AS (
+         | SELECT query_id, neighbor_id, round(sim, 6) AS cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM sims)
+         | WHERE rnk = 1)
+         |SELECT a.query_id AS id_a, a.neighbor_id AS id_b, a.cos,
+         | la.label = lb.label AS same_label
+         |FROM nn1 a JOIN nn1 b
+         |  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+         |  AND a.query_id < a.neighbor_id
+         | JOIN u la ON la.vec_id = a.query_id
+         | JOIN u lb ON lb.vec_id = a.neighbor_id
+         |ORDER BY id_a""".stripMargin
+    },
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -2478,7 +2478,13 @@ object Queries {
           concat(lit("u"), col("c_custkey") % 100, lit("@x.com")).as("email"),
           concat(lit("n"), col("c_custkey") % 20).as("name"),
           concat(lit("p"), col("c_custkey") % 30).as("phone"))
-      Dedup.fuzzyDuplicatePairs(contacts, "c_custkey", "email", "name", "phone")
+      // production entry point -> the default autoBlockCap policy (r11):
+      // this fixture's blocks are uniform (%100 / %20x%30 residues), so
+      // p99 = max and the 10x cap provably never binds — every consumer
+      // hash unchanged at any SF; a deployed corpus with one junk hot
+      // key gets the q377/q378-measured protection for free
+      Dedup.fuzzyDuplicatePairsAuto(contacts, "c_custkey", "email", "name",
+        "phone")
     }
 
   /** The shared %700/%50/%60 fuzzy-dup edge set q239/q245/q328/q344 all
@@ -2498,7 +2504,12 @@ object Queries {
         concat(lit("u"), col("c_custkey") % 700, lit("@x.com")).as("email"),
         concat(lit("n"), col("c_custkey") % 50).as("name"),
         concat(lit("p"), col("c_custkey") % 60).as("phone"))
-      Dedup.fuzzyDuplicatePairs(contacts, "c_custkey", "email", "name",
+      // production entry point -> the default autoBlockCap policy (r11):
+      // uniform %700 / %50x%60 residue blocks make p99 = max, so the 10x
+      // cap never binds and all four graph-diagnostic consumers keep
+      // their hashes (q31 itself stays on the explicit uncapped oracle
+      // contract and does NOT ride this cache)
+      Dedup.fuzzyDuplicatePairsAuto(contacts, "c_custkey", "email", "name",
         "phone")
     }
 
@@ -8073,11 +8084,15 @@ object Queries {
     val labels = emb.select(col("vec_id"), col("label"))
     val nn = Knn.lshTopKPortable(emb, emb.filter(col("vec_id") % 10 === 0),
       k = 5, numPlanes = 8)
+    // label-vote joins are id-keyed equi-joins with NO broadcast hint:
+    // the labels frame is corpus-sized (unlike q286's, whose broadcast
+    // convention is the documented brute-audit shape), so at scale these
+    // must shuffle on the id; AQE may still elect broadcast at small SF
     val agree = nn
-      .join(broadcast(labels.select(col("vec_id").as("query_id"),
-        col("label").as("qlabel"))), Seq("query_id"))
-      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
-        col("label").as("clabel"))), Seq("neighbor_id"))
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("clabel")), Seq("neighbor_id"))
       .groupBy(col("query_id"), col("qlabel"))
       .agg(sum(when(col("clabel") === col("qlabel"), 1L).otherwise(0L))
         .as("matches"))
@@ -8089,6 +8104,42 @@ object Queries {
         expr("n_matches * 200000 DIV n_probes").as("mean_agree_ppm"),
         col("n_flagged"))
       .orderBy("label")
+  }
+
+  /** q293's scale-path twin (VERDICT r10 item 1 — the suite's last brute
+    * quadratic registry path): the SAME mutual-nearest-neighbor audit —
+    * same every-5th subset, same id-keyed reciprocity join, same output
+    * shape — but the top-1 scorer is [[Knn.lshTopKPortable]] (portable
+    * SRP buckets on both sides, bucket-keyed shuffle join, nothing
+    * broadcast) instead of q293's (n/5)² brute sweep, and the label
+    * joins are id-keyed equi-joins with no broadcast hint (the labels
+    * frame is subset-sized = corpus-sized at scale). Work per probe =
+    * bucket size ≈ (n/5)/2^planes; numPlanes is the deployment lever.
+    * Mutual pairs differ from q293's only where single-probe recall
+    * misses a true top-1 — the documented LSH tradeoff, and the oracle
+    * replays THIS computation (fold-form projections, bucket join,
+    * rank-1, reciprocity) value-identically, so the approximation
+    * itself is hash-pinned. q293 stays registered as the small-corpus
+    * brute audit twin — the q286/q381 pairing exactly. */
+  def q382MutualNnLsh(s: SparkSession, dir: String): DataFrame = {
+    val sub = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+    val nn1 = Knn.lshTopKPortable(sub, sub, k = 1, numPlanes = 8)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
+    val labels = sub.select(col("vec_id"), col("label"))
+    nn1.as("a")
+      .join(nn1.as("b"),
+        col("a.query_id") === col("b.neighbor_id") &&
+          col("a.neighbor_id") === col("b.query_id") &&
+          col("a.query_id") < col("a.neighbor_id"))
+      .select(col("a.query_id").as("id_a"),
+        col("a.neighbor_id").as("id_b"), col("a.cosine_sim").as("cos"))
+      .join(labels.select(col("vec_id").as("id_a"),
+        col("label").as("label_a")), Seq("id_a"))
+      .join(labels.select(col("vec_id").as("id_b"),
+        col("label").as("label_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("cos"),
+        (col("label_a") === col("label_b")).as("same_label"))
+      .orderBy("id_a")
   }
 
   def q233InterpFill(s: SparkSession, dir: String): DataFrame = {
@@ -9501,6 +9552,7 @@ object Queries {
     "q379_oriented_triangles" -> (q379OrientedTriangles _),
     "q380_hub_triangles" -> (q380HubTriangles _),
     "q381_agreement_lsh" -> (q381AgreementLsh _),
+    "q382_mutual_nn_lsh" -> (q382MutualNnLsh _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

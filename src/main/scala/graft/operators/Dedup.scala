@@ -693,28 +693,79 @@ object Dedup {
                           nameCol: String, phoneCol: String,
                           maxBlockSize: Int = Int.MaxValue): DataFrame = {
     require(maxBlockSize >= 2, "fuzzyDuplicatePairs: maxBlockSize must be >= 2")
-    def pairsOn(keys: Seq[String], reason: String): DataFrame = {
-      val slim0 = df.select((idCol +: keys).map(col): _*)
-        .filter(keys.map(k => col(k).isNotNull).reduce(_ && _))
-      val slim =
-        if (maxBlockSize == Int.MaxValue) slim0
-        else {
-          // one key-keyed count agg + a broadcast-friendly semi filter:
-          // the oversized-block set is tiny (it is the pathological tail)
-          val small = slim0.groupBy(keys.map(col): _*)
-            .agg(count(lit(1)).as("__bn"))
-            .filter(col("__bn") <= maxBlockSize)
-            .select(keys.map(col): _*)
-          slim0.join(small, keys, "left_semi")
-        }
-      slim.as("l").join(slim.as("r"),
-          keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
-            col(s"l.$idCol") < col(s"r.$idCol"))
-        .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
-          lit(reason).as("match_reason"))
-    }
-    pairsOn(Seq(emailCol), "email")
-      .unionByName(pairsOn(Seq(nameCol, phoneCol), "name_phone"))
+    blockedPairsOn(df, idCol, Seq(emailCol), "email", maxBlockSize)
+      .unionByName(blockedPairsOn(df, idCol, Seq(nameCol, phoneCol),
+        "name_phone", maxBlockSize))
+      .distinct()
+  }
+
+  /** One blocking family's capped pair join: non-null keys, the count-gate
+    * (skipped entirely at the keep-everything default), then the
+    * id-ordered self-join. */
+  private def blockedPairsOn(df: DataFrame, idCol: String, keys: Seq[String],
+                             reason: String, maxBlockSize: Int): DataFrame = {
+    val slim0 = df.select((idCol +: keys).map(col): _*)
+      .filter(keys.map(k => col(k).isNotNull).reduce(_ && _))
+    val slim =
+      if (maxBlockSize == Int.MaxValue) slim0
+      else {
+        // one key-keyed count agg + a broadcast-friendly semi filter:
+        // the oversized-block set is tiny (it is the pathological tail)
+        val small = slim0.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBlockSize)
+          .select(keys.map(col): _*)
+        slim0.join(small, keys, "left_semi")
+      }
+    slim.as("l").join(slim.as("r"),
+        keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        lit(reason).as("match_reason"))
+  }
+
+  /** The default block-cap POLICY (VERDICT r10 item 5): cap = max(floor,
+    * ceil(mult x p99 block size)) over one blocking family's non-null key
+    * counts. Rationale: honest duplication produces bounded families, so
+    * the p99 block is an honest block and 10x it is comfortably clear of
+    * every honest block — while a junk hot key ("unknown" phone, a shared
+    * corporate email) sits orders of magnitude above p99 and is exactly
+    * what the cap should drop (its C(n,2) pairs are key-collision noise
+    * carrying ~all the join cost; q377/q378 measured the cap turning exp
+    * 1.48 into 0.31 at sf0.1->sf1). On a UNIFORM block profile (every
+    * block the same size, the gated fixtures' shape) p99 = max, so the
+    * policy cap is 10x the largest block and provably never binds —
+    * which is why the oracle-pinned consumers can adopt it with every
+    * hash unchanged at any SF. Cost: one key-count agg + a 1-row driver
+    * read (metadata-class, same discipline as the IVF centroid collect).
+    * Empty/all-null input returns `floor`. */
+  def autoBlockCap(df: DataFrame, keys: Seq[String], mult: Int = 10,
+                   floor: Int = 16): Int = {
+    require(mult >= 1 && floor >= 2, "autoBlockCap: mult >= 1, floor >= 2")
+    val counts = df
+      .filter(keys.map(k => col(k).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bn"))
+    val p99 = counts.agg(expr("percentile(__bn, 0.99)").as("__p")).head()
+    if (p99.isNullAt(0)) floor
+    else math.max(floor.toLong, math.ceil(mult * p99.getDouble(0)).toLong)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
+  /** [[fuzzyDuplicatePairs]] under the default [[autoBlockCap]] policy,
+    * per blocking family — the production entry point (the maintained
+    * pair-table builders use this; oracle-pinned audit queries keep
+    * their explicit uncapped/capped contracts). Each family gets its own
+    * cap: email blocks and name+phone blocks have unrelated size
+    * profiles, and one shared cap would let the looser family's p99
+    * mask the tighter family's hot keys. */
+  def fuzzyDuplicatePairsAuto(df: DataFrame, idCol: String, emailCol: String,
+                              nameCol: String, phoneCol: String,
+                              mult: Int = 10, floor: Int = 16): DataFrame = {
+    val capEmail = autoBlockCap(df, Seq(emailCol), mult, floor)
+    val capNamePhone = autoBlockCap(df, Seq(nameCol, phoneCol), mult, floor)
+    blockedPairsOn(df, idCol, Seq(emailCol), "email", capEmail)
+      .unionByName(blockedPairsOn(df, idCol, Seq(nameCol, phoneCol),
+        "name_phone", capNamePhone))
       .distinct()
   }
 

@@ -185,9 +185,12 @@ object Graph {
     val deg = e.select(col("a").as("id"))
       .unionByName(e.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // coalesce: sum over zero rows is NULL; an empty edge set must
+    // yield the all-zero census row (clustering 0.0), matching the
+    // oriented-wedge column's convention
     val degStats = deg.agg(
       count(lit(1)).as("n_nodes"),
-      expr("sum(deg * (deg - 1) DIV 2)").as("n_wedges"))
+      coalesce(expr("sum(deg * (deg - 1) DIV 2)"), lit(0L)).as("n_wedges"))
     val tri = e.as("x").join(e.as("y"), col("x.b") === col("y.a"))
       .select(col("x.a").as("wa"), col("y.b").as("wc"))
       .join(e.as("z"),
@@ -237,9 +240,12 @@ object Graph {
       .unionByName(e.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
       .transform(Checkpoints.ckpt) // joined onto both endpoints + stats
+    // coalesce: sum over zero rows is NULL; an empty edge set must
+    // yield the all-zero census row (clustering 0.0), matching the
+    // oriented-wedge column's convention
     val degStats = deg.agg(
       count(lit(1)).as("n_nodes"),
-      expr("sum(deg * (deg - 1) DIV 2)").as("n_wedges"))
+      coalesce(expr("sum(deg * (deg - 1) DIV 2)"), lit(0L)).as("n_wedges"))
     // ties in (deg, id) are impossible for distinct ids, so the edge
     // orientation below is strict and total
     val aFirst = col("da") < col("db") ||

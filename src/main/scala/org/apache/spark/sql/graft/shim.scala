@@ -27,4 +27,15 @@ object shim {
         }
       case _ => None
     }
+
+  /** Block until the listener bus has delivered every queued event (or
+    * the timeout passes — swallowed: a metrics reader would rather see a
+    * slightly-stale counter than die). `SparkContext.listenerBus` is
+    * private[spark]; work-metric snapshots (ScaleBench's per-rep shuffle/
+    * CPU deltas) need a drain barrier so a rep's task-end events are
+    * counted against THAT rep, not the next one. */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext,
+                           timeoutMs: Long): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => () }
 }

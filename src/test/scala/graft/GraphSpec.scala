@@ -157,6 +157,22 @@ class GraphSpec extends SparkSpec {
     assert(so.getAs[Long]("n_wedges_oriented") == 1L)
   }
 
+  test("triangle census of an empty edge set is the all-zero row") {
+    // ADVICE r10: sum over zero rows is NULL — both census forms must
+    // coalesce n_wedges so an empty graph yields 0s and clustering 0.0,
+    // matching the oriented-wedge column's convention
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val r = Graph.triangleStats(empty).collect()(0)
+    for (c <- Seq("n_nodes", "n_edges", "n_wedges", "n_triangles"))
+      assert(r.getAs[Long](c) == 0L, c)
+    assert(r.getAs[Double]("clustering") == 0.0)
+    val o = Graph.triangleStatsOriented(empty).collect()(0)
+    for (c <- Seq("n_nodes", "n_edges", "n_wedges", "n_wedges_oriented",
+        "n_triangles"))
+      assert(o.getAs[Long](c) == 0L, c)
+    assert(o.getAs[Double]("clustering") == 0.0)
+  }
+
   test("kCore: pendant chain peels away, clique survives with degrees") {
     // K4 on 1-4 plus a tail 4-5-6: the tail cascades out of the 2-core?
     // no — 4-5-6 is a path: deg(6)=1 peels, then deg(5)=1 peels; K4 stays

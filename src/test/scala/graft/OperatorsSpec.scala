@@ -172,6 +172,38 @@ class DedupSpec extends SparkSpec {
     assert(all.count(_._3 == "email") == 7 && all((5L, 6L, "name_phone")))
   }
 
+  test("fuzzyDuplicatePairsAuto: 10x-p99 policy keeps honest blocks, drops the hot key") {
+    // 150 honest 2-member email blocks (p99 = 2 -> cap = 20) plus one
+    // 30-member junk email: the policy must erase the hot block's
+    // C(30,2) pairs and keep every honest pair — hot-key survival of
+    // the production default, unsupervised (no explicit cap passed)
+    val honest = (0 until 150).flatMap(b => Seq(
+      (b * 2L, s"e$b@x.com", s"n${b * 2}", s"p${b * 2}"),
+      (b * 2L + 1, s"e$b@x.com", s"n${b * 2 + 1}", s"p${b * 2 + 1}")))
+    val hot = (1000L until 1030L).map(i => (i, "hot@x.com", s"n$i", s"p$i"))
+    val df = (honest ++ hot).toDF("id", "email", "name", "phone")
+    assert(Dedup.autoBlockCap(df, Seq("email")) == 20)
+    val got = Dedup.fuzzyDuplicatePairsAuto(df, "id", "email", "name", "phone")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = (0 until 150).map(b => (b * 2L, b * 2L + 1, "email")).toSet
+    assert(got == want)
+
+    // uniform block profile (the gated fixtures' shape): p99 = max, the
+    // cap is 10x the largest block and provably never binds — the auto
+    // entry point equals the uncapped contract exactly
+    val uniform = (0L until 120L).map(i =>
+      (i, s"u${i % 30}@x.com", s"n${i % 12}", s"p${i % 12}"))
+      .toDF("id", "email", "name", "phone")
+    assert(Dedup.autoBlockCap(uniform, Seq("email")) == 40)
+    val auto = Dedup.fuzzyDuplicatePairsAuto(
+        uniform, "id", "email", "name", "phone")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val uncapped = Dedup.fuzzyDuplicatePairs(
+        uniform, "id", "email", "name", "phone")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(auto == uncapped && auto.nonEmpty)
+  }
+
   test("lastN keeps the most recent n events per key") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val df = Seq((1L, ts(1)), (1L, ts(2)), (1L, ts(3)), (2L, ts(1))).toDF("k", "ts")

@@ -103,6 +103,36 @@ class IvfSpec extends SparkSpec {
   }
 }
 
+class MutualNnLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mutual-NN via lshTopKPortable equals brute mutual-NN when buckets capture the clusters") {
+    // two tight clusters along different axes: every vector's true top-1
+    // is in-cluster, and the SRP projections are dominated by the big
+    // axis component so each cluster shares one bucket — on this fixture
+    // the q382 scorer swap (lshTopKPortable for bruteForceTopK) must
+    // change NOTHING about the reciprocal-best-match set
+    val vecs = (0L until 40L).map { i =>
+      val axis = if (i < 20) 0 else 4
+      val v = Array.tabulate(8)(d => 0.05f * ((i * 7 + d) % 5))
+      v(axis) = 10f + 0.01f * (i % 5)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(col("rank") === 1).select("query_id", "neighbor_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def mutual(m: Map[Long, Long]): Set[(Long, Long)] =
+      m.collect { case (a, b) if m.get(b).contains(a) && a < b => (a, b) }.toSet
+    val brute = mutual(top1(Knn.bruteForceTopK(vecs, vecs, k = 1)))
+    val lsh = mutual(top1(Knn.lshTopKPortable(vecs, vecs, k = 1,
+      numPlanes = 8)))
+    assert(brute.nonEmpty)
+    assert(lsh == brute)
+    // mutual pairs never cross clusters on this fixture
+    assert(lsh.forall { case (a, b) => (a < 20) == (b < 20) })
+  }
+}
+
 class IvfAddSpec extends SparkSpec {
   import spark.implicits._
 

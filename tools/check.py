@@ -6,6 +6,7 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -19,7 +20,12 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # driver testdata is a single parquet FILE per table; ScaleData
+        # (sf1 sweeps) writes a Spark DIRECTORY per table — glob it
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
@@ -91,7 +97,6 @@ def main():
             n_pass += 1
     # queries without oracles: rows-only smoke
     import glob
-    import os
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
         if name in oracles or (only and name not in only):
