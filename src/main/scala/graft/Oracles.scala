@@ -7055,12 +7055,12 @@ object Oracles {
         | FROM li JOIN part ON l_partkey = p_partkey),
         |b AS (
         | SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(count(*) AS BIGINT) * CAST(sum(x * y) AS BIGINT)
-        |   - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS num
+        |  CAST(count(*) AS HUGEINT) * CAST(sum(x * y) AS HUGEINT)
+        |   - CAST(sum(x) AS HUGEINT) * CAST(sum(y) AS HUGEINT) AS num
         | FROM j GROUP BY 1),
         |p AS (
-        | SELECT CAST(count(*) AS BIGINT) * CAST(sum(x * y) AS BIGINT)
-        |  - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS pooled_num
+        | SELECT CAST(count(*) AS HUGEINT) * CAST(sum(x * y) AS HUGEINT)
+        |  - CAST(sum(x) AS HUGEINT) * CAST(sum(y) AS HUGEINT) AS pooled_num
         | FROM j)
         |SELECT p_brand, n,
         | CAST(sign(num) AS BIGINT) AS brand_sign,
@@ -7221,8 +7221,10 @@ object Oracles {
         | CROSS JOIN g
         |ORDER BY 1, 2""".stripMargin,
 
-    // binary-segmentation changepoint: exact BIGINT d = S1*n2 - S2*n1,
-    // deterministic double gain, day-tiebroken argmax, top 3
+    // binary-segmentation changepoint: exact HUGEINT d = S1*n2 - S2*n1
+    // (sf1 overflows BIGINT), double via the exact-digit-string parse
+    // (the only decimal->double path correctly rounded in both engines),
+    // day-tiebroken argmax, top 3
     "q310_changepoint" ->
       """WITH daily AS (
         | SELECT CAST(o_orderdate AS DATE) AS day,
@@ -7242,11 +7244,13 @@ object Oracles {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |stat AS (
         | SELECT day, n1, s1, n_all - n1 AS n2, s_all - s1 AS s2,
-        |  s1 * (n_all - n1) - (s_all - s1) * n1 AS d_stat
+        |  CAST(s1 AS HUGEINT) * (n_all - n1)
+        |   - CAST(s_all - s1 AS HUGEINT) * n1 AS d_stat
         | FROM cum, tot WHERE n1 < n_all),
         |gain AS (
         | SELECT day, n1, n2, s1, s2,
-        |  (CAST(d_stat AS DOUBLE) * CAST(d_stat AS DOUBLE))
+        |  (CAST(CAST(d_stat AS VARCHAR) AS DOUBLE)
+        |    * CAST(CAST(d_stat AS VARCHAR) AS DOUBLE))
         |   / CAST(n1 * n2 AS DOUBLE) AS gain
         | FROM stat)
         |SELECT CAST(rk AS BIGINT) AS rk, day, n1, n2, s1, s2, gain

@@ -5047,7 +5047,11 @@ object Queries {
       .withColumn("cum_cents", sum(col("decile_cents")).over(wCum))
       .select(col("decile"), col("n_customers"), col("decile_cents"),
         col("cum_cents"),
-        expr("cum_cents * 1000000 DIV total_cents").as("cum_share_ppm"))
+        // DECIMAL ladder (sf1 gate catch, r11): total cents ~3e13 at
+        // sf1, so cum*1e6 overflows BIGINT — the DuckDB side was always
+        // safe (its window sum is HUGEINT); same values, wider operand
+        expr("CAST(CAST(cum_cents AS DECIMAL(25,0)) * 1000000" +
+          " DIV total_cents AS BIGINT)").as("cum_share_ppm"))
       .orderBy("decile")
   }
 
@@ -5157,15 +5161,21 @@ object Queries {
     val withBrand = li.join(broadcast(t(s, dir, "part")
       .select(col("p_partkey"), col("p_brand"))),
       col("l_partkey") === col("p_partkey"))
+    // DECIMAL ladder (sf1 gate catch, r11): the pooled n*sxy product is
+    // ~1.8e20 at sf1 — DECIMAL(19) operands make the numerator exact in
+    // DECIMAL(38); only its SIGN is consumed, values unchanged
+    def slopeNum(n: Column, sxy: Column, sx: Column, sy: Column): Column =
+      n.cast("decimal(19,0)") * sxy.cast("decimal(19,0)") -
+        sx.cast("decimal(19,0)") * sy.cast("decimal(19,0)")
     val byBrand = withBrand.groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
       .select(col("p_brand"), col("n"),
-        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"))
+        slopeNum(col("n"), col("sxy"), col("sx"), col("sy")).as("num"))
     val pooled = withBrand
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
-      .select((col("n") * col("sxy") - col("sx") * col("sy"))
+      .select(slopeNum(col("n"), col("sxy"), col("sx"), col("sy"))
         .as("pooled_num"))
     byBrand.crossJoin(broadcast(pooled))
       .select(col("p_brand"), col("n"),
@@ -5330,15 +5340,22 @@ object Queries {
       year(to_date(col("o_orderdate"))).cast("long").as("yr"),
       col("o_orderpriority").as("pri"),
       (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+    // DECIMAL ladder (sf1 gate catch, r11): the grand margin's
+    // sum(cents)*1e6 is ~2.9e19 at sf1 — all four micro means ride
+    // DECIMAL(25) operands (DuckDB's sum is HUGEINT, always safe);
+    // same floor-DIV values, wider intermediate
     val cell = o.groupBy(col("yr"), col("pri"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
-      .withColumn("cell_micro", expr("s * 1000000 DIV n"))
+      .withColumn("cell_micro",
+        expr("CAST(CAST(s AS DECIMAL(25,0)) * 1000000 DIV n AS BIGINT)"))
     val row = o.groupBy(col("yr"))
-      .agg(expr("sum(cents) * 1000000 DIV count(1)").as("row_micro"))
+      .agg(expr("CAST(CAST(sum(cents) AS DECIMAL(25,0)) * 1000000" +
+        " DIV count(1) AS BIGINT)").as("row_micro"))
     val colM = o.groupBy(col("pri"))
-      .agg(expr("sum(cents) * 1000000 DIV count(1)").as("col_micro"))
-    val grand = o.agg(expr("sum(cents) * 1000000 DIV count(1)")
-      .as("grand_micro"))
+      .agg(expr("CAST(CAST(sum(cents) AS DECIMAL(25,0)) * 1000000" +
+        " DIV count(1) AS BIGINT)").as("col_micro"))
+    val grand = o.agg(expr("CAST(CAST(sum(cents) AS DECIMAL(25,0))" +
+      " * 1000000 DIV count(1) AS BIGINT)").as("grand_micro"))
     cell.join(broadcast(row), Seq("yr"))
       .join(broadcast(colM), Seq("pri"))
       .crossJoin(broadcast(grand))
@@ -5353,11 +5370,14 @@ object Queries {
   /** Binary-segmentation changepoint on the daily revenue series: the
     * split day maximizing the between-segment variance reduction
     * n1*n2/n * (mean1 - mean2)^2, evaluated as d^2/(n1*n2) with
-    * d = S1*n2 - S2*n1 held EXACT in BIGINT (its int64->double cast is
-    * correctly rounded in both engines, hence deterministic; squaring
-    * happens in double because d^2 would overflow int64) — gain is a
-    * fixed-shape expression and the argmax tiebreaks on the day.
-    * Top-3 candidate splits out.
+    * d = S1*n2 - S2*n1 held EXACT in DECIMAL(38,0) (the sf1 gate
+    * caught the BIGINT form overflowing: S1*n2 ~ 4e19 at sf1) and
+    * rendered to double via a STRING round-trip — decimal->double
+    * casts are not correctly-rounded-guaranteed cross-engine, but
+    * parsing the exact digit string is (strtod/parseDouble are IEEE
+    * correctly rounded), so the squared term stays bit-identical in
+    * both engines — gain is a fixed-shape expression and the argmax
+    * tiebreaks on the day. Top-3 candidate splits out.
     * One day-keyed agg + day-ordered running window (day cardinality,
     * not corpus). */
   def q310Changepoint(s: SparkSession, dir: String): DataFrame = {
@@ -5379,9 +5399,13 @@ object Queries {
         (col("n_all") - col("n1")).as("n2"),
         (col("s_all") - col("s1")).as("s2"))
       .withColumn("d_stat",
-        col("s1") * col("n2") - col("s2") * col("n1"))
+        col("s1").cast("decimal(25,0)") * col("n2") -
+          col("s2").cast("decimal(25,0)") * col("n1"))
+      // exact digits -> parse: the only decimal->double path with a
+      // cross-engine correctly-rounded guarantee
+      .withColumn("d_dbl", col("d_stat").cast("string").cast("double"))
       .withColumn("gain",
-        (col("d_stat").cast("double") * col("d_stat").cast("double")) /
+        (col("d_dbl") * col("d_dbl")) /
           (col("n1") * col("n2")).cast("double"))
     cum
       .withColumn("rk", row_number().over(
@@ -6498,16 +6522,26 @@ object Queries {
     * bands. One revenue agg + a bounded 100-row curve. */
   def q339Knee(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r11 work-exponent catch (cpu exp 1.41 / shuffle exp 2.17 at
+    // sf0.1->sf1): the previous form ranked the WHOLE part dimension
+    // through a single-partition window and then recomputed that entire
+    // chain a second time for the chord-endpoint aggregate. Fix: take
+    // the top 100 via the distributed TakeOrdered path (same total
+    // order, same 100 rows), rank within the bounded result, and
+    // checkpoint the 100-row curve so the endpoint agg reads 100 rows —
+    // values identical, corpus work exactly one part-keyed aggregate
     val top = t(s, dir, "lineitem")
       .groupBy(col("l_partkey"))
       .agg(sum((dec2(col("l_extendedprice")) * 100).cast("long"))
         .cast("long").as("rev"))
+      .orderBy(col("rev").desc, col("l_partkey").asc).limit(100)
+    val curve = top
       .withColumn("rn", row_number().over(
         Window.orderBy(col("rev").desc, col("l_partkey").asc)))
-      .filter(col("rn") <= 100)
-    val curve = top.withColumn("cum", sum(col("rev")).over(
-      Window.orderBy(col("rn"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum", sum(col("rev")).over(
+        Window.orderBy(col("rn"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .transform(Checkpoints.ckpt) // 2 consumers: curve rows + chord ends
     // cum is strictly increasing (revenues positive), so min/max ARE the
     // chord endpoints — total even when fewer than 100 parts exist
     val ends = curve.agg(min(col("cum")).as("c1"),

@@ -79,9 +79,20 @@ object ScaleBench {
       .getOrElse(sys.error("SPARK_GRAFT_BENCH_ONLY is required"))
     val unknown = only.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
-    val spark = Engine.localSession(cpus, "graft-scalebench")
-    val work = new WorkCounters
+    var spark = Engine.localSession(cpus, "graft-scalebench")
+    var work = new WorkCounters
     spark.sparkContext.addSparkListener(work)
+    // one family's executor OOM kills the shared SparkContext; without a
+    // rebuild every later family in the sweep false-fails on "stopped
+    // SparkContext" (this run's q239-at-sf1 lesson). Rebuild between
+    // families so a fatal family poisons only itself.
+    def ensureLive(): Unit =
+      if (spark.sparkContext.isStopped) {
+        System.err.println("[scalebench] SparkContext died — rebuilding session")
+        spark = Engine.localSession(cpus, "graft-scalebench")
+        work = new WorkCounters
+        spark.sparkContext.addSparkListener(work)
+      }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
     def release(): Unit = {
@@ -123,6 +134,7 @@ object ScaleBench {
     val rows = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only(n) }
       .map { case (name, fn) =>
+        ensureLive()
         // warm both scales first (session caches, codegen), then
         // alternate timed reps A,B,A,B so regime drift hits both evenly
         val warmA = timeOnce(fn, dirA, name); release()

@@ -19,6 +19,13 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # generated-scale sweeps (sf1): cap DuckDB's thread pool so several
+    # check shards can run side by side, and skip an oracle whose own
+    # brute-force SQL exceeds the per-query budget (the TIMEOUT marks the
+    # ORACLE's cost, not an engine mismatch — record and move on)
+    if os.environ.get("CHECK_THREADS"):
+        con.sql(f"SET threads={int(os.environ['CHECK_THREADS'])}")
+    timeout_s = int(os.environ.get("CHECK_TIMEOUT_S", "0"))
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # driver testdata is a single parquet FILE per table; ScaleData
@@ -33,7 +40,22 @@ def main():
         if only and name not in only:
             continue
         try:
-            want = con.sql(sql).df()
+            if timeout_s:
+                import signal
+
+                def _alarm(sig, frm):
+                    raise TimeoutError(f"oracle exceeded {timeout_s}s")
+                signal.signal(signal.SIGALRM, _alarm)
+                signal.alarm(timeout_s)
+                try:
+                    want = con.sql(sql).df()
+                finally:
+                    signal.alarm(0)
+            else:
+                want = con.sql(sql).df()
+        except TimeoutError as e:
+            print(f"TIMEOUT {name}: {e}")
+            continue
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {str(e).splitlines()[0]}")
             n_fail += 1
