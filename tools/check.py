@@ -57,6 +57,11 @@ def main():
             print(f"TIMEOUT {name}: {e}")
             continue
         except Exception as e:
+            # the SIGALRM lands inside DuckDB's C loop, which reports it
+            # as its own InterruptException — classify as the timeout it is
+            if "interrupt" in str(e).lower():
+                print(f"TIMEOUT {name}: oracle exceeded {timeout_s}s")
+                continue
             print(f"FAIL {name}: oracle sql error: {str(e).splitlines()[0]}")
             n_fail += 1
             continue
