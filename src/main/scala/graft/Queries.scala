@@ -6874,6 +6874,14 @@ object Queries {
         (dec2(col("l_quantity")) * 100).cast("long").as("qty_c"),
         expr("CAST(datediff(to_date(l_shipdate), DATE '1970-01-01')" +
           " DIV 7 AS BIGINT)").as("week"))
+    // r11 work-exponent watch item (cpu exp 1.52) root-caused to the
+    // q339 class: varPart was computed twice (rank branch + the n_var
+    // count) and the rev-agg + full-dimension cum window chain twice
+    // (classed + tot). Checkpoint the two PART-DIMENSION frames so each
+    // corpus agg runs once — values identical. (The cell-sized weekly
+    // frame is deliberately NOT checkpointed: materializing a
+    // rows-sized frame cost more at sf0.1 than the span scan it saved
+    // — measured both ways; the span scan is a 1-row codegen'd agg.)
     val span = li.agg((max(col("week")) - min(col("week")) + 1)
       .cast("long").as("n_weeks"))
     val weekly = li.groupBy(col("l_partkey"), col("week"))
@@ -6886,11 +6894,13 @@ object Queries {
         expr("CAST(n_weeks * CAST(n_weeks * qq - sq * sq AS" +
           " DECIMAL(38,0)) * 1000000 DIV ((n_weeks - 1)" +
           " * CAST(sq * sq AS DECIMAL(38,0))) AS BIGINT)").as("cv2_ppm"))
+      .transform(Checkpoints.ckpt) // consumers: vrank branch + n_var
     val rev = li.groupBy(col("l_partkey"))
       .agg(sum(col("rev_c")).cast("long").as("rev"))
       .withColumn("cum", sum(col("rev")).over(
         Window.orderBy(col("rev").desc, col("l_partkey").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .transform(Checkpoints.ckpt) // consumers: classed + tot
     val tot = rev.agg(sum(col("rev")).cast("long").as("total"))
     val classed = rev.crossJoin(broadcast(tot))
       .select(col("l_partkey"), col("rev"),
