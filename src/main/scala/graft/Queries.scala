@@ -5613,6 +5613,13 @@ object Queries {
     * cross-sell/assortment "shared audience" matrix; pair output is
     * dimension-sized (25 x 24 / 2). */
   def q316AudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    // NOT checkpointed, deliberately (r11, measured both ways): the
+    // static plan shows the fact join + distinct duplicated under four
+    // consumers (24 parquet scans), but AQE's runtime stage reuse
+    // already collapses the identical exchanges — adding a checkpoint
+    // RAISED sf1 CPU 29->35 s (materialization + cached-block reads
+    // cost more than recompute-with-reuse). The q347 fix's lesson cuts
+    // the other way here: verify the reuse assumption per family.
     val bc = t(s, dir, "lineitem")
       .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
