@@ -3511,26 +3511,25 @@ object Queries {
     * sum), each scored 1-5 by explicit row_number quintiles —
     * score = 5 - (rn-1)*5 DIV n with a (metric, custkey) total order,
     * NOT ntile(), so both engines bucket identically — then rolled up
-    * to (r,f,m) segments with a CASE label. The quintile windows are
-    * unpartitioned but run on the PER-CUSTOMER aggregate (one row per
-    * customer with orders), already reduced from the order fact; at
-    * extreme customer counts the rank would move to a distributed sort
-    * + partition-offset pass. */
+    * to (r,f,m) segments with a CASE label. The quintile ranks run on
+    * the PER-CUSTOMER aggregate (one row per customer with orders),
+    * already reduced from the order fact, through [[DimRank.ranked]] —
+    * the distributed sort + partition-offset pass, so a 10⁹-customer
+    * dimension never funnels through one partition (values identical to
+    * the naive window, DimRankSpec parity). */
   def q252Rfm(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val per = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(datediff(asOfDate, max(to_date(col("o_orderdate")))).as("r_days"),
         count(lit(1)).as("f"),
         (sum(dec2(col("o_totalprice"))) * 100).cast("long").as("m_cents"))
-    val scored = per
-      .withColumn("rn_r", row_number().over(
-        Window.orderBy(col("r_days").asc, col("o_custkey").asc)).cast("long"))
-      .withColumn("rn_f", row_number().over(
-        Window.orderBy(col("f").desc, col("o_custkey").asc)).cast("long"))
-      .withColumn("rn_m", row_number().over(
-        Window.orderBy(col("m_cents").desc, col("o_custkey").asc)).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()).cast("long"))
+    val scored = DimRank.ranked(
+        DimRank.ranked(
+          DimRank.ranked(per,
+            Seq(col("r_days").asc, col("o_custkey").asc), "rn_r"),
+          Seq(col("f").desc, col("o_custkey").asc), "rn_f"),
+        Seq(col("m_cents").desc, col("o_custkey").asc), "rn_m",
+        countCol = Some("n"))
       .select(col("m_cents"),
         expr("5 - (rn_r - 1) * 5 DIV n").cast("int").as("r_score"),
         expr("5 - (rn_f - 1) * 5 DIV n").cast("int").as("f_score"),
@@ -3755,23 +3754,19 @@ object Queries {
     * cent totals, classify by CUMULATIVE share — A up to 80%, B up to
     * 95%, C the tail — with every threshold compared CROSS-MULTIPLIED
     * in exact BIGINTs (cum * 5 <= total * 4, cum * 20 <= total * 19):
-    * no division, no rounding, no double anywhere. The cumulative
-    * window is unpartitioned but runs on the per-part AGGREGATE (one
-    * row per part, already reduced from lineitem); at extreme part
-    * counts it becomes a distributed sort + per-partition offset pass,
-    * same note as q252's quintiles. */
+    * no division, no rounding, no double anywhere. The cumulative sum
+    * runs on the per-part AGGREGATE (one row per part, already reduced
+    * from lineitem) through [[DimRank.ranked]]'s running-total path —
+    * the distributed sort + per-partition offset pass of the q252
+    * convention, with the grand total read off the same bounded ledger
+    * (no second pass). */
   def q261AbcClassification(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val per = t(s, dir, "lineitem")
       .groupBy(col("l_partkey"))
       .agg((sum(dec2(col("l_extendedprice"))) * 100).cast("long").as("cents"))
-    val w = Window.orderBy(col("cents").desc, col("l_partkey").asc)
-    per
-      .withColumn("cum_cents", sum(col("cents")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long"))
-      .withColumn("total_cents", sum(col("cents")).over(
-        Window.partitionBy()).cast("long"))
+    DimRank.ranked(per, Seq(col("cents").desc, col("l_partkey").asc),
+        "__rk", totals = Seq(DimRank.RunTotal("cents", "cum_cents")),
+        sumTotals = Seq("cents" -> "total_cents"))
       .withColumn("abc_class",
         when(col("cum_cents") * 5 <= col("total_cents") * 4, "A")
           .when(col("cum_cents") * 20 <= col("total_cents") * 19, "B")
@@ -3976,23 +3971,29 @@ object Queries {
     * priority-keyed window. */
   def q267ShipLatency(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r12: same support-histogram conversion as q304 — the rank-r value
+    // is min(v : cum(v) >= r), so the exact median/p90 never rank the
+    // fact; the windows run on the bounded (priority, days) support
     val days = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("days"), col("l_orderkey"), col("l_linenumber"))
-    val wAll = Window.partitionBy(col("o_orderpriority"))
-    t(s, dir, "lineitem")
+    val hist = t(s, dir, "lineitem")
       .join(t(s, dir, "orders"),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_orderpriority"), days.cast("long").as("days"),
-        col("l_orderkey"), col("l_linenumber"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .select(col("o_orderpriority"), days.cast("long").as("days"))
+      .groupBy(col("o_orderpriority"), col("days"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val wCum = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("days").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum).cast("long"))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col("o_orderpriority"))).cast("long"))
       .groupBy(col("o_orderpriority"))
       .agg(max(col("n")).cast("long").as("n"),
         min(col("days")).as("min_days"),
-        max(when(col("rn") === expr("(n + 1) DIV 2"), col("days")))
+        min(when(expr("cum >= (n + 1) DIV 2"), col("days")))
           .as("med_days"),
-        max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("days")))
+        min(when(expr("cum >= (9 * n + 9) DIV 10"), col("days")))
           .as("p90_days"),
         max(col("days")).as("max_days"))
       .orderBy("o_orderpriority")
@@ -4443,11 +4444,11 @@ object Queries {
     * The distribution-free interval-validity audit (split conformal);
     * scores, q_hat and coverage never touch a float. Brands absent from
     * the calibration half have no model and are excluded by the inner
-    * join. The pooled-score rank window is unpartitioned but runs on
-    * the bounded part dimension (the q252 convention); requires
-    * n_cal >= 9 so the rank exists. */
+    * join. The pooled-score rank runs through [[DimRank.ranked]] (the
+    * q252 convention — ties never straddle a range partition, so the
+    * rank-k score VALUE is exact under the arbitrary tie order);
+    * requires n_cal >= 9 so the rank exists. */
   def q284Conformal(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
       (dec2(col("p_retailprice")) * 100).cast("long").as("cents"),
       expr("((p_partkey * 2654435761) % 4294967296) % 2").as("half"))
@@ -4458,10 +4459,10 @@ object Queries {
         col("n_cal"))
     val scores = cal.join(broadcast(model), Seq("p_brand"))
       .select(abs(col("cents") - col("mean_cents")).as("score"))
-    val nCal = scores.agg(count(lit(1)).as("n_pool"))
-    val qhat = scores
-      .withColumn("rk", row_number().over(Window.orderBy(col("score").asc)))
-      .crossJoin(broadcast(nCal))
+    // n_pool comes off the kernel's ledger — the old separate count
+    // aggregate re-ran the whole calibration join a second time
+    val qhat = DimRank.ranked(scores, Seq(col("score").asc), "rk",
+        countCol = Some("n_pool"))
       .filter(col("rk") === expr("(9 * (n_pool + 1) + 9) DIV 10"))
       .select(col("score").as("q_hat"))
     p.filter(col("half") === 1)
@@ -4750,9 +4751,12 @@ object Queries {
         expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - w AS INT))"))
     scored.groupBy(col("l_partkey"))
       .agg(sum(col("q") * col("wt")).as("score_scaled"))
+      // top-k FIRST (TakeOrderedAndProject per-partition heaps — the
+      // q339 fix pattern), then rank only the 20 survivors; the old
+      // row_number-then-filter sorted the whole part dim on one task
+      .orderBy(col("score_scaled").desc, col("l_partkey").asc).limit(20)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score_scaled").desc, col("l_partkey").asc)))
-      .filter(col("rank") <= 20)
       .select(col("rank"), col("l_partkey"), col("score_scaled"),
         (col("score_scaled").cast("double") / lit(107374182400.0))
           .as("decayed_units"))
@@ -5017,9 +5021,11 @@ object Queries {
   /** Lorenz curve by customer decile: customers ranked ascending by
     * exact cent spend (zero-spend customers included — they ARE the
     * inequality), dealt into explicit row_number deciles (the q252
-    * formula), cumulative spend share in integer ppm. The
-    * concentration curve behind q242's Gini scalar — where the
-    * revenue actually sits. Dimension-keyed windows only. */
+    * formula) via [[DimRank.ranked]] — the distributed customer-dim
+    * sort with n and the grand total read off the kernel's ledger (the
+    * old separate count aggregate re-ran the customer join twice) —
+    * cumulative spend share in integer ppm. The concentration curve
+    * behind q242's Gini scalar — where the revenue actually sits. */
   def q300LorenzDeciles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spend = t(s, dir, "customer")
@@ -5029,12 +5035,9 @@ object Queries {
           .as("cents")),
         col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), coalesce(col("cents"), lit(0L)).as("cents"))
-    val wRank = Window.orderBy(col("cents").asc, col("c_custkey").asc)
-    val n = spend.agg(count(lit(1)).as("n_cust"),
-      sum(col("cents")).cast("long").as("total_cents"))
-    val deciles = spend
-      .withColumn("rn", row_number().over(wRank).cast("long"))
-      .crossJoin(broadcast(n))
+    val deciles = DimRank.ranked(spend,
+        Seq(col("cents").asc, col("c_custkey").asc), "rn",
+        countCol = Some("n_cust"), sumTotals = Seq("cents" -> "total_cents"))
       .select(expr("CAST(1 + (rn - 1) * 10 DIV n_cust AS INT)").as("decile"),
         col("cents"), col("total_cents"))
       .groupBy(col("decile"))
@@ -5193,25 +5196,36 @@ object Queries {
     * each percentile is the ceil(q*n)-th ranked row of its partition. */
   def q304PrioritySla(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r12: the exact order statistics come off the (priority, days)
+    // SUPPORT histogram — days is a small integer (ship minus order
+    // date), so the bounded count agg collapses the fact map-side and
+    // the rank windows run on the support, not the rows (the q298
+    // midrank convention). Values identical to the per-row rank form:
+    // the value at any rank r is min(v : cum(v) >= r) because cum is
+    // nondecreasing in v. The old form ranked the whole fact inside
+    // |priorities| partitions — r11 measured cpu exp 1.47 / shuffle
+    // 2.65 as the price; here exactness is free.
     val lat = t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderpriority").as("priority"),
         datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
           .cast("long").as("days"))
-    val w = Window.partitionBy(col("priority"))
-      .orderBy(col("days").asc)
-    val ranked = lat
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(
+    val hist = lat.groupBy(col("priority"), col("days"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val wCum = Window.partitionBy(col("priority")).orderBy(col("days").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum).cast("long"))
+      .withColumn("n", sum(col("cnt")).over(
         Window.partitionBy(col("priority"))).cast("long"))
-    ranked.groupBy(col("priority"), col("n"))
+      .groupBy(col("priority"), col("n"))
       .agg(
-        min(when(col("rk") * 2 >= col("n"), col("days"))).as("p50_days"),
-        min(when(col("rk") * 10 >= col("n") * 9, col("days")))
+        min(when(col("cum") * 2 >= col("n"), col("days"))).as("p50_days"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("days")))
           .as("p90_days"),
-        min(when(col("rk") * 100 >= col("n") * 99, col("days")))
+        min(when(col("cum") * 100 >= col("n") * 99, col("days")))
           .as("p99_days"),
-        sum(when(col("days") > 90, 1L).otherwise(0L)).as("n_breach"))
+        sum(when(col("days") > 90, col("cnt")).otherwise(0L)).as("n_breach"))
       .select(col("priority"), col("n"), col("p50_days"), col("p90_days"),
         col("p99_days"), expr("n_breach * 1000000 DIV n").as("breach_ppm"))
       .orderBy("priority")
@@ -6434,9 +6448,11 @@ object Queries {
     val ranked = t(s, dir, "documents")
       .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      // top-1000 via TakeOrdered heaps (q339 pattern) — the old
+      // rank-then-filter sorted the whole vocabulary on one task
+      .orderBy(col("freq").desc, col("token").asc).limit(1000)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("freq").desc, col("token").asc)))
-      .filter(col("rn") <= 1000)
       .select(lnMilli(col("rn")).as("x"), lnMilli(col("freq")).as("y"))
     ranked.agg(
         count(lit(1)).as("n"),
@@ -6570,18 +6586,18 @@ object Queries {
     * CF deployment honest; reuses the capped-basket pair chain, adds
     * two bounded aggs. */
   def q340RecCoverage(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // the session-cached basket frame and the shared q335 pair chain
     // (the per-query ckpt alone was the r8 14 s -> ~3 s fix; the
     // session caches remove the remaining per-query rebuilds)
     val baskets = basketFrame(s, dir).select(col("cust"), col("part"))
     val recs = cfTop3(s, dir)
-    val pop = baskets.groupBy(col("part"))
-      .agg(count(lit(1)).as("buyers"))
-      .withColumn("prank", row_number().over(
-        Window.orderBy(col("buyers").desc, col("part").asc)))
-    val popN = pop.agg(count(lit(1)).as("n_ranked"))
-    val topDecile = pop.crossJoin(broadcast(popN))
+    // popularity rank through DimRank — the part dimension never
+    // funnels through one partition, and n_ranked rides the ledger
+    val pop = DimRank.ranked(
+      baskets.groupBy(col("part")).agg(count(lit(1)).as("buyers")),
+      Seq(col("buyers").desc, col("part").asc), "prank",
+      countCol = Some("n_ranked"))
+    val topDecile = pop
       .filter(col("prank") * 10 <= col("n_ranked"))
       .select(col("part").as("part_b")).withColumn("__top", lit(true))
     val catalog = t(s, dir, "part").agg(count(lit(1)).as("n_catalog"))
@@ -6690,22 +6706,23 @@ object Queries {
     * exact cross-multiplied ratio (r_t·n_c − r_c·n_t)·1e6 DIV
     * (n_t·n_c) through DECIMAL(25,0). The targeting-model eval that
     * decides whether a campaign should go to the top deciles only.
-    * Scale: one rank window (single global sort of the assignment
-    * frame — dimension-sized, not fact-sized) + bounded 10-row aggs. */
+    * Scale: one [[DimRank.ranked]] pass over the assignment frame
+    * (dimension-sized, not fact-sized; n_all off the kernel ledger,
+    * sparing the old second scan) + bounded 10-row aggs. */
   def q343UpliftDeciles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val resp = t(s, dir, "orders")
       .filter(col("o_orderdate") >= "1997-01-01")
       .select(col("o_custkey")).distinct()
       .withColumn("__resp", lit(1L))
-    val ranked = t(s, dir, "customer")
-      .select(col("c_custkey"), dec2(col("c_acctbal")).as("bal"))
-      .withColumn("treated", pmod(Dedup.portableHash64(
-        col("c_custkey").cast("string"), 777), lit(100L)) < 50)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("bal").desc, col("c_custkey").asc)))
-    val n = ranked.agg(count(lit(1)).as("n_all"))
-    val cells = ranked.crossJoin(broadcast(n))
+    val ranked = DimRank.ranked(
+      t(s, dir, "customer")
+        .select(col("c_custkey"), dec2(col("c_acctbal")).as("bal"))
+        .withColumn("treated", pmod(Dedup.portableHash64(
+          col("c_custkey").cast("string"), 777), lit(100L)) < 50),
+      Seq(col("bal").desc, col("c_custkey").asc), "rank",
+      countCol = Some("n_all"))
+    val cells = ranked
       .withColumn("decile",
         expr("CAST((rank - 1) * 10 DIV n_all AS BIGINT) + 1"))
       .join(resp, col("c_custkey") === col("o_custkey"), "left")
@@ -6870,11 +6887,10 @@ object Queries {
     * closed-form zero-week treatment (the calendar span only changes
     * n); quantities frozen as exact cents. Output is the bounded
     * class matrix with part counts and exact ppm revenue share.
-    * Scale: two part-keyed aggs + one rank window over the part
-    * dimension (dimension-sized, not fact-sized; range-partition the
-    * cumulative rank at a 1e9-part catalog). */
+    * Scale: two part-keyed aggs + two [[DimRank.ranked]] passes over
+    * the part dimension (dimension-sized, not fact-sized — the
+    * range-partitioned cumulative rank a 1e9-part catalog needs). */
   def q347AbcXyz(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val li = t(s, dir, "lineitem")
       .select(col("l_partkey"),
         (dec2(col("l_extendedprice")) * 100).cast("long").as("rev_c"),
@@ -6884,11 +6900,13 @@ object Queries {
     // r11 work-exponent watch item (cpu exp 1.52) root-caused to the
     // q339 class: varPart was computed twice (rank branch + the n_var
     // count) and the rev-agg + full-dimension cum window chain twice
-    // (classed + tot). Checkpoint the two PART-DIMENSION frames so each
-    // corpus agg runs once — values identical. (The cell-sized weekly
-    // frame is deliberately NOT checkpointed: materializing a
-    // rows-sized frame cost more at sf0.1 than the span scan it saved
-    // — measured both ways; the span scan is a 1-row codegen'd agg.)
+    // (classed + tot). r12: both part-dimension rank/cum passes run
+    // through DimRank, whose internal checkpoint keeps each corpus agg
+    // at one materialization AND removes the single-partition dimension
+    // sorts — values identical. (The cell-sized weekly frame is
+    // deliberately NOT checkpointed: materializing a rows-sized frame
+    // cost more at sf0.1 than the span scan it saved — measured both
+    // ways; the span scan is a 1-row codegen'd agg.)
     val span = li.agg((max(col("week")) - min(col("week")) + 1)
       .cast("long").as("n_weeks"))
     val weekly = li.groupBy(col("l_partkey"), col("week"))
@@ -6901,25 +6919,23 @@ object Queries {
         expr("CAST(n_weeks * CAST(n_weeks * qq - sq * sq AS" +
           " DECIMAL(38,0)) * 1000000 DIV ((n_weeks - 1)" +
           " * CAST(sq * sq AS DECIMAL(38,0))) AS BIGINT)").as("cv2_ppm"))
-      .transform(Checkpoints.ckpt) // consumers: vrank branch + n_var
-    val rev = li.groupBy(col("l_partkey"))
-      .agg(sum(col("rev_c")).cast("long").as("rev"))
-      .withColumn("cum", sum(col("rev")).over(
-        Window.orderBy(col("rev").desc, col("l_partkey").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .transform(Checkpoints.ckpt) // consumers: classed + tot
+    val rev = DimRank.ranked(
+      li.groupBy(col("l_partkey"))
+        .agg(sum(col("rev_c")).cast("long").as("rev")),
+      Seq(col("rev").desc, col("l_partkey").asc), "__rk",
+      totals = Seq(DimRank.RunTotal("rev", "cum")),
+      sumTotals = Seq("rev" -> "total"))
     val tot = rev.agg(sum(col("rev")).cast("long").as("total"))
-    val classed = rev.crossJoin(broadcast(tot))
+    val classed = rev
       .select(col("l_partkey"), col("rev"),
         when(expr("CAST(cum AS DECIMAL(25,0)) * 100" +
             " <= CAST(total AS DECIMAL(25,0)) * 80"), "A")
           .when(expr("CAST(cum AS DECIMAL(25,0)) * 100" +
             " <= CAST(total AS DECIMAL(25,0)) * 95"), "B")
           .otherwise("C").as("abc"))
-      .join(varPart
-        .withColumn("vrank", row_number().over(
-          Window.orderBy(col("cv2_ppm").asc, col("l_partkey").asc)))
-        .crossJoin(broadcast(varPart.agg(count(lit(1)).as("n_var"))))
+      .join(DimRank.ranked(varPart,
+          Seq(col("cv2_ppm").asc, col("l_partkey").asc), "vrank",
+          countCol = Some("n_var"))
         .withColumn("xyz",
           expr("CASE (vrank - 1) * 3 DIV n_var WHEN 0 THEN 'X'" +
             " WHEN 1 THEN 'Y' ELSE 'Z' END"))
@@ -7410,10 +7426,11 @@ object Queries {
     * and the 1997+ response label. Every feature is an exact integer;
     * zero-order customers get explicit zero/NULL semantics instead of
     * dropping out (a training table must cover the population).
-    * Scale: one orders agg + broadcast dimension joins + one rank
-    * window on the customer dimension. */
+    * Scale: one orders agg + broadcast dimension joins + one
+    * [[DimRank.ranked]] pass on the customer dimension (n_all off the
+    * kernel ledger; the kernel's checkpoint also keeps the joined base
+    * at one materialization for the nation-encode consumer). */
   def q359FeatureMatrix(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val maxDay = t(s, dir, "orders")
       .agg(max(to_date(col("o_orderdate"))).as("d_max"))
     val perCust = t(s, dir, "orders")
@@ -7441,13 +7458,13 @@ object Queries {
           .as("tenure_days"),
         (coalesce(col("__n97"), lit(0L)) > 0).as("label_converted"),
         col("bal"))
-      .withColumn("bal_rank", row_number().over(
-        Window.orderBy(col("bal").desc, col("c_custkey").asc)))
-    val n = base.agg(count(lit(1)).as("n_all"))
-    val g = base.groupBy(col("c_nationkey"))
+    val ranked = DimRank.ranked(base,
+      Seq(col("bal").desc, col("c_custkey").asc), "bal_rank",
+      countCol = Some("n_all"))
+    val g = ranked.groupBy(col("c_nationkey"))
       .agg(sum(col("frequency")).cast("long").as("s_g"),
         count(lit(1)).as("n_g"))
-    base.crossJoin(broadcast(n))
+    ranked
       .join(broadcast(g), Seq("c_nationkey"))
       .select(col("c_custkey"), col("c_nationkey"),
         col("recency_days"), col("frequency"), col("monetary_cents"),
@@ -7507,19 +7524,21 @@ object Queries {
     * DAU/WAU/MAU. All integers; the only corpus shuffle is the
     * session window q18 already pays. */
   def q361BounceRate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val depths = Sessionize.sessionSummary(
         t(s, dir, "events"), "user_id", "ts", "value", 30)
       .select(col("user_id"), col("session_seq"), col("n_events"))
       .transform(graft.operators.Checkpoints.ckpt)
-    val ranked = depths.withColumn("rn", row_number().over(
-      Window.orderBy(col("n_events"), col("user_id"), col("session_seq"))))
+    // the session frame is FACT-scaled, not dimension-scaled — the one
+    // rank in the suite where the distributed sort matters most
+    val ranked = DimRank.ranked(depths,
+      Seq(col("n_events"), col("user_id"), col("session_seq")), "rn",
+      countCol = Some("n_sessions"))
     val n = depths.agg(count(lit(1)).as("n_sessions"),
       sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
-    val med = ranked.crossJoin(broadcast(n))
+    val med = ranked
       .filter(expr("rn = (n_sessions + 1) DIV 2"))
       .select(col("n_events").as("median_depth"))
-    val p90 = ranked.crossJoin(broadcast(n))
+    val p90 = ranked
       .filter(expr("rn = (n_sessions * 9 + 9) DIV 10"))
       .select(col("n_events").as("p90_depth"))
     n.crossJoin(broadcast(med)).crossJoin(broadcast(p90))

@@ -95,12 +95,23 @@ object ScaleBench {
       }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
-    def release(): Unit = {
-      graft.operators.Checkpoints.releaseQueryScoped(spark); System.gc()
-    }
+    // release/drain touch the live context (unpersist RPC, listener bus);
+    // if an executor OOM killed it mid-family they must not abort the
+    // sweep the family-boundary rebuild exists to protect (ADVICE r11) —
+    // the family's remaining reps read -1/ok=false and the next
+    // ensureLive() rebuilds
+    def release(): Unit =
+      try {
+        graft.operators.Checkpoints.releaseQueryScoped(spark); System.gc()
+      } catch { case e: Throwable =>
+        System.err.println(s"[scalebench] release skipped: ${e.getMessage}")
+      }
     def drain(): Unit =
-      org.apache.spark.sql.graft.shim.waitListenerBusEmpty(
+      try org.apache.spark.sql.graft.shim.waitListenerBusEmpty(
         spark.sparkContext, 10000L)
+      catch { case e: Throwable =>
+        System.err.println(s"[scalebench] drain skipped: ${e.getMessage}")
+      }
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
                  dir: String, name: String): Rep = {
       drain()

@@ -67,6 +67,36 @@ object ScaleData {
     }
   }
 
+  /** Heaps-law text mode (VERDICT r11 item 3): replica r>0 maps each
+    * space-separated token w to rotate(w, g) with g = xxhash64(w, r) mod
+    * 3 — a per-replica token map into the 3-shift pool {rot(w,0),
+    * rot(w,1), rot(w,2)} (injective for any natural vocabulary: two
+    * different words land on the same string only if one is the other's
+    * exact alphabet rotation). Corpus-wide distinct-token vocabulary
+    * then grows ~x3 at x10 rows — the Heaps-law beta~0.5 a real corpus
+    * shows — instead of the default rotation's x10 (the measured 31->310
+    * artifact that made every vocabulary-coupled family read
+    * superlinear). Unlike a fixed shared-subset rotation, the shift is
+    * drawn per (token, replica): two replicas of the same base doc agree
+    * on only ~1/3 of token positions, so no cross-replica NEAR-DUP
+    * structure is planted (a char-k-gram window survives two replicas
+    * with prob ~3^-2 per spanned token — dedup/LSH families still see
+    * ~disjoint content, though they are measured under the DEFAULT mode,
+    * which guarantees it). Token boundaries: the corpus is single-space
+    * separated (TESTDATA.md); split(-1)+array_join preserves leading/
+    * trailing empties, so byte layout outside rotated tokens is intact.
+    * Identity at r=0 (replica 0 stays bit-identical to the source). */
+  def heapsRotateText(text: Column, r: Int): Column =
+    if (r == 0) text
+    else array_join(
+      transform(split(text, " ", -1), t => {
+        val g = pmod(xxhash64(t, lit(r)), lit(3L))
+        when(g === 1L, rotateText(t, 1))
+          .when(g === 2L, rotateText(t, 2))
+          .otherwise(t)
+      }),
+      " ")
+
   /** Per-replica orthogonal embedding transform: circular-shift the
     * coordinates by (r * 23) mod dim, then flip the sign of every
     * coordinate where (i + r) mod 3 == 0. Both operations are applied
@@ -94,7 +124,10 @@ object ScaleData {
   /** One scaled table: the union of `replicas` key-shifted (and, for
     * text/embedding columns, content-rotated) copies of the source. */
   def scaledTable(src: DataFrame, name: String, replicas: Int,
-                  strides: Map[String, Long]): DataFrame = {
+                  strides: Map[String, Long],
+                  textMode: String = "rotate"): DataFrame = {
+    require(textMode == "rotate" || textMode == "heaps",
+      s"textMode must be rotate|heaps (got $textMode)")
     def keyShifts(cols: (String, String)*): Map[String, Long] =
       cols.toMap.map { case (c, s) => c -> strides(s) }
     val shifts: Map[String, Long] = name match {
@@ -118,7 +151,9 @@ object ScaleData {
         val shifted = shiftKeys(src, r, shifts)
         name match {
           case "documents" =>
-            shifted.withColumn("text", rotateText(col("text"), r))
+            shifted.withColumn("text",
+              if (textMode == "heaps") heapsRotateText(col("text"), r)
+              else rotateText(col("text"), r))
           case "embeddings" =>
             shifted.withColumn("embedding",
               rotateEmbedding(col("embedding"), dim, r)
@@ -133,6 +168,7 @@ object ScaleData {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "target/scaledata/sf1"
     val replicas = if (args.length > 2) args(2).toInt else 10
+    val textMode = if (args.length > 3) args(3) else "rotate"
     // r = 10 would rotate digits onto themselves (identity mod 10) and
     // digit-only tokens would collide across replicas — exactly the
     // quadratic bucket growth the rotation exists to prevent. Tokens with
@@ -161,7 +197,7 @@ object ScaleData {
 
     Tables.names.foreach { name =>
       val src = Tables.load(spark, srcDir, name)
-      val out = scaledTable(src, name, replicas, strides)
+      val out = scaledTable(src, name, replicas, strides, textMode)
       // a handful of similar-size files per table: enough write/read
       // parallelism at this scale without a small-file spray
       val parts = name match {

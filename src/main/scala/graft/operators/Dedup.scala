@@ -738,16 +738,48 @@ object Dedup {
     * which is why the oracle-pinned consumers can adopt it with every
     * hash unchanged at any SF. Cost: one key-count agg + a 1-row driver
     * read (metadata-class, same discipline as the IVF centroid collect).
-    * Empty/all-null input returns `floor`. */
+    * Empty/all-null input returns `floor`.
+    *
+    * The p99 is the exact ceil-rank order statistic (r = ceil(0.99·B)
+    * over B blocks, integer cross-multiplied) read off the BLOCK-SIZE
+    * HISTOGRAM — one aggregation row per distinct block size, a bounded
+    * mergeable state (the q82 histogram discipline). The previous exact
+    * `percentile` buffered every one of the B block counts in a single
+    * aggregation buffer: at 10⁹ distinct emails that is an executor-OOM
+    * hazard inside the very operator that exists to defuse scale
+    * hazards. The histogram's distinct-size cardinality is tiny at any
+    * corpus size; its ceil-rank p99 equals interpolating `percentile`
+    * on every profile the policy distinguishes (both give an honest
+    * block size for B ≥ 100, both give max on uniform profiles), so
+    * the shipped caps are unchanged (OperatorsSpec pins both fixtures).
+    *
+    * Cardinality caveat (ADVICE r11): with FEWER than ~100 blocks in a
+    * family, r = ceil(0.99·B) = B — the p99 IS the max, so the cap
+    * scales with the hottest key and never binds. Hot-key protection
+    * is only meaningful when the family has ≥ 100 blocks (the honest
+    * tail must out-populate the 1% the rank formula can exclude);
+    * small-key-cardinality deployments should pass an explicit
+    * `maxBlockSize` instead of assuming the policy binds. */
   def autoBlockCap(df: DataFrame, keys: Seq[String], mult: Int = 10,
                    floor: Int = 16): Int = {
     require(mult >= 1 && floor >= 2, "autoBlockCap: mult >= 1, floor >= 2")
-    val counts = df
+    import org.apache.spark.sql.expressions.Window
+    val hist = df
       .filter(keys.map(k => col(k).isNotNull).reduce(_ && _))
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bn"))
-    val p99 = counts.agg(expr("percentile(__bn, 0.99)").as("__p")).head()
+      .groupBy(col("__bn")).agg(count(lit(1)).as("__m"))
+    // cum >= ceil(0.99·B)  ⟺  100·cum >= 99·B (cum integer) — exact,
+    // no doubles; the unpartitioned windows run on the bounded
+    // distinct-size histogram, never on the B-row count frame
+    val wCum = Window.orderBy(col("__bn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p99 = hist
+      .withColumn("__cum", sum(col("__m")).over(wCum))
+      .withColumn("__b", sum(col("__m")).over(Window.partitionBy()))
+      .filter(col("__cum") * 100 >= col("__b") * 99)
+      .agg(min(col("__bn")).as("__p")).head()
     if (p99.isNullAt(0)) floor
-    else math.max(floor.toLong, math.ceil(mult * p99.getDouble(0)).toLong)
+    else math.max(floor.toLong, mult.toLong * p99.getLong(0))
       .min(Int.MaxValue.toLong).toInt
   }
 

@@ -85,6 +85,45 @@ class AnalyticsPlanShapeSpec extends SparkSpec {
     assertNoRealCartesian(Queries.q367TransitionLift(spark, dir), "q367")
   }
 
+  /** The r12 DimRank contract: in the rewired rank families, every
+    * unpartitioned WindowExec is either a kernel LEDGER window (orders
+    * only by the frozen partition id — one row per shuffle partition)
+    * or runs over a frame already reduced to a bounded grid (named
+    * grid columns / below a global limit). No dimension-sized frame
+    * may reach an Exchange-to-one-partition + Window pair. */
+  private def assertNoGlobalDimWindow(df: DataFrame, name: String,
+                                      gridCols: Set[String] = Set.empty): Unit = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val all = collectAll(plan(df))
+    all.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .foreach { w =>
+        val refs = w.orderSpec.flatMap(_.references.map(_.name)).toSet
+        val boundedByLimit = collectAll(w).exists {
+          case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+          case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+          case _ => false
+        }
+        assert(refs.subsetOf(Set("__dr_pid") ++ gridCols) || boundedByLimit,
+          s"$name: unpartitioned window over data columns $refs\n$w")
+      }
+  }
+
+  test("DimRank families: no single-partition window over a dimension") {
+    assertNoGlobalDimWindow(Queries.q252Rfm(spark, dir), "q252")
+    assertNoGlobalDimWindow(Queries.q261AbcClassification(spark, dir), "q261")
+    assertNoGlobalDimWindow(Queries.q284Conformal(spark, dir), "q284")
+    assertNoGlobalDimWindow(Queries.q300LorenzDeciles(spark, dir), "q300",
+      gridCols = Set("decile"))
+    assertNoGlobalDimWindow(Queries.q343UpliftDeciles(spark, dir), "q343",
+      gridCols = Set("decile"))
+    assertNoGlobalDimWindow(Queries.q347AbcXyz(spark, dir), "q347")
+    assertNoGlobalDimWindow(Queries.q359FeatureMatrix(spark, dir), "q359")
+    assertNoGlobalDimWindow(Queries.q340RecCoverage(spark, dir), "q340")
+    assertNoGlobalDimWindow(Queries.q361BounceRate(spark, dir), "q361")
+    assertNoGlobalDimWindow(Queries.q292DecayedPopularity(spark, dir), "q292")
+    assertNoGlobalDimWindow(Queries.q336ZipfFit(spark, dir), "q336")
+  }
+
   test("q341/q342/q347/q355: corpus aggs carry no real cartesian") {
     assertNoRealCartesian(Queries.q341RetentionTriangle(spark, dir), "q341")
     assertNoRealCartesian(Queries.q342Cuped(spark, dir), "q342")

@@ -204,6 +204,15 @@ class DedupSpec extends SparkSpec {
     assert(auto == uncapped && auto.nonEmpty)
   }
 
+  test("autoBlockCap: with <100 blocks the p99 IS the max (documented caveat)") {
+    // 10 blocks of 4: r = ceil(0.99*10) = 10 -> p99 = max -> cap = 40,
+    // i.e. the policy cannot bind at small key cardinality — callers
+    // there pass an explicit maxBlockSize (ADVICE r11, scaladoc'd)
+    val few = (0L until 40L).map(i => (i, s"e${i % 10}@x.com", s"n$i", s"p$i"))
+      .toDF("id", "email", "name", "phone")
+    assert(Dedup.autoBlockCap(few, Seq("email")) == 40)
+  }
+
   test("lastN keeps the most recent n events per key") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val df = Seq((1L, ts(1)), (1L, ts(2)), (1L, ts(3)), (2L, ts(1))).toDF("k", "ts")

@@ -59,6 +59,52 @@ class ScaleDataSpec extends SparkSpec {
     assert(w0.join(w1, Seq("w")).count() == 0)
   }
 
+  test("heaps mode: vocabulary grows ~x3 at x10 replicas, replicas share " +
+      "the pool but are not near-duplicates of each other") {
+    val src = Tables.load(spark, sf, "documents")
+    def vocab(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0).select("w").distinct()
+    val v1 = vocab(src).count().toDouble
+    val out10 = ScaleData.scaledTable(src, "documents", 10, strides,
+      textMode = "heaps")
+    val v10 = vocab(out10).count().toDouble
+    // the 3-shift pool bounds cumulative vocab at ~3x (Heaps beta ~0.5
+    // at one decade); allow the hash draw +-20%
+    assert(v10 / v1 >= 2.4 && v10 / v1 <= 3.3,
+      s"heaps vocab ratio ${v10 / v1} (v1=$v1 v10=$v10)")
+    // default mode for contrast: every replica mints a full new vocab
+    val rot10 = ScaleData.scaledTable(src, "documents", 10, strides)
+    assert(vocab(rot10).count().toDouble / v1 >= 9.0)
+    // replica 0 is verbatim in heaps mode too
+    assert(out10.filter(col("doc_id") < strides("doc")).exceptAll(src)
+      .count() == 0)
+    // no near-dup structure planted: two replicas of the SAME base doc
+    // agree on ~1/3 of token positions (never a majority)
+    val t1 = out10.filter(col("doc_id") >= strides("doc") &&
+        col("doc_id") < 2 * strides("doc"))
+      .select((col("doc_id") - strides("doc")).as("id"),
+        split(col("text"), " ").as("a"))
+    val t2 = out10.filter(col("doc_id") >= 2 * strides("doc") &&
+        col("doc_id") < 3 * strides("doc"))
+      .select((col("doc_id") - 2 * strides("doc")).as("id"),
+        split(col("text"), " ").as("b"))
+    val agree = t1.join(t2, "id")
+      .select(avg(aggregate(zip_with(col("a"), col("b"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0)),
+        lit(0.0), (acc, v) => acc + v) / size(col("a"))).as("frac"))
+      .head().getDouble(0)
+    assert(agree > 0.15 && agree < 0.5, s"replica agreement $agree")
+    // within-replica duplicate structure still replicates exactly (the
+    // token map is per-replica deterministic on the token)
+    def dupHist2(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("text").count().groupBy("count").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dupHist2(out10.filter(col("doc_id") >= strides("doc") &&
+      col("doc_id") < 2 * strides("doc"))) ==
+      dupHist2(src))
+  }
+
   test("embedding transform is orthogonal: norms and a sampled pairwise " +
       "dot product are bit-preserved within a replica") {
     val src = Tables.load(spark, sf, "embeddings").limit(50)
