@@ -3394,10 +3394,14 @@ object Queries {
     import org.apache.spark.sql.expressions.Window
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))
-    val ranked = d.withColumn("src_rank",
-        row_number().over(Window.partitionBy(col("source"))
-          .orderBy(col("n_chars"), col("doc_id"))).cast("int"))
-      .withColumn("n_s", count(lit(1)).over(Window.partitionBy(col("source"))))
+    // r12: the per-source ranks run through DimRank.rankedWithin — the
+    // naive source-partitioned window serialized each source (a handful
+    // of tasks rank the whole corpus); the kernel spreads every source
+    // over range partitions with ledger offsets, bit-identical ranks
+    val ranked = DimRank.rankedWithin(d, Seq("source"),
+        Seq(col("n_chars").asc, col("doc_id").asc), "src_rank",
+        countCol = Some("n_s"))
+      .withColumn("src_rank", col("src_rank").cast("int"))
     val n = d.agg(count(lit(1)).as("n"))
     // distinct-value CDF: bounded by |distinct n_chars|, the window
     // below runs over that bounded frame, never the corpus

@@ -132,4 +132,53 @@ object DimRank {
     withTotals.drop((Seq(PID, OFF) ++
       totals.map(t => s"__dr_o_${t.cum}")): _*)
   }
+
+  /** WITHIN-GROUP distributed rank: a global `row_number` per group of
+    * `groupCols` over `order`, plus optionally the per-group row count —
+    * the scale path for "partition by a LOW-cardinality key, rank a
+    * corpus-sized frame" windows (q248's per-source ranks), where the
+    * naive window serializes each group onto one task.
+    *
+    * Same machinery as [[ranked]], range-partitioned on (groupCols ++
+    * order): within a partition groups are contiguous, and a group's
+    * rows span contiguous partitions, so the ledger needs one row per
+    * (partition, group-in-partition) — bounded by partitions + groups —
+    * and a group's offset is the prefix of ITS rows over earlier
+    * partitions (a group-keyed window over the bounded ledger). Rank =
+    * (pid, group)-local row_number + that offset: bit-identical to
+    * `Window.partitionBy(groupCols).orderBy(order)` row_number under a
+    * unique tiebreaker (DimRankSpec parity). No task ever holds more
+    * than a range slice, whatever the group cardinality or skew (a
+    * dominant group spreads over many partitions; the equidepth sampler
+    * sees the full (group, order) key). */
+  def rankedWithin(df: DataFrame, groupCols: Seq[String],
+                   order: Seq[Column], rankCol: String,
+                   countCol: Option[String] = None): DataFrame = {
+    require(groupCols.nonEmpty && order.nonEmpty,
+      "DimRank.rankedWithin: group and sort expressions required")
+    val gcols = groupCols.map(col)
+    val parted = df
+      .repartitionByRange((gcols.map(_.asc) ++ order): _*)
+      .withColumn(PID, spark_partition_id().cast("long"))
+      .transform(Checkpoints.ckpt)
+    val perPart = parted.groupBy((col(PID) +: gcols): _*)
+      .agg(count(lit(1)).cast("long").as(CNT))
+    val wPrev = Window.partitionBy(gcols: _*).orderBy(col(PID).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ledger0 = perPart
+      .withColumn(OFF, coalesce(sum(col(CNT)).over(wPrev), lit(0L)))
+    val ledger = countCol.foldLeft(ledger0) { (l, c) =>
+      l.withColumn(c, sum(col(CNT)).over(
+        Window.partitionBy(gcols: _*)).cast("long"))
+    }
+    val keep = (Seq(col(PID)) ++ gcols ++ Seq(col(OFF)) ++
+      countCol.map(col).toSeq)
+    val wLocal = Window.partitionBy((col(PID) +: gcols): _*)
+      .orderBy(order: _*)
+    parted
+      .join(broadcast(ledger.select(keep: _*)), PID +: groupCols)
+      .withColumn(rankCol,
+        row_number().over(wLocal).cast("long") + col(OFF))
+      .drop(PID, OFF)
+  }
 }

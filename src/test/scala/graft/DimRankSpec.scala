@@ -79,6 +79,33 @@ class DimRankSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == wantVals)
   }
 
+  test("rankedWithin parity with the group-partitioned window") {
+    val df = frame(4000).withColumn("g", pmod(col("id"), lit(3L)))
+    val got = DimRank.rankedWithin(df, Seq("g"),
+        Seq(col("v").asc, col("id").asc), "rk", countCol = Some("n_g"))
+      .select("id", "rk", "n_g")
+    val w = Window.partitionBy(col("g")).orderBy(col("v").asc, col("id").asc)
+    val want = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(
+        Window.partitionBy(col("g"))).cast("long"))
+      .select("id", "rk", "n_g")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // and with coalescing off, a single group still spreads over
+    // multiple partitions (the point: no group serializes onto one task)
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val one = df.filter(col("g") === 0)
+      val spread = DimRank.rankedWithin(one, Seq("g"),
+          Seq(col("v").asc, col("id").asc), "rk")
+        .withColumn("p", spark_partition_id())
+        .select("p").distinct().count()
+      assert(spread > 1, s"group collapsed to $spread partition(s)")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("empty frame yields an empty ranked frame with the right schema") {
     val df = frame(100).filter(col("id") < 0)
     val out = DimRank.ranked(df, Seq(col("v").asc, col("id").asc), "rk",
