@@ -9677,6 +9677,41 @@ object Oracles {
          | JOIN u lb ON lb.vec_id = a.neighbor_id
          |ORDER BY id_a""".stripMargin
     },
+
+    // q344's constant-family twin: DIV-based blocks (email pairs of 2,
+    // name+phone triples of 3) keep per-family size constant at any
+    // corpus size — |E| linear in customers; same Newman tail
+    "q383_assortativity_stable" ->
+      """WITH contacts AS (
+        | SELECT c_custkey,
+        |  'u' || CAST(c_custkey // 2 AS VARCHAR) || '@x.com' AS email,
+        |  'n' || CAST(c_custkey // 3 AS VARCHAR) AS name,
+        |  'p' || CAST(c_custkey // 3 AS VARCHAR) AS phone
+        | FROM customer),
+        |e AS (
+        | SELECT DISTINCT l.c_custkey AS id_a, r.c_custkey AS id_b
+        | FROM contacts l, contacts r
+        | WHERE l.c_custkey < r.c_custkey
+        |  AND (l.email = r.email
+        |   OR (l.name = r.name AND l.phone = r.phone))),
+        |deg AS (
+        | SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e)
+        | GROUP BY 1),
+        |st AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(sum(da.deg + db.deg) AS BIGINT) AS s,
+        |  CAST(sum(da.deg * da.deg + db.deg * db.deg) AS BIGINT) AS sxx,
+        |  CAST(sum(da.deg * db.deg * 2) AS BIGINT) AS sxy
+        | FROM e JOIN deg da ON e.id_a = da.id
+        |  JOIN deg db ON e.id_b = db.id)
+        |SELECT n_edges,
+        | CAST((CAST(2 * n_edges AS HUGEINT) * sxy
+        |   - CAST(s AS HUGEINT) * s) * 1000
+        |  // (CAST(2 * n_edges AS HUGEINT) * sxx
+        |   - CAST(s AS HUGEINT) * s) AS BIGINT)
+        |  AS assortativity_milli
+        |FROM st""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -6765,9 +6765,14 @@ object Queries {
     * milli via DECIMAL(25,0) truncating DIV. Scale: degrees are one
     * id-keyed agg; the two degree joins key on edge endpoints;
     * everything after is a 1-row agg. */
-  def q344Assortativity(s: SparkSession, dir: String): DataFrame = {
-    val e = fuzzyPairs700(s, dir)
-      .select(col("id_a"), col("id_b")).distinct()
+  def q344Assortativity(s: SparkSession, dir: String): DataFrame =
+    assortativityOf(fuzzyPairs700(s, dir))
+
+  /** The shared Newman-correlation tail over an (id_a, id_b) edge
+    * frame: degrees via one id-keyed agg, two endpoint joins, one 1-row
+    * reduce — exact integer ratio through DECIMAL. */
+  private def assortativityOf(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("id_a"), col("id_b")).distinct()
     val deg = e.select(col("id_a").as("id"))
       .unionByName(e.select(col("id_b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).cast("long").as("deg"))
@@ -6788,6 +6793,29 @@ object Queries {
           " DIV (CAST(2 * n_edges AS DECIMAL(25,0)) * sxx" +
           " - CAST(s AS DECIMAL(25,0)) * s) AS BIGINT)")
           .as("assortativity_milli"))
+  }
+
+  /** Degree assortativity over a CONSTANT-FAMILY contact graph —
+    * q344's measurement twin (the q293/q382 pairing discipline).
+    * q344's %-residue families densify with the corpus (every new
+    * customer lands in one of 700 fixed email blocks, so block sizes
+    * grow ×k and pairs ×k² under ANY key growth — the r12 tier-3
+    * measurement: cpu exp 2.27, linear-in-edges on a quadratic |E|).
+    * Here the blocking keys are DIV-based — email pairs of exactly 2,
+    * name+phone triples of exactly 3 — so the per-family size is
+    * CONSTANT at any corpus size, |E| grows linearly in customers, and
+    * the measured exponent reads the OPERATOR (the degree joins), not
+    * the fixture. Same Newman tail, same oracle replay, same auto-cap
+    * entry point (uniform profile: the cap provably never binds). */
+  def q383AssortativityStable(s: SparkSession, dir: String): DataFrame = {
+    val contacts = t(s, dir, "customer").select(
+      col("c_custkey"),
+      concat(lit("u"), expr("CAST(c_custkey DIV 2 AS STRING)"),
+        lit("@x.com")).as("email"),
+      concat(lit("n"), expr("CAST(c_custkey DIV 3 AS STRING)")).as("name"),
+      concat(lit("p"), expr("CAST(c_custkey DIV 3 AS STRING)")).as("phone"))
+    assortativityOf(Dedup.fuzzyDuplicatePairsAuto(contacts, "c_custkey",
+      "email", "name", "phone"))
   }
 
   /** Johnson-Lindenstrauss sign-projection distortion audit: project
@@ -9627,6 +9655,7 @@ object Queries {
     "q380_hub_triangles" -> (q380HubTriangles _),
     "q381_agreement_lsh" -> (q381AgreementLsh _),
     "q382_mutual_nn_lsh" -> (q382MutualNnLsh _),
+    "q383_assortativity_stable" -> (q383AssortativityStable _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */
