@@ -2859,7 +2859,7 @@ object Oracles {
          | FROM f),
          |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total_tokens FROM f),
          |th AS (SELECT unnest([5000, 9000, 9900]) AS coverage_bp)
-         |SELECT coverage_bp, CAST(min(rnk) AS INT) AS n_vocab, total_tokens
+         |SELECT coverage_bp, CAST(min(rnk) AS BIGINT) AS n_vocab, total_tokens
          |FROM th CROSS JOIN tot JOIN r
          | ON cum * 10000 >= coverage_bp * total_tokens
          |GROUP BY 1, total_tokens ORDER BY 1""".stripMargin,
@@ -9712,6 +9712,88 @@ object Oracles {
         |   - CAST(s AS HUGEINT) * s) AS BIGINT)
         |  AS assortativity_milli
         |FROM st""".stripMargin,
+
+    // q145's sketch twin: per-group fixed-width histogram median/MAD —
+    // the all-integer grouped rank/interpolation chain (bin //, ceil-
+    // rational rank, integer interpolation), replayed verbatim
+    "q384_mad_sketch" ->
+      s"""WITH ev AS (
+         | SELECT source AS g, CAST(${tokenCountSql("text")} AS BIGINT) AS v
+         | FROM documents),
+         |h1 AS (SELECT g, v // 16 AS bin, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ev GROUP BY 1, 2),
+         |c1 AS (SELECT g, bin, cnt,
+         |  sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+         |  sum(cnt) OVER (PARTITION BY g ORDER BY bin) - cnt AS cum_before
+         | FROM h1),
+         |r1 AS (SELECT g, (5000 * sum(cnt) + 9999) // 10000 AS r
+         |  FROM h1 GROUP BY g),
+         |s1 AS (SELECT c1.g, r, min(bin) AS bin
+         |  FROM r1 JOIN c1 ON r1.g = c1.g AND cum >= r GROUP BY 1, 2),
+         |med AS (SELECT s1.g,
+         |  CAST(c1.bin * 16 + 16 * (r - cum_before) // cnt AS BIGINT)
+         |   AS med_est
+         | FROM s1 JOIN c1 ON s1.g = c1.g AND s1.bin = c1.bin),
+         |dev AS (SELECT ev.g, v, med_est, abs(v - med_est) AS adev
+         | FROM ev JOIN med ON ev.g = med.g),
+         |h2 AS (SELECT g, adev // 16 AS bin, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM dev GROUP BY 1, 2),
+         |c2 AS (SELECT g, bin, cnt,
+         |  sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+         |  sum(cnt) OVER (PARTITION BY g ORDER BY bin) - cnt AS cum_before
+         | FROM h2),
+         |r2 AS (SELECT g, (5000 * sum(cnt) + 9999) // 10000 AS r
+         |  FROM h2 GROUP BY g),
+         |s2 AS (SELECT c2.g, r, min(bin) AS bin
+         |  FROM r2 JOIN c2 ON r2.g = c2.g AND cum >= r GROUP BY 1, 2),
+         |mad AS (SELECT s2.g,
+         |  CAST(c2.bin * 16 + 16 * (r - cum_before) // cnt AS BIGINT)
+         |   AS mad_est
+         | FROM s2 JOIN c2 ON s2.g = c2.g AND s2.bin = c2.bin)
+         |SELECT dev.g AS source, med_est, mad_est,
+         | CAST(count(*) AS BIGINT) AS n,
+         | CAST(count(CASE WHEN adev > 3 * mad_est THEN 1 END) AS BIGINT)
+         |  AS n_outliers
+         |FROM dev JOIN mad ON dev.g = mad.g
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // q196's sketch twin: histogram cuts at 1000/9000 bp, then exact
+    // BIGINT trim/winsorize sums — one int/int double division per mean
+    "q385_trimmed_sketch" ->
+      s"""WITH ev AS (
+         | SELECT source AS g, CAST(${tokenCountSql("text")} AS BIGINT) AS v
+         | FROM documents),
+         |h AS (SELECT g, v // 16 AS bin, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ev GROUP BY 1, 2),
+         |c AS (SELECT g, bin, cnt,
+         |  sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+         |  sum(cnt) OVER (PARTITION BY g ORDER BY bin) - cnt AS cum_before
+         | FROM h),
+         |rr AS (SELECT g, (1000 * sum(cnt) + 9999) // 10000 AS r_lo,
+         |  (9000 * sum(cnt) + 9999) // 10000 AS r_hi FROM h GROUP BY g),
+         |slo AS (SELECT c.g, r_lo AS r, min(bin) AS bin
+         |  FROM rr JOIN c ON rr.g = c.g AND cum >= r_lo GROUP BY 1, 2),
+         |shi AS (SELECT c.g, r_hi AS r, min(bin) AS bin
+         |  FROM rr JOIN c ON rr.g = c.g AND cum >= r_hi GROUP BY 1, 2),
+         |lo AS (SELECT slo.g,
+         |  CAST(c.bin * 16 + 16 * (r - cum_before) // cnt AS BIGINT)
+         |   AS lo_est
+         | FROM slo JOIN c ON slo.g = c.g AND slo.bin = c.bin),
+         |hi AS (SELECT shi.g,
+         |  CAST(c.bin * 16 + 16 * (r - cum_before) // cnt AS BIGINT)
+         |   AS hi_est
+         | FROM shi JOIN c ON shi.g = c.g AND shi.bin = c.bin),
+         |j AS (SELECT ev.g, v, lo_est, hi_est,
+         |  greatest(least(v, hi_est), lo_est) AS w,
+         |  CASE WHEN v >= lo_est AND v <= hi_est THEN v END AS t
+         | FROM ev JOIN lo ON ev.g = lo.g JOIN hi ON ev.g = hi.g)
+         |SELECT g AS source, CAST(count(*) AS BIGINT) AS n,
+         | lo_est, hi_est,
+         | CAST(sum(t) AS DOUBLE) / CAST(count(t) AS DOUBLE)
+         |  AS trimmed_mean,
+         | CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |  AS winsorized_mean
+         |FROM j GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -4314,10 +4314,13 @@ object Queries {
     * deltas; per distinct boundary timestamp the peak is the running
     * net BEFORE the timestamp plus ALL of its starts (closed-interval
     * convention: a session starting exactly when another ends counts
-    * as concurrent — starts apply before ends). The running window is
-    * unpartitioned but runs on the BOUNDARY aggregate (<= 2 rows per
-    * session, collapsed per distinct ts), the q252/q261 convention;
-    * the corpus-scale work is the sessionization itself. */
+    * as concurrent — starts apply before ends). The boundary table is
+    * session-scaled (<= 2 rows per session, collapsed per distinct ts)
+    * — fact-scaled, NOT bounded — so the running net rides
+    * [[DimRank.ranked]]'s distributed running-total path (range
+    * partition + ledger offsets; net is BIGINT, the kernel's integral
+    * contract): no single-partition window ever touches the boundary
+    * frame. peak-before-ts = inclusive cumsum − own net + own starts. */
   def q280PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sess = Sessionize.sessionSummary(t(s, dir, "events"), "user_id",
@@ -4329,15 +4332,13 @@ object Queries {
         lit(-1L).as("d")))
       .groupBy(col("us"))
       .agg(sum(when(col("d") === 1, 1L).otherwise(0L)).as("starts"),
-        sum(col("d")).as("net"))
-    val wPrev = Window.orderBy(col("us"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+        sum(col("d")).cast("long").as("net"))
     val wDay = Window.partitionBy(col("day"))
       .orderBy(col("peak").desc, col("us").asc)
-    bounds
+    DimRank.ranked(bounds, Seq(col("us").asc), "__rn",
+        totals = Seq(DimRank.RunTotal("net", "__cum")))
       .withColumn("peak",
-        (coalesce(sum(col("net")).over(wPrev), lit(0L)) + col("starts"))
-          .cast("long"))
+        (col("__cum") - col("net") + col("starts")).cast("long"))
       .withColumn("day", to_date(timestamp_micros(col("us"))))
       .withColumn("rn", row_number().over(wDay))
       .filter(col("rn") === 1)
@@ -6957,9 +6958,8 @@ object Queries {
       Seq(col("rev").desc, col("l_partkey").asc), "__rk",
       totals = Seq(DimRank.RunTotal("rev", "cum")),
       sumTotals = Seq("rev" -> "total"))
-    val tot = rev.agg(sum(col("rev")).cast("long").as("total"))
     val classed = rev
-      .select(col("l_partkey"), col("rev"),
+      .select(col("l_partkey"), col("rev"), col("total"),
         when(expr("CAST(cum AS DECIMAL(25,0)) * 100" +
             " <= CAST(total AS DECIMAL(25,0)) * 80"), "A")
           .when(expr("CAST(cum AS DECIMAL(25,0)) * 100" +
@@ -6972,10 +6972,12 @@ object Queries {
           expr("CASE (vrank - 1) * 3 DIV n_var WHEN 0 THEN 'X'" +
             " WHEN 1 THEN 'Y' ELSE 'Z' END"))
         .select(col("l_partkey"), col("xyz")), Seq("l_partkey"))
+    // the grand total rides per-row off DimRank's sumTotals ledger —
+    // max() just collapses the constant; no second pass over rev
     classed.groupBy(col("abc"), col("xyz"))
       .agg(count(lit(1)).as("n_parts"),
-        sum(col("rev")).cast("long").as("rev_cents"))
-      .crossJoin(broadcast(tot))
+        sum(col("rev")).cast("long").as("rev_cents"),
+        max(col("total")).as("total"))
       .select(col("abc"), col("xyz"), col("n_parts"), col("rev_cents"),
         expr("CAST(CAST(rev_cents AS DECIMAL(25,0)) * 1000000" +
           " DIV total AS BIGINT)").as("rev_share_ppm"))
@@ -8846,12 +8848,13 @@ object Queries {
     val freq = t(s, dir, "documents")
       .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("freq").desc, col("token").asc)
-    // vocabulary-sized frame: the global rank window holds distinct
-    // tokens, not the corpus
-    val ranked = freq.withColumn("rnk", row_number().over(w))
-      .withColumn("cum", sum(col("freq")).over(w))
+    // vocabulary-sized frame — distinct tokens, not the corpus, but NOT
+    // bounded (10^7+ at the north star): rank + cumulative mass ride the
+    // DimRank kernel (r13, caught by GlobalWindowLintSpec), never a
+    // single-partition window
+    val ranked = DimRank.ranked(freq,
+      Seq(col("freq").desc, col("token").asc), "rnk",
+      totals = Seq(DimRank.RunTotal("freq", "cum")))
     val th = freq.agg(sum(col("freq")).as("total_tokens"))
       .select(explode(array(Seq(5000, 9000, 9900).map(lit): _*))
         .as("coverage_bp"), col("total_tokens"))
@@ -9270,6 +9273,30 @@ object Queries {
   def q54RuleStats(s: SparkSession, dir: String): DataFrame =
     pipeline(s).ruleStats
 
+  /** MAD fences via the per-group histogram sketch — q145's production-
+    * default twin (r13, the autoBlockCap discipline applied to Robust:
+    * no agg buffer ever holds a group's values; state per group is the
+    * bounded (bin, cnt) histogram). Same fixture as q145 so the two
+    * forms read side by side; all-integer chain, oracle replays it. */
+  def q384MadSketch(s: SparkSession, dir: String): DataFrame =
+    Robust.madOutlierStatsSketch(
+        t(s, dir, "documents").select(col("source"),
+          TextOps.tokenCount(col("text")).as("n_tokens")),
+        "source", "n_tokens", binWidth = 16L, k = 3L)
+      .orderBy("source")
+
+  /** Trimmed/winsorized means with histogram-sketch cuts — q196's
+    * production-default twin (r13): cuts from the bounded per-group
+    * histogram chain, then exact-BIGINT sums against the integer cuts
+    * (one int/int double division per mean — no rounding discipline
+    * needed). */
+  def q385TrimmedSketch(s: SparkSession, dir: String): DataFrame =
+    Robust.trimmedStatsSketch(
+        t(s, dir, "documents").select(col("source"),
+          TextOps.tokenCount(col("text")).as("n_tokens")),
+        "source", "n_tokens", binWidth = 16L)
+      .orderBy("source")
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -9656,6 +9683,8 @@ object Queries {
     "q381_agreement_lsh" -> (q381AgreementLsh _),
     "q382_mutual_nn_lsh" -> (q382MutualNnLsh _),
     "q383_assortativity_stable" -> (q383AssortativityStable _),
+    "q384_mad_sketch" -> (q384MadSketch _),
+    "q385_trimmed_sketch" -> (q385TrimmedSketch _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -100,17 +100,28 @@ object ScaleBench {
     // sweep the family-boundary rebuild exists to protect (ADVICE r11) —
     // the family's remaining reps read -1/ok=false and the next
     // ensureLive() rebuilds
+    // NonFatal only: a fatal JVM error (OOM) must propagate to timeOnce's
+    // family guard / the JVM, and an interrupt must keep its status
+    // (ADVICE r12) — the guard here is for the dead-SparkContext RPC case
     def release(): Unit =
       try {
         graft.operators.Checkpoints.releaseQueryScoped(spark); System.gc()
-      } catch { case e: Throwable =>
-        System.err.println(s"[scalebench] release skipped: ${e.getMessage}")
+      } catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          System.err.println(s"[scalebench] release interrupted: ${e.getMessage}")
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[scalebench] release skipped: ${e.getMessage}")
       }
     def drain(): Unit =
       try org.apache.spark.sql.graft.shim.waitListenerBusEmpty(
         spark.sparkContext, 10000L)
-      catch { case e: Throwable =>
-        System.err.println(s"[scalebench] drain skipped: ${e.getMessage}")
+      catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          System.err.println(s"[scalebench] drain interrupted: ${e.getMessage}")
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[scalebench] drain skipped: ${e.getMessage}")
       }
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
                  dir: String, name: String): Rep = {

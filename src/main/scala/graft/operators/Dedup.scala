@@ -1429,21 +1429,18 @@ object Dedup {
     * the corpus by a composite key, compare each record only to its
     * `window` successors. Pairing is an EQUI-join on the computed rank
     * (rank + offset for offset in 1..window, a bounded explode), never
-    * a rank-range theta join. The rank window is unpartitioned here
-    * (one row per record, same convention as the q252/q261 ranks); at
-    * extreme corpus sizes it becomes a range-partitioned sort with
-    * per-partition offsets, and the partition FRINGE — the last
-    * `window` rows of each partition — is re-paired across the
-    * boundary, which is exactly why `window` stays small. Returns
+    * a rank-range theta join. The global adjacency rank rides
+    * [[DimRank.ranked]] (r13, caught by GlobalWindowLintSpec — the
+    * record frame is entity-scaled): range partition + ledger offsets
+    * give the exact total-order rank with no single-partition sort and
+    * no fringe re-pairing, since the rank is global by construction.
+    * Returns
     * (id_a, id_b, rank_gap) with id_a the sort-earlier record. */
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
                               sortKeys: Seq[Column],
                               window: Int): DataFrame = {
     require(window >= 1, "sortedNeighborhoodPairs: window must be >= 1")
-    import org.apache.spark.sql.expressions.{Window => W}
-    val ranked = df
-      .withColumn("__rn", row_number().over(
-        W.orderBy(sortKeys :+ col(idCol).asc: _*)).cast("long"))
+    val ranked = DimRank.ranked(df, sortKeys :+ col(idCol).asc, "__rn")
       .select(col(idCol).as("__id"), col("__rn"))
     val probes = ranked.select(col("__id").as("id_a"),
         explode(sequence(lit(1), lit(window))).as("rank_gap"),

@@ -53,7 +53,13 @@ import org.apache.spark.sql.functions._
   *
   * `totals` sources must be integral (LongType) columns — the sums ride
   * plain BIGINT here; callers needing the DECIMAL ladder widen before
-  * calling (the q300 convention).
+  * calling (the q300 convention). NULL source values count as 0 (the
+  * source is coalesced inside the local cumsum, mirroring sum's
+  * ignore-nulls semantics): the result equals the naive window wherever
+  * the global prefix holds at least one non-null value; on an all-NULL
+  * prefix the naive window returns NULL where this returns 0 — the one
+  * narrowing of the bit-parity claim (no current caller passes nullable
+  * sources; DimRankSpec pins the non-null contract).
   */
 object DimRank {
 
@@ -126,7 +132,7 @@ object DimRank {
         row_number().over(wLocal).cast("long") + col(OFF))
     val withTotals = totals.foldLeft(rankedLocal) { (d, t) =>
       d.withColumn(t.cum,
-        sum(col(t.src)).over(wLocalCum).cast("long") +
+        sum(coalesce(col(t.src), lit(0L))).over(wLocalCum).cast("long") +
           col(s"__dr_o_${t.cum}"))
     }
     withTotals.drop((Seq(PID, OFF) ++

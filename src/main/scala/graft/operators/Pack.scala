@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,6 +29,24 @@ import org.apache.spark.sql.functions._
   * straddle carryover accounting, all integers). */
 object Pack {
 
+  /** Spark's ntile(k) as a closed-form function of (1-based rank, frame
+    * row count): the first n mod k tiles take ceil(n/k) rows, the rest
+    * floor(n/k). Pure integer arithmetic (bit-parity with the window
+    * function pinned in PackSpec across (n, k) grids), which is what lets
+    * an exact ntile ride [[DimRank.ranked]] instead of a global sort.
+    * When n < k the ELSE branch is never reached (rem = n, q = 0), so
+    * its DIV 0 is never evaluated. */
+  def ntileOf(rank: Column, n: Column, k: Int): Column = {
+    require(k >= 1, "ntileOf: k >= 1")
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val q = idiv(n, lit(k.toLong)) // n DIV k, exact integer division
+    val rem = n % lit(k.toLong)
+    val r0 = rank - lit(1L)
+    when(r0 < rem * (q + lit(1L)), idiv(r0, q + lit(1L)) + lit(1L))
+      .otherwise(rem + idiv(r0 - rem * (q + lit(1L)), q) + lit(1L))
+      .cast("int")
+  }
+
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     shardCol: String, seqLen: Int): DataFrame = {
     require(seqLen > 0, "packSequences: seqLen > 0")
@@ -53,21 +71,24 @@ object Pack {
     * numbered inside each band in deterministic id order.
     *
     * Scale shape: one projection (token count — codegen'd kernel), then a
-    * per-bucket row_number window. Buckets are the parallel unit;
-    * numbering within a bucket is sequential BY DEFINITION (batch ids are
-    * a total order per bucket) — at 100 TB, shard first (the q83
-    * argument) and number batches per (shard, bucket). All outputs are
-    * exact integers; replayable cross-engine (q102).
+    * per-bucket numbering. Doc lengths CONCENTRATE (the dominant length
+    * band holds most of the corpus), so a plain per-bucket window would
+    * serialize that band through one task — numbering rides
+    * [[DimRank.rankedWithin]] instead (range partition on (bucket, id);
+    * a dominant bucket spreads over many partitions, its rank stitched
+    * from the bounded per-(partition, bucket) ledger). Batch ids stay a
+    * total order per bucket, bit-identical to the naive window. All
+    * outputs are exact integers; replayable cross-engine (q102).
     * Output: (idCol, n_tokens, bucket, batch_id, pos_in_batch). */
   def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
                     bucketWidth: Int = 64, batchSize: Int = 8): DataFrame = {
     require(bucketWidth > 0 && batchSize > 0,
       "lengthBatches: bucketWidth and batchSize > 0")
-    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
-    docs.select(col(idCol),
+    val counted = docs.select(col(idCol),
         TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("bucket", expr(s"n_tokens DIV $bucketWidth"))
-      .withColumn("__r", row_number().over(w) - 1)
+    DimRank.rankedWithin(counted, Seq("bucket"), Seq(col(idCol)), "__r1")
+      .withColumn("__r", col("__r1") - 1)
       .select(col(idCol), col("n_tokens"), col("bucket"),
         expr(s"__r DIV $batchSize").cast("int").as("batch_id"),
         expr(s"__r % $batchSize").cast("int").as("pos_in_batch"))
@@ -81,20 +102,24 @@ object Pack {
     * serve plain quality ablations). ntile keeps shard sizes within one
     * doc of each other regardless of the score distribution.
     *
-    * Scale shape: the quality score is a per-row codegen kernel; ntile
-    * is one global sort — at 100 TB run it per hash-shard (the
-    * [[packSequences]] sharding argument) or replace the exact ntile
-    * with histogram-quantile cuts (q82's sketch) broadcast back; the
-    * exact global form below is the verification shape.
+    * Scale shape: the quality score is a per-row codegen kernel; the
+    * exact ntile is NOT a global sort here — it is [[DimRank.ranked]]'s
+    * range-partitioned rank plus the closed-form ntile rule (the first
+    * n mod k shards take ceil(n/k) rows, the rest floor(n/k) — a pure
+    * function of (rank, n), bit-parity with Spark's ntile pinned in
+    * PackSpec), so the corpus never funnels through one window task.
     * Output: (shard, n_docs, min_quality, max_quality, total_tokens). */
   def curriculumShards(docs: DataFrame, idCol: String, textCol: String,
                        nShards: Int): DataFrame = {
     require(nShards >= 1, "curriculumShards: nShards >= 1")
-    docs.select(col(idCol),
+    val ranked = DimRank.ranked(
+      docs.select(col(idCol),
         TextOps.qualityScore(col(textCol)).as("__q"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("__nt"))
-      .withColumn("shard", ntile(nShards).over(
-        Window.orderBy(col("__q").desc, col(idCol).asc)))
+        TextOps.tokenCount(col(textCol)).cast("long").as("__nt")),
+      Seq(col("__q").desc, col(idCol).asc), "__rk",
+      countCol = Some("__n"))
+    ranked
+      .withColumn("shard", ntileOf(col("__rk"), col("__n"), nShards))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("__q")).as("min_quality"), max(col("__q")).as("max_quality"),

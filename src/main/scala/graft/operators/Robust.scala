@@ -51,6 +51,115 @@ object Robust {
         col("n"), col("n_outliers"))
   }
 
+  /** Per-group approximate median estimate off a fixed-width integer
+    * histogram — the GROUPED form of [[Sketch.histogramQuantiles]]'s
+    * all-integer rank/interpolation chain (bin DIV, ceil-rational rank,
+    * integer-division interpolation), shared by the two sketch-default
+    * operators below. State per group is the bounded (bin, cnt)
+    * histogram (≤ value-range/binWidth rows — mergeable, map-side
+    * combined), so no agg buffer ever holds a group's VALUES — the
+    * autoBlockCap discipline (r12) applied to the robust battery.
+    * Input: (__g, __x) with __x a NON-NEGATIVE long (enforced — DIV
+    * truncation would mis-bin negatives). Output: (__g, <out>) with the
+    * estimate in the input's integer unit. */
+  private def groupedQuantileEst(vals: DataFrame, binWidth: Long,
+                                 quantileBp: Int, out: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("bin"))
+    val hist = vals
+      .select(col("__g"),
+        when(col("__x") < 0, raise_error(lit(
+          "groupedQuantileEst: negative values unsupported")))
+          .otherwise(col("__x")).as("__x"))
+      .select(col("__g"), expr(s"__x DIV $binWidth").as("bin"))
+      .groupBy(col("__g"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    val r = cum.groupBy(col("__g")).agg(sum(col("cnt")).as("n"))
+      .withColumn("r", expr(s"($quantileBp * n + 9999) DIV 10000"))
+      .select(col("__g"), col("r"))
+    // first bin whose cumulative count reaches the rank, then the
+    // integer within-bin interpolation — both sides bounded histograms
+    val sel = r.join(cum, Seq("__g")).filter(col("cum") >= col("r"))
+      .groupBy(col("__g"), col("r")).agg(min(col("bin")).as("bin"))
+    sel.join(cum, Seq("__g", "bin"))
+      .select(col("__g"),
+        (col("bin") * binWidth +
+          expr(s"$binWidth * (r - cum_before) DIV cnt")).as(out))
+  }
+
+  /** [[madOutlierStats]]'s production-default twin for huge groups: the
+    * median and MAD come from per-group fixed-width histograms (bounded
+    * mergeable state) instead of Spark's exact `percentile` (which
+    * buffers every value of a group in ONE agg buffer — the r11
+    * autoBlockCap OOM hazard class). All arithmetic is integer —
+    * bin = v DIV binWidth, rank = ceil-rational, interpolation by
+    * integer division, fence = adev > k·mad on exact longs — so the
+    * whole estimator replays cross-engine (q384). The exact form stays
+    * the oracle contract for bounded telemetry groups; THIS is the form
+    * a 100 TB corpus column defaults to. Estimates sit within one
+    * binWidth of the exact order statistic.
+    * Output: (groupCol, med_est, mad_est, n, n_outliers) — all BIGINT. */
+  def madOutlierStatsSketch(df: DataFrame, groupCol: String,
+                            valueCol: String, binWidth: Long = 16L,
+                            k: Long = 3L): DataFrame = {
+    require(binWidth > 0 && k > 0, "madOutlierStatsSketch: binWidth, k > 0")
+    val ev = df.select(col(groupCol).as("__g"),
+      col(valueCol).cast("long").as("__v"))
+    val med = groupedQuantileEst(ev.select(col("__g"), col("__v").as("__x")),
+      binWidth, 5000, "med_est")
+    val dev = ev.join(broadcast(med), "__g")
+      .withColumn("__adev", abs(col("__v") - col("med_est")))
+    val mad = groupedQuantileEst(
+      dev.select(col("__g"), col("__adev").as("__x")),
+      binWidth, 5000, "mad_est")
+    dev.join(broadcast(mad), "__g")
+      .groupBy(col("__g"), col("med_est"), col("mad_est"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__adev") > lit(k) * col("mad_est"), 1))
+          .as("n_outliers"))
+      .select(col("__g").as(groupCol), col("med_est"), col("mad_est"),
+        col("n"), col("n_outliers"))
+  }
+
+  /** [[trimmedStats]]'s production-default twin: the [trimLo, trimHi]
+    * cuts come from the per-group histogram chain (basis-point ranks
+    * over bounded mergeable state) instead of exact `percentile`; the
+    * trim/winsorize pass then runs on exact LONGS against the integer
+    * cuts — sums are exact BIGINTs and each mean is ONE int/int double
+    * division, so the operator replays cross-engine (q385) with no
+    * rounding discipline needed at all.
+    * Output: (groupCol, n, lo_est, hi_est, trimmed_mean,
+    * winsorized_mean). */
+  def trimmedStatsSketch(df: DataFrame, groupCol: String, valueCol: String,
+                         binWidth: Long = 16L, trimLoBp: Int = 1000,
+                         trimHiBp: Int = 9000): DataFrame = {
+    require(trimLoBp > 0 && trimHiBp <= 10000 && trimLoBp < trimHiBp,
+      "trimmedStatsSketch: 0 < trimLoBp < trimHiBp <= 10000")
+    val ev = df.select(col(groupCol).as("__g"),
+      col(valueCol).cast("long").as("__v"))
+    val vals = ev.select(col("__g"), col("__v").as("__x"))
+    val cuts = groupedQuantileEst(vals, binWidth, trimLoBp, "lo_est")
+      .join(groupedQuantileEst(vals, binWidth, trimHiBp, "hi_est"), "__g")
+    ev.join(broadcast(cuts), "__g")
+      .withColumn("__w",
+        greatest(least(col("__v"), col("hi_est")), col("lo_est")))
+      .withColumn("__t", when(col("__v") >= col("lo_est") &&
+        col("__v") <= col("hi_est"), col("__v")))
+      .groupBy(col("__g"), col("lo_est"), col("hi_est"))
+      .agg(count(lit(1)).as("n"),
+        count(col("__t")).as("__nt"),
+        sum(col("__t")).as("__st"),
+        sum(col("__w")).as("__sw"))
+      .select(col("__g").as(groupCol), col("n"),
+        col("lo_est"), col("hi_est"),
+        (col("__st").cast("double") / col("__nt").cast("double"))
+          .as("trimmed_mean"),
+        (col("__sw").cast("double") / col("n").cast("double"))
+          .as("winsorized_mean"))
+  }
+
   /** Delete-one-bucket (block) jackknife confidence interval for a
     * per-group mean — the DETERMINISTIC distributed answer to "is this
     * corpus metric's difference real or noise?" (Efron & Stein 1981;

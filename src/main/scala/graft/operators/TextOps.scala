@@ -496,29 +496,29 @@ object TextOps {
     * regression is [[zipfFit]]'s micro-integer OLS verbatim.
     *
     * Scale shape: corpus-sized work is one posexplode + ONE min-agg per
-    * token; the cumulative-offset window runs over the DOC-COUNT table
-    * (one row per doc), and the rank window over the VOCAB-sized
-    * first-occurrence set — both orders of magnitude below token count.
-    * At 100 TB the two ordered windows would be range-partitioned
-    * (df.repartitionByRange) rather than single-partition; the fit
-    * itself is one bounded sum-agg. Output: one row
-    * (n_tokens, vocab, beta, intercept, r2). */
+    * token; the cumulative-offset pass runs over the DOC-COUNT table
+    * (one row per doc — 10⁸⁺ at the north star) and the rank pass over
+    * the VOCAB-sized first-occurrence set — both orders of magnitude
+    * below token count but NOT bounded, so both ride [[DimRank]]'s
+    * range-partitioned kernel (running-total path for the offsets,
+    * ranked for V): no single-partition window anywhere; the fit itself
+    * is one bounded sum-agg. The doc-offset join stays a plain
+    * (non-broadcast) equi-join — the offsets table is doc-count-sized.
+    * Output: one row (n_tokens, vocab, beta, intercept, r2). */
   def heapsFit(df: org.apache.spark.sql.DataFrame, idCol: String,
                textCol: String): org.apache.spark.sql.DataFrame = {
     val tok = df.select(col(idCol), posexplode(tokens(lower(col(textCol)))))
       .toDF(idCol, "__pos", "__w")
       .transform(Checkpoints.ckpt) // consumers: offsets + first occurrences
     val counts = tok.groupBy(col(idCol)).agg(count(lit(1)).as("__cnt"))
-    val offs = counts.withColumn("__off",
-      coalesce(sum(col("__cnt")).over(org.apache.spark.sql.expressions.Window
-        .orderBy(col(idCol))
-        .rowsBetween(Long.MinValue, -1)), lit(0L)))
+    val offs = DimRank.ranked(counts, Seq(col(idCol)), "__dr_rn",
+        totals = Seq(DimRank.RunTotal("__cnt", "__cum")))
+      .withColumn("__off", col("__cum") - col("__cnt")) // exclusive prefix
     val firstPos = tok
-      .join(broadcast(offs.select(col(idCol), col("__off"))), idCol)
+      .join(offs.select(col(idCol), col("__off")), idCol)
       .select(col("__w"), (col("__off") + col("__pos") + lit(1L)).as("__gp"))
       .groupBy(col("__w")).agg(min(col("__gp")).as("__fp"))
-    val pts = firstPos.withColumn("__v", row_number().over(
-      org.apache.spark.sql.expressions.Window.orderBy(col("__fp"))))
+    val pts = DimRank.ranked(firstPos, Seq(col("__fp")), "__v")
     def micros(c: Column): Column = round(round(log(c), 6) * 1e6).cast("long")
     val terms = pts.select(micros(col("__fp").cast("double")).as("x"),
       micros(col("__v").cast("double")).as("y"))

@@ -122,6 +122,13 @@ class AnalyticsPlanShapeSpec extends SparkSpec {
     assertNoGlobalDimWindow(Queries.q361BounceRate(spark, dir), "q361")
     assertNoGlobalDimWindow(Queries.q292DecayedPopularity(spark, dir), "q292")
     assertNoGlobalDimWindow(Queries.q336ZipfFit(spark, dir), "q336")
+    // r13 rollout: the session-boundary cumsum, the Heaps doc-offset +
+    // vocab-rank windows, the length-batch numbering and the curriculum
+    // ntile all ride the kernel now — no global data window anywhere
+    assertNoGlobalDimWindow(Queries.q280PeakConcurrency(spark, dir), "q280")
+    assertNoGlobalDimWindow(Queries.q175HeapsFit(spark, dir), "q175")
+    assertNoGlobalDimWindow(Queries.q102LengthBatches(spark, dir), "q102")
+    assertNoGlobalDimWindow(Queries.q138Curriculum(spark, dir), "q138")
   }
 
   test("q341/q342/q347/q355: corpus aggs carry no real cartesian") {

@@ -106,6 +106,23 @@ class DimRankSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("nullable totals source: NULLs count as 0, non-null prefixes exact") {
+    // the ADVICE r12 latent case: rows whose partition-local prefix is
+    // all NULL must still read the earlier partitions' sum, and a NULL
+    // source contributes 0 (sum-ignores-nulls), never poisons the cumsum
+    val df = frame(3000).withColumn("xn",
+      when(pmod(col("id"), lit(5L)) === 0, col("x"))) // 80% NULL
+    val got = DimRank.ranked(df, Seq(col("v").desc, col("id").asc), "rk",
+        totals = Seq(RunTotal("xn", "cum")))
+      .select("id", "rk", "cum")
+    val w = Window.orderBy(col("v").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = naive(df)
+      .withColumn("cum", coalesce(sum(col("xn")).over(w), lit(0L)).cast("long"))
+      .select("id", "rk", "cum")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("empty frame yields an empty ranked frame with the right schema") {
     val df = frame(100).filter(col("id") < 0)
     val out = DimRank.ranked(df, Seq(col("v").asc, col("id").asc), "rk",

@@ -50,6 +50,41 @@ class PackSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 3L, 5L)))
   }
 
+  test("ntileOf: bit-parity with Spark's ntile across (n, k) grids") {
+    import org.apache.spark.sql.expressions.Window
+    // every frame size 1..40 at once (partition by n), for each k:
+    // the closed-form rule and the window function must agree on every row
+    val rows = spark.range(1, 41).select(col("id").as("n"))
+      .withColumn("r", explode(sequence(lit(1L), col("n"))))
+    for (k <- Seq(1, 2, 3, 5, 8, 13)) {
+      val diff = rows
+        .withColumn("want", ntile(k).over(
+          Window.partitionBy(col("n")).orderBy(col("r"))))
+        .withColumn("got", Pack.ntileOf(col("r"), col("n"), k))
+        .filter(col("want") =!= col("got"))
+      assert(diff.count() == 0, s"ntileOf diverges from ntile($k)")
+    }
+  }
+
+  test("curriculum shards: kernel form matches the naive global-ntile form") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1 to 137)
+      .map(i => (i.toLong, ("tok " * (1 + (i * 7) % 23)).trim + (if (i % 3 == 0) "!!" else "")))
+      .toDF("doc_id", "text")
+    val got = Pack.curriculumShards(docs, "doc_id", "text", nShards = 8)
+    val naive = docs.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("__q"),
+        TextOps.tokenCount(col("text")).cast("long").as("__nt"))
+      .withColumn("shard", ntile(8).over(
+        Window.orderBy(col("__q").desc, col("doc_id").asc)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("__q")).as("min_quality"), max(col("__q")).as("max_quality"),
+        sum(col("__nt")).as("total_tokens"))
+    assert(got.exceptAll(naive.select(got.columns.map(col): _*)).isEmpty &&
+      naive.select(got.columns.map(col): _*).exceptAll(got).isEmpty)
+  }
+
   test("length batches: band assignment, batch caps, id-ordered numbering") {
     // token counts 1..20, bucketWidth 4 -> buckets 0 (1-3 tok), 1, ... 5
     val docs = (1 to 20).map(i => (i.toLong, ("t " * i).trim))

@@ -19,7 +19,16 @@ if ! sbt -batch "runMain graft.Verify $SF $OUT $*" >"$log" 2>&1; then
 fi
 grep '\[verify\]' "$log" || true
 rm -f "$log"
-python3 tools/check.py "$SF" "$OUT" "$@"
+# check.py exits 2 on a clean-but-reduced-coverage run (oracle timeouts,
+# ADVICE r12): distinguish it from a real failure (1) so the hash-surface
+# lint still runs either way, then propagate the worst code at the end
+check_rc=0
+python3 tools/check.py "$SF" "$OUT" "$@" || check_rc=$?
+if [ "$check_rc" -eq 2 ]; then
+  echo "gate: oracle timeouts shrank coverage (check.py exit 2) — lint still runs" >&2
+elif [ "$check_rc" -ne 0 ]; then
+  exit "$check_rc"
+fi
 # hash-surface lint rides every gate run (scoped to the same queries):
 # values beyond 2^53 in an output column are a latent driver-comparator
 # red even when check.py is green (the q332/q243 class). The limit is
@@ -32,3 +41,4 @@ case "$SF" in
   *)         MARGIN=1 ;;
 esac
 python3 tools/lint_hash_surface.py --margin "$MARGIN" "$OUT" "$@"
+exit "$check_rc"
