@@ -9794,6 +9794,97 @@ object Oracles {
          | CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |  AS winsorized_mean
          |FROM j GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin,
+
+    // q127's sketch twin: thirds cuts off the negated-micro score
+    // histogram (ceil-rational ranks in NEG space: the 1/3 neg rank is
+    // the 2/3 logprob cut), then the same >=-higher-bucket rule
+    "q386_ppl_buckets_sketch" ->
+      s"""WITH $q99Chain,
+         |m AS (
+         | SELECT doc_id, n_tokens, logprob_mean,
+         |  CAST(round(-logprob_mean * 1000000) AS BIGINT) AS neg
+         | FROM d),
+         |h AS (SELECT neg // 10000 AS bin, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM m GROUP BY 1),
+         |c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
+         |  sum(cnt) OVER (ORDER BY bin) - cnt AS cum_before FROM h),
+         |rr AS (SELECT (sum(cnt) + 2) // 3 AS r_hi,
+         |  (2 * sum(cnt) + 2) // 3 AS r_lo FROM h),
+         |shi AS (SELECT r_hi AS r, min(bin) AS bin
+         |  FROM rr JOIN c ON cum >= r_hi GROUP BY 1),
+         |slo AS (SELECT r_lo AS r, min(bin) AS bin
+         |  FROM rr JOIN c ON cum >= r_lo GROUP BY 1),
+         |hi AS (SELECT CAST(c.bin * 10000 + 10000 * (r - cum_before) // cnt
+         |   AS BIGINT) AS hi_neg
+         | FROM shi JOIN c ON shi.bin = c.bin),
+         |lo AS (SELECT CAST(c.bin * 10000 + 10000 * (r - cum_before) // cnt
+         |   AS BIGINT) AS lo_neg
+         | FROM slo JOIN c ON slo.bin = c.bin)
+         |SELECT doc_id, n_tokens, logprob_mean,
+         | CASE WHEN neg <= hi_neg THEN 'head'
+         |      WHEN neg <= lo_neg THEN 'middle'
+         |      ELSE 'tail' END AS ppl_bucket
+         |FROM m CROSS JOIN hi CROSS JOIN lo ORDER BY doc_id""".stripMargin,
+
+    // q172's sketch twin: the identical centroid-distance chain, then
+    // micro-scaled distances through the q384 grouped-histogram MAD
+    "q387_embedding_fences_sketch" ->
+      s"""WITH ev AS (
+         | SELECT label AS g, vec_id AS id,
+         |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+         |  unnest(embedding) AS x
+         | FROM embeddings WHERE embedding IS NOT NULL),
+         |cent AS (
+         | SELECT g, i,
+         |  CAST(sum(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(25,6)))
+         |   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c
+         | FROM ev GROUP BY 1, 2),
+         |dist AS (
+         | SELECT ev.g, ev.id,
+         |  sqrt(CAST(sum(CAST(floor((CAST(x AS DOUBLE) - c) *
+         |   (CAST(x AS DOUBLE) - c) * 1e12 + 0.5) / 1e12
+         |   AS DECIMAL(30,12))) AS DOUBLE))
+         |   AS dist
+         | FROM ev JOIN cent ON ev.g = cent.g AND ev.i = cent.i
+         | GROUP BY 1, 2),
+         |dm AS (SELECT g, CAST(round(dist * 1000000) AS BIGINT) AS v
+         | FROM dist),
+         |h1 AS (SELECT g, v // 1000 AS bin, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM dm GROUP BY 1, 2),
+         |c1 AS (SELECT g, bin, cnt,
+         |  sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+         |  sum(cnt) OVER (PARTITION BY g ORDER BY bin) - cnt AS cum_before
+         | FROM h1),
+         |r1 AS (SELECT g, (5000 * sum(cnt) + 9999) // 10000 AS r
+         |  FROM h1 GROUP BY g),
+         |s1 AS (SELECT c1.g, r, min(bin) AS bin
+         |  FROM r1 JOIN c1 ON r1.g = c1.g AND cum >= r GROUP BY 1, 2),
+         |med AS (SELECT s1.g,
+         |  CAST(c1.bin * 1000 + 1000 * (r - cum_before) // cnt AS BIGINT)
+         |   AS med_est
+         | FROM s1 JOIN c1 ON s1.g = c1.g AND s1.bin = c1.bin),
+         |dev AS (SELECT dm.g, v, med_est, abs(v - med_est) AS adev
+         | FROM dm JOIN med ON dm.g = med.g),
+         |h2 AS (SELECT g, adev // 1000 AS bin, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM dev GROUP BY 1, 2),
+         |c2 AS (SELECT g, bin, cnt,
+         |  sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+         |  sum(cnt) OVER (PARTITION BY g ORDER BY bin) - cnt AS cum_before
+         | FROM h2),
+         |r2 AS (SELECT g, (5000 * sum(cnt) + 9999) // 10000 AS r
+         |  FROM h2 GROUP BY g),
+         |s2 AS (SELECT c2.g, r, min(bin) AS bin
+         |  FROM r2 JOIN c2 ON r2.g = c2.g AND cum >= r GROUP BY 1, 2),
+         |mad AS (SELECT s2.g,
+         |  CAST(c2.bin * 1000 + 1000 * (r - cum_before) // cnt AS BIGINT)
+         |   AS mad_est
+         | FROM s2 JOIN c2 ON s2.g = c2.g AND s2.bin = c2.bin)
+         |SELECT dev.g AS label, med_est, mad_est,
+         | CAST(count(*) AS BIGINT) AS n,
+         | CAST(count(CASE WHEN adev > 3 * mad_est THEN 1 END) AS BIGINT)
+         |  AS n_outliers
+         |FROM dev JOIN mad ON dev.g = mad.g
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

@@ -9297,6 +9297,29 @@ object Queries {
         "source", "n_tokens", binWidth = 16L)
       .orderBy("source")
 
+  /** CCNet perplexity gate with histogram-sketch cuts — q127's
+    * production-default twin (r13): the global exact percentile's agg
+    * buffer holds every corpus score on one reducer at 100 TB; the
+    * sketch chain is bounded, all-integer, oracle-replayed. */
+  def q386PplBucketsSketch(s: SparkSession, dir: String): DataFrame =
+    TextOps.perplexityBucketsSketch(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Embedding outlier fences with sketch MAD — q172's production-
+    * default twin (r13): the shared centroid-distance chain, distances
+    * micro-scaled to exact BIGINTs, then the q384 grouped-histogram
+    * median/MAD instead of exact percentiles (whose agg buffer holds a
+    * label's every distance at 100 TB). Bin width 1000 micros = 0.001
+    * distance units. */
+  def q387EmbeddingFencesSketch(s: SparkSession, dir: String): DataFrame =
+    Robust.madOutlierStatsSketch(
+        Embeddings.centroidDistances(t(s, dir, "embeddings"), "label",
+            "vec_id", "embedding")
+          .select(col("label"),
+            expr("CAST(round(dist * 1000000) AS BIGINT)").as("dist_micros")),
+        "label", "dist_micros", binWidth = 1000L, k = 3L)
+      .orderBy("label")
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -9685,6 +9708,8 @@ object Queries {
     "q383_assortativity_stable" -> (q383AssortativityStable _),
     "q384_mad_sketch" -> (q384MadSketch _),
     "q385_trimmed_sketch" -> (q385TrimmedSketch _),
+    "q386_ppl_buckets_sketch" -> (q386PplBucketsSketch _),
+    "q387_embedding_fences_sketch" -> (q387EmbeddingFencesSketch _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

@@ -148,7 +148,17 @@ object Embeddings {
     * form is the oracle-verifiable spec. Output: (groupCol, med, mad,
     * n, n_outliers) per [[Robust.madOutlierStats]]. */
   def centroidOutlierStats(df: DataFrame, groupCol: String, idCol: String,
-                           vecCol: String, k: Double = 3.0): DataFrame = {
+                           vecCol: String, k: Double = 3.0): DataFrame =
+    Robust.madOutlierStats(
+      centroidDistances(df, groupCol, idCol, vecCol), groupCol, "dist", k)
+
+  /** The distance chain [[centroidOutlierStats]] gates on, factored out
+    * (r13) so the sketch-default fence (q387 —
+    * [[Robust.madOutlierStatsSketch]] over micro-scaled distances) and
+    * the exact oracle contract share one definition. Output:
+    * (groupCol, dist). */
+  def centroidDistances(df: DataFrame, groupCol: String, idCol: String,
+                        vecCol: String): DataFrame = {
     val ev = df.filter(col(vecCol).isNotNull)
       .select(col(groupCol).as("__g"), col(idCol).as("__id"),
         posexplode(col(vecCol)).as(Seq("__i", "__x")))
@@ -156,14 +166,13 @@ object Embeddings {
     val cent = ev.groupBy(col("__g"), col("__i"))
       .agg((sum(round(col("__x").cast("double"), 6).cast("decimal(25,6)"))
         .cast("double") / count(lit(1)).cast("double")).as("__c"))
-    val dist = ev.join(broadcast(cent), Seq("__g", "__i"))
+    ev.join(broadcast(cent), Seq("__g", "__i"))
       .withColumn("__d", col("__x").cast("double") - col("__c"))
       .groupBy(col("__g"), col("__id"))
       .agg(sum(graft.expr.GraftFunctions
           .portableRound(col("__d") * col("__d"), 12).cast("decimal(30,12)"))
         .as("__ss"))
       .select(col("__g").as(groupCol), sqrt(col("__ss").cast("double")).as("dist"))
-    Robust.madOutlierStats(dist, groupCol, "dist", k)
   }
 
   /** Top-k principal components via power iteration with Hotelling

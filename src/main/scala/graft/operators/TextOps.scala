@@ -762,6 +762,58 @@ object TextOps {
           .otherwise("tail").as("ppl_bucket"))
   }
 
+  /** [[perplexityBuckets]]'s production-default twin (r13, the q384
+    * discipline): the two global cuts come from a fixed-width integer
+    * HISTOGRAM of the (negated, micro-scaled) scores instead of Spark's
+    * exact `percentile` — whose single agg buffer holds EVERY corpus
+    * score on one reducer at 100 TB, the same OOM hazard class the
+    * autoBlockCap fix killed. Scores are already rounded to 6, so
+    * neg = round(-logprob_mean·1e6) is an exact non-negative BIGINT and
+    * the whole chain (bin DIV, ceil-rational thirds ranks
+    * (n+2) DIV 3 / (2n+2) DIV 3 in NEG space, integer interpolation)
+    * replays verbatim cross-engine (q386). State is the bounded (bin,
+    * cnt) histogram; cuts sit within one binWidth of the exact
+    * percentile. Same >=-takes-higher-bucket tie rule as the exact form
+    * (in neg space: <= the cut). Output: (idCol, n_tokens,
+    * logprob_mean, ppl_bucket). */
+  def perplexityBucketsSketch(df: org.apache.spark.sql.DataFrame,
+                              idCol: String, textCol: String,
+                              binWidthMicros: Long = 10000L): org.apache.spark.sql.DataFrame = {
+    require(binWidthMicros > 0, "perplexityBucketsSketch: binWidth > 0")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+    val scores = unigramLogProb(df, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("logprob_mean"))
+      .transform(Checkpoints.ckpt) // consumers: histogram + labelling
+    val m = scores.withColumn("__neg",
+      expr("CAST(round(-logprob_mean * 1000000) AS BIGINT)"))
+    val hist = m.select(expr(s"__neg DIV $binWidthMicros").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    val qs = hist.agg(sum(col("cnt")).as("n"))
+      .select(explode(array(
+        struct(lit("hi").as("which"), expr("(n + 2) DIV 3").as("r")),
+        struct(lit("lo").as("which"), expr("(2 * n + 2) DIV 3").as("r"))))
+        .as("q"))
+      .select(col("q.which").as("which"), col("q.r").as("r"))
+    val sel = qs.join(cum, col("cum") >= col("r"))
+      .groupBy(col("which"), col("r")).agg(min(col("bin")).as("bin"))
+    val cuts = sel.join(cum, "bin")
+      .select(col("which"),
+        (col("bin") * binWidthMicros +
+          expr(s"$binWidthMicros * (r - cum_before) DIV cnt")).as("cut"))
+    val hi = cuts.filter(col("which") === "hi")
+      .select(col("cut").as("__hi_neg"))
+    val lo = cuts.filter(col("which") === "lo")
+      .select(col("cut").as("__lo_neg"))
+    m.crossJoin(broadcast(hi)).crossJoin(broadcast(lo))
+      .select(col(idCol), col("n_tokens"), col("logprob_mean"),
+        when(col("__neg") <= col("__hi_neg"), "head")
+          .when(col("__neg") <= col("__lo_neg"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** Learn BPE merges from the corpus (Sennrich et al. 2016, the
     * subword-nmt algorithm): start from character symbols per word (with
     * an end-of-word marker), repeatedly merge the most frequent adjacent

@@ -32,6 +32,7 @@ class GlobalWindowLintSpec extends SparkSpec {
     // (the q82 sketch's bounded mergeable state)
     "q82_hist_quantiles" -> Set("bin"),
     "q209_hist_table" -> Set("bin"),
+    "q386_ppl_buckets_sketch" -> Set("bin"),
     // #sources frames: the largest-remainder allocation runs on one row
     // per SOURCE (a governance list, not data)
     "q87_mixture_sample" -> Set("__rem", "__src"),
