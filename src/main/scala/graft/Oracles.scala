@@ -9885,6 +9885,30 @@ object Oracles {
          |  AS n_outliers
          |FROM dev JOIN mad ON dev.g = mad.g
          |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // maintained grouped histogram: the table fold must equal the
+    // ONE-SHOT per-source chain over the whole corpus (q209's proof per
+    // group) — the oracle computes the one-shot form directly
+    "q388_grouped_hist_table" ->
+      s"""WITH ev AS (
+         | SELECT source AS g, CAST(${tokenCountSql("text")} AS BIGINT) AS v
+         | FROM documents),
+         |h AS (SELECT g, v // 16 AS bin, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ev GROUP BY 1, 2),
+         |c AS (SELECT g, bin, cnt,
+         |  sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+         |  sum(cnt) OVER (PARTITION BY g ORDER BY bin) - cnt AS cum_before
+         | FROM h),
+         |n AS (SELECT g, sum(cnt) AS n FROM h GROUP BY g),
+         |q AS (SELECT unnest([5000, 9000]) AS quantile_bp),
+         |rk AS (SELECT g, quantile_bp,
+         |  (quantile_bp * n + 9999) // 10000 AS r FROM n CROSS JOIN q),
+         |sel AS (SELECT rk.g, quantile_bp, r, min(bin) AS bin
+         |  FROM rk JOIN c ON rk.g = c.g AND cum >= r GROUP BY 1, 2, 3)
+         |SELECT sel.g AS source, quantile_bp,
+         | CAST(c.bin * 16 + 16 * (r - cum_before) // cnt AS BIGINT) AS est
+         |FROM sel JOIN c ON sel.g = c.g AND sel.bin = c.bin
+         |ORDER BY 1, 2""".stripMargin,
   )
 
   /** Every oracle, plus aliases where one SQL statement proves two

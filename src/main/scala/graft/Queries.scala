@@ -9320,6 +9320,35 @@ object Queries {
         "label", "dist_micros", binWidth = 1000L, k = 3L)
       .orderBy("label")
 
+  /** Per-source token-length quantiles from the MAINTAINED grouped
+    * histogram table (r13 — Robust.appendGroupedHistogram /
+    * groupedQuantilesFromTable): two parity batches plus an at-least-
+    * once REPLAYED batch append; the reader's (batch_id, g, bin) dedup
+    * + bin merge must equal the one-shot per-source estimate over the
+    * whole corpus — q209's maintained-index proof applied per group.
+    * The oracle computes the one-shot form directly. */
+  def q388GroupedHistTable(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"))
+    val path = rtPath(s, dir, "ghistq")
+    oncePerSession(groupedHistBuilt, s, dir) {
+      Robust.appendGroupedHistogram(d.filter(col("doc_id") % 2 === 0),
+        "source", "n_tokens", binWidth = 16L, path, batchId = "even")
+      Robust.appendGroupedHistogram(d.filter(col("doc_id") % 2 === 1),
+        "source", "n_tokens", binWidth = 16L, path, batchId = "odd")
+      // at-least-once replay: the same batch appended twice
+      Robust.appendGroupedHistogram(d.filter(col("doc_id") % 2 === 1),
+        "source", "n_tokens", binWidth = 16L, path, batchId = "odd")
+    }
+    Robust.groupedQuantilesFromTable(s, path, binWidth = 16L,
+        quantilesBp = Seq(5000, 9000))
+      .select(col("g").as("source"), col("quantile_bp"), col("est"))
+      .orderBy("source", "quantile_bp")
+  }
+  private val groupedHistBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Boolean]()
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -9710,6 +9739,7 @@ object Queries {
     "q385_trimmed_sketch" -> (q385TrimmedSketch _),
     "q386_ppl_buckets_sketch" -> (q386PplBucketsSketch _),
     "q387_embedding_fences_sketch" -> (q387EmbeddingFencesSketch _),
+    "q388_grouped_hist_table" -> (q388GroupedHistTable _),
   )
 
   /** Per-customer enrichment (risk scoring, used by q05; registered as q12). */

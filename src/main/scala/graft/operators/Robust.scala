@@ -63,16 +63,25 @@ object Robust {
     * truncation would mis-bin negatives). Output: (__g, <out>) with the
     * estimate in the input's integer unit. */
   private def groupedQuantileEst(vals: DataFrame, binWidth: Long,
-                                 quantileBp: Int, out: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__g")).orderBy(col("bin"))
-    val hist = vals
+                                 quantileBp: Int, out: String): DataFrame =
+    groupedQuantileChain(groupedHist(vals, binWidth), binWidth,
+      quantileBp, out)
+
+  /** The bounded (g, bin, cnt) state every grouped-sketch form shares —
+    * mergeable by bin-wise count sum, map-side combined. */
+  private def groupedHist(vals: DataFrame, binWidth: Long): DataFrame =
+    vals
       .select(col("__g"),
         when(col("__x") < 0, raise_error(lit(
           "groupedQuantileEst: negative values unsupported")))
           .otherwise(col("__x")).as("__x"))
       .select(col("__g"), expr(s"__x DIV $binWidth").as("bin"))
       .groupBy(col("__g"), col("bin")).agg(count(lit(1)).as("cnt"))
+
+  private def groupedQuantileChain(hist: DataFrame, binWidth: Long,
+                                   quantileBp: Int, out: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("bin"))
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("cum_before", col("cum") - col("cnt"))
@@ -87,6 +96,43 @@ object Robust {
       .select(col("__g"),
         (col("bin") * binWidth +
           expr(s"$binWidth * (r - cum_before) DIV cnt")).as(out))
+  }
+
+  /** Append a batch's bounded per-group histogram to the PERSISTED
+    * table at `path`, stamped with `batchId` — [[Sketch
+    * .appendHistogram]]'s maintained-index shape per GROUP: per-source
+    * quantile monitoring forever after comes from the table, never a
+    * corpus rescan. Batch histograms are pure functions of the batch,
+    * so a replayed append writes byte-identical rows and the reader's
+    * (batch_id, g, bin) dedup absorbs it — at-least-once callers stay
+    * exactly-once (the q209 proof, per group). */
+  def appendGroupedHistogram(df: DataFrame, groupCol: String,
+                             valueCol: String, binWidth: Long,
+                             path: String, batchId: String): Unit =
+    groupedHist(df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__x")), binWidth)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(path)
+
+  /** Per-group quantiles from the persisted grouped-histogram table:
+    * replay-dedup on (batch_id, g, bin), bin-wise count merge (exact
+    * integer addition), then the identical rank/interpolation chain per
+    * requested basis point — equals the one-shot grouped estimate of
+    * everything ever appended. Output: (g, quantile_bp, est). */
+  def groupedQuantilesFromTable(spark: org.apache.spark.sql.SparkSession,
+                                path: String, binWidth: Long,
+                                quantilesBp: Seq[Int]): DataFrame = {
+    require(quantilesBp.nonEmpty &&
+      quantilesBp.forall(q => q > 0 && q <= 10000),
+      "groupedQuantilesFromTable: quantiles in basis points (1..10000)")
+    val hist = spark.read.parquet(path)
+      .dropDuplicates("batch_id", "__g", "bin")
+      .groupBy(col("__g"), col("bin")).agg(sum(col("cnt")).as("cnt"))
+    quantilesBp.map(bp =>
+        groupedQuantileChain(hist, binWidth, bp, "est")
+          .withColumn("quantile_bp", lit(bp)))
+      .reduce(_.unionByName(_))
+      .select(col("__g").as("g"), col("quantile_bp"), col("est"))
   }
 
   /** [[madOutlierStats]]'s production-default twin for huge groups: the
