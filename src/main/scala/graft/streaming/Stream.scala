@@ -576,6 +576,28 @@ object Stream {
           binWidthCents, tablePath, batchId = s"stream-$batchId")
       }
 
+  /** Streaming PER-GROUP histogram ingestion over the persisted grouped
+    * table ([[graft.operators.Robust.appendGroupedHistogram]], r13):
+    * each micro-batch appends its bounded (g, bin, cnt) frame stamped
+    * with the micro-batch id;
+    * [[graft.operators.Robust.groupedQuantilesFromTable]] then serves
+    * per-source quantiles at read time without rescanning the stream's
+    * history — the [[histogramIngestSink]] promise per group.
+    * Exactly-once by the [[momentsIngestSink]] argument: a replayed
+    * micro-batch re-appends byte-identical rows under the same id and
+    * the read side dedups (batch_id, g, bin). */
+  def groupedHistogramIngestSink(rows: DataFrame, groupCol: String,
+                                 valueCol: String, binWidth: Long,
+                                 tablePath: String,
+                                 checkpoint: String): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Robust.appendGroupedHistogram(batch, groupCol,
+          valueCol, binWidth, tablePath, batchId = s"stream-$batchId")
+      }
+
   /** Streaming CMS ingestion over the PERSISTED counter table
     * ([[graft.operators.Sketch.appendCmsCounters]]): per micro-batch one
     * bounded (depth, bucket, cnt) append; heavy-hitter probes run

@@ -754,6 +754,40 @@ class StreamingSpec extends SparkSpec {
         all.toDF("id", "c"), col("c"), 100L, qsBp)))
   }
 
+  test("streaming grouped-histogram ingestion: per-group quantiles == one-shot, across a restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ghiststream").toString
+    val all = (0 until 600).map(i =>
+      (i.toLong, s"s${i % 3}", ((i * 37) % 1000 + 1).toLong))
+
+    val input = MemoryStream[(Long, String, Long)](spark)
+    def start() = Stream.groupedHistogramIngestSink(
+      input.toDF().toDF("id", "src", "v"), "src", "v", binWidth = 16L,
+      s"$dir/ghist", s"$dir/ckpt").start()
+
+    val q1 = start()
+    try {
+      input.addData(all.filter(_._1 < 250): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    input.addData(all.filter(_._1 >= 250): _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the table fold must equal the one-shot per-group sketch over ALL
+    // rows: replay the q388 oracle shape via a direct append of the
+    // whole frame into a fresh table
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-ghistone").toString
+    graft.operators.Robust.appendGroupedHistogram(
+      all.toDF("id", "src", "v"), "src", "v", 16L, s"$oneShot/t", "all")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val got = m(graft.operators.Robust.groupedQuantilesFromTable(
+      spark, s"$dir/ghist", 16L, Seq(5000, 9000)))
+    val want = m(graft.operators.Robust.groupedQuantilesFromTable(
+      spark, s"$oneShot/t", 16L, Seq(5000, 9000)))
+    assert(got == want && got.keySet.map(_._1) == Set("s0", "s1", "s2"))
+  }
+
   test("streaming CMS + HLL ingestion: table sketches == one-shot batch, across restarts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sketchstream").toString
     val all = (1 to 400).map(i => (i.toLong, s"tok${i % 23}"))
