@@ -49,7 +49,7 @@ object BucketBench {
   /** The q267 ship-latency chain over provided frames (same expressions
     * as Queries.q267ShipLatency — support histogram, exact rank-r
     * selection off the bounded (priority, days) grid). */
-  private def shipLatency(li: DataFrame, ord: DataFrame): DataFrame = {
+  private[graft] def shipLatency(li: DataFrame, ord: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val days = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
     val hist = li.join(ord, col("l_orderkey") === col("o_orderkey"))
