@@ -67,7 +67,31 @@ object Checkpoints {
     try body finally suppress.set(prev)
   }
 
-  def ckpt(df: DataFrame): DataFrame = {
+  /** LAZY variant of [[ckpt]] (r14 perf): the Catalyst plan is truncated
+    * either way — Dataset.localCheckpoint wraps the physical RDD in a
+    * LogicalRDD at BUILD time, eager only adds an immediate count() job —
+    * so deferring materialization into the first consuming action removes
+    * one job launch + driver barrier per ckpt site. Iterative operators
+    * (HITS, k-core, CC/label-prop rounds) pay 1-3 such barriers PER
+    * ROUND; on a cluster each barrier idles every executor for a
+    * scheduling round trip, so this is a scale win, not a local[32]
+    * artifact. Values are unchanged: the same RDD is persisted by
+    * whichever action touches it first, and later consumers read the
+    * same blocks (cache semantics).
+    *
+    * WHEN NOT TO USE (measured, r14): a frame whose FIRST consumption is
+    * several sibling stages of one job (triangle census' 4-leg edge
+    * fan-out, CC's round-1 edge set) — the sibling stages race to
+    * compute the still-unmaterialized RDD and duplicate its work
+    * (q239 +19%, q67 +36% when forced lazy). Eager [[ckpt]] stays the
+    * default for exactly that shape; mark a site lazy only when its
+    * first consumer is a single sequential action (the next round's
+    * convergence check, a broadcast-max job, the final collect). */
+  def ckptLazy(df: DataFrame): DataFrame = ckpt(df, eager = false)
+
+  def ckpt(df: DataFrame): DataFrame = ckpt(df, eager = true)
+
+  private def ckpt(df: DataFrame, eager: Boolean): DataFrame = {
     val spark = df.sparkSession
     val sc = spark.sparkContext
     val out =
@@ -75,7 +99,7 @@ object Checkpoints {
         require(sc.getCheckpointDir.isDefined,
           "spark.graft.reliableCheckpoint=true requires sparkContext.setCheckpointDir(...)")
         df.checkpoint()
-      } else df.localCheckpoint()
+      } else df.localCheckpoint(eager = eager)
     if (!suppress.get.booleanValue()) {
       // exact id from the returned plan — never a set-diff that could
       // claim a concurrent thread's blocks. A reliable checkpoint's RDD

@@ -52,10 +52,21 @@ object Graph {
       val inflow = edges.join(contrib, col("src") === col("__u"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("__c")).as("__in"))
-      rank = nodes.join(inflow, Seq("id"), "left")
+      // No zero-pad join (r14): on the SYMMETRIZED edge set the dst set
+      // equals the src set equals the node set — every node has at least
+      // one in-edge, so `inflow` already covers every node and the former
+      // nodes-left-join + coalesce(__in, 0) was an identity pad costing
+      // one exchange per round. Values are bit-identical.
+      rank = inflow
         .select(col("id"), (lit(150000L) +
-          expr("(85 * coalesce(__in, 0)) DIV 100")).as("rank"))
-        .transform(Checkpoints.ckpt) // cut the growing plan each round
+          expr("(85 * __in) DIV 100")).as("rank"))
+        // LAZY (r14): cuts the growing plan each round without a per-round
+        // materialization job — each round's rank has ONE sequential
+        // consumer (the next round's contrib join), so all `maxIter`
+        // rounds fold into the final action's DAG: maxIter fewer driver
+        // barriers. The shared edges/outdeg/nodes frames above stay EAGER
+        // (multi-stage fan-out — see ckptLazy's scaladoc).
+        .transform(Checkpoints.ckptLazy)
     }
     rank
   }
@@ -93,7 +104,10 @@ object Graph {
       // the max over the UN-cached inflow plan ran the edges join + agg
       // twice per half-step (r8 perf fix); the outer per-half-step ckpt
       // moved here, so the action count per round is unchanged.
-      val scored = Checkpoints.ckpt(scored0)
+      // LAZY (r14): the broadcast-max job right below is the single first
+      // consumer — it materializes the blocks, the rescaled projection
+      // reads them; one fewer job per half-step (16 per hits call).
+      val scored = Checkpoints.ckptLazy(scored0)
       // integer normalization: the max inflow of a non-empty edge set is
       // >= 1 (some node receives at least one positive contribution), so
       // the DIV is never by zero
@@ -106,25 +120,32 @@ object Graph {
         .select(col("id"),
           expr("CAST(__s AS DECIMAL(25,0)) * 1000000 DIV __m").as(out))
     }
-    var hub = nodes.withColumn("hub", lit(1000000L))
-    var auth = nodes.withColumn("auth", lit(0L))
+    // Sparse-support iteration (r14): auth's support is EXACTLY the dst
+    // set and hub's exactly the src set — a node outside them scores 0 in
+    // every round (no in-edge ⇒ inflow 0 forever; no out-edge ⇒ never a
+    // src key). The old per-half-step nodes-left-join + coalesce(__in, 0)
+    // only re-padded those structural zeros, costing one exchange per
+    // half-step (16 per call at maxIter 8); padding once at the end is
+    // bit-identical: every edge's src is in hub's support and every dst
+    // in auth's, so the join sums never see a missing row, and the
+    // rescale max over the support equals the max over all nodes (zeros
+    // never win — some inflow is >= 1).
+    var hub = edges.select(col("src").as("id")).distinct()
+      .withColumn("hub", lit(1000000L))
+    var auth: DataFrame = null
     for (_ <- 1 to maxIter) {
       val rawAuth = edges.join(hub, edges("src") === hub("id"))
-        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("__in"))
+        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("__s"))
       // the ckpt lives INSIDE rescale (on the raw inflow); downstream
       // consumers re-derive only the cheap projection + broadcast max
-      auth = rescale(
-        nodes.join(rawAuth, Seq("id"), "left")
-          .select(col("id"), coalesce(col("__in"), lit(0L)).as("__s")),
-        "auth")
+      auth = rescale(rawAuth, "auth")
       val rawHub = edges.join(auth, edges("dst") === auth("id"))
-        .groupBy(col("src").as("id")).agg(sum(col("auth")).as("__in"))
-      hub = rescale(
-        nodes.join(rawHub, Seq("id"), "left")
-          .select(col("id"), coalesce(col("__in"), lit(0L)).as("__s")),
-        "hub")
+        .groupBy(col("src").as("id")).agg(sum(col("auth")).as("__s"))
+      hub = rescale(rawHub, "hub")
     }
-    hub.join(auth, Seq("id"))
+    nodes.join(hub, Seq("id"), "left").join(auth, Seq("id"), "left")
+      .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
   }
 
   /** k-core peeling: `rounds` FIXED iterations of "drop every node with
@@ -154,7 +175,12 @@ object Graph {
         .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .transform(Checkpoints.ckpt)
+        // LAZY (r14): no per-round action exists in the peel loop, so all
+        // `rounds` iterations fold into the final degrees action — one
+        // job instead of `rounds`+1. The INITIAL canonical edge set above
+        // stays EAGER: its first consumption fans out into the degree agg
+        // plus two semi-join legs of round 1 (the racing-sibling shape).
+        .transform(Checkpoints.ckptLazy)
     }
     degrees(e)
   }
