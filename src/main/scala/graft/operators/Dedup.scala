@@ -1284,30 +1284,51 @@ object Dedup {
                   pairs: DataFrame, minQuality: Int,
                   maxIter: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
-      TextOps.tokenCount(col(textCol)).cast("long").as("__n"))
-    val r1 = base.filter(TextOps.qualityScore(col("__t")) >= minQuality)
-    val r2 = r1.withColumn("__keep",
-        col("__id") === min(col("__id")).over(
-          Window.partitionBy(md5(col("__t")))))
-      .filter(col("__keep")).drop("__keep")
-      .transform(Checkpoints.ckpt) // consumers: edges + counts + CC join
-    val surv = r2.select(col("__id"))
+    // ONE annotated corpus pass (r14; formerly three full-text passes —
+    // raw count, quality re-filter, exact-dedup window — each rescanning
+    // and re-tokenizing the corpus). Quality and exact-keep become flags:
+    // __keep = quality && id == min id among the QUALITY rows of the md5
+    // group (min(when(__q, id)) over the md5 window — exactly the old
+    // keep-first window restricted to quality survivors). The checkpoint
+    // carries only (id, token count, flags) — the text never leaves this
+    // pass, so at corpus scale the ledger reads the heavy bytes once.
+    val flags = df.select(col(idCol).as("__id"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("__n"),
+        (TextOps.qualityScore(col(textCol)) >= minQuality).as("__q"),
+        md5(col(textCol)).as("__h"))
+      .withColumn("__keep", col("__q") &&
+        col("__id") === min(when(col("__q"), col("__id")))
+          .over(Window.partitionBy(col("__h"))))
+      .select(col("__id"), col("__n"), col("__q"), col("__keep"))
+      .transform(Checkpoints.ckpt) // consumers: ledger agg + edges + CC join
+    val surv = flags.filter(col("__keep")).select(col("__id"))
     val e = pairs
       .join(surv.select(col("__id").as("id_a")), "id_a", "left_semi")
       .join(surv.select(col("__id").as("id_b")), "id_b", "left_semi")
     val labels = connectedComponents(e, maxIter)
       .select(col("id"), col("cluster_id"))
-    val r3 = r2.join(labels, col("__id") === col("id"), "left")
+    val r3 = flags.filter(col("__keep"))
+      .join(labels, col("__id") === col("id"), "left")
       .filter(coalesce(col("cluster_id"), col("__id")) === col("__id"))
-    def cnt(d: DataFrame, stage: String): DataFrame =
-      d.agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
-        .select(lit(stage).as("stage"), col("n_docs"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
-    cnt(base, "0_raw")
-      .unionByName(cnt(r1, "1_quality"))
-      .unionByName(cnt(r2, "2_exact"))
-      .unionByName(cnt(r3, "3_near"))
+    // stages 0-2 fold into ONE conditional aggregation over the slim
+    // checkpoint (stack reshapes the single row into the ledger rows);
+    // only the near rung still needs its own pass (the CC label join).
+    val agg3 = flags.agg(
+      count(lit(1)).as("n0"), sum(col("__n")).as("t0"),
+      count(when(col("__q"), 1)).as("n1"),
+      sum(when(col("__q"), col("__n"))).as("t1"),
+      count(when(col("__keep"), 1)).as("n2"),
+      sum(when(col("__keep"), col("__n"))).as("t2"))
+    val first3 = agg3.select(expr(
+        "stack(3, '0_raw', n0, t0, '1_quality', n1, t1, '2_exact', n2, t2)"
+          + " as (stage, n_docs, n_tokens)"))
+      .select(col("stage"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    val near = r3
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+      .select(lit("3_near").as("stage"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    first3.unionByName(near)
   }
 
   /** Analytic MinHash-LSH S-curve planner (Leskovec/Rajaraman/Ullman

@@ -86,17 +86,31 @@ object Rank {
     // a repeated term would produce two pivot columns holding the same
     // partial score, both summed — double-counting that term
     require(terms.distinct.size == terms.size, "bm25: terms must be distinct")
-    val tf = termFreq(docs, idCol, textCol)
-    // document length + corpus stats (avgdl = exact long sum / exact count,
-    // one double division — identical in any engine)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // ONE corpus pass, query terms filtered BEFORE any exchange (r14;
+    // formerly the full vocab x doc term-frequency table was aggregated
+    // and checkpointed just to read <= 8 terms' postings out of it).
+    // Per doc the pass keeps only (dl = total token count — identical to
+    // the old sum-of-tf — and the matching tokens), so the shuffled and
+    // materialized state shrinks by the vocabulary factor; docs with no
+    // tokens are dropped exactly as before (they had no tf rows).
+    val tok = graft.operators.TextOps.tokens(lower(col(textCol)))
+    val base = docs
+      .select(col(idCol).as("doc_id"), size(tok).cast("long").as("dl"),
+        filter(tok, t => terms.map(x => t === lit(x)).reduce(_ || _))
+          .as("__m"))
+      .filter(col("dl") > 0)
+      .transform(Checkpoints.ckpt) // consumers: stats + postings + tf
+    val dl = base.select(col("doc_id"), col("dl"))
+    // corpus stats (avgdl = exact long sum / exact count, one double
+    // division — identical in any engine)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-    val dfreq = tf.filter(col("token").isin(terms: _*))
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val postings = tf.filter(col("token").isin(terms: _*))
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("__m")).as("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val postings = tf
       .join(broadcast(dfreq), "token")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats.select(col("n_docs"), col("avgdl"))))
     bm25Rank(postings, terms, topK)
   }

@@ -82,6 +82,13 @@ object Robust {
                                    quantileBp: Int, out: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__g")).orderBy(col("bin"))
+    // NOT checkpointed, deliberately (r14, measured): `cum` feeds three
+    // consumers, but they are sibling legs of ONE plan and the histogram
+    // exchange under them is deduplicated by ReuseExchangeExec — the
+    // corpus-side aggregation runs once regardless; only the window over
+    // the bounded groups x bins grid replays per leg (sketch-state work).
+    // An explicit ckpt here ADDED materialization jobs (q387 23 -> 36
+    // single-task stages) for compute the reuse already made free.
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("cum_before", col("cum") - col("cnt"))
@@ -186,8 +193,13 @@ object Robust {
     val ev = df.select(col(groupCol).as("__g"),
       col(valueCol).cast("long").as("__v"))
     val vals = ev.select(col("__g"), col("__v").as("__x"))
-    val cuts = groupedQuantileEst(vals, binWidth, trimLoBp, "lo_est")
-      .join(groupedQuantileEst(vals, binWidth, trimHiBp, "hi_est"), "__g")
+    // ONE shared histogram frame for both cuts — the identical exchange
+    // under each chain is deduplicated by ReuseExchangeExec (no ckpt:
+    // see groupedQuantileChain's note), so the corpus aggregation runs
+    // once and the sharing here just makes that reuse explicit.
+    val hist = groupedHist(vals, binWidth)
+    val cuts = groupedQuantileChain(hist, binWidth, trimLoBp, "lo_est")
+      .join(groupedQuantileChain(hist, binWidth, trimHiBp, "hi_est"), "__g")
     ev.join(broadcast(cuts), "__g")
       .withColumn("__w",
         greatest(least(col("__v"), col("hi_est")), col("lo_est")))

@@ -786,6 +786,10 @@ object TextOps {
       .transform(Checkpoints.ckpt) // consumers: histogram + labelling
     val m = scores.withColumn("__neg",
       expr("CAST(round(-logprob_mean * 1000000) AS BIGINT)"))
+    // NOT checkpointed (r14, measured on the grouped twin): the bounded
+    // histogram feeds several sibling legs of one plan, and the
+    // bucketing exchange under them is deduplicated by ReuseExchangeExec
+    // — an explicit ckpt only adds a materialization job.
     val hist = m.select(expr(s"__neg DIV $binWidthMicros").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
     val cum = hist
