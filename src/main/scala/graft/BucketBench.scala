@@ -163,11 +163,20 @@ object BucketBench {
         s""""cpu_s":${r3(med(xs.map(_._3).toSeq))},""" +
         s""""reps_wall":[${xs.map(x => r3(x._1)).mkString(",")}],""" +
         s""""exchanges":$ex}"""
+    // exchange counts come from an EXECUTED instance's final adaptive
+    // plan (r14, ADVICE r13): counting on a fresh never-run DataFrame
+    // reads the initial AQE plan, which can disagree with what the timed
+    // reps actually executed after adaptive rewrites / stage reuse.
+    def exchangesFinal(mk: => DataFrame): Int = {
+      val df = mk
+      df.count()
+      exchanges(df)
+    }
     val json =
       s"""{"harness":"bucketbench","sf":$sf,"buckets":$buckets,""" +
         s""""bucket_write_s":${r3(writeS)},""" +
-        s""""plain":${block(plain, exchanges(plainDf))},""" +
-        s""""bucketed":${block(bucket, exchanges(bucketDf))}}"""
+        s""""plain":${block(plain, exchangesFinal(plainDf))},""" +
+        s""""bucketed":${block(bucket, exchangesFinal(bucketDf))}}"""
     println(json)
     val p = java.nio.file.Paths.get("BUCKETBENCH.json")
     java.nio.file.Files.write(p, json.getBytes("UTF-8"))

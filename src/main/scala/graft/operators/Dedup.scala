@@ -851,35 +851,30 @@ object Dedup {
       .transform(Checkpoints.ckpt)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-    // Convergence by exact label-mass (r14): labels only ever DECREASE
-    // (each round takes a min that includes the own label), so the column
-    // sum decreases iff any label changed — one DECIMAL(38,0) sum per
-    // round replaces the former per-row __old/__changed bookkeeping and
-    // the outer join that carried it (one exchange per round removed).
-    // DECIMAL keeps the sum exact out to 1e9 nodes x 1e18 ids.
-    def labelMass(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first()
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-    }
-    var prevMass = labelMass(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // hop: min label among self and neighbours — the self contribution
-      // rides the SAME aggregation as the neighbour labels (union before
-      // the group-min), so the round is one join + one agg with no outer
-      // join to re-attach the old label (r14; formerly join + agg + outer
-      // join). Values are identical: min({own} ∪ {neighbour labels}).
-      val hop = edges.join(labels, edges("dst") === labels("id"))
-        .select(col("src").as("id"), col("cluster_id"))
-        .unionByName(labels)
-        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+      // hop: min label among self and neighbours. Change detection is a
+      // column computed inside the round's own select, so convergence
+      // costs one cheap max() scan over the already-checkpointed frame —
+      // not a second join + count job per round
+      val hop = labels
+        .join(edges
+            .join(labels, edges("dst") === labels("id"))
+            .groupBy(col("src")).agg(min(col("cluster_id")).as("__nmin")),
+          labels("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
+            .as("cluster_id"),
+          col("cluster_id").as("__old"))
       val updated =
         if (!pointerJump)
-          // LAZY (r14): the convergence sum right below is the single
+          // LAZY (r14): the convergence max() right below is the single
           // first consumer — it materializes the round's blocks; next
           // round's hop reads them. One job per round instead of two.
-          hop.transform(Checkpoints.ckptLazy)
+          hop.withColumn("__changed", col("cluster_id") < col("__old"))
+            .drop("__old")
+            .transform(Checkpoints.ckptLazy)
         else {
           // jump: adopt label(label(id)) — path doubling. The hop frame is
           // checkpointed first so the self-join reads it once. EAGER: its
@@ -890,14 +885,18 @@ object Dedup {
           prop.join(lbl, prop("cluster_id") === col("__lid"), "left")
             .select(col("id"),
               least(col("cluster_id"), coalesce(col("__llbl"), col("cluster_id")))
-                .as("cluster_id"))
-            // LAZY: single first consumer (the convergence sum below)
+                .as("cluster_id"),
+              // min(a, b) < old  <=>  a < old || b < old — avoids
+              // re-evaluating the least/coalesce tree a second time
+              (col("cluster_id") < col("__old") ||
+                coalesce(col("__llbl"), col("cluster_id")) < col("__old"))
+                .as("__changed"))
+            // LAZY: single first consumer (the convergence max below)
             .transform(Checkpoints.ckptLazy)
         }
-      val mass = labelMass(updated)
-      converged = mass.compareTo(prevMass) == 0
-      prevMass = mass
-      labels = updated
+      val anyChanged = updated.agg(max(col("__changed"))).first()
+      converged = anyChanged.isNullAt(0) || !anyChanged.getBoolean(0)
+      labels = updated.drop("__changed")
       iter += 1
     }
     if (!converged)

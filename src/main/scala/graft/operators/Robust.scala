@@ -152,7 +152,9 @@ object Robust {
     * whole estimator replays cross-engine (q384). The exact form stays
     * the oracle contract for bounded telemetry groups; THIS is the form
     * a 100 TB corpus column defaults to. Estimates sit within one
-    * binWidth of the exact order statistic.
+    * binWidth of the exact order statistic — INCLUSIVE: |est − v_(r)|
+    * <= binWidth, and the bound is attainable on bin-edge data
+    * (ADVICE r13).
     * Output: (groupCol, med_est, mad_est, n, n_outliers) — all BIGINT. */
   def madOutlierStatsSketch(df: DataFrame, groupCol: String,
                             valueCol: String, binWidth: Long = 16L,
