@@ -169,7 +169,11 @@ object BucketBench {
     // reps actually executed after adaptive rewrites / stage reuse.
     def exchangesFinal(mk: => DataFrame): Int = {
       val df = mk
-      df.count()
+      // Dataset.count() would execute a DERIVED QueryExecution
+      // (groupBy().count()), leaving df's own AdaptiveSparkPlanExec
+      // un-executed and still reporting the INITIAL plan (ADVICE r14);
+      // foreach runs withAction on df.queryExecution itself.
+      df.foreach(_ => ())
       exchanges(df)
     }
     val json =

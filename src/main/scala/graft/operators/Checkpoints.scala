@@ -98,7 +98,12 @@ object Checkpoints {
       if (spark.conf.get("spark.graft.reliableCheckpoint", "false").toBoolean) {
         require(sc.getCheckpointDir.isDefined,
           "spark.graft.reliableCheckpoint=true requires sparkContext.setCheckpointDir(...)")
-        df.checkpoint()
+        // honor eager=false here too (ADVICE r14): df.checkpoint() defaults
+        // to eager, which silently re-added the per-round barrier the
+        // ckptLazy sites removed whenever reliable mode is on. Reliable
+        // semantics (blocks in the checkpoint dir, survive executor loss)
+        // and values are unchanged — only materialization timing moves.
+        df.checkpoint(eager = eager)
       } else df.localCheckpoint(eager = eager)
     if (!suppress.get.booleanValue()) {
       // exact id from the returned plan — never a set-diff that could

@@ -709,13 +709,20 @@ object Dedup {
     val slim =
       if (maxBlockSize == Int.MaxValue) slim0
       else {
-        // one key-keyed count agg + a broadcast-friendly semi filter:
-        // the oversized-block set is tiny (it is the pathological tail)
-        val small = slim0.groupBy(keys.map(col): _*)
+        // one key-keyed count agg, then ANTI-join against the OVERSIZED
+        // block keys (r15, guide §3.2 — pre-filter the big side with the
+        // small set). The former semi-join kept the SMALL-block keys — at
+        // corpus scale that set is nearly every key (never broadcastable),
+        // so the gate itself shuffled the full fact frame, hot key
+        // included. The oversized set is the pathological tail (usually
+        // empty, always tiny by construction), so the anti-join broadcasts
+        // and the junk hot key's rows are dropped BEFORE any fact
+        // exchange. Identical rows kept: n_key <= cap  ⟺  NOT n_key > cap.
+        val big = slim0.groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as("__bn"))
-          .filter(col("__bn") <= maxBlockSize)
+          .filter(col("__bn") > maxBlockSize)
           .select(keys.map(col): _*)
-        slim0.join(small, keys, "left_semi")
+        slim0.join(big, keys, "left_anti")
       }
     slim.as("l").join(slim.as("r"),
         keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&

@@ -175,12 +175,19 @@ object Graph {
         .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        // LAZY (r14): no per-round action exists in the peel loop, so all
-        // `rounds` iterations fold into the final degrees action — one
-        // job instead of `rounds`+1. The INITIAL canonical edge set above
-        // stays EAGER: its first consumption fans out into the degree agg
-        // plus two semi-join legs of round 1 (the racing-sibling shape).
-        .transform(Checkpoints.ckptLazy)
+        // EAGER (r15, reverting the r14 lazy experiment): each round's
+        // edge set is consumed by a 3-leg fan-out (degree agg + two
+        // semi-join probes) — exactly ckptLazy's forbidden racing-sibling
+        // shape (ADVICE r14). The r14 lazy form measured a small sf0.1
+        // win, but the sf1 ScaleBench probe VERDICT r14 asked for
+        // measured the racing siblings' duplicated computation directly
+        // (SCALEBENCH_r15kcore_{lazy8g,lazy32,eager32}.json): at the 8 g
+        // default heap the lazy form's timed sf1 reps all die with
+        // SparkOutOfMemoryError [UNABLE_TO_ACQUIRE_MEMORY]; at 32 g both
+        // complete and lazy is 2.8x SLOWER (sf1 medians 247.8 s vs
+        // 87.1 s, task CPU 1776 s vs 1304 s). Correct-and-2.8x-at-scale
+        // beats 0.3 s at sf0.1.
+        .transform(Checkpoints.ckpt)
     }
     degrees(e)
   }

@@ -64,8 +64,8 @@ object Robust {
     * estimate in the input's integer unit. */
   private def groupedQuantileEst(vals: DataFrame, binWidth: Long,
                                  quantileBp: Int, out: String): DataFrame =
-    groupedQuantileChain(groupedHist(vals, binWidth), binWidth,
-      quantileBp, out)
+    groupedQuantileCuts(groupedHist(vals, binWidth), binWidth,
+      Seq(quantileBp -> out))
 
   /** The bounded (g, bin, cnt) state every grouped-sketch form shares —
     * mergeable by bin-wise count sum, map-side combined. */
@@ -78,31 +78,37 @@ object Robust {
       .select(col("__g"), expr(s"__x DIV $binWidth").as("bin"))
       .groupBy(col("__g"), col("bin")).agg(count(lit(1)).as("cnt"))
 
-  private def groupedQuantileChain(hist: DataFrame, binWidth: Long,
-                                   quantileBp: Int, out: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+  /** Window-form cut extraction (r15, guide §2.4 — remove shuffles
+    * outright): `cum` and the group total `n` ride ONE partitioned
+    * window pass over the bounded histogram (same partition key, one
+    * exchange), and because per-bin counts are >= 1 the cumulative count
+    * is strictly increasing within a group — so "the first bin whose cum
+    * reaches rank r" is the UNIQUE row with cum >= r AND cum_before < r.
+    * The former rank aggregate + non-equi join + bin equi-join therefore
+    * collapse into per-row predicates plus one exchange-free groupBy
+    * (the window already hash-partitioned by __g). Arithmetic is
+    * UNCHANGED: the same ceil-rational rank ((bp*n + 9999) DIV 10000)
+    * and the same integer within-bin interpolation — hash parity on
+    * q384–q388 pins it. Multiple cuts (lo/hi trim, several quantiles)
+    * share the single pass: each contributes one conditional column,
+    * collapsed by max() (exactly one non-NULL row per group per cut). */
+  private def groupedQuantileCuts(hist: DataFrame, binWidth: Long,
+                                  cuts: Seq[(Int, String)]): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__g")).orderBy(col("bin"))
-    // NOT checkpointed, deliberately (r14, measured): `cum` feeds three
-    // consumers, but they are sibling legs of ONE plan and the histogram
-    // exchange under them is deduplicated by ReuseExchangeExec — the
-    // corpus-side aggregation runs once regardless; only the window over
-    // the bounded groups x bins grid replays per leg (sketch-state work).
-    // An explicit ckpt here ADDED materialization jobs (q387 23 -> 36
-    // single-task stages) for compute the reuse already made free.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"))
     val cum = hist
-      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
       .withColumn("cum_before", col("cum") - col("cnt"))
-    val r = cum.groupBy(col("__g")).agg(sum(col("cnt")).as("n"))
-      .withColumn("r", expr(s"($quantileBp * n + 9999) DIV 10000"))
-      .select(col("__g"), col("r"))
-    // first bin whose cumulative count reaches the rank, then the
-    // integer within-bin interpolation — both sides bounded histograms
-    val sel = r.join(cum, Seq("__g")).filter(col("cum") >= col("r"))
-      .groupBy(col("__g"), col("r")).agg(min(col("bin")).as("bin"))
-    sel.join(cum, Seq("__g", "bin"))
-      .select(col("__g"),
-        (col("bin") * binWidth +
-          expr(s"$binWidth * (r - cum_before) DIV cnt")).as(out))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val ests = cuts.map { case (bp, out) =>
+      val r = s"($bp * n + 9999) DIV 10000"
+      max(when(col("cum") >= expr(r) && col("cum_before") < expr(r),
+        col("bin") * binWidth +
+          expr(s"$binWidth * (($r) - cum_before) DIV cnt"))).as(out)
+    }
+    cum.groupBy(col("__g")).agg(ests.head, ests.tail: _*)
   }
 
   /** Append a batch's bounded per-group histogram to the PERSISTED
@@ -135,11 +141,16 @@ object Robust {
     val hist = spark.read.parquet(path)
       .dropDuplicates("batch_id", "__g", "bin")
       .groupBy(col("__g"), col("bin")).agg(sum(col("cnt")).as("cnt"))
-    quantilesBp.map(bp =>
-        groupedQuantileChain(hist, binWidth, bp, "est")
-          .withColumn("quantile_bp", lit(bp)))
-      .reduce(_.unionByName(_))
-      .select(col("__g").as("g"), col("quantile_bp"), col("est"))
+    // all requested quantiles ride ONE window pass + exchange-free agg
+    // (r15): the former per-bp chain union replayed the whole
+    // rank/interpolation chain (and its exchanges) once per quantile
+    val cuts = groupedQuantileCuts(hist, binWidth,
+      quantilesBp.zipWithIndex.map { case (bp, i) => bp -> s"__est_$i" })
+    cuts.selectExpr("__g AS g",
+        s"stack(${quantilesBp.size}, " +
+          quantilesBp.zipWithIndex
+            .map { case (bp, i) => s"$bp, __est_$i" }.mkString(", ") +
+          ") AS (quantile_bp, est)")
   }
 
   /** [[madOutlierStats]]'s production-default twin for huge groups: the
@@ -195,13 +206,13 @@ object Robust {
     val ev = df.select(col(groupCol).as("__g"),
       col(valueCol).cast("long").as("__v"))
     val vals = ev.select(col("__g"), col("__v").as("__x"))
-    // ONE shared histogram frame for both cuts — the identical exchange
-    // under each chain is deduplicated by ReuseExchangeExec (no ckpt:
-    // see groupedQuantileChain's note), so the corpus aggregation runs
-    // once and the sharing here just makes that reuse explicit.
-    val hist = groupedHist(vals, binWidth)
-    val cuts = groupedQuantileChain(hist, binWidth, trimLoBp, "lo_est")
-      .join(groupedQuantileChain(hist, binWidth, trimHiBp, "hi_est"), "__g")
+    // both cuts ride ONE window pass over ONE histogram (r15): the former
+    // two chains + __g join (whose identical histogram exchanges
+    // ReuseExchangeExec deduplicated, but whose rank/bin joins each
+    // replayed) collapse into two conditional columns of one
+    // exchange-free aggregate — see groupedQuantileCuts.
+    val cuts = groupedQuantileCuts(groupedHist(vals, binWidth), binWidth,
+      Seq(trimLoBp -> "lo_est", trimHiBp -> "hi_est"))
     ev.join(broadcast(cuts), "__g")
       .withColumn("__w",
         greatest(least(col("__v"), col("hi_est")), col("lo_est")))

@@ -673,23 +673,39 @@ object Sketch {
     * all-integer arithmetic, shared by the one-shot and table forms. */
   private def quantilesFromHistogram(hist: DataFrame, binWidthCents: Long,
                                      quantilesBp: Seq[Int]): DataFrame = {
-    val cum = hist.withColumn("cum",
-        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("bin"))))
+    // Window-form cut extraction (r15, guide §2.4): the total n rides the
+    // same ordered window pass as cum (unbounded frame, identical empty
+    // partition spec + `bin` order — one WindowExec, and `bin` stays the
+    // lint-reviewed order column). Per-bin counts are >= 1, so cum is
+    // strictly increasing and the rank-r cut row is the UNIQUE row with
+    // cum >= r AND cum_before < r — the former rank frame + non-equi
+    // join + bin join collapse into per-row predicates; every requested
+    // quantile is a conditional column stacked back to rows (NULL rows,
+    // i.e. non-cut bins, filtered). Ranks ((bp*n + 9999) DIV 10000) and
+    // the integer interpolation are UNCHANGED (q82/q209 hash parity).
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("cum_before", col("cum") - col("cnt"))
-    val n = hist.agg(sum(col("cnt")).as("n"))
-    val qs = n.select(explode(array(quantilesBp.map(q => lit(q)): _*))
-        .as("quantile_bp"), col("n"))
-      .withColumn("r",
-        expr("(CAST(quantile_bp AS BIGINT) * n + 9999) DIV 10000"))
-    val sel = qs.join(cum, col("cum") >= col("r"))
-      .groupBy(col("quantile_bp"), col("r"))
-      .agg(min(col("bin")).as("bin"))
-    sel.join(cum, "bin")
-      .select(col("quantile_bp"),
-        ((col("bin") * binWidthCents +
-          expr(s"$binWidthCents * (r - cum_before) DIV cnt")) / 100.0)
-          .as("est"))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    // .distinct: the old rank-join form merged duplicate basis points in
+    // its groupBy — one output row per distinct bp, preserved here
+    val bps = quantilesBp.distinct
+    val withEsts = bps.foldLeft(cum) { (d, bp) =>
+      val r = s"(CAST($bp AS BIGINT) * n + 9999) DIV 10000"
+      d.withColumn(s"__est_$bp",
+        when(col("cum") >= expr(r) && col("cum_before") < expr(r),
+          (col("bin") * binWidthCents +
+            expr(s"$binWidthCents * (($r) - cum_before) DIV cnt")) / 100.0))
+    }
+    withEsts.selectExpr(
+        s"stack(${bps.size}, " +
+          bps.map(bp => s"$bp, __est_$bp").mkString(", ") +
+          ") AS (quantile_bp, est)")
+      .filter(col("est").isNotNull)
       .orderBy("quantile_bp")
   }
 

@@ -781,6 +781,12 @@ object TextOps {
                               binWidthMicros: Long = 10000L): org.apache.spark.sql.DataFrame = {
     require(binWidthMicros > 0, "perplexityBucketsSketch: binWidth > 0")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+    // the corpus total n rides the SAME ordered window pass (unbounded
+    // frame, same empty partition spec + order — one WindowExec, one
+    // exchange; order refs stay on `bin`, the lint-reviewed bounded grid)
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val scores = unigramLogProb(df, idCol, textCol)
       .select(col(idCol), col("n_tokens"), col("logprob_mean"))
       .transform(Checkpoints.ckpt) // consumers: histogram + labelling
@@ -792,26 +798,25 @@ object TextOps {
     // — an explicit ckpt only adds a materialization job.
     val hist = m.select(expr(s"__neg DIV $binWidthMicros").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    // Window-form cut extraction (r15, guide §2.4): per-bin counts are
+    // >= 1, so cum is strictly increasing and "first bin with cum >= r"
+    // is the unique row with cum >= r AND cum_before < r — the former
+    // rank frame + non-equi join + bin join collapse into two
+    // conditional columns of one aggregate over the already-single-
+    // partition window output. Ranks and interpolation are UNCHANGED
+    // ((n+2) DIV 3 / (2n+2) DIV 3 in neg space; q386 hash parity).
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("cum_before", col("cum") - col("cnt"))
-    val qs = hist.agg(sum(col("cnt")).as("n"))
-      .select(explode(array(
-        struct(lit("hi").as("which"), expr("(n + 2) DIV 3").as("r")),
-        struct(lit("lo").as("which"), expr("(2 * n + 2) DIV 3").as("r"))))
-        .as("q"))
-      .select(col("q.which").as("which"), col("q.r").as("r"))
-    val sel = qs.join(cum, col("cum") >= col("r"))
-      .groupBy(col("which"), col("r")).agg(min(col("bin")).as("bin"))
-    val cuts = sel.join(cum, "bin")
-      .select(col("which"),
-        (col("bin") * binWidthMicros +
-          expr(s"$binWidthMicros * (r - cum_before) DIV cnt")).as("cut"))
-    val hi = cuts.filter(col("which") === "hi")
-      .select(col("cut").as("__hi_neg"))
-    val lo = cuts.filter(col("which") === "lo")
-      .select(col("cut").as("__lo_neg"))
-    m.crossJoin(broadcast(hi)).crossJoin(broadcast(lo))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    def cutOf(r: String): org.apache.spark.sql.Column =
+      when(col("cum") >= expr(r) && col("cum_before") < expr(r),
+        col("bin") * binWidthMicros +
+          expr(s"$binWidthMicros * (($r) - cum_before) DIV cnt"))
+    val cuts = cum.agg(
+      max(cutOf("(n + 2) DIV 3")).as("__hi_neg"),
+      max(cutOf("(2 * n + 2) DIV 3")).as("__lo_neg"))
+    m.crossJoin(broadcast(cuts))
       .select(col(idCol), col("n_tokens"), col("logprob_mean"),
         when(col("__neg") <= col("__hi_neg"), "head")
           .when(col("__neg") <= col("__lo_neg"), "middle")

@@ -75,6 +75,45 @@ class RobustSketchSpec extends SparkSpec {
     }
   }
 
+  /** Exact replay of the histogram chain (r15 window-form rewrite): the
+    * estimates must equal the rank-join reference algorithm BIT-FOR-BIT
+    * (first bin whose cum reaches the ceil-rational rank, then integer
+    * within-bin interpolation) — not just sit within the ±binWidth
+    * accuracy bound, because the oracle hashes pin the exact values. */
+  private def chainRef(vals: Seq[Long], w: Long, bp: Long): Long = {
+    val hist = vals.map(_ / w).groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (b, g) => (b, g.length.toLong) }
+    val n = vals.length.toLong
+    val r = (bp * n + 9999) / 10000
+    var cum = 0L
+    val (bin, cnt, cumBefore) = hist.iterator
+      .map { case (b, c) => val cb = cum; cum += c; (b, c, cb) }
+      .find { case (_, c, cb) => cb + c >= r }.get
+    bin * w + w * (r - cumBefore) / cnt
+  }
+
+  test("window-form cuts replay the rank-join reference exactly") {
+    val byG = data.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).toSeq }
+    // med via the mad operator's first chain (k huge so fences don't matter)
+    val med = Robust.madOutlierStatsSketch(data, "g", "v", binWidth = W)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trim = Robust.trimmedStatsSketch(data, "g", "v", binWidth = W)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    for ((g, vals) <- byG) {
+      assert(med(g) == chainRef(vals, W, 5000), s"$g med")
+      assert(trim(g)._1 == chainRef(vals, W, 1000), s"$g lo")
+      assert(trim(g)._2 == chainRef(vals, W, 9000), s"$g hi")
+    }
+    // the ungrouped q82 form, multiple quantiles in one call
+    val cents = byG.values.flatten.toSeq
+    val hq = graft.operators.Sketch.histogramQuantiles(
+        cents.toDF("c"), col("c"), 25L, Seq(2500, 5000, 9900))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (bp <- Seq(2500, 5000, 9900))
+      assert(hq(bp) == chainRef(cents, 25L, bp) / 100.0, s"q82 bp=$bp")
+  }
+
   test("ppl sketch at 1-micro bins: buckets match an independent replay") {
     // with binWidthMicros = 1 every distinct micro-score is its own bin;
     // replicate the ceil-rational thirds cuts over the collected scores
